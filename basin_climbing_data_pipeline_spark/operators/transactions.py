@@ -1,0 +1,337 @@
+"""Transaction domain: the combined-transactions builder and its analytics.
+
+Re-expresses the reference's transaction sub-pipeline (reference
+data_pipeline/pipeline_handler.py:112-296 union of Stripe/Square/Shopify with
+refund rows as negative amounts; categorization in
+utils/stripe_and_square_helpers.py:95-213) over the driver's star schema per
+the FIXTURES.md F1 mapping:
+
+    transactions = lineitem ⋈ orders ⋈ part
+    transaction_id   = o_orderkey || '_' || l_linenumber
+    description      = p_name || ' ' || p_type        (keyword categorization)
+    total_amount     = ±cents(l_extendedprice × (1−l_discount))
+                       (negative when l_returnflag='R' — refund rows,
+                        reference pipeline_handler.py:141-153)
+    data source      = bucket of o_orderstatus
+
+Money discipline: all amounts pass through functions.money (integer-cents
+rounding; exact cents sums) so Spark and the DuckDB oracle are bit-identical.
+
+Scale notes (100 TB): lineitem⋈orders is the big-big join — equi-join on
+l_orderkey shuffles both sides on the same key (at cluster scale, bucketing
+both tables by orderkey removes this shuffle entirely); part is a dimension
+and is broadcast explicitly.  All category logic is codegen'd when-chains —
+no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .. import config
+from ..functions.money import (
+    money,
+    money_sql,
+    ratio,
+    ratio_sql,
+    sum_money,
+    sum_money_sql,
+)
+from ..functions.text import keyword_categorize, keyword_categorize_sql, map_lookup, map_lookup_sql
+from ..io import load_table
+
+# ---------------------------------------------------------------------------
+# builder
+# ---------------------------------------------------------------------------
+
+
+def build_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The combined transaction table (F1).  One row per line item; refunds
+    (l_returnflag='R') carried as negative-amount rows exactly like the
+    reference's refund handling (pipeline_handler.py:141-158)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+
+    gross = money(F.col("l_extendedprice") * (1.0 - F.col("l_discount")))
+    total = F.when(F.col("l_returnflag") == "R", -gross).otherwise(gross)
+    desc = F.concat_ws(" ", F.col("p_name"), F.col("p_type"))
+    category = keyword_categorize(
+        desc, config.REVENUE_CATEGORY_KEYWORDS, config.REVENUE_CATEGORY_DEFAULT
+    )
+
+    df = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select(
+            F.concat_ws("_", F.col("o_orderkey"), F.col("l_linenumber")).alias("transaction_id"),
+            F.col("o_custkey").alias("customer_id"),
+            desc.alias("description"),
+            total.alias("total_amount"),
+            money(total * F.col("l_tax")).alias("tax_amount"),
+            money(F.col("l_extendedprice") * F.col("l_discount")).alias("discount_amount"),
+            F.to_date("o_orderdate").alias("txn_date"),
+            category.alias("revenue_category"),
+            keyword_categorize(
+                desc, config.SUB_CATEGORY_KEYWORDS, config.SUB_CATEGORY_DEFAULT
+            ).alias("sub_category"),
+            map_lookup(
+                F.col("o_orderstatus"), config.DATA_SOURCE_BY_ORDERSTATUS, "Other"
+            ).alias("data_source"),
+            F.when(category == "Day Pass", F.col("l_quantity").cast("int"))
+            .otherwise(F.lit(0))
+            .alias("day_pass_count"),
+            (F.col("l_returnflag") == "R").alias("is_refund"),
+        )
+        .withColumn("pre_tax_amount", money(F.col("total_amount") - F.col("tax_amount")))
+    )
+    return df
+
+
+def transactions_sql() -> str:
+    """DuckDB oracle mirror of :func:`build_transactions` (same formulas,
+    same keyword ordering — both are generated from config.py)."""
+    desc = "concat_ws(' ', p_name, p_type)"
+    cat = keyword_categorize_sql(desc, config.REVENUE_CATEGORY_KEYWORDS, config.REVENUE_CATEGORY_DEFAULT)
+    sub = keyword_categorize_sql(desc, config.SUB_CATEGORY_KEYWORDS, config.SUB_CATEGORY_DEFAULT)
+    src = map_lookup_sql("o_orderstatus", config.DATA_SOURCE_BY_ORDERSTATUS, "Other")
+    gross = money_sql("l_extendedprice * (1.0 - l_discount)")
+    return f"""
+WITH base AS (
+  SELECT
+    o_orderkey || '_' || l_linenumber            AS transaction_id,
+    o_custkey                                    AS customer_id,
+    {desc}                                       AS description,
+    CASE WHEN l_returnflag = 'R' THEN -{gross} ELSE {gross} END AS total_amount,
+    l_tax, l_quantity, l_returnflag, l_extendedprice, l_discount, o_orderdate,
+    {cat}                                        AS revenue_category,
+    {sub}                                        AS sub_category,
+    {src}                                        AS data_source
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN part   ON l_partkey = p_partkey
+)
+SELECT
+  transaction_id,
+  customer_id,
+  description,
+  total_amount,
+  {money_sql('total_amount * l_tax')}               AS tax_amount,
+  {money_sql('l_extendedprice * l_discount')}       AS discount_amount,
+  o_orderdate::date                                 AS txn_date,
+  revenue_category,
+  sub_category,
+  data_source,
+  CASE WHEN revenue_category = 'Day Pass' THEN l_quantity::int ELSE 0 END AS day_pass_count,
+  l_returnflag = 'R'                                AS is_refund,
+  {money_sql('total_amount - ' + money_sql('total_amount * l_tax'))} AS pre_tax_amount
+FROM base
+"""
+
+
+# ---------------------------------------------------------------------------
+# analytics over the built table
+# ---------------------------------------------------------------------------
+
+
+def revenue_by_month_category(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: net revenue by (month, category) + share of month total —
+    the reference's main dashboard chart (dashboard/dashboard.py:555-598,
+    percent-of-total at :626-631)."""
+    txn = build_transactions(spark, sf_dir)
+    monthly = txn.groupBy(
+        F.trunc("txn_date", "month").alias("month"),
+        F.col("revenue_category"),
+    ).agg(
+        sum_money(F.col("total_amount")).alias("net_revenue"),
+        F.count("*").alias("txn_count"),
+    )
+    w = Window.partitionBy("month")
+    return monthly.withColumn(
+        "pct_of_month",
+        ratio(F.col("net_revenue") * 100.0, F.sum("net_revenue").over(w), 2),
+    ).orderBy("month", "revenue_category")
+
+
+def revenue_by_month_category_sql() -> str:
+    return f"""
+WITH txn AS ({transactions_sql()}),
+monthly AS (
+  SELECT date_trunc('month', txn_date)::date AS month,
+         revenue_category,
+         {sum_money_sql('total_amount')} AS net_revenue,
+         count(*) AS txn_count
+  FROM txn
+  GROUP BY 1, 2
+)
+SELECT month, revenue_category, net_revenue, txn_count,
+       {ratio_sql('net_revenue * 100.0', 'sum(net_revenue) OVER (PARTITION BY month)', 2)} AS pct_of_month
+FROM monthly
+ORDER BY month, revenue_category
+"""
+
+
+def refund_metrics_by_category(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gross / refunds / net / refund-rate per category — the reference's
+    conditional pivot aggregation (dashboard/dashboard.py:658-684;
+    link_refunds_to_categories.py:234-268)."""
+    txn = build_transactions(spark, sf_dir)
+    pos = F.when(F.col("total_amount") > 0, F.col("total_amount")).otherwise(0.0)
+    neg = F.when(F.col("total_amount") < 0, -F.col("total_amount")).otherwise(0.0)
+    return (
+        txn.groupBy("revenue_category")
+        .agg(
+            sum_money(pos).alias("gross_revenue"),
+            sum_money(neg).alias("refund_amount"),
+            sum_money(F.col("total_amount")).alias("net_revenue"),
+            F.count(F.when(F.col("is_refund"), 1)).alias("refund_count"),
+            F.count("*").alias("txn_count"),
+        )
+        .withColumn("refund_rate", ratio(F.col("refund_amount"), F.col("gross_revenue"), 4))
+        .orderBy("revenue_category")
+    )
+
+
+def refund_metrics_by_category_sql() -> str:
+    pos = "CASE WHEN total_amount > 0 THEN total_amount ELSE 0.0 END"
+    neg = "CASE WHEN total_amount < 0 THEN -total_amount ELSE 0.0 END"
+    return f"""
+WITH txn AS ({transactions_sql()}),
+agg AS (
+  SELECT revenue_category,
+         {sum_money_sql(pos)} AS gross_revenue,
+         {sum_money_sql(neg)} AS refund_amount,
+         {sum_money_sql('total_amount')} AS net_revenue,
+         count(CASE WHEN is_refund THEN 1 END) AS refund_count,
+         count(*) AS txn_count
+  FROM txn
+  GROUP BY revenue_category
+)
+SELECT *, {ratio_sql('refund_amount', 'gross_revenue', 4)} AS refund_rate
+FROM agg
+ORDER BY revenue_category
+"""
+
+
+def day_pass_counts_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-pass unit counts per month (reference day-pass count derivation,
+    utils/stripe_and_square_helpers.py:202-211, charted by period)."""
+    txn = build_transactions(spark, sf_dir)
+    return (
+        txn.filter(F.col("revenue_category") == "Day Pass")
+        .groupBy(F.trunc("txn_date", "month").alias("month"))
+        .agg(
+            F.sum("day_pass_count").alias("day_passes"),
+            F.countDistinct("customer_id").alias("buyers"),
+        )
+        .orderBy("month")
+    )
+
+
+def day_pass_counts_by_month_sql() -> str:
+    return f"""
+WITH txn AS ({transactions_sql()})
+SELECT date_trunc('month', txn_date)::date AS month,
+       sum(day_pass_count) AS day_passes,
+       count(DISTINCT customer_id) AS buyers
+FROM txn
+WHERE revenue_category = 'Day Pass'
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+def suspicious_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-band audit (reference flag_suspicious_transactions.py:22-94):
+    flag positive transactions whose total is within tolerance of a known
+    price point.  The band table is tiny → broadcast nested-loop join, which
+    is exactly the right physical plan at any scale."""
+    txn = build_transactions(spark, sf_dir)
+    bands = spark.createDataFrame(
+        config.PRICE_BANDS, schema="price_label string, price double, tolerance double"
+    )
+    return (
+        txn.filter(F.col("total_amount") > 0)
+        .join(
+            F.broadcast(bands),
+            F.abs(F.col("total_amount") - F.col("price")) <= F.col("tolerance"),
+        )
+        .groupBy("price_label", "revenue_category")
+        .agg(
+            F.count("*").alias("hit_count"),
+            sum_money(F.col("total_amount")).alias("hit_revenue"),
+        )
+        .orderBy("price_label", "revenue_category")
+    )
+
+
+def suspicious_price_bands_sql() -> str:
+    bands_values = ", ".join(
+        f"('{label}', {price}, {tol})" for label, price, tol in config.PRICE_BANDS
+    )
+    return f"""
+WITH txn AS ({transactions_sql()}),
+bands(price_label, price, tolerance) AS (VALUES {bands_values})
+SELECT price_label, revenue_category,
+       count(*) AS hit_count,
+       {sum_money_sql('total_amount')} AS hit_revenue
+FROM txn JOIN bands ON abs(total_amount - price) <= tolerance
+WHERE total_amount > 0
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+def dedup_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-first dedup by transaction_id (reference
+    pipeline_handler.py:330-331 ``drop_duplicates(subset=['transaction_id'],
+    keep='first')``).  'First' in a distributed engine must be an explicit
+    deterministic ordering (SURVEY.md §4.3) — here: lowest amount, then the
+    remaining columns as tie-breaks, via one row_number window.  Fully
+    identical duplicate rows tie harmlessly (either kept row is the same)."""
+    txn = build_transactions(spark, sf_dir)
+    w = Window.partitionBy("transaction_id").orderBy(
+        "total_amount", "tax_amount", "discount_amount", "description", "day_pass_count"
+    )
+    return (
+        txn.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def dedup_transactions_sql() -> str:
+    return f"""
+WITH txn AS ({transactions_sql()}),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY transaction_id
+      ORDER BY total_amount, tax_amount, discount_amount, description, day_pass_count
+  ) AS rn
+  FROM txn
+)
+SELECT * EXCLUDE (rn) FROM ranked WHERE rn = 1
+"""
+
+
+def revenue_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Net revenue by data source × month (reference dashboard source split,
+    dashboard/dashboard.py:531-542)."""
+    txn = build_transactions(spark, sf_dir)
+    return (
+        txn.groupBy(F.trunc("txn_date", "month").alias("month"), "data_source")
+        .agg(sum_money(F.col("total_amount")).alias("net_revenue"))
+        .orderBy("month", "data_source")
+    )
+
+
+def revenue_by_source_sql() -> str:
+    return f"""
+WITH txn AS ({transactions_sql()})
+SELECT date_trunc('month', txn_date)::date AS month, data_source,
+       {sum_money_sql('total_amount')} AS net_revenue
+FROM txn
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""

@@ -1,0 +1,57 @@
+"""Central query registry: name -> (spark_callable, oracle_sql | None).
+
+``__spark_entry__.py`` exposes this to the driver.  Every operator family in
+SURVEY.md §2 registers its queries here; each callable takes
+``(spark, sf_dir)`` and returns a DataFrame whose column names match the
+oracle SQL exactly (the driver sorts columns by name and value-hashes).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .operators import transactions as txn
+
+SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+# name -> (spark callable, oracle sql or None for rows-only checks)
+REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {}
+
+
+def register(name: str, fn: SparkQuery, sql: str | None) -> None:
+    REGISTRY[name] = (fn, sql)
+
+
+register("transactions_build", txn.build_transactions, txn.transactions_sql())
+register(
+    "revenue_by_month_category",
+    txn.revenue_by_month_category,
+    txn.revenue_by_month_category_sql(),
+)
+register(
+    "refund_metrics_by_category",
+    txn.refund_metrics_by_category,
+    txn.refund_metrics_by_category_sql(),
+)
+register(
+    "day_pass_counts_by_month",
+    txn.day_pass_counts_by_month,
+    txn.day_pass_counts_by_month_sql(),
+)
+register(
+    "suspicious_price_bands",
+    txn.suspicious_price_bands,
+    txn.suspicious_price_bands_sql(),
+)
+register("revenue_by_source", txn.revenue_by_source, txn.revenue_by_source_sql())
+register("dedup_transactions", txn.dedup_transactions, txn.dedup_transactions_sql())
+
+
+def queries() -> dict[str, SparkQuery]:
+    return {name: fn for name, (fn, _sql) in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_fn, sql) in REGISTRY.items() if sql is not None}

@@ -1,0 +1,70 @@
+"""Benchmark runner — the driver's per-round feedback loop.
+
+Runs every registered query at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
+"sf": ...}.
+
+Each query is forced with a noop-format write so every column is computed
+(a bare .count() would let Catalyst prune the expensive projections).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from basin_climbing_data_pipeline_spark.io import load_table  # noqa: E402
+from basin_climbing_data_pipeline_spark.registry import REGISTRY  # noqa: E402
+from basin_climbing_data_pipeline_spark.session import get_spark  # noqa: E402
+
+
+def run_query(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.0
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM + parquet footers once so timings measure the queries
+    for t in ("lineitem", "orders", "events"):
+        load_table(spark, sf_dir, t).count()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name, (fn, _sql) in REGISTRY.items():
+        t0 = time.time()
+        try:
+            run_query(fn(spark, sf_dir))
+            dt = time.time() - t0
+        except Exception as e:  # a failing query should show up, not hide
+            print(f"bench error in {name}: {e}", file=sys.stderr)
+            dt = float("nan")
+        timings[name] = round(dt, 3)
+        total += dt if dt == dt else 0.0
+
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_sec",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,75 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from basin_climbing_data_pipeline_spark import config
+from basin_climbing_data_pipeline_spark.functions.money import money, sum_money
+from basin_climbing_data_pipeline_spark.functions.text import keyword_categorize
+from basin_climbing_data_pipeline_spark.operators import transactions as txn
+
+
+def test_money_rounding_half_cent(spark):
+    df = spark.createDataFrame([(7883.745,), (0.005,), (-1.005,), (2.675,)], "x double")
+    out = [r[0] for r in df.select(money(F.col("x")).alias("m")).collect()]
+    # floor(x*100+0.5)/100 on the binary double values — deterministic
+    assert out[0] in (7883.74, 7883.75)
+    assert all(abs(v * 100 - round(v * 100)) < 1e-9 for v in out)
+
+
+def test_sum_money_exact(spark):
+    df = spark.createDataFrame([(0.01,)] * 1000, "x double").repartition(13)
+    (total,) = df.select(sum_money(F.col("x")).alias("s")).collect()[0]
+    assert total == 10.0
+
+
+def test_keyword_categorizer_first_match_wins(spark):
+    df = spark.createDataFrame(
+        [("small widget PROMO",), ("large bolt STANDARD",), ("blue rod ECONOMY",), ("zzz",)],
+        "d string",
+    )
+    out = [
+        r[0]
+        for r in df.select(
+            keyword_categorize(
+                F.col("d"), config.REVENUE_CATEGORY_KEYWORDS, config.REVENUE_CATEGORY_DEFAULT
+            ).alias("c")
+        ).collect()
+    ]
+    # 'promo' is listed before 'small' → first match wins
+    assert out[0] == "Day Pass"
+    # 'standard' before 'large'
+    assert out[1] == "New Membership"
+    assert out[2] == "Retail"
+    assert out[3] == "Other"
+
+
+def test_build_transactions_refunds_negative(spark, sf_dir):
+    df = txn.build_transactions(spark, sf_dir)
+    bad = df.filter(F.col("is_refund") & (F.col("total_amount") > 0)).count()
+    assert bad == 0
+    assert df.filter(~F.col("is_refund") & (F.col("total_amount") < 0)).count() == 0
+    # synthetic lineitem has duplicate (orderkey, linenumber) pairs on purpose;
+    # dedup_transactions handles them (A8)
+    n, nd = df.count(), df.select("transaction_id").distinct().count()
+    assert nd <= n
+    dd = txn.dedup_transactions(spark, sf_dir)
+    assert dd.count() == nd
+
+
+def test_flagship_shape(spark, sf_dir):
+    df = txn.revenue_by_month_category(spark, sf_dir)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(df.columns) == {
+        "month",
+        "revenue_category",
+        "net_revenue",
+        "txn_count",
+        "pct_of_month",
+    }
+    # shares within a month sum to ~100
+    months = {}
+    for r in rows:
+        months.setdefault(r["month"], 0.0)
+        months[r["month"]] += r["pct_of_month"]
+    assert all(abs(v - 100.0) < 0.5 for v in months.values())

@@ -1,0 +1,141 @@
+"""Local correctness harness — mimics the driver's DuckDB-oracle gate.
+
+For each query in the registry: run the Spark callable at the given sf_dir,
+run the oracle SQL in DuckDB (tables pre-registered as views), and compare
+row count, sorted column names, and an order-insensitive value hash.  Strict
+float comparison (repr) by design — stricter than the driver is likely to be,
+so passing here should mean passing there.
+
+Usage:  python tools/check.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+import time
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import datetime as dt
+import math
+
+import duckdb
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def canon_value(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # normalize -0.0 and integral floats
+        if v == 0:
+            return "0.0"
+        return repr(round(v, 9))
+    if isinstance(v, dt.datetime):
+        return v.strftime("%Y-%m-%d %H:%M:%S.%f")
+    if isinstance(v, dt.date):
+        return v.strftime("%Y-%m-%d")
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon_value(x) for x in v) + "]"
+    if isinstance(v, int):
+        return str(v)
+    return str(v)
+
+
+def canon_rows(cols: list[str], rows: list[tuple]) -> tuple[list[str], list[str]]:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    sorted_cols = [cols[i] for i in order]
+    out = sorted("|".join(canon_value(r[i]) for i in order) for r in rows)
+    return sorted_cols, out
+
+
+def value_hash(lines: list[str]) -> str:
+    h = hashlib.md5()
+    for line in lines:
+        h.update(line.encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    from basin_climbing_data_pipeline_spark.registry import REGISTRY
+    from basin_climbing_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    n_pass = n_fail = n_rows_only = 0
+    for name, (fn, sql) in REGISTRY.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            s_cols = sdf.columns
+            s_rows = [tuple(r) for r in sdf.collect()]
+        except Exception:
+            print(f"FAIL {name}: spark error")
+            traceback.print_exc()
+            n_fail += 1
+            continue
+        if sql is None:
+            print(f"rows-only {name}: {len(s_rows)} rows  ({time.time()-t0:.1f}s)")
+            n_rows_only += 1
+            continue
+        try:
+            res = con.execute(sql)
+            d_cols = [d[0] for d in res.description]
+            d_rows = res.fetchall()
+        except Exception:
+            print(f"FAIL {name}: duckdb error")
+            traceback.print_exc()
+            n_fail += 1
+            continue
+
+        sc, s_lines = canon_rows(s_cols, s_rows)
+        dc, d_lines = canon_rows(d_cols, d_rows)
+        problems = []
+        if sc != dc:
+            problems.append(f"schema: spark={sc} duckdb={dc}")
+        if len(s_rows) != len(d_rows):
+            problems.append(f"rowcount: spark={len(s_rows)} duckdb={len(d_rows)}")
+        if not problems and value_hash(s_lines) != value_hash(d_lines):
+            problems.append("value-hash mismatch")
+            s_only = sorted(set(s_lines) - set(d_lines))[:3]
+            d_only = sorted(set(d_lines) - set(s_lines))[:3]
+            for line in s_only:
+                problems.append(f"  spark-only : {line[:240]}")
+            for line in d_only:
+                problems.append(f"  duckdb-only: {line[:240]}")
+        if problems:
+            print(f"FAIL {name}  ({time.time()-t0:.1f}s)")
+            for p in problems:
+                print("   " + p)
+            n_fail += 1
+        else:
+            print(f"PASS {name}: {len(s_rows)} rows  ({time.time()-t0:.1f}s)")
+            n_pass += 1
+
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
