@@ -44,9 +44,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         from pyspark.sql import functions as F
 
-        return df.withColumn(
-            "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
-        )
+        # integer division — nanos (~1.7e18) overflow double precision, so a
+        # float divide here would be off by ±1 µs
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

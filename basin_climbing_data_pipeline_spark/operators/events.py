@@ -1,0 +1,437 @@
+"""Checkin/event-stream domain: window functions, sessionization, proximity.
+
+Realizes the reference's checkin analytics (FIXTURES.md F2: the driver's
+``events`` table is the checkin stream — user_id → customer_id, ts →
+checkin_datetime, event_type → entry_method bucket) and re-expresses the
+reference's per-customer iterrows loops as window functions:
+
+- visit_number (reference build_conversion_rate_analysis.py:203-207)
+- rolling 60-day visit counts (:209-218)
+- recency buckets via lag (build_day_pass_engagement_table.py:149-296)
+- trailing multi-horizon counts (:114-121)
+- proximity pair joins (build_customer_interactions.py:123-177 — 30-min
+  same-day co-checkins) with the connections-style strength rollup
+  (build_customer_connections.py:17-114)
+- gap-based sessions / returning-after-break (customer_flags_config.py:284-295)
+
+Determinism: every window orders by (ts, event_id) — event_id is unique, so
+ranks are stable under any partitioning (SURVEY.md §4.3).
+
+Scale notes: all windows partition by customer — one shuffle on user_id that
+AQE can coalesce; the proximity self-join is blocked on (event_type, date)
+exactly like the reference's group-then-probe (SURVEY.md §4.1), keeping the
+band predicate inside small equi-join buckets; at 100 TB add date-bucket
+salting for hot keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .. import config
+from ..functions.money import money, money_sql, sum_money, sum_money_sql
+from ..functions.text import map_lookup, map_lookup_sql
+from ..io import load_table
+
+SESSION_GAP_SECONDS = 1800
+DAY_US = 86_400_000_000
+
+# ---------------------------------------------------------------------------
+# builder (F2)
+# ---------------------------------------------------------------------------
+
+
+def build_checkins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkin stream from events.  Timestamps exposed as epoch-micros BIGINT
+    (cross-engine safe) plus a date column."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        F.col("event_id").alias("checkin_id"),
+        F.col("user_id").alias("customer_id"),
+        F.unix_micros(F.col("ts")).alias("checkin_ts_us"),
+        F.to_date("ts").alias("checkin_date"),
+        map_lookup(F.col("event_type"), config.ENTRY_METHOD_BY_EVENT_TYPE, "UNK").alias(
+            "entry_method"
+        ),
+        F.col("event_type"),
+        F.get_json_object("props", "$.k").cast("int").alias("engagement_k"),
+        money(F.col("value")).alias("spend_amount"),
+    )
+
+
+def checkins_sql() -> str:
+    em = map_lookup_sql("event_type", config.ENTRY_METHOD_BY_EVENT_TYPE, "UNK")
+    return f"""
+SELECT
+  event_id                                   AS checkin_id,
+  user_id                                    AS customer_id,
+  epoch_us(ts::TIMESTAMP)                    AS checkin_ts_us,
+  ts::date                                   AS checkin_date,
+  {em}                                       AS entry_method,
+  event_type,
+  json_extract_string(props, '$.k')::int     AS engagement_k,
+  {money_sql('value')}                       AS spend_amount
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# window analytics
+# ---------------------------------------------------------------------------
+
+
+def visit_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: all-time visit sequence number per customer."""
+    ck = build_checkins(spark, sf_dir)
+    w = Window.partitionBy("customer_id").orderBy("checkin_ts_us", "checkin_id")
+    return ck.select(
+        "customer_id",
+        "checkin_id",
+        "checkin_date",
+        "entry_method",
+        F.row_number().over(w).alias("visit_number"),
+    )
+
+
+def visit_numbers_sql() -> str:
+    return f"""
+WITH ck AS ({checkins_sql()})
+SELECT customer_id, checkin_id, checkin_date, entry_method,
+       row_number() OVER (PARTITION BY customer_id ORDER BY checkin_ts_us, checkin_id) AS visit_number
+FROM ck
+"""
+
+
+def rolling_60d_visits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: visits in the trailing 60 days (inclusive) per customer at each
+    checkin (reference visit_num_60d)."""
+    ck = build_checkins(spark, sf_dir)
+    w = (
+        Window.partitionBy("customer_id")
+        .orderBy("checkin_ts_us")
+        .rangeBetween(-60 * DAY_US, 0)
+    )
+    return ck.select(
+        "customer_id",
+        "checkin_id",
+        "checkin_date",
+        F.count("*").over(w).alias("visits_60d"),
+    )
+
+
+def rolling_60d_visits_sql() -> str:
+    return f"""
+WITH ck AS ({checkins_sql()})
+SELECT customer_id, checkin_id, checkin_date,
+       count(*) OVER (
+         PARTITION BY customer_id ORDER BY checkin_ts_us
+         RANGE BETWEEN {60 * DAY_US} PRECEDING AND CURRENT ROW
+       ) AS visits_60d
+FROM ck
+"""
+
+
+def recency_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: days since previous checkin → New / 0-2mo / 2-6mo / 6+mo buckets
+    (reference recency classification, build_day_pass_engagement_table.py:149-296)."""
+    ck = build_checkins(spark, sf_dir)
+    w = Window.partitionBy("customer_id").orderBy("checkin_ts_us", "checkin_id")
+    prev = F.lag("checkin_ts_us").over(w)
+    days = F.expr(f"(checkin_ts_us - prev_ts_us) div {DAY_US}")
+    return (
+        ck.withColumn("prev_ts_us", prev)
+        .withColumn("days_since_prev", days)
+        .select(
+            "customer_id",
+            "checkin_id",
+            "checkin_date",
+            "days_since_prev",
+            F.when(F.col("days_since_prev").isNull(), "New")
+            .when(F.col("days_since_prev") < 60, "0-2mo")
+            .when(F.col("days_since_prev") < 180, "2-6mo")
+            .otherwise("6+mo")
+            .alias("recency_bucket"),
+        )
+    )
+
+
+def recency_buckets_sql() -> str:
+    return f"""
+WITH ck AS ({checkins_sql()}),
+lagged AS (
+  SELECT customer_id, checkin_id, checkin_date,
+         (checkin_ts_us - lag(checkin_ts_us) OVER (
+            PARTITION BY customer_id ORDER BY checkin_ts_us, checkin_id)) // {DAY_US}
+         AS days_since_prev
+  FROM ck
+)
+SELECT customer_id, checkin_id, checkin_date, days_since_prev,
+       CASE WHEN days_since_prev IS NULL THEN 'New'
+            WHEN days_since_prev < 60 THEN '0-2mo'
+            WHEN days_since_prev < 180 THEN '2-6mo'
+            ELSE '6+mo' END AS recency_bucket
+FROM lagged
+"""
+
+
+def trailing_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4: per-customer visits in the trailing 2/6/12 months as of a fixed
+    as_of date (reference build_day_pass_engagement_table.py:114-121), plus
+    first/last checkin dates (W5)."""
+    from ..functions.datetime_utils import AS_OF_DEFAULT, as_of_lit
+
+    ck = build_checkins(spark, sf_dir)
+    as_of_us = F.unix_micros(as_of_lit(AS_OF_DEFAULT))
+    return ck.groupBy("customer_id").agg(
+        F.count("*").alias("visits_total"),
+        F.count(F.when(F.col("checkin_ts_us") >= as_of_us - 60 * DAY_US, 1)).alias("visits_2mo"),
+        F.count(F.when(F.col("checkin_ts_us") >= as_of_us - 180 * DAY_US, 1)).alias("visits_6mo"),
+        F.count(F.when(F.col("checkin_ts_us") >= as_of_us - 365 * DAY_US, 1)).alias("visits_12mo"),
+        F.min("checkin_date").alias("first_checkin_date"),
+        F.max("checkin_date").alias("last_checkin_date"),
+        sum_money(F.col("spend_amount")).alias("total_spend"),
+    )
+
+
+def trailing_window_counts_sql() -> str:
+    from ..functions.datetime_utils import AS_OF_DEFAULT, as_of_sql
+
+    as_of = f"epoch_us({as_of_sql(AS_OF_DEFAULT)})"
+    return f"""
+WITH ck AS ({checkins_sql()})
+SELECT customer_id,
+       count(*) AS visits_total,
+       count(CASE WHEN checkin_ts_us >= {as_of} - {60 * DAY_US} THEN 1 END) AS visits_2mo,
+       count(CASE WHEN checkin_ts_us >= {as_of} - {180 * DAY_US} THEN 1 END) AS visits_6mo,
+       count(CASE WHEN checkin_ts_us >= {as_of} - {365 * DAY_US} THEN 1 END) AS visits_12mo,
+       min(checkin_date) AS first_checkin_date,
+       max(checkin_date) AS last_checkin_date,
+       {sum_money_sql('spend_amount')} AS total_spend
+FROM ck
+GROUP BY customer_id
+"""
+
+
+def entry_method_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: value_counts of entry methods, descending (deterministic
+    tie-break on the label)."""
+    ck = build_checkins(spark, sf_dir)
+    return (
+        ck.groupBy("entry_method")
+        .agg(F.count("*").alias("n"), F.countDistinct("customer_id").alias("n_customers"))
+        .orderBy(F.desc("n"), "entry_method")
+    )
+
+
+def entry_method_counts_sql() -> str:
+    return f"""
+WITH ck AS ({checkins_sql()})
+SELECT entry_method, count(*) AS n, count(DISTINCT customer_id) AS n_customers
+FROM ck GROUP BY entry_method ORDER BY n DESC, entry_method
+"""
+
+
+def daily_checkin_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A4 on the stream: daily checkins + distinct customers + spend."""
+    ck = build_checkins(spark, sf_dir)
+    return (
+        ck.groupBy("checkin_date")
+        .agg(
+            F.count("*").alias("checkins"),
+            F.countDistinct("customer_id").alias("active_customers"),
+            sum_money(F.col("spend_amount")).alias("spend"),
+        )
+        .orderBy("checkin_date")
+    )
+
+
+def daily_checkin_stats_sql() -> str:
+    return f"""
+WITH ck AS ({checkins_sql()})
+SELECT checkin_date, count(*) AS checkins,
+       count(DISTINCT customer_id) AS active_customers,
+       {sum_money_sql('spend_amount')} AS spend
+FROM ck GROUP BY checkin_date ORDER BY checkin_date
+"""
+
+
+# ---------------------------------------------------------------------------
+# proximity pairs (J8) + connections rollup (A10)
+# ---------------------------------------------------------------------------
+
+
+def proximity_connections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same-day, same-entry-type co-checkins within 30 minutes → pair edges
+    with strength buckets.  The self-join is blocked on (event_type, date)
+    before the band predicate — the reference's group-then-probe
+    (build_family_relationships.py:403-416) as explicit equi-join keys."""
+    ck = build_checkins(spark, sf_dir).select(
+        "customer_id", "checkin_id", "checkin_date", "checkin_ts_us", "event_type"
+    )
+    a = ck.alias("a")
+    b = ck.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.checkin_date") == F.col("b.checkin_date"))
+        & (F.col("a.customer_id") < F.col("b.customer_id"))
+        & (
+            F.abs(F.col("a.checkin_ts_us") - F.col("b.checkin_ts_us"))
+            <= config.INTERACTION_PROXIMITY_SECONDS * 1_000_000
+        ),
+    )
+    agg = pairs.groupBy(
+        F.col("a.customer_id").alias("customer_id_1"),
+        F.col("b.customer_id").alias("customer_id_2"),
+    ).agg(
+        F.count("*").alias("n_copresent"),
+        F.min(F.col("a.checkin_date")).alias("first_date"),
+        F.max(F.col("a.checkin_date")).alias("last_date"),
+        F.sort_array(F.collect_set(F.col("a.event_type"))).alias("_types"),
+    )
+    return agg.select(
+        "customer_id_1",
+        "customer_id_2",
+        "n_copresent",
+        "first_date",
+        "last_date",
+        F.array_join("_types", ",").alias("interaction_types"),
+        F.when(F.col("n_copresent") >= 10, 5)
+        .when(F.col("n_copresent") >= 5, 4)
+        .when(F.col("n_copresent") >= 3, 3)
+        .when(F.col("n_copresent") >= 2, 2)
+        .otherwise(1)
+        .alias("strength_score"),
+    )
+
+
+def proximity_connections_sql() -> str:
+    return f"""
+WITH ck AS ({checkins_sql()}),
+pairs AS (
+  SELECT a.customer_id AS customer_id_1, b.customer_id AS customer_id_2,
+         a.checkin_date, a.event_type
+  FROM ck a JOIN ck b
+    ON a.event_type = b.event_type
+   AND a.checkin_date = b.checkin_date
+   AND a.customer_id < b.customer_id
+   AND abs(a.checkin_ts_us - b.checkin_ts_us) <= {config.INTERACTION_PROXIMITY_SECONDS * 1_000_000}
+)
+SELECT customer_id_1, customer_id_2,
+       count(*) AS n_copresent,
+       min(checkin_date) AS first_date,
+       max(checkin_date) AS last_date,
+       array_to_string(list_sort(list_distinct(list(event_type))), ',') AS interaction_types,
+       CASE WHEN count(*) >= 10 THEN 5
+            WHEN count(*) >= 5 THEN 4
+            WHEN count(*) >= 3 THEN 3
+            WHEN count(*) >= 2 THEN 2
+            ELSE 1 END AS strength_score
+FROM pairs
+GROUP BY customer_id_1, customer_id_2
+"""
+
+
+# ---------------------------------------------------------------------------
+# sessions (ST6)
+# ---------------------------------------------------------------------------
+
+
+def checkin_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the gap from the
+    previous event exceeds 30 minutes.  lag → boundary flag → cumulative sum
+    (the standard batch re-expression of session windows)."""
+    ck = build_checkins(spark, sf_dir)
+    w = Window.partitionBy("customer_id").orderBy("checkin_ts_us", "checkin_id")
+    gap = F.col("checkin_ts_us") - F.lag("checkin_ts_us").over(w)
+    with_flag = ck.withColumn(
+        "is_new_session",
+        (gap.isNull() | (gap > SESSION_GAP_SECONDS * 1_000_000)).cast("int"),
+    )
+    wsum = (
+        Window.partitionBy("customer_id")
+        .orderBy("checkin_ts_us", "checkin_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sessions = with_flag.withColumn("session_seq", F.sum("is_new_session").over(wsum))
+    return (
+        sessions.groupBy("customer_id", "session_seq")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("checkin_ts_us").alias("session_start_us"),
+            F.max("checkin_ts_us").alias("session_end_us"),
+            sum_money(F.col("spend_amount")).alias("session_spend"),
+        )
+        .withColumn(
+            "duration_min",
+            F.expr("(session_end_us - session_start_us) div 60000000"),
+        )
+    )
+
+
+def checkin_sessions_sql() -> str:
+    return f"""
+WITH ck AS ({checkins_sql()}),
+flagged AS (
+  SELECT *, CASE WHEN lag(checkin_ts_us) OVER w IS NULL
+                   OR checkin_ts_us - lag(checkin_ts_us) OVER w > {SESSION_GAP_SECONDS * 1_000_000}
+                 THEN 1 ELSE 0 END AS is_new_session
+  FROM ck
+  WINDOW w AS (PARTITION BY customer_id ORDER BY checkin_ts_us, checkin_id)
+),
+sessioned AS (
+  SELECT *, sum(is_new_session) OVER (
+      PARTITION BY customer_id ORDER BY checkin_ts_us, checkin_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM flagged
+)
+SELECT customer_id, session_seq, count(*) AS n_events,
+       min(checkin_ts_us) AS session_start_us,
+       max(checkin_ts_us) AS session_end_us,
+       {sum_money_sql('spend_amount')} AS session_spend,
+       (max(checkin_ts_us) - min(checkin_ts_us)) // 60000000 AS duration_min
+FROM sessioned
+GROUP BY customer_id, session_seq
+"""
+
+
+def returning_after_break(
+    spark: SparkSession, sf_dir: str, break_days: int = 2
+) -> DataFrame:
+    """Customers who returned after a break (reference returning_after_2_months
+    flag, customer_flags_config.py:284-295, a 60-day break).  The synthetic
+    stream spans ~1 month, so the registered query uses a 2-day break; the
+    semantics (lag + gap filter) are identical at any threshold."""
+    ck = build_checkins(spark, sf_dir)
+    w = Window.partitionBy("customer_id").orderBy("checkin_ts_us", "checkin_id")
+    gap_days = F.expr(f"(checkin_ts_us - prev_us) div {DAY_US}")
+    gaps = ck.withColumn("prev_us", F.lag("checkin_ts_us").over(w)).withColumn(
+        "gap_days", gap_days
+    )
+    return (
+        gaps.filter(F.col("gap_days") >= break_days)
+        .groupBy("customer_id")
+        .agg(
+            F.count("*").alias("n_breaks"),
+            F.max("gap_days").alias("max_gap_days"),
+            F.max("checkin_date").alias("latest_return_date"),
+        )
+    )
+
+
+def returning_after_break_sql(break_days: int = 2) -> str:
+    return f"""
+WITH ck AS ({checkins_sql()}),
+gaps AS (
+  SELECT customer_id, checkin_date,
+         (checkin_ts_us - lag(checkin_ts_us) OVER (
+            PARTITION BY customer_id ORDER BY checkin_ts_us, checkin_id)) // {DAY_US} AS gap_days
+  FROM ck
+)
+SELECT customer_id, count(*) AS n_breaks, max(gap_days) AS max_gap_days,
+       max(checkin_date) AS latest_return_date
+FROM gaps
+WHERE gap_days >= {break_days}
+GROUP BY customer_id
+"""

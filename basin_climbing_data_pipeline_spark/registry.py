@@ -12,6 +12,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from .operators import events as ev
 from .operators import transactions as txn
 
 SparkQuery = Callable[[SparkSession, str], DataFrame]
@@ -47,6 +48,17 @@ register(
 )
 register("revenue_by_source", txn.revenue_by_source, txn.revenue_by_source_sql())
 register("dedup_transactions", txn.dedup_transactions, txn.dedup_transactions_sql())
+
+register("checkins_build", ev.build_checkins, ev.checkins_sql())
+register("visit_numbers", ev.visit_numbers, ev.visit_numbers_sql())
+register("rolling_60d_visits", ev.rolling_60d_visits, ev.rolling_60d_visits_sql())
+register("recency_buckets", ev.recency_buckets, ev.recency_buckets_sql())
+register("trailing_window_counts", ev.trailing_window_counts, ev.trailing_window_counts_sql())
+register("entry_method_counts", ev.entry_method_counts, ev.entry_method_counts_sql())
+register("daily_checkin_stats", ev.daily_checkin_stats, ev.daily_checkin_stats_sql())
+register("proximity_connections", ev.proximity_connections, ev.proximity_connections_sql())
+register("checkin_sessions", ev.checkin_sessions, ev.checkin_sessions_sql())
+register("returning_after_break", ev.returning_after_break, ev.returning_after_break_sql())
 
 
 def queries() -> dict[str, SparkQuery]:
