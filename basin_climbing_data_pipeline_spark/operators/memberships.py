@@ -1,0 +1,473 @@
+"""Membership domain: interval tables, as-of / point-in-interval joins,
+daily-active timelines, revenue projection.
+
+Realizes FIXTURES.md F3 on ``orders`` (membership = interval starting at
+o_orderdate; duration/frequency from o_orderpriority; size from the owner's
+c_mktsegment), mirroring the reference's membership feature derivation
+(reference fetch_capitan_membership_data.py:111-264).
+
+Two interval spaces:
+
+- :func:`build_memberships` — faithful F3 in order-date space (1992-98),
+  used for active-count point queries, daily-active timelines (reference
+  dashboard.py:1014-1031) and the forward revenue projection (reference
+  fetch_capitan_membership_data.py:401-428).
+- :func:`build_memberships_2024` — the same orders deterministically mapped
+  into the event stream's 2024 window (start = 2024-01-01 + orderkey%25,
+  short durations), so the as-of conversion join (reference
+  pipeline_handler.py:529-556) and checkin-during-membership interval join
+  (reference build_conversion_rate_analysis.py:156-201) exercise real
+  overlaps against the checkin stream.
+
+Scale notes: as-of is expressed as equi-join on customer + inequality filter
++ min_by aggregation — no window over a global sort; interval joins block on
+the customer equi-key first so the range predicate never becomes a cross
+join; the daily-active explode bounds the sequence to the queried window
+(sequence+explode of bounded intervals ≈ O(days_in_window × memberships),
+partition-parallel, no driver loop).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .. import config
+from ..functions.money import money, money_sql, sum_money, sum_money_sql
+from ..functions.text import map_lookup, map_lookup_sql
+from ..io import load_table
+
+# priority -> (interval days, frequency) in faithful space (config) and the
+# compressed 2024 mapping used against the ~1-month event stream
+DURATION_2024 = {
+    "1-URGENT": 3,
+    "2-HIGH": 7,
+    "3-MEDIUM": 14,
+    "4-NOT SPECIFIED": 21,
+    "5-LOW": 28,
+}
+BILL_STEP_DAYS = {  # bill-date cadence per frequency (day-based: exact parity)
+    "bi_weekly": 14,
+    "monthly": 30,
+    "prepaid_3mo": 90,
+    "prepaid_6mo": 180,
+    "annual": 365,
+}
+
+
+def _freq_col() -> F.Column:
+    return map_lookup(
+        F.col("o_orderpriority"),
+        {k: v for k, (_d, v) in config.MEMBERSHIP_BY_PRIORITY.items()},
+        "unknown",
+    )
+
+
+def _freq_sql() -> str:
+    return map_lookup_sql(
+        "o_orderpriority",
+        {k: v for k, (_d, v) in config.MEMBERSHIP_BY_PRIORITY.items()},
+        "unknown",
+    )
+
+
+def _duration_days_col(mapping: dict[str, int]) -> F.Column:
+    expr = None
+    for k, d in mapping.items():
+        cond = F.col("o_orderpriority") == k
+        expr = F.when(cond, d) if expr is None else expr.when(cond, d)
+    return expr.otherwise(30)
+
+
+def _duration_days_sql(mapping: dict[str, int]) -> str:
+    branches = " ".join(f"WHEN '{k}' THEN {d}" for k, d in mapping.items())
+    return f"CASE o_orderpriority {branches} ELSE 30 END"
+
+
+def build_memberships(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Faithful F3: one interval row per order in order-date space."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    dur = _duration_days_col({k: d for k, (d, _v) in config.MEMBERSHIP_BY_PRIORITY.items()})
+    freq = _freq_col()
+    size = map_lookup(F.col("c_mktsegment"), config.SIZE_BY_MKTSEGMENT, config.SIZE_DEFAULT)
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .select(
+            F.col("o_orderkey").alias("membership_id"),
+            F.col("o_custkey").alias("owner_id"),
+            F.concat_ws(" ", freq, size, F.lit("membership")).alias("name"),
+            F.to_date("o_orderdate").alias("start_date"),
+            F.date_add(F.to_date("o_orderdate"), dur).alias("end_date"),
+            F.when(F.col("o_orderstatus") == "O", "ACT").otherwise("END").alias("status"),
+            freq.alias("frequency"),
+            size.alias("size"),
+            money(F.col("o_totalprice") / 12.0).alias("billing_amount"),
+            (size == "family").alias("is_family"),
+            (size == "corporate").alias("is_corporate"),
+        )
+    )
+
+
+def memberships_sql() -> str:
+    dur = _duration_days_sql({k: d for k, (d, _v) in config.MEMBERSHIP_BY_PRIORITY.items()})
+    freq = _freq_sql()
+    size = map_lookup_sql("c_mktsegment", config.SIZE_BY_MKTSEGMENT, config.SIZE_DEFAULT)
+    return f"""
+SELECT
+  o_orderkey                                      AS membership_id,
+  o_custkey                                       AS owner_id,
+  concat_ws(' ', {freq}, {size}, 'membership')    AS name,
+  o_orderdate::date                               AS start_date,
+  o_orderdate::date + ({dur})                     AS end_date,
+  CASE WHEN o_orderstatus = 'O' THEN 'ACT' ELSE 'END' END AS status,
+  {freq}                                          AS frequency,
+  {size}                                          AS size,
+  {money_sql('o_totalprice / 12.0')}              AS billing_amount,
+  ({size}) = 'family'                             AS is_family,
+  ({size}) = 'corporate'                          AS is_corporate
+FROM orders JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def build_memberships_2024(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders mapped deterministically into the 2024 event window."""
+    orders = load_table(spark, sf_dir, "orders")
+    dur = _duration_days_col(DURATION_2024)
+    freq = _freq_col()
+    start = F.date_add(F.to_date(F.lit("2024-01-01")), (F.col("o_orderkey") % 25).cast("int"))
+    return orders.select(
+        F.col("o_orderkey").alias("membership_id"),
+        F.col("o_custkey").alias("owner_id"),
+        start.alias("start_date"),
+        F.date_add(start, dur).alias("end_date"),
+        F.when(F.col("o_orderstatus") == "O", "ACT").otherwise("END").alias("status"),
+        freq.alias("frequency"),
+        money(F.col("o_totalprice") / 10.0).alias("billing_amount"),
+    )
+
+
+def memberships_2024_sql() -> str:
+    dur = _duration_days_sql(DURATION_2024)
+    freq = _freq_sql()
+    return f"""
+SELECT
+  o_orderkey                                          AS membership_id,
+  o_custkey                                           AS owner_id,
+  DATE '2024-01-01' + (o_orderkey % 25)::int          AS start_date,
+  DATE '2024-01-01' + (o_orderkey % 25)::int + ({dur}) AS end_date,
+  CASE WHEN o_orderstatus = 'O' THEN 'ACT' ELSE 'END' END AS status,
+  {freq}                                              AS frequency,
+  {money_sql('o_totalprice / 10.0')}                  AS billing_amount
+FROM orders
+"""
+
+
+# ---------------------------------------------------------------------------
+# point-in-interval analytics
+# ---------------------------------------------------------------------------
+
+POINT_DATE = "1996-06-01"
+
+
+def active_memberships_on_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval count by (frequency, size) at a fixed date
+    (reference active-count point query, fetch_capitan_membership_data.py:299-344)."""
+    m = build_memberships(spark, sf_dir)
+    d = F.to_date(F.lit(POINT_DATE))
+    return (
+        m.filter((F.col("start_date") <= d) & (F.col("end_date") >= d) & (F.col("status") == "ACT"))
+        .groupBy("frequency", "size")
+        .agg(
+            F.count("*").alias("active_count"),
+            sum_money(F.col("billing_amount")).alias("active_billing"),
+        )
+        .orderBy("frequency", "size")
+    )
+
+
+def active_memberships_on_date_sql() -> str:
+    return f"""
+WITH m AS ({memberships_sql()})
+SELECT frequency, size, count(*) AS active_count,
+       {sum_money_sql('billing_amount')} AS active_billing
+FROM m
+WHERE start_date <= DATE '{POINT_DATE}' AND end_date >= DATE '{POINT_DATE}' AND status = 'ACT'
+GROUP BY frequency, size
+ORDER BY frequency, size
+"""
+
+
+TIMELINE_LO, TIMELINE_HI = "1996-01-01", "1996-03-31"
+
+
+def daily_active_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7: for each day in a bounded window, memberships active that day by
+    frequency (reference daily active stacked timeline, dashboard.py:1014-1031)
+    via interval-clip + sequence + explode — the distributed replacement for
+    the reference's per-day Python loop."""
+    m = build_memberships(spark, sf_dir)
+    lo = F.to_date(F.lit(TIMELINE_LO))
+    hi = F.to_date(F.lit(TIMELINE_HI))
+    clipped = m.filter((F.col("start_date") <= hi) & (F.col("end_date") >= lo)).select(
+        "frequency",
+        F.greatest(F.col("start_date"), lo).alias("clip_lo"),
+        F.least(F.col("end_date"), hi).alias("clip_hi"),
+    )
+    return (
+        clipped.select(
+            "frequency",
+            F.explode(F.sequence("clip_lo", "clip_hi")).alias("day"),
+        )
+        .groupBy("day", "frequency")
+        .agg(F.count("*").alias("active_memberships"))
+        .orderBy("day", "frequency")
+    )
+
+
+def daily_active_timeline_sql() -> str:
+    return f"""
+WITH m AS ({memberships_sql()}),
+clipped AS (
+  SELECT frequency,
+         greatest(start_date, DATE '{TIMELINE_LO}') AS clip_lo,
+         least(end_date, DATE '{TIMELINE_HI}') AS clip_hi
+  FROM m
+  WHERE start_date <= DATE '{TIMELINE_HI}' AND end_date >= DATE '{TIMELINE_LO}'
+),
+days AS (
+  SELECT frequency, unnest(generate_series(clip_lo, clip_hi, INTERVAL 1 DAY))::date AS day
+  FROM clipped
+)
+SELECT day, frequency, count(*) AS active_memberships
+FROM days GROUP BY day, frequency ORDER BY day, frequency
+"""
+
+
+def revenue_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward revenue by month: explode each membership's upcoming bill
+    dates (day-based cadence per frequency) and sum billing by bill month
+    (reference membership_revenue_projection,
+    fetch_capitan_membership_data.py:401-428)."""
+    m = build_memberships(spark, sf_dir).filter(F.col("status") == "ACT")
+    step = None
+    for k, d in BILL_STEP_DAYS.items():
+        cond = F.col("frequency") == k
+        step = F.when(cond, d) if step is None else step.when(cond, d)
+    step = step.otherwise(30)
+    return (
+        m.withColumn("step_days", step)
+        .withColumn(
+            "bill_date",
+            F.explode(
+                F.expr("sequence(start_date, end_date, make_interval(0, 0, 0, step_days, 0, 0, 0))")
+            ),
+        )
+        .groupBy(F.trunc("bill_date", "month").alias("bill_month"))
+        .agg(
+            sum_money(F.col("billing_amount")).alias("projected_revenue"),
+            F.count("*").alias("n_bills"),
+        )
+        .orderBy("bill_month")
+    )
+
+
+def revenue_projection_sql() -> str:
+    branches = " ".join(f"WHEN '{k}' THEN {d}" for k, d in BILL_STEP_DAYS.items())
+    return f"""
+WITH m AS ({memberships_sql()}),
+stepped AS (
+  SELECT *, CASE frequency {branches} ELSE 30 END AS step_days
+  FROM m WHERE status = 'ACT'
+),
+bills AS (
+  SELECT billing_amount,
+         unnest(generate_series(start_date::timestamp, end_date::timestamp,
+                                to_days(step_days)))::date AS bill_date
+  FROM stepped
+)
+SELECT date_trunc('month', bill_date)::date AS bill_month,
+       {sum_money_sql('billing_amount')} AS projected_revenue,
+       count(*) AS n_bills
+FROM bills GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# temporal joins against the checkin stream (2024 space)
+# ---------------------------------------------------------------------------
+
+
+def membership_conversion_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 as-of join: for each customer, the FIRST membership starting
+    strictly after their FIRST checkin (reference day-pass→membership
+    conversion, pipeline_handler.py:529-556).  Expressed as equi-join on
+    customer + inequality + min_by — shuffle on the join key only, no global
+    sort, broadcast-friendly when one side is small."""
+    from .events import build_checkins
+
+    first_visit = (
+        build_checkins(spark, sf_dir)
+        .groupBy("customer_id")
+        .agg(F.min("checkin_date").alias("first_visit_date"))
+    )
+    m = build_memberships_2024(spark, sf_dir)
+    joined = first_visit.join(
+        m,
+        (first_visit.customer_id == m.owner_id)
+        & (m.start_date > first_visit.first_visit_date),
+        "left",
+    )
+    return (
+        joined.groupBy("customer_id", "first_visit_date")
+        .agg(
+            F.min_by(
+                F.struct("start_date", "membership_id"), F.struct("start_date", "membership_id")
+            ).alias("_first"),
+        )
+        .select(
+            "customer_id",
+            "first_visit_date",
+            F.col("_first.membership_id").alias("converted_membership_id"),
+            F.col("_first.start_date").alias("membership_start_date"),
+            F.datediff(F.col("_first.start_date"), F.col("first_visit_date")).alias(
+                "days_to_convert"
+            ),
+        )
+        .orderBy("customer_id")
+    )
+
+
+def membership_conversion_asof_sql() -> str:
+    from .events import checkins_sql
+
+    return f"""
+WITH ck AS ({checkins_sql()}),
+first_visit AS (
+  SELECT customer_id, min(checkin_date) AS first_visit_date
+  FROM ck GROUP BY customer_id
+),
+m AS ({memberships_2024_sql()}),
+ranked AS (
+  SELECT f.customer_id, f.first_visit_date, m.membership_id, m.start_date,
+         row_number() OVER (PARTITION BY f.customer_id
+                            ORDER BY m.start_date, m.membership_id) AS rn
+  FROM first_visit f
+  JOIN m ON m.owner_id = f.customer_id AND m.start_date > f.first_visit_date
+)
+SELECT f.customer_id, f.first_visit_date,
+       r.membership_id AS converted_membership_id,
+       r.start_date AS membership_start_date,
+       r.start_date - f.first_visit_date AS days_to_convert
+FROM first_visit f
+LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r USING (customer_id)
+ORDER BY customer_id
+"""
+
+
+def checkins_membership_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 point-in-interval join: per checkin, how many ACT memberships of
+    that customer cover the checkin date (reference was-member-at-checkin,
+    build_conversion_rate_analysis.py:156-201), rolled up by entry_method ×
+    covered flag."""
+    from .events import build_checkins
+
+    ck = build_checkins(spark, sf_dir).select(
+        "checkin_id", "customer_id", "checkin_date", "entry_method"
+    )
+    m = build_memberships_2024(spark, sf_dir).filter(F.col("status") == "ACT")
+    covered = ck.join(
+        m,
+        (ck.customer_id == m.owner_id)
+        & (ck.checkin_date >= m.start_date)
+        & (ck.checkin_date <= m.end_date),
+        "left",
+    ).groupBy("checkin_id", "customer_id", "checkin_date", "entry_method").agg(
+        F.count(m.membership_id).alias("n_active_memberships")
+    )
+    return (
+        covered.groupBy("entry_method", (F.col("n_active_memberships") > 0).alias("is_covered"))
+        .agg(
+            F.count("*").alias("n_checkins"),
+            F.countDistinct("customer_id").alias("n_customers"),
+        )
+        .orderBy("entry_method", "is_covered")
+    )
+
+
+def checkins_membership_coverage_sql() -> str:
+    from .events import checkins_sql
+
+    return f"""
+WITH ck AS ({checkins_sql()}),
+m AS ({memberships_2024_sql()}),
+covered AS (
+  SELECT ck.checkin_id, ck.customer_id, ck.checkin_date, ck.entry_method,
+         count(m.membership_id) AS n_active_memberships
+  FROM ck
+  LEFT JOIN (SELECT * FROM m WHERE status = 'ACT') m
+    ON m.owner_id = ck.customer_id
+   AND ck.checkin_date BETWEEN m.start_date AND m.end_date
+  GROUP BY 1, 2, 3, 4
+)
+SELECT entry_method, n_active_memberships > 0 AS is_covered,
+       count(*) AS n_checkins, count(DISTINCT customer_id) AS n_customers
+FROM covered
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def visits_before_first_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6: checkins strictly before the customer's first membership start,
+    bucketed 0..4, 5+ (reference build_membership_conversion_metrics.py:65-111)."""
+    from .events import build_checkins
+
+    ck = build_checkins(spark, sf_dir).select("customer_id", "checkin_date")
+    first_m = (
+        build_memberships_2024(spark, sf_dir)
+        .groupBy("owner_id")
+        .agg(F.min("start_date").alias("first_membership_start"))
+    )
+    counts = (
+        first_m.join(ck, first_m.owner_id == ck.customer_id, "left")
+        .groupBy("owner_id", "first_membership_start")
+        .agg(
+            F.count(
+                F.when(F.col("checkin_date") < F.col("first_membership_start"), 1)
+            ).alias("visits_before")
+        )
+    )
+    bucket = (
+        F.when(F.col("visits_before") >= 5, "5+")
+        .otherwise(F.col("visits_before").cast("string"))
+        .alias("visits_bucket")
+    )
+    return (
+        counts.select(bucket)
+        .groupBy("visits_bucket")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("visits_bucket")
+    )
+
+
+def visits_before_first_membership_sql() -> str:
+    from .events import checkins_sql
+
+    return f"""
+WITH ck AS ({checkins_sql()}),
+m AS ({memberships_2024_sql()}),
+first_m AS (
+  SELECT owner_id, min(start_date) AS first_membership_start
+  FROM m GROUP BY owner_id
+),
+counts AS (
+  SELECT f.owner_id,
+         count(CASE WHEN ck.checkin_date < f.first_membership_start THEN 1 END) AS visits_before
+  FROM first_m f
+  LEFT JOIN ck ON ck.customer_id = f.owner_id
+  GROUP BY f.owner_id
+)
+SELECT CASE WHEN visits_before >= 5 THEN '5+' ELSE visits_before::varchar END AS visits_bucket,
+       count(*) AS n_customers
+FROM counts GROUP BY 1 ORDER BY 1
+"""

@@ -13,6 +13,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from .operators import events as ev
+from .operators import memberships as mem
 from .operators import transactions as txn
 
 SparkQuery = Callable[[SparkSession, str], DataFrame]
@@ -59,6 +60,30 @@ register("daily_checkin_stats", ev.daily_checkin_stats, ev.daily_checkin_stats_s
 register("proximity_connections", ev.proximity_connections, ev.proximity_connections_sql())
 register("checkin_sessions", ev.checkin_sessions, ev.checkin_sessions_sql())
 register("returning_after_break", ev.returning_after_break, ev.returning_after_break_sql())
+
+register("memberships_build", mem.build_memberships, mem.memberships_sql())
+register(
+    "active_memberships_on_date",
+    mem.active_memberships_on_date,
+    mem.active_memberships_on_date_sql(),
+)
+register("daily_active_timeline", mem.daily_active_timeline, mem.daily_active_timeline_sql())
+register("revenue_projection", mem.revenue_projection, mem.revenue_projection_sql())
+register(
+    "membership_conversion_asof",
+    mem.membership_conversion_asof,
+    mem.membership_conversion_asof_sql(),
+)
+register(
+    "checkins_membership_coverage",
+    mem.checkins_membership_coverage,
+    mem.checkins_membership_coverage_sql(),
+)
+register(
+    "visits_before_first_membership",
+    mem.visits_before_first_membership,
+    mem.visits_before_first_membership_sql(),
+)
 
 
 def queries() -> dict[str, SparkQuery]:
