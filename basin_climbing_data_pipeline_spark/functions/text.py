@@ -128,7 +128,7 @@ END
 
 
 def levenshtein_similarity(a: Column, b: Column) -> Column:
-    """1 - dist/max_len similarity (reference customer_matching.py:104-120)."""
-    return F.round(
-        1.0 - F.levenshtein(a, b) / F.greatest(F.length(a), F.length(b)), 4
-    )
+    """1 - dist/max_len similarity (reference customer_matching.py:104-120),
+    fixed-point rounded via floor(x*1e4+0.5) for cross-engine determinism."""
+    raw = 1.0 - F.levenshtein(a, b) / F.greatest(F.length(a), F.length(b))
+    return F.floor(raw * 10000.0 + 0.5) / 10000.0

@@ -1,0 +1,459 @@
+"""Customer/identity domain: normalization, dedup detection, fuzzy matching,
+enrichment joins, and the family graph.
+
+Realizes FIXTURES.md F4 on ``customer ⋈ nation``: synthetic emails (with
+deterministic TLD typos for the typo-correction path), multi-format phones
+(for E.164 normalization), shared last names + a parent mapping (for the
+family-heuristic joins).  Re-expresses the reference's identity stack:
+
+- email/phone/name normalizers (reference customer_matching.py:19-101)
+- TLD-typo correction map (:131-187)
+- duplicate-email detection (reference build_customer_master.py:139-153)
+- Levenshtein fuzzy email matching blocked by corrected domain (:104-208,
+  tier-3 match :432-445)
+- identifiers table union (reference customer_matching.py:473-481)
+- parent-contact enrichment via self-join + coalesce (reference
+  build_customer_master.py:171-209)
+- has-youth semi-join (:254-255), purchased-but-never-checked-in anti-join
+  (reference build_purchased_not_checkedin.py:63-108)
+- family edges with keep-best-confidence dedup (reference
+  build_family_relationships.py:276-356 heuristic links, :455-462 dedup)
+
+Synthetic identity mapping (all pure column expressions, SQL-mirrored):
+
+    local     = 'member.' || lpad(c_custkey // 2, 7, '0')
+                || ('x' if odd and custkey % 5 != 0)   -- near-dup vs exact-dup
+    tld       = '.con' if custkey % 13 == 0 else '.com'  (typo to correct)
+    email     = NULL for children (custkey % 7 == 0 and custkey > 0)
+    phone     = 4 deterministic US formats by custkey % 4
+    last_name = 'Fam' || custkey % 40        (shared across households)
+    parent_id = custkey - 1 for children
+
+Scale notes: the fuzzy join blocks on corrected domain exactly like the
+reference; at 100 TB swap the in-block quadratic probe for the MinHash/LSH
+operators in operators/dedup.py (same blocking contract).  Every lookup dim
+(nation, parents) is broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import config
+from ..functions.text import (
+    NORMALIZE_PHONE_SQL,
+    correct_tld,
+    correct_tld_sql,
+    levenshtein_similarity,
+    normalize_phone,
+)
+from ..io import load_table
+
+# ---------------------------------------------------------------------------
+# builder (F4)
+# ---------------------------------------------------------------------------
+
+
+def build_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    k = F.col("c_custkey")
+    is_child = (k % 7 == 0) & (k > 0)
+    local = F.concat(
+        F.lit("member."),
+        F.lpad((k / F.lit(2)).cast("long").cast("string"), 7, "0"),
+        F.when((k % 2 == 1) & (k % 5 != 0), F.lit("x")).otherwise(F.lit("")),
+    )
+    tld = F.when(k % 13 == 0, ".con").otherwise(".com")
+    email = F.when(is_child, F.lit(None).cast("string")).otherwise(
+        F.concat(local, F.lit("@"), F.lower(F.col("n_name")), tld)
+    )
+    digits7 = F.lpad((k % 10000000).cast("string"), 7, "0")
+    phone = (
+        F.when(k % 4 == 0, F.concat(F.lit("(512) "), F.substring(digits7, 1, 3), F.lit("-"), F.substring(digits7, 4, 4)))
+        .when(k % 4 == 1, F.concat(F.lit("512-"), F.substring(digits7, 1, 3), F.lit("-"), F.substring(digits7, 4, 4)))
+        .when(k % 4 == 2, F.concat(F.lit("+1512"), digits7))
+        .otherwise(F.concat(F.lit("512"), digits7))
+    )
+    df = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
+        k.alias("customer_id"),
+        F.concat(F.lit("C"), k.cast("string")).alias("first_name"),
+        F.concat(F.lit("Fam"), (k % 40).cast("string")).alias("last_name"),
+        email.alias("email"),
+        phone.alias("phone"),
+        is_child.alias("is_child"),
+        F.when(is_child, k - 1).alias("parent_customer_id"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_acctbal").alias("acct_balance"),
+        F.lower(F.col("n_name")).alias("nation"),
+    )
+    domain = F.substring_index(F.col("email"), "@", -1)
+    return (
+        df.withColumn("email_normalized", F.lower(F.trim(F.col("email"))))
+        .withColumn("email_domain", correct_tld(domain, config.TLD_TYPO_MAP))
+        .withColumn("phone_e164", normalize_phone(F.col("phone")))
+    )
+
+
+def customers_sql() -> str:
+    domain_expr = "split_part(email, '@', 2)"
+    corrected = correct_tld_sql(domain_expr, config.TLD_TYPO_MAP)
+    phone_norm = NORMALIZE_PHONE_SQL.format(c="phone")
+    return f"""
+WITH base AS (
+  SELECT
+    c_custkey AS customer_id,
+    'C' || c_custkey AS first_name,
+    'Fam' || (c_custkey % 40) AS last_name,
+    CASE WHEN c_custkey % 7 = 0 AND c_custkey > 0 THEN NULL
+         ELSE 'member.' || lpad((c_custkey // 2)::varchar, 7, '0')
+              || (CASE WHEN c_custkey % 2 = 1 AND c_custkey % 5 != 0 THEN 'x' ELSE '' END)
+              || '@' || lower(n_name)
+              || (CASE WHEN c_custkey % 13 = 0 THEN '.con' ELSE '.com' END)
+    END AS email,
+    CASE c_custkey % 4
+      WHEN 0 THEN '(512) ' || substring(lpad((c_custkey % 10000000)::varchar, 7, '0'), 1, 3)
+                  || '-' || substring(lpad((c_custkey % 10000000)::varchar, 7, '0'), 4, 4)
+      WHEN 1 THEN '512-' || substring(lpad((c_custkey % 10000000)::varchar, 7, '0'), 1, 3)
+                  || '-' || substring(lpad((c_custkey % 10000000)::varchar, 7, '0'), 4, 4)
+      WHEN 2 THEN '+1512' || lpad((c_custkey % 10000000)::varchar, 7, '0')
+      ELSE '512' || lpad((c_custkey % 10000000)::varchar, 7, '0')
+    END AS phone,
+    (c_custkey % 7 = 0 AND c_custkey > 0) AS is_child,
+    CASE WHEN c_custkey % 7 = 0 AND c_custkey > 0 THEN c_custkey - 1 END AS parent_customer_id,
+    c_mktsegment AS segment,
+    c_acctbal AS acct_balance,
+    lower(n_name) AS nation
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+)
+SELECT *,
+  lower(trim(email)) AS email_normalized,
+  CASE WHEN email IS NULL THEN NULL ELSE {corrected} END AS email_domain,
+  {phone_norm} AS phone_e164
+FROM base
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup detection + fuzzy matching
+# ---------------------------------------------------------------------------
+
+
+def duplicate_emails(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: normalized emails shared by >1 customer."""
+    cust = build_customers(spark, sf_dir).filter(F.col("email_normalized").isNotNull())
+    return (
+        cust.groupBy("email_normalized")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.array_join(F.sort_array(F.collect_list("customer_id")), ",").alias("customer_ids"),
+        )
+        .filter(F.col("n_customers") > 1)
+        .orderBy("email_normalized")
+    )
+
+
+def duplicate_emails_sql() -> str:
+    return f"""
+WITH cust AS ({customers_sql()})
+SELECT email_normalized, count(*) AS n_customers,
+       array_to_string(list_sort(list(customer_id)), ',') AS customer_ids
+FROM cust WHERE email_normalized IS NOT NULL
+GROUP BY email_normalized HAVING count(*) > 1
+ORDER BY email_normalized
+"""
+
+
+FUZZY_THRESHOLD = 0.9
+
+
+def fuzzy_email_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9: near-duplicate emails — Levenshtein similarity ≥ 0.9 on the local
+    part, blocked by corrected domain (the reference's tier-3 email match).
+    Excludes exact-equal normalized emails (those are A7 duplicates)."""
+    cust = (
+        build_customers(spark, sf_dir)
+        .filter(F.col("email_normalized").isNotNull())
+        .select(
+            "customer_id",
+            F.substring_index("email_normalized", "@", 1).alias("local"),
+            "email_domain",
+            "email_normalized",
+        )
+    )
+    a, b = cust.alias("a"), cust.alias("b")
+    sim = levenshtein_similarity(F.col("a.local"), F.col("b.local"))
+    return (
+        a.join(
+            b,
+            (F.col("a.email_domain") == F.col("b.email_domain"))
+            & (F.col("a.customer_id") < F.col("b.customer_id"))
+            & (F.col("a.email_normalized") != F.col("b.email_normalized")),
+        )
+        .withColumn("similarity", sim)
+        .filter(F.col("similarity") >= FUZZY_THRESHOLD)
+        .select(
+            F.col("a.customer_id").alias("customer_id_1"),
+            F.col("b.customer_id").alias("customer_id_2"),
+            F.col("a.email_normalized").alias("email_1"),
+            F.col("b.email_normalized").alias("email_2"),
+            "similarity",
+        )
+        .orderBy("customer_id_1", "customer_id_2")
+    )
+
+
+def fuzzy_email_matches_sql() -> str:
+    return f"""
+WITH cust AS ({customers_sql()}),
+pool AS (
+  SELECT customer_id, split_part(email_normalized, '@', 1) AS local,
+         email_domain, email_normalized
+  FROM cust WHERE email_normalized IS NOT NULL
+)
+SELECT a.customer_id AS customer_id_1, b.customer_id AS customer_id_2,
+       a.email_normalized AS email_1, b.email_normalized AS email_2,
+       floor((1.0 - levenshtein(a.local, b.local)::double
+              / greatest(length(a.local), length(b.local))) * 10000 + 0.5) / 10000 AS similarity
+FROM pool a JOIN pool b
+  ON a.email_domain = b.email_domain
+ AND a.customer_id < b.customer_id
+ AND a.email_normalized != b.email_normalized
+WHERE floor((1.0 - levenshtein(a.local, b.local)::double
+       / greatest(length(a.local), length(b.local))) * 10000 + 0.5) / 10000 >= {FUZZY_THRESHOLD}
+ORDER BY customer_id_1, customer_id_2
+"""
+
+
+def identifiers_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identifier × type union table (reference customer_identifiers,
+    customer_matching.py:473-481) via unionByName (U1)."""
+    cust = build_customers(spark, sf_dir)
+    emails = cust.filter(F.col("email_normalized").isNotNull()).select(
+        "customer_id",
+        F.lit("email").alias("identifier_type"),
+        F.col("email_normalized").alias("value"),
+    )
+    phones = cust.filter(F.col("phone_e164").isNotNull()).select(
+        "customer_id",
+        F.lit("phone").alias("identifier_type"),
+        F.col("phone_e164").alias("value"),
+    )
+    names = cust.select(
+        "customer_id",
+        F.lit("name").alias("identifier_type"),
+        F.lower(F.concat_ws(" ", "first_name", "last_name")).alias("value"),
+    )
+    return emails.unionByName(phones).unionByName(names)
+
+
+def identifiers_build_sql() -> str:
+    return f"""
+WITH cust AS ({customers_sql()})
+SELECT customer_id, 'email' AS identifier_type, email_normalized AS value
+FROM cust WHERE email_normalized IS NOT NULL
+UNION ALL
+SELECT customer_id, 'phone', phone_e164 FROM cust WHERE phone_e164 IS NOT NULL
+UNION ALL
+SELECT customer_id, 'name', lower(concat_ws(' ', first_name, last_name)) FROM cust
+"""
+
+
+# ---------------------------------------------------------------------------
+# enrichment / semi / anti joins
+# ---------------------------------------------------------------------------
+
+
+def parent_contact_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J13: children inherit contact info from their parent via a master↔master
+    self-join + coalesce (reference parent-contact lookup,
+    build_customer_master.py:171-209)."""
+    cust = build_customers(spark, sf_dir)
+    parents = cust.select(
+        F.col("customer_id").alias("p_id"),
+        F.col("email_normalized").alias("p_email"),
+        F.col("phone_e164").alias("p_phone"),
+    )
+    return (
+        cust.filter(F.col("is_child"))
+        .join(F.broadcast(parents), F.col("parent_customer_id") == F.col("p_id"), "left")
+        .select(
+            "customer_id",
+            "parent_customer_id",
+            F.coalesce("email_normalized", "p_email").alias("contact_email"),
+            F.coalesce("phone_e164", "p_phone").alias("contact_phone"),
+            (F.col("email_normalized").isNull() & F.col("p_email").isNotNull()).alias(
+                "used_parent_email"
+            ),
+        )
+        .orderBy("customer_id")
+    )
+
+
+def parent_contact_enrichment_sql() -> str:
+    return f"""
+WITH cust AS ({customers_sql()})
+SELECT c.customer_id, c.parent_customer_id,
+       coalesce(c.email_normalized, p.email_normalized) AS contact_email,
+       coalesce(c.phone_e164, p.phone_e164) AS contact_phone,
+       (c.email_normalized IS NULL AND p.email_normalized IS NOT NULL) AS used_parent_email
+FROM cust c
+LEFT JOIN cust p ON c.parent_customer_id = p.customer_id
+WHERE c.is_child
+ORDER BY c.customer_id
+"""
+
+
+def customers_with_youth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 left-semi: customers who are a parent of at least one child."""
+    cust = build_customers(spark, sf_dir)
+    parent_ids = cust.filter(F.col("is_child")).select(
+        F.col("parent_customer_id").alias("customer_id")
+    )
+    return (
+        cust.join(parent_ids, "customer_id", "left_semi")
+        .select("customer_id", "last_name", "nation", "segment")
+        .orderBy("customer_id")
+    )
+
+
+def customers_with_youth_sql() -> str:
+    return f"""
+WITH cust AS ({customers_sql()})
+SELECT customer_id, last_name, nation, segment
+FROM cust
+WHERE customer_id IN (SELECT parent_customer_id FROM cust WHERE is_child)
+ORDER BY customer_id
+"""
+
+
+def purchasers_never_checked_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 left-anti: customers with purchases (transactions) but no checkin
+    ever (reference build_purchased_not_checkedin.py:63-108), rolled up."""
+    from .transactions import build_transactions
+
+    txn = build_transactions(spark, sf_dir).filter(~F.col("is_refund"))
+    ck = load_table(spark, sf_dir, "events").select(F.col("user_id").alias("customer_id"))
+    from ..functions.money import sum_money
+
+    never = txn.join(ck, "customer_id", "left_anti")
+    return (
+        never.groupBy("customer_id")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            sum_money(F.col("total_amount")).alias("total_spend"),
+        )
+        .orderBy("customer_id")
+    )
+
+
+def purchasers_never_checked_in_sql() -> str:
+    from .transactions import transactions_sql
+
+    return f"""
+WITH txn AS ({transactions_sql()})
+SELECT customer_id, count(*) AS n_purchases,
+       sum(CAST(floor(total_amount * 100.0 + 0.5) AS BIGINT)) / 100.0 AS total_spend
+FROM txn
+WHERE NOT is_refund
+  AND customer_id NOT IN (SELECT user_id FROM events)
+GROUP BY customer_id
+ORDER BY customer_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# family graph (J12 heuristic + A9 keep-best dedup)
+# ---------------------------------------------------------------------------
+
+CONFIDENCE_RANK = {"high": 3, "medium": 2, "low": 1}
+
+
+def family_relationships(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Family edges from two sources — the direct parent mapping (high
+    confidence) and the last-name heuristic (adult shares a child's last
+    name, low confidence; reference build_family_relationships.py:276-356) —
+    unioned then deduped keep-best-confidence per (parent, child) (A9,
+    reference :455-462)."""
+    cust = build_customers(spark, sf_dir)
+    children = cust.filter(F.col("is_child")).select(
+        F.col("customer_id").alias("child_customer_id"),
+        F.col("parent_customer_id").alias("direct_parent_id"),
+        F.col("last_name").alias("child_last_name"),
+    )
+    direct = children.select(
+        F.col("direct_parent_id").alias("parent_customer_id"),
+        "child_customer_id",
+        F.lit("parent_child").alias("relationship_type"),
+        F.lit("high").alias("confidence"),
+        F.lit("direct_parent").alias("source"),
+    )
+    adults = cust.filter(~F.col("is_child")).select(
+        F.col("customer_id").alias("adult_id"), F.col("last_name").alias("adult_last_name")
+    )
+    heuristic = (
+        children.join(adults, children.child_last_name == adults.adult_last_name)
+        .filter(F.col("adult_id") != F.col("child_customer_id"))
+        .select(
+            F.col("adult_id").alias("parent_customer_id"),
+            "child_customer_id",
+            F.lit("parent_child").alias("relationship_type"),
+            F.lit("low").alias("confidence"),
+            F.lit("last_name_match").alias("source"),
+        )
+    )
+    edges = direct.unionByName(heuristic)
+    from pyspark.sql import Window
+
+    conf_rank = (
+        F.when(F.col("confidence") == "high", 3)
+        .when(F.col("confidence") == "medium", 2)
+        .otherwise(1)
+    )
+    w = Window.partitionBy("parent_customer_id", "child_customer_id").orderBy(
+        F.desc("conf_rank"), "source"
+    )
+    return (
+        edges.withColumn("conf_rank", conf_rank)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "conf_rank")
+        .orderBy("parent_customer_id", "child_customer_id")
+    )
+
+
+def family_relationships_sql() -> str:
+    return f"""
+WITH cust AS ({customers_sql()}),
+children AS (
+  SELECT customer_id AS child_customer_id, parent_customer_id AS direct_parent_id,
+         last_name AS child_last_name
+  FROM cust WHERE is_child
+),
+direct AS (
+  SELECT direct_parent_id AS parent_customer_id, child_customer_id,
+         'parent_child' AS relationship_type, 'high' AS confidence,
+         'direct_parent' AS source
+  FROM children
+),
+heuristic AS (
+  SELECT a.customer_id AS parent_customer_id, c.child_customer_id,
+         'parent_child' AS relationship_type, 'low' AS confidence,
+         'last_name_match' AS source
+  FROM children c
+  JOIN cust a ON NOT a.is_child AND a.last_name = c.child_last_name
+  WHERE a.customer_id != c.child_customer_id
+),
+edges AS (SELECT * FROM direct UNION ALL SELECT * FROM heuristic),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY parent_customer_id, child_customer_id
+    ORDER BY (CASE confidence WHEN 'high' THEN 3 WHEN 'medium' THEN 2 ELSE 1 END) DESC, source
+  ) AS rn
+  FROM edges
+)
+SELECT parent_customer_id, child_customer_id, relationship_type, confidence, source
+FROM ranked WHERE rn = 1
+ORDER BY parent_customer_id, child_customer_id
+"""

@@ -12,6 +12,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from .operators import customers as cu
 from .operators import events as ev
 from .operators import memberships as mem
 from .operators import transactions as txn
@@ -84,6 +85,23 @@ register(
     mem.visits_before_first_membership,
     mem.visits_before_first_membership_sql(),
 )
+
+register("customers_build", cu.build_customers, cu.customers_sql())
+register("duplicate_emails", cu.duplicate_emails, cu.duplicate_emails_sql())
+register("fuzzy_email_matches", cu.fuzzy_email_matches, cu.fuzzy_email_matches_sql())
+register("identifiers_build", cu.identifiers_build, cu.identifiers_build_sql())
+register(
+    "parent_contact_enrichment",
+    cu.parent_contact_enrichment,
+    cu.parent_contact_enrichment_sql(),
+)
+register("customers_with_youth", cu.customers_with_youth, cu.customers_with_youth_sql())
+register(
+    "purchasers_never_checked_in",
+    cu.purchasers_never_checked_in,
+    cu.purchasers_never_checked_in_sql(),
+)
+register("family_relationships", cu.family_relationships, cu.family_relationships_sql())
 
 
 def queries() -> dict[str, SparkQuery]:
