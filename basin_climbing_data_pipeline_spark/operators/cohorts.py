@@ -1,0 +1,571 @@
+"""Cohort & aggregation analytics: conversion cohorts, rollup snapshots,
+top-k, per-group mode, proportional distribution, group-size filters, set ops.
+
+Re-expresses the reference's analytics layer:
+
+- conversion cohort matrix with maturity suppression (reference
+  build_conversion_rate_analysis.py:327-432 — rates become NULL when the
+  window hasn't closed by as_of)
+- period snapshots with an 'all' rollup (reference :435-545) via grouping
+  sets
+- top-N after count (reference build_customer_master.py:439)
+- per-group mode with deterministic tie-break (reference
+  link_refunds_to_categories.py:122-134)
+- proportional distribution of unlinked refunds with deterministic
+  largest-gets-remainder allocation (reference :143-200 positional
+  round-robin → exact integer-cents shares here)
+- family group-size filter: same last name + same date, ≥2 people
+  (reference identify_family_day_passes.py:54-71)
+- set ops: except (reference build_customer_master.py:309-315), covisit
+  intersection (reference build_family_relationships.py:313-336), pairwise
+  combinations within purchase groups (reference
+  build_customer_interactions.py:93-115)
+
+All rates use fixed-point ratios; all money uses integer cents (see
+functions/money.py) so Spark and DuckDB hash identically.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.money import ratio, ratio_sql, sum_money, sum_money_sql, to_cents, to_cents_sql
+from ..io import load_table
+
+COHORT_AS_OF = dt.date(2024, 1, 20)  # mid-stream: later visits are immature
+
+# ---------------------------------------------------------------------------
+# conversion cohorts (A11)
+# ---------------------------------------------------------------------------
+
+
+def _day_pass_visits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-pass-ish visits (GUE/ENT entries) with per-customer visit numbers
+    and the customer's first 2024-membership start."""
+    from .events import build_checkins
+    from .memberships import build_memberships_2024
+
+    ck = build_checkins(spark, sf_dir).filter(F.col("entry_method").isin("GUE", "ENT"))
+    w = Window.partitionBy("customer_id").orderBy("checkin_ts_us", "checkin_id")
+    visits = ck.withColumn("visit_number", F.row_number().over(w))
+    first_m = (
+        build_memberships_2024(spark, sf_dir)
+        .groupBy("owner_id")
+        .agg(F.min("start_date").alias("first_membership_start"))
+    )
+    return visits.join(first_m, visits.customer_id == first_m.owner_id, "left").drop("owner_id")
+
+
+_DAY_PASS_VISITS_SQL_TMPL = """
+ck AS ({checkins}),
+dp AS (
+  SELECT *, row_number() OVER (PARTITION BY customer_id ORDER BY checkin_ts_us, checkin_id)
+            AS visit_number
+  FROM ck WHERE entry_method IN ('GUE', 'ENT')
+),
+m AS ({memberships}),
+first_m AS (
+  SELECT owner_id, min(start_date) AS first_membership_start FROM m GROUP BY owner_id
+),
+visits AS (
+  SELECT dp.*, first_m.first_membership_start
+  FROM dp LEFT JOIN first_m ON dp.customer_id = first_m.owner_id
+)
+"""
+
+
+def _visits_sql() -> str:
+    from .events import checkins_sql
+    from .memberships import memberships_2024_sql
+
+    return _DAY_PASS_VISITS_SQL_TMPL.format(
+        checkins=checkins_sql(), memberships=memberships_2024_sql()
+    )
+
+
+def conversion_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort week × visit category: entries, customers, 7/30-day conversion
+    counts and rates, with immature windows suppressed to NULL (as_of fixed
+    at COHORT_AS_OF)."""
+    visits = _day_pass_visits(spark, sf_dir)
+    as_of = F.lit(COHORT_AS_OF.strftime("%Y-%m-%d")).cast("date")
+    cat = (
+        F.when(F.col("visit_number") == 1, "visit_1")
+        .when(F.col("visit_number") <= 3, "visit_2_3")
+        .otherwise("visit_4_plus")
+    )
+    fm = F.col("first_membership_start")
+    conv = lambda days: (
+        fm.isNotNull()
+        & (fm >= F.col("checkin_date"))
+        & (fm <= F.date_add(F.col("checkin_date"), days))
+    )
+    mature = lambda days: F.date_add(F.col("checkin_date"), days) <= as_of
+    enriched = visits.select(
+        F.to_date(F.date_trunc("week", F.col("checkin_date"))).alias("cohort_week"),
+        cat.alias("visit_category"),
+        F.col("customer_id"),
+        conv(7).cast("int").alias("conv7"),
+        conv(30).cast("int").alias("conv30"),
+        mature(7).cast("int").alias("mat7"),
+        mature(30).cast("int").alias("mat30"),
+    )
+    agg = enriched.groupBy("cohort_week", "visit_category").agg(
+        F.count("*").alias("entries"),
+        F.countDistinct("customer_id").alias("n_customers"),
+        F.sum(F.col("conv7") * F.col("mat7")).alias("conv7_mature"),
+        F.sum("mat7").alias("entries_mature7"),
+        F.sum(F.col("conv30") * F.col("mat30")).alias("conv30_mature"),
+        F.sum("mat30").alias("entries_mature30"),
+    )
+    return agg.select(
+        "cohort_week",
+        "visit_category",
+        "entries",
+        "n_customers",
+        F.when(
+            F.col("entries_mature7") > 0,
+            ratio(F.col("conv7_mature"), F.col("entries_mature7"), 4),
+        ).alias("conv_rate_7d"),
+        F.when(
+            F.col("entries_mature30") > 0,
+            ratio(F.col("conv30_mature"), F.col("entries_mature30"), 4),
+        ).alias("conv_rate_30d"),
+    ).orderBy("cohort_week", "visit_category")
+
+
+def conversion_cohorts_sql() -> str:
+    as_of = f"DATE '{COHORT_AS_OF.strftime('%Y-%m-%d')}'"
+    return f"""
+WITH {_visits_sql()},
+enriched AS (
+  SELECT date_trunc('week', checkin_date)::date AS cohort_week,
+         CASE WHEN visit_number = 1 THEN 'visit_1'
+              WHEN visit_number <= 3 THEN 'visit_2_3'
+              ELSE 'visit_4_plus' END AS visit_category,
+         customer_id,
+         (first_membership_start IS NOT NULL
+          AND first_membership_start >= checkin_date
+          AND first_membership_start <= checkin_date + 7)::int AS conv7,
+         (first_membership_start IS NOT NULL
+          AND first_membership_start >= checkin_date
+          AND first_membership_start <= checkin_date + 30)::int AS conv30,
+         (checkin_date + 7 <= {as_of})::int AS mat7,
+         (checkin_date + 30 <= {as_of})::int AS mat30
+  FROM visits
+),
+agg AS (
+  SELECT cohort_week, visit_category,
+         count(*) AS entries,
+         count(DISTINCT customer_id) AS n_customers,
+         sum(conv7 * mat7) AS conv7_mature, sum(mat7) AS entries_mature7,
+         sum(conv30 * mat30) AS conv30_mature, sum(mat30) AS entries_mature30
+  FROM enriched GROUP BY 1, 2
+)
+SELECT cohort_week, visit_category, entries, n_customers,
+       CASE WHEN entries_mature7 > 0
+            THEN {ratio_sql('conv7_mature', 'entries_mature7', 4)} END AS conv_rate_7d,
+       CASE WHEN entries_mature30 > 0
+            THEN {ratio_sql('conv30_mature', 'entries_mature30', 4)} END AS conv_rate_30d
+FROM agg
+ORDER BY cohort_week, visit_category
+"""
+
+
+def period_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12: weekly snapshot metrics per visit category plus an 'all' rollup
+    row per week (grouping-sets re-expression of the reference's manual
+    'all' concat)."""
+    visits = _day_pass_visits(spark, sf_dir)
+    cat = (
+        F.when(F.col("visit_number") == 1, "visit_1")
+        .when(F.col("visit_number") <= 3, "visit_2_3")
+        .otherwise("visit_4_plus")
+    )
+    base = visits.select(
+        F.to_date(F.date_trunc("week", F.col("checkin_date"))).alias("week"),
+        cat.alias("visit_category"),
+        "customer_id",
+        (
+            F.col("first_membership_start").isNotNull()
+            & (F.col("first_membership_start") >= F.col("checkin_date"))
+        )
+        .cast("int")
+        .alias("converted_ever"),
+    )
+    rolled = (
+        base.rollup("week", "visit_category")
+        .agg(
+            F.count("*").alias("entries"),
+            F.countDistinct("customer_id").alias("n_customers"),
+            F.sum("converted_ever").alias("conversions"),
+        )
+        .filter(F.col("week").isNotNull())  # keep (week) and (week, cat) sets
+    )
+    return rolled.select(
+        "week",
+        F.coalesce("visit_category", F.lit("all")).alias("visit_category"),
+        "entries",
+        "n_customers",
+        "conversions",
+    ).orderBy("week", "visit_category")
+
+
+def period_snapshots_sql() -> str:
+    return f"""
+WITH {_visits_sql()},
+base AS (
+  SELECT date_trunc('week', checkin_date)::date AS week,
+         CASE WHEN visit_number = 1 THEN 'visit_1'
+              WHEN visit_number <= 3 THEN 'visit_2_3'
+              ELSE 'visit_4_plus' END AS visit_category,
+         customer_id,
+         (first_membership_start IS NOT NULL
+          AND first_membership_start >= checkin_date)::int AS converted_ever
+  FROM visits
+)
+SELECT week, coalesce(visit_category, 'all') AS visit_category,
+       count(*) AS entries,
+       count(DISTINCT customer_id) AS n_customers,
+       sum(converted_ever) AS conversions
+FROM base
+GROUP BY GROUPING SETS ((week, visit_category), (week))
+ORDER BY week, visit_category
+"""
+
+
+# ---------------------------------------------------------------------------
+# top-k / mode / distribution
+# ---------------------------------------------------------------------------
+
+
+def top_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 top-N after aggregation, deterministic tie-break on id."""
+    from .transactions import build_transactions
+
+    txn = build_transactions(spark, sf_dir)
+    return (
+        txn.groupBy("customer_id")
+        .agg(
+            sum_money(F.col("total_amount")).alias("net_spend"),
+            F.count("*").alias("n_txns"),
+        )
+        .orderBy(F.desc("net_spend"), "customer_id")
+        .limit(10)
+    )
+
+
+def top_spenders_sql() -> str:
+    from .transactions import transactions_sql
+
+    return f"""
+WITH txn AS ({transactions_sql()})
+SELECT customer_id, {sum_money_sql('total_amount')} AS net_spend, count(*) AS n_txns
+FROM txn GROUP BY customer_id
+ORDER BY net_spend DESC, customer_id
+LIMIT 10
+"""
+
+
+def customer_mode_category(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14: each customer's most frequent revenue category — count + rank
+    with explicit (count desc, category asc) tie-break, the deterministic
+    re-expression of pandas ``.mode()[0]``."""
+    from .transactions import build_transactions
+
+    txn = build_transactions(spark, sf_dir)
+    counts = txn.groupBy("customer_id", "revenue_category").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("customer_id").orderBy(F.desc("n"), "revenue_category")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("customer_id", F.col("revenue_category").alias("mode_category"), F.col("n").alias("n_txns"))
+        .orderBy("customer_id")
+    )
+
+
+def customer_mode_category_sql() -> str:
+    from .transactions import transactions_sql
+
+    return f"""
+WITH txn AS ({transactions_sql()}),
+counts AS (
+  SELECT customer_id, revenue_category, count(*) AS n
+  FROM txn GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY customer_id
+                               ORDER BY n DESC, revenue_category) AS rn
+  FROM counts
+)
+SELECT customer_id, revenue_category AS mode_category, n AS n_txns
+FROM ranked WHERE rn = 1
+ORDER BY customer_id
+"""
+
+
+def refund_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A16: distribute each month's refund total across categories in
+    proportion to gross revenue — exact integer-cents allocation
+    (allocated = refund_cents × cat_gross_cents ÷ month_gross_cents, integer
+    division) with the remainder cents assigned to the largest category.
+    Deterministic in any engine, unlike the reference's positional
+    round-robin (link_refunds_to_categories.py:143-200)."""
+    from .transactions import build_transactions
+
+    txn = build_transactions(spark, sf_dir)
+    monthly = txn.groupBy(
+        F.trunc("txn_date", "month").alias("month"), "revenue_category"
+    ).agg(
+        F.sum(
+            F.when(F.col("total_amount") > 0, to_cents(F.col("total_amount"))).otherwise(0)
+        ).alias("gross_cents"),
+        F.sum(
+            F.when(F.col("total_amount") < 0, -to_cents(F.col("total_amount"))).otherwise(0)
+        ).alias("refund_cents"),
+    )
+    wm = Window.partitionBy("month")
+    with_tot = monthly.withColumn("month_gross", F.sum("gross_cents").over(wm)).withColumn(
+        "month_refunds", F.sum("refund_cents").over(wm)
+    )
+    alloc = F.expr("month_refunds * gross_cents div month_gross")
+    with_alloc = with_tot.withColumn("alloc_cents", alloc).withColumn(
+        "rn", F.row_number().over(wm.orderBy(F.desc("gross_cents"), "revenue_category"))
+    )
+    wsum = Window.partitionBy("month")
+    final = with_alloc.withColumn(
+        "alloc_total", F.sum("alloc_cents").over(wsum)
+    ).withColumn(
+        "alloc_cents_fixed",
+        F.when(
+            F.col("rn") == 1,
+            F.col("alloc_cents") + (F.col("month_refunds") - F.col("alloc_total")),
+        ).otherwise(F.col("alloc_cents")),
+    )
+    return final.select(
+        "month",
+        "revenue_category",
+        (F.col("alloc_cents_fixed") / 100.0).alias("allocated_refund"),
+        (F.col("gross_cents") / 100.0).alias("gross_revenue"),
+    ).orderBy("month", "revenue_category")
+
+
+def refund_distribution_sql() -> str:
+    from .transactions import transactions_sql
+
+    pos = f"CASE WHEN total_amount > 0 THEN {to_cents_sql('total_amount')} ELSE 0 END"
+    neg = f"CASE WHEN total_amount < 0 THEN -{to_cents_sql('total_amount')} ELSE 0 END"
+    return f"""
+WITH txn AS ({transactions_sql()}),
+monthly AS (
+  SELECT date_trunc('month', txn_date)::date AS month, revenue_category,
+         sum({pos}) AS gross_cents, sum({neg}) AS refund_cents
+  FROM txn GROUP BY 1, 2
+),
+with_tot AS (
+  SELECT *, sum(gross_cents) OVER (PARTITION BY month) AS month_gross,
+            sum(refund_cents) OVER (PARTITION BY month) AS month_refunds,
+            row_number() OVER (PARTITION BY month
+                               ORDER BY gross_cents DESC, revenue_category) AS rn
+  FROM monthly
+),
+with_alloc AS (
+  SELECT *, month_refunds * gross_cents // month_gross AS alloc_cents
+  FROM with_tot
+),
+final AS (
+  SELECT *, sum(alloc_cents) OVER (PARTITION BY month) AS alloc_total
+  FROM with_alloc
+)
+SELECT month, revenue_category,
+       (CASE WHEN rn = 1 THEN alloc_cents + (month_refunds - alloc_total)
+             ELSE alloc_cents END) / 100.0 AS allocated_refund,
+       gross_cents / 100.0 AS gross_revenue
+FROM final
+ORDER BY month, revenue_category
+"""
+
+
+# ---------------------------------------------------------------------------
+# group-size filter + set ops
+# ---------------------------------------------------------------------------
+
+
+def family_day_pass_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13: ≥2 people sharing a last name checking in the same day (reference
+    identify_family_day_passes.py:54-71) — window count over (last_name, date)."""
+    from .customers import build_customers
+    from .events import build_checkins
+
+    ck = build_checkins(spark, sf_dir).select("customer_id", "checkin_date")
+    cust = build_customers(spark, sf_dir).select("customer_id", "last_name")
+    joined = ck.join(F.broadcast(cust), "customer_id").distinct()
+    return (
+        joined.groupBy("last_name", "checkin_date")
+        .agg(
+            F.countDistinct("customer_id").alias("group_size"),
+            F.array_join(F.sort_array(F.collect_set("customer_id")), ",").alias("member_ids"),
+        )
+        .filter(F.col("group_size") >= 2)
+        .orderBy("last_name", "checkin_date")
+    )
+
+
+def family_day_pass_groups_sql() -> str:
+    from .customers import customers_sql
+    from .events import checkins_sql
+
+    return f"""
+WITH ck AS ({checkins_sql()}),
+cust AS ({customers_sql()}),
+joined AS (
+  SELECT DISTINCT ck.customer_id, ck.checkin_date, cust.last_name
+  FROM ck JOIN cust ON ck.customer_id = cust.customer_id
+)
+SELECT last_name, checkin_date,
+       count(DISTINCT customer_id) AS group_size,
+       array_to_string(list_sort(list_distinct(list(customer_id))), ',') AS member_ids
+FROM joined
+GROUP BY 1, 2 HAVING count(DISTINCT customer_id) >= 2
+ORDER BY last_name, checkin_date
+"""
+
+
+def members_minus_active_owners(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2 except: customers with MEM-method checkins who do NOT own an active
+    2024 membership (the reference's family-member inference,
+    build_customer_master.py:309-315)."""
+    from .events import build_checkins
+    from .memberships import build_memberships_2024
+
+    mem_checkers = (
+        build_checkins(spark, sf_dir)
+        .filter(F.col("entry_method") == "MEM")
+        .select("customer_id")
+        .distinct()
+    )
+    active_owners = (
+        build_memberships_2024(spark, sf_dir)
+        .filter(F.col("status") == "ACT")
+        .select(F.col("owner_id").alias("customer_id"))
+        .distinct()
+    )
+    return mem_checkers.exceptAll(active_owners).orderBy("customer_id")
+
+
+def members_minus_active_owners_sql() -> str:
+    from .events import checkins_sql
+    from .memberships import memberships_2024_sql
+
+    return f"""
+WITH ck AS ({checkins_sql()}),
+m AS ({memberships_2024_sql()})
+SELECT DISTINCT customer_id FROM ck WHERE entry_method = 'MEM'
+EXCEPT
+SELECT DISTINCT owner_id FROM m WHERE status = 'ACT'
+ORDER BY customer_id
+"""
+
+
+def parent_child_covisits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3 intersection: shared checkin dates between each child and their
+    direct parent (reference covisit tie-break,
+    build_family_relationships.py:313-336)."""
+    from .customers import build_customers
+    from .events import build_checkins
+
+    ck = build_checkins(spark, sf_dir).select("customer_id", "checkin_date").distinct()
+    pairs = (
+        build_customers(spark, sf_dir)
+        .filter(F.col("is_child"))
+        .select(
+            F.col("customer_id").alias("child_id"),
+            F.col("parent_customer_id").alias("parent_id"),
+        )
+    )
+    child_ck = ck.select(
+        F.col("customer_id").alias("child_id"), F.col("checkin_date").alias("shared_date")
+    )
+    parent_ck = ck.select(
+        F.col("customer_id").alias("parent_id"), F.col("checkin_date").alias("shared_date")
+    )
+    return (
+        pairs.join(child_ck, "child_id")
+        .join(parent_ck, ["parent_id", "shared_date"])
+        .groupBy("child_id", "parent_id")
+        .agg(F.countDistinct("shared_date").alias("shared_dates"))
+        .orderBy("child_id")
+    )
+
+
+def parent_child_covisits_sql() -> str:
+    from .customers import customers_sql
+    from .events import checkins_sql
+
+    return f"""
+WITH ck AS ({checkins_sql()}),
+dates AS (SELECT DISTINCT customer_id, checkin_date FROM ck),
+cust AS ({customers_sql()}),
+pairs AS (
+  SELECT customer_id AS child_id, parent_customer_id AS parent_id
+  FROM cust WHERE is_child
+)
+SELECT p.child_id, p.parent_id, count(DISTINCT c.checkin_date) AS shared_dates
+FROM pairs p
+JOIN dates c ON c.customer_id = p.child_id
+JOIN dates a ON a.customer_id = p.parent_id AND a.checkin_date = c.checkin_date
+GROUP BY 1, 2
+ORDER BY p.child_id
+"""
+
+
+def same_purchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U4 pairwise combinations within groups: distinct customers sharing a
+    purchase signature (same date + same item description) — the reference's
+    itertools.combinations re-expressed as a within-group self-join with
+    id1 < id2 (reference build_customer_interactions.py:93-115)."""
+    from .transactions import build_transactions
+
+    txn = (
+        build_transactions(spark, sf_dir)
+        .filter(F.col("total_amount") > 0)
+        .select("customer_id", "txn_date", "description")
+        .distinct()
+    )
+    a, b = txn.alias("a"), txn.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.txn_date") == F.col("b.txn_date"))
+            & (F.col("a.description") == F.col("b.description"))
+            & (F.col("a.customer_id") < F.col("b.customer_id")),
+        )
+        .groupBy(
+            F.col("a.customer_id").alias("customer_id_1"),
+            F.col("b.customer_id").alias("customer_id_2"),
+        )
+        .agg(F.count("*").alias("n_shared_purchases"))
+        .orderBy("customer_id_1", "customer_id_2")
+    )
+
+
+def same_purchase_pairs_sql() -> str:
+    from .transactions import transactions_sql
+
+    return f"""
+WITH txn AS ({transactions_sql()}),
+sig AS (
+  SELECT DISTINCT customer_id, txn_date, description
+  FROM txn WHERE total_amount > 0
+)
+SELECT a.customer_id AS customer_id_1, b.customer_id AS customer_id_2,
+       count(*) AS n_shared_purchases
+FROM sig a JOIN sig b
+  ON a.txn_date = b.txn_date AND a.description = b.description
+ AND a.customer_id < b.customer_id
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""

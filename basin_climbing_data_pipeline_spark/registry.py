@@ -12,6 +12,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from .operators import cohorts as co
 from .operators import customers as cu
 from .operators import events as ev
 from .operators import memberships as mem
@@ -102,6 +103,20 @@ register(
     cu.purchasers_never_checked_in_sql(),
 )
 register("family_relationships", cu.family_relationships, cu.family_relationships_sql())
+
+register("conversion_cohorts", co.conversion_cohorts, co.conversion_cohorts_sql())
+register("period_snapshots", co.period_snapshots, co.period_snapshots_sql())
+register("top_spenders", co.top_spenders, co.top_spenders_sql())
+register("customer_mode_category", co.customer_mode_category, co.customer_mode_category_sql())
+register("refund_distribution", co.refund_distribution, co.refund_distribution_sql())
+register("family_day_pass_groups", co.family_day_pass_groups, co.family_day_pass_groups_sql())
+register(
+    "members_minus_active_owners",
+    co.members_minus_active_owners,
+    co.members_minus_active_owners_sql(),
+)
+register("parent_child_covisits", co.parent_child_covisits, co.parent_child_covisits_sql())
+register("same_purchase_pairs", co.same_purchase_pairs, co.same_purchase_pairs_sql())
 
 
 def queries() -> dict[str, SparkQuery]:
