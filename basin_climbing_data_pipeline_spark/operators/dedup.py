@@ -1,0 +1,431 @@
+"""Document deduplication operators: exact, n-gram Jaccard, MinHash+LSH,
+SimHash — the large-scale training-data dedup family (BASELINE.json
+north-star), all as declarative DataFrame programs with DuckDB oracles.
+
+Hashing is md5-derived everywhere so Spark and DuckDB agree bit-for-bit:
+``h32(s) = int(md5(s)[:8], 16)`` — Spark ``conv(substring(md5(s),1,8),16,10)``,
+DuckDB ``('0x' || substr(md5(s),1,8))::bigint``.
+
+Scale design (the point of this module):
+
+- exact: one groupBy on the text hash — minimal shuffle, no text comparison.
+- n-gram Jaccard: shingle inverted-index join (explode shingles → equi-join
+  on shingle → per-pair overlap counts), NOT pairwise text comparison; the
+  shingle join is the only shuffle and it's blocked by the shingle key.
+- MinHash+LSH: k=16 signatures as 16 exact min-aggregations over the shingle
+  hash set; banding (8 bands × 2 rows) turns near-dup search into an
+  equi-join on (band, band_signature); true Jaccard verified only for LSH
+  candidates — candidates ≪ n², which is what makes 100 TB feasible.
+- SimHash: 16-bit signature from per-word hash bits; the pigeonhole split
+  into 4 nibbles turns hamming≤3 search into 4 equi-joins on (chunk, value),
+  then verify with bit_count(xor).
+
+The synthetic corpus has no planted near-dups (max 3-gram Jaccard ≈ 0.05),
+so thresholds are set low enough to exercise candidate-generation + verify
+end-to-end; the operators' structure is threshold-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+
+MINHASH_K = 16
+MINHASH_BANDS = 8  # 2 rows per band
+MINHASH_PRIME = 4294967311  # smallest prime > 2^32
+JACCARD_THRESHOLD = 0.03
+SIMHASH_BITS = 16
+SIMHASH_MAX_HAMMING = 3
+
+# ---------------------------------------------------------------------------
+# shared shingle scaffolding
+# ---------------------------------------------------------------------------
+
+
+def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, shingle, h32) — distinct 3-word shingles per doc with
+    their 32-bit md5-derived hashes."""
+    docs = load_table(spark, sf_dir, "documents")
+    shingles = F.expr(
+        "array_distinct(transform(sequence(0, greatest(size(split(trim(text), ' ')) - 3, 0)),"
+        " i -> concat_ws(' ', split(trim(text), ' ')[i],"
+        " split(trim(text), ' ')[i+1], split(trim(text), ' ')[i+2])))"
+    )
+    out = docs.select(
+        "doc_id", "lang", F.explode(shingles).alias("shingle")
+    ).filter(F.col("shingle").isNotNull() & (F.col("shingle") != ""))
+    return out.withColumn(
+        "h32", F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long")
+    )
+
+
+_SHINGLES_SQL = """
+shingle_rows AS (
+  SELECT doc_id, lang, unnest(list_distinct(
+           [words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+            FOR i IN range(1, greatest(len(words) - 1, 2))]
+         )) AS shingle
+  FROM (SELECT doc_id, lang, string_split(trim(text), ' ') AS words FROM documents)
+),
+shingles AS (
+  SELECT doc_id, lang, shingle,
+         ('0x' || substr(md5(shingle), 1, 8))::bigint AS h32
+  FROM shingle_rows
+  WHERE shingle IS NOT NULL AND shingle != ''
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by text hash: keep the lowest doc_id per group; report
+    every doc with its canonical id and group size (n_dupes = 1 → unique)."""
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = docs.select(
+        "doc_id", F.md5(F.lower(F.trim(F.col("text")))).alias("text_hash")
+    )
+    groups = hashed.groupBy("text_hash").agg(
+        F.min("doc_id").alias("canonical_doc_id"), F.count("*").alias("n_dupes")
+    )
+    return (
+        hashed.join(groups, "text_hash")
+        .select("doc_id", "canonical_doc_id", "n_dupes", (F.col("doc_id") == F.col("canonical_doc_id")).alias("is_canonical"))
+        .orderBy("doc_id")
+    )
+
+
+def exact_dedup_sql() -> str:
+    return """
+WITH hashed AS (
+  SELECT doc_id, md5(lower(trim(text))) AS text_hash FROM documents
+),
+groups AS (
+  SELECT text_hash, min(doc_id) AS canonical_doc_id, count(*) AS n_dupes
+  FROM hashed GROUP BY text_hash
+)
+SELECT h.doc_id, g.canonical_doc_id, g.n_dupes,
+       h.doc_id = g.canonical_doc_id AS is_canonical
+FROM hashed h JOIN groups g USING (text_hash)
+ORDER BY h.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard via shingle inverted index
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs with 3-gram Jaccard ≥ threshold, computed by inverted-index
+    join: explode shingles, equi-join on the shingle, count overlap per pair,
+    then |A∩B| / (|A|+|B|−|A∩B|).  Blocked by lang."""
+    sh = _shingles_df(spark, sf_dir).select("doc_id", "lang", "shingle")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    overlap = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.floor(
+        F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")) * 1000000.0 + 0.5
+    ) / 1000000.0
+    return (
+        overlap.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "common", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def ngram_jaccard_pairs_sql() -> str:
+    return f"""
+WITH {_SHINGLES_SQL},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+overlap AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM shingles a JOIN shingles b
+    ON a.shingle = b.shingle AND a.lang = b.lang AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT doc_a, doc_b, common,
+         floor(common::double / (sa.n_sh + sb.n_sh - common) * 1000000.0 + 0.5) / 1000000.0
+           AS jaccard
+  FROM overlap
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+)
+SELECT doc_a, doc_b, common, jaccard
+FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k=16 MinHash values per doc: min over shingles of (aᵢ·h32+bᵢ) mod p
+    with aᵢ=2i+1, bᵢ=7919·i — 16 exact min-aggregations in one groupBy."""
+    sh = _shingles_df(spark, sf_dir)
+    aggs = [
+        F.min((F.col("h32") * (2 * i + 1) + 7919 * i) % MINHASH_PRIME).alias(f"mh{i}")
+        for i in range(MINHASH_K)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs).orderBy("doc_id")
+
+
+def minhash_signatures_sql() -> str:
+    aggs = ",\n       ".join(
+        f"min((h32 * {2 * i + 1} + {7919 * i}) % {MINHASH_PRIME}) AS mh{i}"
+        for i in range(MINHASH_K)
+    )
+    return f"""
+WITH {_SHINGLES_SQL}
+SELECT doc_id,
+       {aggs}
+FROM shingles
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding over the MinHash signature (8 bands × 2 rows): candidate
+    pairs collide on any band; candidates are then verified with the TRUE
+    3-gram Jaccard (inverted-index join restricted to candidates).  Output:
+    candidate pairs + band-collision count + verified Jaccard."""
+    sigs = minhash_signatures(spark, sf_dir)
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        F.concat_ws("_", F.col(f"mh{2 * j}"), F.col(f"mh{2 * j + 1}")).alias(
+                            "sig"
+                        ),
+                    )
+                    for j in range(MINHASH_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.band").alias("band"), F.col("b.sig").alias("sig"))
+    a, b = bands.alias("a"), bands.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_band_collisions"))
+    )
+    # verify candidates with true jaccard via the shingle index
+    sh = _shingles_df(spark, sf_dir).select("doc_id", "shingle")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    overlap = (
+        candidates.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b", "n_band_collisions")
+        .agg(F.count("*").alias("common"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.floor(
+        F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")) * 1000000.0 + 0.5
+    ) / 1000000.0
+    return (
+        overlap.join(za, "doc_a")
+        .join(zb, "doc_b")
+        .withColumn("jaccard", jac)
+        .select("doc_a", "doc_b", "n_band_collisions", "common", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def minhash_lsh_pairs_sql() -> str:
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {j} AS band, mh{2 * j} || '_' || mh{2 * j + 1} AS sig FROM sigs"
+        for j in range(MINHASH_BANDS)
+    )
+    mh_aggs = ",\n       ".join(
+        f"min((h32 * {2 * i + 1} + {7919 * i}) % {MINHASH_PRIME}) AS mh{i}"
+        for i in range(MINHASH_K)
+    )
+    return f"""
+WITH {_SHINGLES_SQL},
+sigs AS (
+  SELECT doc_id, {mh_aggs}
+  FROM shingles GROUP BY doc_id
+),
+bands AS ({band_rows}),
+candidates AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_band_collisions
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+overlap AS (
+  SELECT c.doc_a, c.doc_b, c.n_band_collisions, count(*) AS common
+  FROM candidates c
+  JOIN shingles sa ON sa.doc_id = c.doc_a
+  JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY 1, 2, 3
+)
+SELECT o.doc_a, o.doc_b, o.n_band_collisions, o.common,
+       floor(o.common::double / (za.n_sh + zb.n_sh - o.common) * 1000000.0 + 0.5) / 1000000.0
+         AS jaccard
+FROM overlap o
+JOIN sizes za ON za.doc_id = o.doc_a
+JOIN sizes zb ON zb.doc_id = o.doc_b
+ORDER BY o.doc_a, o.doc_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash: per distinct word, h32's low 16 bits vote ±1 per bit
+    position; signature bit = vote sum > 0."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.array_distinct(F.split(F.trim(F.col("text")), " "))).alias("word"),
+    ).filter(F.col("word") != "")
+    hashed = words.withColumn(
+        "h32", F.conv(F.substring(F.md5("word"), 1, 8), 16, 10).cast("long")
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h32"), i).bitwiseAND(1) == 1, 1).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    agg = hashed.groupBy("doc_id", "lang").agg(*votes)
+    sig = None
+    for i in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"v{i}") > 0, 1 << i).otherwise(0)
+        sig = bit if sig is None else sig + bit
+    return agg.select("doc_id", "lang", sig.cast("long").alias("simhash")).orderBy("doc_id")
+
+
+def simhash_signatures_sql() -> str:
+    votes = ",\n       ".join(
+        f"sum(CASE WHEN (h32 // {1 << i}) % 2 = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(SIMHASH_BITS)
+    )
+    sig = " + ".join(f"(CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(SIMHASH_BITS))
+    return f"""
+WITH words AS (
+  SELECT doc_id, lang, unnest(list_distinct(string_split(trim(text), ' '))) AS word
+  FROM documents
+),
+hashed AS (
+  SELECT doc_id, lang, ('0x' || substr(md5(word), 1, 8))::bigint AS h32
+  FROM words WHERE word != ''
+),
+agg AS (
+  SELECT doc_id, lang,
+       {votes}
+  FROM hashed GROUP BY doc_id, lang
+)
+SELECT doc_id, lang, ({sig})::bigint AS simhash
+FROM agg ORDER BY doc_id
+"""
+
+
+def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidates at hamming ≤ 3 via the pigeonhole trick: split the
+    16-bit signature into 4 nibbles; any pair within hamming 3 must agree on
+    ≥1 nibble → 4 equi-joins on (chunk, value), dedup, verify bit_count(xor)."""
+    sigs = simhash_signatures(spark, sf_dir)
+    chunks = sigs.select(
+        "doc_id",
+        "lang",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright(F.col("simhash"), 4 * c).bitwiseAND(15).alias("val"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc_id", "lang", "simhash", F.col("c.chunk").alias("chunk"), F.col("c.val").alias("val"))
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = F.expr("bit_count(sig_a ^ sig_b)")
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def simhash_near_pairs_sql() -> str:
+    sig_cte = simhash_signatures_sql().replace("ORDER BY doc_id", "")
+    return f"""
+WITH sigs AS ({sig_cte}),
+chunks AS (
+  SELECT doc_id, lang, simhash, c AS chunk, (simhash // power(2, 4*c)::bigint) % 16 AS val
+  FROM sigs, unnest([0, 1, 2, 3]) AS t(c)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sig_a, b.simhash AS sig_b
+  FROM chunks a JOIN chunks b
+    ON a.chunk = b.chunk AND a.val = b.val AND a.lang = b.lang
+   AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, bit_count(xor(sig_a, sig_b)) AS hamming
+FROM cand
+WHERE bit_count(xor(sig_a, sig_b)) <= {SIMHASH_MAX_HAMMING}
+ORDER BY doc_a, doc_b
+"""

@@ -1,0 +1,241 @@
+"""Text-analysis operators over the ``documents`` table.
+
+The large-scale training-data-pipeline operator family (BASELINE.json
+north-star; the reference's closest analog is its LLM-enrichment UDF surface,
+SURVEY.md §2.10 F4, fetch_instagram_data.py:189-290 — here re-expressed as
+pure column expressions so the hot path never leaves the JVM):
+
+- document stats: token counts (whitespace + regex tokenizer), unique-token
+  ratio, stopword ratio, average word length
+- language ID: marker-word scoring with deterministic argmax (n-gram
+  heuristic family; markers are disjoint word sets per language)
+- quality scoring: weighted composite of length/stopword/uniqueness ratios
+  with good/ok/spam buckets
+- token frequencies: corpus-level top-20
+- fingerprinting: 60-bit md5-derived document fingerprint
+
+All ratios are fixed-point (functions.money.ratio) for cross-engine hashing.
+Scale: everything is a scan + per-row array ops + one groupBy; token
+frequencies shuffle once on the token key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.money import ratio, ratio_sql
+from ..io import load_table
+
+STOPWORDS = ("the", "a", "of", "and")
+
+# disjoint marker-word sets per language (the scoring/argmax machinery is the
+# operator; the marker lists are config)
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "fast"),
+    "es": ("data", "row", "slow"),
+    "de": ("group", "hash", "key"),
+    "fr": ("merge", "sort", "join"),
+    "zh": ("spark", "query", "stream"),
+}
+
+
+def _words(col: F.Column) -> F.Column:
+    return F.split(F.trim(col), " ")
+
+
+def doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = _words(F.col("text"))
+    stop_pred = " OR ".join(f"w = '{s}'" for s in STOPWORDS)
+    n_words = F.size(words)
+    n_stop = F.size(F.expr(f"filter(split(trim(text), ' '), w -> {stop_pred})"))
+    n_uniq = F.size(F.array_distinct(words))
+    return docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.length("text").alias("n_chars_actual"),
+        n_words.alias("n_words"),
+        n_uniq.alias("n_unique_words"),
+        ratio(n_stop.cast("double"), n_words.cast("double"), 4).alias("stopword_ratio"),
+        ratio(n_uniq.cast("double"), n_words.cast("double"), 4).alias("unique_ratio"),
+        ratio(
+            (F.length(F.trim(F.col("text"))) - n_words + 1).cast("double"),
+            n_words.cast("double"),
+            4,
+        ).alias("avg_word_len"),
+    )
+
+
+def doc_stats_sql() -> str:
+    stop_pred = " OR ".join(f"w = '{s}'" for s in STOPWORDS)
+    return f"""
+WITH base AS (
+  SELECT doc_id, lang, source, n_chars, text,
+         length(text) AS n_chars_actual,
+         string_split(trim(text), ' ') AS words
+  FROM documents
+)
+SELECT doc_id, lang, source, n_chars, n_chars_actual,
+       len(words) AS n_words,
+       len(list_distinct(words)) AS n_unique_words,
+       {ratio_sql("len(list_filter(words, w -> " + stop_pred + "))::double", "len(words)::double", 4)} AS stopword_ratio,
+       {ratio_sql('len(list_distinct(words))::double', 'len(words)::double', 4)} AS unique_ratio,
+       {ratio_sql('(length(trim(text)) - len(words) + 1)::double', 'len(words)::double', 4)} AS avg_word_len
+FROM base
+"""
+
+
+def language_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID: score = marker hits per language, detected =
+    argmax with lexicographic tie-break; output the labeled × detected
+    confusion matrix."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.expr("split(trim(text), ' ')")
+    scores = [
+        F.size(
+            F.expr(
+                "filter(split(trim(text), ' '), w -> "
+                + " OR ".join(f"w = '{m}'" for m in markers)
+                + ")"
+            )
+        ).alias(f"score_{lang}")
+        for lang, markers in LANG_MARKERS.items()
+    ]
+    scored = docs.select("doc_id", F.col("lang").alias("labeled_lang"), *scores)
+    # argmax with deterministic tie-break: greatest score wins, ties -> first
+    # language in sorted order
+    detected = None
+    best = None
+    for lang in sorted(LANG_MARKERS):
+        s = F.col(f"score_{lang}")
+        if detected is None:
+            detected, best = F.lit(lang), s
+        else:
+            detected = F.when(s > best, lang).otherwise(detected)
+            best = F.when(s > best, s).otherwise(best)
+    return (
+        scored.withColumn("detected_lang", detected)
+        .groupBy("labeled_lang", "detected_lang")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("labeled_lang", "detected_lang")
+    )
+
+
+def language_id_confusion_sql() -> str:
+    score_cols = ",\n         ".join(
+        "len(list_filter(words, w -> "
+        + " OR ".join(f"w = '{m}'" for m in markers)
+        + f")) AS score_{lang}"
+        for lang, markers in LANG_MARKERS.items()
+    )
+    langs = sorted(LANG_MARKERS)
+    detect = f"'{langs[0]}'"
+    best = f"score_{langs[0]}"
+    for lang in langs[1:]:
+        detect = f"CASE WHEN score_{lang} > {best} THEN '{lang}' ELSE {detect} END"
+        best = f"greatest({best}, score_{lang})"
+    return f"""
+WITH base AS (
+  SELECT doc_id, lang AS labeled_lang, string_split(trim(text), ' ') AS words
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, labeled_lang,
+         {score_cols}
+  FROM base
+)
+SELECT labeled_lang, {detect} AS detected_lang, count(*) AS n_docs
+FROM scored
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+def quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score → good/ok/spam distribution per source."""
+    stats = doc_stats(spark, sf_dir)
+    score = ratio(
+        0.4 * F.col("unique_ratio")
+        + 0.3 * F.col("stopword_ratio")
+        + 0.3 * F.least(F.col("n_words") / 100.0, F.lit(1.0)),
+        F.lit(1.0),
+        4,
+    )
+    bucketed = stats.withColumn("quality_score", score).withColumn(
+        "quality_bucket",
+        F.when(F.col("quality_score") >= 0.5, "good")
+        .when(F.col("quality_score") >= 0.35, "ok")
+        .otherwise("spam"),
+    )
+    return (
+        bucketed.groupBy("source", "quality_bucket")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("source", "quality_bucket")
+    )
+
+
+def quality_buckets_sql() -> str:
+    score = ratio_sql(
+        "0.4 * unique_ratio + 0.3 * stopword_ratio + 0.3 * least(n_words / 100.0, 1.0)",
+        "1.0",
+        4,
+    )
+    return f"""
+WITH stats AS ({doc_stats_sql()}),
+scored AS (
+  SELECT source, {score} AS quality_score FROM stats
+)
+SELECT source,
+       CASE WHEN quality_score >= 0.5 THEN 'good'
+            WHEN quality_score >= 0.35 THEN 'ok'
+            ELSE 'spam' END AS quality_bucket,
+       count(*) AS n_docs
+FROM scored
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+def token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus top-20 tokens (explode → count → deterministic top-k)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(_words(F.col("text"))).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(20)
+    )
+
+
+def token_frequencies_sql() -> str:
+    return """
+SELECT token, count(*) AS n
+FROM (SELECT unnest(string_split(trim(text), ' ')) AS token FROM documents)
+WHERE token != ''
+GROUP BY token
+ORDER BY n DESC, token
+LIMIT 20
+"""
+
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit md5-derived fingerprint of the normalized text (the document-
+    fingerprinting primitive; grouping on it is exact dedup)."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.col("text")))
+    fp = F.conv(F.substring(F.md5(norm), 1, 15), 16, 10).cast("long")
+    return docs.select("doc_id", fp.alias("fingerprint60"), "lang", "source")
+
+
+def doc_fingerprints_sql() -> str:
+    return """
+SELECT doc_id,
+       ('0x' || substr(md5(lower(trim(text))), 1, 15))::bigint AS fingerprint60,
+       lang, source
+FROM documents
+"""

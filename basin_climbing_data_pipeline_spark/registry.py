@@ -14,6 +14,9 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .operators import cohorts as co
 from .operators import customers as cu
+from .operators import dedup as dd
+from .operators import similarity as sim
+from .operators import textstats as ts
 from .operators import events as ev
 from .operators import memberships as mem
 from .operators import transactions as txn
@@ -117,6 +120,23 @@ register(
 )
 register("parent_child_covisits", co.parent_child_covisits, co.parent_child_covisits_sql())
 register("same_purchase_pairs", co.same_purchase_pairs, co.same_purchase_pairs_sql())
+
+register("doc_stats", ts.doc_stats, ts.doc_stats_sql())
+register("language_id_confusion", ts.language_id_confusion, ts.language_id_confusion_sql())
+register("quality_buckets", ts.quality_buckets, ts.quality_buckets_sql())
+register("token_frequencies", ts.token_frequencies, ts.token_frequencies_sql())
+register("doc_fingerprints", ts.doc_fingerprints, ts.doc_fingerprints_sql())
+
+register("exact_dedup", dd.exact_dedup, dd.exact_dedup_sql())
+register("ngram_jaccard_pairs", dd.ngram_jaccard_pairs, dd.ngram_jaccard_pairs_sql())
+register("minhash_signatures", dd.minhash_signatures, dd.minhash_signatures_sql())
+register("minhash_lsh_pairs", dd.minhash_lsh_pairs, dd.minhash_lsh_pairs_sql())
+register("simhash_signatures", dd.simhash_signatures, dd.simhash_signatures_sql())
+register("simhash_near_pairs", dd.simhash_near_pairs, dd.simhash_near_pairs_sql())
+
+register("cosine_topk", sim.cosine_topk, sim.cosine_topk_sql())
+register("lsh_buckets", sim.lsh_buckets, sim.lsh_buckets_sql())
+register("knn_label_vote", sim.knn_label_vote, sim.knn_label_vote_sql())
 
 
 def queries() -> dict[str, SparkQuery]:
