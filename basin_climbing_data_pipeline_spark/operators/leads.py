@@ -1,0 +1,238 @@
+"""Customer master (wide ~45-col table) + leads timeline assembly.
+
+- :func:`customer_master`: the reference's flagship wide table
+  (build_customer_master.py:28-570 — identity + family + membership + visit
+  + spend + flags in one row per person).  The reference builds it with
+  iterrows + dict lookups over 10 loaded tables; here it's a star of LEFT
+  joins of pre-aggregated per-customer stats (each input aggregated to the
+  customer grain first, so every join is 1:1 — no fan-out, minimal shuffle).
+
+- :func:`lead_timelines`: the reference's UDTF-like per-lead timeline
+  assembly (build_leads_table.py:411-649: rows → sorted JSON array + ~25
+  summary cols) re-expressed as groupBy + ordered string aggregation +
+  conditional aggregates — one shuffle, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.money import sum_money, sum_money_sql
+from ..io import load_table
+
+
+def customer_master(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .customers import build_customers
+    from .events import build_checkins
+    from .flags import build_flags
+    from .memberships import build_memberships_2024
+    from .transactions import build_transactions
+
+    cust = build_customers(spark, sf_dir)
+
+    visits = (
+        build_checkins(spark, sf_dir)
+        .groupBy("customer_id")
+        .agg(
+            F.count("*").alias("total_visits"),
+            F.min("checkin_date").alias("first_visit_date"),
+            F.max("checkin_date").alias("last_visit_date"),
+        )
+    )
+    spend = (
+        build_transactions(spark, sf_dir)
+        .groupBy("customer_id")
+        .agg(
+            F.count("*").alias("total_txns"),
+            sum_money(F.col("total_amount")).alias("net_spend"),
+            F.sum("day_pass_count").alias("day_passes_bought"),
+        )
+    )
+    mem = (
+        build_memberships_2024(spark, sf_dir)
+        .groupBy(F.col("owner_id").alias("customer_id"))
+        .agg(
+            F.count("*").alias("n_memberships"),
+            F.min("start_date").alias("first_membership_start"),
+            F.max(F.when(F.col("status") == "ACT", 1).otherwise(0)).alias("_any_act"),
+        )
+    )
+    kids = (
+        cust.filter(F.col("is_child"))
+        .groupBy(F.col("parent_customer_id").alias("customer_id"))
+        .agg(
+            F.count("*").alias("n_children"),
+            F.array_join(F.sort_array(F.collect_list("customer_id")), ",").alias(
+                "child_customer_ids"
+            ),
+        )
+    )
+    flags = (
+        build_flags(spark, sf_dir)
+        .filter(F.col("is_active"))
+        .groupBy("customer_id")
+        .agg(
+            F.count("*").alias("n_active_flags"),
+            F.array_join(F.sort_array(F.collect_set("flag_type")), ",").alias("active_flags"),
+        )
+    )
+
+    return (
+        cust.select(
+            "customer_id",
+            "first_name",
+            "last_name",
+            "email_normalized",
+            "phone_e164",
+            "is_child",
+            "parent_customer_id",
+            "nation",
+            "segment",
+        )
+        .join(visits, "customer_id", "left")
+        .join(spend, "customer_id", "left")
+        .join(mem, "customer_id", "left")
+        .join(kids, "customer_id", "left")
+        .join(flags, "customer_id", "left")
+        .select(
+            "customer_id",
+            "first_name",
+            "last_name",
+            "email_normalized",
+            "phone_e164",
+            "is_child",
+            "parent_customer_id",
+            "nation",
+            "segment",
+            F.coalesce("total_visits", F.lit(0)).alias("total_visits"),
+            "first_visit_date",
+            "last_visit_date",
+            F.coalesce("total_txns", F.lit(0)).alias("total_txns"),
+            F.coalesce("net_spend", F.lit(0.0)).alias("net_spend"),
+            F.coalesce("day_passes_bought", F.lit(0)).alias("day_passes_bought"),
+            F.coalesce("n_memberships", F.lit(0)).alias("n_memberships"),
+            "first_membership_start",
+            (F.coalesce("_any_act", F.lit(0)) == 1).alias("has_active_membership"),
+            F.coalesce("n_children", F.lit(0)).alias("n_children"),
+            "child_customer_ids",
+            F.coalesce("n_active_flags", F.lit(0)).alias("n_active_flags"),
+            "active_flags",
+        )
+        .orderBy("customer_id")
+    )
+
+
+def customer_master_sql() -> str:
+    from .customers import customers_sql
+    from .events import checkins_sql
+    from .flags import build_flags_sql
+    from .memberships import memberships_2024_sql
+    from .transactions import transactions_sql
+
+    return f"""
+WITH cust AS ({customers_sql()}),
+ck AS ({checkins_sql()}),
+txn AS ({transactions_sql()}),
+m AS ({memberships_2024_sql()}),
+fl AS ({build_flags_sql()}),
+visits AS (
+  SELECT customer_id, count(*) AS total_visits,
+         min(checkin_date) AS first_visit_date, max(checkin_date) AS last_visit_date
+  FROM ck GROUP BY customer_id
+),
+spend AS (
+  SELECT customer_id, count(*) AS total_txns,
+         {sum_money_sql('total_amount')} AS net_spend,
+         sum(day_pass_count) AS day_passes_bought
+  FROM txn GROUP BY customer_id
+),
+mem AS (
+  SELECT owner_id AS customer_id, count(*) AS n_memberships,
+         min(start_date) AS first_membership_start,
+         max(CASE WHEN status = 'ACT' THEN 1 ELSE 0 END) AS any_act
+  FROM m GROUP BY owner_id
+),
+kids AS (
+  SELECT parent_customer_id AS customer_id, count(*) AS n_children,
+         array_to_string(list_sort(list(customer_id)), ',') AS child_customer_ids
+  FROM cust WHERE is_child GROUP BY parent_customer_id
+),
+flag_agg AS (
+  SELECT customer_id, count(*) AS n_active_flags,
+         array_to_string(list_sort(list_distinct(list(flag_type))), ',') AS active_flags
+  FROM fl WHERE is_active GROUP BY customer_id
+)
+SELECT c.customer_id, c.first_name, c.last_name, c.email_normalized, c.phone_e164,
+       c.is_child, c.parent_customer_id, c.nation, c.segment,
+       coalesce(v.total_visits, 0) AS total_visits,
+       v.first_visit_date, v.last_visit_date,
+       coalesce(s.total_txns, 0) AS total_txns,
+       coalesce(s.net_spend, 0.0) AS net_spend,
+       coalesce(s.day_passes_bought, 0) AS day_passes_bought,
+       coalesce(mm.n_memberships, 0) AS n_memberships,
+       mm.first_membership_start,
+       coalesce(mm.any_act, 0) = 1 AS has_active_membership,
+       coalesce(k.n_children, 0) AS n_children,
+       k.child_customer_ids,
+       coalesce(f.n_active_flags, 0) AS n_active_flags,
+       f.active_flags
+FROM cust c
+LEFT JOIN visits v ON v.customer_id = c.customer_id
+LEFT JOIN spend s ON s.customer_id = c.customer_id
+LEFT JOIN mem mm ON mm.customer_id = c.customer_id
+LEFT JOIN kids k ON k.customer_id = c.customer_id
+LEFT JOIN flag_agg f ON f.customer_id = c.customer_id
+ORDER BY c.customer_id
+"""
+
+
+def lead_timelines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer event timeline string + summary stats from the unified
+    event log (the reference's timeline JSON array, rendered as an ordered
+    'date:type' string so both engines hash identically)."""
+    from .flags import events_unified
+
+    ev = events_unified(spark, sf_dir)
+    timeline = F.array_join(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("event_date", "event_type"))),
+            lambda s: F.concat_ws(":", s["event_date"].cast("string"), s["event_type"]),
+        ),
+        "|",
+    )
+    return (
+        ev.groupBy("customer_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count(F.when(F.col("event_type") == "checkin", 1)).alias("n_checkins"),
+            F.count(F.when(F.col("event_type").endswith("purchase"), 1)).alias("n_purchases"),
+            F.count(F.when(F.col("event_type") == "refund", 1)).alias("n_refunds"),
+            F.min("event_date").alias("first_event_date"),
+            F.max("event_date").alias("last_event_date"),
+            sum_money(F.col("amount")).alias("total_amount"),
+            timeline.alias("timeline"),
+        )
+        .orderBy("customer_id")
+    )
+
+
+def lead_timelines_sql() -> str:
+    from .flags import events_unified_sql
+
+    return f"""
+WITH ev AS ({events_unified_sql()})
+SELECT customer_id,
+       count(*) AS n_events,
+       count(CASE WHEN event_type = 'checkin' THEN 1 END) AS n_checkins,
+       count(CASE WHEN event_type LIKE '%purchase' THEN 1 END) AS n_purchases,
+       count(CASE WHEN event_type = 'refund' THEN 1 END) AS n_refunds,
+       min(event_date) AS first_event_date,
+       max(event_date) AS last_event_date,
+       {sum_money_sql('amount')} AS total_amount,
+       string_agg(event_date || ':' || event_type, '|'
+                  ORDER BY event_date, event_type) AS timeline
+FROM ev
+GROUP BY customer_id
+ORDER BY customer_id
+"""

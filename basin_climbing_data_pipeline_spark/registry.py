@@ -15,6 +15,8 @@ from pyspark.sql import DataFrame, SparkSession
 from .operators import cohorts as co
 from .operators import customers as cu
 from .operators import dedup as dd
+from .operators import flags as fl
+from .operators import leads as ld
 from .operators import similarity as sim
 from .operators import textstats as ts
 from .operators import events as ev
@@ -137,6 +139,13 @@ register("simhash_near_pairs", dd.simhash_near_pairs, dd.simhash_near_pairs_sql(
 register("cosine_topk", sim.cosine_topk, sim.cosine_topk_sql())
 register("lsh_buckets", sim.lsh_buckets, sim.lsh_buckets_sql())
 register("knn_label_vote", sim.knn_label_vote, sim.knn_label_vote_sql())
+
+register("events_unified", fl.events_unified, fl.events_unified_sql())
+register("flags_build", fl.build_flags, fl.build_flags_sql())
+register("flag_type_summary", fl.flag_type_summary, fl.flag_type_summary_sql())
+
+register("customer_master", ld.customer_master, ld.customer_master_sql())
+register("lead_timelines", ld.lead_timelines, ld.lead_timelines_sql())
 
 
 def queries() -> dict[str, SparkQuery]:
