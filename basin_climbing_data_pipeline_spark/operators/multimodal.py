@@ -1,0 +1,144 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata +
+Arrow-batched Pandas-UDF decode/feature-extract stages.
+
+The north-star contract (BASELINE.json): treat image/audio/video as opaque
+``binary`` columns with typed metadata; decode / feature-extract / resize /
+frame-sample run as Pandas UDFs over ``mapInPandas``.  The image/audio codec
+libraries are not in this container, so the DECODE step is a deterministic
+fake (documented stub) — but everything Spark-side is real and tested:
+schema, binary column handling, Arrow batch shapes, partition-parallel
+``mapInPandas``, and the anti-join-against-cache incremental-enrichment
+pattern that the reference uses for its LLM UDFs
+(fetch_instagram_data.py:428-439 skip-if-already-analyzed; SURVEY.md §2.10 F4).
+
+The payloads are derived from documents.text (utf-8 bytes) so the pipeline
+is deterministic and self-contained.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+
+FEATURE_SCHEMA = (
+    "doc_id long, n_bytes int, checksum long, width int, height int, mean_byte double"
+)
+
+
+def build_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque binary payload + typed metadata struct per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    blob = F.encode(F.col("text"), "utf-8")
+    return docs.select(
+        "doc_id",
+        blob.alias("payload"),
+        F.struct(
+            F.length(blob).alias("n_bytes"),
+            F.lit("text/plain").alias("mime"),
+            F.col("source").alias("origin"),
+        ).alias("media_meta"),
+    )
+
+
+def decode_features(media: DataFrame) -> DataFrame:
+    """'Decode' + feature-extract via mapInPandas (Arrow-batched).
+
+    Real deployments replace ``_fake_decode`` with PIL/ffmpeg calls; the
+    batch iteration, schema contract, and partition parallelism are exactly
+    what a real decoder needs.
+    """
+    import math
+
+    import pandas as pd
+
+    def _fake_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            n_bytes = payloads.map(len)
+            checksum = payloads.map(lambda b: sum(b) % 1_000_000_007)
+            # a real image decoder would return pixel dims; the fake derives
+            # deterministic dims from the checksum
+            width = (checksum % 640).astype("int32") + 1
+            height = (checksum % 480).astype("int32") + 1
+            # fixed-point rounding (floor(x*1e4+0.5)) for engine parity
+            mean_byte = payloads.map(
+                lambda b: math.floor(sum(b) / max(len(b), 1) * 10000.0 + 0.5) / 10000.0
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": n_bytes.astype("int32"),
+                    "checksum": checksum.astype("int64"),
+                    "width": width,
+                    "height": height,
+                    "mean_byte": mean_byte,
+                }
+            )
+
+    return media.mapInPandas(_fake_decode, FEATURE_SCHEMA)
+
+
+def decode_image(_payload: bytes) -> object:
+    """Real image decode — requires PIL/opencv, not present in this
+    container.  STUB, kept so the API surface is explicit."""
+    raise NotImplementedError(
+        "image decoding requires PIL/opencv; wire into decode_features._fake_decode"
+    )
+
+
+def sample_frames(_payload: bytes, _every_n: int = 10) -> object:
+    """Real video frame-sampling — requires ffmpeg.  STUB."""
+    raise NotImplementedError("video frame sampling requires ffmpeg")
+
+
+def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end: build media table → Pandas-UDF decode → features joined
+    back to metadata."""
+    media = build_media_table(spark, sf_dir)
+    feats = decode_features(media)
+    return (
+        media.select("doc_id", F.col("media_meta.n_bytes").alias("meta_bytes"))
+        .join(feats, "doc_id")
+        .orderBy("doc_id")
+    )
+
+
+def enrich_incremental(media: DataFrame, cache: DataFrame) -> DataFrame:
+    """The LLM-enrichment incremental pattern (reference
+    fetch_instagram_data.py:428-439; email_templates.py:19-107 durable
+    cache): anti-join the input against the already-enriched cache, run the
+    expensive UDF stage ONLY on new rows, union with the cache.  At 100 TB
+    this is the difference between re-enriching everything and touching only
+    the delta."""
+    new_rows = media.join(cache.select("doc_id"), "doc_id", "left_anti")
+    return decode_features(new_rows).unionByName(cache)
+
+
+def media_features_sql() -> str:
+    """The fake decode is arithmetic over utf-8 bytes, so it IS
+    SQL-expressible — DuckDB mirrors byte-sum/length via the blob functions,
+    making even the Pandas-UDF stage oracle-checkable."""
+    return """
+WITH blobs AS (
+  SELECT doc_id, encode(text) AS payload FROM documents
+),
+s AS (
+  SELECT doc_id,
+         octet_length(payload)::int AS n_bytes,
+         list_sum([ord(x) FOR x IN split(payload::varchar, '')])::bigint AS raw
+  FROM blobs
+)
+SELECT doc_id,
+       n_bytes AS meta_bytes,
+       n_bytes,
+       raw % 1000000007 AS checksum,
+       ((raw % 1000000007) % 640)::int + 1 AS width,
+       ((raw % 1000000007) % 480)::int + 1 AS height,
+       floor(raw::double / greatest(n_bytes, 1) * 10000.0 + 0.5) / 10000.0 AS mean_byte
+FROM s
+ORDER BY doc_id
+"""

@@ -145,7 +145,19 @@ register("flags_build", fl.build_flags, fl.build_flags_sql())
 register("flag_type_summary", fl.flag_type_summary, fl.flag_type_summary_sql())
 
 register("customer_master", ld.customer_master, ld.customer_master_sql())
+
+from .streaming import events_stream as st  # noqa: E402
+
+register(
+    "streaming_windowed_counts",
+    st.windowed_event_counts,
+    st.windowed_event_counts_sql(),
+)
 register("lead_timelines", ld.lead_timelines, ld.lead_timelines_sql())
+
+from .operators import multimodal as mm  # noqa: E402
+
+register("media_features", mm.media_features, mm.media_features_sql())
 
 
 def queries() -> dict[str, SparkQuery]:

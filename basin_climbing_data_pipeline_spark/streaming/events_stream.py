@@ -1,0 +1,99 @@
+"""Structured Streaming over the events table.
+
+The reference implements streaming semantics by hand in batch (SURVEY.md
+§2.9): overlapping re-fetch windows as a watermark analog (ST2), incremental
+merge-dedup (ST1/ST4), NDJSON webhook events consolidated over a rolling
+window (ST3).  Here the same semantics run on real Structured Streaming:
+
+- file source over the events parquet (nanos ts handled like io.load_table)
+- event-time tumbling windows + watermark for late data
+- ``availableNow`` trigger → memory sink, so the streaming pipeline can be
+  invoked as a batch-shaped query (and checked against a SQL oracle: Spark's
+  ``window()`` is epoch-aligned, so window_start = floor(ts / 6h) · 6h)
+- exactly-once-ish dedup on append (ST4) via ``dropDuplicates`` before the
+  windowed aggregation
+
+At scale the same code runs continuously against a growing partitioned
+prefix with checkpointing; ``foreachBatch`` + MERGE is the upsert path for
+the reference's replace-window merges (ST1).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+WINDOW_HOURS = 6
+WINDOW_US = WINDOW_HOURS * 3600 * 1_000_000
+
+EVENTS_NANOS_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, value double, props string"
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet with the nanos→micros conversion."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_NANOS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 6-hour event counts per type with a 1-hour watermark,
+    executed with availableNow into a memory sink and returned as a batch
+    DataFrame (oracle-comparable: epoch-aligned windows)."""
+    from ..functions.money import sum_money
+
+    stream = stream_events(spark, sf_dir).withWatermark("ts", "1 hour").dropDuplicates(
+        ["event_id"]
+    )
+    agg = (
+        stream.groupBy(
+            F.window("ts", f"{WINDOW_HOURS} hours").alias("w"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            sum_money(F.col("value")).alias("total_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    sink = f"stream_counts_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.trigger(availableNow=True)
+        .outputMode("complete")
+        .format("memory")
+        .queryName(sink)
+        .start()
+    )
+    q.awaitTermination(timeout=300)
+    return spark.table(sink).orderBy("window_start_us", "event_type")
+
+
+def windowed_event_counts_sql() -> str:
+    """Oracle for the streamed aggregation (Spark tumbling windows are
+    epoch-aligned, so window_start = floor(ts/6h)*6h).  Distinct-user counts
+    are left out of the gate: streaming aggregation only supports
+    approx_count_distinct, whose HLL estimate has no DuckDB equivalent."""
+    from ..functions.money import sum_money_sql
+
+    return f"""
+SELECT (epoch_us(ts::TIMESTAMP) // {WINDOW_US}) * {WINDOW_US} AS window_start_us,
+       event_type,
+       count(*) AS n_events,
+       {sum_money_sql('value')} AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
