@@ -331,7 +331,13 @@ def refund_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_tot = monthly.withColumn("month_gross", F.sum("gross_cents").over(wm)).withColumn(
         "month_refunds", F.sum("refund_cents").over(wm)
     )
-    alloc = F.expr("month_refunds * gross_cents div month_gross")
+    # share computed in double (identical IEEE expression in both engines →
+    # deterministic); a pure BIGINT multiply overflows at large scale
+    alloc = F.expr(
+        "CASE WHEN month_gross > 0 THEN "
+        "CAST(floor(month_refunds * (CAST(gross_cents AS DOUBLE) / month_gross)) AS BIGINT) "
+        "ELSE 0 END"
+    )
     with_alloc = with_tot.withColumn("alloc_cents", alloc).withColumn(
         "rn", F.row_number().over(wm.orderBy(F.desc("gross_cents"), "revenue_category"))
     )
@@ -373,7 +379,9 @@ with_tot AS (
   FROM monthly
 ),
 with_alloc AS (
-  SELECT *, month_refunds * gross_cents // month_gross AS alloc_cents
+  SELECT *, CASE WHEN month_gross > 0 THEN
+              CAST(floor(month_refunds * (gross_cents::DOUBLE / month_gross)) AS BIGINT)
+            ELSE 0 END AS alloc_cents
   FROM with_tot
 ),
 final AS (

@@ -166,12 +166,20 @@ ORDER BY email_normalized
 
 
 FUZZY_THRESHOLD = 0.9
+NEIGHBORHOOD = 3
 
 
 def fuzzy_email_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J9: near-duplicate emails — Levenshtein similarity ≥ 0.9 on the local
-    part, blocked by corrected domain (the reference's tier-3 email match).
-    Excludes exact-equal normalized emails (those are A7 duplicates)."""
+    part, blocked by corrected domain (the reference's tier-3 email match,
+    customer_matching.py:432-445) + SORTED-NEIGHBORHOOD candidate generation:
+    rank locals within each domain and only compare rows within ±NEIGHBORHOOD
+    ranks.  Candidates scale O(N·w) instead of O(N²/domains) — the classic
+    record-linkage windowing that keeps this join feasible at 100 TB (near-
+    identical strings sort adjacently).  Excludes exact-equal normalized
+    emails (those are A7 duplicates)."""
+    from pyspark.sql import Window
+
     cust = (
         build_customers(spark, sf_dir)
         .filter(F.col("email_normalized").isNotNull())
@@ -182,22 +190,37 @@ def fuzzy_email_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
             "email_normalized",
         )
     )
-    a, b = cust.alias("a"), cust.alias("b")
+    w = Window.partitionBy("email_domain").orderBy("local", "customer_id")
+    ranked = cust.withColumn("rank", F.row_number().over(w))
+    # explode each row into its NEIGHBORHOOD probe ranks so the candidate
+    # join is FULLY equi on (domain, rank) — O(N·w) rows, no in-block
+    # quadratic (a bare rank-band predicate would be a post-filter on a
+    # domain-only hash join)
+    probes = ranked.withColumn(
+        "probe_rank",
+        F.explode(F.array(*[F.col("rank") + k for k in range(1, NEIGHBORHOOD + 1)])),
+    )
+    a = probes.alias("a")
+    b = ranked.alias("b")
     sim = levenshtein_similarity(F.col("a.local"), F.col("b.local"))
+    pairs = a.join(
+        b,
+        (F.col("a.email_domain") == F.col("b.email_domain"))
+        & (F.col("b.rank") == F.col("a.probe_rank"))
+        & (F.col("a.email_normalized") != F.col("b.email_normalized")),
+    ).withColumn("similarity", sim).filter(F.col("similarity") >= FUZZY_THRESHOLD)
+    lo = F.least(F.col("a.customer_id"), F.col("b.customer_id"))
+    hi = F.greatest(F.col("a.customer_id"), F.col("b.customer_id"))
     return (
-        a.join(
-            b,
-            (F.col("a.email_domain") == F.col("b.email_domain"))
-            & (F.col("a.customer_id") < F.col("b.customer_id"))
-            & (F.col("a.email_normalized") != F.col("b.email_normalized")),
-        )
-        .withColumn("similarity", sim)
-        .filter(F.col("similarity") >= FUZZY_THRESHOLD)
-        .select(
-            F.col("a.customer_id").alias("customer_id_1"),
-            F.col("b.customer_id").alias("customer_id_2"),
-            F.col("a.email_normalized").alias("email_1"),
-            F.col("b.email_normalized").alias("email_2"),
+        pairs.select(
+            lo.alias("customer_id_1"),
+            hi.alias("customer_id_2"),
+            F.when(lo == F.col("a.customer_id"), F.col("a.email_normalized"))
+            .otherwise(F.col("b.email_normalized"))
+            .alias("email_1"),
+            F.when(lo == F.col("a.customer_id"), F.col("b.email_normalized"))
+            .otherwise(F.col("a.email_normalized"))
+            .alias("email_2"),
             "similarity",
         )
         .orderBy("customer_id_1", "customer_id_2")
@@ -205,23 +228,34 @@ def fuzzy_email_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def fuzzy_email_matches_sql() -> str:
+    sim = (
+        "floor((1.0 - levenshtein(a.local, b.local)::double"
+        " / greatest(length(a.local), length(b.local))) * 10000 + 0.5) / 10000"
+    )
     return f"""
 WITH cust AS ({customers_sql()}),
 pool AS (
   SELECT customer_id, split_part(email_normalized, '@', 1) AS local,
          email_domain, email_normalized
   FROM cust WHERE email_normalized IS NOT NULL
+),
+ranked AS (
+  SELECT customer_id, local, email_domain, email_normalized,
+         row_number() OVER (PARTITION BY email_domain ORDER BY local, customer_id) AS rank
+  FROM pool
 )
-SELECT a.customer_id AS customer_id_1, b.customer_id AS customer_id_2,
-       a.email_normalized AS email_1, b.email_normalized AS email_2,
-       floor((1.0 - levenshtein(a.local, b.local)::double
-              / greatest(length(a.local), length(b.local))) * 10000 + 0.5) / 10000 AS similarity
-FROM pool a JOIN pool b
+SELECT least(a.customer_id, b.customer_id) AS customer_id_1,
+       greatest(a.customer_id, b.customer_id) AS customer_id_2,
+       CASE WHEN a.customer_id < b.customer_id THEN a.email_normalized
+            ELSE b.email_normalized END AS email_1,
+       CASE WHEN a.customer_id < b.customer_id THEN b.email_normalized
+            ELSE a.email_normalized END AS email_2,
+       {sim} AS similarity
+FROM ranked a JOIN ranked b
   ON a.email_domain = b.email_domain
- AND a.customer_id < b.customer_id
+ AND b.rank > a.rank AND b.rank <= a.rank + {NEIGHBORHOOD}
  AND a.email_normalized != b.email_normalized
-WHERE floor((1.0 - levenshtein(a.local, b.local)::double
-       / greatest(length(a.local), length(b.local))) * 10000 + 0.5) / 10000 >= {FUZZY_THRESHOLD}
+WHERE {sim} >= {FUZZY_THRESHOLD}
 ORDER BY customer_id_1, customer_id_2
 """
 

@@ -121,11 +121,27 @@ ORDER BY h.doc_id
 # ---------------------------------------------------------------------------
 
 
+MAX_SHINGLE_DF = 50  # document-frequency pruning: drop "stop shingles"
+
+
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairs with 3-gram Jaccard ≥ threshold, computed by inverted-index
     join: explode shingles, equi-join on the shingle, count overlap per pair,
-    then |A∩B| / (|A|+|B|−|A∩B|).  Blocked by lang."""
-    sh = _shingles_df(spark, sf_dir).select("doc_id", "lang", "shingle")
+    then |A∩B| / (|A|+|B|−|A∩B|).  Blocked by lang, with document-frequency
+    pruning: shingles appearing in > MAX_SHINGLE_DF docs are dropped before
+    the pair join (a shingle with df=d contributes d² join rows — pruning the
+    head of the df distribution bounds the join at any corpus size; Jaccard
+    is then defined over the pruned shingle space on both sides)."""
+    from pyspark.sql import Window
+
+    raw = _shingles_df(spark, sf_dir).select("doc_id", "lang", "shingle")
+    # df via window count over the shingle key — the pair join shuffles on
+    # shingle anyway, so this adds no extra shuffle stage
+    sh = (
+        raw.withColumn("df", F.count("*").over(Window.partitionBy("shingle")))
+        .filter(F.col("df") <= MAX_SHINGLE_DF)
+        .drop("df")
+    )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     overlap = (
@@ -155,7 +171,13 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ngram_jaccard_pairs_sql() -> str:
     return f"""
-WITH {_SHINGLES_SQL},
+WITH {_SHINGLES_SQL.replace("shingles AS (", "shingles_raw AS (")},
+kept AS (
+  SELECT shingle FROM shingles_raw GROUP BY shingle HAVING count(*) <= {MAX_SHINGLE_DF}
+),
+shingles AS (
+  SELECT s.* FROM shingles_raw s JOIN kept USING (shingle)
+),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
 overlap AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common

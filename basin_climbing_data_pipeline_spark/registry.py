@@ -159,6 +159,13 @@ from .operators import multimodal as mm  # noqa: E402
 
 register("media_features", mm.media_features, mm.media_features_sql())
 
+from .operators import linking as lk  # noqa: E402
+
+register("link_refunds", lk.link_refunds, lk.link_refunds_sql())
+register("regex_key_enrichment", lk.regex_key_enrichment, lk.regex_key_enrichment_sql())
+register("membership_flow", lk.membership_flow, lk.membership_flow_sql())
+register("at_risk_report", lk.at_risk_report, lk.at_risk_report_sql())
+
 
 def queries() -> dict[str, SparkQuery]:
     return {name: fn for name, (fn, _sql) in REGISTRY.items()}

@@ -1,0 +1,64 @@
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from basin_climbing_data_pipeline_spark.operators import incremental as inc
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "id string, d date, v int")
+
+
+def test_replace_window_merge(spark):
+    d = dt.date
+    existing = _df(
+        spark,
+        [("a", d(2024, 1, 1), 1), ("b", d(2024, 1, 5), 2), ("c", d(2024, 1, 9), 3)],
+    )
+    fresh = _df(spark, [("b", d(2024, 1, 5), 20), ("d", d(2024, 1, 8), 4)])
+    out = inc.replace_window_merge(
+        existing, fresh, "d", d(2024, 1, 5), "id", ["d", "v"]
+    )
+    got = {(r["id"], r["v"]) for r in out.collect()}
+    # a kept (before window); b replaced by fresh; c dropped (in window, not
+    # refetched); d added
+    assert got == {("a", 1), ("b", 20), ("d", 4)}
+
+
+def test_replace_window_merge_dedup_deterministic(spark):
+    d = dt.date
+    existing = _df(spark, [("x", d(2024, 1, 1), 5)])
+    fresh = _df(
+        spark, [("x", d(2024, 1, 6), 7), ("x", d(2024, 1, 6), 6)]
+    )  # duplicate id in fresh window
+    out = inc.replace_window_merge(existing, fresh, "d", d(2024, 1, 6), "id", ["d", "v"])
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["v"] == 6  # lowest v wins by order_cols
+
+
+def test_append_if_absent(spark):
+    d = dt.date
+    existing = _df(spark, [("a", d(2024, 1, 1), 1)])
+    incoming = _df(spark, [("a", d(2024, 1, 2), 99), ("b", d(2024, 1, 2), 2)])
+    out = inc.append_if_absent(existing, incoming, "id")
+    got = {(r["id"], r["v"]) for r in out.collect()}
+    assert got == {("a", 1), ("b", 2)}
+
+
+def test_snapshot_partitioned_write(spark, tmp_path):
+    d = dt.date
+    df = _df(spark, [("a", d(2024, 1, 1), 1)])
+    path = str(tmp_path / "snaps")
+    inc.write_snapshot(df, path, "2024-01-01")
+    inc.write_snapshot(df.withColumn("v", F.lit(2)), path, "2024-02-01")
+    back = spark.read.parquet(path)
+    assert back.count() == 2
+    assert {str(r["snapshot_date"]) for r in back.collect()} == {
+        "2024-01-01",
+        "2024-02-01",
+    }
+    # partition pruning reads one snapshot
+    one = back.filter(F.col("snapshot_date") == "2024-02-01")
+    assert one.count() == 1 and one.collect()[0]["v"] == 2
