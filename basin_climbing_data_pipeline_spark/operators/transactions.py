@@ -315,6 +315,57 @@ SELECT * EXCLUDE (rn) FROM ranked WHERE rn = 1
 """
 
 
+ACCOUNTING_GROUPS = {
+    "Day Pass": "access",
+    "New Membership": "recurring",
+    "Membership Renewal": "recurring",
+    "Programming": "programs",
+    "Event Booking": "programs",
+    "Retail": "retail",
+    "Other": "other",
+}
+
+
+def accounting_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level rollup to accounting groups (reference accounting-group
+    dashboard charts, dashboard.py:544-776), expressed on the engine's SQL
+    surface: the built transactions register as a temp view and the rollup
+    is a ``spark.sql`` query — demonstrating DataFrame and SQL API parity
+    over the same logical plan."""
+    build_transactions(spark, sf_dir).createOrReplaceTempView("txn_view")
+    group_case = " ".join(
+        f"WHEN '{cat}' THEN '{grp}'" for cat, grp in ACCOUNTING_GROUPS.items()
+    )
+    return spark.sql(
+        f"""
+        SELECT trunc(txn_date, 'month') AS month,
+               CASE revenue_category {group_case} ELSE 'other' END AS accounting_group,
+               sum(CAST(floor(total_amount * 100.0 + 0.5) AS BIGINT))
+                 / CAST(100.0 AS DOUBLE) AS net_revenue,
+               count(*) AS txn_count
+        FROM txn_view
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+        """
+    )
+
+
+def accounting_groups_sql() -> str:
+    group_case = " ".join(
+        f"WHEN '{cat}' THEN '{grp}'" for cat, grp in ACCOUNTING_GROUPS.items()
+    )
+    return f"""
+WITH txn AS ({transactions_sql()})
+SELECT date_trunc('month', txn_date)::date AS month,
+       CASE revenue_category {group_case} ELSE 'other' END AS accounting_group,
+       {sum_money_sql('total_amount')} AS net_revenue,
+       count(*) AS txn_count
+FROM txn
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 def revenue_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Net revenue by data source × month (reference dashboard source split,
     dashboard/dashboard.py:531-542)."""

@@ -33,6 +33,7 @@ class PlanStats:
     n_bnl_joins: int
     scans: list[str]
     pushed_filters: list[str]
+    read_schemas: list[str]
     wholestage_ids: int
 
 
@@ -49,5 +50,6 @@ def audit(df: DataFrame) -> PlanStats:
         n_bnl_joins=plan.count("BroadcastNestedLoopJoin"),
         scans=scans,
         pushed_filters=[p for p in pushed if p.strip()],
+        read_schemas=re.findall(r"ReadSchema: ([^\n]*)", plan),
         wholestage_ids=len(set(re.findall(r"WholeStageCodegen \((\d+)\)", plan))),
     )

@@ -55,6 +55,7 @@ register(
     txn.suspicious_price_bands_sql(),
 )
 register("revenue_by_source", txn.revenue_by_source, txn.revenue_by_source_sql())
+register("accounting_groups", txn.accounting_groups, txn.accounting_groups_sql())
 register("dedup_transactions", txn.dedup_transactions, txn.dedup_transactions_sql())
 
 register("checkins_build", ev.build_checkins, ev.checkins_sql())

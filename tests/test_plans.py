@@ -1,0 +1,54 @@
+"""Physical-plan regression tests: the plans we designed for must stay the
+plans Catalyst picks (broadcast dims, bounded shuffles, no accidental
+cartesian joins)."""
+
+from __future__ import annotations
+
+from basin_climbing_data_pipeline_spark.plans.audit import audit
+from basin_climbing_data_pipeline_spark.registry import REGISTRY
+
+
+def _audit(spark, sf_dir, name):
+    fn, _ = REGISTRY[name]
+    return audit(fn(spark, sf_dir))
+
+
+def test_transactions_build_broadcasts_dims_no_shuffle(spark, sf_dir):
+    st = _audit(spark, sf_dir, "transactions_build")
+    assert st.n_shuffle_exchanges == 0  # both joins broadcast at this scale
+    assert st.n_broadcast_hash_joins >= 2
+    assert st.n_bnl_joins == 0
+
+
+def test_window_queries_single_shuffle(spark, sf_dir):
+    for name in ("visit_numbers", "rolling_60d_visits", "recency_buckets", "checkin_sessions"):
+        st = _audit(spark, sf_dir, name)
+        assert st.n_shuffle_exchanges == 1, f"{name}: {st.n_shuffle_exchanges} shuffles"
+
+
+def test_price_bands_is_broadcast_nested_loop(spark, sf_dir):
+    # the band join is a deliberate broadcast nested-loop over a 6-row dim
+    st = _audit(spark, sf_dir, "suspicious_price_bands")
+    assert st.n_bnl_joins >= 1
+    assert st.n_sort_merge_joins == 0
+
+
+def test_proximity_join_is_equi_blocked(spark, sf_dir):
+    # the 30-min band predicate must ride on an equi join (type, date),
+    # never a cartesian product
+    st = _audit(spark, sf_dir, "proximity_connections")
+    assert st.n_bnl_joins == 0
+
+
+def test_fuzzy_join_is_equi_blocked(spark, sf_dir):
+    st = _audit(spark, sf_dir, "fuzzy_email_matches")
+    assert st.n_bnl_joins == 0  # sorted-neighborhood probe ranks keep it equi
+
+
+def test_scans_prune_columns(spark, sf_dir):
+    st = _audit(spark, sf_dir, "day_pass_counts_by_month")
+    schemas = " ".join(st.read_schemas)
+    assert schemas, "expected ReadSchema entries in the formatted plan"
+    # columns the query never touches must be pruned from the parquet scans
+    for unused in ("l_shipdate", "l_linestatus", "o_orderpriority", "p_retailprice"):
+        assert unused not in schemas, f"{unused} not pruned: {schemas}"
