@@ -204,15 +204,18 @@ ORDER BY doc_a, doc_b
 # ---------------------------------------------------------------------------
 
 
-def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """k=16 MinHash values per doc: min over shingles of (aᵢ·h32+bᵢ) mod p
-    with aᵢ=2i+1, bᵢ=7919·i — 16 exact min-aggregations in one groupBy."""
-    sh = _shingles_df(spark, sf_dir)
+def _minhash_signatures_from(sh: DataFrame) -> DataFrame:
     aggs = [
         F.min((F.col("h32") * (2 * i + 1) + 7919 * i) % MINHASH_PRIME).alias(f"mh{i}")
         for i in range(MINHASH_K)
     ]
-    return sh.groupBy("doc_id").agg(*aggs).orderBy("doc_id")
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k=16 MinHash values per doc: min over shingles of (aᵢ·h32+bᵢ) mod p
+    with aᵢ=2i+1, bᵢ=7919·i — 16 exact min-aggregations in one groupBy."""
+    return _minhash_signatures_from(_shingles_df(spark, sf_dir)).orderBy("doc_id")
 
 
 def minhash_signatures_sql() -> str:
@@ -235,7 +238,13 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs collide on any band; candidates are then verified with the TRUE
     3-gram Jaccard (inverted-index join restricted to candidates).  Output:
     candidate pairs + band-collision count + verified Jaccard."""
-    sigs = minhash_signatures(spark, sf_dir)
+    # the shingle subtree feeds both the signature path and the candidate
+    # verification path; recomputing it beats materializing here (measured —
+    # the shingle explode is cheap, codegen-fused, and persisting the
+    # exploded strings costs more than two passes).  At cluster scale the
+    # shingle set would be a persisted bronze table instead.
+    shingles = _shingles_df(spark, sf_dir)
+    sigs = _minhash_signatures_from(shingles)
     bands = sigs.select(
         "doc_id",
         F.explode(
@@ -264,7 +273,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_band_collisions"))
     )
     # verify candidates with true jaccard via the shingle index
-    sh = _shingles_df(spark, sf_dir).select("doc_id", "shingle")
+    sh = shingles.select("doc_id", "shingle")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
