@@ -167,6 +167,10 @@ register("regex_key_enrichment", lk.regex_key_enrichment, lk.regex_key_enrichmen
 register("membership_flow", lk.membership_flow, lk.membership_flow_sql())
 register("at_risk_report", lk.at_risk_report, lk.at_risk_report_sql())
 
+from .operators import skew as sk  # noqa: E402
+
+register("salted_user_spend", sk.salted_user_spend, sk.salted_user_spend_sql())
+
 
 def queries() -> dict[str, SparkQuery]:
     return {name: fn for name, (fn, _sql) in REGISTRY.items()}

@@ -1,0 +1,68 @@
+"""Streaming-layer tests: windowed counts vs batch, foreachBatch incremental
+merge (the reference's ST1 replace-window splice driven by a stream)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from basin_climbing_data_pipeline_spark.operators import incremental as inc
+from basin_climbing_data_pipeline_spark.streaming import events_stream as st
+
+
+def test_streaming_matches_batch(spark, sf_dir):
+    streamed = {tuple(r) for r in st.windowed_event_counts(spark, sf_dir).collect()}
+    from basin_climbing_data_pipeline_spark.functions.money import sum_money
+    from basin_climbing_data_pipeline_spark.io import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    batch = (
+        ev.groupBy(
+            (F.floor(F.unix_micros("ts") / st.WINDOW_US) * st.WINDOW_US).alias(
+                "window_start_us"
+            ),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n_events"), sum_money(F.col("value")).alias("total_value"))
+    )
+    assert streamed == {tuple(r) for r in batch.collect()}
+
+
+def test_foreachbatch_incremental_merge(spark, sf_dir, tmp_path):
+    """Drive the ST1 replace-window merge from a stream: each micro-batch is
+    spliced into the stored table via replace_window_merge inside
+    foreachBatch."""
+    target = str(tmp_path / "merged")
+    d = dt.date
+
+    existing = spark.createDataFrame(
+        [("a", d(2024, 1, 1), 1), ("b", d(2024, 1, 5), 2)], "id string, d date, v int"
+    )
+    existing.write.mode("overwrite").parquet(target)
+
+    stream = st.stream_events(spark, sf_dir).select(
+        F.concat(F.lit("ev_"), F.col("event_id")).alias("id"),
+        F.to_date("ts").alias("d"),
+        F.lit(7).alias("v"),
+    )
+
+    def merge_batch(batch_df, _batch_id):
+        stored = batch_df.sparkSession.read.parquet(target)
+        merged = inc.replace_window_merge(
+            stored, batch_df, "d", d(2024, 1, 3), "id", ["d", "v"]
+        )
+        merged.write.mode("overwrite").parquet(target + "_next")
+        batch_df.sparkSession.read.parquet(target + "_next").write.mode(
+            "overwrite"
+        ).parquet(target)
+
+    q = stream.writeStream.trigger(availableNow=True).foreachBatch(merge_batch).start()
+    q.awaitTermination(timeout=300)
+
+    final = spark.read.parquet(target)
+    ids = {r["id"] for r in final.collect()}
+    assert "a" in ids  # pre-window row kept
+    assert "b" not in ids  # in-window row replaced by the refetched stream
+    assert any(i.startswith("ev_") for i in ids)  # stream rows merged
+    assert final.groupBy("id").count().filter(F.col("count") > 1).count() == 0
