@@ -185,6 +185,78 @@ ORDER BY o.bucket
 """
 
 
+NEAR_DUP_COSINE = 0.3
+
+
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate detection (the vector-space member of
+    the dedup family): candidate pairs from the hyperplane LSH buckets,
+    verified with exact cosine ≥ threshold.  Search cost ∝ Σ bucket², the
+    scale path for near-dup detection over embedding columns."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    bits = []
+    for p in range(N_PLANES):
+        terms = " + ".join(
+            f"cast(element_at(embedding, {j + 1}) as double) * {_plane_coef(p, j)}"
+            for j in range(DIM)
+            if _plane_coef(p, j) != 0
+        )
+        bits.append(F.when(F.expr(terms) > 0, 1 << p).otherwise(0))
+    bucket = bits[0]
+    for b in bits[1:]:
+        bucket = bucket + b
+    bucketed = emb.select("vec_id", "embedding", "label", bucket.cast("int").alias("bucket"))
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    dot = F.expr(_dot_expr("a.embedding", "b.embedding"))
+    na = F.expr(_dot_expr("a.embedding", "a.embedding"))
+    nb = F.expr(_dot_expr("b.embedding", "b.embedding"))
+    cos = F.floor(dot / (F.sqrt(na) * F.sqrt(nb)) * COSINE_SCALE + 0.5) / COSINE_SCALE
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= NEAR_DUP_COSINE)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.label").alias("label_a"),
+            F.col("b.label").alias("label_b"),
+            "cosine",
+        )
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+def embedding_near_dup_pairs_sql() -> str:
+    bit_terms = []
+    for p in range(N_PLANES):
+        terms = " + ".join(
+            f"embedding[{j + 1}]::double * {_plane_coef(p, j)}"
+            for j in range(DIM)
+            if _plane_coef(p, j) != 0
+        )
+        bit_terms.append(f"(CASE WHEN ({terms}) > 0 THEN {1 << p} ELSE 0 END)")
+    bucket = " + ".join(bit_terms)
+    dot = _dot_sql("a.embedding", "b.embedding")
+    na = _dot_sql("a.embedding", "a.embedding")
+    nb = _dot_sql("b.embedding", "b.embedding")
+    cos = f"floor(({dot}) / (sqrt({na}) * sqrt({nb})) * {COSINE_SCALE} + 0.5) / {COSINE_SCALE}"
+    return f"""
+WITH bucketed AS (
+  SELECT vec_id, embedding, label, ({bucket})::int AS bucket FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       a.label AS label_a, b.label AS label_b,
+       {cos} AS cosine
+FROM bucketed a JOIN bucketed b
+  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE {cos} >= {NEAR_DUP_COSINE}
+ORDER BY vec_a, vec_b
+"""
+
+
 def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-NN label vote for the query vectors: majority label among the top-K
     neighbours (ties → smaller label), vs the query's own label."""

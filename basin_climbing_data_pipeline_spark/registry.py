@@ -140,6 +140,11 @@ register("simhash_near_pairs", dd.simhash_near_pairs, dd.simhash_near_pairs_sql(
 register("cosine_topk", sim.cosine_topk, sim.cosine_topk_sql())
 register("lsh_buckets", sim.lsh_buckets, sim.lsh_buckets_sql())
 register("knn_label_vote", sim.knn_label_vote, sim.knn_label_vote_sql())
+register(
+    "embedding_near_dup_pairs",
+    sim.embedding_near_dup_pairs,
+    sim.embedding_near_dup_pairs_sql(),
+)
 
 register("events_unified", fl.events_unified, fl.events_unified_sql())
 register("flags_build", fl.build_flags, fl.build_flags_sql())

@@ -1,0 +1,91 @@
+"""Custom stateful streaming operator: gap-based sessionization with
+``applyInPandasWithState``.
+
+The batch engine computes sessions with lag + cumulative sum
+(operators/events.py checkin_sessions).  In streaming, the same semantics
+need per-key state: the open session (start, last-seen, count, spend)
+carried across micro-batches, emitted when the gap exceeds the session
+timeout.  This is the Structured Streaming analog of the reference's
+hand-rolled sessionish windows (SURVEY.md §2.9 ST6).
+
+Correctness contract (tested in tests/test_streaming.py): for a finite
+input replayed with availableNow, emitted closed sessions + the final open
+sessions equal the batch sessionizer's output.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from .events_stream import stream_events
+
+SESSION_GAP_US = 1800 * 1_000_000
+
+OUTPUT_SCHEMA = (
+    "customer_id long, session_start_us long, session_end_us long, n_events long, "
+    "is_final boolean"
+)
+STATE_SCHEMA = "start_us long, end_us long, n long"
+
+
+def _sessionize(key, pdfs: Iterator, state: GroupState):
+    import pandas as pd
+
+    (customer_id,) = key
+    rows = []
+    events = []
+    for pdf in pdfs:
+        events.extend(int(v) for v in pdf["ts_us"])
+    events.sort()
+
+    if state.exists:
+        start_us, end_us, n = state.get
+    else:
+        start_us = end_us = None
+        n = 0
+
+    for ts in events:
+        if start_us is None:
+            start_us, end_us, n = ts, ts, 1
+        elif ts - end_us > SESSION_GAP_US:
+            rows.append((customer_id, start_us, end_us, n, True))
+            start_us, end_us, n = ts, ts, 1
+        else:
+            end_us, n = ts, n + 1
+
+    if start_us is not None:
+        state.update((start_us, end_us, n))
+
+    if rows:
+        yield pd.DataFrame(
+            rows,
+            columns=["customer_id", "session_start_us", "session_end_us", "n_events", "is_final"],
+        )
+
+
+def streaming_sessions(spark: SparkSession, sf_dir: str, sink_name: str) -> DataFrame:
+    """Run the stateful sessionizer over the events stream with availableNow;
+    returns the emitted (closed) sessions from the memory sink."""
+    stream = stream_events(spark, sf_dir).select(
+        F.col("user_id").alias("customer_id"), F.unix_micros("ts").alias("ts_us")
+    )
+    out = stream.groupBy("customer_id").applyInPandasWithState(
+        _sessionize,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        out.writeStream.trigger(availableNow=True)
+        .outputMode("append")
+        .format("memory")
+        .queryName(sink_name)
+        .start()
+    )
+    q.awaitTermination(timeout=300)
+    return spark.table(sink_name)

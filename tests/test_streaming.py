@@ -66,3 +66,33 @@ def test_foreachbatch_incremental_merge(spark, sf_dir, tmp_path):
     assert "b" not in ids  # in-window row replaced by the refetched stream
     assert any(i.startswith("ev_") for i in ids)  # stream rows merged
     assert final.groupBy("id").count().filter(F.col("count") > 1).count() == 0
+
+
+def test_stateful_sessionizer_matches_batch(spark, sf_dir):
+    """Closed sessions emitted by applyInPandasWithState must equal the batch
+    sessionizer's output minus each customer's final (still-open) session."""
+    from basin_climbing_data_pipeline_spark.operators.events import checkin_sessions
+    from basin_climbing_data_pipeline_spark.streaming.stateful import streaming_sessions
+
+    streamed = {
+        (r["customer_id"], r["session_start_us"], r["session_end_us"], r["n_events"])
+        for r in streaming_sessions(spark, sf_dir, "sess_eq_test").collect()
+    }
+    batch = checkin_sessions(spark, sf_dir)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("customer_id").orderBy(F.desc("session_start_us"))
+    ranked = batch.withColumn("rn", F.row_number().over(w))
+
+    def rows(df):
+        return {
+            (r["customer_id"], r["session_start_us"], r["session_end_us"], r["n_events"])
+            for r in df.collect()
+        }
+
+    closed = rows(ranked.filter(F.col("rn") > 1))
+    all_sessions = rows(ranked)
+    # every closed session must be emitted identically; whether the final
+    # open session flushes depends on the end-of-stream timeout pass
+    assert closed <= streamed <= all_sessions
+    assert len(all_sessions - streamed) <= batch.select("customer_id").distinct().count()
