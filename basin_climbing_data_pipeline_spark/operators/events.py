@@ -266,19 +266,34 @@ def proximity_connections(spark: SparkSession, sf_dir: str) -> DataFrame:
     with strength buckets.  The self-join is blocked on (event_type, date)
     before the band predicate — the reference's group-then-probe
     (build_family_relationships.py:403-416) as explicit equi-join keys."""
+    window_us = config.INTERACTION_PROXIMITY_SECONDS * 1_000_000
     ck = build_checkins(spark, sf_dir).select(
-        "customer_id", "checkin_id", "checkin_date", "checkin_ts_us", "event_type"
+        "customer_id",
+        "checkin_id",
+        "checkin_date",
+        "checkin_ts_us",
+        "event_type",
+        F.floor(F.col("checkin_ts_us") / window_us).alias("tbucket"),
     )
+    # candidate generation joins on (event_type, time bucket): any pair
+    # within the window sits in the same or an adjacent window-sized bucket,
+    # so probing {t-1, t, t+1} makes the join fully equi — candidates scale
+    # with bucket occupancy, not day occupancy (the day-block variant is
+    # quadratic in events-per-day, which melts at 100 TB).  The band + date
+    # predicates below remain the semantic definition.
     a = ck.alias("a")
-    b = ck.alias("b")
+    b = ck.withColumn(
+        "probe", F.explode(F.array(F.col("tbucket") - 1, F.col("tbucket"), F.col("tbucket") + 1))
+    ).alias("b")
     pairs = a.join(
         b,
         (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.tbucket") == F.col("b.probe"))
         & (F.col("a.checkin_date") == F.col("b.checkin_date"))
         & (F.col("a.customer_id") < F.col("b.customer_id"))
         & (
             F.abs(F.col("a.checkin_ts_us") - F.col("b.checkin_ts_us"))
-            <= config.INTERACTION_PROXIMITY_SECONDS * 1_000_000
+            <= window_us
         ),
     )
     agg = pairs.groupBy(
