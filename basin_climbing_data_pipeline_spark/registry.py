@@ -159,6 +159,11 @@ register(
     st.windowed_event_counts,
     st.windowed_event_counts_sql(),
 )
+register(
+    "streaming_sliding_counts",
+    st.sliding_event_counts,
+    st.sliding_event_counts_sql(),
+)
 register("lead_timelines", ld.lead_timelines, ld.lead_timelines_sql())
 
 from .operators import multimodal as mm  # noqa: E402

@@ -81,6 +81,62 @@ def windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sink).orderBy("window_start_us", "event_type")
 
 
+def sliding_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (12h length, 6h slide) per event type — each event
+    lands in exactly two windows.  Same availableNow → memory-sink execution
+    shape as the tumbling variant."""
+    from ..functions.money import sum_money
+
+    stream = stream_events(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = (
+        stream.groupBy(
+            F.window("ts", f"{2 * WINDOW_HOURS} hours", f"{WINDOW_HOURS} hours").alias("w"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            sum_money(F.col("value")).alias("total_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    sink = f"stream_sliding_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.trigger(availableNow=True)
+        .outputMode("complete")
+        .format("memory")
+        .queryName(sink)
+        .start()
+    )
+    q.awaitTermination(timeout=300)
+    return spark.table(sink).orderBy("window_start_us", "event_type")
+
+
+def sliding_event_counts_sql() -> str:
+    """Oracle: each event contributes to the two 12h windows whose starts
+    are floor(ts/6h)*6h and that minus 6h (Spark sliding windows are
+    epoch-aligned on the slide)."""
+    from ..functions.money import sum_money_sql
+
+    return f"""
+WITH contrib AS (
+  SELECT event_type, value,
+         (epoch_us(ts::TIMESTAMP) // {WINDOW_US}) * {WINDOW_US}
+           - o.off * {WINDOW_US} AS window_start_us
+  FROM events, (SELECT unnest([0, 1]) AS off) o
+)
+SELECT window_start_us, event_type, count(*) AS n_events,
+       {sum_money_sql('value')} AS total_value
+FROM contrib
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 def windowed_event_counts_sql() -> str:
     """Oracle for the streamed aggregation (Spark tumbling windows are
     epoch-aligned, so window_start = floor(ts/6h)*6h).  Distinct-user counts

@@ -1,0 +1,74 @@
+"""Randomized cross-engine parity tests: the engine's determinism invariants
+(functions/money.py discipline) hold on adversarial random inputs, not just
+on the driver tables — Spark and DuckDB must agree bit-for-bit."""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+from pyspark.sql import functions as F
+
+from basin_climbing_data_pipeline_spark.functions.money import (
+    money,
+    money_sql,
+    ratio,
+    ratio_sql,
+    sum_money,
+    sum_money_sql,
+)
+
+
+def test_money_parity_random(spark):
+    rng = random.Random(1234)
+    # adversarial values: half-cent ties, tiny, huge, negative, high-precision
+    vals = (
+        [round(rng.uniform(-1e6, 1e6), rng.randint(0, 8)) for _ in range(400)]
+        + [x + 0.005 for x in range(-5, 6)]
+        + [0.0, -0.005, 1e-9, -1e-9, 123456789.995]
+    )
+    sdf = spark.createDataFrame([(v,) for v in vals], "x double")
+    s_rows = sorted(
+        (r[0], r[1])
+        for r in sdf.select(money(F.col("x")).alias("m"), F.col("x")).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (x DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in vals])
+    d_rows = sorted(con.execute(f"SELECT {money_sql('x')}, x FROM t").fetchall())
+    assert s_rows == d_rows
+
+    (s_sum,) = sdf.select(sum_money(F.col("x")).alias("s")).collect()[0]
+    (d_sum,) = con.execute(f"SELECT {sum_money_sql('x')} FROM t").fetchone()
+    assert s_sum == d_sum
+
+
+def test_ratio_parity_random(spark):
+    rng = random.Random(99)
+    pairs = [(rng.uniform(0, 1e4), rng.uniform(1e-3, 1e4)) for _ in range(200)]
+    sdf = spark.createDataFrame(pairs, "n double, d double")
+    s = sorted(r[0] for r in sdf.select(ratio(F.col("n"), F.col("d"), 4).alias("r")).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (n DOUBLE, d DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", pairs)
+    d = sorted(r[0] for r in con.execute(f"SELECT {ratio_sql('n', 'd', 4)} FROM t").fetchall())
+    assert s == d
+
+
+def test_merge_idempotent(spark):
+    """Replaying the same fresh window into an already-merged table is a
+    no-op (the reference's daily re-fetch overlap must not duplicate)."""
+    import datetime as dt
+
+    from basin_climbing_data_pipeline_spark.operators import incremental as inc
+
+    d = dt.date
+    existing = spark.createDataFrame(
+        [("a", d(2024, 1, 1), 1), ("b", d(2024, 1, 6), 2)], "id string, d date, v int"
+    )
+    fresh = spark.createDataFrame(
+        [("b", d(2024, 1, 6), 20), ("c", d(2024, 1, 7), 3)], "id string, d date, v int"
+    )
+    once = inc.replace_window_merge(existing, fresh, "d", d(2024, 1, 5), "id", ["d", "v"])
+    twice = inc.replace_window_merge(once, fresh, "d", d(2024, 1, 5), "id", ["d", "v"])
+    assert {tuple(r) for r in once.collect()} == {tuple(r) for r in twice.collect()}
