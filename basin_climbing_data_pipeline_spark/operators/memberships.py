@@ -293,6 +293,46 @@ FROM bills GROUP BY 1 ORDER BY 1
 """
 
 
+def revenue_actual_plus_projected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The historical + projection union chart (reference dashboard
+    dashboard.py:878-962): realized monthly net revenue unioned with the
+    forward bill-date projection, labeled by kind."""
+    from .transactions import build_transactions
+
+    actual = (
+        build_transactions(spark, sf_dir)
+        .groupBy(F.trunc("txn_date", "month").alias("month"))
+        .agg(sum_money(F.col("total_amount")).alias("amount"))
+        .withColumn("kind", F.lit("actual"))
+    )
+    projected = revenue_projection(spark, sf_dir).select(
+        F.col("bill_month").alias("month"),
+        F.col("projected_revenue").alias("amount"),
+        F.lit("projected").alias("kind"),
+    )
+    return actual.unionByName(projected).orderBy("month", "kind")
+
+
+def revenue_actual_plus_projected_sql() -> str:
+    from .transactions import transactions_sql
+
+    return f"""
+WITH txn AS ({transactions_sql()}),
+actual AS (
+  SELECT date_trunc('month', txn_date)::date AS month,
+         {sum_money_sql('total_amount')} AS amount,
+         'actual' AS kind
+  FROM txn GROUP BY 1
+),
+projected AS (
+  SELECT bill_month AS month, projected_revenue AS amount, 'projected' AS kind
+  FROM ({revenue_projection_sql()})
+)
+SELECT * FROM actual UNION ALL SELECT * FROM projected
+ORDER BY month, kind
+"""
+
+
 # ---------------------------------------------------------------------------
 # temporal joins against the checkin stream (2024 space)
 # ---------------------------------------------------------------------------

@@ -78,6 +78,11 @@ register(
 register("daily_active_timeline", mem.daily_active_timeline, mem.daily_active_timeline_sql())
 register("revenue_projection", mem.revenue_projection, mem.revenue_projection_sql())
 register(
+    "revenue_actual_plus_projected",
+    mem.revenue_actual_plus_projected,
+    mem.revenue_actual_plus_projected_sql(),
+)
+register(
     "membership_conversion_asof",
     mem.membership_conversion_asof,
     mem.membership_conversion_asof_sql(),
