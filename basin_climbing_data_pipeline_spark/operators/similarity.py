@@ -185,6 +185,85 @@ ORDER BY o.bucket
 """
 
 
+N_CENTROIDS = 16
+
+
+def ivf_cell_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: a deterministic coarse quantizer (centroids = the
+    embeddings of vec_id 0..N_CENTROIDS-1, standing in for k-means output)
+    assigns every vector to its nearest centroid cell; search then runs only
+    within cells.  Output: per-cell occupancy + mean member-to-centroid
+    cosine — the inverted-file structure whose cell lists bound search cost
+    at corpus scale (complementary to the hyperplane-LSH path: IVF cells
+    adapt to data geometry, hyperplanes don't).
+
+    The assignment is argmax over N_CENTROIDS exact cosines with a
+    deterministic tie-break (lowest centroid id) — a broadcast nested-loop
+    against 16 rows, then a windowed argmax."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
+    )
+    dot = F.expr(_dot_expr("embedding", "c_emb"))
+    nv = F.expr(_dot_expr("embedding", "embedding"))
+    nc = F.expr(_dot_expr("c_emb", "c_emb"))
+    cos = F.floor(dot / (F.sqrt(nv) * F.sqrt(nc)) * COSINE_SCALE + 0.5) / COSINE_SCALE
+    scored = emb.join(F.broadcast(centroids)).withColumn("cosine", cos)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), "centroid_id")
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "centroid_id", "cosine")
+    )
+    # exact-int mean: cosines are 1e-6 fixed-point, so summing micro-units as
+    # BIGINT keeps the average order-insensitive across engines
+    micro = F.floor(F.col("cosine") * 1000000.0 + 0.5).cast("long")
+    return (
+        assigned.groupBy("centroid_id")
+        .agg(F.count("*").alias("cell_size"), F.sum(micro).alias("_sum_micro"))
+        .select(
+            "centroid_id",
+            "cell_size",
+            (
+                F.floor(
+                    F.col("_sum_micro") / (F.col("cell_size") * 1000000.0) * 10000.0 + 0.5
+                )
+                / 10000.0
+            ).alias("mean_cosine"),
+        )
+        .orderBy("centroid_id")
+    )
+
+
+def ivf_cell_search_sql() -> str:
+    dot = _dot_sql("e.embedding", "c.embedding")
+    nv = _dot_sql("e.embedding", "e.embedding")
+    nc = _dot_sql("c.embedding", "c.embedding")
+    cos = f"floor(({dot}) / (sqrt({nv}) * sqrt({nc})) * {COSINE_SCALE} + 0.5) / {COSINE_SCALE}"
+    return f"""
+WITH centroids AS (
+  SELECT vec_id AS centroid_id, embedding FROM embeddings WHERE vec_id < {N_CENTROIDS}
+),
+scored AS (
+  SELECT e.vec_id, c.centroid_id, {cos.replace('c.embedding', 'c.embedding')} AS cosine
+  FROM embeddings e CROSS JOIN centroids c
+),
+assigned AS (
+  SELECT vec_id, centroid_id, cosine,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, centroid_id) AS rn
+  FROM scored
+)
+SELECT centroid_id, count(*) AS cell_size,
+       floor(sum(CAST(floor(cosine * 1000000.0 + 0.5) AS BIGINT))
+             / (count(*) * 1000000.0) * 10000.0 + 0.5) / 10000.0 AS mean_cosine
+FROM assigned WHERE rn = 1
+GROUP BY centroid_id
+ORDER BY centroid_id
+"""
+
+
 NEAR_DUP_COSINE = 0.3
 
 

@@ -150,6 +150,7 @@ register(
     sim.embedding_near_dup_pairs,
     sim.embedding_near_dup_pairs_sql(),
 )
+register("ivf_cell_search", sim.ivf_cell_search, sim.ivf_cell_search_sql())
 
 register("events_unified", fl.events_unified, fl.events_unified_sql())
 register("flags_build", fl.build_flags, fl.build_flags_sql())
