@@ -315,6 +315,58 @@ SELECT * EXCLUDE (rn) FROM ranked WHERE rn = 1
 """
 
 
+def revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Net revenue by region × nation × category — the full star join
+    (lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region, with supplier counted
+    per group).  The reference's by-dimension revenue charts generalized to
+    the whole dimensional model; all dims broadcast, the fact-fact join
+    shuffles once on orderkey."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    supplier = load_table(spark, sf_dir, "supplier")
+
+    gross = money(F.col("l_extendedprice") * (1.0 - F.col("l_discount")))
+    total = F.when(F.col("l_returnflag") == "R", -gross).otherwise(gross)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            sum_money(total).alias("net_revenue"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.countDistinct("s_suppkey").alias("n_suppliers"),
+            F.count("*").alias("n_line_items"),
+        )
+        .orderBy("region", "nation")
+    )
+
+
+def revenue_by_region_sql() -> str:
+    gross = money_sql("l_extendedprice * (1.0 - l_discount)")
+    total = f"CASE WHEN l_returnflag = 'R' THEN -{gross} ELSE {gross} END"
+    return f"""
+SELECT r_name AS region, n_name AS nation,
+       {sum_money_sql(total)} AS net_revenue,
+       count(DISTINCT o_custkey) AS n_customers,
+       count(DISTINCT s_suppkey) AS n_suppliers,
+       count(*) AS n_line_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY r_name, n_name
+ORDER BY region, nation
+"""
+
+
 ACCOUNTING_GROUPS = {
     "Day Pass": "access",
     "New Membership": "recurring",

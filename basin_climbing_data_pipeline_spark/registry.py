@@ -56,6 +56,7 @@ register(
 )
 register("revenue_by_source", txn.revenue_by_source, txn.revenue_by_source_sql())
 register("accounting_groups", txn.accounting_groups, txn.accounting_groups_sql())
+register("revenue_by_region", txn.revenue_by_region, txn.revenue_by_region_sql())
 register("dedup_transactions", txn.dedup_transactions, txn.dedup_transactions_sql())
 
 register("checkins_build", ev.build_checkins, ev.checkins_sql())
