@@ -187,6 +187,60 @@ ORDER BY c.customer_id
 """
 
 
+def rsvp_party_attendees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J14: RSVP→party equi join (reference build_leads_table.py:380-387 —
+    attendees enriched with ``party_date`` / host from the parties table).
+
+    Parties = orders (party_id, host, party_date); RSVPs = lineitem rows
+    (party_id, attendee).  Attendees gain the party's date and host plus the
+    party's attendee count.  Scale: big-big single-key equi join on
+    party_id — the same orderkey both sides are bucketed on at rest (see
+    tests/test_bucketing.py), so at 100 TB this is a shuffle-free
+    sort-merge join; the count is a window over the same key, reusing the
+    join's partitioning (no extra shuffle).
+    """
+    parties = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("party_id"),
+        F.col("o_custkey").alias("host_customer_id"),
+        F.col("o_orderdate").alias("party_date"),
+    )
+    rsvps = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("party_id"),
+        F.col("l_linenumber").alias("rsvp_seq"),
+        F.col("l_suppkey").alias("attendee_id"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("party_id")
+    return (
+        rsvps.join(parties, "party_id")
+        .withColumn("party_attendees", F.count("*").over(w))
+        .select(
+            "party_id",
+            "rsvp_seq",
+            "attendee_id",
+            "host_customer_id",
+            "party_date",
+            "party_attendees",
+        )
+        .orderBy("party_id", "rsvp_seq")
+    )
+
+
+def rsvp_party_attendees_sql() -> str:
+    return """
+SELECT l.l_orderkey                                   AS party_id,
+       l.l_linenumber                                 AS rsvp_seq,
+       l.l_suppkey                                    AS attendee_id,
+       o.o_custkey                                    AS host_customer_id,
+       o.o_orderdate                                  AS party_date,
+       count(*) OVER (PARTITION BY l.l_orderkey)      AS party_attendees
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+ORDER BY party_id, rsvp_seq
+"""
+
+
 def lead_timelines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-customer event timeline string + summary stats from the unified
     event log (the reference's timeline JSON array, rendered as an ordered

@@ -172,6 +172,7 @@ register(
     st.sliding_event_counts_sql(),
 )
 register("lead_timelines", ld.lead_timelines, ld.lead_timelines_sql())
+register("rsvp_party_attendees", ld.rsvp_party_attendees, ld.rsvp_party_attendees_sql())
 
 from .operators import multimodal as mm  # noqa: E402
 
