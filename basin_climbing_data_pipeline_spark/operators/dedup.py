@@ -48,12 +48,16 @@ def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, lang, shingle, h32) — distinct 3-word shingles per doc with
     their 32-bit md5-derived hashes."""
     docs = load_table(spark, sf_dir, "documents")
+    # hoist the word split into its own projection: inside the transform
+    # lambda Spark re-evaluates split(trim(text)) per element (no CSE across
+    # a lambda boundary), which is O(words²) splitting per document —
+    # measured 9x slower than splitting once (3.2s vs 0.35s at sf0.1)
+    words = docs.select("doc_id", "lang", F.split(F.trim(F.col("text")), " ").alias("w"))
     shingles = F.expr(
-        "array_distinct(transform(sequence(0, greatest(size(split(trim(text), ' ')) - 3, 0)),"
-        " i -> concat_ws(' ', split(trim(text), ' ')[i],"
-        " split(trim(text), ' ')[i+1], split(trim(text), ' ')[i+2])))"
+        "array_distinct(transform(sequence(0, greatest(size(w) - 3, 0)),"
+        " i -> concat_ws(' ', w[i], w[i+1], w[i+2])))"
     )
-    out = docs.select(
+    out = words.select(
         "doc_id", "lang", F.explode(shingles).alias("shingle")
     ).filter(F.col("shingle").isNotNull() & (F.col("shingle") != ""))
     return out.withColumn(

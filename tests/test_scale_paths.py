@@ -1,0 +1,127 @@
+"""Scale-path evidence tests: the mechanisms the 100 TB design leans on
+(partition pruning, approximate distinct counts, watermarked late-data
+handling) demonstrably work, not just appear in docstrings.
+
+Reference analogs: monthly snapshot partitioning
+(data_pipeline/pipeline_handler.py:343-354), nunique cohort counts
+(data_pipeline/build_conversion_rate_analysis.py:373,478), overlapping
+re-fetch windows as late-data tolerance (run_daily_pipeline.py:51-127).
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+
+from basin_climbing_data_pipeline_spark.io import load_table
+from basin_climbing_data_pipeline_spark.plans.audit import formatted_plan
+
+
+def test_partition_pruned_scan(spark, sf_dir, tmp_path):
+    """A date-partitioned table read with a partition predicate must prune at
+    planning time: the scan's PartitionFilters carries the predicate and only
+    the matching partition's files are read."""
+    target = str(tmp_path / "checkins_by_day")
+    ck = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.to_date(F.col("ts")).alias("day"),
+    )
+    ck.write.mode("overwrite").partitionBy("day").parquet(target)
+
+    days = [r["day"] for r in spark.read.parquet(target).select("day").distinct().collect()]
+    assert len(days) > 1, "need multiple partitions to prove pruning"
+    pick = sorted(days)[0]
+
+    pruned = spark.read.parquet(target).filter(F.col("day") == F.lit(pick))
+    plan = formatted_plan(pruned)
+    import re
+
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf, plan
+    # the equality predicate must ride in PartitionFilters (planning-time
+    # directory pruning), not in PushedFilters (row-group filtering)
+    assert "day" in pf.group(1) and str(pick) in pf.group(1), pf.group(1)
+    assert pruned.count() == ck.filter(F.col("day") == F.lit(pick)).count()
+
+
+def test_approx_distinct_within_tolerance(spark, sf_dir):
+    """approx_count_distinct (the documented at-scale path for A4 nunique
+    aggregates) stays within 5% of the exact count per group."""
+    ev = load_table(spark, sf_dir, "events")
+    both = (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("exact"),
+            F.approx_count_distinct("user_id", 0.02).alias("approx"),
+        )
+        .collect()
+    )
+    assert both
+    for r in both:
+        assert abs(r["approx"] - r["exact"]) <= max(1, 0.05 * r["exact"]), dict(r.asDict())
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Windowed streaming aggregation with a 10-minute watermark: a row
+    arriving a batch later but hours behind the watermark must be dropped
+    (the streaming analog of the reference's bounded re-fetch window —
+    updates older than the window never land)."""
+    src = str(tmp_path / "stream_src")
+    out_table = "late_drop_test"
+    (tmp_path / "stream_src").mkdir()
+
+    def write_file(name, rows):
+        spark.createDataFrame(rows, "event_id string, ts timestamp").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        # distinct mtimes keep file-source discovery order deterministic
+        time.sleep(1.1)
+
+    import datetime as dt
+
+    t = dt.datetime(2024, 1, 1)
+    write_file("f1", [("a", t.replace(hour=10)), ("b", t.replace(hour=12))])
+
+    stream = (
+        spark.readStream.schema("event_id string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(out_table)
+        .outputMode("append")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline and not q.recentProgress:
+            time.sleep(0.5)
+        # batch 2: one row 3h behind the 11:50 watermark (dropped), one row
+        # that advances the watermark far enough to close earlier windows
+        write_file("f2", [("late", t.replace(hour=9)), ("c", t.replace(hour=14))])
+        deadline = time.time() + 120
+        emitted = {}
+        while time.time() < deadline:
+            rows = spark.sql(f"SELECT * FROM {out_table}").collect()
+            emitted = {r["window_start"]: r["n"] for r in rows}
+            if t.replace(hour=12) in emitted:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+
+    # on-time windows from batch 1 emitted once closed
+    assert emitted.get(t.replace(hour=10)) == 1
+    assert emitted.get(t.replace(hour=12)) == 1
+    # the 09:00 late row must NOT have produced a window
+    assert t.replace(hour=9) not in emitted, emitted
