@@ -48,13 +48,14 @@ from ..functions.text import (
     levenshtein_similarity,
     normalize_phone,
 )
-from ..io import load_table
+from ..io import load_table, materialized
 
 # ---------------------------------------------------------------------------
 # builder (F4)
 # ---------------------------------------------------------------------------
 
 
+@materialized("customers")
 def build_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")

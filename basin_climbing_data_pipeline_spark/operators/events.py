@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 from .. import config
 from ..functions.money import money, money_sql, sum_money, sum_money_sql
 from ..functions.text import map_lookup, map_lookup_sql
-from ..io import load_table
+from ..io import load_table, materialized
 
 SESSION_GAP_SECONDS = 1800
 DAY_US = 86_400_000_000
@@ -42,6 +42,7 @@ DAY_US = 86_400_000_000
 # ---------------------------------------------------------------------------
 
 
+@materialized("checkins")
 def build_checkins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Checkin stream from events.  Timestamps exposed as epoch-micros BIGINT
     (cross-engine safe) plus a date column."""

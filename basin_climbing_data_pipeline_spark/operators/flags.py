@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import config
+from ..io import materialized
 
 FLAGS_AS_OF = dt.date(2024, 1, 20)
 BREAK_DAYS = 2  # compressed for the ~1-month synthetic stream (see events.py)
@@ -54,6 +55,7 @@ CATEGORY_EVENT_TYPE = {
 }
 
 
+@materialized("events_unified")
 def events_unified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The unified customer event log (reference build_events_table.py:27-128
     + customer_events_builder.py:641-664): checkins ∪ purchase events ∪
@@ -131,6 +133,7 @@ FROM m WHERE status = 'END'
 # ---------------------------------------------------------------------------
 
 
+@materialized("flags")
 def build_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All rules evaluated set-at-a-time; one row per (customer, flag)."""
     from .customers import build_customers

@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 from .. import config
 from ..functions.money import money, money_sql, sum_money, sum_money_sql
 from ..functions.text import map_lookup, map_lookup_sql
-from ..io import load_table
+from ..io import load_table, materialized
 
 # priority -> (interval days, frequency) in faithful space (config) and the
 # compressed 2024 mapping used against the ~1-month event stream
@@ -130,6 +130,7 @@ FROM orders JOIN customer ON o_custkey = c_custkey
 """
 
 
+@materialized("memberships_2024")
 def build_memberships_2024(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Orders mapped deterministically into the 2024 event window."""
     orders = load_table(spark, sf_dir, "orders")

@@ -39,13 +39,14 @@ from ..functions.money import (
     sum_money_sql,
 )
 from ..functions.text import keyword_categorize, keyword_categorize_sql, map_lookup, map_lookup_sql
-from ..io import load_table
+from ..io import load_table, materialized
 
 # ---------------------------------------------------------------------------
 # builder
 # ---------------------------------------------------------------------------
 
 
+@materialized("transactions")
 def build_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The combined transaction table (F1).  One row per line item; refunds
     (l_returnflag='R') carried as negative-amount rows exactly like the

@@ -4,8 +4,16 @@ cartesian joins)."""
 
 from __future__ import annotations
 
+import pytest
+
 from basin_climbing_data_pipeline_spark.plans.audit import audit
 from basin_climbing_data_pipeline_spark.registry import REGISTRY
+
+
+@pytest.fixture(autouse=True)
+def _raw_builder_plans(monkeypatch):
+    # audit the real builder plans, not warehouse scans of materialized output
+    monkeypatch.setenv("SPARK_GRAFT_NO_MATERIALIZE", "1")
 
 
 def _audit(spark, sf_dir, name):

@@ -12,6 +12,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
+    # report the real builder plans, not warehouse scans of materialized output
+    os.environ.setdefault("SPARK_GRAFT_NO_MATERIALIZE", "1")
     only = set(sys.argv[1:])
     from basin_climbing_data_pipeline_spark.plans.audit import audit
     from basin_climbing_data_pipeline_spark.registry import REGISTRY
