@@ -125,12 +125,19 @@ def lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket = bits[0]
     for b in bits[1:]:
         bucket = bucket + b
-    bucketed = emb.select("vec_id", "embedding", bucket.cast("int").alias("bucket"))
+    # precompute each vector's norm BEFORE the pair join: per-pair work drops
+    # from three 64-term dot products to one (same float ops — sqrt per
+    # vector then multiplied — so cosines are bit-identical; measured ~2x on
+    # the pair stage)
+    bucketed = emb.select(
+        "vec_id",
+        "embedding",
+        bucket.cast("int").alias("bucket"),
+        F.sqrt(F.expr(_dot_expr("embedding", "embedding"))).alias("norm"),
+    )
     a, b = bucketed.alias("a"), bucketed.alias("b")
     dot = F.expr(_dot_expr("a.embedding", "b.embedding"))
-    na = F.expr(_dot_expr("a.embedding", "a.embedding"))
-    nb = F.expr(_dot_expr("b.embedding", "b.embedding"))
-    cos = F.floor(dot / (F.sqrt(na) * F.sqrt(nb)) * COSINE_SCALE + 0.5) / COSINE_SCALE
+    cos = F.floor(dot / (F.col("a.norm") * F.col("b.norm")) * COSINE_SCALE + 0.5) / COSINE_SCALE
     pairs = (
         a.join(
             b,
@@ -289,12 +296,17 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket = bits[0]
     for b in bits[1:]:
         bucket = bucket + b
-    bucketed = emb.select("vec_id", "embedding", "label", bucket.cast("int").alias("bucket"))
+    # per-vector norm precomputed before the pair join (see lsh_buckets)
+    bucketed = emb.select(
+        "vec_id",
+        "embedding",
+        "label",
+        bucket.cast("int").alias("bucket"),
+        F.sqrt(F.expr(_dot_expr("embedding", "embedding"))).alias("norm"),
+    )
     a, b = bucketed.alias("a"), bucketed.alias("b")
     dot = F.expr(_dot_expr("a.embedding", "b.embedding"))
-    na = F.expr(_dot_expr("a.embedding", "a.embedding"))
-    nb = F.expr(_dot_expr("b.embedding", "b.embedding"))
-    cos = F.floor(dot / (F.sqrt(na) * F.sqrt(nb)) * COSINE_SCALE + 0.5) / COSINE_SCALE
+    cos = F.floor(dot / (F.col("a.norm") * F.col("b.norm")) * COSINE_SCALE + 0.5) / COSINE_SCALE
     return (
         a.join(
             b,

@@ -80,12 +80,15 @@ def streaming_sessions(spark: SparkSession, sf_dir: str, sink_name: str) -> Data
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    q = (
-        out.writeStream.trigger(availableNow=True)
-        .outputMode("append")
-        .format("memory")
-        .queryName(sink_name)
-        .start()
-    )
-    q.awaitTermination(timeout=300)
+    from .events_stream import _stream_partitions
+
+    with _stream_partitions(spark):
+        q = (
+            out.writeStream.trigger(availableNow=True)
+            .outputMode("append")
+            .format("memory")
+            .queryName(sink_name)
+            .start()
+        )
+        q.awaitTermination(timeout=300)
     return spark.table(sink_name)
