@@ -230,7 +230,7 @@ base AS (
 SELECT week, coalesce(visit_category, 'all') AS visit_category,
        count(*) AS entries,
        count(DISTINCT customer_id) AS n_customers,
-       sum(converted_ever) AS conversions
+       CAST(sum(converted_ever) AS BIGINT) AS conversions
 FROM base
 GROUP BY GROUPING SETS ((week, visit_category), (week))
 ORDER BY week, visit_category

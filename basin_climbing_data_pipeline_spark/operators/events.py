@@ -397,9 +397,9 @@ flagged AS (
   WINDOW w AS (PARTITION BY customer_id ORDER BY checkin_ts_us, checkin_id)
 ),
 sessioned AS (
-  SELECT *, sum(is_new_session) OVER (
+  SELECT *, CAST(sum(is_new_session) OVER (
       PARTITION BY customer_id ORDER BY checkin_ts_us, checkin_id
-      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
   FROM flagged
 )
 SELECT customer_id, session_seq, count(*) AS n_events,

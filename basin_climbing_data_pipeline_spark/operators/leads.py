@@ -144,7 +144,7 @@ visits AS (
 spend AS (
   SELECT customer_id, count(*) AS total_txns,
          {sum_money_sql('total_amount')} AS net_spend,
-         sum(day_pass_count) AS day_passes_bought
+         CAST(sum(day_pass_count) AS BIGINT) AS day_passes_bought
   FROM txn GROUP BY customer_id
 ),
 mem AS (

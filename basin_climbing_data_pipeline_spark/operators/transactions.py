@@ -234,7 +234,7 @@ def day_pass_counts_by_month_sql() -> str:
     return f"""
 WITH txn AS ({transactions_sql()})
 SELECT date_trunc('month', txn_date)::date AS month,
-       sum(day_pass_count) AS day_passes,
+       CAST(sum(day_pass_count) AS BIGINT) AS day_passes,
        count(DISTINCT customer_id) AS buyers
 FROM txn
 WHERE revenue_category = 'Day Pass'
