@@ -4,15 +4,37 @@ Two paths, per the north-star contract:
 
 - brute-force cosine top-k: the correctness baseline — query set × corpus
   cross join (query set is small → broadcast), exact cosine, windowed top-k.
-- LSH-bucketed ANN: deterministic hyperplane signatures (integer coefficient
-  planes derived from (plane, dim) — portable to SQL), bucket vectors by
-  signature, search only within buckets — the scale path: candidate count
-  scales with bucket size, not corpus².
+- LSH-bucketed ANN: deterministic hyperplane sign signatures bucket the
+  vectors; search runs only within buckets, so candidate count scales with
+  bucket occupancy, not corpus².  The plane count is DERIVED FROM CORPUS
+  SIZE (``_planes_for``): R = ceil(log2(N / TARGET_OCCUPANCY)) keeps the
+  expected bucket size ≈ TARGET_OCCUPANCY at any N, so candidate volume is
+  ~N·occ/2 — linear in corpus size (at N=1e9 that's R≈24, 16M buckets).
+  Near-dup detection additionally uses N_BANDS independent signature bands
+  (MinHash-style banding, dedup.py:219) and unions candidates — the recall
+  knob — before a single exact-verify pass.
 
-Cosine parity: dot/norms are computed with an explicit left-fold in index
-order with double casts (``aggregate(sequence(...))`` in Spark, ordered
-``list_sum(list_transform(range(...)))`` in DuckDB), then fixed-point
-rounded — bit-stable across engines.
+Engineering notes (measured, sf0.1):
+
+- The dot product is a VECTORIZED PANDAS UDF (``_dot64``), not an inlined
+  64-term column expression.  An inlined dot works, but three of them per
+  row blow janino's 64 KB generated-method limit on the pair-join stage
+  (whole-stage codegen falls back to interpreted eval after a seconds-long
+  failed compile), and even where it compiles, Catalyst pays seconds
+  optimizing 500+-term expression trees.  The UDF keeps the plan tree tiny
+  and executes at numpy speed over Arrow batches — the right hot-path shape
+  for per-pair vector math at 100 TB too (per-row JVM expression eval of
+  wide folds is slower than Arrow-batched SIMD).
+- The fold order inside ``_dot64`` is a strict left fold across dimensions
+  (acc = acc + a[j]*b[j], sequentially in j, vectorized across rows), which
+  is bit-identical to DuckDB's ``list_sum(list_transform(...))`` — so the
+  1e-6 fixed-point rounded cosines hash identically across engines.
+- Norms are computed once per vector BEFORE any pair join (sqrt of the same
+  fold), so per-pair work is one dot, not three.
+- Hyperplane coefficients mix plane and dimension through a Knuth
+  multiplicative hash onto {-4..4}\\{0}.  (A previous (3(p+j)) mod 7 form
+  made every 7th plane identical — planes must be pairwise independent for
+  the occupancy math to hold.)
 
 Cites: embedding-cosine dedup/similarity extends the reference's identity-
 matching family (SURVEY.md §2.3 J9) to vector space; no reference analog
@@ -22,7 +44,11 @@ required by BASELINE.json.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io import load_table
@@ -30,21 +56,54 @@ from ..io import load_table
 DIM = 64
 TOP_K = 5
 N_QUERIES = 10  # vec_id < 10 are the query vectors
-N_PLANES = 8
+N_CENTROIDS = 16
+N_BANDS = 2
+TARGET_OCCUPANCY = 64
+MIN_PLANES = 4
 COSINE_SCALE = 1000000.0
+NEAR_DUP_COSINE = 0.3
+_MIX = 2654435761  # Knuth multiplicative hash constant
 
 
-def _dot_expr(a: str, b: str) -> str:
-    """Dot product as an explicit left-associative 64-term sum.
+def _planes_for(n: int) -> int:
+    """Rows-per-band R so that E[bucket size] = N / 2^R ≈ TARGET_OCCUPANCY."""
+    if n <= TARGET_OCCUPANCY:
+        return MIN_PLANES
+    return max(MIN_PLANES, math.ceil(math.log2(n / float(TARGET_OCCUPANCY))))
 
-    Bit-identical to the previous aggregate(sequence(...)) fold (same IEEE
-    add order; 0.0 + t1 == t1), but ~1.8x faster: higher-order-function
-    lambdas are interpreted per element, while a flat sum stays inside
-    whole-stage codegen."""
-    return " + ".join(
-        f"cast(element_at({a}, {i}) as double) * cast(element_at({b}, {i}) as double)"
-        for i in range(1, DIM + 1)
-    )
+
+_PLANES_SQL = (
+    f"SELECT greatest({MIN_PLANES}, "
+    f"CAST(ceil(log2(count(*) / {float(TARGET_OCCUPANCY)})) AS INTEGER)) AS r "
+    "FROM embeddings"
+)
+
+
+# ---------------------------------------------------------------------------
+# exact vector math — Arrow-batched, fold-order-stable
+# ---------------------------------------------------------------------------
+
+
+def _dot64(a: Column, b: Column) -> Column:
+    """Exact float64 dot product with a strict left fold across dimensions.
+
+    Vectorized across the Arrow batch (numpy column ops), sequential across
+    the 64 dims — the same IEEE add order as an inline ``t1 + t2 + ... +
+    t64`` and as DuckDB's list_sum fold, so results are bit-identical."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def dot_fold(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        if len(xs) == 0:
+            return pd.Series([], dtype="float64")
+        xm = np.stack(xs.to_numpy()).astype(np.float64)
+        ym = np.stack(ys.to_numpy()).astype(np.float64)
+        acc = xm[:, 0] * ym[:, 0]
+        for j in range(1, xm.shape[1]):
+            acc = acc + xm[:, j] * ym[:, j]
+        return pd.Series(acc)
+
+    return dot_fold(a, b)
 
 
 def _dot_sql(a: str, b: str) -> str:
@@ -54,21 +113,43 @@ def _dot_sql(a: str, b: str) -> str:
     )
 
 
+def _cosine(dot: Column, norm_a: Column, norm_b: Column) -> Column:
+    return F.floor(dot / (norm_a * norm_b) * COSINE_SCALE + 0.5) / COSINE_SCALE
+
+
+def _with_norm(emb: DataFrame, cols: list[str]) -> DataFrame:
+    """Project vec metadata + the precomputed L2 norm (one dot per vector)."""
+    return emb.select(*cols, F.sqrt(_dot64(F.col("embedding"), F.col("embedding"))).alias("norm"))
+
+
+# ---------------------------------------------------------------------------
+# brute-force exact top-k (correctness baseline)
+# ---------------------------------------------------------------------------
+
+
 def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force exact top-k: for each query vector (vec_id < N_QUERIES),
-    the K nearest corpus vectors by cosine, deterministic tie-break vec_id."""
+    the K nearest corpus vectors by cosine, deterministic tie-break vec_id.
+    Norms are precomputed per side so the pair stage is one dot, and the
+    10-row query side is broadcast — the exact-search plan that still works
+    when the corpus is 1e9 rows."""
     emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    with_norm = emb.select(
+        "vec_id", "embedding", "label", F.sqrt(_dot64(F.col("embedding"), F.col("embedding"))).alias("norm")
     )
-    corpus = emb.select(
-        F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("c_emb"), "label"
+    queries = with_norm.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    corpus = with_norm.select(
+        F.col("vec_id").alias("corpus_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("norm").alias("c_norm"),
+        "label",
     )
     joined = corpus.join(F.broadcast(queries), F.col("query_id") != F.col("corpus_id"))
-    dot = F.expr(_dot_expr("q_emb", "c_emb"))
-    nq = F.expr(_dot_expr("q_emb", "q_emb"))
-    nc = F.expr(_dot_expr("c_emb", "c_emb"))
-    cos = F.floor(dot / (F.sqrt(nq) * F.sqrt(nc)) * COSINE_SCALE + 0.5) / COSINE_SCALE
+    cos = _cosine(_dot64(F.col("q_emb"), F.col("c_emb")), F.col("q_norm"), F.col("c_norm"))
     from pyspark.sql import Window
 
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "corpus_id")
@@ -104,52 +185,109 @@ ORDER BY query_id, rank
 """
 
 
-def _plane_coef(p: int, j: int) -> int:
-    """Deterministic small-integer hyperplane coefficients in [-3, 3]."""
-    return ((p * 31 + j * 17) % 7) - 3
+# ---------------------------------------------------------------------------
+# hyperplane LSH — corpus-size-parameterized signatures
+# ---------------------------------------------------------------------------
 
 
-def lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN scale path: 8 deterministic hyperplane sign bits → bucket id;
-    report bucket occupancy and within-bucket candidate-pair count with the
-    max verified cosine (search cost ∝ Σ bucket², not corpus²)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    bits = []
-    for p in range(N_PLANES):
-        terms = " + ".join(
-            f"cast(element_at(embedding, {j + 1}) as double) * {_plane_coef(p, j)}"
-            for j in range(DIM)
-            if _plane_coef(p, j) != 0
+def _coef_col(plane: Column, j: Column) -> Column:
+    """Deterministic hyperplane coefficient in {-4..-1, 1..4} for
+    (global plane index, dimension).
+
+    Two multiply-xor avalanche rounds over h = plane·DIM + j, then the low 3
+    bits.  A single multiplicative hash is NOT enough here: taking
+    ``(h·C) mod 8`` depends only on ``h mod 8`` (C odd), which made every
+    plane identical, and taking high bits leaves planes shift-correlated
+    (the products form a Weyl sequence in h).  All arithmetic stays below
+    2^63 so Spark and DuckDB evaluate it with identical integer semantics."""
+    h = (plane * DIM + j).cast("long")
+    a = F.pmod(h * F.lit(_MIX), F.lit(4294967296))
+    b = F.pmod(a.bitwiseXOR(F.shiftright(a, 13)) * F.lit(1597334677), F.lit(4294967296))
+    v = F.pmod(b.bitwiseXOR(F.shiftright(b, 16)), F.lit(8))
+    return F.when(v < 4, v - 4).otherwise(v - 3).cast("double")
+
+
+def _coef_sql(plane_expr: str, j_expr: str) -> str:
+    h = f"(({plane_expr}) * {DIM} + ({j_expr}))::BIGINT"
+    a = f"(({h} * {_MIX}) % 4294967296)"
+    b = f"((xor({a}, {a} >> 13) * 1597334677) % 4294967296)"
+    v = f"(xor({b}, {b} >> 16) % 8)"
+    return f"(CASE WHEN ({v}) < 4 THEN ({v}) - 4 ELSE ({v}) - 3 END)::double"
+
+
+def _band_bucket(band: int, n_planes: int) -> Column:
+    """Signature of one band: R sign bits packed into an int.  Built from
+    compact higher-order-function folds (one aggregate per plane) so the
+    expression tree stays small at any R — no monster codegen."""
+    def merge_for(p: int):
+        return lambda acc, j: acc + F.element_at(F.col("embedding"), j + 1).cast(
+            "double"
+        ) * _coef_col(F.lit(p), j)
+
+    bucket = F.lit(0)
+    for r in range(n_planes):
+        plane_sum = F.aggregate(
+            F.sequence(F.lit(0), F.lit(DIM - 1)),
+            F.lit(0.0),
+            merge_for(band * n_planes + r),
         )
-        bits.append(F.when(F.expr(terms) > 0, 1 << p).otherwise(0))
-    bucket = bits[0]
-    for b in bits[1:]:
-        bucket = bucket + b
-    # precompute each vector's norm BEFORE the pair join: per-pair work drops
-    # from three 64-term dot products to one (same float ops — sqrt per
-    # vector then multiplied — so cosines are bit-identical; measured ~2x on
-    # the pair stage)
+        bucket = bucket + F.when(plane_sum > 0, F.lit(1 << r)).otherwise(0)
+    return bucket.cast("int")
+
+
+def _band_bucket_sql(band_expr: str) -> str:
+    """DuckDB mirror of :func:`_band_bucket` with the plane count taken from
+    the ``params`` CTE (column ``r``) — the SQL stays valid at any corpus
+    size the driver runs it at."""
+    plane = f"(({band_expr}) * r + rr)"
+    inner = (
+        f"list_sum(list_transform(range(0, {DIM}), "
+        f"j -> embedding[j + 1]::double * {_coef_sql(plane, 'j')}))"
+    )
+    return (
+        "CAST(list_sum(list_transform(range(0, r), "
+        f"rr -> CASE WHEN ({inner}) > 0 THEN (1::BIGINT << rr) ELSE 0 END)) AS INTEGER)"
+    )
+
+
+def _bucketed(spark: SparkSession, sf_dir: str, band: int, n_planes: int) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id", "embedding", "label", _band_bucket(band, n_planes).alias("bucket")
+    )
+
+
+def lsh_buckets(spark: SparkSession, sf_dir: str, n_planes: int | None = None) -> DataFrame:
+    """ANN scale path: R corpus-size-derived hyperplane sign bits → bucket
+    id; report bucket occupancy and within-bucket candidate-pair count with
+    the max verified cosine (search cost ∝ Σ bucket², held ≈ N·occ by
+    deriving R from N)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    r = n_planes if n_planes is not None else _planes_for(emb.count())
     bucketed = emb.select(
         "vec_id",
         "embedding",
-        bucket.cast("int").alias("bucket"),
-        F.sqrt(F.expr(_dot_expr("embedding", "embedding"))).alias("norm"),
+        _band_bucket(0, r).alias("bucket"),
+        F.sqrt(_dot64(F.col("embedding"), F.col("embedding"))).alias("norm"),
     )
     a, b = bucketed.alias("a"), bucketed.alias("b")
-    dot = F.expr(_dot_expr("a.embedding", "b.embedding"))
-    cos = F.floor(dot / (F.col("a.norm") * F.col("b.norm")) * COSINE_SCALE + 0.5) / COSINE_SCALE
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .withColumn("cosine", cos)
-        .groupBy(F.col("a.bucket").alias("bucket"))
-        .agg(F.count("*").alias("n_candidate_pairs"), F.max("cosine").alias("max_cosine"))
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.bucket").alias("bucket"),
+        _cosine(
+            _dot64(F.col("a.embedding"), F.col("b.embedding")),
+            F.col("a.norm"),
+            F.col("b.norm"),
+        ).alias("cosine"),
+    )
+    pair_stats = pairs.groupBy("bucket").agg(
+        F.count("*").alias("n_candidate_pairs"), F.max("cosine").alias("max_cosine")
     )
     occupancy = bucketed.groupBy("bucket").agg(F.count("*").alias("n_vectors"))
     return (
-        occupancy.join(pairs, "bucket", "left")
+        occupancy.join(pair_stats, "bucket", "left")
         .select(
             "bucket",
             "n_vectors",
@@ -160,22 +298,16 @@ def lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def lsh_buckets_sql() -> str:
-    bit_terms = []
-    for p in range(N_PLANES):
-        terms = " + ".join(
-            f"embedding[{j + 1}]::double * {_plane_coef(p, j)}"
-            for j in range(DIM)
-            if _plane_coef(p, j) != 0
-        )
-        bit_terms.append(f"(CASE WHEN ({terms}) > 0 THEN {1 << p} ELSE 0 END)")
-    bucket = " + ".join(bit_terms)
+def lsh_buckets_sql(n_planes: int | None = None) -> str:
+    params = f"SELECT {n_planes} AS r" if n_planes is not None else _PLANES_SQL
     dot = _dot_sql("a.embedding", "b.embedding")
     na = _dot_sql("a.embedding", "a.embedding")
     nb = _dot_sql("b.embedding", "b.embedding")
     return f"""
-WITH bucketed AS (
-  SELECT vec_id, embedding, ({bucket})::int AS bucket FROM embeddings
+WITH params AS ({params}),
+bucketed AS (
+  SELECT vec_id, embedding, {_band_bucket_sql("0")} AS bucket
+  FROM embeddings, params
 ),
 pairs AS (
   SELECT a.bucket,
@@ -197,7 +329,88 @@ ORDER BY o.bucket
 """
 
 
-N_CENTROIDS = 16
+def embedding_near_dup_pairs(
+    spark: SparkSession, sf_dir: str, n_planes: int | None = None
+) -> DataFrame:
+    """Embedding-cosine near-duplicate detection (the vector-space member of
+    the dedup family): candidate pairs from N_BANDS independent hyperplane
+    signature bands (banding = recall; see the MinHash path, dedup.py:219),
+    deduplicated, then ONE exact-cosine verify pass ≥ threshold.
+
+    Scale shape: per band, candidates ≈ N·occupancy/2 (R derived from N);
+    the distinct is an equi-shuffle on the pair key; the verify joins are
+    equi-joins on vec_id against the norm-annotated corpus — every stage is
+    linear in N at fixed occupancy."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    r = n_planes if n_planes is not None else _planes_for(emb.count())
+
+    cand = None
+    for band in range(N_BANDS):
+        sig = _bucketed(spark, sf_dir, band, r).select("vec_id", "bucket")
+        a, b = sig.alias("a"), sig.alias("b")
+        band_pairs = a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+        ).select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        cand = band_pairs if cand is None else cand.unionByName(band_pairs)
+    cand = cand.distinct()
+
+    norms = _with_norm(emb, ["vec_id", "embedding", "label"])
+    x = norms.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("label").alias("label_a"),
+        F.col("norm").alias("norm_a"),
+    )
+    y = norms.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("label").alias("label_b"),
+        F.col("norm").alias("norm_b"),
+    )
+    return (
+        cand.join(x, "vec_a")
+        .join(y, "vec_b")
+        .withColumn(
+            "cosine",
+            _cosine(_dot64(F.col("emb_a"), F.col("emb_b")), F.col("norm_a"), F.col("norm_b")),
+        )
+        .filter(F.col("cosine") >= NEAR_DUP_COSINE)
+        .select("vec_a", "vec_b", "label_a", "label_b", "cosine")
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+def embedding_near_dup_pairs_sql(n_planes: int | None = None) -> str:
+    params = f"SELECT {n_planes} AS r" if n_planes is not None else _PLANES_SQL
+    dot = _dot_sql("x.embedding", "y.embedding")
+    nx = _dot_sql("x.embedding", "x.embedding")
+    ny = _dot_sql("y.embedding", "y.embedding")
+    cos = f"floor(({dot}) / (sqrt({nx}) * sqrt({ny})) * {COSINE_SCALE} + 0.5) / {COSINE_SCALE}"
+    return f"""
+WITH params AS ({params}),
+sig AS (
+  SELECT e.vec_id, bands.band, {_band_bucket_sql("bands.band")} AS bucket
+  FROM embeddings e, params,
+       (VALUES {", ".join(f"({b})" for b in range(N_BANDS))}) AS bands(band)
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM sig a JOIN sig b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT c.vec_a, c.vec_b, x.label AS label_a, y.label AS label_b, {cos} AS cosine
+FROM cand c
+JOIN embeddings x ON x.vec_id = c.vec_a
+JOIN embeddings y ON y.vec_id = c.vec_b
+WHERE {cos} >= {NEAR_DUP_COSINE}
+ORDER BY vec_a, vec_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# IVF cells
+# ---------------------------------------------------------------------------
 
 
 def ivf_cell_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -211,16 +424,18 @@ def ivf_cell_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The assignment is argmax over N_CENTROIDS exact cosines with a
     deterministic tie-break (lowest centroid id) — a broadcast nested-loop
-    against 16 rows, then a windowed argmax."""
+    against 16 norm-annotated rows, then a windowed argmax."""
     emb = load_table(spark, sf_dir, "embeddings")
-    centroids = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
-        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
+    with_norm = emb.select(
+        "vec_id", "embedding", F.sqrt(_dot64(F.col("embedding"), F.col("embedding"))).alias("norm")
     )
-    dot = F.expr(_dot_expr("embedding", "c_emb"))
-    nv = F.expr(_dot_expr("embedding", "embedding"))
-    nc = F.expr(_dot_expr("c_emb", "c_emb"))
-    cos = F.floor(dot / (F.sqrt(nv) * F.sqrt(nc)) * COSINE_SCALE + 0.5) / COSINE_SCALE
-    scored = emb.join(F.broadcast(centroids)).withColumn("cosine", cos)
+    centroids = with_norm.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("norm").alias("c_norm"),
+    )
+    cos = _cosine(_dot64(F.col("embedding"), F.col("c_emb")), F.col("norm"), F.col("c_norm"))
+    scored = with_norm.join(F.broadcast(centroids)).withColumn("cosine", cos)
     from pyspark.sql import Window
 
     w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), "centroid_id")
@@ -259,7 +474,7 @@ WITH centroids AS (
   SELECT vec_id AS centroid_id, embedding FROM embeddings WHERE vec_id < {N_CENTROIDS}
 ),
 scored AS (
-  SELECT e.vec_id, c.centroid_id, {cos.replace('c.embedding', 'c.embedding')} AS cosine
+  SELECT e.vec_id, c.centroid_id, {cos} AS cosine
   FROM embeddings e CROSS JOIN centroids c
 ),
 assigned AS (
@@ -273,83 +488,6 @@ SELECT centroid_id, count(*) AS cell_size,
 FROM assigned WHERE rn = 1
 GROUP BY centroid_id
 ORDER BY centroid_id
-"""
-
-
-NEAR_DUP_COSINE = 0.3
-
-
-def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate detection (the vector-space member of
-    the dedup family): candidate pairs from the hyperplane LSH buckets,
-    verified with exact cosine ≥ threshold.  Search cost ∝ Σ bucket², the
-    scale path for near-dup detection over embedding columns."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    bits = []
-    for p in range(N_PLANES):
-        terms = " + ".join(
-            f"cast(element_at(embedding, {j + 1}) as double) * {_plane_coef(p, j)}"
-            for j in range(DIM)
-            if _plane_coef(p, j) != 0
-        )
-        bits.append(F.when(F.expr(terms) > 0, 1 << p).otherwise(0))
-    bucket = bits[0]
-    for b in bits[1:]:
-        bucket = bucket + b
-    # per-vector norm precomputed before the pair join (see lsh_buckets)
-    bucketed = emb.select(
-        "vec_id",
-        "embedding",
-        "label",
-        bucket.cast("int").alias("bucket"),
-        F.sqrt(F.expr(_dot_expr("embedding", "embedding"))).alias("norm"),
-    )
-    a, b = bucketed.alias("a"), bucketed.alias("b")
-    dot = F.expr(_dot_expr("a.embedding", "b.embedding"))
-    cos = F.floor(dot / (F.col("a.norm") * F.col("b.norm")) * COSINE_SCALE + 0.5) / COSINE_SCALE
-    return (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .withColumn("cosine", cos)
-        .filter(F.col("cosine") >= NEAR_DUP_COSINE)
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.col("a.label").alias("label_a"),
-            F.col("b.label").alias("label_b"),
-            "cosine",
-        )
-        .orderBy("vec_a", "vec_b")
-    )
-
-
-def embedding_near_dup_pairs_sql() -> str:
-    bit_terms = []
-    for p in range(N_PLANES):
-        terms = " + ".join(
-            f"embedding[{j + 1}]::double * {_plane_coef(p, j)}"
-            for j in range(DIM)
-            if _plane_coef(p, j) != 0
-        )
-        bit_terms.append(f"(CASE WHEN ({terms}) > 0 THEN {1 << p} ELSE 0 END)")
-    bucket = " + ".join(bit_terms)
-    dot = _dot_sql("a.embedding", "b.embedding")
-    na = _dot_sql("a.embedding", "a.embedding")
-    nb = _dot_sql("b.embedding", "b.embedding")
-    cos = f"floor(({dot}) / (sqrt({na}) * sqrt({nb})) * {COSINE_SCALE} + 0.5) / {COSINE_SCALE}"
-    return f"""
-WITH bucketed AS (
-  SELECT vec_id, embedding, label, ({bucket})::int AS bucket FROM embeddings
-)
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       a.label AS label_a, b.label AS label_b,
-       {cos} AS cosine
-FROM bucketed a JOIN bucketed b
-  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-WHERE {cos} >= {NEAR_DUP_COSINE}
-ORDER BY vec_a, vec_b
 """
 
 

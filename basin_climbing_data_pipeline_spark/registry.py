@@ -4,6 +4,12 @@
 SURVEY.md §2 registers its queries here; each callable takes
 ``(spark, sf_dir)`` and returns a DataFrame whose column names match the
 oracle SQL exactly (the driver sorts columns by name and value-hashes).
+
+Registration ORDER is deliberate: the round-1 driver verified only the
+first 50 entries, so the families it never reached (dedup, similarity,
+streaming, flags, leads, linking, multimodal, skew — the LLM-pipeline
+north-star block) now register FIRST; the families with green round-1 rows
+follow.  Across rounds this gives every query a driver-verified row.
 """
 
 from __future__ import annotations
@@ -17,11 +23,15 @@ from .operators import customers as cu
 from .operators import dedup as dd
 from .operators import flags as fl
 from .operators import leads as ld
+from .operators import linking as lk
+from .operators import multimodal as mm
 from .operators import similarity as sim
+from .operators import skew as sk
 from .operators import textstats as ts
 from .operators import events as ev
 from .operators import memberships as mem
 from .operators import transactions as txn
+from .streaming import events_stream as st
 
 SparkQuery = Callable[[SparkSession, str], DataFrame]
 
@@ -32,6 +42,54 @@ REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {}
 def register(name: str, fn: SparkQuery, sql: str | None) -> None:
     REGISTRY[name] = (fn, sql)
 
+
+# --- driver-unverified in round 1: register first -------------------------
+
+register("exact_dedup", dd.exact_dedup, dd.exact_dedup_sql())
+register("ngram_jaccard_pairs", dd.ngram_jaccard_pairs, dd.ngram_jaccard_pairs_sql())
+register("minhash_signatures", dd.minhash_signatures, dd.minhash_signatures_sql())
+register("minhash_lsh_pairs", dd.minhash_lsh_pairs, dd.minhash_lsh_pairs_sql())
+register("simhash_signatures", dd.simhash_signatures, dd.simhash_signatures_sql())
+register("simhash_near_pairs", dd.simhash_near_pairs, dd.simhash_near_pairs_sql())
+
+register("cosine_topk", sim.cosine_topk, sim.cosine_topk_sql())
+register("lsh_buckets", sim.lsh_buckets, sim.lsh_buckets_sql())
+register("knn_label_vote", sim.knn_label_vote, sim.knn_label_vote_sql())
+register(
+    "embedding_near_dup_pairs",
+    sim.embedding_near_dup_pairs,
+    sim.embedding_near_dup_pairs_sql(),
+)
+register("ivf_cell_search", sim.ivf_cell_search, sim.ivf_cell_search_sql())
+
+register("events_unified", fl.events_unified, fl.events_unified_sql())
+register("flags_build", fl.build_flags, fl.build_flags_sql())
+register("flag_type_summary", fl.flag_type_summary, fl.flag_type_summary_sql())
+
+register("customer_master", ld.customer_master, ld.customer_master_sql())
+register(
+    "streaming_windowed_counts",
+    st.windowed_event_counts,
+    st.windowed_event_counts_sql(),
+)
+register(
+    "streaming_sliding_counts",
+    st.sliding_event_counts,
+    st.sliding_event_counts_sql(),
+)
+register("lead_timelines", ld.lead_timelines, ld.lead_timelines_sql())
+register("rsvp_party_attendees", ld.rsvp_party_attendees, ld.rsvp_party_attendees_sql())
+
+register("media_features", mm.media_features, mm.media_features_sql())
+
+register("link_refunds", lk.link_refunds, lk.link_refunds_sql())
+register("regex_key_enrichment", lk.regex_key_enrichment, lk.regex_key_enrichment_sql())
+register("membership_flow", lk.membership_flow, lk.membership_flow_sql())
+register("at_risk_report", lk.at_risk_report, lk.at_risk_report_sql())
+
+register("salted_user_spend", sk.salted_user_spend, sk.salted_user_spend_sql())
+
+# --- driver-green in round 1 ----------------------------------------------
 
 register("transactions_build", txn.build_transactions, txn.transactions_sql())
 register(
@@ -135,59 +193,6 @@ register("language_id_confusion", ts.language_id_confusion, ts.language_id_confu
 register("quality_buckets", ts.quality_buckets, ts.quality_buckets_sql())
 register("token_frequencies", ts.token_frequencies, ts.token_frequencies_sql())
 register("doc_fingerprints", ts.doc_fingerprints, ts.doc_fingerprints_sql())
-
-register("exact_dedup", dd.exact_dedup, dd.exact_dedup_sql())
-register("ngram_jaccard_pairs", dd.ngram_jaccard_pairs, dd.ngram_jaccard_pairs_sql())
-register("minhash_signatures", dd.minhash_signatures, dd.minhash_signatures_sql())
-register("minhash_lsh_pairs", dd.minhash_lsh_pairs, dd.minhash_lsh_pairs_sql())
-register("simhash_signatures", dd.simhash_signatures, dd.simhash_signatures_sql())
-register("simhash_near_pairs", dd.simhash_near_pairs, dd.simhash_near_pairs_sql())
-
-register("cosine_topk", sim.cosine_topk, sim.cosine_topk_sql())
-register("lsh_buckets", sim.lsh_buckets, sim.lsh_buckets_sql())
-register("knn_label_vote", sim.knn_label_vote, sim.knn_label_vote_sql())
-register(
-    "embedding_near_dup_pairs",
-    sim.embedding_near_dup_pairs,
-    sim.embedding_near_dup_pairs_sql(),
-)
-register("ivf_cell_search", sim.ivf_cell_search, sim.ivf_cell_search_sql())
-
-register("events_unified", fl.events_unified, fl.events_unified_sql())
-register("flags_build", fl.build_flags, fl.build_flags_sql())
-register("flag_type_summary", fl.flag_type_summary, fl.flag_type_summary_sql())
-
-register("customer_master", ld.customer_master, ld.customer_master_sql())
-
-from .streaming import events_stream as st  # noqa: E402
-
-register(
-    "streaming_windowed_counts",
-    st.windowed_event_counts,
-    st.windowed_event_counts_sql(),
-)
-register(
-    "streaming_sliding_counts",
-    st.sliding_event_counts,
-    st.sliding_event_counts_sql(),
-)
-register("lead_timelines", ld.lead_timelines, ld.lead_timelines_sql())
-register("rsvp_party_attendees", ld.rsvp_party_attendees, ld.rsvp_party_attendees_sql())
-
-from .operators import multimodal as mm  # noqa: E402
-
-register("media_features", mm.media_features, mm.media_features_sql())
-
-from .operators import linking as lk  # noqa: E402
-
-register("link_refunds", lk.link_refunds, lk.link_refunds_sql())
-register("regex_key_enrichment", lk.regex_key_enrichment, lk.regex_key_enrichment_sql())
-register("membership_flow", lk.membership_flow, lk.membership_flow_sql())
-register("at_risk_report", lk.at_risk_report, lk.at_risk_report_sql())
-
-from .operators import skew as sk  # noqa: E402
-
-register("salted_user_spend", sk.salted_user_spend, sk.salted_user_spend_sql())
 
 
 def queries() -> dict[str, SparkQuery]:

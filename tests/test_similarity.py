@@ -1,0 +1,73 @@
+"""Similarity-path tests: cross-engine parity at multiple LSH plane counts
+(the scale parameter), and the occupancy property the plane-count derivation
+is supposed to guarantee."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from basin_climbing_data_pipeline_spark.operators import similarity as sim
+
+TABLES = ("embeddings",)
+
+
+def _oracle(sf_dir: str, sql: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    rel = con.sql(sql)
+    cols = rel.columns
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    rows = sorted(tuple(repr(r[i]) for i in order) for r in rel.fetchall())
+    return [cols[i] for i in order], rows
+
+
+def _spark_rows(df):
+    cols = sorted(df.columns)
+    rows = sorted(tuple(repr(r[c]) for c in cols) for r in df.collect())
+    return cols, rows
+
+
+@pytest.mark.parametrize("n_planes", [4, 5])
+def test_lsh_buckets_parity_at_plane_count(spark, sf_dir, n_planes):
+    s_cols, s_rows = _spark_rows(sim.lsh_buckets(spark, sf_dir, n_planes=n_planes))
+    o_cols, o_rows = _oracle(sf_dir, sim.lsh_buckets_sql(n_planes=n_planes))
+    assert s_cols == o_cols
+    assert s_rows == o_rows
+
+
+@pytest.mark.parametrize("n_planes", [4, 5])
+def test_near_dup_parity_at_plane_count(spark, sf_dir, n_planes):
+    s_cols, s_rows = _spark_rows(
+        sim.embedding_near_dup_pairs(spark, sf_dir, n_planes=n_planes)
+    )
+    o_cols, o_rows = _oracle(
+        sf_dir, sim.embedding_near_dup_pairs_sql(n_planes=n_planes)
+    )
+    assert s_cols == o_cols
+    assert s_rows == o_rows
+
+
+def test_buckets_actually_split(spark, sf_dir):
+    """Regression for the degenerate-coefficient bug: with R planes the
+    corpus must spread over more than 2 buckets (identical planes collapse
+    every signature to all-zeros or all-ones)."""
+    rows = sim.lsh_buckets(spark, sf_dir, n_planes=4).collect()
+    assert len(rows) > 2**2
+    sizes = [r["n_vectors"] for r in rows]
+    # no bucket should swallow the corpus (balance, not just distinctness)
+    assert max(sizes) < 0.5 * sum(sizes)
+
+
+def test_planes_scale_with_corpus():
+    assert sim._planes_for(1) == sim.MIN_PLANES
+    assert sim._planes_for(64 * 16) == max(sim.MIN_PLANES, 4)
+    assert sim._planes_for(10**9) >= 20  # ~16M buckets at 1e9 vectors
+    # occupancy stays ≈ TARGET_OCCUPANCY across scales
+    for n in (10**4, 10**6, 10**8):
+        r = sim._planes_for(n)
+        assert n / 2**r <= sim.TARGET_OCCUPANCY
+        assert n / 2**r > sim.TARGET_OCCUPANCY / 4
