@@ -137,9 +137,16 @@ def build_memberships_2024(spark: SparkSession, sf_dir: str) -> DataFrame:
     dur = _duration_days_col(DURATION_2024)
     freq = _freq_col()
     start = F.date_add(F.to_date(F.lit("2024-01-01")), (F.col("o_orderkey") % 25).cast("int"))
+    # membership display name; bi_weekly memberships are the "2-Week Pass"
+    # product the flags engine keyword-matches (reference
+    # customer_flags_config.py:660-668: name contains '2-week'/'2 week')
+    name = F.when(freq == "bi_weekly", F.lit("2-Week Pass")).otherwise(
+        F.concat_ws(" ", freq, F.lit("membership"))
+    )
     return orders.select(
         F.col("o_orderkey").alias("membership_id"),
         F.col("o_custkey").alias("owner_id"),
+        name.alias("name"),
         start.alias("start_date"),
         F.date_add(start, dur).alias("end_date"),
         F.when(F.col("o_orderstatus") == "O", "ACT").otherwise("END").alias("status"),
@@ -155,6 +162,8 @@ def memberships_2024_sql() -> str:
 SELECT
   o_orderkey                                          AS membership_id,
   o_custkey                                           AS owner_id,
+  CASE WHEN ({freq}) = 'bi_weekly' THEN '2-Week Pass'
+       ELSE concat_ws(' ', {freq}, 'membership') END  AS name,
   DATE '2024-01-01' + (o_orderkey % 25)::int          AS start_date,
   DATE '2024-01-01' + (o_orderkey % 25)::int + ({dur}) AS end_date,
   CASE WHEN o_orderstatus = 'O' THEN 'ACT' ELSE 'END' END AS status,
