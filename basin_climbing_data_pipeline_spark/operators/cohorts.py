@@ -86,10 +86,16 @@ def _visits_sql() -> str:
     )
 
 
+CONVERSION_WINDOWS = (7, 30, 60, 90)  # reference build_conversion_rate_analysis.py:327-432
+
+
 def conversion_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cohort week × visit category: entries, customers, 7/30-day conversion
-    counts and rates, with immature windows suppressed to NULL (as_of fixed
-    at COHORT_AS_OF)."""
+    """Cohort week × visit category: entries, customers, and 7/30/60/90-day
+    conversion rates, each window's rate suppressed to NULL until the window
+    has closed by as_of (per-window maturity, reference
+    build_conversion_rate_analysis.py:327-432; at this as_of the 60/90-day
+    windows are entirely immature and report NULL, exactly as the reference
+    does for young cohorts)."""
     visits = _day_pass_visits(spark, sf_dir)
     as_of = F.lit(COHORT_AS_OF.strftime("%Y-%m-%d")).cast("date")
     cat = (
@@ -104,41 +110,55 @@ def conversion_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (fm <= F.date_add(F.col("checkin_date"), days))
     )
     mature = lambda days: F.date_add(F.col("checkin_date"), days) <= as_of
-    enriched = visits.select(
+    cols = [
         F.to_date(F.date_trunc("week", F.col("checkin_date"))).alias("cohort_week"),
         cat.alias("visit_category"),
         F.col("customer_id"),
-        conv(7).cast("int").alias("conv7"),
-        conv(30).cast("int").alias("conv30"),
-        mature(7).cast("int").alias("mat7"),
-        mature(30).cast("int").alias("mat30"),
-    )
-    agg = enriched.groupBy("cohort_week", "visit_category").agg(
+    ]
+    for d in CONVERSION_WINDOWS:
+        cols.append(conv(d).cast("int").alias(f"conv{d}"))
+        cols.append(mature(d).cast("int").alias(f"mat{d}"))
+    enriched = visits.select(*cols)
+    aggs = [
         F.count("*").alias("entries"),
         F.countDistinct("customer_id").alias("n_customers"),
-        F.sum(F.col("conv7") * F.col("mat7")).alias("conv7_mature"),
-        F.sum("mat7").alias("entries_mature7"),
-        F.sum(F.col("conv30") * F.col("mat30")).alias("conv30_mature"),
-        F.sum("mat30").alias("entries_mature30"),
-    )
-    return agg.select(
-        "cohort_week",
-        "visit_category",
-        "entries",
-        "n_customers",
-        F.when(
-            F.col("entries_mature7") > 0,
-            ratio(F.col("conv7_mature"), F.col("entries_mature7"), 4),
-        ).alias("conv_rate_7d"),
-        F.when(
-            F.col("entries_mature30") > 0,
-            ratio(F.col("conv30_mature"), F.col("entries_mature30"), 4),
-        ).alias("conv_rate_30d"),
-    ).orderBy("cohort_week", "visit_category")
+    ]
+    for d in CONVERSION_WINDOWS:
+        aggs.append(F.sum(F.col(f"conv{d}") * F.col(f"mat{d}")).alias(f"conv{d}_mature"))
+        aggs.append(F.sum(f"mat{d}").alias(f"entries_mature{d}"))
+    agg = enriched.groupBy("cohort_week", "visit_category").agg(*aggs)
+    out = ["cohort_week", "visit_category", "entries", "n_customers"]
+    for d in CONVERSION_WINDOWS:
+        out.append(
+            F.when(
+                F.col(f"entries_mature{d}") > 0,
+                ratio(F.col(f"conv{d}_mature"), F.col(f"entries_mature{d}"), 4),
+            ).alias(f"conv_rate_{d}d")
+        )
+    return agg.select(*out).orderBy("cohort_week", "visit_category")
 
 
 def conversion_cohorts_sql() -> str:
     as_of = f"DATE '{COHORT_AS_OF.strftime('%Y-%m-%d')}'"
+    conv_cols = "".join(
+        f""",
+         (first_membership_start IS NOT NULL
+          AND first_membership_start >= checkin_date
+          AND first_membership_start <= checkin_date + {d})::int AS conv{d},
+         (checkin_date + {d} <= {as_of})::int AS mat{d}"""
+        for d in CONVERSION_WINDOWS
+    )
+    agg_cols = "".join(
+        f""",
+         sum(conv{d} * mat{d}) AS conv{d}_mature, sum(mat{d}) AS entries_mature{d}"""
+        for d in CONVERSION_WINDOWS
+    )
+    rate_cols = "".join(
+        f""",
+       CASE WHEN entries_mature{d} > 0
+            THEN {ratio_sql(f'conv{d}_mature', f'entries_mature{d}', 4)} END AS conv_rate_{d}d"""
+        for d in CONVERSION_WINDOWS
+    )
     return f"""
 WITH {_visits_sql()},
 enriched AS (
@@ -146,30 +166,16 @@ enriched AS (
          CASE WHEN visit_number = 1 THEN 'visit_1'
               WHEN visit_number <= 3 THEN 'visit_2_3'
               ELSE 'visit_4_plus' END AS visit_category,
-         customer_id,
-         (first_membership_start IS NOT NULL
-          AND first_membership_start >= checkin_date
-          AND first_membership_start <= checkin_date + 7)::int AS conv7,
-         (first_membership_start IS NOT NULL
-          AND first_membership_start >= checkin_date
-          AND first_membership_start <= checkin_date + 30)::int AS conv30,
-         (checkin_date + 7 <= {as_of})::int AS mat7,
-         (checkin_date + 30 <= {as_of})::int AS mat30
+         customer_id{conv_cols}
   FROM visits
 ),
 agg AS (
   SELECT cohort_week, visit_category,
          count(*) AS entries,
-         count(DISTINCT customer_id) AS n_customers,
-         sum(conv7 * mat7) AS conv7_mature, sum(mat7) AS entries_mature7,
-         sum(conv30 * mat30) AS conv30_mature, sum(mat30) AS entries_mature30
+         count(DISTINCT customer_id) AS n_customers{agg_cols}
   FROM enriched GROUP BY 1, 2
 )
-SELECT cohort_week, visit_category, entries, n_customers,
-       CASE WHEN entries_mature7 > 0
-            THEN {ratio_sql('conv7_mature', 'entries_mature7', 4)} END AS conv_rate_7d,
-       CASE WHEN entries_mature30 > 0
-            THEN {ratio_sql('conv30_mature', 'entries_mature30', 4)} END AS conv_rate_30d
+SELECT cohort_week, visit_category, entries, n_customers{rate_cols}
 FROM agg
 ORDER BY cohort_week, visit_category
 """
@@ -178,43 +184,80 @@ ORDER BY cohort_week, visit_category
 def period_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A12: weekly snapshot metrics per visit category plus an 'all' rollup
     row per week (grouping-sets re-expression of the reference's manual
-    'all' concat)."""
+    'all' concat), with per-window 7/30/60/90-day conversion rates under the
+    same maturity suppression as :func:`conversion_cohorts` (reference
+    build_conversion_rate_analysis.py:435-545)."""
     visits = _day_pass_visits(spark, sf_dir)
+    as_of = F.lit(COHORT_AS_OF.strftime("%Y-%m-%d")).cast("date")
     cat = (
         F.when(F.col("visit_number") == 1, "visit_1")
         .when(F.col("visit_number") <= 3, "visit_2_3")
         .otherwise("visit_4_plus")
     )
-    base = visits.select(
+    fm = F.col("first_membership_start")
+    conv = lambda days: (
+        fm.isNotNull()
+        & (fm >= F.col("checkin_date"))
+        & (fm <= F.date_add(F.col("checkin_date"), days))
+    )
+    mature = lambda days: F.date_add(F.col("checkin_date"), days) <= as_of
+    cols = [
         F.to_date(F.date_trunc("week", F.col("checkin_date"))).alias("week"),
         cat.alias("visit_category"),
         "customer_id",
-        (
-            F.col("first_membership_start").isNotNull()
-            & (F.col("first_membership_start") >= F.col("checkin_date"))
-        )
-        .cast("int")
-        .alias("converted_ever"),
-    )
+        (fm.isNotNull() & (fm >= F.col("checkin_date"))).cast("int").alias("converted_ever"),
+    ]
+    for d in CONVERSION_WINDOWS:
+        cols.append(conv(d).cast("int").alias(f"conv{d}"))
+        cols.append(mature(d).cast("int").alias(f"mat{d}"))
+    base = visits.select(*cols)
+    aggs = [
+        F.count("*").alias("entries"),
+        F.countDistinct("customer_id").alias("n_customers"),
+        F.sum("converted_ever").alias("conversions"),
+    ]
+    for d in CONVERSION_WINDOWS:
+        aggs.append(F.sum(F.col(f"conv{d}") * F.col(f"mat{d}")).alias(f"conv{d}_mature"))
+        aggs.append(F.sum(f"mat{d}").alias(f"entries_mature{d}"))
     rolled = (
         base.rollup("week", "visit_category")
-        .agg(
-            F.count("*").alias("entries"),
-            F.countDistinct("customer_id").alias("n_customers"),
-            F.sum("converted_ever").alias("conversions"),
-        )
+        .agg(*aggs)
         .filter(F.col("week").isNotNull())  # keep (week) and (week, cat) sets
     )
-    return rolled.select(
-        "week",
+    out = [
+        F.col("week"),
         F.coalesce("visit_category", F.lit("all")).alias("visit_category"),
-        "entries",
-        "n_customers",
-        "conversions",
-    ).orderBy("week", "visit_category")
+        F.col("entries"),
+        F.col("n_customers"),
+        F.col("conversions"),
+    ]
+    for d in CONVERSION_WINDOWS:
+        out.append(
+            F.when(
+                F.col(f"entries_mature{d}") > 0,
+                ratio(F.col(f"conv{d}_mature"), F.col(f"entries_mature{d}"), 4),
+            ).alias(f"conv_rate_{d}d")
+        )
+    return rolled.select(*out).orderBy("week", "visit_category")
 
 
 def period_snapshots_sql() -> str:
+    as_of = f"DATE '{COHORT_AS_OF.strftime('%Y-%m-%d')}'"
+    conv_cols = "".join(
+        f""",
+         (first_membership_start IS NOT NULL
+          AND first_membership_start >= checkin_date
+          AND first_membership_start <= checkin_date + {d})::int AS conv{d},
+         (checkin_date + {d} <= {as_of})::int AS mat{d}"""
+        for d in CONVERSION_WINDOWS
+    )
+    rate_cols = "".join(
+        f""",
+       CASE WHEN sum(mat{d}) > 0
+            THEN {ratio_sql(f'sum(conv{d} * mat{d})', f'sum(mat{d})', 4)} END
+         AS conv_rate_{d}d"""
+        for d in CONVERSION_WINDOWS
+    )
     return f"""
 WITH {_visits_sql()},
 base AS (
@@ -224,13 +267,13 @@ base AS (
               ELSE 'visit_4_plus' END AS visit_category,
          customer_id,
          (first_membership_start IS NOT NULL
-          AND first_membership_start >= checkin_date)::int AS converted_ever
+          AND first_membership_start >= checkin_date)::int AS converted_ever{conv_cols}
   FROM visits
 )
 SELECT week, coalesce(visit_category, 'all') AS visit_category,
        count(*) AS entries,
        count(DISTINCT customer_id) AS n_customers,
-       CAST(sum(converted_ever) AS BIGINT) AS conversions
+       CAST(sum(converted_ever) AS BIGINT) AS conversions{rate_cols}
 FROM base
 GROUP BY GROUPING SETS ((week, visit_category), (week))
 ORDER BY week, visit_category

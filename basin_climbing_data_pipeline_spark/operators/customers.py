@@ -492,3 +492,189 @@ SELECT parent_customer_id, child_customer_id, relationship_type, confidence, sou
 FROM ranked WHERE rn = 1
 ORDER BY parent_customer_id, child_customer_id
 """
+
+
+# ---------------------------------------------------------------------------
+# J10: pass-transfer grammar parse + fuzzy NAME join
+# ---------------------------------------------------------------------------
+
+# o_orderpriority -> transferred pass product (grammar left-hand side)
+PASS_NAME_BY_PRIORITY = {
+    "1-URGENT": "5 Climb Punch Pass",
+    "2-HIGH": "Guest Pass",
+    "3-MEDIUM": "10 Punch Pass",
+    "4-NOT SPECIFIED": "Fitness Class Pass",
+    "5-LOW": "2 Visit Pass",
+}
+TRANSFER_MOD = 11  # orders with o_orderkey % 11 == 0 carry a transfer note
+NAME_LEV_MAX = 1  # levenshtein fallback tolerance (reference tier-2 name match)
+
+
+def pass_transfer_name_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pass-transfer grammar parse + fuzzy name join (J10).
+
+    The reference parses ``'<pass> from <name> (<n> remaining)'`` out of
+    transaction descriptions (parse_pass_transfers.py:79-102) and then
+    resolves the extracted giver name against the customer roster by
+    normalized-name equality with a levenshtein fallback, blocked by last
+    name (parse_pass_transfers.py:217-260, customer_events_builder.py:77-85).
+
+    Here: transfer descriptions are synthesized onto every TRANSFER_MOD-th
+    order from the giver's real name — with a deterministic leading-letter
+    typo on every third giver, so both the exact (lev=0) and fuzzy (lev=1)
+    branches carry rows — parsed with the shared grammar
+    (functions/grammar.py), then matched: candidates are generated by an
+    equi-join on the last-name block (never all-pairs), scored by
+    levenshtein on the first name, and deduped keep-best (lowest distance,
+    then lowest customer_id) per transfer — A9 keep-best-by-rank."""
+    from pyspark.sql import Window
+
+    from ..functions.grammar import parse_pass_transfer
+    from ..functions.text import map_lookup
+
+    cust = build_customers(spark, sf_dir)
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % TRANSFER_MOD == 0
+    )
+    giver = cust.select(
+        F.col("customer_id").alias("giver_id"),
+        F.col("first_name").alias("g_first"),
+        F.col("last_name").alias("g_last"),
+    )
+    base = orders.join(giver, orders.o_custkey == giver.giver_id)
+    display_first = F.when(
+        F.col("giver_id") % 3 == 0,
+        F.concat(F.lit("K"), F.substring(F.col("g_first"), 2, 100)),
+    ).otherwise(F.col("g_first"))
+    pass_name = map_lookup(
+        F.col("o_orderpriority"), PASS_NAME_BY_PRIORITY, "Guest Pass"
+    )
+    desc = F.when(
+        F.col("o_orderkey") % 2 == 0,
+        F.concat(
+            pass_name,
+            F.lit(" from "),
+            display_first,
+            F.lit(" "),
+            F.col("g_last"),
+            F.lit(" ("),
+            (F.col("o_orderkey") % 10).cast("string"),
+            F.lit(" remaining)"),
+        ),
+    ).otherwise(
+        F.concat(pass_name, F.lit(" from "), display_first, F.lit(" "), F.col("g_last"))
+    )
+    parsed = base.select(
+        F.col("o_orderkey").alias("transfer_id"),
+        parse_pass_transfer(desc).alias("p"),
+    ).select(
+        "transfer_id",
+        F.col("p.pass_type").alias("pass_type"),
+        F.col("p.purchaser_name").alias("purchaser_name"),
+        F.col("p.remaining_count").alias("remaining_count"),
+        F.col("p.is_punch_pass").alias("is_punch_pass"),
+    )
+    with_name = parsed.filter(F.col("purchaser_name").isNotNull()).select(
+        "*",
+        F.substring_index("purchaser_name", " ", 1).alias("from_first"),
+        F.substring_index("purchaser_name", " ", -1).alias("from_last"),
+    )
+    roster = cust.select(
+        F.col("customer_id").alias("matched_customer_id"),
+        F.col("first_name").alias("r_first"),
+        F.col("last_name").alias("r_last"),
+    )
+    # lev<=1 implies |len diff|<=1: cheap prefilter before the edit distance;
+    # the 3-arg levenshtein early-exits past the threshold (returns -1)
+    lev = F.levenshtein(
+        F.lower(F.col("from_first")), F.lower(F.col("r_first")), NAME_LEV_MAX
+    )
+    cands = (
+        with_name.join(
+            roster,
+            (F.col("from_last") == F.col("r_last"))
+            & (
+                F.abs(F.length("from_first") - F.length("r_first")) <= NAME_LEV_MAX
+            ),
+        )
+        .withColumn("lev", lev)
+        .filter((F.col("lev") >= 0) & (F.col("lev") <= NAME_LEV_MAX))
+    )
+    w = Window.partitionBy("transfer_id").orderBy("lev", "matched_customer_id")
+    return (
+        cands.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "transfer_id",
+            "pass_type",
+            "purchaser_name",
+            "remaining_count",
+            "is_punch_pass",
+            "matched_customer_id",
+            "lev",
+            F.when(F.col("lev") == 0, "exact_name").otherwise("fuzzy_name").alias(
+                "match_type"
+            ),
+        )
+        .orderBy("transfer_id")
+    )
+
+
+def pass_transfer_name_links_sql() -> str:
+    from ..functions.text import map_lookup_sql
+
+    pass_name = map_lookup_sql("o_orderpriority", PASS_NAME_BY_PRIORITY, "Guest Pass")
+    pat = r"^(.+?) from ([^(]+?)(?: \((\d+) remaining\))?$"
+    return f"""
+WITH cust AS ({customers_sql()}),
+base AS (
+  SELECT o.o_orderkey AS transfer_id,
+         CASE WHEN o.o_orderkey % 2 = 0
+              THEN ({pass_name}) || ' from ' ||
+                   (CASE WHEN g.customer_id % 3 = 0
+                         THEN 'K' || substring(g.first_name, 2)
+                         ELSE g.first_name END) || ' ' || g.last_name ||
+                   ' (' || (o.o_orderkey % 10)::varchar || ' remaining)'
+              ELSE ({pass_name}) || ' from ' ||
+                   (CASE WHEN g.customer_id % 3 = 0
+                         THEN 'K' || substring(g.first_name, 2)
+                         ELSE g.first_name END) || ' ' || g.last_name
+         END AS description
+  FROM orders o JOIN cust g ON o.o_custkey = g.customer_id
+  WHERE o.o_orderkey % {TRANSFER_MOD} = 0
+),
+parsed AS (
+  SELECT transfer_id,
+         nullif(regexp_extract(description, '{pat}', 1), '') AS pass_type,
+         nullif(trim(regexp_extract(description, '{pat}', 2)), '') AS purchaser_name,
+         CAST(nullif(regexp_extract(description, '{pat}', 3), '') AS INTEGER)
+           AS remaining_count,
+         contains(lower(coalesce(nullif(regexp_extract(description, '{pat}', 1), ''), '')),
+                  'punch') AS is_punch_pass
+  FROM base
+),
+with_name AS (
+  SELECT *,
+         split_part(purchaser_name, ' ', 1) AS from_first,
+         split_part(purchaser_name, ' ', -1) AS from_last
+  FROM parsed WHERE purchaser_name IS NOT NULL
+),
+cands AS (
+  SELECT w.*, r.customer_id AS matched_customer_id,
+         levenshtein(lower(w.from_first), lower(r.first_name)) AS lev
+  FROM with_name w JOIN cust r
+    ON w.from_last = r.last_name
+   AND abs(length(w.from_first) - length(r.first_name)) <= {NAME_LEV_MAX}
+  WHERE levenshtein(lower(w.from_first), lower(r.first_name)) <= {NAME_LEV_MAX}
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY transfer_id
+                               ORDER BY lev, matched_customer_id) AS rn
+  FROM cands
+)
+SELECT transfer_id, pass_type, purchaser_name, remaining_count, is_punch_pass,
+       matched_customer_id, lev,
+       CASE WHEN lev = 0 THEN 'exact_name' ELSE 'fuzzy_name' END AS match_type
+FROM ranked WHERE rn = 1
+ORDER BY transfer_id
+"""

@@ -22,7 +22,23 @@ from ..functions.money import sum_money, sum_money_sql
 from ..io import load_table
 
 
+MASTER_AS_OF = "2024-02-01"  # deterministic "today" for days-since metrics
+
+# first non-member entry method → lead source (reference
+# build_customer_master.py:380-425; EVE sub-categories need the
+# entry_method_description free text, which the synthetic stream lacks)
+LEAD_SOURCE_BY_ENTRY = {
+    "ENT": "Day Pass",
+    "GUE": "Guest Pass",
+    "FRE": "Free Entry",
+    "EVE": "Event",
+}
+
+
 def customer_master(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.text import map_lookup
     from .customers import build_customers
     from .events import build_checkins
     from .flags import build_flags
@@ -30,14 +46,25 @@ def customer_master(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .transactions import build_transactions
 
     cust = build_customers(spark, sf_dir)
+    as_of = F.lit(MASTER_AS_OF).cast("date")
 
-    visits = (
-        build_checkins(spark, sf_dir)
-        .groupBy("customer_id")
-        .agg(
-            F.count("*").alias("total_visits"),
-            F.min("checkin_date").alias("first_visit_date"),
-            F.max("checkin_date").alias("last_visit_date"),
+    ck = build_checkins(spark, sf_dir)
+    visits = ck.groupBy("customer_id").agg(
+        F.count("*").alias("total_visits"),
+        F.min("checkin_date").alias("first_visit_date"),
+        F.max("checkin_date").alias("last_visit_date"),
+    )
+    # lead source = entry method of the FIRST non-member check-in
+    lead_w = Window.partitionBy("customer_id").orderBy("checkin_ts_us", "checkin_id")
+    lead_src = (
+        ck.filter(F.col("entry_method").isin(*LEAD_SOURCE_BY_ENTRY))
+        .withColumn("rn", F.row_number().over(lead_w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "customer_id",
+            map_lookup(F.col("entry_method"), LEAD_SOURCE_BY_ENTRY, "Event").alias(
+                "first_lead_source"
+            ),
         )
     )
     spend = (
@@ -49,14 +76,32 @@ def customer_master(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("day_pass_count").alias("day_passes_bought"),
         )
     )
-    mem = (
-        build_memberships_2024(spark, sf_dir)
-        .groupBy(F.col("owner_id").alias("customer_id"))
-        .agg(
-            F.count("*").alias("n_memberships"),
-            F.min("start_date").alias("first_membership_start"),
-            F.max(F.when(F.col("status") == "ACT", 1).otherwise(0)).alias("_any_act"),
+    m2024 = build_memberships_2024(spark, sf_dir)
+    mem = m2024.groupBy(F.col("owner_id").alias("customer_id")).agg(
+        F.count("*").alias("n_memberships"),
+        F.min("start_date").alias("first_membership_start"),
+        F.max(F.when(F.col("status") == "ACT", 1).otherwise(0)).alias("_any_act"),
+    )
+    # "the" membership row per owner (reference build_customer_master.py:294-303
+    # keeps the ACT row if any): prefer ACT, then latest start, then highest id
+    best_w = Window.partitionBy("owner_id").orderBy(
+        F.desc(F.col("status") == "ACT"), F.desc("start_date"), F.desc("membership_id")
+    )
+    best_mem = (
+        m2024.withColumn("rn", F.row_number().over(best_w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("owner_id").alias("customer_id"),
+            F.col("name").alias("membership_name"),
+            F.col("start_date").alias("membership_start_date"),
+            F.col("end_date").alias("membership_end_date"),
         )
+    )
+    # parent contact for the coalesce columns (children have no own email)
+    parents = cust.select(
+        F.col("customer_id").alias("p_id"),
+        F.col("email_normalized").alias("parent_email"),
+        F.col("phone_e164").alias("parent_phone"),
     )
     kids = (
         cust.filter(F.col("is_child"))
@@ -78,7 +123,15 @@ def customer_master(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    return (
+    from .customers import family_relationships
+
+    fam_conf = family_relationships(spark, sf_dir).select(
+        F.col("parent_customer_id").alias("fc_parent"),
+        F.col("child_customer_id").alias("customer_id"),
+        F.col("confidence").alias("family_link_confidence"),
+    )
+
+    joined = (
         cust.select(
             "customer_id",
             "first_name",
@@ -91,55 +144,107 @@ def customer_master(spark: SparkSession, sf_dir: str) -> DataFrame:
             "segment",
         )
         .join(visits, "customer_id", "left")
+        .join(lead_src, "customer_id", "left")
         .join(spend, "customer_id", "left")
         .join(mem, "customer_id", "left")
+        .join(best_mem, "customer_id", "left")
         .join(kids, "customer_id", "left")
         .join(flags, "customer_id", "left")
-        .select(
-            "customer_id",
-            "first_name",
-            "last_name",
-            "email_normalized",
-            "phone_e164",
-            "is_child",
-            "parent_customer_id",
-            "nation",
-            "segment",
-            F.coalesce("total_visits", F.lit(0)).alias("total_visits"),
-            "first_visit_date",
-            "last_visit_date",
-            F.coalesce("total_txns", F.lit(0)).alias("total_txns"),
-            F.coalesce("net_spend", F.lit(0.0)).alias("net_spend"),
-            F.coalesce("day_passes_bought", F.lit(0)).alias("day_passes_bought"),
-            F.coalesce("n_memberships", F.lit(0)).alias("n_memberships"),
-            "first_membership_start",
-            (F.coalesce("_any_act", F.lit(0)) == 1).alias("has_active_membership"),
-            F.coalesce("n_children", F.lit(0)).alias("n_children"),
-            "child_customer_ids",
-            F.coalesce("n_active_flags", F.lit(0)).alias("n_active_flags"),
-            "active_flags",
+        .join(parents, F.col("parent_customer_id") == F.col("p_id"), "left")
+        .join(
+            fam_conf,
+            (F.col("parent_customer_id") == F.col("fc_parent"))
+            & (cust.customer_id == fam_conf.customer_id),
+            "left",
         )
-        .orderBy("customer_id")
+        .drop(fam_conf.customer_id)
     )
+
+    has_active = F.coalesce("_any_act", F.lit(0)) == 1
+    ever_member = F.coalesce("n_memberships", F.lit(0)) > 0
+    is_lapsed = ever_member & ~has_active
+    contact_email = F.coalesce("email_normalized", "parent_email")
+    lead_source = F.when(
+        is_lapsed & F.col("first_lead_source").isNull(), F.lit("Lapsed Member")
+    ).otherwise(F.col("first_lead_source"))
+
+    return joined.select(
+        "customer_id",
+        "first_name",
+        "last_name",
+        F.concat_ws(" ", "first_name", "last_name").alias("primary_name"),
+        "email_normalized",
+        "phone_e164",
+        "parent_email",
+        "parent_phone",
+        contact_email.alias("contact_email"),
+        F.coalesce("phone_e164", "parent_phone").alias("contact_phone"),
+        (
+            F.col("email_normalized").isNull() & F.col("parent_email").isNotNull()
+        ).alias("is_using_parent_contact"),
+        "is_child",
+        "parent_customer_id",
+        "family_link_confidence",
+        "nation",
+        "segment",
+        F.coalesce("total_visits", F.lit(0)).alias("total_visits"),
+        "first_visit_date",
+        "last_visit_date",
+        F.datediff(as_of, F.col("last_visit_date")).alias("days_since_last_visit"),
+        F.coalesce("total_txns", F.lit(0)).alias("total_txns"),
+        F.coalesce("net_spend", F.lit(0.0)).alias("net_spend"),
+        F.coalesce("day_passes_bought", F.lit(0)).alias("day_passes_bought"),
+        F.coalesce("n_memberships", F.lit(0)).alias("n_memberships"),
+        "first_membership_start",
+        has_active.alias("has_active_membership"),
+        ever_member.alias("ever_had_membership"),
+        is_lapsed.alias("is_lapsed_member"),
+        "membership_name",
+        "membership_start_date",
+        "membership_end_date",
+        F.col("membership_start_date").alias("conversion_date"),
+        lead_source.alias("lead_source"),
+        (
+            (F.col("first_lead_source").isNotNull() | is_lapsed) & ~has_active
+        ).alias("is_lead"),
+        F.coalesce("n_children", F.lit(0)).alias("n_children"),
+        (F.coalesce("n_children", F.lit(0)) > 0).alias("has_youth"),
+        "child_customer_ids",
+        F.coalesce("n_active_flags", F.lit(0)).alias("n_active_flags"),
+        "active_flags",
+    ).orderBy("customer_id")
 
 
 def customer_master_sql() -> str:
-    from .customers import customers_sql
+    from ..functions.text import map_lookup_sql
+    from .customers import customers_sql, family_relationships_sql
     from .events import checkins_sql
     from .flags import build_flags_sql
     from .memberships import memberships_2024_sql
     from .transactions import transactions_sql
 
+    lead_map = map_lookup_sql("entry_method", LEAD_SOURCE_BY_ENTRY, "Event")
+    entry_list = ", ".join(f"'{e}'" for e in LEAD_SOURCE_BY_ENTRY)
     return f"""
 WITH cust AS ({customers_sql()}),
 ck AS ({checkins_sql()}),
 txn AS ({transactions_sql()}),
 m AS ({memberships_2024_sql()}),
 fl AS ({build_flags_sql()}),
+famc AS ({family_relationships_sql()}),
 visits AS (
   SELECT customer_id, count(*) AS total_visits,
          min(checkin_date) AS first_visit_date, max(checkin_date) AS last_visit_date
   FROM ck GROUP BY customer_id
+),
+lead_src AS (
+  SELECT customer_id, {lead_map} AS first_lead_source
+  FROM (
+    SELECT customer_id, entry_method,
+           row_number() OVER (PARTITION BY customer_id
+                              ORDER BY checkin_ts_us, checkin_id) AS rn
+    FROM ck WHERE entry_method IN ({entry_list})
+  ) WHERE rn = 1
 ),
 spend AS (
   SELECT customer_id, count(*) AS total_txns,
@@ -153,6 +258,17 @@ mem AS (
          max(CASE WHEN status = 'ACT' THEN 1 ELSE 0 END) AS any_act
   FROM m GROUP BY owner_id
 ),
+best_mem AS (
+  SELECT customer_id, membership_name, membership_start_date, membership_end_date
+  FROM (
+    SELECT owner_id AS customer_id, name AS membership_name,
+           start_date AS membership_start_date, end_date AS membership_end_date,
+           row_number() OVER (PARTITION BY owner_id
+                              ORDER BY (status = 'ACT') DESC, start_date DESC,
+                                       membership_id DESC) AS rn
+    FROM m
+  ) WHERE rn = 1
+),
 kids AS (
   SELECT parent_customer_id AS customer_id, count(*) AS n_children,
          array_to_string(list_sort(list(customer_id)), ',') AS child_customer_ids
@@ -163,26 +279,54 @@ flag_agg AS (
          array_to_string(list_sort(list_distinct(list(flag_type))), ',') AS active_flags
   FROM fl WHERE is_active GROUP BY customer_id
 )
-SELECT c.customer_id, c.first_name, c.last_name, c.email_normalized, c.phone_e164,
-       c.is_child, c.parent_customer_id, c.nation, c.segment,
+SELECT c.customer_id, c.first_name, c.last_name,
+       concat_ws(' ', c.first_name, c.last_name) AS primary_name,
+       c.email_normalized, c.phone_e164,
+       p.email_normalized AS parent_email,
+       p.phone_e164 AS parent_phone,
+       coalesce(c.email_normalized, p.email_normalized) AS contact_email,
+       coalesce(c.phone_e164, p.phone_e164) AS contact_phone,
+       (c.email_normalized IS NULL AND p.email_normalized IS NOT NULL)
+         AS is_using_parent_contact,
+       c.is_child, c.parent_customer_id,
+       fc.confidence AS family_link_confidence,
+       c.nation, c.segment,
        coalesce(v.total_visits, 0) AS total_visits,
        v.first_visit_date, v.last_visit_date,
+       DATE '{MASTER_AS_OF}' - v.last_visit_date AS days_since_last_visit,
        coalesce(s.total_txns, 0) AS total_txns,
        coalesce(s.net_spend, 0.0) AS net_spend,
        coalesce(s.day_passes_bought, 0) AS day_passes_bought,
        coalesce(mm.n_memberships, 0) AS n_memberships,
        mm.first_membership_start,
        coalesce(mm.any_act, 0) = 1 AS has_active_membership,
+       coalesce(mm.n_memberships, 0) > 0 AS ever_had_membership,
+       (coalesce(mm.n_memberships, 0) > 0 AND NOT coalesce(mm.any_act, 0) = 1)
+         AS is_lapsed_member,
+       b.membership_name, b.membership_start_date, b.membership_end_date,
+       b.membership_start_date AS conversion_date,
+       CASE WHEN (coalesce(mm.n_memberships, 0) > 0 AND NOT coalesce(mm.any_act, 0) = 1)
+                 AND l.first_lead_source IS NULL
+            THEN 'Lapsed Member' ELSE l.first_lead_source END AS lead_source,
+       ((l.first_lead_source IS NOT NULL
+         OR (coalesce(mm.n_memberships, 0) > 0 AND NOT coalesce(mm.any_act, 0) = 1))
+        AND NOT coalesce(mm.any_act, 0) = 1) AS is_lead,
        coalesce(k.n_children, 0) AS n_children,
+       coalesce(k.n_children, 0) > 0 AS has_youth,
        k.child_customer_ids,
        coalesce(f.n_active_flags, 0) AS n_active_flags,
        f.active_flags
 FROM cust c
 LEFT JOIN visits v ON v.customer_id = c.customer_id
+LEFT JOIN lead_src l ON l.customer_id = c.customer_id
 LEFT JOIN spend s ON s.customer_id = c.customer_id
 LEFT JOIN mem mm ON mm.customer_id = c.customer_id
+LEFT JOIN best_mem b ON b.customer_id = c.customer_id
 LEFT JOIN kids k ON k.customer_id = c.customer_id
 LEFT JOIN flag_agg f ON f.customer_id = c.customer_id
+LEFT JOIN cust p ON p.customer_id = c.parent_customer_id
+LEFT JOIN famc fc ON fc.parent_customer_id = c.parent_customer_id
+                 AND fc.child_customer_id = c.customer_id
 ORDER BY c.customer_id
 """
 
@@ -266,6 +410,9 @@ def lead_timelines(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("event_date").alias("last_event_date"),
             sum_money(F.col("amount")).alias("total_amount"),
             timeline.alias("timeline"),
+            F.to_json(
+                F.sort_array(F.collect_list(F.struct("event_date", "event_type")))
+            ).alias("timeline_json"),
         )
         .orderBy("customer_id")
     )
@@ -285,8 +432,47 @@ SELECT customer_id,
        max(event_date) AS last_event_date,
        {sum_money_sql('amount')} AS total_amount,
        string_agg(event_date || ':' || event_type, '|'
-                  ORDER BY event_date, event_type) AS timeline
+                  ORDER BY event_date, event_type) AS timeline,
+       to_json(list_sort(list(struct_pack(event_date := event_date,
+                                          event_type := event_type))))::varchar
+         AS timeline_json
 FROM ev
 GROUP BY customer_id
+ORDER BY customer_id
+"""
+
+
+def timeline_json_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON round-trip consumer (reference build_leads_table.py:646 writes the
+    timeline as a JSON string; downstream reads parse it back —
+    customer_flags_config.py:1109 json.loads on event_details).  Parses the
+    timeline_json emitted by :func:`lead_timelines` with ``from_json`` and
+    derives summary fields from the PARSED array, proving the round trip."""
+    tl = lead_timelines(spark, sf_dir)
+    parsed = F.from_json(
+        F.col("timeline_json"), "array<struct<event_date:date,event_type:string>>"
+    )
+    return (
+        tl.select("customer_id", parsed.alias("p"))
+        .select(
+            "customer_id",
+            F.size("p").alias("n_parsed"),
+            F.col("p")[0]["event_type"].alias("first_event_type"),
+            F.element_at("p", -1)["event_date"].alias("last_event_date_parsed"),
+        )
+        .orderBy("customer_id")
+    )
+
+
+def timeline_json_parse_sql() -> str:
+    return f"""
+WITH tl AS ({lead_timelines_sql()})
+SELECT customer_id,
+       json_array_length(timeline_json) AS n_parsed,
+       json_extract_string(timeline_json, '$[0].event_type') AS first_event_type,
+       json_extract_string(timeline_json,
+         '$[' || (json_array_length(timeline_json) - 1) || '].event_date')::date
+         AS last_event_date_parsed
+FROM tl
 ORDER BY customer_id
 """

@@ -89,6 +89,16 @@ register("at_risk_report", lk.at_risk_report, lk.at_risk_report_sql())
 
 register("salted_user_spend", sk.salted_user_spend, sk.salted_user_spend_sql())
 
+from .operators import experiments as ex  # noqa: E402
+
+register("experiment_entries", ex.experiment_entries, ex.experiment_entries_sql())
+register(
+    "pass_transfer_name_links",
+    cu.pass_transfer_name_links,
+    cu.pass_transfer_name_links_sql(),
+)
+register("timeline_json_parse", ld.timeline_json_parse, ld.timeline_json_parse_sql())
+
 # --- driver-green in round 1 ----------------------------------------------
 
 register("transactions_build", txn.build_transactions, txn.transactions_sql())

@@ -55,7 +55,9 @@ def _sessionize(key, pdfs: Iterator, state: GroupState):
             rows.append((customer_id, start_us, end_us, n, True))
             start_us, end_us, n = ts, ts, 1
         else:
-            end_us, n = ts, n + 1
+            # a late event from a later micro-batch may predate the stored
+            # session end; never move the session bounds backwards
+            start_us, end_us, n = min(start_us, ts), max(end_us, ts), n + 1
 
     if start_us is not None:
         state.update((start_us, end_us, n))

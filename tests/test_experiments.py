@@ -1,0 +1,51 @@
+"""AB experiment tracking tests (reference test_ab_group_fix.py style):
+skip-if-exists replay semantics and assignment/entry invariants."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from basin_climbing_data_pipeline_spark.operators import experiments as ex
+from basin_climbing_data_pipeline_spark.operators.incremental import append_if_absent
+
+
+def test_one_entry_per_customer(spark, sf_dir):
+    entries = ex.experiment_entries(spark, sf_dir)
+    total = entries.count()
+    assert total > 0
+    assert entries.select("customer_id").distinct().count() == total
+    assert {r["experiment_id"] for r in entries.collect()} == {ex.EXPERIMENT_ID}
+
+
+def test_entry_flags_are_offer_flags(spark, sf_dir):
+    entries = ex.experiment_entries(spark, sf_dir)
+    assert {r["entry_flag"] for r in entries.collect()} <= set(ex.ENTRY_FLAGS)
+
+
+def test_group_matches_md5_assignment(spark, sf_dir):
+    """The logged group must be the same md5-parity assignment the flags
+    engine uses (reference get_customer_ab_group)."""
+    entries = ex.experiment_entries(spark, sf_dir)
+    recomputed = F.when(
+        F.conv(F.substring(F.md5(F.col("customer_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 2
+        == 0,
+        "A",
+    ).otherwise("B")
+    bad = entries.filter(F.col("ab_group") != recomputed).count()
+    assert bad == 0
+
+
+def test_replay_is_skip_if_exists(spark, sf_dir):
+    """Re-running the pipeline must not duplicate entries (reference
+    log_experiment_entry's exists-check)."""
+    entries = ex.experiment_entries(spark, sf_dir)
+    replayed = append_if_absent(entries, entries, "customer_id")
+    assert replayed.count() == entries.count()
+    # a genuinely new customer does get appended
+    extra = entries.limit(1).withColumn(
+        "customer_id", F.col("customer_id") + 10_000_000
+    )
+    appended = append_if_absent(entries, extra, "customer_id")
+    assert appended.count() == entries.count() + 1

@@ -1,0 +1,104 @@
+"""Differential test: the foreachBatch-driven window merge over overlapping
+re-fetch window files equals the batch splice of the same data, and the
+stateful sessionizer never moves session bounds backwards on late events."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from basin_climbing_data_pipeline_spark.io import load_table
+from basin_climbing_data_pipeline_spark.streaming.foreach_merge import merge_stream
+
+
+def test_foreachbatch_merge_equals_batch(spark, sf_dir, tmp_path):
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.to_date("ts").alias("event_date"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    # three OVERLAPPING re-fetch windows written as separate files — the
+    # overlap rows appear in two files, so the merge must dedup by id
+    src = str(tmp_path / "src")
+    windows = [("2024-01-01", "2024-01-14"), ("2024-01-10", "2024-01-24"), ("2024-01-20", "2024-02-01")]
+    for i, (lo, hi) in enumerate(windows):
+        (
+            events.filter(
+                (F.col("event_date") >= F.lit(lo)) & (F.col("event_date") < F.lit(hi))
+            )
+            .coalesce(1)
+            .withColumn("ts", F.expr("ts_us * 1000"))
+            .drop("ts_us", "event_date")
+            .select("event_id", "ts", "user_id", "event_type", "value")
+            .write.mode("overwrite")
+            .parquet(src + f"/w{i}")
+        )
+    # flatten the per-window dirs into one source dir of files
+    import glob
+    import shutil
+
+    flat = str(tmp_path / "flat")
+    import os
+
+    os.makedirs(flat)
+    for i in range(len(windows)):
+        for j, f in enumerate(sorted(glob.glob(src + f"/w{i}/*.parquet"))):
+            shutil.copy(f, os.path.join(flat, f"w{i}_{j}.parquet"))
+
+    merged = merge_stream(spark, flat, str(tmp_path / "tgt"), "merge_sink_t")
+
+    expected = events.filter(F.col("event_date") < F.lit("2024-02-01")).dropDuplicates(
+        ["event_id"]
+    )
+    assert merged.count() == expected.count()
+    m = {r["event_id"]: (r["ts_us"], r["event_type"]) for r in merged.collect()}
+    e = {r["event_id"]: (r["ts_us"], r["event_type"]) for r in expected.collect()}
+    assert m == e
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for driving _sessionize directly."""
+
+    def __init__(self):
+        self.exists = False
+        self._v = None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+        self.exists = True
+
+
+def test_sessionize_late_event_does_not_move_bounds_backwards():
+    from basin_climbing_data_pipeline_spark.streaming.stateful import (
+        SESSION_GAP_US,
+        _sessionize,
+    )
+
+    state = _FakeState()
+    t0 = 1_700_000_000_000_000
+    # batch 1: events at t0 and t0+60s -> open session [t0, t0+60s]
+    list(_sessionize((1,), iter([pd.DataFrame({"ts_us": [t0, t0 + 60_000_000]})]), state))
+    assert state.get == (t0, t0 + 60_000_000, 2)
+    # batch 2: a LATE event 30s after t0 (within the gap, before stored end)
+    list(_sessionize((1,), iter([pd.DataFrame({"ts_us": [t0 + 30_000_000]})]), state))
+    start, end, n = state.get
+    assert start == t0
+    assert end == t0 + 60_000_000  # must NOT move backwards
+    assert n == 3
+    # batch 3: event beyond the gap closes the session with correct bounds
+    out = list(
+        _sessionize(
+            (1,), iter([pd.DataFrame({"ts_us": [end + SESSION_GAP_US + 1]})]), state
+        )
+    )
+    closed = out[0].iloc[0]
+    assert closed["session_start_us"] == t0
+    assert closed["session_end_us"] == t0 + 60_000_000
+    assert closed["n_events"] == 3
