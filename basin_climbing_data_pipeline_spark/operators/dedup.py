@@ -474,3 +474,104 @@ FROM cand
 WHERE bit_count(xor(sig_a, sig_b)) <= {SIMHASH_MAX_HAMMING}
 ORDER BY doc_a, doc_b
 """
+
+
+# ---------------------------------------------------------------------------
+# Connected components: pairs -> dedup clusters
+# ---------------------------------------------------------------------------
+
+CLUSTER_JACCARD_MIN = 0.5  # edge threshold over the verified MinHash pairs
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group near-duplicate PAIRS into CLUSTERS (connected components) —
+    the step every dedup pipeline needs between pair generation and
+    keep-one-per-group, and the one Spark has no built-in operator for.
+
+    Implementation: iterative min-label propagation.  Every node starts
+    labeled with its own doc_id; each round, a node takes the minimum label
+    among itself and its neighbors (one equi-join + one groupBy-min per
+    round); converged when a round changes nothing.  Rounds needed = graph
+    diameter — near-dup clusters are shallow (dozens of docs, diameter ≤
+    ~6), so this terminates in a few rounds; a trillion-edge corpus with
+    adversarial chain topology would swap this loop for the
+    large-star/small-star variant (O(log n) rounds, same join shape).
+    ``localCheckpoint`` truncates the plan lineage each round so the
+    iteration count never shows up in plan depth.
+
+    The driver-side loop coordinates jobs (like GraphFrames/Pregel); all
+    DATA stays distributed — the only thing collected per round is the
+    1-number convergence count.
+
+    Output: one row per clustered doc (singletons excluded) with its
+    cluster id (= min doc_id in the component) and the cluster size.
+    """
+    pairs = minhash_lsh_pairs(spark, sf_dir).filter(
+        F.col("jaccard") >= CLUSTER_JACCARD_MIN
+    )
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(32):  # diameter bound; convergence check exits earlier
+        nbr = edges.join(
+            labels.select(F.col("node").alias("dst"), "label"), "dst"
+        ).select(F.col("src").alias("node"), "label")
+        new_labels = (
+            labels.union(nbr).groupBy("node").agg(F.min("label").alias("label"))
+        ).localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    out = (
+        labels.join(sizes, "label")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("label").alias("cluster_id"),
+            "cluster_size",
+        )
+        .orderBy("doc_id")
+    )
+    edges.unpersist()
+    return out
+
+
+def dedup_clusters_sql() -> str:
+    """Oracle: recursive transitive closure (fine at oracle scale; the
+    Spark side is the scale path)."""
+    return f"""
+WITH RECURSIVE pairs AS ({minhash_lsh_pairs_sql()}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs WHERE jaccard >= {CLUSTER_JACCARD_MIN}
+  UNION
+  SELECT doc_b, doc_a FROM pairs WHERE jaccard >= {CLUSTER_JACCARD_MIN}
+),
+reach(node, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT re.node, e.dst FROM reach re JOIN edges e ON re.r = e.src
+),
+labels AS (
+  SELECT node, min(r) AS cluster_id FROM reach GROUP BY node
+),
+sizes AS (
+  SELECT cluster_id, count(*) AS cluster_size FROM labels GROUP BY cluster_id
+)
+SELECT l.node AS doc_id, l.cluster_id, s.cluster_size
+FROM labels l JOIN sizes s USING (cluster_id)
+ORDER BY doc_id
+"""

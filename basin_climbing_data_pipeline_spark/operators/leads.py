@@ -476,3 +476,217 @@ SELECT customer_id,
 FROM tl
 ORDER BY customer_id
 """
+
+
+# acquisition-channel classification (reference build_leads_table.py:480-580):
+# how a customer FIRST came in as a non-member.  Checkin entry methods map via
+# LEAD_SOURCE_BY_ENTRY; purchase categories map here.  Internal events
+# (membership lifecycle, refunds) are never sources.
+LEAD_SOURCE_BY_CATEGORY = {
+    "Day Pass": "Day Pass",
+    "Retail": "Shopify",
+    "Programming": "Programming",
+    "Event Booking": "Event",
+}
+
+
+def leads_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's dedicated leads output (build_leads_table.py:411-649):
+    one row per customer with lead-type activity, with acquisition source,
+    activity/visit/spend summary, conversion + lapse tracking, and contact
+    info coalesced from the parent for children.
+
+    Spark shape: every block is a per-customer aggregate (map-side partial
+    agg + one shuffle on customer_id each), joined on customer_id; the
+    first-acquisition pick is a row_number window over the small filtered
+    acquisition-event set.  No collect, no UDFs; at 100 TB all joins co-hash
+    on customer_id.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.text import map_lookup
+    from .customers import build_customers
+    from .events import build_checkins
+    from .flags import events_unified
+    from .memberships import build_memberships_2024
+    from .transactions import build_transactions
+
+    as_of = F.lit(MASTER_AS_OF).cast("date")
+    cust = build_customers(spark, sf_dir)
+    ck = build_checkins(spark, sf_dir)
+    txn = build_transactions(spark, sf_dir)
+
+    # acquisition events: checkin entry methods first (priority 0), then
+    # purchase categories (priority 1); first chronological wins
+    acq_ck = ck.filter(F.col("entry_method").isin(*LEAD_SOURCE_BY_ENTRY)).select(
+        "customer_id",
+        F.col("checkin_date").alias("acq_date"),
+        F.lit(0).alias("acq_priority"),
+        map_lookup(F.col("entry_method"), LEAD_SOURCE_BY_ENTRY, "Event").alias("acq_source"),
+    )
+    acq_txn = (
+        txn.filter(
+            (~F.col("is_refund"))
+            & F.col("revenue_category").isin(*LEAD_SOURCE_BY_CATEGORY)
+        ).select(
+            "customer_id",
+            F.col("txn_date").alias("acq_date"),
+            F.lit(1).alias("acq_priority"),
+            map_lookup(
+                F.col("revenue_category"), LEAD_SOURCE_BY_CATEGORY, "Other"
+            ).alias("acq_source"),
+        )
+    )
+    acq_w = Window.partitionBy("customer_id").orderBy(
+        "acq_date", "acq_priority", "acq_source"
+    )
+    lead_src = (
+        acq_ck.unionByName(acq_txn)
+        .withColumn("rn", F.row_number().over(acq_w))
+        .filter(F.col("rn") == 1)
+        .select("customer_id", F.col("acq_source").alias("lead_source"))
+    )
+
+    visits = ck.groupBy("customer_id").agg(
+        F.count("*").alias("total_visits"),
+        F.count(F.when(F.col("checkin_date") >= F.date_sub(as_of, 30), 1)).alias(
+            "visit_count_last_30d"
+        ),
+    )
+    ev = events_unified(spark, sf_dir)
+    activity = ev.groupBy("customer_id").agg(
+        F.count("*").alias("timeline_event_count"),
+        F.min("event_date").alias("first_activity_date"),
+        F.max("event_date").alias("last_activity_date"),
+        sum_money(F.col("amount")).alias("total_spend"),
+    )
+    mem = (
+        build_memberships_2024(spark, sf_dir)
+        .groupBy(F.col("owner_id").alias("customer_id"))
+        .agg(
+            F.max(F.col("status") == "ACT").alias("has_active_membership"),
+            F.min("start_date").alias("conversion_date"),
+            F.max(F.when(F.col("status") == "END", F.col("end_date"))).alias(
+                "membership_end_date"
+            ),
+        )
+    )
+    parents = cust.select(
+        F.col("customer_id").alias("p_id"),
+        F.col("email_normalized").alias("p_email"),
+        F.col("phone_e164").alias("p_phone"),
+    )
+    out = (
+        lead_src.join(cust, "customer_id")
+        .join(parents, F.col("parent_customer_id") == F.col("p_id"), "left")
+        .join(activity, "customer_id", "left")
+        .join(visits, "customer_id", "left")
+        .join(mem, "customer_id", "left")
+    )
+    converted = F.col("conversion_date").isNotNull()
+    active = F.coalesce(F.col("has_active_membership"), F.lit(False))
+    return out.select(
+        "customer_id",
+        "first_name",
+        "last_name",
+        F.coalesce("email_normalized", "p_email").alias("email"),
+        F.coalesce("phone_e164", "p_phone").alias("phone"),
+        "is_child",
+        "parent_customer_id",
+        "lead_source",
+        "first_activity_date",
+        "last_activity_date",
+        F.datediff(as_of, F.col("last_activity_date")).alias("days_since_last_activity"),
+        F.coalesce("total_visits", F.lit(0)).alias("total_visits"),
+        F.coalesce("visit_count_last_30d", F.lit(0)).alias("visit_count_last_30d"),
+        F.coalesce("total_spend", F.lit(0.0)).alias("total_spend"),
+        active.alias("has_active_membership"),
+        converted.alias("converted_to_member"),
+        "conversion_date",
+        (converted & ~active).alias("is_lapsed_member"),
+        "membership_end_date",
+        F.coalesce("timeline_event_count", F.lit(0)).alias("timeline_event_count"),
+    ).orderBy("customer_id")
+
+
+def leads_table_sql() -> str:
+    from ..functions.text import map_lookup_sql
+    from .customers import customers_sql
+    from .events import checkins_sql
+    from .flags import events_unified_sql
+    from .memberships import memberships_2024_sql
+    from .transactions import transactions_sql
+
+    as_of = f"DATE '{MASTER_AS_OF}'"
+    entry_map = map_lookup_sql("entry_method", LEAD_SOURCE_BY_ENTRY, "Event")
+    entry_list = ", ".join(f"'{e}'" for e in LEAD_SOURCE_BY_ENTRY)
+    cat_map = map_lookup_sql("revenue_category", LEAD_SOURCE_BY_CATEGORY, "Other")
+    cat_list = ", ".join(f"'{c}'" for c in LEAD_SOURCE_BY_CATEGORY)
+    return f"""
+WITH cust AS ({customers_sql()}),
+ck AS ({checkins_sql()}),
+txn AS ({transactions_sql()}),
+m AS ({memberships_2024_sql()}),
+ev AS ({events_unified_sql()}),
+acq AS (
+  SELECT customer_id, checkin_date AS acq_date, 0 AS acq_priority,
+         {entry_map} AS acq_source
+  FROM ck WHERE entry_method IN ({entry_list})
+  UNION ALL
+  SELECT customer_id, txn_date, 1, {cat_map}
+  FROM txn WHERE NOT is_refund AND revenue_category IN ({cat_list})
+),
+lead_src AS (
+  SELECT customer_id, acq_source AS lead_source FROM (
+    SELECT customer_id, acq_source,
+           row_number() OVER (PARTITION BY customer_id
+                              ORDER BY acq_date, acq_priority, acq_source) AS rn
+    FROM acq
+  ) WHERE rn = 1
+),
+visits AS (
+  SELECT customer_id, count(*) AS total_visits,
+         count(CASE WHEN checkin_date >= {as_of} - 30 THEN 1 END)
+           AS visit_count_last_30d
+  FROM ck GROUP BY customer_id
+),
+activity AS (
+  SELECT customer_id, count(*) AS timeline_event_count,
+         min(event_date) AS first_activity_date,
+         max(event_date) AS last_activity_date,
+         {sum_money_sql('amount')} AS total_spend
+  FROM ev GROUP BY customer_id
+),
+mem AS (
+  SELECT owner_id AS customer_id,
+         bool_or(status = 'ACT') AS has_active_membership,
+         min(start_date) AS conversion_date,
+         max(CASE WHEN status = 'END' THEN end_date END) AS membership_end_date
+  FROM m GROUP BY owner_id
+)
+SELECT ls.customer_id, first_name, last_name,
+       coalesce(email_normalized, p.p_email) AS email,
+       coalesce(phone_e164, p.p_phone) AS phone,
+       is_child, parent_customer_id, lead_source,
+       first_activity_date, last_activity_date,
+       CAST({as_of} - last_activity_date AS INT) AS days_since_last_activity,
+       coalesce(total_visits, 0) AS total_visits,
+       coalesce(visit_count_last_30d, 0) AS visit_count_last_30d,
+       coalesce(total_spend, 0.0) AS total_spend,
+       coalesce(has_active_membership, false) AS has_active_membership,
+       conversion_date IS NOT NULL AS converted_to_member,
+       conversion_date,
+       (conversion_date IS NOT NULL AND NOT coalesce(has_active_membership, false))
+         AS is_lapsed_member,
+       membership_end_date,
+       coalesce(timeline_event_count, 0) AS timeline_event_count
+FROM lead_src ls
+JOIN cust c ON ls.customer_id = c.customer_id
+LEFT JOIN (SELECT customer_id AS p_id, email_normalized AS p_email,
+                  phone_e164 AS p_phone FROM cust) p
+       ON c.parent_customer_id = p.p_id
+LEFT JOIN activity a ON ls.customer_id = a.customer_id
+LEFT JOIN visits v ON ls.customer_id = v.customer_id
+LEFT JOIN mem mm ON ls.customer_id = mm.customer_id
+ORDER BY ls.customer_id
+"""

@@ -82,17 +82,42 @@ def decode_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(_fake_decode, FEATURE_SCHEMA)
 
 
-def decode_image(_payload: bytes) -> object:
-    """Real image decode — requires PIL/opencv, not present in this
-    container.  STUB, kept so the API surface is explicit."""
-    raise NotImplementedError(
-        "image decoding requires PIL/opencv; wire into decode_features._fake_decode"
-    )
+def decode_image(payload: bytes) -> dict:
+    """Byte-level fake image decode (no codec libs in this container).
+
+    Same signature and return contract a PIL/opencv decoder would honor:
+    ``{"width", "height", "pixels"}`` where ``pixels`` is a row-major
+    grayscale bytearray of ``width * height``.  Dimensions derive
+    deterministically from the payload checksum (identical to the
+    ``decode_features`` fake, so the two stay differential-testable), and
+    pixels are the payload bytes tiled to fill the frame.  A real deployment
+    swaps the body for ``PIL.Image.open(io.BytesIO(payload))``.
+    """
+    checksum = sum(payload) % 1_000_000_007
+    width = checksum % 640 + 1
+    height = checksum % 480 + 1
+    n = width * height
+    src = payload if payload else b"\x00"
+    reps = -(-n // len(src))  # ceil-divide: tile payload to cover the frame
+    return {"width": width, "height": height, "pixels": (src * reps)[:n]}
 
 
-def sample_frames(_payload: bytes, _every_n: int = 10) -> object:
-    """Real video frame-sampling — requires ffmpeg.  STUB."""
-    raise NotImplementedError("video frame sampling requires ffmpeg")
+def sample_frames(payload: bytes, every_n: int = 10) -> list[bytes]:
+    """Byte-level fake video frame-sampling (no ffmpeg in this container).
+
+    Treats the payload as fixed-size 64-byte "frames" and keeps every
+    ``every_n``-th one — the same stride-sampling contract an ffmpeg
+    ``select='not(mod(n,N))'`` filter implements.  Short trailing frames are
+    kept, zero-padded, so no payload bytes are silently dropped.
+    """
+    if every_n < 1:
+        raise ValueError("every_n must be >= 1")
+    frame_size = 64
+    frames = [
+        payload[i : i + frame_size].ljust(frame_size, b"\x00")
+        for i in range(0, max(len(payload), 1), frame_size)
+    ]
+    return frames[::every_n]
 
 
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,128 @@
+"""Deterministic sampling for training-data pipelines: hash-bucket
+train/test split and per-source mixture sampling.
+
+At 100 TB you cannot ``ORDER BY rand()`` — sampling must be a pure column
+expression so it (a) needs no shuffle at all (narrow map stage), (b) is
+reproducible run-to-run and engine-to-engine, and (c) assigns a stable
+split to a document no matter which partition, executor, or engine touches
+it.  Both operators therefore bucket on md5 (Spark ``conv(substring(md5))``
+↔ DuckDB ``('0x' || substr(md5(...)))::bigint`` — the same parity trick the
+flags AB assignment uses), never on ``rand()`` or Spark's ``hash()`` (which
+DuckDB cannot reproduce).
+
+Reference analog: the reference's AB experiment bucketing
+(customer_flags_config.py:96-132) is the same stable-hash-percent idea;
+train/test splitting and mixture weighting are the training-data-pipeline
+generalization (BASELINE.json north-star operators).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+
+SPLIT_BUCKETS = 100
+TRAIN_PCT = 80  # buckets [0, 80) → train, [80, 100) → test
+
+# per-source target sampling percentages for the mixture sampler (a corpus
+# recipe: oversample curated sources, downsample bulk crawl); sources not
+# listed fall back to MIXTURE_DEFAULT_PCT
+MIXTURE_PCT_BY_SOURCE = {
+    "src0": 100,
+    "src1": 75,
+    "src2": 50,
+    "src3": 25,
+}
+MIXTURE_DEFAULT_PCT = 10
+
+
+def _md5_bucket(col: Column, buckets: int = SPLIT_BUCKETS) -> Column:
+    """Stable [0, buckets) assignment from the first 8 hex digits of md5 —
+    bit-identical in Spark and DuckDB."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("bigint")
+        % buckets
+    )
+
+
+def _md5_bucket_sql(expr: str, buckets: int = SPLIT_BUCKETS) -> str:
+    return f"('0x' || substr(md5(({expr})::varchar), 1, 8))::bigint % {buckets}"
+
+
+def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document split assignment: pure projection, no shuffle, stable
+    across runs/engines/partitionings."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = _md5_bucket(F.col("doc_id"))
+    return docs.select(
+        "doc_id",
+        "source",
+        b.alias("bucket"),
+        F.when(b < TRAIN_PCT, "train").otherwise("test").alias("split"),
+    ).orderBy("doc_id")
+
+
+def train_test_split_sql() -> str:
+    b = _md5_bucket_sql("doc_id")
+    return f"""
+SELECT doc_id, source, {b} AS bucket,
+       CASE WHEN {b} < {TRAIN_PCT} THEN 'train' ELSE 'test' END AS split
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def mixture_sample_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the per-source mixture recipe and report, per source: corpus
+    size, target percentage, and how many documents the hash-gate kept.
+
+    The gate itself (``bucket < target_pct``) is a narrow filter — the only
+    shuffle in this query is the small per-source summary aggregation."""
+    from ..functions.text import map_lookup
+
+    docs = load_table(spark, sf_dir, "documents")
+    rate_str = map_lookup(
+        F.col("source"),
+        {k: str(v) for k, v in MIXTURE_PCT_BY_SOURCE.items()},
+        str(MIXTURE_DEFAULT_PCT),
+    )
+    gated = docs.select(
+        "source",
+        rate_str.cast("int").alias("target_pct"),
+        (_md5_bucket(F.col("doc_id")) < rate_str.cast("int")).alias("kept"),
+    )
+    return (
+        gated.groupBy("source", "target_pct")
+        .agg(
+            F.count("*").alias("total_docs"),
+            F.sum(F.col("kept").cast("bigint")).alias("sampled_docs"),
+        )
+        .orderBy("source")
+    )
+
+
+def mixture_sample_summary_sql() -> str:
+    from ..functions.text import map_lookup_sql
+
+    rate = map_lookup_sql(
+        "source",
+        {k: str(v) for k, v in MIXTURE_PCT_BY_SOURCE.items()},
+        str(MIXTURE_DEFAULT_PCT),
+    )
+    b = _md5_bucket_sql("doc_id")
+    return f"""
+WITH gated AS (
+  SELECT source,
+         ({rate})::int AS target_pct,
+         ({b} < ({rate})::int) AS kept
+  FROM documents
+)
+SELECT source, target_pct,
+       count(*) AS total_docs,
+       CAST(sum(kept::int) AS BIGINT) AS sampled_docs
+FROM gated
+GROUP BY source, target_pct
+ORDER BY source
+"""

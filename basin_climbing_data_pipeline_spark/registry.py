@@ -98,6 +98,17 @@ register(
     cu.pass_transfer_name_links_sql(),
 )
 register("timeline_json_parse", ld.timeline_json_parse, ld.timeline_json_parse_sql())
+register("leads_table", ld.leads_table, ld.leads_table_sql())
+
+from .operators import sampling as sp  # noqa: E402
+
+register("dedup_clusters", dd.dedup_clusters, dd.dedup_clusters_sql())
+register("train_test_split", sp.train_test_split, sp.train_test_split_sql())
+register(
+    "mixture_sample_summary",
+    sp.mixture_sample_summary,
+    sp.mixture_sample_summary_sql(),
+)
 
 # --- driver-green in round 1 ----------------------------------------------
 

@@ -93,3 +93,43 @@ def explode_membership_roster(spark: SparkSession, path: str) -> DataFrame:
         F.col("member.first_name").alias("first_name"),
         F.col("member.last_name").alias("last_name"),
     )
+
+
+def list_keys(root: str, prefix: str = "") -> list[str]:
+    """S7 list-keys catalog scan (reference upload_data.py:48-64).
+
+    The reference paginates ``list_objects_v2`` over an object-store prefix
+    and returns the flat key list.  The engine analog treats a filesystem
+    directory as the store: keys are slash-delimited paths relative to
+    ``root``, filtered by ``prefix``, sorted for determinism.  Listing is a
+    control-plane operation (the store's index, not the data), so it runs
+    driver-side just as boto3's paginator does — the data-plane stays in
+    Spark via ``catalog_scan``.
+    """
+    import os
+
+    keys = []
+    for dirpath, _dirnames, filenames in os.walk(root):
+        rel = os.path.relpath(dirpath, root)
+        for fn in filenames:
+            key = fn if rel == "." else f"{rel}/{fn}".replace(os.sep, "/")
+            if key.startswith(prefix):
+                keys.append(key)
+    return sorted(keys)
+
+
+def catalog_scan(spark: SparkSession, root: str, prefix: str = "") -> DataFrame:
+    """The listed keys as a DataFrame with object sizes, so catalog audits
+    (orphaned files, size-by-table rollups) run as ordinary queries."""
+    import os
+
+    rows = [
+        (k, int(os.path.getsize(os.path.join(root, k)))) for k in list_keys(root, prefix)
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("key", T.StringType(), False),
+            T.StructField("size_bytes", T.LongType(), False),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)

@@ -18,11 +18,31 @@ def test_media_features_deterministic(spark, sf_dir):
         assert r[1] == r[2]  # meta_bytes == decoded n_bytes
 
 
-def test_decode_stubs_raise():
-    with pytest.raises(NotImplementedError):
-        mm.decode_image(b"x")
-    with pytest.raises(NotImplementedError):
-        mm.sample_frames(b"x")
+def test_decode_image_fake_contract():
+    payload = b"hello world, this is a fake image payload"
+    img = mm.decode_image(payload)
+    checksum = sum(payload) % 1_000_000_007
+    assert img["width"] == checksum % 640 + 1
+    assert img["height"] == checksum % 480 + 1
+    assert len(img["pixels"]) == img["width"] * img["height"]
+    # pixels tile the payload, so the prefix must equal the payload itself
+    assert bytes(img["pixels"][: len(payload)]) == payload
+    assert mm.decode_image(payload) == img  # deterministic
+    empty = mm.decode_image(b"")
+    assert len(empty["pixels"]) == empty["width"] * empty["height"]
+
+
+def test_sample_frames_stride_and_padding():
+    payload = bytes(range(200))  # 4 frames: 64+64+64+8
+    frames = mm.sample_frames(payload, every_n=1)
+    assert len(frames) == 4
+    assert all(len(f) == 64 for f in frames)
+    assert frames[0] == payload[:64]
+    assert frames[3] == payload[192:].ljust(64, b"\x00")
+    assert mm.sample_frames(payload, every_n=2) == frames[::2]
+    assert mm.sample_frames(b"", every_n=1) == [b"\x00" * 64]
+    with pytest.raises(ValueError):
+        mm.sample_frames(payload, every_n=0)
 
 
 def test_enrich_incremental_only_processes_delta(spark, sf_dir):
@@ -78,3 +98,31 @@ def test_json_flatten_and_roster_explode(spark, tmp_path):
     roster = readers.explode_membership_roster(spark, str(p))
     assert roster.count() == 3
     assert {r["customer_id"] for r in roster.collect()} == {10, 11, 20}
+
+
+def test_list_keys_and_catalog_scan(spark, tmp_path):
+    (tmp_path / "tables" / "t1").mkdir(parents=True)
+    (tmp_path / "tables" / "t2").mkdir()
+    (tmp_path / "tables" / "t1" / "part-0.parquet").write_bytes(b"x" * 10)
+    (tmp_path / "tables" / "t1" / "part-1.parquet").write_bytes(b"y" * 20)
+    (tmp_path / "tables" / "t2" / "part-0.parquet").write_bytes(b"z" * 5)
+    (tmp_path / "manifest.json").write_text("{}")
+    root = str(tmp_path)
+    assert readers.list_keys(root) == [
+        "manifest.json",
+        "tables/t1/part-0.parquet",
+        "tables/t1/part-1.parquet",
+        "tables/t2/part-0.parquet",
+    ]
+    assert readers.list_keys(root, prefix="tables/t1/") == [
+        "tables/t1/part-0.parquet",
+        "tables/t1/part-1.parquet",
+    ]
+    cat = readers.catalog_scan(spark, root, prefix="tables/")
+    by_table = {
+        r["tbl"]: r["total"]
+        for r in cat.groupBy(F.split("key", "/")[1].alias("tbl"))
+        .agg(F.sum("size_bytes").alias("total"))
+        .collect()
+    }
+    assert by_table == {"t1": 30, "t2": 5}

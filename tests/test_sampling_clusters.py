@@ -1,0 +1,64 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from basin_climbing_data_pipeline_spark.operators import dedup as dd
+from basin_climbing_data_pipeline_spark.operators import sampling as sp
+
+
+def test_train_test_split_stable_and_partition_invariant(spark, sf_dir):
+    a = {(r.doc_id, r.split) for r in sp.train_test_split(spark, sf_dir).collect()}
+    # same assignment regardless of physical partitioning
+    b = {
+        (r.doc_id, r.split)
+        for r in sp.train_test_split(spark, sf_dir).repartition(13).collect()
+    }
+    assert a == b and len(a) > 0
+    train = sum(1 for _, s in a if s == "train")
+    # md5 buckets are uniform-ish: train share within 10pp of the 80% target
+    assert abs(train / len(a) - 0.80) < 0.10
+
+
+def test_mixture_summary_respects_targets(spark, sf_dir):
+    rows = sp.mixture_sample_summary(spark, sf_dir).collect()
+    assert {r.source for r in rows} >= {"src0", "src1"}
+    for r in rows:
+        assert 0 <= r.sampled_docs <= r.total_docs
+        if r.target_pct == 100:
+            assert r.sampled_docs == r.total_docs
+        if r.target_pct == 0:
+            assert r.sampled_docs == 0
+
+
+def test_dedup_clusters_are_components(spark, sf_dir):
+    pairs = (
+        dd.minhash_lsh_pairs(spark, sf_dir)
+        .filter(F.col("jaccard") >= dd.CLUSTER_JACCARD_MIN)
+        .select("doc_a", "doc_b")
+        .collect()
+    )
+    got = {
+        r.doc_id: (r.cluster_id, r.cluster_size)
+        for r in dd.dedup_clusters(spark, sf_dir).collect()
+    }
+    # union-find ground truth on the same edges
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs:
+        parent[find(r.doc_a)] = find(r.doc_b)
+    comps: dict[int, set[int]] = {}
+    for n in parent:
+        comps.setdefault(find(n), set()).add(n)
+    expected = {
+        n: (min(members), len(members))
+        for members in comps.values()
+        for n in members
+    }
+    assert got == expected
+    assert len(got) > 0
