@@ -296,35 +296,38 @@ def _raw_flags(spark: SparkSession, sf_dir: str, as_of_date) -> DataFrame:
     )
     base = base.join(gaps, "customer_id", "left")
 
+    # All base-derived rules fire in ONE pass over `base`: each rule is a
+    # conditional struct, nulls compacted away, then exploded.  A per-rule
+    # `base.filter(cond)` union would make Spark re-evaluate the whole
+    # base DAG (two aggregations + a window join) once per rule — 6× the
+    # scans at any scale for identical output.
     def flag(cond, name, priority, trigger_date, persistent=False):
-        return base.filter(cond).select(
-            "customer_id",
-            F.lit(name).alias("flag_type"),
-            trigger_date.alias("triggered_date"),
-            F.lit(priority).alias("priority"),
-            F.lit(persistent).alias("is_persistent"),
+        return F.when(
+            cond,
+            F.struct(
+                F.lit(name).alias("flag_type"),
+                trigger_date.cast("date").alias("triggered_date"),
+                F.lit(priority).alias("priority"),
+                F.lit(persistent).alias("is_persistent"),
+            ),
         )
 
     no_mem = F.col("first_mem_start").isNull()
-    flags = (
-        flag(
-            (F.col("visits_14d") >= 3) & no_mem,
-            "ready_for_membership",
-            "high",
-            F.col("last_visit"),
-        )
-        .unionByName(
-            flag(F.col("visits_30d") >= 8, "frequent_visitor", "medium", F.col("last_visit"))
-        )
-        .unionByName(
+    base_rules = F.array_compact(
+        F.array(
+            flag(
+                (F.col("visits_14d") >= 3) & no_mem,
+                "ready_for_membership",
+                "high",
+                F.col("last_visit"),
+            ),
+            flag(F.col("visits_30d") >= 8, "frequent_visitor", "medium", F.col("last_visit")),
             flag(
                 F.col("return_date").isNotNull(),
                 "returning_after_break",
                 "medium",
                 F.col("return_date"),
-            )
-        )
-        .unionByName(
+            ),
             flag(
                 F.col("last_mem_start").isNotNull()
                 & (F.col("last_mem_start") > F.date_sub(as_of, 14))
@@ -332,9 +335,7 @@ def _raw_flags(spark: SparkSession, sf_dir: str, as_of_date) -> DataFrame:
                 "new_member",
                 "low",
                 F.col("last_mem_start"),
-            )
-        )
-        .unionByName(
+            ),
             flag(
                 F.col("last_mem_end").isNotNull()
                 & (F.col("last_mem_end") > F.date_sub(as_of, 30))
@@ -346,11 +347,13 @@ def _raw_flags(spark: SparkSession, sf_dir: str, as_of_date) -> DataFrame:
                 "membership_cancelled_winback",
                 "high",
                 F.col("last_mem_end"),
-            )
+            ),
+            flag(F.col("has_active") == 1, "active-membership", "low", as_of, persistent=True),
         )
-        .unionByName(
-            flag(F.col("has_active") == 1, "active-membership", "low", as_of, persistent=True)
-        )
+    )
+    flags = (
+        base.select("customer_id", F.explode(base_rules).alias("f"))
+        .select("customer_id", "f.*")
     )
     has_youth = (
         build_customers(spark, sf_dir)
@@ -419,8 +422,21 @@ def _raw_flags(spark: SparkSession, sf_dir: str, as_of_date) -> DataFrame:
             F.lit(False).alias("is_persistent"),
         )
 
-    flags = flags.unionByName(simple(eligible, "first_time_day_pass_2wk_offer", "high"))
-    flags = flags.unionByName(simple(eligible, "second_visit_offer_eligible", "high"))
+    # both offer flags from one scan of `eligible` (its dp/anti-join DAG
+    # would otherwise run twice)
+    offer_pair = eligible.select(
+        "customer_id",
+        F.explode(
+            F.array(
+                F.lit("first_time_day_pass_2wk_offer"),
+                F.lit("second_visit_offer_eligible"),
+            )
+        ).alias("flag_type"),
+        as_of.alias("triggered_date"),
+        F.lit("high").alias("priority"),
+        F.lit(False).alias("is_persistent"),
+    )
+    flags = flags.unionByName(offer_pair)
 
     # --- 2-week pass purchase (reference :639-718) ------------------------
     flags = flags.unionByName(simple(two_week_owners, "2_week_pass_purchase", "medium"))
@@ -479,8 +495,13 @@ def build_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     phase1_d = as_of_d - _dt.timedelta(days=PHASE1_LAG_DAYS)
     as_of = F.lit(as_of_d.strftime("%Y-%m-%d")).cast("date")
 
-    raw_now = _raw_flags(spark, sf_dir, as_of_d)
-    raw_p1 = _raw_flags(spark, sf_dir, phase1_d)
+    # Each raw-flag evaluation is referenced several times below (cooldown
+    # anti-join, step-2 seed, active-now suppression).  The outputs are
+    # per-customer flag rows — tiny relative to the event history they
+    # summarize at any scale — so checkpoint them once instead of letting
+    # every downstream reference re-run the whole rule DAG.
+    raw_now = _raw_flags(spark, sf_dir, as_of_d).localCheckpoint()
+    raw_p1 = _raw_flags(spark, sf_dir, phase1_d).localCheckpoint()
 
     # 2. offer cooldown
     is_offer = F.col("flag_type").isin(*OFFER_FLAG_TYPES)
@@ -550,7 +571,8 @@ def build_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    all_flags = cooled.unionByName(sv2).unionByName(fifty)
+    # referenced twice below (family join + parent-suppression anti-join)
+    all_flags = cooled.unionByName(sv2).unionByName(fifty).localCheckpoint()
 
     # 5. child propagation + parent suppression
     cust = build_customers(spark, sf_dir).select(

