@@ -110,6 +110,11 @@ register(
     sp.mixture_sample_summary_sql(),
 )
 
+# --- round-1 driver hash-fails, re-verify first (oracle casts fixed) ------
+
+register("period_snapshots", co.period_snapshots, co.period_snapshots_sql())
+register("checkin_sessions", ev.checkin_sessions, ev.checkin_sessions_sql())
+
 # --- driver-green in round 1 ----------------------------------------------
 
 register("transactions_build", txn.build_transactions, txn.transactions_sql())
@@ -146,7 +151,6 @@ register("trailing_window_counts", ev.trailing_window_counts, ev.trailing_window
 register("entry_method_counts", ev.entry_method_counts, ev.entry_method_counts_sql())
 register("daily_checkin_stats", ev.daily_checkin_stats, ev.daily_checkin_stats_sql())
 register("proximity_connections", ev.proximity_connections, ev.proximity_connections_sql())
-register("checkin_sessions", ev.checkin_sessions, ev.checkin_sessions_sql())
 register("returning_after_break", ev.returning_after_break, ev.returning_after_break_sql())
 
 register("memberships_build", mem.build_memberships, mem.memberships_sql())
@@ -196,7 +200,6 @@ register(
 register("family_relationships", cu.family_relationships, cu.family_relationships_sql())
 
 register("conversion_cohorts", co.conversion_cohorts, co.conversion_cohorts_sql())
-register("period_snapshots", co.period_snapshots, co.period_snapshots_sql())
 register("top_spenders", co.top_spenders, co.top_spenders_sql())
 register("customer_mode_category", co.customer_mode_category, co.customer_mode_category_sql())
 register("refund_distribution", co.refund_distribution, co.refund_distribution_sql())
