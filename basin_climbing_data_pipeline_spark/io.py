@@ -33,20 +33,34 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize the events ``ts`` column to TIMESTAMP (session-TZ=UTC)
+    regardless of how the parquet writer encoded it: TIMESTAMP(NANOS) read
+    as long via nanosAsLong, timestamp[us] without timezone (TIMESTAMP_NTZ),
+    or an already-LTZ timestamp.  Different testdata generations have used
+    different encodings; downstream operators all assume plain TIMESTAMP."""
+    from pyspark.sql import functions as F
+
+    t = dict(df.dtypes).get("ts")
+    if t in ("bigint", "long"):
+        # integer division — nanos (~1.7e18) overflow double precision, so a
+        # float divide here would be off by ±1 µs
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if t == "timestamp_ntz":
+        # naive-UTC semantics: with session TZ pinned to UTC the cast keeps
+        # the wall-clock instant bit-identical
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; catalog: {TABLES}")
     if name == "events":
-        # events.ts is TIMESTAMP(NANOS) parquet, which the Spark vectorized
-        # reader rejects; read nanos as long and floor-convert to a
-        # microsecond timestamp (matches DuckDB's ns->us truncation).
+        # TIMESTAMP(NANOS) parquet is rejected by the vectorized reader;
+        # read nanos as long (no-op for other encodings) and normalize.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        from pyspark.sql import functions as F
-
-        # integer division — nanos (~1.7e18) overflow double precision, so a
-        # float divide here would be off by ±1 µs
-        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return normalize_event_ts(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -56,14 +56,21 @@ class _stream_partitions:
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """readStream over the events parquet with the nanos→micros conversion."""
+    """readStream over the events parquet, ts normalized to TIMESTAMP.
+
+    File streams need the schema up front; peek at the batch footer (a
+    metadata-only read) so the stream adapts to whichever ts encoding the
+    current testdata generation uses (see io.normalize_event_ts)."""
+    from ..io import normalize_event_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     raw = (
-        spark.readStream.schema(EVENTS_NANOS_SCHEMA)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return normalize_event_ts(raw)
 
 
 def windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
