@@ -47,8 +47,15 @@ def normalize_event_ts(df: DataFrame) -> DataFrame:
         # float divide here would be off by ±1 µs
         return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     if t == "timestamp_ntz":
-        # naive-UTC semantics: with session TZ pinned to UTC the cast keeps
-        # the wall-clock instant bit-identical
+        # naive-UTC semantics: the cast keeps the wall-clock instant
+        # bit-identical ONLY when the session TZ is UTC — fail loudly on a
+        # session not built by session.get_spark() instead of skewing instants
+        tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+        if tz != "UTC":
+            raise ValueError(
+                f"normalize_event_ts requires spark.sql.session.timeZone=UTC "
+                f"(got {tz!r}); NTZ->LTZ cast would shift instants"
+            )
         return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 

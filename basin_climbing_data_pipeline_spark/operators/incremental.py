@@ -57,6 +57,42 @@ def replace_window_merge(
     )
 
 
+def replace_bounded_window_merge(
+    existing: DataFrame,
+    fresh: DataFrame,
+    date_col: str,
+    window_start,
+    window_end,
+    id_col: str,
+    order_cols: list[str],
+) -> DataFrame:
+    """Order-insensitive variant of :func:`replace_window_merge` for streamed
+    re-fetch windows that may arrive in ANY order (Spark's file source gives
+    no ordering guarantee): keep existing rows strictly OUTSIDE
+    ``[window_start, window_end]`` — on *both* sides, so a window processed
+    before a later one never deletes that later window's rows — splice the
+    fresh rows inside the window, dedup by id with fresh-wins.
+
+    ``replace_window_merge`` (one-sided) remains correct for the cron-batch
+    path where windows are refetched in ascending order and the newest window
+    is authoritative for everything after its start."""
+    kept = existing.filter(
+        (F.col(date_col) < F.lit(window_start)) | (F.col(date_col) > F.lit(window_end))
+    ).withColumn("_is_fresh", F.lit(0))
+    incoming = fresh.filter(
+        (F.col(date_col) >= F.lit(window_start)) & (F.col(date_col) <= F.lit(window_end))
+    ).withColumn("_is_fresh", F.lit(1))
+    unioned = kept.unionByName(incoming)
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("_is_fresh"), *[F.col(c) for c in order_cols]
+    )
+    return (
+        unioned.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_is_fresh")
+    )
+
+
 def append_if_absent(existing: DataFrame, incoming: DataFrame, id_col: str) -> DataFrame:
     """ST4: append only rows whose id is not already present."""
     new_rows = incoming.join(existing.select(id_col), id_col, "left_anti")

@@ -2,10 +2,14 @@
 window-splice merge (reference pipeline_handler.py:429-479 daily re-fetch,
 run as a stream instead of a cron batch).
 
-Each micro-batch is one "re-fetched window": ``replace_window_merge`` keeps
-stored rows older than the batch's window start, splices the fresh rows in,
-and dedups by id (fresh wins) — so overlapping windows replayed across
-batches never duplicate.  The merged table is written to a new version
+Each micro-batch is one "re-fetched window".  Spark's file source gives NO
+ordering guarantee across files, so the merge must be order-insensitive:
+``replace_bounded_window_merge`` keeps stored rows strictly outside the
+batch's own ``[min_date, max_date]`` span — on both sides, so an
+earlier-window batch processed after a later-window one never deletes the
+later window's rows — splices the fresh rows in, and dedups by id (fresh
+wins).  Overlapping windows replayed across batches therefore never
+duplicate and never drop.  The merged table is written to a new version
 directory per batch and the latest version is the table (the
 write-new-then-swap discipline; at scale this is Delta MERGE or dynamic
 partition overwrite — same plan shape, transactional commit instead of a
@@ -13,7 +17,7 @@ version pointer).
 
 Differential contract (tests/test_foreachbatch_merge.py): streaming the
 events table as overlapping window files through this sink equals the batch
-dedup of the same data.
+dedup of the same data, regardless of file arrival order.
 """
 
 from __future__ import annotations
@@ -23,8 +27,9 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.incremental import replace_window_merge
-from .events_stream import EVENTS_NANOS_SCHEMA, _stream_partitions
+from ..io import normalize_event_ts
+from ..operators.incremental import replace_bounded_window_merge
+from .events_stream import _stream_partitions
 
 
 def merge_stream(
@@ -32,17 +37,23 @@ def merge_stream(
 ) -> DataFrame:
     """Stream event files from ``source_dir`` (one micro-batch per file via
     maxFilesPerTrigger) and maintain a merged table under ``target_dir``.
-    Returns the final merged table."""
+    Returns the final merged table.
+
+    The source schema is peeked from the parquet footers (metadata-only
+    read) so the stream adapts to whichever ts encoding the files use —
+    nanos-as-long, TIMESTAMP_NTZ, or LTZ — via the same
+    ``normalize_event_ts`` path as ``io.load_table``."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(source_dir).schema
     raw = (
-        spark.readStream.schema(EVENTS_NANOS_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(source_dir)
     )
-    stream = raw.select(
+    stream = normalize_event_ts(raw).select(
         "event_id",
-        F.expr("ts div 1000").alias("ts_us"),
-        F.to_date(F.expr("timestamp_micros(ts div 1000)")).alias("event_date"),
+        F.unix_micros("ts").alias("ts_us"),
+        F.to_date("ts").alias("event_date"),
         "user_id",
         "event_type",
         "value",
@@ -54,14 +65,19 @@ def merge_stream(
             existing = spark.createDataFrame([], batch_df.schema)
         else:
             existing = spark.read.parquet(versions[-1])
-        window_start = batch_df.agg(F.min("event_date")).collect()[0][0]
-        if window_start is None:  # empty batch
+        # one scalar pair per micro-batch on the driver — foreachBatch runs
+        # driver-side by contract; at scale this comes from file metadata
+        bounds = batch_df.agg(
+            F.min("event_date").alias("lo"), F.max("event_date").alias("hi")
+        ).collect()[0]
+        if bounds["lo"] is None:  # empty batch
             return
-        merged = replace_window_merge(
+        merged = replace_bounded_window_merge(
             existing,
             batch_df,
             "event_date",
-            window_start.strftime("%Y-%m-%d"),
+            bounds["lo"].strftime("%Y-%m-%d"),
+            bounds["hi"].strftime("%Y-%m-%d"),
             "event_id",
             ["ts_us", "event_id"],
         )

@@ -38,6 +38,32 @@ def test_replace_window_merge_dedup_deterministic(spark):
     assert len(rows) == 1 and rows[0]["v"] == 6  # lowest v wins by order_cols
 
 
+def test_bounded_merge_order_insensitive(spark):
+    """Applying re-fetch windows in ANY order yields the same table — the
+    bounded merge never deletes rows outside the batch's own span (the bug
+    the one-sided merge had when a later window was processed first)."""
+    d = dt.date
+    w_early = _df(spark, [("a", d(2024, 1, 2), 1), ("b", d(2024, 1, 5), 2)])
+    w_late = _df(spark, [("b", d(2024, 1, 5), 20), ("c", d(2024, 1, 9), 3)])
+
+    def apply(existing, fresh):
+        bounds = fresh.agg(F.min("d").alias("lo"), F.max("d").alias("hi")).collect()[0]
+        return inc.replace_bounded_window_merge(
+            existing, fresh, "d", bounds["lo"], bounds["hi"], "id", ["d", "v"]
+        )
+
+    empty = spark.createDataFrame([], "id string, d date, v int")
+    fwd = apply(apply(empty, w_early), w_late)
+    rev = apply(apply(empty, w_late), w_early)
+    got_fwd = {(r["id"], r["v"]) for r in fwd.collect()}
+    got_rev = {(r["id"], r["v"]) for r in rev.collect()}
+    # forward: b refreshed by the later window.  reverse: the early window
+    # must NOT delete c (outside its span); its b copy overlaps the stored
+    # span so fresh-wins puts the early value back — both orders keep all ids
+    assert got_fwd == {("a", 1), ("b", 20), ("c", 3)}
+    assert {i for i, _ in got_rev} == {"a", "b", "c"}
+
+
 def test_append_if_absent(spark):
     d = dt.date
     existing = _df(spark, [("a", d(2024, 1, 1), 1)])
