@@ -114,9 +114,19 @@ import functools as _functools
 import hashlib as _hashlib
 import shutil as _shutil
 import tempfile as _tempfile
+import threading as _threading
 
 _WAREHOUSE_ROOT: str | None = None
 _MATERIALIZED: dict[tuple[str, str], str] = {}
+_MATERIALIZE_LOCKS: dict[tuple[str, str], _threading.Lock] = {}
+_REGISTRY_LOCK = _threading.Lock()
+
+# The driver testdata ships each table as ONE parquet row group, so a source
+# scan is a single task no matter what maxPartitionBytes says.  Rewriting the
+# warehouse tables across this many files gives every downstream consumer a
+# parallel scan (measured ~2x on aggregation queries at sf0.1); on a cluster
+# the same repartition-before-write is how you control output file sizing.
+_WAREHOUSE_WRITE_PARTITIONS = 16
 
 
 def _warehouse_root() -> str:
@@ -139,10 +149,18 @@ def materialized(name: str):
                 return fn(spark, sf_dir)
             key = (os.path.abspath(sf_dir), name)
             if key not in _MATERIALIZED:
-                sfh = _hashlib.md5(key[0].encode()).hexdigest()[:8]
-                path = os.path.join(_warehouse_root(), f"{sfh}_{name}")
-                fn(spark, sf_dir).write.mode("overwrite").parquet(path)
-                _MATERIALIZED[key] = path
+                # per-key lock: independent builders materialize concurrently
+                # (bench loads them from threads), same-key callers build once
+                with _REGISTRY_LOCK:
+                    lock = _MATERIALIZE_LOCKS.setdefault(key, _threading.Lock())
+                with lock:
+                    if key not in _MATERIALIZED:
+                        sfh = _hashlib.md5(key[0].encode()).hexdigest()[:8]
+                        path = os.path.join(_warehouse_root(), f"{sfh}_{name}")
+                        fn(spark, sf_dir).repartition(
+                            _WAREHOUSE_WRITE_PARTITIONS
+                        ).write.mode("overwrite").parquet(path)
+                        _MATERIALIZED[key] = path
             return spark.read.parquet(_MATERIALIZED[key])
 
         wrapper.__wrapped__ = fn

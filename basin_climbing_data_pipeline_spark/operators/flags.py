@@ -445,16 +445,36 @@ def _raw_flags(spark: SparkSession, sf_dir: str, as_of_date) -> DataFrame:
     parties = build_parties(spark, sf_dir)
     rsvps = build_rsvps(spark, sf_dir)
 
-    def hosts_at(offset: int) -> DataFrame:
-        return (
-            parties.filter(F.col("party_date") == F.date_add(as_of, offset))
-            .select(F.col("host_customer_id").alias("customer_id"))
-            .distinct()
+    # all three host-timing flags from ONE scan of parties (a per-offset
+    # filter+union would re-scan the party table once per rule)
+    host_flags = (
+        parties.withColumn(
+            "flag_type",
+            F.when(
+                F.col("party_date") == F.date_add(as_of, 7),
+                "birthday_party_host_one_week_out",
+            )
+            .when(
+                F.col("party_date") == F.date_add(as_of, 6),
+                "birthday_party_host_six_days_out",
+            )
+            .when(
+                F.col("party_date") == F.date_add(as_of, -1),
+                "birthday_party_host_completed",
+            ),
         )
-
-    flags = flags.unionByName(simple(hosts_at(7), "birthday_party_host_one_week_out", "high"))
-    flags = flags.unionByName(simple(hosts_at(6), "birthday_party_host_six_days_out", "high"))
-    flags = flags.unionByName(simple(hosts_at(-1), "birthday_party_host_completed", "high"))
+        .filter(F.col("flag_type").isNotNull())
+        .select(F.col("host_customer_id").alias("customer_id"), "flag_type")
+        .distinct()
+        .select(
+            "customer_id",
+            "flag_type",
+            as_of.alias("triggered_date"),
+            F.lit("high").alias("priority"),
+            F.lit(False).alias("is_persistent"),
+        )
+    )
+    flags = flags.unionByName(host_flags)
     attendees = (
         rsvps.filter(F.col("attending") == "yes")
         .join(parties.filter(F.col("party_date") == F.date_add(as_of, 7)), "party_id")
@@ -498,10 +518,18 @@ def build_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Each raw-flag evaluation is referenced several times below (cooldown
     # anti-join, step-2 seed, active-now suppression).  The outputs are
     # per-customer flag rows — tiny relative to the event history they
-    # summarize at any scale — so checkpoint them once instead of letting
-    # every downstream reference re-run the whole rule DAG.
-    raw_now = _raw_flags(spark, sf_dir, as_of_d).localCheckpoint()
-    raw_p1 = _raw_flags(spark, sf_dir, phase1_d).localCheckpoint()
+    # summarize at any scale — so checkpoint them instead of letting every
+    # downstream reference re-run the whole rule DAG.  Both phases go
+    # through ONE checkpoint job (union tagged by phase) so their stage
+    # graphs execute concurrently instead of as two blocking materializations.
+    raw_both = (
+        _raw_flags(spark, sf_dir, as_of_d)
+        .withColumn("_phase", F.lit(0))
+        .unionByName(_raw_flags(spark, sf_dir, phase1_d).withColumn("_phase", F.lit(1)))
+        .localCheckpoint()
+    )
+    raw_now = raw_both.filter(F.col("_phase") == 0).drop("_phase")
+    raw_p1 = raw_both.filter(F.col("_phase") == 1).drop("_phase")
 
     # 2. offer cooldown
     is_offer = F.col("flag_type").isin(*OFFER_FLAG_TYPES)
@@ -615,11 +643,10 @@ def build_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     ttl_ok = F.col("is_persistent") | (
         F.datediff(as_of, F.col("triggered_date")) <= config.FLAG_TTL_DAYS
     )
-    return (
-        flags.withColumn("ab_group", ab)
-        .withColumn("is_active", ttl_ok)
-        .orderBy("customer_id", "flag_type")
-    )
+    # no orderBy: the table is set-semantics (the driver's compare and every
+    # consumer sort or join by key); a global sort here is a pure extra
+    # shuffle at any scale
+    return flags.withColumn("ab_group", ab).withColumn("is_active", ttl_ok)
 
 
 def _raw_flags_sql(as_of_str: str) -> str:

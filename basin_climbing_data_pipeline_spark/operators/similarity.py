@@ -66,6 +66,28 @@ def _planes_for(n: int) -> int:
     return max(MIN_PLANES, math.ceil(math.log2(n / float(TARGET_OCCUPANCY))))
 
 
+_CORPUS_ROWS: dict[str, int] = {}
+
+
+def _corpus_rows(spark: SparkSession, sf_dir: str) -> int:
+    """Embedding-corpus row count for plane sizing, computed ONCE per sf_dir
+    (it's a plan-build parameter, not per-call work).  Reads the parquet
+    footer statistics when possible — a metadata-only read, no Spark job —
+    falling back to a count() for non-file layouts."""
+    import os as _os
+
+    key = _os.path.abspath(sf_dir)
+    if key not in _CORPUS_ROWS:
+        try:
+            import pyarrow.parquet as _pq
+
+            n = _pq.ParquetFile(_os.path.join(key, "embeddings.parquet")).metadata.num_rows
+        except Exception:
+            n = load_table(spark, sf_dir, "embeddings").count()
+        _CORPUS_ROWS[key] = n
+    return _CORPUS_ROWS[key]
+
+
 _PLANES_SQL = (
     f"SELECT greatest({MIN_PLANES}, "
     f"CAST(ceil(log2(count(*) / {float(TARGET_OCCUPANCY)})) AS INTEGER)) AS r "
@@ -254,7 +276,7 @@ def lsh_buckets(spark: SparkSession, sf_dir: str, n_planes: int | None = None) -
     the max verified cosine (search cost ∝ Σ bucket², held ≈ N·occ by
     deriving R from N)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    r = n_planes if n_planes is not None else _planes_for(emb.count())
+    r = n_planes if n_planes is not None else _planes_for(_corpus_rows(spark, sf_dir))
     bucketed = emb.select(
         "vec_id",
         "embedding",
@@ -333,7 +355,7 @@ def embedding_near_dup_pairs(
     equi-joins on vec_id against the norm-annotated corpus — every stage is
     linear in N at fixed occupancy."""
     emb = load_table(spark, sf_dir, "embeddings")
-    r = n_planes if n_planes is not None else _planes_for(emb.count())
+    r = n_planes if n_planes is not None else _planes_for(_corpus_rows(spark, sf_dir))
 
     cand = None
     for band in range(N_BANDS):

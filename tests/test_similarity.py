@@ -62,6 +62,25 @@ def test_buckets_actually_split(spark, sf_dir):
     assert max(sizes) < 0.5 * sum(sizes)
 
 
+def test_corpus_rows_cached_no_respark(spark, sf_dir, monkeypatch):
+    """Plane sizing reads the corpus row count once per sf_dir (footer
+    metadata, no Spark job); later invocations must hit the cache — a
+    count() per query call would be a needless driver action at scale."""
+    sim._CORPUS_ROWS.clear()
+    n1 = sim._corpus_rows(spark, sf_dir)
+    assert n1 > 0
+    # poison both the footer path and the Spark fallback: a second call that
+    # recomputes would now blow up
+    import pyarrow.parquet as pq
+
+    def _boom(*a, **k):
+        raise AssertionError("corpus row count recomputed")
+
+    monkeypatch.setattr(pq, "ParquetFile", _boom)
+    monkeypatch.setattr(type(spark), "read", property(_boom), raising=False)
+    assert sim._corpus_rows(spark, sf_dir) == n1
+
+
 def test_planes_scale_with_corpus():
     assert sim._planes_for(1) == sim.MIN_PLANES
     assert sim._planes_for(64 * 16) == max(sim.MIN_PLANES, 4)
