@@ -110,3 +110,23 @@ TLD_TYPO_MAP: dict[str, str] = {
     ".nte": ".net",
     ".ogr": ".org",
 }
+
+# Expense categorization (reference categorize_expenses.py:13-38): EXACT-match
+# many-to-one rollup of granular ledger categories into the two high-level
+# groups the dashboard shows; everything else maps to NULL and is excluded
+# (categorize_expense returns None, :40-62).  The granular vocabulary here is
+# the testdata's vendor brand codes standing in for QuickBooks category strings;
+# the mechanism (exact match after strip, None default) is the operator.
+# 13 granular keys -> Payroll, 5 -> Marketing, mirroring the reference's
+# 13/5 split; the remaining 7 vendor codes are intentionally unmapped.
+EXPENSE_CATEGORY_MAPPINGS: dict[str, list[str]] = {
+    "Payroll": [f"Brand#{i}" for i in range(1, 14)],
+    "Marketing": [f"Brand#{i}" for i in range(14, 19)],
+}
+
+# inverted granular -> high-level lookup (first-registered wins, dict order)
+EXPENSE_CATEGORY_BY_RAW: dict[str, str] = {
+    raw: high
+    for high, raws in EXPENSE_CATEGORY_MAPPINGS.items()
+    for raw in raws
+}

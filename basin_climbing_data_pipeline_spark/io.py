@@ -137,6 +137,42 @@ def _warehouse_root() -> str:
     return _WAREHOUSE_ROOT
 
 
+_TRACKED_CACHES: list[DataFrame] = []
+
+
+def tracked_persist(df: DataFrame) -> DataFrame:
+    """``persist()`` with session hygiene.
+
+    Catalyst plans a self-join (or two aggregations) over the same expensive
+    subtree as independent subtrees — no exchange reuse across AQE stages —
+    so without a cache the subtree computes once per consumer.  A bare
+    ``persist()`` fixes that but pins executor storage for the rest of the
+    session: an 81-query bench/correctness run accumulates every query's
+    cache.  Tracked caches are released by :func:`release_caches`, which the
+    query registry invokes before building the NEXT query — within-query
+    reuse runs at memory speed, across queries nothing stays resident.
+    (Parquet spill was measured as the alternative: +0.9 s on
+    simhash_near_pairs at sf0.1 for the round trip; memory wins.)
+    """
+    df.persist()
+    with _REGISTRY_LOCK:
+        _TRACKED_CACHES.append(df)
+    return df
+
+
+def release_caches() -> None:
+    """Unpersist every cache registered since the last call.  Safe if a
+    consumer plan still references the data — Spark recomputes on demand."""
+    with _REGISTRY_LOCK:
+        caches = list(_TRACKED_CACHES)
+        _TRACKED_CACHES.clear()
+    for df in caches:
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session already stopped
+
+
 def materialized(name: str):
     """Decorator for (spark, sf_dir) -> DataFrame builders: write the output
     parquet once per (process, sf_dir) and serve every subsequent call as a

@@ -405,12 +405,19 @@ ORDER BY customer_id
 CONFIDENCE_RANK = {"high": 3, "medium": 2, "low": 1}
 
 
+@materialized("family_relationships")
 def family_relationships(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Family edges from two sources — the direct parent mapping (high
     confidence) and the last-name heuristic (adult shares a child's last
     name, low confidence; reference build_family_relationships.py:276-356) —
     unioned then deduped keep-best-confidence per (parent, child) (A9,
-    reference :455-462)."""
+    reference :455-462).
+
+    Materialized: the reference persists this as its own warehouse table
+    (customers/family_relationships.csv, config.py catalog) precisely
+    because the master build and several reports all consume it; re-deriving
+    the last-name candidate join per consumer was the customer_master
+    regression flagged in round 3."""
     cust = build_customers(spark, sf_dir)
     children = cust.filter(F.col("is_child")).select(
         F.col("customer_id").alias("child_customer_id"),

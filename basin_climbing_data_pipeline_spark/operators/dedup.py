@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..io import load_table
+from ..io import load_table, tracked_persist
 
 MINHASH_K = 16
 MINHASH_BANDS = 8  # 2 rows per band
@@ -404,9 +404,9 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the signature table is one small row per doc but costs a full word
     # explode + 16-vote aggregation to build, and Catalyst plans the
     # self-join below as two independent subtrees (no exchange reuse across
-    # AQE stages) — persist so it computes once (measured 4.3s -> 1.4s at
-    # sf0.1; the cache is O(n_docs), trivially evictable)
-    sigs = simhash_signatures(spark, sf_dir).persist()
+    # AQE stages) — cache so it computes once (measured 4.3s -> 1.4s at
+    # sf0.1); tracked, so the registry releases it before the next query
+    sigs = tracked_persist(simhash_signatures(spark, sf_dir))
     chunks = sigs.select(
         "doc_id",
         "lang",
@@ -509,18 +509,41 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_lsh_pairs(spark, sf_dir).filter(
         F.col("jaccard") >= CLUSTER_JACCARD_MIN
     )
-    edges = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-        .persist()
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).union(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     )
+    labels = propagate_min_labels(edges)
+    sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    return (
+        labels.join(sizes, "label")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("label").alias("cluster_id"),
+            "cluster_size",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def propagate_min_labels(edges: DataFrame, max_rounds: int = 32) -> DataFrame:
+    """Min-label propagation over a symmetric ``(src, dst)`` edge list →
+    ``(node, label)`` with label = the component's minimum node id.
+
+    Rounds needed = graph diameter; ``max_rounds`` is the safety bound.
+    Worst case is a chain (diameter = n-1) — unit-tested with one in
+    tests/test_sampling_clusters.py — which is exactly the topology where a
+    trillion-edge corpus would swap this loop for large-star/small-star
+    (O(log n) rounds, same equi-join + groupBy-min shape).  The edge list is
+    cached for the duration of the loop and released before returning; only
+    the 1-row convergence count ever reaches the driver."""
+    edges = edges.persist()
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
-    for _ in range(32):  # diameter bound; convergence check exits earlier
+    for _ in range(max_rounds):  # convergence check exits earlier
         nbr = edges.join(
             labels.select(F.col("node").alias("dst"), "label"), "dst"
         ).select(F.col("src").alias("node"), "label")
@@ -536,18 +559,8 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
-    sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
-    out = (
-        labels.join(sizes, "label")
-        .select(
-            F.col("node").alias("doc_id"),
-            F.col("label").alias("cluster_id"),
-            "cluster_size",
-        )
-        .orderBy("doc_id")
-    )
     edges.unpersist()
-    return out
+    return labels
 
 
 def dedup_clusters_sql() -> str:

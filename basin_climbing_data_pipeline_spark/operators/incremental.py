@@ -7,11 +7,12 @@ fresh rows, dedup by id keep-first — pipeline_handler.py:429-479), keeps
 monthly immutable snapshots (pipeline_handler.py:343-354), and skips rows
 that already exist on append (ST4, experiment_tracking.py:86-94).
 
-Engine equivalents, all pure DataFrame transforms (unit-tested; they're
-pipeline mechanics, not queries, so they carry no oracle entries):
+Engine equivalents, all pure DataFrame transforms:
 
 - :func:`replace_window_merge` — the ST1 splice with an explicit
-  deterministic keep-first ordering (SURVEY.md §4.3).
+  deterministic keep-first ordering (SURVEY.md §4.3).  Driver-checked via
+  :func:`merged_transactions_window` (stale stored table + re-fetched
+  window over the transactions build, DuckDB oracle).
 - :func:`append_if_absent` — ST4 via left-anti join.
 - :func:`write_snapshot` — date-partitioned snapshot write
   (``partitionBy(snapshot_date)`` replaces the reference's date-suffixed
@@ -24,7 +25,7 @@ the date column.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
@@ -73,6 +74,17 @@ def replace_bounded_window_merge(
     before a later one never deletes that later window's rows — splice the
     fresh rows inside the window, dedup by id with fresh-wins.
 
+    Order-insensitivity contract: *row retention* (which ids survive) is
+    independent of window arrival order, but *values* follow
+    last-processed-wins — if two windows both carry a row for the same id
+    with DIFFERENT column values, the later-processed window's row is kept
+    even if it was fetched earlier.  This matches the reference's source
+    semantics (a re-fetch returns the provider's current state for the row,
+    so overlapping windows carry identical rows for unchanged ids); callers
+    whose source can serve stale overlapping rows must thread a fetch
+    timestamp into ``order_cols`` (descending) so the newest fetch wins
+    regardless of processing order.
+
     ``replace_window_merge`` (one-sided) remains correct for the cron-batch
     path where windows are refetched in ascending order and the newest window
     is authoritative for everything after its start."""
@@ -91,6 +103,80 @@ def replace_bounded_window_merge(
         .filter(F.col("_rn") == 1)
         .drop("_rn", "_is_fresh")
     )
+
+
+# ---------------------------------------------------------------------------
+# ST1 as a driver-checked query
+# ---------------------------------------------------------------------------
+#
+# The reference's single most-executed path is the daily transaction splice
+# (pipeline_handler.py:429-479: stored table + re-fetched trailing window ->
+# keep stored rows before the window, concat fresh, dedup by transaction_id
+# keep-first).  Model it deterministically from the transactions build:
+# "stored" is the table as fetched on MERGE_STALE_END (it lacks everything
+# newer), "fresh" is the current re-fetch of the window.  row_version marks
+# which side a surviving row came from, so the oracle hash proves both the
+# splice boundary and fresh-wins dedup.
+
+MERGE_WINDOW_START = "2001-06-01"
+MERGE_STALE_END = "2001-07-01"
+
+# deterministic keep-first ordering for duplicate transaction_ids: every
+# output-visible column participates, so the surviving row is unique no
+# matter how Spark or DuckDB breaks residual ties (SURVEY.md §4.3)
+_MERGE_ORDER_COLS = [
+    "txn_date",
+    "description",
+    "total_amount",
+    "revenue_category",
+    "data_source",
+]
+
+
+def merged_transactions_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .transactions import build_transactions
+
+    txn = build_transactions(spark, sf_dir)
+    stored = txn.filter(
+        F.col("txn_date") <= F.lit(MERGE_STALE_END).cast("date")
+    ).withColumn("row_version", F.lit(1))
+    fresh = txn.filter(
+        F.col("txn_date") >= F.lit(MERGE_WINDOW_START).cast("date")
+    ).withColumn("row_version", F.lit(2))
+    merged = replace_window_merge(
+        stored, fresh, "txn_date", MERGE_WINDOW_START, "transaction_id", _MERGE_ORDER_COLS
+    )
+    return merged.select(
+        "transaction_id", "txn_date", "revenue_category", "total_amount", "row_version"
+    ).orderBy("transaction_id")
+
+
+def merged_transactions_window_sql() -> str:
+    from .transactions import transactions_sql
+
+    order_sql = ", ".join(f"{c} NULLS FIRST" for c in _MERGE_ORDER_COLS)
+    return f"""
+WITH txn AS ({transactions_sql()}),
+stored AS (
+  SELECT *, 1 AS row_version FROM txn WHERE txn_date <= DATE '{MERGE_STALE_END}'
+),
+fresh AS (
+  SELECT *, 2 AS row_version FROM txn WHERE txn_date >= DATE '{MERGE_WINDOW_START}'
+),
+unioned AS (
+  SELECT *, 0 AS is_fresh FROM stored WHERE txn_date < DATE '{MERGE_WINDOW_START}'
+  UNION ALL
+  SELECT *, 1 AS is_fresh FROM fresh
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY transaction_id
+              ORDER BY is_fresh DESC, {order_sql}) AS rn
+  FROM unioned
+)
+SELECT transaction_id, txn_date, revenue_category, total_amount, row_version
+FROM ranked WHERE rn = 1
+ORDER BY transaction_id
+"""
 
 
 def append_if_absent(existing: DataFrame, incoming: DataFrame, id_col: str) -> DataFrame:

@@ -36,8 +36,6 @@ LEAD_SOURCE_BY_ENTRY = {
 
 
 def customer_master(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     from ..functions.text import map_lookup
     from .customers import build_customers
     from .events import build_checkins
@@ -48,24 +46,35 @@ def customer_master(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = build_customers(spark, sf_dir)
     as_of = F.lit(MASTER_AS_OF).cast("date")
 
+    # visit stats + first-lead-source in ONE aggregation over checkins: the
+    # "first non-member check-in" pick is min(struct(ts, id, method)) — a
+    # partial-aggregable expression (map-side combine), where the equivalent
+    # row_number window costs a full per-customer sort of the checkin stream.
+    # At 100 TB that's the difference between one combiner pass and sorting
+    # the fact table per key; lexicographic struct-min == the window's
+    # ORDER BY checkin_ts_us, checkin_id.
     ck = build_checkins(spark, sf_dir)
-    visits = ck.groupBy("customer_id").agg(
-        F.count("*").alias("total_visits"),
-        F.min("checkin_date").alias("first_visit_date"),
-        F.max("checkin_date").alias("last_visit_date"),
-    )
-    # lead source = entry method of the FIRST non-member check-in
-    lead_w = Window.partitionBy("customer_id").orderBy("checkin_ts_us", "checkin_id")
-    lead_src = (
-        ck.filter(F.col("entry_method").isin(*LEAD_SOURCE_BY_ENTRY))
-        .withColumn("rn", F.row_number().over(lead_w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "customer_id",
-            map_lookup(F.col("entry_method"), LEAD_SOURCE_BY_ENTRY, "Event").alias(
-                "first_lead_source"
+    visits = (
+        ck.groupBy("customer_id")
+        .agg(
+            F.count("*").alias("total_visits"),
+            F.min("checkin_date").alias("first_visit_date"),
+            F.max("checkin_date").alias("last_visit_date"),
+            F.min(
+                F.when(
+                    F.col("entry_method").isin(*LEAD_SOURCE_BY_ENTRY),
+                    F.struct("checkin_ts_us", "checkin_id", "entry_method"),
+                )
+            ).alias("_lead"),
+        )
+        .withColumn(
+            "first_lead_source",
+            F.when(
+                F.col("_lead").isNotNull(),
+                map_lookup(F.col("_lead.entry_method"), LEAD_SOURCE_BY_ENTRY, "Event"),
             ),
         )
+        .drop("_lead")
     )
     spend = (
         build_transactions(spark, sf_dir)
@@ -76,25 +85,36 @@ def customer_master(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("day_pass_count").alias("day_passes_bought"),
         )
     )
+    # membership stats + "the" membership row per owner in ONE aggregation
+    # (reference build_customer_master.py:294-303 keeps the ACT row if any):
+    # prefer ACT, then latest start, then highest id == max(struct(is_act,
+    # start_date, membership_id, ...payload)) — again partial-aggregable
+    # where the former row_number window sorted all memberships per owner
     m2024 = build_memberships_2024(spark, sf_dir)
-    mem = m2024.groupBy(F.col("owner_id").alias("customer_id")).agg(
-        F.count("*").alias("n_memberships"),
-        F.min("start_date").alias("first_membership_start"),
-        F.max(F.when(F.col("status") == "ACT", 1).otherwise(0)).alias("_any_act"),
-    )
-    # "the" membership row per owner (reference build_customer_master.py:294-303
-    # keeps the ACT row if any): prefer ACT, then latest start, then highest id
-    best_w = Window.partitionBy("owner_id").orderBy(
-        F.desc(F.col("status") == "ACT"), F.desc("start_date"), F.desc("membership_id")
-    )
-    best_mem = (
-        m2024.withColumn("rn", F.row_number().over(best_w))
-        .filter(F.col("rn") == 1)
+    mem = (
+        m2024.groupBy(F.col("owner_id").alias("customer_id"))
+        .agg(
+            F.count("*").alias("n_memberships"),
+            F.min("start_date").alias("first_membership_start"),
+            F.max(F.when(F.col("status") == "ACT", 1).otherwise(0)).alias("_any_act"),
+            F.max(
+                F.struct(
+                    (F.col("status") == "ACT").alias("_act"),
+                    F.col("start_date").alias("_sd"),
+                    F.col("membership_id").alias("_mid"),
+                    F.col("name").alias("membership_name"),
+                    F.col("end_date").alias("membership_end_date"),
+                )
+            ).alias("_best"),
+        )
         .select(
-            F.col("owner_id").alias("customer_id"),
-            F.col("name").alias("membership_name"),
-            F.col("start_date").alias("membership_start_date"),
-            F.col("end_date").alias("membership_end_date"),
+            "customer_id",
+            "n_memberships",
+            "first_membership_start",
+            "_any_act",
+            F.col("_best.membership_name").alias("membership_name"),
+            F.col("_best._sd").alias("membership_start_date"),
+            F.col("_best.membership_end_date").alias("membership_end_date"),
         )
     )
     # parent contact for the coalesce columns (children have no own email)
@@ -144,10 +164,8 @@ def customer_master(spark: SparkSession, sf_dir: str) -> DataFrame:
             "segment",
         )
         .join(visits, "customer_id", "left")
-        .join(lead_src, "customer_id", "left")
         .join(spend, "customer_id", "left")
         .join(mem, "customer_id", "left")
-        .join(best_mem, "customer_id", "left")
         .join(kids, "customer_id", "left")
         .join(flags, "customer_id", "left")
         .join(parents, F.col("parent_customer_id") == F.col("p_id"), "left")
@@ -498,12 +516,10 @@ def leads_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Spark shape: every block is a per-customer aggregate (map-side partial
     agg + one shuffle on customer_id each), joined on customer_id; the
-    first-acquisition pick is a row_number window over the small filtered
-    acquisition-event set.  No collect, no UDFs; at 100 TB all joins co-hash
-    on customer_id.
+    first-acquisition pick is a min(struct) aggregate over the filtered
+    acquisition-event union.  No collect, no UDFs; at 100 TB all joins
+    co-hash on customer_id.
     """
-    from pyspark.sql import Window
-
     from ..functions.text import map_lookup
     from .customers import build_customers
     from .events import build_checkins
@@ -537,14 +553,14 @@ def leads_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("acq_source"),
         )
     )
-    acq_w = Window.partitionBy("customer_id").orderBy(
-        "acq_date", "acq_priority", "acq_source"
-    )
+    # first chronological acquisition = min(struct(date, priority, source)):
+    # partial-aggregable (map-side combine on both union branches) where the
+    # row_number window sorted the whole acquisition-event union per customer
     lead_src = (
         acq_ck.unionByName(acq_txn)
-        .withColumn("rn", F.row_number().over(acq_w))
-        .filter(F.col("rn") == 1)
-        .select("customer_id", F.col("acq_source").alias("lead_source"))
+        .groupBy("customer_id")
+        .agg(F.min(F.struct("acq_date", "acq_priority", "acq_source")).alias("_a"))
+        .select("customer_id", F.col("_a.acq_source").alias("lead_source"))
     )
 
     visits = ck.groupBy("customer_id").agg(

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..io import load_table
+from ..io import load_table, tracked_persist
 
 REFUND_WINDOW_DAYS = 30
 
@@ -56,11 +56,12 @@ def link_refunds(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the composite key (transaction ids are strings; '#' occurs in neither)
     link_key = F.concat_ws("#", "original_id", "orig_category")
     # the candidate join is fed by the expensive transactions builder on both
-    # sides and consumed by two aggregations; without a persist each
+    # sides and consumed by two aggregations; without a cache each
     # aggregation re-evaluates the whole join subtree (4 builder evaluations
-    # total).  cands is tiny (refunds x in-window candidates), so persisting
-    # it halves the builder evaluations (measured 4.7s -> ~2s at sf0.1)
-    cands = cands.persist()
+    # total).  cands is tiny (refunds x in-window candidates), so caching
+    # it halves the builder evaluations (measured 4.7s -> ~2s at sf0.1);
+    # tracked, so the registry releases it before the next query
+    cands = tracked_persist(cands)
     per_refund = cands.groupBy("refund_id", "customer_id", "refund_amount", "refund_date").agg(
         F.count("*").alias("n_candidates"),
         F.min(link_key).alias("_first_key"),

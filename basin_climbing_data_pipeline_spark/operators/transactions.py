@@ -439,3 +439,56 @@ FROM txn
 GROUP BY 1, 2
 ORDER BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# expense categorization (reference categorize_expenses.py)
+# ---------------------------------------------------------------------------
+
+
+def expense_categories(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly expense rollup through the EXACT-match category map
+    (reference categorize_expenses.py:40-62: strip, dict lookup, None for
+    anything outside Payroll/Marketing; dashboard shows only the mapped
+    groups).  Distinct mechanism from the contains-match keyword categorizer
+    (functions/text.py keyword_categorize): here unmapped granular
+    categories are DROPPED, not defaulted.
+
+    Ledger model: supplier-side line items (l_returnflag='A' slice) with the
+    part's brand code as the granular vendor-category string.  Scale shape:
+    the map compiles to a when-chain (constant-folded, codegen) applied
+    after an equi-join on partkey — no UDF, and the category filter prunes
+    before the groupBy shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    cat = map_lookup(F.trim(F.col("p_brand")), config.EXPENSE_CATEGORY_BY_RAW)
+    return (
+        li.filter(F.col("l_returnflag") == "A")
+        .join(part, li.l_partkey == part.p_partkey)
+        .withColumn("expense_category", cat)
+        .filter(F.col("expense_category").isNotNull())
+        .groupBy(
+            F.trunc("l_shipdate", "month").alias("month"),
+            "expense_category",
+        )
+        .agg(
+            F.count("*").alias("n_entries"),
+            sum_money(F.col("l_extendedprice")).alias("total_expense"),
+        )
+        .orderBy("month", "expense_category")
+    )
+
+
+def expense_categories_sql() -> str:
+    cat = map_lookup_sql("trim(p_brand)", config.EXPENSE_CATEGORY_BY_RAW)
+    return f"""
+SELECT date_trunc('month', l_shipdate)::date AS month,
+       {cat} AS expense_category,
+       count(*) AS n_entries,
+       {sum_money_sql('l_extendedprice')} AS total_expense
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_returnflag = 'A' AND ({cat}) IS NOT NULL
+GROUP BY 1, 2
+ORDER BY month, expense_category
+"""

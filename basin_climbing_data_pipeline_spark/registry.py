@@ -7,16 +7,21 @@ oracle SQL exactly (the driver sorts columns by name and value-hashes).
 
 Registration ORDER is deliberate: the driver verifies the first 50 entries
 per round, so each round rotates the window to re-verify whatever lacks a
-driver-green row at current code.  Round-3 rotation:
+driver-green row at current code.  Round-4 rotation:
 
-1. the 31 queries whose only driver row is round 1 but whose source files
-   (cohorts/customers/memberships/events/textstats) were rewritten in
-   round 2 — they register FIRST so `CORRECTNESS_r03.json` re-greens them;
-2. queries whose source is touched in round 3 (similarity planes hoist,
-   customer_master/leads contact-stat widening, dedup_clusters star
-   variant, streaming after the foreachBatch/io fixes) plus the new
-   round-3 queries;
-3. the remaining round-2-green entries, untouched this round.
+1. the 31 queries whose latest driver-green row is ROUND 2 (they sat
+   outside round 3's window while the shared io.py read/materialize path
+   changed underneath) — they register FIRST so `CORRECTNESS_r04.json`
+   re-greens them at current code;
+2. the three queries new in round 4 (merged_transactions_window,
+   streaming_sessions, expense_categories);
+3. queries whose source was touched in rounds 3-4: leads.py agg fusion,
+   customers.py family materialization, dedup.py/linking.py tracked-cache
+   + label-propagation refactor, the flags trio (flags.py was materially
+   rewritten in round 3 — the round-3 rotation mislabeled it untouched),
+   similarity.py and the streaming modules;
+4. outside the window: round-3-green entries whose source is untouched
+   since.
 """
 
 from __future__ import annotations
@@ -26,6 +31,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from .operators import cohorts as co
+from .operators import incremental as inc
 from .operators import customers as cu
 from .operators import dedup as dd
 from .operators import experiments as ex
@@ -41,6 +47,7 @@ from .operators import events as ev
 from .operators import memberships as mem
 from .operators import transactions as txn
 from .streaming import events_stream as st
+from .streaming import stateful as stf
 
 SparkQuery = Callable[[SparkSession, str], DataFrame]
 
@@ -49,14 +56,117 @@ REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {}
 
 
 def register(name: str, fn: SparkQuery, sql: str | None) -> None:
-    REGISTRY[name] = (fn, sql)
+    from .io import release_caches
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # cache hygiene across a full registry run: a handful of builders
+        # tracked_persist() a reused subtree for the duration of THEIR query;
+        # release those before building the next one so an 81-query session
+        # never accumulates executor storage
+        release_caches()
+        return fn(spark, sf_dir)
+
+    wrapped.__name__ = getattr(fn, "__name__", name)
+    wrapped.__wrapped__ = fn
+    REGISTRY[name] = (wrapped, sql)
 
 
-# --- block 1: round-1-only driver rows, source rewritten in round 2 --------
+# --- block 1 (window slots 1-31): last driver-green row is ROUND 2 --------
+# These rode outside the first-50 window in round 3 while the shared io.py
+# read/materialize path changed beneath them; they verify first so round 4
+# leaves every entry green at current code.
+
+register("lead_timelines", ld.lead_timelines, ld.lead_timelines_sql())
+register("rsvp_party_attendees", ld.rsvp_party_attendees, ld.rsvp_party_attendees_sql())
+register("media_features", mm.media_features, mm.media_features_sql())
+register("link_refunds", lk.link_refunds, lk.link_refunds_sql())
+register("regex_key_enrichment", lk.regex_key_enrichment, lk.regex_key_enrichment_sql())
+register("membership_flow", lk.membership_flow, lk.membership_flow_sql())
+register("at_risk_report", lk.at_risk_report, lk.at_risk_report_sql())
+register("salted_user_spend", sk.salted_user_spend, sk.salted_user_spend_sql())
+register("experiment_entries", ex.experiment_entries, ex.experiment_entries_sql())
+register(
+    "pass_transfer_name_links",
+    cu.pass_transfer_name_links,
+    cu.pass_transfer_name_links_sql(),
+)
+register("timeline_json_parse", ld.timeline_json_parse, ld.timeline_json_parse_sql())
+register("train_test_split", sp.train_test_split, sp.train_test_split_sql())
+register("mixture_sample_summary", sp.mixture_sample_summary, sp.mixture_sample_summary_sql())
+register("period_snapshots", co.period_snapshots, co.period_snapshots_sql())
+register("checkin_sessions", ev.checkin_sessions, ev.checkin_sessions_sql())
+register("transactions_build", txn.build_transactions, txn.transactions_sql())
+register(
+    "revenue_by_month_category",
+    txn.revenue_by_month_category,
+    txn.revenue_by_month_category_sql(),
+)
+register(
+    "refund_metrics_by_category",
+    txn.refund_metrics_by_category,
+    txn.refund_metrics_by_category_sql(),
+)
+register(
+    "day_pass_counts_by_month",
+    txn.day_pass_counts_by_month,
+    txn.day_pass_counts_by_month_sql(),
+)
+register("suspicious_price_bands", txn.suspicious_price_bands, txn.suspicious_price_bands_sql())
+register("revenue_by_source", txn.revenue_by_source, txn.revenue_by_source_sql())
+register("accounting_groups", txn.accounting_groups, txn.accounting_groups_sql())
+register("revenue_by_region", txn.revenue_by_region, txn.revenue_by_region_sql())
+register("dedup_transactions", txn.dedup_transactions, txn.dedup_transactions_sql())
+register("checkins_build", ev.build_checkins, ev.checkins_sql())
+register("visit_numbers", ev.visit_numbers, ev.visit_numbers_sql())
+register("rolling_60d_visits", ev.rolling_60d_visits, ev.rolling_60d_visits_sql())
+register("recency_buckets", ev.recency_buckets, ev.recency_buckets_sql())
+register("trailing_window_counts", ev.trailing_window_counts, ev.trailing_window_counts_sql())
+register("entry_method_counts", ev.entry_method_counts, ev.entry_method_counts_sql())
+register("daily_checkin_stats", ev.daily_checkin_stats, ev.daily_checkin_stats_sql())
+
+# --- block 2 (slots 32-34): new in round 4 ---------------------------------
+
+register(
+    "merged_transactions_window",
+    inc.merged_transactions_window,
+    inc.merged_transactions_window_sql(),
+)
+register("streaming_sessions", stf.streaming_sessions_query, stf.streaming_sessions_sql())
+register("expense_categories", txn.expense_categories, txn.expense_categories_sql())
+
+# --- block 3 (slots 35-50): source touched in rounds 3-4 -------------------
+# leads.py (master/leads agg fusion), customers.py (family materialization),
+# dedup.py (tracked cache + label-propagation refactor) and linking.py are
+# round-4 edits; flags.py was materially rewritten in round 3 and its three
+# queries belong in the touched block (they were mislabeled round-2-green in
+# the round-3 rotation); similarity.py and the streaming path were round-3
+# edits whose queries stay inside the window one more round.
+
+register("customer_master", ld.customer_master, ld.customer_master_sql())
+register("leads_table", ld.leads_table, ld.leads_table_sql())
+register("family_relationships", cu.family_relationships, cu.family_relationships_sql())
+register("simhash_near_pairs", dd.simhash_near_pairs, dd.simhash_near_pairs_sql())
+register("dedup_clusters", dd.dedup_clusters, dd.dedup_clusters_sql())
+register("minhash_lsh_pairs", dd.minhash_lsh_pairs, dd.minhash_lsh_pairs_sql())
+register("events_unified", fl.events_unified, fl.events_unified_sql())
+register("flags_build", fl.build_flags, fl.build_flags_sql())
+register("flag_type_summary", fl.flag_type_summary, fl.flag_type_summary_sql())
+register("streaming_windowed_counts", st.windowed_event_counts, st.windowed_event_counts_sql())
+register("streaming_sliding_counts", st.sliding_event_counts, st.sliding_event_counts_sql())
+register("lsh_buckets", sim.lsh_buckets, sim.lsh_buckets_sql())
+register(
+    "embedding_near_dup_pairs",
+    sim.embedding_near_dup_pairs,
+    sim.embedding_near_dup_pairs_sql(),
+)
+register("cosine_topk", sim.cosine_topk, sim.cosine_topk_sql())
+register("knn_label_vote", sim.knn_label_vote, sim.knn_label_vote_sql())
+register("ivf_cell_search", sim.ivf_cell_search, sim.ivf_cell_search_sql())
+
+# --- block 4 (outside the window): round-3-green, source untouched since ---
 
 register("proximity_connections", ev.proximity_connections, ev.proximity_connections_sql())
 register("returning_after_break", ev.returning_after_break, ev.returning_after_break_sql())
-
 register("memberships_build", mem.build_memberships, mem.memberships_sql())
 register(
     "active_memberships_on_date",
@@ -85,7 +195,6 @@ register(
     mem.visits_before_first_membership,
     mem.visits_before_first_membership_sql(),
 )
-
 register("customers_build", cu.build_customers, cu.customers_sql())
 register("duplicate_emails", cu.duplicate_emails, cu.duplicate_emails_sql())
 register("fuzzy_email_matches", cu.fuzzy_email_matches, cu.fuzzy_email_matches_sql())
@@ -101,8 +210,6 @@ register(
     cu.purchasers_never_checked_in,
     cu.purchasers_never_checked_in_sql(),
 )
-register("family_relationships", cu.family_relationships, cu.family_relationships_sql())
-
 register("conversion_cohorts", co.conversion_cohorts, co.conversion_cohorts_sql())
 register("top_spenders", co.top_spenders, co.top_spenders_sql())
 register("customer_mode_category", co.customer_mode_category, co.customer_mode_category_sql())
@@ -115,113 +222,15 @@ register(
 )
 register("parent_child_covisits", co.parent_child_covisits, co.parent_child_covisits_sql())
 register("same_purchase_pairs", co.same_purchase_pairs, co.same_purchase_pairs_sql())
-
 register("doc_stats", ts.doc_stats, ts.doc_stats_sql())
 register("language_id_confusion", ts.language_id_confusion, ts.language_id_confusion_sql())
 register("quality_buckets", ts.quality_buckets, ts.quality_buckets_sql())
 register("token_frequencies", ts.token_frequencies, ts.token_frequencies_sql())
 register("doc_fingerprints", ts.doc_fingerprints, ts.doc_fingerprints_sql())
-
-# --- block 2: source touched in round 3 + new round-3 queries --------------
-
-register("customer_master", ld.customer_master, ld.customer_master_sql())
-register("leads_table", ld.leads_table, ld.leads_table_sql())
-register("lsh_buckets", sim.lsh_buckets, sim.lsh_buckets_sql())
-register(
-    "embedding_near_dup_pairs",
-    sim.embedding_near_dup_pairs,
-    sim.embedding_near_dup_pairs_sql(),
-)
-register("cosine_topk", sim.cosine_topk, sim.cosine_topk_sql())
-register("dedup_clusters", dd.dedup_clusters, dd.dedup_clusters_sql())
-register(
-    "streaming_windowed_counts",
-    st.windowed_event_counts,
-    st.windowed_event_counts_sql(),
-)
-register(
-    "streaming_sliding_counts",
-    st.sliding_event_counts,
-    st.sliding_event_counts_sql(),
-)
-
-# --- block 3: round-2-green, untouched in round 3 --------------------------
-
 register("exact_dedup", dd.exact_dedup, dd.exact_dedup_sql())
 register("ngram_jaccard_pairs", dd.ngram_jaccard_pairs, dd.ngram_jaccard_pairs_sql())
 register("minhash_signatures", dd.minhash_signatures, dd.minhash_signatures_sql())
-register("minhash_lsh_pairs", dd.minhash_lsh_pairs, dd.minhash_lsh_pairs_sql())
 register("simhash_signatures", dd.simhash_signatures, dd.simhash_signatures_sql())
-register("simhash_near_pairs", dd.simhash_near_pairs, dd.simhash_near_pairs_sql())
-register("knn_label_vote", sim.knn_label_vote, sim.knn_label_vote_sql())
-register("ivf_cell_search", sim.ivf_cell_search, sim.ivf_cell_search_sql())
-
-register("events_unified", fl.events_unified, fl.events_unified_sql())
-register("flags_build", fl.build_flags, fl.build_flags_sql())
-register("flag_type_summary", fl.flag_type_summary, fl.flag_type_summary_sql())
-
-register("lead_timelines", ld.lead_timelines, ld.lead_timelines_sql())
-register("rsvp_party_attendees", ld.rsvp_party_attendees, ld.rsvp_party_attendees_sql())
-
-register("media_features", mm.media_features, mm.media_features_sql())
-
-register("link_refunds", lk.link_refunds, lk.link_refunds_sql())
-register("regex_key_enrichment", lk.regex_key_enrichment, lk.regex_key_enrichment_sql())
-register("membership_flow", lk.membership_flow, lk.membership_flow_sql())
-register("at_risk_report", lk.at_risk_report, lk.at_risk_report_sql())
-
-register("salted_user_spend", sk.salted_user_spend, sk.salted_user_spend_sql())
-register("experiment_entries", ex.experiment_entries, ex.experiment_entries_sql())
-register(
-    "pass_transfer_name_links",
-    cu.pass_transfer_name_links,
-    cu.pass_transfer_name_links_sql(),
-)
-register("timeline_json_parse", ld.timeline_json_parse, ld.timeline_json_parse_sql())
-
-register("train_test_split", sp.train_test_split, sp.train_test_split_sql())
-register(
-    "mixture_sample_summary",
-    sp.mixture_sample_summary,
-    sp.mixture_sample_summary_sql(),
-)
-
-register("period_snapshots", co.period_snapshots, co.period_snapshots_sql())
-register("checkin_sessions", ev.checkin_sessions, ev.checkin_sessions_sql())
-
-register("transactions_build", txn.build_transactions, txn.transactions_sql())
-register(
-    "revenue_by_month_category",
-    txn.revenue_by_month_category,
-    txn.revenue_by_month_category_sql(),
-)
-register(
-    "refund_metrics_by_category",
-    txn.refund_metrics_by_category,
-    txn.refund_metrics_by_category_sql(),
-)
-register(
-    "day_pass_counts_by_month",
-    txn.day_pass_counts_by_month,
-    txn.day_pass_counts_by_month_sql(),
-)
-register(
-    "suspicious_price_bands",
-    txn.suspicious_price_bands,
-    txn.suspicious_price_bands_sql(),
-)
-register("revenue_by_source", txn.revenue_by_source, txn.revenue_by_source_sql())
-register("accounting_groups", txn.accounting_groups, txn.accounting_groups_sql())
-register("revenue_by_region", txn.revenue_by_region, txn.revenue_by_region_sql())
-register("dedup_transactions", txn.dedup_transactions, txn.dedup_transactions_sql())
-
-register("checkins_build", ev.build_checkins, ev.checkins_sql())
-register("visit_numbers", ev.visit_numbers, ev.visit_numbers_sql())
-register("rolling_60d_visits", ev.rolling_60d_visits, ev.rolling_60d_visits_sql())
-register("recency_buckets", ev.recency_buckets, ev.recency_buckets_sql())
-register("trailing_window_counts", ev.trailing_window_counts, ev.trailing_window_counts_sql())
-register("entry_method_counts", ev.entry_method_counts, ev.entry_method_counts_sql())
-register("daily_checkin_stats", ev.daily_checkin_stats, ev.daily_checkin_stats_sql())
 
 
 def queries() -> dict[str, SparkQuery]:

@@ -28,6 +28,10 @@ from pyspark.sql import functions as F
 WINDOW_HOURS = 6
 WINDOW_US = WINDOW_HOURS * 3600 * 1_000_000
 
+# the documented events-table layout with ts as raw nanos-as-long.  Streams
+# normally peek the real schema from parquet footers; this constant is the
+# empty-source-dir fallback (foreach_merge.merge_stream) so a stream can be
+# started before its producer has landed any files.
 EVENTS_NANOS_SCHEMA = (
     "event_id long, ts long, user_id long, event_type string, value double, props string"
 )

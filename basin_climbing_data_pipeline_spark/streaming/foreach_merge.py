@@ -42,9 +42,17 @@ def merge_stream(
     The source schema is peeked from the parquet footers (metadata-only
     read) so the stream adapts to whichever ts encoding the files use —
     nanos-as-long, TIMESTAMP_NTZ, or LTZ — via the same
-    ``normalize_event_ts`` path as ``io.load_table``."""
+    ``normalize_event_ts`` path as ``io.load_table``.  If ``source_dir``
+    has no files yet (a stream started ahead of its producer), fall back to
+    the documented events schema so the stream can start and pick files up
+    as they land."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(source_dir).schema
+    try:
+        schema = spark.read.parquet(source_dir).schema
+    except Exception:
+        from .events_stream import EVENTS_NANOS_SCHEMA
+
+        schema = EVENTS_NANOS_SCHEMA
     raw = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)

@@ -94,3 +94,38 @@ def streaming_sessions(spark: SparkSession, sf_dir: str, sink_name: str) -> Data
         )
         q.awaitTermination(timeout=300)
     return spark.table(sink_name)
+
+
+def streaming_sessions_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checked entry for the stateful sessionizer: the emitted
+    (closed) sessions over the full events stream.
+
+    A session is emitted only when a later event closes it, so each
+    customer's final session stays open in state — the oracle is therefore
+    the batch gap-sessionizer (operators/events.py checkin_sessions, same
+    input: every event keyed by user) MINUS each customer's last session.
+    Proves the ``applyInPandasWithState`` path agrees with the batch
+    lag+cumsum path on real data, not just the pytest fixtures."""
+    import uuid
+
+    sink = f"stream_sessions_{uuid.uuid4().hex[:8]}"
+    out = streaming_sessions(spark, sf_dir, sink)
+    return out.select(
+        "customer_id", "session_start_us", "session_end_us", "n_events"
+    ).orderBy("customer_id", "session_start_us")
+
+
+def streaming_sessions_sql() -> str:
+    from ..operators.events import checkin_sessions_sql
+
+    return f"""
+WITH sess AS ({checkin_sessions_sql()}),
+marked AS (
+  SELECT *, max(session_seq) OVER (PARTITION BY customer_id) AS max_seq
+  FROM sess
+)
+SELECT customer_id, session_start_us, session_end_us, n_events
+FROM marked
+WHERE session_seq < max_seq
+ORDER BY customer_id, session_start_us
+"""

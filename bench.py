@@ -60,13 +60,17 @@ def main() -> None:
     # local scheduler (measured 22.4s threaded vs 15.7s serial at sf0.1).
     t_load = time.time()
     from basin_climbing_data_pipeline_spark.operators.events import build_checkins
-    from basin_climbing_data_pipeline_spark.operators.customers import build_customers
+    from basin_climbing_data_pipeline_spark.operators.customers import (
+        build_customers,
+        family_relationships,
+    )
     from basin_climbing_data_pipeline_spark.operators.flags import build_flags, events_unified
     from basin_climbing_data_pipeline_spark.operators.memberships import build_memberships_2024
     from basin_climbing_data_pipeline_spark.operators.transactions import build_transactions
 
     for b in (build_transactions, build_checkins, build_customers,
-              build_memberships_2024, events_unified, build_flags):
+              build_memberships_2024, events_unified, build_flags,
+              family_relationships):
         b(spark, sf_dir).count()
     load_sec = round(time.time() - t_load, 3)
 

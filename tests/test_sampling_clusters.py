@@ -62,3 +62,26 @@ def test_dedup_clusters_are_components(spark, sf_dir):
     }
     assert got == expected
     assert len(got) > 0
+
+
+def test_propagate_min_labels_chain_topology(spark):
+    """Worst case for min-label propagation: a single chain 0-1-2-...-n
+    (diameter = n-1, the adversarial topology the large-star/small-star
+    variant exists for).  The loop must still converge within its round
+    bound and label every node with the chain's minimum id."""
+    n = 20
+    chain = [(i, i + 1) for i in range(n - 1)]
+    pairs = spark.createDataFrame(chain, "src long, dst long")
+    edges = pairs.union(pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    labels = dd.propagate_min_labels(edges).collect()
+    assert len(labels) == n
+    assert all(r["label"] == 0 for r in labels)
+
+
+def test_propagate_min_labels_two_components(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (11, 12), (12, 13)], "src long, dst long"
+    )
+    edges = pairs.union(pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    got = {r["node"]: r["label"] for r in dd.propagate_min_labels(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 13: 10}
