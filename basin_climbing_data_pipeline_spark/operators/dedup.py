@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..io import load_table, tracked_persist
+from ..io import load_table, materialized, tracked_persist
 
 MINHASH_K = 16
 MINHASH_BANDS = 8  # 2 rows per band
@@ -237,11 +237,17 @@ ORDER BY doc_id
 """
 
 
+@materialized("minhash_lsh_pairs")
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH banding over the MinHash signature (8 bands × 2 rows): candidate
     pairs collide on any band; candidates are then verified with the TRUE
     3-gram Jaccard (inverted-index join restricted to candidates).  Output:
-    candidate pairs + band-collision count + verified Jaccard."""
+    candidate pairs + band-collision count + verified Jaccard.
+
+    Materialized: the verified-pairs table is tiny and consumed twice per
+    session (its own query + dedup_clusters' edge input) — the same
+    persisted-candidates discipline a production dedup pipeline uses
+    between pair generation and clustering."""
     # the shingle subtree feeds both the signature path and the candidate
     # verification path; recomputing it beats materializing here (measured —
     # the shingle explode is cheap, codegen-fused, and persisting the

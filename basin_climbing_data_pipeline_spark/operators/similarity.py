@@ -203,21 +203,28 @@ ORDER BY query_id, rank
 # ---------------------------------------------------------------------------
 
 
-def _coef_col(plane: Column, j: Column) -> Column:
-    """Deterministic hyperplane coefficient in {-4..-1, 1..4} for
-    (global plane index, dimension).
+def _plane_coefs(plane: int) -> list[float]:
+    """Deterministic hyperplane coefficients in {-4..-1, 1..4} for a global
+    plane index, one per dimension.
 
     Two multiply-xor avalanche rounds over h = plane·DIM + j, then the low 3
     bits.  A single multiplicative hash is NOT enough here: taking
     ``(h·C) mod 8`` depends only on ``h mod 8`` (C odd), which made every
     plane identical, and taking high bits leaves planes shift-correlated
-    (the products form a Weyl sequence in h).  All arithmetic stays below
-    2^63 so Spark and DuckDB evaluate it with identical integer semantics."""
-    h = (plane * DIM + j).cast("long")
-    a = F.pmod(h * F.lit(_MIX), F.lit(4294967296))
-    b = F.pmod(a.bitwiseXOR(F.shiftright(a, 13)) * F.lit(1597334677), F.lit(4294967296))
-    v = F.pmod(b.bitwiseXOR(F.shiftright(b, 16)), F.lit(8))
-    return F.when(v < 4, v - 4).otherwise(v - 3).cast("double")
+    (the products form a Weyl sequence in h).  Computed in PYTHON at plan
+    build and embedded as array literals: the coefficients depend only on
+    (plane, j), and evaluating the hash chain inside the fold lambda ran
+    interpreted per (row × plane × dim) — hoisting it cut the sf0.1 band
+    signature build ~4x.  ``_coef_sql`` keeps the same integer arithmetic
+    (everything below 2^63) so the DuckDB oracle derives identical values."""
+    out = []
+    for j in range(DIM):
+        h = plane * DIM + j
+        a = (h * _MIX) % 4294967296
+        b = ((a ^ (a >> 13)) * 1597334677) % 4294967296
+        v = (b ^ (b >> 16)) % 8
+        out.append(float(v - 4 if v < 4 else v - 3))
+    return out
 
 
 def _coef_sql(plane_expr: str, j_expr: str) -> str:
@@ -229,20 +236,18 @@ def _coef_sql(plane_expr: str, j_expr: str) -> str:
 
 
 def _band_bucket(band: int, n_planes: int) -> Column:
-    """Signature of one band: R sign bits packed into an int.  Built from
-    compact higher-order-function folds (one aggregate per plane) so the
-    expression tree stays small at any R — no monster codegen."""
-    def merge_for(p: int):
-        return lambda acc, j: acc + F.element_at(F.col("embedding"), j + 1).cast(
-            "double"
-        ) * _coef_col(F.lit(p), j)
-
+    """Signature of one band: R sign bits packed into an int.  Each plane
+    sum is the same zip_with+aggregate left fold as :func:`_dot64` (same
+    IEEE add order as the old per-element formulation and as DuckDB's
+    ``list_sum(list_transform(...))``), against a literal coefficient array
+    — compact expression tree at any R, no per-element hashing at runtime."""
     bucket = F.lit(0)
     for r in range(n_planes):
+        coefs = F.array(*[F.lit(c) for c in _plane_coefs(band * n_planes + r)])
         plane_sum = F.aggregate(
-            F.sequence(F.lit(0), F.lit(DIM - 1)),
+            F.zip_with(F.col("embedding"), coefs, lambda x, y: x.cast("double") * y),
             F.lit(0.0),
-            merge_for(band * n_planes + r),
+            lambda acc, t: acc + t,
         )
         bucket = bucket + F.when(plane_sum > 0, F.lit(1 << r)).otherwise(0)
     return bucket.cast("int")
@@ -260,13 +265,6 @@ def _band_bucket_sql(band_expr: str) -> str:
     return (
         "CAST(list_sum(list_transform(range(0, r), "
         f"rr -> CASE WHEN ({inner}) > 0 THEN (1::BIGINT << rr) ELSE 0 END)) AS INTEGER)"
-    )
-
-
-def _bucketed(spark: SparkSession, sf_dir: str, band: int, n_planes: int) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    return emb.select(
-        "vec_id", "embedding", "label", _band_bucket(band, n_planes).alias("bucket")
     )
 
 
@@ -354,21 +352,47 @@ def embedding_near_dup_pairs(
     the distinct is an equi-shuffle on the pair key; the verify joins are
     equi-joins on vec_id against the norm-annotated corpus — every stage is
     linear in N at fixed occupancy."""
+    from ..io import tracked_persist
+
     emb = load_table(spark, sf_dir, "embeddings")
     r = n_planes if n_planes is not None else _planes_for(_corpus_rows(spark, sf_dir))
 
-    cand = None
-    for band in range(N_BANDS):
-        sig = _bucketed(spark, sf_dir, band, r).select("vec_id", "bucket")
-        a, b = sig.alias("a"), sig.alias("b")
-        band_pairs = a.join(
+    # all bands' buckets in ONE corpus pass (explode over band structs), then
+    # ONE self-join keyed on (band, bucket) — same candidate set as a
+    # join-per-band + union, but half the join stages; the tiny (vec_id,
+    # band, bucket) table is cached so the R×N_BANDS sign-bit folds compute
+    # once instead of once per join side
+    sig = tracked_persist(
+        emb.select(
+            "vec_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(band).alias("band"),
+                            _band_bucket(band, r).alias("bucket"),
+                        )
+                        for band in range(N_BANDS)
+                    ]
+                )
+            ).alias("bb"),
+        ).select("vec_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    cand = (
+        a.join(
             b,
-            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")),
-        ).select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
-        cand = band_pairs if cand is None else cand.unionByName(band_pairs)
-    cand = cand.distinct()
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
 
-    norms = _with_norm(emb, ["vec_id", "embedding", "label"])
+    # cached: the x/y verify sides otherwise each recompute every vector's
+    # norm fold (two full corpus passes for one small table)
+    norms = tracked_persist(_with_norm(emb, ["vec_id", "embedding", "label"]))
     x = norms.select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("emb_a"),
