@@ -591,21 +591,38 @@ def pass_transfer_name_links(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("first_name").alias("r_first"),
         F.col("last_name").alias("r_last"),
     )
-    # lev<=1 implies |len diff|<=1: cheap prefilter before the edit distance;
-    # the 3-arg levenshtein early-exits past the threshold (returns -1)
+    # blocking key = (last name, first-name LENGTH): lev<=1 implies
+    # |len diff|<=1, so exploding three length keys on the probe side turns
+    # the length prefilter into part of the equi-join key.  A last-name-only
+    # block grows linearly with the roster (40 surnames x 375 holders at
+    # sf0.1 = 5M candidate pairs); length sub-blocking divides each block by
+    # the first-name length spread before any edit distance runs — the
+    # difference between a blocked join and a per-surname cross product at
+    # corpus scale.  No duplicate candidates: a roster row's first name has
+    # exactly one length, so it matches exactly one of the three keys.
+    # The 3-arg levenshtein early-exits past the threshold (returns -1).
     lev = F.levenshtein(
         F.lower(F.col("from_first")), F.lower(F.col("r_first")), NAME_LEV_MAX
     )
     cands = (
-        with_name.join(
+        with_name.withColumn(
+            "len_key",
+            F.explode(
+                F.array(
+                    F.length("from_first") - 1,
+                    F.length("from_first"),
+                    F.length("from_first") + 1,
+                )
+            ),
+        )
+        .join(
             roster,
             (F.col("from_last") == F.col("r_last"))
-            & (
-                F.abs(F.length("from_first") - F.length("r_first")) <= NAME_LEV_MAX
-            ),
+            & (F.col("len_key") == F.length("r_first")),
         )
         .withColumn("lev", lev)
         .filter((F.col("lev") >= 0) & (F.col("lev") <= NAME_LEV_MAX))
+        .drop("len_key")
     )
     w = Window.partitionBy("transfer_id").orderBy("lev", "matched_customer_id")
     return (

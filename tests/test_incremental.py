@@ -88,3 +88,54 @@ def test_snapshot_partitioned_write(spark, tmp_path):
     # partition pruning reads one snapshot
     one = back.filter(F.col("snapshot_date") == "2024-02-01")
     assert one.count() == 1 and one.collect()[0]["v"] == 2
+
+
+def test_bounded_merge_window_permutations_property(spark):
+    """Property (documents the bounded merge's contract): when every window
+    carries the SOURCE's rows for its span — re-fetches of the same
+    provider state, the documented same-id-rows-identical assumption — any
+    processing order of any window set converges to the source restricted
+    to the union of spans."""
+    from itertools import permutations
+
+    import datetime as dt
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    base = dt.date(2024, 1, 1)
+    # fixed source of truth: one row per id on deterministic days 0..9
+    source = [(f"id{i}", base + dt.timedelta(days=(i * 3) % 10), i * 10) for i in range(8)]
+
+    @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(
+        windows=st.lists(
+            st.tuples(st.integers(0, 9), st.integers(0, 9)).map(
+                lambda t: (min(t), max(t))
+            ),
+            min_size=1,
+            max_size=3,
+        )
+    )
+    def run(windows):
+        spans = [
+            (base + dt.timedelta(days=lo), base + dt.timedelta(days=hi))
+            for lo, hi in windows
+        ]
+        expected = {
+            (i, d, v)
+            for (i, d, v) in source
+            if any(lo <= d <= hi for lo, hi in spans)
+        }
+        for order in permutations(range(len(spans))):
+            table = spark.createDataFrame([], "id string, d date, v int")
+            for k in order:
+                lo, hi = spans[k]
+                fresh = _df(spark, [r for r in source if lo <= r[1] <= hi])
+                table = inc.replace_bounded_window_merge(
+                    table, fresh, "d", lo, hi, "id", ["d", "v"]
+                )
+            got = {(r["id"], r["d"], r["v"]) for r in table.collect()}
+            assert got == expected, (order, windows)
+
+    run()

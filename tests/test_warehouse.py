@@ -38,3 +38,22 @@ def test_materialized_is_scan(spark, sf_dir):
     st = audit(build_transactions(spark, sf_dir))
     assert len(st.scans) == 1
     assert st.n_exchanges == 0
+
+
+def test_tracked_persist_released_by_next_registry_query(spark, sf_dir):
+    """Cache-hygiene contract: a builder's tracked_persist() survives its own
+    query but is unpersisted when the NEXT registry query starts, so a full
+    84-query session never accumulates executor storage."""
+    from pyspark.sql import functions as F
+
+    from basin_climbing_data_pipeline_spark.io import release_caches, tracked_persist
+    from basin_climbing_data_pipeline_spark.registry import REGISTRY
+
+    release_caches()  # clean slate
+    df = tracked_persist(spark.range(100).withColumn("x", F.col("id") * 2))
+    assert df.count() == 100
+    assert df.storageLevel.useMemory  # cached during its own query
+
+    # any wrapped registry callable releases prior caches before building
+    REGISTRY["doc_stats"][0](spark, sf_dir)
+    assert not df.storageLevel.useMemory
