@@ -102,3 +102,15 @@ def test_sessionize_late_event_does_not_move_bounds_backwards():
     assert closed["session_start_us"] == t0
     assert closed["session_end_us"] == t0 + 60_000_000
     assert closed["n_events"] == 3
+
+
+def test_merge_stream_starts_on_empty_source_dir(spark, tmp_path):
+    """A stream may be started before its producer lands any files: the
+    footer peek has nothing to read, so merge_stream falls back to the
+    documented EVENTS_NANOS_SCHEMA and completes with an empty table."""
+    import os
+
+    src = str(tmp_path / "empty_src")
+    os.makedirs(src)
+    merged = merge_stream(spark, src, str(tmp_path / "tgt"), "merge_sink_empty")
+    assert merged.count() == 0
