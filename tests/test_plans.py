@@ -60,3 +60,29 @@ def test_scans_prune_columns(spark, sf_dir):
     # columns the query never touches must be pruned from the parquet scans
     for unused in ("l_shipdate", "l_linestatus", "o_orderpriority", "p_retailprice"):
         assert unused not in schemas, f"{unused} not pruned: {schemas}"
+
+
+def test_merged_transactions_window_stays_equi(spark, sf_dir):
+    # the ST1 splice is union + window dedup over the transactions build:
+    # broadcastable dims, no nested-loop anywhere
+    st = _audit(spark, sf_dir, "merged_transactions_window")
+    assert st.n_bnl_joins == 0
+
+
+def test_expense_categories_pushes_filter_and_prunes(spark, sf_dir):
+    st = _audit(spark, sf_dir, "expense_categories")
+    assert st.n_bnl_joins == 0
+    assert st.n_broadcast_hash_joins >= 1  # part side broadcasts
+    schemas = " ".join(st.read_schemas)
+    # the ledger slice filter must reach the lineitem scan
+    assert any("l_returnflag" in f for f in st.pushed_filters), st.pushed_filters
+    # columns the query never touches must be pruned
+    for unused in ("l_tax", "p_retailprice", "p_name"):
+        assert unused not in schemas, f"{unused} not pruned: {schemas}"
+
+
+def test_fuzzy_name_join_is_equi_blocked(spark, sf_dir):
+    # (last name, first-name length) blocking must keep the levenshtein
+    # match on an equi join — never a per-surname cross product
+    st = _audit(spark, sf_dir, "pass_transfer_name_links")
+    assert st.n_bnl_joins == 0
