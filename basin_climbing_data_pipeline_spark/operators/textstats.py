@@ -239,3 +239,92 @@ SELECT doc_id,
        lang, source
 FROM documents
 """
+
+
+def bigram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document (Rae et al.
+    2021, "Scaling Language Models", appendix A1.1 repetition filters —
+    public paper): the share of the most frequent bigram and the fraction
+    of bigram occurrences that are repeats.  High values flag boilerplate /
+    degenerate text that pretraining pipelines drop.
+
+    Shape: explode bigrams → count per (doc, bigram) → per-doc rollup.  The
+    shuffle key includes doc_id, so no token is ever a hot key (unlike the
+    corpus-level token_frequencies rollup); at 100 TB this is two map-side
+    combinable aggregations.  The top-bigram pick is min(struct(-count,
+    bigram)) — deterministic count-desc-then-lexicographic, no window sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), " ")
+    # bigrams as arrays_zip(words[1:], words[2:]) with the concat AFTER the
+    # explode: slice/zip/explode/concat_ws are all codegen expressions,
+    # where a transform() lambda building each bigram string runs
+    # interpreted per element (measured 3x slower at sf0.1 — the same
+    # higher-order-function trap as the LSH coefficients)
+    n_bigrams_len = F.greatest(F.size(words) - 1, F.lit(0))
+    pairs = F.arrays_zip(
+        F.slice(words, 1, n_bigrams_len).alias("w1"),
+        F.slice(words, 2, n_bigrams_len).alias("w2"),
+    )
+    counts = (
+        docs.select("doc_id", "lang", F.explode(pairs).alias("p"))
+        .select(
+            "doc_id",
+            "lang",
+            F.concat_ws(" ", F.col("p.w1"), F.col("p.w2")).alias("bigram"),
+        )
+        .groupBy("doc_id", "lang", "bigram")
+        .agg(F.count("*").alias("n"))
+    )
+    per_doc = counts.groupBy("doc_id", "lang").agg(
+        F.sum("n").alias("n_bigrams"),
+        F.count("*").alias("n_distinct_bigrams"),
+        F.sum(F.when(F.col("n") > 1, F.col("n")).otherwise(0)).alias("_n_dup"),
+        F.max("n").alias("_top_n"),
+        F.min(F.struct((-F.col("n")).alias("neg"), F.col("bigram").alias("bigram"))).alias(
+            "_top"
+        ),
+    )
+    return per_doc.select(
+        "doc_id",
+        "lang",
+        "n_bigrams",
+        "n_distinct_bigrams",
+        F.col("_top.bigram").alias("top_bigram"),
+        ratio(F.col("_top_n"), F.col("n_bigrams"), 4).alias("top_bigram_share"),
+        ratio(F.col("_n_dup"), F.col("n_bigrams"), 4).alias("dup_bigram_frac"),
+    ).orderBy("doc_id")
+
+
+def bigram_repetition_sql() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, lang, split(trim(text), ' ') AS words FROM documents
+),
+bi AS (
+  SELECT doc_id, lang, words[i] || ' ' || words[i + 1] AS bigram
+  FROM toks, unnest(range(1, len(words))) AS t(i)
+),
+counts AS (
+  SELECT doc_id, lang, bigram, count(*) AS n FROM bi GROUP BY 1, 2, 3
+),
+per_doc AS (
+  SELECT doc_id, lang,
+         CAST(sum(n) AS BIGINT) AS n_bigrams,
+         count(*) AS n_distinct_bigrams,
+         CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT) AS n_dup,
+         max(n) AS top_n
+  FROM counts GROUP BY 1, 2
+),
+top AS (
+  SELECT doc_id, bigram AS top_bigram FROM (
+    SELECT doc_id, bigram,
+           row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, bigram) AS rn
+    FROM counts
+  ) WHERE rn = 1
+)
+SELECT p.doc_id, p.lang, p.n_bigrams, p.n_distinct_bigrams, t.top_bigram,
+       {ratio_sql('top_n', 'n_bigrams', 4)} AS top_bigram_share,
+       {ratio_sql('n_dup', 'n_bigrams', 4)} AS dup_bigram_frac
+FROM per_doc p JOIN top t ON p.doc_id = t.doc_id
+ORDER BY p.doc_id
+"""
