@@ -574,3 +574,140 @@ FROM pred p JOIN embeddings e ON e.vec_id = p.query_id
 WHERE p.rn = 1
 ORDER BY p.query_id
 """
+
+
+# ---------------------------------------------------------------------------
+# k-means refinement (Lloyd's iterations for the IVF coarse quantizer)
+# ---------------------------------------------------------------------------
+
+KMEANS_ITERS = 2
+MICRO = 1_000_000
+
+
+def _micro_embedding() -> Column:
+    """Embedding as exact micro-unit BIGINTs: floor(x*1e6 + 0.5) per dim.
+    Integer arithmetic makes every distance and every centroid mean
+    bit-identical across engines AND across partitionings — a float mean is
+    summation-order-dependent, which on a 1000-executor cluster means two
+    runs of the same k-means disagree.  |x| <= 1 here, so squared micro
+    distances stay ~6.4e13 over 64 dims — far inside BIGINT."""
+    return F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * MICRO + 0.5).cast("long"),
+    )
+
+
+def _kmeans_assign(emb: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest centroid per vector by exact integer squared L2; tie-break
+    lowest cluster id.  Broadcast NLJ against the 16-row centroid table —
+    the same physical shape as ivf_cell_search's assignment."""
+    dist = F.aggregate(
+        F.zip_with(F.col("e"), F.col("c"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+    return (
+        emb.join(F.broadcast(cents), F.lit(True))
+        .withColumn("dist", dist)
+        .groupBy("vec_id")
+        .agg(F.min(F.struct(F.col("dist"), F.col("cluster_id"))).alias("m"))
+        .select("vec_id", F.col("m.cluster_id").alias("cluster_id"))
+    )
+
+
+def kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means: KMEANS_ITERS assign/update rounds from the same
+    deterministic seeds ivf_cell_search uses (vec_id < N_CENTROIDS), then a
+    final assignment.  Upgrades the IVF coarse quantizer from "seeds
+    standing in for k-means output" to actual k-means — the iterative-
+    algorithm pattern (driver-coordinated loop, data distributed,
+    localCheckpoint per round) shared with dedup_clusters.
+
+    Centroid update = per-dimension floor(sum/n) in micro units: the sum is
+    an exact BIGINT (order-insensitive under any partitioning) and the one
+    floating division per (cluster, dim) is floored — so the trajectory is
+    reproducible run-to-run and engine-to-engine, which float means are
+    not.  Output: final cluster sizes + centroids (micro units)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _micro_embedding().alias("e")
+    )
+    from ..io import tracked_persist
+
+    emb = tracked_persist(emb)  # reused by every round's assignment
+    cents = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cluster_id"), F.col("e").alias("c")
+    )
+    for _ in range(KMEANS_ITERS):
+        assigned = _kmeans_assign(emb, cents)
+        per_dim = (
+            assigned.join(emb, "vec_id")
+            .select("cluster_id", F.posexplode("e").alias("dim", "val"))
+            .groupBy("cluster_id", "dim")
+            .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+        )
+        cents = (
+            per_dim.withColumn(
+                "m", F.floor(F.col("s").cast("double") / F.col("n")).cast("long")
+            )
+            .groupBy("cluster_id")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("dim", "m"))),
+                    lambda st: st["m"],
+                ).alias("c")
+            )
+        ).localCheckpoint()  # 16 rows; keeps the loop's plan flat
+    final = _kmeans_assign(emb, cents)
+    sizes = final.groupBy("cluster_id").agg(F.count("*").alias("n_members"))
+    return (
+        cents.join(sizes, "cluster_id")
+        .select("cluster_id", "n_members", F.col("c").alias("centroid_micro"))
+        .orderBy("cluster_id")
+    )
+
+
+def kmeans_refine_sql() -> str:
+    def assign(emb: str, cents: str, out: str) -> str:
+        return f"""
+{out}_d AS (
+  SELECT {emb}.vec_id, {cents}.cluster_id,
+         list_sum(list_transform(range(1, {DIM + 1}),
+                  i -> (e[i] - c[i]) * (e[i] - c[i]))) AS dist
+  FROM {emb} CROSS JOIN {cents}
+),
+{out} AS (
+  SELECT vec_id, cluster_id FROM (
+    SELECT vec_id, cluster_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster_id) AS rn
+    FROM {out}_d
+  ) WHERE rn = 1
+)"""
+
+    def update(asg: str, out: str) -> str:
+        return f"""
+{out} AS (
+  SELECT cluster_id, list(m ORDER BY dim) AS c FROM (
+    SELECT {asg}.cluster_id, t.i AS dim,
+           CAST(floor(sum(e[t.i])::double / count(*)) AS BIGINT) AS m
+    FROM {asg} JOIN emb USING (vec_id), unnest(range(1, {DIM + 1})) t(i)
+    GROUP BY {asg}.cluster_id, t.i
+  ) GROUP BY cluster_id
+)"""
+
+    return f"""
+WITH emb AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(floor(x::double * {MICRO} + 0.5) AS BIGINT)) AS e
+  FROM embeddings
+),
+c0 AS (SELECT vec_id AS cluster_id, e AS c FROM emb WHERE vec_id < {N_CENTROIDS}),
+{assign('emb', 'c0', 'a1')},
+{update('a1', 'c1')},
+{assign('emb', 'c1', 'a2')},
+{update('a2', 'c2')},
+{assign('emb', 'c2', 'a3')}
+SELECT c2.cluster_id, count(*) AS n_members, c2.c AS centroid_micro
+FROM a3 JOIN c2 USING (cluster_id)
+GROUP BY c2.cluster_id, c2.c
+ORDER BY c2.cluster_id
+"""

@@ -13,8 +13,9 @@ driver-green row at current code.  Round-4 rotation:
    outside round 3's window while the shared io.py read/materialize path
    changed underneath) — they register FIRST so `CORRECTNESS_r04.json`
    re-greens them at current code;
-2. the four queries new in round 4 (merged_transactions_window,
-   streaming_sessions, expense_categories, bigram_repetition);
+2. the five queries new in round 4 (merged_transactions_window,
+   streaming_sessions, expense_categories, bigram_repetition,
+   kmeans_refine);
 3. queries whose source was touched in rounds 3-4: leads.py agg fusion,
    customers.py family materialization, dedup.py/linking.py tracked-cache
    + label-propagation refactor, the flags trio (flags.py was materially
@@ -124,7 +125,7 @@ register("trailing_window_counts", ev.trailing_window_counts, ev.trailing_window
 register("entry_method_counts", ev.entry_method_counts, ev.entry_method_counts_sql())
 register("daily_checkin_stats", ev.daily_checkin_stats, ev.daily_checkin_stats_sql())
 
-# --- block 2 (slots 32-35): new in round 4 ---------------------------------
+# --- block 2 (slots 32-36): new in round 4 ---------------------------------
 
 register(
     "merged_transactions_window",
@@ -134,8 +135,13 @@ register(
 register("streaming_sessions", stf.streaming_sessions_query, stf.streaming_sessions_sql())
 register("expense_categories", txn.expense_categories, txn.expense_categories_sql())
 register("bigram_repetition", ts.bigram_repetition, ts.bigram_repetition_sql())
+register("kmeans_refine", sim.kmeans_refine, sim.kmeans_refine_sql())
 
-# --- block 3 (slots 36-51): source touched in rounds 3-4 -------------------
+# --- block 3 (slots 37-52, window cutoff after slot 50): source touched
+# in rounds 3-4.  Every round-4-touched query sits at slot <= 50; the two
+# past the cutoff (knn_label_vote, ivf_cell_search) live in the round-4-
+# edited similarity.py but on unchanged code paths (_dot64/_cosine, not the
+# hoisted _band_bucket) and are check.py-green at HEAD.
 # leads.py (master/leads agg fusion), customers.py (family materialization),
 # dedup.py (tracked cache + label-propagation refactor) and linking.py are
 # round-4 edits; flags.py was materially rewritten in round 3 and its three
@@ -165,9 +171,8 @@ register("knn_label_vote", sim.knn_label_vote, sim.knn_label_vote_sql())
 register("ivf_cell_search", sim.ivf_cell_search, sim.ivf_cell_search_sql())
 
 # --- block 4 (outside the window): round-3-green, source untouched since ---
-# ivf_cell_search sits at slot 51, one past the window: it lives in the
-# round-4-edited similarity.py but its code path (_dot64/_cosine, not the
-# hoisted _band_bucket) is unchanged, and it is check.py-green at HEAD.
+# (knn_label_vote and ivf_cell_search above also sit past the slot-50
+# cutoff — see the block-3 note)
 
 register("proximity_connections", ev.proximity_connections, ev.proximity_connections_sql())
 register("returning_after_break", ev.returning_after_break, ev.returning_after_break_sql())
