@@ -328,3 +328,64 @@ SELECT p.doc_id, p.lang, p.n_bigrams, p.n_distinct_bigrams, t.top_bigram,
 FROM per_doc p JOIN top t ON p.doc_id = t.doc_id
 ORDER BY p.doc_id
 """
+
+
+def source_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document-length distribution: exact discrete p50/p90 plus
+    count and fixed-point mean — the corpus-profiling stats a pretraining
+    pipeline reports per data source before mixing.
+
+    Percentiles are PERCENTILE_DISC computed with explicit rank math
+    (value at row ceil(p*n) in ascending order): Spark's exact
+    ``percentile`` and DuckDB's ``quantile_cont`` both interpolate, and
+    interpolated doubles hash-mismatch at ulp level across engines, while
+    a discrete pick is a real row value — identical everywhere.  Approx
+    sketches (``approx_percentile``) are the 100 TB alternative when exact
+    ranks aren't required, but they are engine-specific by construction.
+    Shape: one window sort per source partition + one groupBy."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = docs.select("source", "n_chars", "doc_id").withColumn(
+        "rn", F.row_number().over(w)
+    ).withColumn("n", F.count("*").over(Window.partitionBy("source")))
+
+    def disc(p: float):
+        return F.max(
+            F.when(F.col("rn") == F.ceil(F.lit(p) * F.col("n")), F.col("n_chars"))
+        )
+
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            disc(0.5).alias("p50_chars"),
+            disc(0.9).alias("p90_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            ratio(F.sum("n_chars"), F.count("*"), 2).alias("mean_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+def source_length_percentiles_sql() -> str:
+    return f"""
+WITH ranked AS (
+  SELECT source, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM documents
+)
+SELECT source,
+       count(*) AS n_docs,
+       max(CASE WHEN rn = ceil(0.5 * n) THEN n_chars END) AS p50_chars,
+       max(CASE WHEN rn = ceil(0.9 * n) THEN n_chars END) AS p90_chars,
+       min(n_chars) AS min_chars,
+       max(n_chars) AS max_chars,
+       {ratio_sql('sum(n_chars)', 'count(*)', 2)} AS mean_chars
+FROM ranked
+GROUP BY source
+ORDER BY source
+"""

@@ -13,9 +13,9 @@ driver-green row at current code.  Round-4 rotation:
    outside round 3's window while the shared io.py read/materialize path
    changed underneath) — they register FIRST so `CORRECTNESS_r04.json`
    re-greens them at current code;
-2. the five queries new in round 4 (merged_transactions_window,
+2. the six queries new in round 4 (merged_transactions_window,
    streaming_sessions, expense_categories, bigram_repetition,
-   kmeans_refine);
+   kmeans_refine, source_length_percentiles);
 3. queries whose source was touched in rounds 3-4: leads.py agg fusion,
    customers.py family materialization, dedup.py/linking.py tracked-cache
    + label-propagation refactor, the flags trio (flags.py was materially
@@ -125,7 +125,7 @@ register("trailing_window_counts", ev.trailing_window_counts, ev.trailing_window
 register("entry_method_counts", ev.entry_method_counts, ev.entry_method_counts_sql())
 register("daily_checkin_stats", ev.daily_checkin_stats, ev.daily_checkin_stats_sql())
 
-# --- block 2 (slots 32-36): new in round 4 ---------------------------------
+# --- block 2 (slots 32-37): new in round 4 ---------------------------------
 
 register(
     "merged_transactions_window",
@@ -136,12 +136,18 @@ register("streaming_sessions", stf.streaming_sessions_query, stf.streaming_sessi
 register("expense_categories", txn.expense_categories, txn.expense_categories_sql())
 register("bigram_repetition", ts.bigram_repetition, ts.bigram_repetition_sql())
 register("kmeans_refine", sim.kmeans_refine, sim.kmeans_refine_sql())
+register(
+    "source_length_percentiles",
+    ts.source_length_percentiles,
+    ts.source_length_percentiles_sql(),
+)
 
-# --- block 3 (slots 37-52, window cutoff after slot 50): source touched
-# in rounds 3-4.  Every round-4-touched query sits at slot <= 50; the two
-# past the cutoff (knn_label_vote, ivf_cell_search) live in the round-4-
-# edited similarity.py but on unchanged code paths (_dot64/_cosine, not the
-# hoisted _band_bucket) and are check.py-green at HEAD.
+# --- block 3 (slots 38-53, window cutoff after slot 50): source touched
+# in rounds 3-4.  Every round-4-touched query sits at slot <= 50; the three
+# past the cutoff (cosine_topk, knn_label_vote, ivf_cell_search) live in
+# the round-4-edited similarity.py but on unchanged code paths
+# (_dot64/_cosine, not the hoisted _band_bucket) and are check.py-green at
+# HEAD.
 # leads.py (master/leads agg fusion), customers.py (family materialization),
 # dedup.py (tracked cache + label-propagation refactor) and linking.py are
 # round-4 edits; flags.py was materially rewritten in round 3 and its three
@@ -171,8 +177,8 @@ register("knn_label_vote", sim.knn_label_vote, sim.knn_label_vote_sql())
 register("ivf_cell_search", sim.ivf_cell_search, sim.ivf_cell_search_sql())
 
 # --- block 4 (outside the window): round-3-green, source untouched since ---
-# (knn_label_vote and ivf_cell_search above also sit past the slot-50
-# cutoff — see the block-3 note)
+# (cosine_topk, knn_label_vote, ivf_cell_search above also sit past the
+# slot-50 cutoff — see the block-3 note)
 
 register("proximity_connections", ev.proximity_connections, ev.proximity_connections_sql())
 register("returning_after_break", ev.returning_after_break, ev.returning_after_break_sql())
