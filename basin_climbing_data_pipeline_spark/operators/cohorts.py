@@ -33,7 +33,6 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.money import ratio, ratio_sql, sum_money, sum_money_sql, to_cents, to_cents_sql
-from ..io import load_table
 
 COHORT_AS_OF = dt.date(2024, 1, 20)  # mid-stream: later visits are immature
 
