@@ -147,7 +147,7 @@ def tracked_persist(df: DataFrame) -> DataFrame:
     subtree as independent subtrees — no exchange reuse across AQE stages —
     so without a cache the subtree computes once per consumer.  A bare
     ``persist()`` fixes that but pins executor storage for the rest of the
-    session: an 81-query bench/correctness run accumulates every query's
+    session: a full-registry bench/correctness run accumulates every query's
     cache.  Tracked caches are released by :func:`release_caches`, which the
     query registry invokes before building the NEXT query — within-query
     reuse runs at memory speed, across queries nothing stays resident.

@@ -549,6 +549,7 @@ def propagate_min_labels(edges: DataFrame, max_rounds: int = 32) -> DataFrame:
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
+    changed = -1
     for _ in range(max_rounds):  # convergence check exits earlier
         nbr = edges.join(
             labels.select(F.col("node").alias("dst"), "label"), "dst"
@@ -566,6 +567,15 @@ def propagate_min_labels(edges: DataFrame, max_rounds: int = 32) -> DataFrame:
         if changed == 0:
             break
     edges.unpersist()
+    if changed != 0:
+        # silently returning partial propagation would split one true
+        # component into several clusters — fail loudly instead; a graph
+        # this deep needs the large-star/small-star variant
+        raise RuntimeError(
+            f"min-label propagation did not converge in {max_rounds} rounds "
+            f"({changed} labels still changing); graph diameter exceeds the "
+            "round bound"
+        )
     return labels
 
 

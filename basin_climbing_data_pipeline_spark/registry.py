@@ -62,7 +62,7 @@ def register(name: str, fn: SparkQuery, sql: str | None) -> None:
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
         # cache hygiene across a full registry run: a handful of builders
         # tracked_persist() a reused subtree for the duration of THEIR query;
-        # release those before building the next one so an 81-query session
+        # release those before building the next one so a full-registry session
         # never accumulates executor storage
         release_caches()
         return fn(spark, sf_dir)

@@ -112,7 +112,11 @@ def windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination(timeout=300)
-    return spark.table(sink).orderBy("window_start_us", "event_type")
+    # detach from the memory sink (checkpoint + drop view) so per-call sink
+    # tables don't accumulate in driver memory across a registry session
+    result = spark.table(sink).localCheckpoint()
+    spark.catalog.dropTempView(sink)
+    return result.orderBy("window_start_us", "event_type")
 
 
 def sliding_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -148,7 +152,11 @@ def sliding_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination(timeout=300)
-    return spark.table(sink).orderBy("window_start_us", "event_type")
+    # detach from the memory sink (checkpoint + drop view) so per-call sink
+    # tables don't accumulate in driver memory across a registry session
+    result = spark.table(sink).localCheckpoint()
+    spark.catalog.dropTempView(sink)
+    return result.orderBy("window_start_us", "event_type")
 
 
 def sliding_event_counts_sql() -> str:

@@ -47,9 +47,15 @@ def merge_stream(
     the documented events schema so the stream can start and pick files up
     as they land."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    try:
+    # fall back ONLY for a genuinely empty source dir — a corrupt or
+    # unreadable file must fail loudly at startup, not silently switch the
+    # stream to the nanos-as-long layout
+    has_files = os.path.isdir(source_dir) and any(
+        f.endswith(".parquet") for f in os.listdir(source_dir)
+    )
+    if has_files:
         schema = spark.read.parquet(source_dir).schema
-    except Exception:
+    else:
         from .events_stream import EVENTS_NANOS_SCHEMA
 
         schema = EVENTS_NANOS_SCHEMA

@@ -93,7 +93,12 @@ def streaming_sessions(spark: SparkSession, sf_dir: str, sink_name: str) -> Data
             .start()
         )
         q.awaitTermination(timeout=300)
-    return spark.table(sink_name)
+    # detach the result from the memory sink so the per-call sink table
+    # doesn't accumulate in driver memory for the rest of the session:
+    # checkpoint (blocks are GC-cleaned with the DataFrame) then drop the view
+    result = spark.table(sink_name).localCheckpoint()
+    spark.catalog.dropTempView(sink_name)
+    return result
 
 
 def streaming_sessions_query(spark: SparkSession, sf_dir: str) -> DataFrame:
