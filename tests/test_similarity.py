@@ -90,3 +90,45 @@ def test_planes_scale_with_corpus():
         r = sim._planes_for(n)
         assert n / 2**r <= sim.TARGET_OCCUPANCY
         assert n / 2**r > sim.TARGET_OCCUPANCY / 4
+
+
+def test_kmeans_objective_never_increases(spark, sf_dir):
+    """Lloyd's guarantee: each assign/update round cannot increase the
+    k-means objective.  With micro-int arithmetic the floored centroid
+    means deviate from the true means by < 1 unit per dim, far below the
+    assignment distances, so monotonicity must hold on real data."""
+    from pyspark.sql import functions as F
+
+    from basin_climbing_data_pipeline_spark.io import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", sim._micro_embedding().alias("e")
+    )
+
+    def objective(cents):
+        assigned = sim._kmeans_assign(emb, cents)
+        dist = F.aggregate(
+            F.zip_with(F.col("e"), F.col("c"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + t,
+        )
+        return (
+            assigned.join(emb, "vec_id")
+            .join(cents, "cluster_id")
+            .select(dist.alias("d"))
+            .agg(F.sum("d"))
+            .collect()[0][0]
+        )
+
+    seeds = emb.filter(F.col("vec_id") < sim.N_CENTROIDS).select(
+        F.col("vec_id").alias("cluster_id"), F.col("e").alias("c")
+    )
+    refined = sim.kmeans_refine(spark, sf_dir).select(
+        "cluster_id", F.col("centroid_micro").alias("c")
+    )
+    assert objective(refined) <= objective(seeds)
+    # refinement must actually move the centroids off the seed vectors
+    moved = refined.join(seeds.withColumnRenamed("c", "seed_c"), "cluster_id").filter(
+        F.col("c") != F.col("seed_c")
+    )
+    assert moved.count() > 0
