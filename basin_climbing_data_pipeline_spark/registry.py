@@ -58,8 +58,13 @@ REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {}
 
 def register(name: str, fn: SparkQuery, sql: str | None) -> None:
     from .io import release_caches
+    from .session import tune_session
 
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # the driver may invoke queries() on a session that never went
+        # through entry(); self-tune (UTC, AQE — runtime-mutable settings
+        # only, idempotent) so correctness never depends on call order
+        tune_session(spark)
         # cache hygiene across a full registry run: a handful of builders
         # tracked_persist() a reused subtree for the duration of THEIR query;
         # release those before building the next one so a full-registry session
