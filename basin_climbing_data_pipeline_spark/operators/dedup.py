@@ -352,9 +352,32 @@ ORDER BY o.doc_a, o.doc_b
 # ---------------------------------------------------------------------------
 
 
-def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash: per distinct word, h32's low 16 bits vote ±1 per bit
-    position; signature bit = vote sum > 0."""
+def simhash_bits_for(
+    n: int,
+    n_chunks: int = SIMHASH_MAX_HAMMING + 1,
+    target_occupancy: int = 64,
+) -> int:
+    """Corpus-derived signature width (the simhash analog of
+    similarity._planes_for): chunk width w = ceil(log2(n / occupancy))
+    keeps the expected per-chunk bucket occupancy ≈ target at any corpus
+    size, so collision candidates stay ~ n · occupancy · chunks — linear —
+    instead of the n²·chunks/2^bits blowup a fixed width has (measured 8.5x
+    at 4x corpus by tools/scale_probe.py).  Capped at 32 bits by the 32-bit
+    word hash; at true corpus scale a 64-bit hash lifts the cap."""
+    import math
+
+    w = max(4, math.ceil(math.log2(max(n, 1) / float(target_occupancy))))
+    return min(32, n_chunks * w)
+
+
+def simhash_signatures(
+    spark: SparkSession, sf_dir: str, bits: int = SIMHASH_BITS
+) -> DataFrame:
+    """SimHash at the given width: per distinct word, h32's low ``bits``
+    bits vote ±1 per position; signature bit = vote sum > 0.  The
+    registered query pins bits=SIMHASH_BITS so the oracle's near-dup set is
+    meaningful at test scale; the scale path derives the width from the
+    corpus via :func:`simhash_bits_for`."""
     docs = load_table(spark, sf_dir, "documents")
     words = docs.select(
         "doc_id",
@@ -368,11 +391,11 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             F.when(F.shiftright(F.col("h32"), i).bitwiseAND(1) == 1, 1).otherwise(-1)
         ).alias(f"v{i}")
-        for i in range(SIMHASH_BITS)
+        for i in range(bits)
     ]
     agg = hashed.groupBy("doc_id", "lang").agg(*votes)
     sig = None
-    for i in range(SIMHASH_BITS):
+    for i in range(bits):
         bit = F.when(F.col(f"v{i}") > 0, 1 << i).otherwise(0)
         sig = bit if sig is None else sig + bit
     return agg.select("doc_id", "lang", sig.cast("long").alias("simhash")).orderBy("doc_id")
@@ -403,10 +426,16 @@ FROM agg ORDER BY doc_id
 """
 
 
-def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup candidates at hamming ≤ 3 via the pigeonhole trick: split the
-    16-bit signature into 4 nibbles; any pair within hamming 3 must agree on
-    ≥1 nibble → 4 equi-joins on (chunk, value), dedup, verify bit_count(xor).
+def simhash_near_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    bits: int = SIMHASH_BITS,
+    max_hamming: int = SIMHASH_MAX_HAMMING,
+) -> DataFrame:
+    """Near-dup candidates at hamming ≤ max_hamming via the pigeonhole
+    trick: split the signature into max_hamming+1 chunks; any pair within
+    the threshold must agree on ≥1 chunk → one equi-join per chunk on
+    (chunk, value), dedup, verify bit_count(xor).
 
     Scale law (measured by tools/scale_probe.py: 8.5x runtime at 4x corpus):
     at FIXED signature width, chunk-collision candidates grow ~ n²·chunks /
@@ -415,13 +444,17 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     same hamming≤bits/8-1 guarantee), the exact analog of how
     similarity._planes_for derives the LSH plane count from corpus size;
     the 16-bit width here is pinned so the oracle's near-dup set is
-    meaningful at test scale."""
+    meaningful at test scale (see :func:`simhash_bits_for` for the
+    corpus-derived width, generalized over ``bits``/``max_hamming``)."""
+    n_chunks = max_hamming + 1  # pigeonhole: hamming<=k -> k+1 chunks
+    w = bits // n_chunks
+    mask = (1 << w) - 1
     # the signature table is one small row per doc but costs a full word
-    # explode + 16-vote aggregation to build, and Catalyst plans the
+    # explode + per-bit vote aggregation to build, and Catalyst plans the
     # self-join below as two independent subtrees (no exchange reuse across
     # AQE stages) — cache so it computes once (measured 4.3s -> 1.4s at
     # sf0.1); tracked, so the registry releases it before the next query
-    sigs = tracked_persist(simhash_signatures(spark, sf_dir))
+    sigs = tracked_persist(simhash_signatures(spark, sf_dir, bits))
     chunks = sigs.select(
         "doc_id",
         "lang",
@@ -431,9 +464,9 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(c).alias("chunk"),
-                        F.shiftright(F.col("simhash"), 4 * c).bitwiseAND(15).alias("val"),
+                        F.shiftright(F.col("simhash"), w * c).bitwiseAND(mask).alias("val"),
                     )
-                    for c in range(4)
+                    for c in range(n_chunks)
                 ]
             )
         ).alias("c"),
@@ -462,7 +495,7 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     hamming = F.expr("bit_count(sig_a ^ sig_b)")
     return (
         cand.withColumn("hamming", hamming)
-        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
         .distinct()
         .orderBy("doc_a", "doc_b")

@@ -125,3 +125,45 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     assert emitted.get(t.replace(hour=12)) == 1
     # the 09:00 late row must NOT have produced a window
     assert t.replace(hour=9) not in emitted, emitted
+
+
+def test_simhash_pigeonhole_generalizes_to_wider_signatures(spark, sf_dir):
+    """The chunked candidate join at bits=32 / hamming<=3 must find exactly
+    the pairs a brute-force all-pairs hamming scan finds — the pigeonhole
+    guarantee is width-independent, which is what makes the corpus-derived
+    width (simhash_bits_for) a drop-in scale path."""
+    from pyspark.sql import functions as F
+
+    from basin_climbing_data_pipeline_spark.operators import dedup as dd
+
+    bits = 32
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in dd.simhash_near_pairs(spark, sf_dir, bits=bits).collect()
+    }
+    sigs = dd.simhash_signatures(spark, sf_dir, bits=bits)
+    a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_a"),
+                    F.col("simhash").alias("sig_a"))
+    b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b"),
+                    F.col("simhash").alias("sig_b"))
+    brute = (
+        a.join(b, (F.col("doc_a") < F.col("doc_b")) & (F.col("lang_a") == F.col("lang_b")))
+        .withColumn("hamming", F.expr("bit_count(sig_a ^ sig_b)"))
+        .filter(F.col("hamming") <= dd.SIMHASH_MAX_HAMMING)
+    )
+    want = {(r["doc_a"], r["doc_b"], r["hamming"]) for r in brute.collect()}
+    assert got == want
+
+
+def test_simhash_bits_scale_with_corpus():
+    from basin_climbing_data_pipeline_spark.operators.dedup import simhash_bits_for
+
+    # occupancy per chunk bucket stays bounded as the corpus grows
+    assert simhash_bits_for(500) == 16
+    assert simhash_bits_for(5_000) > 16
+    assert simhash_bits_for(100_000) == 32  # capped by the 32-bit word hash
+    for n in (10**4, 10**6):
+        bits = simhash_bits_for(n)
+        w = bits // 4
+        if bits < 32:  # below the cap the occupancy bound must hold
+            assert n / 2**w <= 64
