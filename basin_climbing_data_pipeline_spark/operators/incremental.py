@@ -13,6 +13,9 @@ Engine equivalents, all pure DataFrame transforms:
   deterministic keep-first ordering (SURVEY.md §4.3).  Driver-checked via
   :func:`merged_transactions_window` (stale stored table + re-fetched
   window over the transactions build, DuckDB oracle).
+- :func:`overwrite_window_partitions` — the same splice as O(window)
+  dynamic partition overwrite on a date-partitioned table (the 100 TB
+  path; differential-tested against the relational merge).
 - :func:`append_if_absent` — ST4 via left-anti join.
 - :func:`write_snapshot` — date-partitioned snapshot write
   (``partitionBy(snapshot_date)`` replaces the reference's date-suffixed
@@ -177,6 +180,53 @@ SELECT transaction_id, txn_date, revenue_category, total_amount, row_version
 FROM ranked WHERE rn = 1
 ORDER BY transaction_id
 """
+
+
+def overwrite_window_partitions(
+    spark: SparkSession,
+    table_dir: str,
+    fresh: DataFrame,
+    date_col: str,
+    window_start,
+    window_end,
+    id_col: str,
+    order_cols: list[str],
+) -> DataFrame:
+    """ST1 at scale: dynamic partition overwrite instead of table rewrite.
+
+    The reference rewrites the WHOLE stored CSV per merge
+    (pipeline_handler.py:446-479); the batch builders here express the same
+    splice relationally (:func:`replace_window_merge`).  On a partitioned
+    table neither is necessary: dedup the re-fetched window, then let
+    ``partitionOverwriteMode=dynamic`` replace exactly the date partitions
+    the window carries — stored rows outside the window are never read,
+    shuffled, or rewritten, so merge cost is O(window), not O(table).
+
+    Semantic note vs :func:`replace_bounded_window_merge`: a date INSIDE
+    the window with no re-fetched rows keeps its stored partition here
+    (dynamic overwrite only replaces partitions present in the write); the
+    relational merge deletes it.  Re-fetches return every date they cover,
+    so the two agree on real feeds — differential-tested in
+    tests/test_incremental.py.
+
+    Returns a scan of the updated table."""
+    w = Window.partitionBy(id_col).orderBy(*[F.col(c) for c in order_cols])
+    deduped = (
+        fresh.filter(
+            (F.col(date_col) >= F.lit(window_start))
+            & (F.col(date_col) <= F.lit(window_end))
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        deduped.write.mode("overwrite").partitionBy(date_col).parquet(table_dir)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return spark.read.parquet(table_dir)
 
 
 def append_if_absent(existing: DataFrame, incoming: DataFrame, id_col: str) -> DataFrame:

@@ -139,3 +139,45 @@ def test_bounded_merge_window_permutations_property(spark):
             assert got == expected, (order, windows)
 
     run()
+
+
+def test_partition_overwrite_merge_equals_relational_merge(spark, tmp_path):
+    """The dynamic-partition-overwrite ST1 path must agree with the
+    relational bounded merge whenever the re-fetch covers every date in its
+    window (which real re-fetches do): only the window's partitions change,
+    rows outside are untouched on disk."""
+    d = dt.date
+    table = str(tmp_path / "txns")
+    stored = _df(
+        spark,
+        [
+            ("a", d(2024, 1, 1), 1),
+            ("b", d(2024, 1, 3), 2),
+            ("c", d(2024, 1, 5), 3),
+            ("d", d(2024, 1, 7), 4),
+        ],
+    )
+    stored.write.partitionBy("d").parquet(table)
+    # re-fetch of [Jan 3, Jan 5]: b updated, c replaced by c2, plus a dupe
+    fresh = _df(
+        spark,
+        [
+            ("b", d(2024, 1, 3), 20),
+            ("b", d(2024, 1, 3), 21),  # dupe id; keep-first by (d, v)
+            ("c2", d(2024, 1, 5), 30),
+        ],
+    )
+    updated = inc.overwrite_window_partitions(
+        spark, table, fresh, "d", d(2024, 1, 3), d(2024, 1, 5), "id", ["d", "v"]
+    )
+    relational = inc.replace_bounded_window_merge(
+        stored, fresh, "d", d(2024, 1, 3), d(2024, 1, 5), "id", ["d", "v"]
+    )
+    got = {(r["id"], r["d"], r["v"]) for r in updated.collect()}
+    want = {(r["id"], r["d"], r["v"]) for r in relational.collect()}
+    assert got == want == {
+        ("a", d(2024, 1, 1), 1),
+        ("b", d(2024, 1, 3), 20),
+        ("c2", d(2024, 1, 5), 30),
+        ("d", d(2024, 1, 7), 4),
+    }
