@@ -37,7 +37,7 @@ operators in operators/dedup.py (same blocking contract).  Every lookup dim
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import config
@@ -517,6 +517,23 @@ TRANSFER_MOD = 11  # orders with o_orderkey % 11 == 0 carry a transfer note
 NAME_LEV_MAX = 1  # levenshtein fallback tolerance (reference tier-2 name match)
 
 
+def _delete1_keys(col: Column) -> Column:
+    """Deletion-neighborhood index keys for edit-distance-1 blocking:
+    ``{lower(s)} ∪ {lower(s) with one character deleted}`` (SymSpell /
+    FastSS).  Any two strings with levenshtein distance <= 1 share at least
+    one key, so an equi-join on these keys is a lossless candidate
+    generator for a lev<=1 match — with candidate volume proportional to
+    the number of true near-matches instead of the block size."""
+    s = F.lower(col)
+    deletes = F.transform(
+        F.sequence(F.lit(1), F.length(s)),
+        lambda i: F.concat(
+            F.substring(s, F.lit(1), i - 1), F.substring(s, i + 1, F.length(s))
+        ),
+    )
+    return F.array_distinct(F.concat(F.array(s), deletes))
+
+
 def pass_transfer_name_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pass-transfer grammar parse + fuzzy name join (J10).
 
@@ -591,38 +608,38 @@ def pass_transfer_name_links(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("first_name").alias("r_first"),
         F.col("last_name").alias("r_last"),
     )
-    # blocking key = (last name, first-name LENGTH): lev<=1 implies
-    # |len diff|<=1, so exploding three length keys on the probe side turns
-    # the length prefilter into part of the equi-join key.  A last-name-only
-    # block grows linearly with the roster (40 surnames x 375 holders at
-    # sf0.1 = 5M candidate pairs); length sub-blocking divides each block by
-    # the first-name length spread before any edit distance runs — the
-    # difference between a blocked join and a per-surname cross product at
-    # corpus scale.  No duplicate candidates: a roster row's first name has
-    # exactly one length, so it matches exactly one of the three keys.
-    # The 3-arg levenshtein early-exits past the threshold (returns -1).
+    # Blocking key = (last name, deletion-neighborhood variant of the first
+    # name) — the SymSpell/FastSS inverted index.  Two strings within
+    # levenshtein distance 1 ALWAYS share a key in {s} ∪ deletes1(s)
+    # (equal -> s itself; substitution at i -> both delete position i;
+    # insert/delete -> the longer side's delete equals the shorter string),
+    # so the equi-join is lossless for lev<=1.  Unlike a
+    # (last name, first-name length) block — which at this corpus still
+    # yielded ~356 candidates per probe (4.85M pairs at sf0.1) because
+    # synthesized first names cluster in length — the deletion index emits
+    # essentially only true near-matches: candidate volume tracks the match
+    # count, not the block size, and the per-row key fan-out is len+1
+    # (~9 keys for a first name).  At a 1e9-row roster that is a 9e9-row
+    # keyed build side feeding a plain equi-join — linear in N, no
+    # per-surname cross product anywhere.  The 3-arg levenshtein then only
+    # CONFIRMS distance on the handful of survivors (it early-exits past
+    # the threshold, returning -1, which also drops the rare lev>=2 key
+    # collision).  A (probe, roster) pair sharing two variant keys emits
+    # two identical candidate rows; the keep-best row_number below picks
+    # one of them, so no distinct is needed before ranking.
     lev = F.levenshtein(
         F.lower(F.col("from_first")), F.lower(F.col("r_first")), NAME_LEV_MAX
     )
     cands = (
-        with_name.withColumn(
-            "len_key",
-            F.explode(
-                F.array(
-                    F.length("from_first") - 1,
-                    F.length("from_first"),
-                    F.length("from_first") + 1,
-                )
-            ),
-        )
+        with_name.withColumn("vkey", F.explode(_delete1_keys(F.col("from_first"))))
         .join(
-            roster,
-            (F.col("from_last") == F.col("r_last"))
-            & (F.col("len_key") == F.length("r_first")),
+            roster.withColumn("rvkey", F.explode(_delete1_keys(F.col("r_first")))),
+            (F.col("vkey") == F.col("rvkey"))
+            & (F.col("from_last") == F.col("r_last")),
         )
         .withColumn("lev", lev)
         .filter((F.col("lev") >= 0) & (F.col("lev") <= NAME_LEV_MAX))
-        .drop("len_key")
+        .drop("vkey", "rvkey")
     )
     w = Window.partitionBy("transfer_id").orderBy("lev", "matched_customer_id")
     return (
