@@ -106,15 +106,19 @@ def test_kmeans_objective_never_increases(spark, sf_dir):
     )
 
     def objective(cents):
-        assigned = sim._kmeans_assign(emb, cents)
+        cent_rows = sorted(
+            (int(r["cluster_id"]), list(r["c"])) for r in cents.collect()
+        )
+        assigned = emb.select(
+            sim._nearest_centroid(cent_rows).alias("cluster_id"), "e"
+        )
         dist = F.aggregate(
             F.zip_with(F.col("e"), F.col("c"), lambda a, b: (a - b) * (a - b)),
             F.lit(0).cast("long"),
             lambda acc, t: acc + t,
         )
         return (
-            assigned.join(emb, "vec_id")
-            .join(cents, "cluster_id")
+            assigned.join(cents, "cluster_id")
             .select(dist.alias("d"))
             .agg(F.sum("d"))
             .collect()[0][0]
