@@ -647,3 +647,93 @@ SELECT l.node AS doc_id, l.cluster_id, s.cluster_size
 FROM labels l JOIN sizes s USING (cluster_id)
 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# MinHash estimator error evaluation — measured quality of the sketch
+# ---------------------------------------------------------------------------
+
+
+def minhash_error_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured error of the MinHash Jaccard ESTIMATE against the exact
+    shingle Jaccard, per band-collision stratum — the companion eval to
+    :func:`ann_recall_eval` for the text-dedup sketch.  MinHash's estimate
+    for a pair is (matching signature components)/k; LSH retrieval quality
+    is usually quoted from theory (1-(1-j^rows)^bands) — this query
+    measures it on the actual corpus instead.
+
+    Input pairs are the verified LSH candidates (:func:`minhash_lsh_pairs`
+    — materialized, so this reads a tiny parquet), joined back to the
+    16-component signature table on each side; the error aggregates are
+    exact integer micro-units (estimate step = 1e6/k = 62500), grouped by
+    n_band_collisions so the output exposes the estimator's bias per
+    collision stratum (pairs colliding in more bands skew to higher true
+    Jaccard).  Output is O(MINHASH_BANDS) rows.
+
+    Scale shape: two equi-joins of the candidate-pair table against the
+    signature table (both linear in candidates), one partial-aggregated
+    groupBy on an 8-value key."""
+    pairs = minhash_lsh_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b", "n_band_collisions", "jaccard"
+    )
+    sigs = _minhash_signatures_from(_shingles_df(spark, sf_dir))
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(MINHASH_K)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(MINHASH_K)],
+    )
+    n_eq = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(MINHASH_K)
+    )
+    step = 1000000 // MINHASH_K  # exact: 62500 micro per matching component
+    scored = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "n_band_collisions",
+            (n_eq * step).alias("est_micro"),
+            F.floor(F.col("jaccard") * 1000000.0 + 0.5).cast("long").alias("true_micro"),
+        )
+        .withColumn("err_micro", F.abs(F.col("est_micro") - F.col("true_micro")))
+    )
+    return (
+        scored.groupBy("n_band_collisions")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.floor(F.avg("err_micro")).cast("long").alias("mean_abs_err_micro"),
+            F.max("err_micro").alias("max_abs_err_micro"),
+            F.floor(F.avg("true_micro")).cast("long").alias("mean_true_jaccard_micro"),
+        )
+        .orderBy("n_band_collisions")
+    )
+
+
+def minhash_error_eval_sql() -> str:
+    eq_terms = " + ".join(
+        f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END" for i in range(MINHASH_K)
+    )
+    step = 1000000 // MINHASH_K
+    return f"""
+WITH lsh AS ({minhash_lsh_pairs_sql().replace("ORDER BY o.doc_a, o.doc_b", "")}),
+sig_tbl AS ({minhash_signatures_sql().replace("ORDER BY doc_id", "")}),
+scored AS (
+  SELECT p.n_band_collisions,
+         ({eq_terms}) * {step} AS est_micro,
+         CAST(floor(p.jaccard * 1000000.0 + 0.5) AS BIGINT) AS true_micro
+  FROM lsh p
+  JOIN sig_tbl sa ON sa.doc_id = p.doc_a
+  JOIN sig_tbl sb ON sb.doc_id = p.doc_b
+)
+SELECT n_band_collisions,
+       count(*) AS n_pairs,
+       CAST(floor(avg(abs(est_micro - true_micro))) AS BIGINT) AS mean_abs_err_micro,
+       max(abs(est_micro - true_micro)) AS max_abs_err_micro,
+       CAST(floor(avg(true_micro)) AS BIGINT) AS mean_true_jaccard_micro
+FROM scored
+GROUP BY n_band_collisions
+ORDER BY n_band_collisions
+"""

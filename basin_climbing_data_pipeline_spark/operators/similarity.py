@@ -748,3 +748,128 @@ FROM a3 JOIN c2 USING (cluster_id)
 GROUP BY c2.cluster_id, c2.c
 ORDER BY c2.cluster_id
 """
+
+
+# ---------------------------------------------------------------------------
+# ANN recall evaluation — measured quality of the approximate path
+# ---------------------------------------------------------------------------
+
+
+def ann_recall_eval(
+    spark: SparkSession, sf_dir: str, n_planes: int | None = None
+) -> DataFrame:
+    """Measured recall of the banded hyperplane-LSH candidate generator
+    against brute-force ground truth — the eval query every approximate
+    operator should ship with (a recall knob you never measure is a recall
+    knob you don't have).
+
+    For each query vector (vec_id < N_QUERIES): ground truth = exact
+    cosine top-k (:func:`cosine_topk`); candidates = corpus vectors
+    sharing ANY of the N_BANDS band buckets with the query (the exact
+    candidate set :func:`embedding_near_dup_pairs` would verify).  Output
+    per query: candidate count, hits inside the top-k, and recall@k in
+    exact micro units — integer math end to end so the row hashes match
+    the DuckDB oracle bit-for-bit.
+
+    Scale shape: the probe side is N_QUERIES x N_BANDS rows broadcast
+    into an equi-join on (band, bucket); candidate volume per query ≈
+    N_BANDS x occupancy (corpus-size-derived R holds occupancy constant),
+    and the top-k join is a broadcast of k x N_QUERIES rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    r = n_planes if n_planes is not None else _planes_for(_corpus_rows(spark, sf_dir))
+    sig = emb.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band"),
+                        _band_bucket(band, r).alias("bucket"),
+                    )
+                    for band in range(N_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("vec_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    qsig = sig.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "band", "bucket"
+    )
+    cand = (
+        sig.join(F.broadcast(qsig), ["band", "bucket"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("corpus_id"))
+        .distinct()
+    )
+    truth = cosine_topk(spark, sf_dir).select("query_id", "corpus_id")
+    hits = (
+        truth.join(cand, ["query_id", "corpus_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    n_cand = cand.groupBy("query_id").agg(F.count("*").alias("n_candidates"))
+    spine = truth.select("query_id").distinct()
+    return (
+        spine.join(n_cand, "query_id", "left")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            F.floor(
+                F.coalesce("n_hits", F.lit(0)) * 1000000.0 / TOP_K
+            ).cast("long").alias("recall_micro"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def ann_recall_eval_sql(n_planes: int | None = None) -> str:
+    params = f"SELECT {n_planes} AS r" if n_planes is not None else _PLANES_SQL
+    dot = _dot_sql("q.embedding", "c.embedding")
+    nq = _dot_sql("q.embedding", "q.embedding")
+    nc = _dot_sql("c.embedding", "c.embedding")
+    return f"""
+WITH params AS ({params}),
+sig AS (
+  SELECT e.vec_id, bands.band, {_band_bucket_sql("bands.band")} AS bucket
+  FROM embeddings e, params,
+       (VALUES {", ".join(f"({b})" for b in range(N_BANDS))}) AS bands(band)
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, s.vec_id AS corpus_id
+  FROM sig q JOIN sig s ON q.band = s.band AND q.bucket = s.bucket
+  WHERE q.vec_id < {N_QUERIES} AND s.vec_id != q.vec_id
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+         floor(({dot}) / (sqrt({nq}) * sqrt({nc})) * {COSINE_SCALE} + 0.5) / {COSINE_SCALE}
+           AS cosine
+  FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+),
+truth AS (
+  SELECT query_id, corpus_id FROM (
+    SELECT query_id, corpus_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, corpus_id) AS rank
+    FROM scored
+  ) WHERE rank <= {TOP_K}
+),
+hits AS (
+  SELECT t.query_id, count(*) AS n_hits
+  FROM truth t JOIN cand USING (query_id, corpus_id)
+  GROUP BY t.query_id
+),
+n_cand AS (
+  SELECT query_id, count(*) AS n_candidates FROM cand GROUP BY query_id
+)
+SELECT s.query_id,
+       coalesce(n.n_candidates, 0) AS n_candidates,
+       coalesce(h.n_hits, 0) AS n_hits,
+       CAST(floor(coalesce(h.n_hits, 0) * 1000000.0 / {TOP_K}) AS BIGINT)
+         AS recall_micro
+FROM (SELECT DISTINCT query_id FROM truth) s
+LEFT JOIN n_cand n USING (query_id)
+LEFT JOIN hits h USING (query_id)
+ORDER BY s.query_id
+"""

