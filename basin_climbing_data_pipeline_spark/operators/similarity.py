@@ -800,7 +800,12 @@ def ann_recall_eval(
         .select("query_id", F.col("vec_id").alias("corpus_id"))
         .distinct()
     )
-    truth = cosine_topk(spark, sf_dir).select("query_id", "corpus_id")
+    from ..io import tracked_persist
+
+    # truth is consumed twice (hit counting + the query spine); cache the
+    # k x N_QUERIES rows so the brute-force scan — the expensive deliberate
+    # BroadcastNestedLoop over the 10-row query side — runs once
+    truth = tracked_persist(cosine_topk(spark, sf_dir).select("query_id", "corpus_id"))
     hits = (
         truth.join(cand, ["query_id", "corpus_id"], "left_semi")
         .groupBy("query_id")

@@ -82,7 +82,26 @@ def test_expense_categories_pushes_filter_and_prunes(spark, sf_dir):
 
 
 def test_fuzzy_name_join_is_equi_blocked(spark, sf_dir):
-    # (last name, first-name length) blocking must keep the levenshtein
-    # match on an equi join — never a per-surname cross product
+    # (last name, deletion-neighborhood variant) blocking must keep the
+    # levenshtein match on an equi join — never a per-surname cross product
     st = _audit(spark, sf_dir, "pass_transfer_name_links")
+    assert st.n_bnl_joins == 0
+
+
+def test_ann_recall_eval_broadcasts_probe_sides(spark, sf_dir):
+    # the query-signature probe and the top-k truth table are tiny and must
+    # broadcast; the only nested loop allowed is the deliberate brute-force
+    # ground-truth scan (10-row query side broadcast over the corpus).  The
+    # truth table is cached, so that scan EXECUTES once — but formatted
+    # explain re-prints the cached subtree under each InMemoryTableScan, so
+    # the static count sees it once per truth consumer (2) plus the cache
+    # definition itself
+    st = _audit(spark, sf_dir, "ann_recall_eval")
+    assert st.n_bnl_joins <= 3
+    assert st.n_broadcast_hash_joins >= 2
+
+
+def test_minhash_error_eval_is_equi(spark, sf_dir):
+    # candidate pairs x signature table: two equi-joins, no nested loop
+    st = _audit(spark, sf_dir, "minhash_error_eval")
     assert st.n_bnl_joins == 0
