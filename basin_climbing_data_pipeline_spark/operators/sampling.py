@@ -126,3 +126,92 @@ FROM gated
 GROUP BY source, target_pct
 ORDER BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# greedy sequence packing — training-batch construction
+# ---------------------------------------------------------------------------
+
+PACK_TOKEN_BUDGET = 512  # tokens per packed training sequence
+PACK_SHARD_DOCS = 1000  # docs per packing shard (parallelism unit)
+
+
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy contiguous sequence packing: assign documents to fixed-token-
+    budget training packs, reporting per-pack document count, token count
+    and fill ratio — the batch-construction step between a filtered corpus
+    and a trainer's fixed-length context windows.
+
+    Packing is a running token cumsum in doc_id order; a doc starts a new
+    pack when the budget is exhausted (greedy-with-overflow: the doc that
+    crosses the boundary belongs to the pack where it started, so packs
+    can exceed the budget by at most one document — deterministic, and no
+    doc is ever split).
+
+    Scale design: a single ORDER BY over the corpus would serialize
+    packing through one partition per source.  Instead packs are local to
+    a (source, shard) cell, shard = doc_id div PACK_SHARD_DOCS — packs
+    never straddle shards, the window runs per cell (thousands of
+    independent cells at corpus scale), and the only shuffle is the
+    window's partitionBy.  This trades a sliver of fill efficiency at
+    shard edges for full parallelism — the same contract as
+    distributed-trainer shard files.  All arithmetic is integer-exact
+    (fill ratio in floored micro units), so rows hash identically to the
+    DuckDB oracle."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        (F.floor(F.col("doc_id") / PACK_SHARD_DOCS)).cast("long").alias("shard"),
+        F.size(F.split(F.trim(F.col("text")), " ")).cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy("source", "shard").orderBy("doc_id")
+    packed = docs.withColumn(
+        "pack_id",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / PACK_TOKEN_BUDGET).cast(
+            "long"
+        ),
+    )
+    return (
+        packed.groupBy("source", "shard", "pack_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc_id"),
+            F.max("doc_id").alias("last_doc_id"),
+        )
+        .withColumn(
+            "fill_micro",
+            F.floor(F.col("n_tokens") * 1000000.0 / PACK_TOKEN_BUDGET).cast("long"),
+        )
+        .orderBy("source", "shard", "pack_id")
+    )
+
+
+def sequence_packing_sql() -> str:
+    return f"""
+WITH toks AS (
+  SELECT source, doc_id,
+         doc_id // {PACK_SHARD_DOCS} AS shard,
+         len(string_split(trim(text), ' '))::BIGINT AS n_tokens
+  FROM documents
+),
+packed AS (
+  SELECT *,
+         CAST(floor((sum(n_tokens) OVER (PARTITION BY source, shard
+                                         ORDER BY doc_id) - n_tokens)
+                    / {PACK_TOKEN_BUDGET}) AS BIGINT) AS pack_id
+  FROM toks
+)
+SELECT source, shard, pack_id,
+       count(*) AS n_docs,
+       sum(n_tokens) AS n_tokens,
+       min(doc_id) AS first_doc_id,
+       max(doc_id) AS last_doc_id,
+       CAST(floor(sum(n_tokens) * 1000000.0 / {PACK_TOKEN_BUDGET}) AS BIGINT)
+         AS fill_micro
+FROM packed
+GROUP BY source, shard, pack_id
+ORDER BY source, shard, pack_id
+"""

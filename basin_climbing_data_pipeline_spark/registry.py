@@ -130,9 +130,10 @@ register("trailing_window_counts", ev.trailing_window_counts, ev.trailing_window
 register("entry_method_counts", ev.entry_method_counts, ev.entry_method_counts_sql())
 register("daily_checkin_stats", ev.daily_checkin_stats, ev.daily_checkin_stats_sql())
 
-# --- block 2 (slots 32-39): new in round 4 (ann_recall_eval and
-# minhash_error_eval are the second-session additions: measured-quality
-# evals for the approximate ANN and MinHash paths) ---------------------------
+# --- block 2 (slots 32-40): new in round 4 (ann_recall_eval,
+# minhash_error_eval and sequence_packing are the second-session additions:
+# measured-quality evals for the approximate ANN and MinHash paths, and
+# greedy training-sequence packing) ------------------------------------------
 
 register(
     "merged_transactions_window",
@@ -150,13 +151,15 @@ register(
 )
 register("ann_recall_eval", sim.ann_recall_eval, sim.ann_recall_eval_sql())
 register("minhash_error_eval", dd.minhash_error_eval, dd.minhash_error_eval_sql())
+register("sequence_packing", sp.sequence_packing, sp.sequence_packing_sql())
 
-# --- block 3 (slots 40-55, window cutoff after slot 50): source touched
-# in rounds 3-4.  Five entries sit past the cutoff (lsh_buckets,
-# embedding_near_dup_pairs, cosine_topk, knn_label_vote, ivf_cell_search):
-# all five live in the round-4-edited similarity.py but on code paths the
+# --- block 3 (slots 41-56, window cutoff after slot 50): source touched
+# in rounds 3-4.  Six entries sit past the cutoff: streaming_sliding_counts
+# (round-3-touched streaming path, r3-driver-green, untouched since) and
+# five similarity.py entries (lsh_buckets, embedding_near_dup_pairs,
+# cosine_topk, knn_label_vote, ivf_cell_search) whose code paths the
 # round-4 edits did not touch (_dot64/_cosine/_band_bucket, not the
-# k-means assignment), all five are r3-driver-green and full-check.py-green
+# k-means assignment).  All six are r3-driver-green and full-check.py-green
 # at HEAD this session, and the in-window ann_recall_eval exercises the
 # same _band_bucket + cosine_topk code paths under driver verification.
 # leads.py (master/leads agg fusion), customers.py (family materialization),

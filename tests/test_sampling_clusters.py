@@ -85,3 +85,42 @@ def test_propagate_min_labels_two_components(spark):
     edges = pairs.union(pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     got = {r["node"]: r["label"] for r in dd.propagate_min_labels(edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 13: 10}
+
+
+def test_sequence_packing_invariants(spark, sf_dir):
+    """Greedy-with-overflow contract: every pack except a cell's last is
+    filled past the budget only by its final doc (i.e. tokens-without-the-
+    last-doc < budget); packs tile each (source, shard) cell contiguously
+    from 0; doc ranges never overlap inside a cell."""
+    rows = sp.sequence_packing(spark, sf_dir).collect()
+    assert rows
+    by_cell: dict = {}
+    for r in rows:
+        by_cell.setdefault((r["source"], r["shard"]), []).append(r)
+    budget = sp.PACK_TOKEN_BUDGET
+    for (src, shard), packs in by_cell.items():
+        packs.sort(key=lambda r: r["pack_id"])
+        # docs are far smaller than the budget here, so every window is hit
+        assert [p["pack_id"] for p in packs] == list(range(len(packs)))
+        for prev, cur in zip(packs, packs[1:]):
+            assert prev["last_doc_id"] < cur["first_doc_id"]
+        # greedy-with-overflow in cumsum terms: pack p closes only once the
+        # cell's running total reaches (p+1)*budget, and it must have STARTED
+        # before that boundary (otherwise its docs belong to a later pack)
+        running = 0
+        for p in packs:
+            assert running < (p["pack_id"] + 1) * budget
+            running += p["n_tokens"]
+            if p is not packs[-1]:
+                assert running >= (p["pack_id"] + 1) * budget
+            assert p["fill_micro"] == p["n_tokens"] * 1000000 // budget
+
+
+def test_sequence_packing_single_data_shuffle(spark, sf_dir):
+    """The pack aggregation must reuse the window's (source, shard)
+    partitioning: one data shuffle plus the presentation sort, nothing
+    per-doc crossing the cluster twice."""
+    from basin_climbing_data_pipeline_spark.plans.audit import audit
+
+    st = audit(sp.sequence_packing(spark, sf_dir))
+    assert st.n_shuffle_exchanges <= 2
