@@ -206,7 +206,7 @@ packed AS (
 )
 SELECT source, shard, pack_id,
        count(*) AS n_docs,
-       sum(n_tokens) AS n_tokens,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
        min(doc_id) AS first_doc_id,
        max(doc_id) AS last_doc_id,
        CAST(floor(sum(n_tokens) * 1000000.0 / {PACK_TOKEN_BUDGET}) AS BIGINT)
