@@ -16,15 +16,22 @@ Two paths, per the north-star contract:
 
 Engineering notes (measured, sf0.1):
 
-- The dot product is a JVM higher-order-function fold
+- The PER-PAIR dot product is a JVM higher-order-function fold
   (``aggregate(zip_with(...))``, see ``_dot64``), not an inlined 64-term
   column expression (blows janino's 64 KB method limit, costs Catalyst
-  seconds on 500+-term trees) and not a Pandas UDF (Python worker spin-up +
+  seconds on 500+-term trees) and not a Pandas UDF (pair rows arrive
+  after a join, in small irregular batches — Python worker spin-up +
   Arrow round-trips measured 3.4x slower cold on the sf0.1 pair stage).
 - The fold order inside ``_dot64`` is a strict left fold across dimensions,
   bit-identical to DuckDB's ``list_sum(list_transform(...))`` (verified
   over 80k pairs) — so the 1e-6 fixed-point rounded cosines hash
   identically across engines.
+- The PER-VECTOR signature build (``_band_buckets``) is the opposite
+  shape — one dense corpus × coefficient-matrix product — so it IS an
+  Arrow-batched numpy matmul, in exact int64 micro units: the integer
+  sums are order-insensitive, which is precisely what makes vectorizing
+  them safe (a float fold's sign near zero depends on add order).
+  Measured 4.6 s → ~0.1 s on the sf0.1 signature build.
 - Norms are computed once per vector BEFORE any pair join (sqrt of the same
   fold), so per-pair work is one dot, not three.
 - Hyperplane coefficients mix plane and dimension through a Knuth
@@ -234,35 +241,54 @@ def _coef_sql(plane_expr: str, j_expr: str) -> str:
     a = f"(({h} * {_MIX}) % 4294967296)"
     b = f"((xor({a}, {a} >> 13) * 1597334677) % 4294967296)"
     v = f"(xor({b}, {b} >> 16) % 8)"
-    return f"(CASE WHEN ({v}) < 4 THEN ({v}) - 4 ELSE ({v}) - 3 END)::double"
+    return f"(CASE WHEN ({v}) < 4 THEN ({v}) - 4 ELSE ({v}) - 3 END)::BIGINT"
 
 
-def _band_bucket(band: int, n_planes: int) -> Column:
-    """Signature of one band: R sign bits packed into an int.  Each plane
-    sum is the same zip_with+aggregate left fold as :func:`_dot64` (same
-    IEEE add order as the old per-element formulation and as DuckDB's
-    ``list_sum(list_transform(...))``), against a literal coefficient array
-    — compact expression tree at any R, no per-element hashing at runtime."""
-    bucket = F.lit(0)
-    for r in range(n_planes):
-        coefs = F.array(*[F.lit(c) for c in _plane_coefs(band * n_planes + r)])
-        plane_sum = F.aggregate(
-            F.zip_with(F.col("embedding"), coefs, lambda x, y: x.cast("double") * y),
-            F.lit(0.0),
-            lambda acc, t: acc + t,
-        )
-        bucket = bucket + F.when(plane_sum > 0, F.lit(1 << r)).otherwise(0)
-    return bucket.cast("int")
+SIGN_MICRO = 1_000_000  # micro-unit quantization for hyperplane sign sums
+
+
+def _band_buckets(n_planes: int, n_bands: int = N_BANDS) -> Column:
+    """All bands' bucket signatures for the row's ``embedding`` in one
+    Arrow-batched pass: ``array<int>`` indexed by band, each bucket the
+    packed sign bits of that band's n_planes hyperplane sums.
+
+    Plane sums are EXACT INTEGER dot products in micro units
+    (floor(x·1e6 + 0.5) per dimension × integer coefficients in {-4..4}):
+    order-insensitive under any partitioning or SIMD regrouping — unlike a
+    float fold, whose sign near zero depends on IEEE add order — so the
+    buckets are bit-identical across engines by arithmetic, not by
+    matching fold order.  That order-freedom is what makes it safe to
+    compute the whole (batch × planes) product as one int64 numpy matmul:
+    the previous JVM higher-order-function fold paid interpreted
+    evaluation per (row, plane) and measured 4.6 s for a mere
+    2k × 10-plane signature build; this runs the same arithmetic in ~0.1 s
+    and scales as a narrow map stage at any corpus size.  |sum| ≤
+    64·4·max|x|·1e6 — far inside int64."""
+    total = n_bands * n_planes
+    cmat = np.array([_plane_coefs(p) for p in range(total)], dtype=np.int64)
+    weights = 1 << np.arange(n_planes, dtype=np.int64)
+
+    @F.pandas_udf("array<int>")
+    def buckets(emb: pd.Series) -> pd.Series:
+        em = np.stack([np.asarray(v, dtype=np.float64) for v in emb])
+        micro = np.floor(em * SIGN_MICRO + 0.5).astype(np.int64)
+        bits = (micro @ cmat.T > 0).astype(np.int64)
+        packed = bits.reshape(len(em), n_bands, n_planes) @ weights
+        return pd.Series([row.astype(np.int32).tolist() for row in packed])
+
+    return buckets(F.col("embedding"))
 
 
 def _band_bucket_sql(band_expr: str) -> str:
-    """DuckDB mirror of :func:`_band_bucket` with the plane count taken from
-    the ``params`` CTE (column ``r``) — the SQL stays valid at any corpus
-    size the driver runs it at."""
+    """DuckDB mirror of :func:`_band_buckets` with the plane count taken
+    from the ``params`` CTE (column ``r``) — the SQL stays valid at any
+    corpus size the driver runs it at.  Same exact-integer micro-unit
+    arithmetic, so engine parity holds for ANY summation order."""
     plane = f"(({band_expr}) * r + rr)"
     inner = (
         f"list_sum(list_transform(range(0, {DIM}), "
-        f"j -> embedding[j + 1]::double * {_coef_sql(plane, 'j')}))"
+        f"j -> CAST(floor(embedding[j + 1]::double * {SIGN_MICRO} + 0.5) AS BIGINT)"
+        f" * {_coef_sql(plane, 'j')}))"
     )
     return (
         "CAST(list_sum(list_transform(range(0, r), "
@@ -280,7 +306,7 @@ def lsh_buckets(spark: SparkSession, sf_dir: str, n_planes: int | None = None) -
     bucketed = emb.select(
         "vec_id",
         "embedding",
-        _band_bucket(0, r).alias("bucket"),
+        _band_buckets(r, n_bands=1)[0].alias("bucket"),
         F.sqrt(_dot64(F.col("embedding"), F.col("embedding"))).alias("norm"),
     )
     a, b = bucketed.alias("a"), bucketed.alias("b")
@@ -359,26 +385,17 @@ def embedding_near_dup_pairs(
     emb = load_table(spark, sf_dir, "embeddings")
     r = n_planes if n_planes is not None else _planes_for(_corpus_rows(spark, sf_dir))
 
-    # all bands' buckets in ONE corpus pass (explode over band structs), then
-    # ONE self-join keyed on (band, bucket) — same candidate set as a
+    # all bands' buckets in ONE corpus pass (vectorized signature UDF, then
+    # posexplode in a SEPARATE projection — same select would compile to
+    # Project-above-Generate and re-run the UDF per band), then ONE
+    # self-join keyed on (band, bucket) — same candidate set as a
     # join-per-band + union, but half the join stages; the tiny (vec_id,
-    # band, bucket) table is cached so the R×N_BANDS sign-bit folds compute
-    # once instead of once per join side
+    # band, bucket) table is cached so the signature matmul computes once
+    # instead of once per join side
     sig = tracked_persist(
-        emb.select(
-            "vec_id",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(band).alias("band"),
-                            _band_bucket(band, r).alias("bucket"),
-                        )
-                        for band in range(N_BANDS)
-                    ]
-                )
-            ).alias("bb"),
-        ).select("vec_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+        emb.select("vec_id", _band_buckets(r).alias("bks")).select(
+            "vec_id", F.posexplode("bks").alias("band", "bucket")
+        )
     )
     a, b = sig.alias("a"), sig.alias("b")
     cand = (
@@ -777,20 +794,11 @@ def ann_recall_eval(
     and the top-k join is a broadcast of k x N_QUERIES rows."""
     emb = load_table(spark, sf_dir, "embeddings")
     r = n_planes if n_planes is not None else _planes_for(_corpus_rows(spark, sf_dir))
-    sig = emb.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(band).alias("band"),
-                        _band_bucket(band, r).alias("bucket"),
-                    )
-                    for band in range(N_BANDS)
-                ]
-            )
-        ).alias("bb"),
-    ).select("vec_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    # signature UDF in its own projection, posexplode above it (see
+    # embedding_near_dup_pairs for the Project-above-Generate trap)
+    sig = emb.select("vec_id", _band_buckets(r).alias("bks")).select(
+        "vec_id", F.posexplode("bks").alias("band", "bucket")
+    )
     qsig = sig.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "band", "bucket"
     )
