@@ -153,46 +153,47 @@ register("ann_recall_eval", sim.ann_recall_eval, sim.ann_recall_eval_sql())
 register("minhash_error_eval", dd.minhash_error_eval, dd.minhash_error_eval_sql())
 register("sequence_packing", sp.sequence_packing, sp.sequence_packing_sql())
 
-# --- block 3 (slots 41-56, window cutoff after slot 50): source touched
-# in rounds 3-4.  Six entries sit past the cutoff: streaming_sliding_counts
-# (round-3-touched streaming path, r3-driver-green, untouched since) and
-# five similarity.py entries (lsh_buckets, embedding_near_dup_pairs,
-# cosine_topk, knn_label_vote, ivf_cell_search) whose code paths the
-# round-4 edits did not touch (_dot64/_cosine/_band_bucket, not the
-# k-means assignment).  All six are r3-driver-green and full-check.py-green
-# at HEAD this session, and the in-window ann_recall_eval exercises the
-# same _band_bucket + cosine_topk code paths under driver verification.
-# leads.py (master/leads agg fusion), customers.py (family materialization),
-# dedup.py (tracked cache + label-propagation refactor) and linking.py are
-# round-4 edits; flags.py was materially rewritten in round 3 and its three
-# queries belong in the touched block (they were mislabeled round-2-green in
-# the round-3 rotation); similarity.py and the streaming path were round-3
-# edits whose queries stay inside the window one more round.
+# --- block 3 (slots 41-50, the rest of the window): source touched in
+# rounds 3-4, highest-risk first.  lsh_buckets and embedding_near_dup_pairs
+# moved UP this session: the integer-micro signature vectorization
+# (_band_buckets) rewrote their code path, so they need a driver-green row
+# at current code.  leads.py (master/leads agg fusion), customers.py
+# (family materialization), dedup.py (tracked cache + label-propagation
+# refactor) carry the round-4a refactors; flags_build covers the round-3
+# flags.py rewrite; streaming_windowed_counts covers the round-3 streaming
+# edits (and the shared stream source).
 
-register("customer_master", ld.customer_master, ld.customer_master_sql())
-register("leads_table", ld.leads_table, ld.leads_table_sql())
-register("family_relationships", cu.family_relationships, cu.family_relationships_sql())
-register("simhash_near_pairs", dd.simhash_near_pairs, dd.simhash_near_pairs_sql())
-register("dedup_clusters", dd.dedup_clusters, dd.dedup_clusters_sql())
-register("minhash_lsh_pairs", dd.minhash_lsh_pairs, dd.minhash_lsh_pairs_sql())
-register("events_unified", fl.events_unified, fl.events_unified_sql())
-register("flags_build", fl.build_flags, fl.build_flags_sql())
-register("flag_type_summary", fl.flag_type_summary, fl.flag_type_summary_sql())
-register("streaming_windowed_counts", st.windowed_event_counts, st.windowed_event_counts_sql())
-register("streaming_sliding_counts", st.sliding_event_counts, st.sliding_event_counts_sql())
 register("lsh_buckets", sim.lsh_buckets, sim.lsh_buckets_sql())
 register(
     "embedding_near_dup_pairs",
     sim.embedding_near_dup_pairs,
     sim.embedding_near_dup_pairs_sql(),
 )
+register("customer_master", ld.customer_master, ld.customer_master_sql())
+register("leads_table", ld.leads_table, ld.leads_table_sql())
+register("family_relationships", cu.family_relationships, cu.family_relationships_sql())
+register("simhash_near_pairs", dd.simhash_near_pairs, dd.simhash_near_pairs_sql())
+register("dedup_clusters", dd.dedup_clusters, dd.dedup_clusters_sql())
+register("minhash_lsh_pairs", dd.minhash_lsh_pairs, dd.minhash_lsh_pairs_sql())
+register("flags_build", fl.build_flags, fl.build_flags_sql())
+register("streaming_windowed_counts", st.windowed_event_counts, st.windowed_event_counts_sql())
+
+# --- block 4 (outside the window): driver-green at code identical to
+# HEAD's for their path, plus full-check.py-green at HEAD this session.
+# First the six pushed out by this session's insertions: events_unified /
+# flag_type_summary (flags.py r3-green, untouched in r4; in-window
+# flags_build exercises the same build), streaming_sliding_counts
+# (streaming r3-green, untouched in r4), cosine_topk / knn_label_vote /
+# ivf_cell_search (similarity.py paths untouched by the r4 edits —
+# _dot64/_cosine, not _band_buckets or the k-means assignment; in-window
+# ann_recall_eval drives cosine_topk end-to-end under the driver anyway).
+
+register("events_unified", fl.events_unified, fl.events_unified_sql())
+register("flag_type_summary", fl.flag_type_summary, fl.flag_type_summary_sql())
+register("streaming_sliding_counts", st.sliding_event_counts, st.sliding_event_counts_sql())
 register("cosine_topk", sim.cosine_topk, sim.cosine_topk_sql())
 register("knn_label_vote", sim.knn_label_vote, sim.knn_label_vote_sql())
 register("ivf_cell_search", sim.ivf_cell_search, sim.ivf_cell_search_sql())
-
-# --- block 4 (outside the window): round-3-green, source untouched since ---
-# (cosine_topk, knn_label_vote, ivf_cell_search above also sit past the
-# slot-50 cutoff — see the block-3 note)
 
 register("proximity_connections", ev.proximity_connections, ev.proximity_connections_sql())
 register("returning_after_break", ev.returning_after_break, ev.returning_after_break_sql())
