@@ -737,3 +737,145 @@ FROM scored
 GROUP BY n_band_collisions
 ORDER BY n_band_collisions
 """
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup — new batch vs stored corpus
+# ---------------------------------------------------------------------------
+
+INCR_NEW_MOD = 5  # doc_id % 5 == 0 plays the "newly fetched batch" role
+
+
+def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup a NEW batch against the STORED corpus without re-pairing the
+    corpus with itself — the production mode of MinHash dedup at scale
+    (daily batch: band-join the new docs' signatures against the stored
+    signature index; the corpus self-join never reruns).  Extends the
+    reference's skip-if-exists incremental guards (SURVEY §2.9 ST4,
+    experiment_tracking.py:86-94) from key equality to near-duplicate
+    detection.
+
+    Here the split is deterministic (doc_id % INCR_NEW_MOD == 0 is "new",
+    the rest "stored"); each new doc reports its best stored match
+    (highest verified Jaccard, tie-break lowest stored id) so the caller
+    can drop or link it.  Output: one row per new doc with at least one
+    band collision whose verified Jaccard clears JACCARD_THRESHOLD.
+
+    Scale shape: new-side bands (size ∝ batch) equi-join the stored band
+    index (at rest this is a bucketed table; no corpus² term anywhere);
+    verify joins run only on collided pairs; keep-best is one window over
+    the candidate set."""
+    from pyspark.sql import Window
+
+    shingles = _shingles_df(spark, sf_dir)
+    sigs = _minhash_signatures_from(shingles)
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        F.concat_ws(
+                            "_", F.col(f"mh{2 * j}"), F.col(f"mh{2 * j + 1}")
+                        ).alias("sig"),
+                    )
+                    for j in range(MINHASH_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.band").alias("band"), F.col("b.sig").alias("sig"))
+    is_new = F.col("doc_id") % INCR_NEW_MOD == 0
+    new_bands = bands.filter(is_new).select(
+        F.col("doc_id").alias("new_doc_id"), "band", "sig"
+    )
+    stored_bands = bands.filter(~is_new).select(
+        F.col("doc_id").alias("stored_doc_id"), "band", "sig"
+    )
+    candidates = (
+        new_bands.join(stored_bands, ["band", "sig"])
+        .groupBy("new_doc_id", "stored_doc_id")
+        .agg(F.count("*").alias("n_band_collisions"))
+    )
+    sh = shingles.select("doc_id", "shingle")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sa = sh.select(F.col("doc_id").alias("new_doc_id"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("stored_doc_id"), "shingle")
+    overlap = (
+        candidates.join(sa, "new_doc_id")
+        .join(sb, ["stored_doc_id", "shingle"])
+        .groupBy("new_doc_id", "stored_doc_id", "n_band_collisions")
+        .agg(F.count("*").alias("common"))
+    )
+    za = sizes.select(F.col("doc_id").alias("new_doc_id"), F.col("n_sh").alias("n_a"))
+    zb = sizes.select(F.col("doc_id").alias("stored_doc_id"), F.col("n_sh").alias("n_b"))
+    jac = F.floor(
+        F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")) * 1000000.0
+        + 0.5
+    ) / 1000000.0
+    scored = (
+        overlap.join(za, "new_doc_id")
+        .join(zb, "stored_doc_id")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+    w = Window.partitionBy("new_doc_id").orderBy(
+        F.desc("jaccard"), "stored_doc_id"
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("new_doc_id", "stored_doc_id", "n_band_collisions", "jaccard")
+        .orderBy("new_doc_id")
+    )
+
+
+def incremental_dedup_sql() -> str:
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {j} AS band, mh{2 * j} || '_' || mh{2 * j + 1} AS sig FROM sigs"
+        for j in range(MINHASH_BANDS)
+    )
+    mh_aggs = ",\n       ".join(
+        f"min((h32 * {2 * i + 1} + {7919 * i}) % {MINHASH_PRIME}) AS mh{i}"
+        for i in range(MINHASH_K)
+    )
+    return f"""
+WITH {_SHINGLES_SQL},
+sigs AS (
+  SELECT doc_id, {mh_aggs}
+  FROM shingles GROUP BY doc_id
+),
+bands AS ({band_rows}),
+candidates AS (
+  SELECT n.doc_id AS new_doc_id, s.doc_id AS stored_doc_id,
+         count(*) AS n_band_collisions
+  FROM bands n JOIN bands s
+    ON n.band = s.band AND n.sig = s.sig
+  WHERE n.doc_id % {INCR_NEW_MOD} = 0 AND s.doc_id % {INCR_NEW_MOD} != 0
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+overlap AS (
+  SELECT c.new_doc_id, c.stored_doc_id, c.n_band_collisions, count(*) AS common
+  FROM candidates c
+  JOIN shingles sa ON sa.doc_id = c.new_doc_id
+  JOIN shingles sb ON sb.doc_id = c.stored_doc_id AND sb.shingle = sa.shingle
+  GROUP BY 1, 2, 3
+),
+scored AS (
+  SELECT o.new_doc_id, o.stored_doc_id, o.n_band_collisions,
+         floor(o.common::double / (za.n_sh + zb.n_sh - o.common) * 1000000.0 + 0.5)
+           / 1000000.0 AS jaccard
+  FROM overlap o
+  JOIN sizes za ON za.doc_id = o.new_doc_id
+  JOIN sizes zb ON zb.doc_id = o.stored_doc_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY new_doc_id
+                               ORDER BY jaccard DESC, stored_doc_id) AS rn
+  FROM scored WHERE jaccard >= {JACCARD_THRESHOLD}
+)
+SELECT new_doc_id, stored_doc_id, n_band_collisions, jaccard
+FROM ranked WHERE rn = 1
+ORDER BY new_doc_id
+"""

@@ -130,10 +130,11 @@ register("trailing_window_counts", ev.trailing_window_counts, ev.trailing_window
 register("entry_method_counts", ev.entry_method_counts, ev.entry_method_counts_sql())
 register("daily_checkin_stats", ev.daily_checkin_stats, ev.daily_checkin_stats_sql())
 
-# --- block 2 (slots 32-40): new in round 4 (ann_recall_eval,
-# minhash_error_eval and sequence_packing are the second-session additions:
-# measured-quality evals for the approximate ANN and MinHash paths, and
-# greedy training-sequence packing) ------------------------------------------
+# --- block 2 (slots 32-41): new in round 4 (ann_recall_eval,
+# minhash_error_eval, sequence_packing and incremental_dedup are the
+# second-session additions: measured-quality evals for the approximate ANN
+# and MinHash paths, greedy training-sequence packing, and batch-vs-stored
+# incremental dedup) ---------------------------------------------------------
 
 register(
     "merged_transactions_window",
@@ -152,16 +153,19 @@ register(
 register("ann_recall_eval", sim.ann_recall_eval, sim.ann_recall_eval_sql())
 register("minhash_error_eval", dd.minhash_error_eval, dd.minhash_error_eval_sql())
 register("sequence_packing", sp.sequence_packing, sp.sequence_packing_sql())
+register("incremental_dedup", dd.incremental_dedup, dd.incremental_dedup_sql())
 
-# --- block 3 (slots 41-50, the rest of the window): source touched in
+# --- block 3 (slots 42-50, the rest of the window): source touched in
 # rounds 3-4, highest-risk first.  lsh_buckets and embedding_near_dup_pairs
 # moved UP this session: the integer-micro signature vectorization
 # (_band_buckets) rewrote their code path, so they need a driver-green row
 # at current code.  leads.py (master/leads agg fusion), customers.py
 # (family materialization), dedup.py (tracked cache + label-propagation
 # refactor) carry the round-4a refactors; flags_build covers the round-3
-# flags.py rewrite; streaming_windowed_counts covers the round-3 streaming
-# edits (and the shared stream source).
+# flags.py rewrite.  streaming_windowed_counts lands at slot 51, just past
+# the cutoff: it is r3-driver-green, the streaming path is untouched in
+# round 4, and the in-window streaming_sessions drives the same stream
+# source under the driver.
 
 register("lsh_buckets", sim.lsh_buckets, sim.lsh_buckets_sql())
 register(

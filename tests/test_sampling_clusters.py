@@ -124,3 +124,19 @@ def test_sequence_packing_single_data_shuffle(spark, sf_dir):
 
     st = audit(sp.sequence_packing(spark, sf_dir))
     assert st.n_shuffle_exchanges <= 2
+
+
+def test_incremental_dedup_invariants(spark, sf_dir):
+    """Each new doc reports at most one (best) stored match; the split is
+    honored (new ids on the mod class, stored ids off it); every reported
+    match clears the Jaccard threshold."""
+    rows = dd.incremental_dedup(spark, sf_dir).collect()
+    assert rows
+    seen = set()
+    for r in rows:
+        assert r["new_doc_id"] % dd.INCR_NEW_MOD == 0
+        assert r["stored_doc_id"] % dd.INCR_NEW_MOD != 0
+        assert r["new_doc_id"] not in seen
+        seen.add(r["new_doc_id"])
+        assert r["jaccard"] >= dd.JACCARD_THRESHOLD
+        assert 1 <= r["n_band_collisions"] <= dd.MINHASH_BANDS
