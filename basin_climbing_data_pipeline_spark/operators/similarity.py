@@ -270,6 +270,8 @@ def _band_buckets(n_planes: int, n_bands: int = N_BANDS) -> Column:
 
     @F.pandas_udf("array<int>")
     def buckets(emb: pd.Series) -> pd.Series:
+        if emb.empty:  # np.stack raises on an empty batch
+            return pd.Series([], dtype=object)
         em = np.stack([np.asarray(v, dtype=np.float64) for v in emb])
         micro = np.floor(em * SIGN_MICRO + 0.5).astype(np.int64)
         bits = (micro @ cmat.T > 0).astype(np.int64)
@@ -637,6 +639,8 @@ def _nearest_centroid(cent_rows: list[tuple[int, list[int]]]) -> Column:
 
     @F.pandas_udf("long")
     def nearest(e: pd.Series) -> pd.Series:
+        if e.empty:  # np.stack raises on an empty batch
+            return pd.Series([], dtype="int64")
         em = np.stack([np.asarray(v, dtype=np.int64) for v in e])
         # argmin over dist^2 = |e|^2 - 2 e.c + |c|^2; |e|^2 is constant per
         # row, so rank by (-2 e.c + |c|^2).  np.argmin returns the FIRST
