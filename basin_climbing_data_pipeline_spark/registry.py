@@ -7,22 +7,23 @@ oracle SQL exactly (the driver sorts columns by name and value-hashes).
 
 Registration ORDER is deliberate: the driver verifies the first 50 entries
 per round, so each round rotates the window to re-verify whatever lacks a
-driver-green row at current code.  Round-4 rotation:
+driver-green row at current code.  Round-4 rotation (both sessions):
 
 1. the 31 queries whose latest driver-green row is ROUND 2 (they sat
    outside round 3's window while the shared io.py read/materialize path
    changed underneath) — they register FIRST so `CORRECTNESS_r04.json`
    re-greens them at current code;
-2. the six queries new in round 4 (merged_transactions_window,
+2. the ten queries new in round 4 (merged_transactions_window,
    streaming_sessions, expense_categories, bigram_repetition,
-   kmeans_refine, source_length_percentiles);
-3. queries whose source was touched in rounds 3-4: leads.py agg fusion,
-   customers.py family materialization, dedup.py/linking.py tracked-cache
-   + label-propagation refactor, the flags trio (flags.py was materially
-   rewritten in round 3 — the round-3 rotation mislabeled it untouched),
-   similarity.py and the streaming modules;
-4. outside the window: round-3-green entries whose source is untouched
-   since.
+   kmeans_refine, source_length_percentiles, ann_recall_eval,
+   minhash_error_eval, sequence_packing, incremental_dedup);
+3. the rest of the window: queries whose source was touched in rounds
+   3-4, highest-risk first — the integer-micro signature rewrite
+   (lsh_buckets, embedding_near_dup_pairs), the leads/customers/dedup
+   round-4 refactors, the round-3 flags.py rewrite;
+4. outside the window: entries driver-green at code identical to HEAD's
+   for their path (per-entry rationale at each block comment), all
+   additionally full-check.py-green at HEAD in the round-4 session.
 """
 
 from __future__ import annotations
