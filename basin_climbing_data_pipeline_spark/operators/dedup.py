@@ -216,6 +216,29 @@ def _minhash_signatures_from(sh: DataFrame) -> DataFrame:
     return sh.groupBy("doc_id").agg(*aggs)
 
 
+def _minhash_bands(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band, sig): the signature split into MINHASH_BANDS banding
+    keys (2 rows per band) — the shared LSH index for the corpus self-join
+    (:func:`minhash_lsh_pairs`) and the batch-vs-stored incremental join
+    (:func:`incremental_dedup`)."""
+    return sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        F.concat_ws(
+                            "_", F.col(f"mh{2 * j}"), F.col(f"mh{2 * j + 1}")
+                        ).alias("sig"),
+                    )
+                    for j in range(MINHASH_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.band").alias("band"), F.col("b.sig").alias("sig"))
+
+
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k=16 MinHash values per doc: min over shingles of (aᵢ·h32+bᵢ) mod p
     with aᵢ=2i+1, bᵢ=7919·i — 16 exact min-aggregations in one groupBy."""
@@ -255,22 +278,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shingle set would be a persisted bronze table instead.
     shingles = _shingles_df(spark, sf_dir)
     sigs = _minhash_signatures_from(shingles)
-    bands = sigs.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("band"),
-                        F.concat_ws("_", F.col(f"mh{2 * j}"), F.col(f"mh{2 * j + 1}")).alias(
-                            "sig"
-                        ),
-                    )
-                    for j in range(MINHASH_BANDS)
-                ]
-            )
-        ).alias("b"),
-    ).select("doc_id", F.col("b.band").alias("band"), F.col("b.sig").alias("sig"))
+    bands = _minhash_bands(sigs)
     a, b = bands.alias("a"), bands.alias("b")
     candidates = (
         a.join(
@@ -769,22 +777,7 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     shingles = _shingles_df(spark, sf_dir)
     sigs = _minhash_signatures_from(shingles)
-    bands = sigs.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("band"),
-                        F.concat_ws(
-                            "_", F.col(f"mh{2 * j}"), F.col(f"mh{2 * j + 1}")
-                        ).alias("sig"),
-                    )
-                    for j in range(MINHASH_BANDS)
-                ]
-            )
-        ).alias("b"),
-    ).select("doc_id", F.col("b.band").alias("band"), F.col("b.sig").alias("sig"))
+    bands = _minhash_bands(sigs)
     is_new = F.col("doc_id") % INCR_NEW_MOD == 0
     new_bands = bands.filter(is_new).select(
         F.col("doc_id").alias("new_doc_id"), "band", "sig"
