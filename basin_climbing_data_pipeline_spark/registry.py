@@ -155,18 +155,15 @@ register("ann_recall_eval", sim.ann_recall_eval, sim.ann_recall_eval_sql())
 register("minhash_error_eval", dd.minhash_error_eval, dd.minhash_error_eval_sql())
 register("sequence_packing", sp.sequence_packing, sp.sequence_packing_sql())
 register("incremental_dedup", dd.incremental_dedup, dd.incremental_dedup_sql())
+register("streaming_dedup_counts", st.streaming_dedup_counts, st.streaming_dedup_counts_sql())
 
-# --- block 3 (slots 42-50, the rest of the window): source touched in
+# --- block 3 (slots 43-50, the rest of the window): source touched in
 # rounds 3-4, highest-risk first.  lsh_buckets and embedding_near_dup_pairs
 # moved UP this session: the integer-micro signature vectorization
 # (_band_buckets) rewrote their code path, so they need a driver-green row
 # at current code.  leads.py (master/leads agg fusion), customers.py
 # (family materialization), dedup.py (tracked cache + label-propagation
-# refactor) carry the round-4a refactors; flags_build covers the round-3
-# flags.py rewrite.  streaming_windowed_counts lands at slot 51, just past
-# the cutoff: it is r3-driver-green, the streaming path is untouched in
-# round 4, and the in-window streaming_sessions drives the same stream
-# source under the driver.
+# refactor) carry the round-4a refactors.
 
 register("lsh_buckets", sim.lsh_buckets, sim.lsh_buckets_sql())
 register(
@@ -180,19 +177,21 @@ register("family_relationships", cu.family_relationships, cu.family_relationship
 register("simhash_near_pairs", dd.simhash_near_pairs, dd.simhash_near_pairs_sql())
 register("dedup_clusters", dd.dedup_clusters, dd.dedup_clusters_sql())
 register("minhash_lsh_pairs", dd.minhash_lsh_pairs, dd.minhash_lsh_pairs_sql())
-register("flags_build", fl.build_flags, fl.build_flags_sql())
-register("streaming_windowed_counts", st.windowed_event_counts, st.windowed_event_counts_sql())
 
 # --- block 4 (outside the window): driver-green at code identical to
 # HEAD's for their path, plus full-check.py-green at HEAD this session.
-# First the six pushed out by this session's insertions: events_unified /
-# flag_type_summary (flags.py r3-green, untouched in r4; in-window
-# flags_build exercises the same build), streaming_sliding_counts
-# (streaming r3-green, untouched in r4), cosine_topk / knn_label_vote /
-# ivf_cell_search (similarity.py paths untouched by the r4 edits —
-# _dot64/_cosine, not _band_buckets or the k-means assignment; in-window
-# ann_recall_eval drives cosine_topk end-to-end under the driver anyway).
+# First the eight pushed out by this session's insertions: flags_build /
+# events_unified / flag_type_summary (flags.py was rewritten in round 3
+# and driver-greened at round-3 END — i.e. at exactly this code; untouched
+# in round 4), streaming_windowed_counts / streaming_sliding_counts
+# (streaming r3-green, untouched in r4; the in-window streaming_sessions
+# and streaming_dedup_counts drive the same stream source), cosine_topk /
+# knn_label_vote / ivf_cell_search (similarity.py paths untouched by the
+# r4 edits — _dot64/_cosine, not _band_buckets or the k-means assignment;
+# in-window ann_recall_eval drives cosine_topk end-to-end anyway).
 
+register("flags_build", fl.build_flags, fl.build_flags_sql())
+register("streaming_windowed_counts", st.windowed_event_counts, st.windowed_event_counts_sql())
 register("events_unified", fl.events_unified, fl.events_unified_sql())
 register("flag_type_summary", fl.flag_type_summary, fl.flag_type_summary_sql())
 register("streaming_sliding_counts", st.sliding_event_counts, st.sliding_event_counts_sql())

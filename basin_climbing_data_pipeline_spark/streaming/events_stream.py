@@ -196,3 +196,47 @@ FROM events
 GROUP BY 1, 2
 ORDER BY 1, 2
 """
+
+
+def streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state streaming dedup: ``dropDuplicatesWithinWatermark`` on
+    (user_id, event_type) — the operator for at-least-once feeds where
+    duplicates arrive within a bounded delay, so state for a key can be
+    EVICTED once the watermark passes it (plain ``dropDuplicates`` keys
+    state forever; at 100 TB/day that state is the bottleneck, eviction is
+    the point).  Counts surviving rows per event type.
+
+    Determinism note: within-watermark dedup keeps the FIRST-processed row
+    per key, which is arrival-order-dependent — so this query exposes only
+    the per-key survivor COUNT (one per distinct key here: the replay fits
+    inside one availableNow batch and the 10-day delay exceeds the data
+    span), never survivor VALUES.  Oracle: count(DISTINCT user_id) per
+    type."""
+    stream = (
+        stream_events(spark, sf_dir)
+        .withWatermark("ts", "10 days")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+    )
+    agg = stream.groupBy("event_type").agg(F.count("*").alias("n_unique_users"))
+    sink = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    with _stream_partitions(spark):
+        q = (
+            agg.writeStream.trigger(availableNow=True)
+            .outputMode("complete")
+            .format("memory")
+            .queryName(sink)
+            .start()
+        )
+        q.awaitTermination(timeout=300)
+    result = spark.table(sink).localCheckpoint()
+    spark.catalog.dropTempView(sink)
+    return result.orderBy("event_type")
+
+
+def streaming_dedup_counts_sql() -> str:
+    return """
+SELECT event_type, count(DISTINCT user_id) AS n_unique_users
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
