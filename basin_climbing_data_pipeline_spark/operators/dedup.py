@@ -872,3 +872,73 @@ SELECT new_doc_id, stored_doc_id, n_band_collisions, jaccard
 FROM ranked WHERE rn = 1
 ORDER BY new_doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination — eval-set n-gram leakage scan
+# ---------------------------------------------------------------------------
+
+EVAL_SET_MOD = 97  # doc_id % 97 == 0 plays the "benchmark/eval set" role
+CONTAM_MIN_SHINGLES = 3  # >= this many distinct eval shingles -> contaminated
+
+
+def decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: for every training doc, count distinct
+    3-gram shingles it shares with a held-out eval set and flag docs over
+    the threshold — the decontamination step a training corpus runs BEFORE
+    training so eval questions don't leak into the training set.  Distinct
+    from dedup: the comparison is asymmetric (corpus vs a small benchmark
+    side), the unit is the shingle (a doc sharing a few exact n-grams with
+    an eval item is contaminated even at near-zero Jaccard), and the
+    output is a per-training-doc audit row.
+
+    Here the eval set is deterministic (doc_id % EVAL_SET_MOD == 0).
+    Output: training docs sharing >= 1 eval shingle, with the matched
+    shingle count, the number of distinct eval docs hit, and the flag.
+
+    Scale shape: the eval side is small by construction — its distinct
+    shingle set broadcasts — so the scan is one broadcast-hash semi-join
+    over the exploded corpus shingles plus one partial-aggregated groupBy:
+    linear in corpus, no self-join anywhere."""
+    sh = _shingles_df(spark, sf_dir).select("doc_id", "shingle")
+    is_eval = F.col("doc_id") % EVAL_SET_MOD == 0
+    eval_shingles = (
+        sh.filter(is_eval)
+        .select(F.col("doc_id").alias("eval_doc_id"), "shingle")
+        .distinct()
+    )
+    train = sh.filter(~is_eval)
+    hits = train.join(F.broadcast(eval_shingles), "shingle")
+    return (
+        hits.groupBy("doc_id")
+        .agg(
+            F.countDistinct("shingle").alias("n_matched_shingles"),
+            F.countDistinct("eval_doc_id").alias("n_eval_docs_hit"),
+        )
+        .withColumn(
+            "contaminated", F.col("n_matched_shingles") >= CONTAM_MIN_SHINGLES
+        )
+        .orderBy("doc_id")
+    )
+
+
+def decontamination_sql() -> str:
+    return f"""
+WITH {_SHINGLES_SQL},
+eval_shingles AS (
+  SELECT DISTINCT doc_id AS eval_doc_id, shingle
+  FROM shingles WHERE doc_id % {EVAL_SET_MOD} = 0
+),
+hits AS (
+  SELECT t.doc_id, e.shingle, e.eval_doc_id
+  FROM shingles t JOIN eval_shingles e USING (shingle)
+  WHERE t.doc_id % {EVAL_SET_MOD} != 0
+)
+SELECT doc_id,
+       count(DISTINCT shingle) AS n_matched_shingles,
+       count(DISTINCT eval_doc_id) AS n_eval_docs_hit,
+       count(DISTINCT shingle) >= {CONTAM_MIN_SHINGLES} AS contaminated
+FROM hits
+GROUP BY doc_id
+ORDER BY doc_id
+"""

@@ -178,8 +178,17 @@ register("simhash_near_pairs", dd.simhash_near_pairs, dd.simhash_near_pairs_sql(
 register("dedup_clusters", dd.dedup_clusters, dd.dedup_clusters_sql())
 register("minhash_lsh_pairs", dd.minhash_lsh_pairs, dd.minhash_lsh_pairs_sql())
 
-# --- block 4 (outside the window): driver-green at code identical to
-# HEAD's for their path, plus full-check.py-green at HEAD this session.
+# --- block 4 (outside the window): not driver-checked this round.
+# decontamination is NEW in the round-4 second session and registers here
+# because every window slot is held by a query whose source changed in
+# rounds 3-4: it is strict-check.py-green at HEAD and invariant-tested,
+# and the ROUND-5 rotation must front-load it (it will be the only entry
+# without any driver row).  Everything after it is driver-green at code
+# identical to HEAD's for its path, plus full-check.py-green at HEAD this
+# session.
+
+register("decontamination", dd.decontamination, dd.decontamination_sql())
+
 # First the eight pushed out by this session's insertions: flags_build /
 # events_unified / flag_type_summary (flags.py was rewritten in round 3
 # and driver-greened at round-3 END — i.e. at exactly this code; untouched

@@ -140,3 +140,19 @@ def test_incremental_dedup_invariants(spark, sf_dir):
         seen.add(r["new_doc_id"])
         assert r["jaccard"] >= dd.JACCARD_THRESHOLD
         assert 1 <= r["n_band_collisions"] <= dd.MINHASH_BANDS
+
+
+def test_decontamination_invariants(spark, sf_dir):
+    """Training docs only (never eval ids); every row shares >= 1 eval
+    shingle; the flag is exactly the threshold predicate; eval-docs-hit
+    never exceeds matched shingles... (each distinct shingle can hit many
+    eval docs, so the reverse bound is what must hold: hits >= 1)."""
+    rows = dd.decontamination(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["doc_id"] % dd.EVAL_SET_MOD != 0
+        assert r["n_matched_shingles"] >= 1
+        assert r["n_eval_docs_hit"] >= 1
+        assert r["contaminated"] == (
+            r["n_matched_shingles"] >= dd.CONTAM_MIN_SHINGLES
+        )
