@@ -221,10 +221,9 @@ def _plane_coefs(plane: int) -> list[float]:
     ``(h·C) mod 8`` depends only on ``h mod 8`` (C odd), which made every
     plane identical, and taking high bits leaves planes shift-correlated
     (the products form a Weyl sequence in h).  Computed in PYTHON at plan
-    build and embedded as array literals: the coefficients depend only on
-    (plane, j), and evaluating the hash chain inside the fold lambda ran
-    interpreted per (row × plane × dim) — hoisting it cut the sf0.1 band
-    signature build ~4x.  ``_coef_sql`` keeps the same integer arithmetic
+    build and shipped as the ``_band_buckets`` UDF's coefficient matrix:
+    the coefficients depend only on (plane, j), so nothing re-derives the
+    hash chain per row.  ``_coef_sql`` keeps the same integer arithmetic
     (everything below 2^63) so the DuckDB oracle derives identical values."""
     out = []
     for j in range(DIM):
