@@ -72,3 +72,47 @@ def test_merge_idempotent(spark):
     once = inc.replace_window_merge(existing, fresh, "d", d(2024, 1, 5), "id", ["d", "v"])
     twice = inc.replace_window_merge(once, fresh, "d", d(2024, 1, 5), "id", ["d", "v"])
     assert {tuple(r) for r in once.collect()} == {tuple(r) for r in twice.collect()}
+
+
+def test_band_bucket_parity_random(spark):
+    """The int64-micro hyperplane signature must agree bit-for-bit between
+    the numpy UDF and the DuckDB SQL on adversarial random embeddings
+    (including values that put plane sums near zero, where a float fold's
+    sign would be add-order-dependent — the integer contract is exactly
+    what makes this test deterministic)."""
+    import random
+
+    from basin_climbing_data_pipeline_spark.operators import similarity as sim
+
+    rng = random.Random(99)
+    vecs = [
+        [rng.uniform(-1.0, 1.0) * (10 ** rng.randint(-6, 0)) for _ in range(sim.DIM)]
+        for _ in range(300)
+    ]
+    sdf = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    s_rows = sorted(
+        (r["vec_id"], r["bucket"])
+        for r in sdf.select(
+            "vec_id", sim._band_buckets(5, n_bands=1)[0].alias("bucket")
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE TABLE embeddings (vec_id BIGINT, embedding FLOAT[{sim.DIM}])")
+    # round-trip through float32 exactly as Spark's array<float> does
+    import struct as _struct
+
+    f32 = lambda x: _struct.unpack("f", _struct.pack("f", x))[0]
+    con.executemany(
+        "INSERT INTO embeddings VALUES (?, ?)",
+        [(i, [f32(x) for x in v]) for i, v in enumerate(vecs)],
+    )
+    d_rows = sorted(
+        con.execute(
+            f"SELECT vec_id, {sim._band_bucket_sql('0')} AS bucket "
+            "FROM embeddings, (SELECT 5 AS r) params"
+        ).fetchall()
+    )
+    assert s_rows == d_rows
