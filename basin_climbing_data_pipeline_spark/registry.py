@@ -179,15 +179,20 @@ register("dedup_clusters", dd.dedup_clusters, dd.dedup_clusters_sql())
 register("minhash_lsh_pairs", dd.minhash_lsh_pairs, dd.minhash_lsh_pairs_sql())
 
 # --- block 4 (outside the window): not driver-checked this round.
-# decontamination is NEW in the round-4 second session and registers here
-# because every window slot is held by a query whose source changed in
-# rounds 3-4: it is strict-check.py-green at HEAD and invariant-tested,
-# and the ROUND-5 rotation must front-load it (it will be the only entry
-# without any driver row).  Everything after it is driver-green at code
-# identical to HEAD's for its path, plus full-check.py-green at HEAD this
-# session.
+# decontamination and streaming_attribution_join are NEW in the round-4
+# second session and register here because every window slot is held by a
+# query whose source changed in rounds 3-4: both are strict-check.py-green
+# at HEAD (at sf0.001/0.01/0.1), and the ROUND-5 rotation must front-load
+# them (they will be the only entries without any driver row).  Everything
+# after them is driver-green at code identical to HEAD's for its path,
+# plus full-check.py-green at HEAD this session.
 
 register("decontamination", dd.decontamination, dd.decontamination_sql())
+register(
+    "streaming_attribution_join",
+    st.streaming_attribution_join,
+    st.streaming_attribution_join_sql(),
+)
 
 # First the eight pushed out by this session's insertions: flags_build /
 # events_unified / flag_type_summary (flags.py was rewritten in round 3

@@ -240,3 +240,77 @@ FROM events
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+def streaming_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream INNER JOIN with event-time bounds: attribute each
+    purchase to the views by the same user in the preceding hour.  This is
+    the Structured Streaming operator the windowed aggregations can't
+    express — two live streams joined on key + time-range, with watermarks
+    on BOTH sides so the join state (buffered unmatched rows) is evicted
+    once the other stream's watermark passes the range bound; without the
+    time bound + watermark the state grows without limit, which is the
+    100 TB failure mode this operator exists to avoid.
+
+    Finite replay under availableNow produces exactly the batch interval
+    join of the same data — the DuckDB oracle."""
+    views = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_event_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "1 hour")
+    )
+    purchases = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_event_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = views.join(
+        purchases,
+        F.expr(
+            "v_user = p_user AND purchase_ts >= view_ts "
+            "AND purchase_ts <= view_ts + interval 1 hour"
+        ),
+    ).select(
+        F.col("v_user").alias("user_id"),
+        "view_event_id",
+        "purchase_event_id",
+        (F.unix_micros("purchase_ts") - F.unix_micros("view_ts")).alias("gap_us"),
+    )
+    sink = f"stream_attr_{uuid.uuid4().hex[:8]}"
+    with _stream_partitions(spark):
+        q = (
+            joined.writeStream.trigger(availableNow=True)
+            .outputMode("append")
+            .format("memory")
+            .queryName(sink)
+            .start()
+        )
+        q.awaitTermination(timeout=300)
+    result = spark.table(sink).localCheckpoint()
+    spark.catalog.dropTempView(sink)
+    return result.orderBy("user_id", "view_event_id", "purchase_event_id")
+
+
+def streaming_attribution_join_sql() -> str:
+    return """
+SELECT v.user_id,
+       v.event_id AS view_event_id,
+       p.event_id AS purchase_event_id,
+       epoch_us(p.ts::TIMESTAMP) - epoch_us(v.ts::TIMESTAMP) AS gap_us
+FROM events v
+JOIN events p
+  ON v.user_id = p.user_id
+ AND v.event_type = 'view' AND p.event_type = 'purchase'
+ AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+ORDER BY v.user_id, view_event_id, purchase_event_id
+"""
