@@ -57,6 +57,9 @@ from ..io import load_table, materialized
 
 @materialized("customers")
 def build_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer dimension with synthesized contact fields + normalized
+    email/phone/TLD columns (reference customer_matching.py normalization
+    tier), per the FIXTURES.md mapping."""
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     k = F.col("c_custkey")

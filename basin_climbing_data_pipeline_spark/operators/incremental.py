@@ -137,6 +137,9 @@ _MERGE_ORDER_COLS = [
 
 
 def merged_transactions_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST1 as a driver-checked query: splice a re-fetched trailing window
+    into the stale stored transactions table (keep-before, concat fresh,
+    dedup by id fresh-wins) — see the block comment above."""
     from .transactions import build_transactions
 
     txn = build_transactions(spark, sf_dir)

@@ -36,6 +36,9 @@ LEAD_SOURCE_BY_ENTRY = {
 
 
 def customer_master(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship wide table: one row per customer with identity, family,
+    membership, visit, spend and flag columns — a star of LEFT joins of
+    per-customer pre-aggregations (see module docstring)."""
     from ..functions.text import map_lookup
     from .customers import build_customers
     from .events import build_checkins

@@ -29,6 +29,9 @@ REFUND_WINDOW_DAYS = 30
 
 
 def link_refunds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J11: link each refund to its original purchase by (customer, item,
+    30-day window) — unique candidate links directly, ambiguous ones take
+    the per-group mode category."""
     from .transactions import build_transactions
 
     txn = build_transactions(spark, sf_dir)

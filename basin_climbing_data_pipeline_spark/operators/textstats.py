@@ -45,6 +45,8 @@ def _words(col: F.Column) -> F.Column:
 
 
 def doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token/char/unique-token stats from one pure-column
+    projection — no UDFs, no shuffle."""
     docs = load_table(spark, sf_dir, "documents")
     words = _words(F.col("text"))
     stop_pred = " OR ".join(f"w = '{s}'" for s in STOPWORDS)
