@@ -630,11 +630,12 @@ def propagate_min_labels(edges: DataFrame, max_rounds: int = 32) -> DataFrame:
     return labels
 
 
-def dedup_clusters_sql() -> str:
-    """Oracle: recursive transitive closure (fine at oracle scale; the
-    Spark side is the scale path)."""
-    return f"""
-WITH RECURSIVE pairs AS ({minhash_lsh_pairs_sql()}),
+def _clusters_cte_sql() -> str:
+    """The recursive transitive-closure CTE chain shared by the cluster
+    oracles (fine at oracle scale; the Spark side is the scale path).
+    Exposes ``labels(node, cluster_id)`` and ``sizes(cluster_id,
+    cluster_size)``."""
+    return f"""pairs AS ({minhash_lsh_pairs_sql()}),
 edges AS (
   SELECT doc_a AS src, doc_b AS dst FROM pairs WHERE jaccard >= {CLUSTER_JACCARD_MIN}
   UNION
@@ -650,7 +651,12 @@ labels AS (
 ),
 sizes AS (
   SELECT cluster_id, count(*) AS cluster_size FROM labels GROUP BY cluster_id
-)
+)"""
+
+
+def dedup_clusters_sql() -> str:
+    return f"""
+WITH RECURSIVE {_clusters_cte_sql()}
 SELECT l.node AS doc_id, l.cluster_id, s.cluster_size
 FROM labels l JOIN sizes s USING (cluster_id)
 ORDER BY doc_id
@@ -941,4 +947,86 @@ SELECT doc_id,
 FROM hits
 GROUP BY doc_id
 ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# cluster-collapse summary — what dedup does to the corpus mix
+# ---------------------------------------------------------------------------
+
+
+def cluster_collapse_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup→sampling composition: per duplicate-cluster-size stratum,
+    how many documents the corpus holds, how many survive keep-one-per-
+    cluster collapse (the canonical member), and how many drop.  This is
+    the number a corpus recipe actually needs from dedup — "collapsing
+    near-dup clusters removes X% of the corpus, concentrated in size-k
+    clusters" — and it composes two existing operators (dedup_clusters +
+    a singleton complement) instead of introducing new machinery.
+
+    Singletons (docs in no near-dup pair) appear as the cluster_size=1
+    stratum via an anti-join against the clustered set — all kept.
+
+    Scale shape: the expensive parts (pair generation, label propagation)
+    are the already-materialized/linear dedup path; this adds one
+    broadcast anti-join (clustered ids are small relative to the corpus)
+    and two tiny aggregations."""
+    clustered = dedup_clusters(spark, sf_dir)
+    strata = (
+        clustered.groupBy("cluster_size")
+        .agg(
+            F.countDistinct("cluster_id").alias("n_clusters"),
+            F.count("*").alias("n_docs"),
+        )
+        .select(
+            "cluster_size",
+            "n_clusters",
+            "n_docs",
+            F.col("n_clusters").alias("n_kept"),
+            (F.col("n_docs") - F.col("n_clusters")).alias("n_dropped"),
+        )
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    singles = (
+        docs.join(
+            clustered.select(F.col("doc_id")), "doc_id", "left_anti"
+        )
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.lit(1).cast("long").alias("cluster_size"),
+            F.col("n").alias("n_clusters"),
+            F.col("n").alias("n_docs"),
+            F.col("n").alias("n_kept"),
+            F.lit(0).cast("long").alias("n_dropped"),
+        )
+    )
+    return singles.unionByName(strata).orderBy("cluster_size")
+
+
+def cluster_collapse_summary_sql() -> str:
+    return f"""
+WITH RECURSIVE {_clusters_cte_sql()},
+clustered AS (
+  SELECT l.node AS doc_id, l.cluster_id, s.cluster_size
+  FROM labels l JOIN sizes s USING (cluster_id)
+),
+strata AS (
+  SELECT cluster_size,
+         count(DISTINCT cluster_id) AS n_clusters,
+         count(*) AS n_docs,
+         count(DISTINCT cluster_id) AS n_kept,
+         count(*) - count(DISTINCT cluster_id) AS n_dropped
+  FROM clustered GROUP BY cluster_size
+),
+singles AS (
+  SELECT 1::BIGINT AS cluster_size,
+         count(*) AS n_clusters, count(*) AS n_docs,
+         count(*) AS n_kept, 0::BIGINT AS n_dropped
+  FROM documents d
+  WHERE NOT EXISTS (SELECT 1 FROM clustered c WHERE c.doc_id = d.doc_id)
+)
+SELECT * FROM singles
+UNION ALL
+SELECT * FROM strata
+ORDER BY cluster_size
 """

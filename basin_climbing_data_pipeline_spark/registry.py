@@ -179,19 +179,24 @@ register("dedup_clusters", dd.dedup_clusters, dd.dedup_clusters_sql())
 register("minhash_lsh_pairs", dd.minhash_lsh_pairs, dd.minhash_lsh_pairs_sql())
 
 # --- block 4 (outside the window): not driver-checked this round.
-# decontamination and streaming_attribution_join are NEW in the round-4
-# second session and register here because every window slot is held by a
-# query whose source changed in rounds 3-4: both are strict-check.py-green
-# at HEAD (at sf0.001/0.01/0.1), and the ROUND-5 rotation must front-load
-# them (they will be the only entries without any driver row).  Everything
-# after them is driver-green at code identical to HEAD's for its path,
-# plus full-check.py-green at HEAD this session.
+# decontamination, streaming_attribution_join and cluster_collapse_summary
+# are NEW in the round-4 second session and register here because every
+# window slot is held by a query whose source changed in rounds 3-4: all
+# three are strict-check.py-green at HEAD, and the ROUND-5 rotation must
+# front-load them (they will be the only entries without any driver row).
+# Everything after them is driver-green at code identical to HEAD's for
+# its path, plus full-check.py-green at HEAD this session.
 
 register("decontamination", dd.decontamination, dd.decontamination_sql())
 register(
     "streaming_attribution_join",
     st.streaming_attribution_join,
     st.streaming_attribution_join_sql(),
+)
+register(
+    "cluster_collapse_summary",
+    dd.cluster_collapse_summary,
+    dd.cluster_collapse_summary_sql(),
 )
 
 # First the eight pushed out by this session's insertions: flags_build /
