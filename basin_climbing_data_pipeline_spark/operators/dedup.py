@@ -1030,3 +1030,111 @@ UNION ALL
 SELECT * FROM strata
 ORDER BY cluster_size
 """
+
+
+# ---------------------------------------------------------------------------
+# adaptive-width SimHash — the production scale path, oracle-checked
+# ---------------------------------------------------------------------------
+
+_CORPUS_DOCS: dict[str, int] = {}
+
+
+def _corpus_docs(spark: SparkSession, sf_dir: str) -> int:
+    """Document-corpus row count for signature-width sizing, computed ONCE
+    per sf_dir from the parquet footer (metadata-only; same pattern as
+    similarity._corpus_rows)."""
+    import os as _os
+
+    key = _os.path.abspath(sf_dir)
+    if key not in _CORPUS_DOCS:
+        try:
+            import pyarrow.parquet as _pq
+
+            n = _pq.ParquetFile(
+                _os.path.join(key, "documents.parquet")
+            ).metadata.num_rows
+        except Exception:
+            n = load_table(spark, sf_dir, "documents").count()
+        _CORPUS_DOCS[key] = n
+    return _CORPUS_DOCS[key]
+
+
+def simhash_adaptive_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at the CORPUS-DERIVED signature width — the
+    production default (:func:`simhash_bits_for`; the pinned-width
+    ``simhash_near_pairs`` is the test-scale variant).  The oracle derives
+    the same width from ``count(*)`` inside the SQL, so the width
+    derivation itself — not just the pairing — is cross-engine verified:
+    at any sf the driver runs this, both engines size the signature from
+    the corpus and must agree on the resulting pair set.
+
+    Scale shape: identical to the pinned variant (pigeonhole chunks →
+    equi-joins → hamming verify before distinct), but with per-chunk
+    bucket occupancy held ≈ constant by the derived width, candidate
+    volume stays ~ n·occupancy·chunks — measured 1.2× runtime at 4×
+    corpus vs 6.4× pinned (tools/scale_probe.py).
+
+    Output is the per-hamming-distance pair HISTOGRAM, not raw pairs: the
+    word-salad corpus concentrates signatures (719k hamming≤3 pairs at
+    sf0.1), and hauling that through the compare harness proves nothing
+    the 4-row histogram doesn't."""
+    bits = simhash_bits_for(_corpus_docs(spark, sf_dir))
+    return (
+        simhash_near_pairs(spark, sf_dir, bits=bits)
+        .groupBy("hamming")
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("hamming")
+    )
+
+
+def simhash_adaptive_near_pairs_sql() -> str:
+    """Width-parameterized oracle: the per-bit vote matrix is ROWS (one per
+    (doc, bit) via lateral unnest over the params width) instead of the
+    pinned oracle's generated per-bit columns, because the width is a
+    runtime scalar here."""
+    n_chunks = SIMHASH_MAX_HAMMING + 1
+    return f"""
+WITH params AS (
+  SELECT least(32, {n_chunks} * greatest(4,
+           CAST(ceil(log2(count(*) / 64.0)) AS INT))) AS bits
+  FROM documents
+),
+words AS (
+  SELECT doc_id, lang, unnest(list_distinct(string_split(trim(text), ' '))) AS word
+  FROM documents
+),
+hashed AS (
+  SELECT doc_id, lang, ('0x' || substr(md5(word), 1, 8))::bigint AS h32
+  FROM words WHERE word != ''
+),
+votes AS (
+  SELECT doc_id, lang, b.i AS bit,
+         sum(CASE WHEN (h32 // (1::BIGINT << b.i)) % 2 = 1 THEN 1 ELSE -1 END) AS v
+  FROM hashed, params, unnest(range(0, bits)) b(i)
+  GROUP BY doc_id, lang, b.i
+),
+sigs AS (
+  SELECT doc_id, lang,
+         CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT)
+           AS simhash
+  FROM votes GROUP BY doc_id, lang
+),
+chunked AS (
+  SELECT s.doc_id, s.lang, s.simhash, c.c AS chunk,
+         (s.simhash // (1::BIGINT << ((bits // {n_chunks}) * c.c)))
+           % (1::BIGINT << (bits // {n_chunks})) AS val
+  FROM sigs s, params, unnest(range(0, {n_chunks})) c(c)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sig_a, b.simhash AS sig_b
+  FROM chunked a JOIN chunked b
+    ON a.chunk = b.chunk AND a.val = b.val AND a.lang = b.lang
+   AND a.doc_id < b.doc_id
+)
+SELECT bit_count(xor(sig_a, sig_b)) AS hamming, count(*) AS n_pairs
+FROM cand
+WHERE bit_count(xor(sig_a, sig_b)) <= {SIMHASH_MAX_HAMMING}
+GROUP BY 1
+ORDER BY hamming
+"""

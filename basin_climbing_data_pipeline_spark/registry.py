@@ -179,7 +179,9 @@ register("dedup_clusters", dd.dedup_clusters, dd.dedup_clusters_sql())
 register("minhash_lsh_pairs", dd.minhash_lsh_pairs, dd.minhash_lsh_pairs_sql())
 
 # --- block 4 (outside the window): not driver-checked this round.
-# decontamination, streaming_attribution_join and cluster_collapse_summary
+# decontamination, streaming_attribution_join, cluster_collapse_summary and
+# simhash_adaptive_near_pairs (the production-width simhash, its width
+# derived from count(*) inside the oracle itself)
 # are NEW in the round-4 second session and register here because every
 # window slot is held by a query whose source changed in rounds 3-4: all
 # three are strict-check.py-green at HEAD, and the ROUND-5 rotation must
@@ -197,6 +199,11 @@ register(
     "cluster_collapse_summary",
     dd.cluster_collapse_summary,
     dd.cluster_collapse_summary_sql(),
+)
+register(
+    "simhash_adaptive_near_pairs",
+    dd.simhash_adaptive_near_pairs,
+    dd.simhash_adaptive_near_pairs_sql(),
 )
 
 # First the eight pushed out by this session's insertions: flags_build /
