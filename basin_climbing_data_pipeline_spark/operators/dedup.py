@@ -783,7 +783,10 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     shingles = _shingles_df(spark, sf_dir)
     sigs = _minhash_signatures_from(shingles)
-    bands = _minhash_bands(sigs)
+    # both join sides slice the same band table; cached so the shingle ->
+    # signature -> banding subtree computes once, not once per side
+    # (tracked: released before the next registry query)
+    bands = tracked_persist(_minhash_bands(sigs))
     is_new = F.col("doc_id") % INCR_NEW_MOD == 0
     new_bands = bands.filter(is_new).select(
         F.col("doc_id").alias("new_doc_id"), "band", "sig"
