@@ -215,3 +215,131 @@ FROM packed
 GROUP BY source, shard, pack_id
 ORDER BY source, shard, pack_id
 """
+
+
+# ---------------------------------------------------------------------------
+# corpus-construction funnel — the whole recipe in one audit table
+# ---------------------------------------------------------------------------
+
+
+def corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end corpus recipe as a funnel audit: documents surviving
+    each stage — raw → exact dedup (keep canonical) → near-dup cluster
+    collapse (keep one per MinHash cluster) → quality filter (drop the
+    spam bucket) → decontamination (drop eval-set leakage).  One row per
+    stage with the surviving count; the table a data lead actually reads
+    before a training run.
+
+    Composes the existing operators rather than re-deriving anything:
+    exact_dedup's canonical flag, dedup_clusters' min-label (a doc is its
+    cluster's keeper iff doc_id == cluster_id), the shared quality score
+    (textstats.quality_score_col — same expression quality_buckets
+    buckets on), and decontamination's flag.  Each stage is an anti- or
+    semi-join on doc_id: at corpus scale every one is a broadcast or
+    shuffle on a bigint key, and the expensive subtrees are the operators'
+    own (already linear / materialized) paths."""
+    from .dedup import decontamination, dedup_clusters, exact_dedup
+    from .textstats import QUALITY_SPAM_MAX, doc_stats, quality_score_col
+
+    s_raw = load_table(spark, sf_dir, "documents").select("doc_id")
+    s_exact = (
+        exact_dedup(spark, sf_dir).filter(F.col("is_canonical")).select("doc_id")
+    )
+    dupes = (
+        dedup_clusters(spark, sf_dir)
+        .filter(F.col("doc_id") != F.col("cluster_id"))
+        .select("doc_id")
+    )
+    s_collapsed = s_exact.join(dupes, "doc_id", "left_anti")
+    spam = (
+        doc_stats(spark, sf_dir)
+        .withColumn("q", quality_score_col())
+        .filter(F.col("q") < QUALITY_SPAM_MAX)
+        .select("doc_id")
+    )
+    s_quality = s_collapsed.join(spam, "doc_id", "left_anti")
+    contaminated = (
+        decontamination(spark, sf_dir)
+        .filter(F.col("contaminated"))
+        .select("doc_id")
+    )
+    s_clean = s_quality.join(contaminated, "doc_id", "left_anti")
+
+    def stage(order: int, name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count("*").alias("n_docs")).select(
+            F.lit(order).alias("stage_order"),
+            F.lit(name).alias("stage"),
+            "n_docs",
+        )
+
+    return (
+        stage(1, "raw", s_raw)
+        .unionByName(stage(2, "exact_dedup", s_exact))
+        .unionByName(stage(3, "near_dup_collapse", s_collapsed))
+        .unionByName(stage(4, "quality_filter", s_quality))
+        .unionByName(stage(5, "decontaminated", s_clean))
+        .orderBy("stage_order")
+    )
+
+
+def corpus_funnel_sql() -> str:
+    from .dedup import (
+        CONTAM_MIN_SHINGLES,
+        EVAL_SET_MOD,
+        _SHINGLES_SQL,
+        _clusters_cte_sql,
+    )
+    from .textstats import QUALITY_SPAM_MAX, doc_stats_sql, quality_score_sql
+
+    return f"""
+WITH RECURSIVE {_clusters_cte_sql()},
+exact_canonical AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           doc_id = min(doc_id) OVER (PARTITION BY md5(lower(trim(text))))
+             AS is_canonical
+    FROM documents
+  ) WHERE is_canonical
+),
+dupes AS (
+  SELECT node AS doc_id FROM labels WHERE node != cluster_id
+),
+collapsed AS (
+  SELECT doc_id FROM exact_canonical
+  WHERE doc_id NOT IN (SELECT doc_id FROM dupes)
+),
+stats AS ({doc_stats_sql()}),
+spam AS (
+  SELECT doc_id FROM stats WHERE {quality_score_sql()} < {QUALITY_SPAM_MAX}
+),
+quality AS (
+  SELECT doc_id FROM collapsed WHERE doc_id NOT IN (SELECT doc_id FROM spam)
+),
+{_SHINGLES_SQL.replace("shingle_rows AS (", "c_shingle_rows AS (").replace("shingles AS (", "c_shingles AS (").replace("FROM shingle_rows", "FROM c_shingle_rows")},
+eval_shingles AS (
+  SELECT DISTINCT shingle FROM c_shingles WHERE doc_id % {EVAL_SET_MOD} = 0
+),
+contaminated AS (
+  SELECT t.doc_id
+  FROM c_shingles t JOIN eval_shingles e USING (shingle)
+  WHERE t.doc_id % {EVAL_SET_MOD} != 0
+  GROUP BY t.doc_id
+  HAVING count(DISTINCT t.shingle) >= {CONTAM_MIN_SHINGLES}
+),
+clean AS (
+  SELECT doc_id FROM quality
+  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+)
+SELECT * FROM (
+  SELECT 1 AS stage_order, 'raw' AS stage, count(*) AS n_docs FROM documents
+  UNION ALL
+  SELECT 2, 'exact_dedup', count(*) FROM exact_canonical
+  UNION ALL
+  SELECT 3, 'near_dup_collapse', count(*) FROM collapsed
+  UNION ALL
+  SELECT 4, 'quality_filter', count(*) FROM quality
+  UNION ALL
+  SELECT 5, 'decontaminated', count(*) FROM clean
+)
+ORDER BY stage_order
+"""

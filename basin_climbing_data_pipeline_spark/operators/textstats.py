@@ -156,20 +156,30 @@ ORDER BY 1, 2
 """
 
 
-def quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Composite quality score → good/ok/spam distribution per source."""
-    stats = doc_stats(spark, sf_dir)
-    score = ratio(
+QUALITY_SPAM_MAX = 0.35  # score below this -> the 'spam' bucket
+QUALITY_GOOD_MIN = 0.5
+
+
+def quality_score_col() -> F.Column:
+    """Composite doc-quality score over the :func:`doc_stats` columns —
+    shared by the bucket rollup and the corpus funnel so the two can never
+    drift."""
+    return ratio(
         0.4 * F.col("unique_ratio")
         + 0.3 * F.col("stopword_ratio")
         + 0.3 * F.least(F.col("n_words") / 100.0, F.lit(1.0)),
         F.lit(1.0),
         4,
     )
-    bucketed = stats.withColumn("quality_score", score).withColumn(
+
+
+def quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score → good/ok/spam distribution per source."""
+    stats = doc_stats(spark, sf_dir)
+    bucketed = stats.withColumn("quality_score", quality_score_col()).withColumn(
         "quality_bucket",
-        F.when(F.col("quality_score") >= 0.5, "good")
-        .when(F.col("quality_score") >= 0.35, "ok")
+        F.when(F.col("quality_score") >= QUALITY_GOOD_MIN, "good")
+        .when(F.col("quality_score") >= QUALITY_SPAM_MAX, "ok")
         .otherwise("spam"),
     )
     return (
@@ -179,20 +189,24 @@ def quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def quality_buckets_sql() -> str:
-    score = ratio_sql(
+def quality_score_sql() -> str:
+    return ratio_sql(
         "0.4 * unique_ratio + 0.3 * stopword_ratio + 0.3 * least(n_words / 100.0, 1.0)",
         "1.0",
         4,
     )
+
+
+def quality_buckets_sql() -> str:
+    score = quality_score_sql()
     return f"""
 WITH stats AS ({doc_stats_sql()}),
 scored AS (
   SELECT source, {score} AS quality_score FROM stats
 )
 SELECT source,
-       CASE WHEN quality_score >= 0.5 THEN 'good'
-            WHEN quality_score >= 0.35 THEN 'ok'
+       CASE WHEN quality_score >= {QUALITY_GOOD_MIN} THEN 'good'
+            WHEN quality_score >= {QUALITY_SPAM_MAX} THEN 'ok'
             ELSE 'spam' END AS quality_bucket,
        count(*) AS n_docs
 FROM scored

@@ -205,6 +205,7 @@ register(
     dd.simhash_adaptive_near_pairs,
     dd.simhash_adaptive_near_pairs_sql(),
 )
+register("corpus_funnel", sp.corpus_funnel, sp.corpus_funnel_sql())
 
 # First the eight pushed out by this session's insertions: flags_build /
 # events_unified / flag_type_summary (flags.py was rewritten in round 3

@@ -156,3 +156,16 @@ def test_decontamination_invariants(spark, sf_dir):
         assert r["contaminated"] == (
             r["n_matched_shingles"] >= dd.CONTAM_MIN_SHINGLES
         )
+
+
+def test_corpus_funnel_monotone(spark, sf_dir):
+    """Each stage can only shrink the corpus; stages appear once, in
+    order, and start from the full document count."""
+    rows = sp.corpus_funnel(spark, sf_dir).collect()
+    assert [r["stage"] for r in rows] == [
+        "raw", "exact_dedup", "near_dup_collapse", "quality_filter",
+        "decontaminated",
+    ]
+    counts = [r["n_docs"] for r in rows]
+    assert counts[0] > 0
+    assert all(a >= b for a, b in zip(counts, counts[1:]))
