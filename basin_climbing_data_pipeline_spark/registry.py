@@ -13,10 +13,14 @@ driver-green row at current code.  Round-4 rotation (both sessions):
    outside round 3's window while the shared io.py read/materialize path
    changed underneath) — they register FIRST so `CORRECTNESS_r04.json`
    re-greens them at current code;
-2. the ten queries new in round 4 (merged_transactions_window,
+2. the round-4 additions that fit the window (merged_transactions_window,
    streaming_sessions, expense_categories, bigram_repetition,
    kmeans_refine, source_length_percentiles, ann_recall_eval,
-   minhash_error_eval, sequence_packing, incremental_dedup);
+   minhash_error_eval, sequence_packing, incremental_dedup,
+   streaming_dedup_counts); the round-4 additions that did NOT fit
+   (decontamination, streaming_attribution_join, cluster_collapse_summary,
+   simhash_adaptive_near_pairs, corpus_funnel) lead block 4 and MUST be
+   front-loaded in round 5;
 3. the rest of the window: queries whose source was touched in rounds
    3-4, highest-risk first — the integer-micro signature rewrite
    (lsh_buckets, embedding_near_dup_pairs), the leads/customers/dedup
@@ -179,12 +183,12 @@ register("dedup_clusters", dd.dedup_clusters, dd.dedup_clusters_sql())
 register("minhash_lsh_pairs", dd.minhash_lsh_pairs, dd.minhash_lsh_pairs_sql())
 
 # --- block 4 (outside the window): not driver-checked this round.
-# decontamination, streaming_attribution_join, cluster_collapse_summary and
+# decontamination, streaming_attribution_join, cluster_collapse_summary,
 # simhash_adaptive_near_pairs (the production-width simhash, its width
-# derived from count(*) inside the oracle itself)
-# are NEW in the round-4 second session and register here because every
+# derived from count(*) inside the oracle itself) and corpus_funnel are
+# NEW in the round-4 second session and register here because every
 # window slot is held by a query whose source changed in rounds 3-4: all
-# three are strict-check.py-green at HEAD, and the ROUND-5 rotation must
+# five are strict-check.py-green at HEAD, and the ROUND-5 rotation must
 # front-load them (they will be the only entries without any driver row).
 # Everything after them is driver-green at code identical to HEAD's for
 # its path, plus full-check.py-green at HEAD this session.
