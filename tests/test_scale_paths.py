@@ -167,3 +167,24 @@ def test_simhash_bits_scale_with_corpus():
         w = bits // 4
         if bits < 32:  # below the cap the occupancy bound must hold
             assert n / 2**w <= 64
+
+
+def test_adaptive_simhash_matches_pinned_at_test_scale(spark, sf_dir):
+    """At test scale the corpus-derived width lands exactly on the pinned
+    SIMHASH_BITS, so the adaptive histogram must equal the pinned pair
+    set's histogram — keeps the width derivation and the pinned harness
+    from drifting apart silently."""
+    from collections import Counter
+
+    from basin_climbing_data_pipeline_spark.operators import dedup as dd
+
+    derived = dd.simhash_bits_for(dd._corpus_docs(spark, sf_dir))
+    assert derived == dd.SIMHASH_BITS  # 500-doc corpus -> 4 chunks x 4 bits
+    pinned = Counter(
+        r["hamming"] for r in dd.simhash_near_pairs(spark, sf_dir).collect()
+    )
+    adaptive = {
+        r["hamming"]: r["n_pairs"]
+        for r in dd.simhash_adaptive_near_pairs(spark, sf_dir).collect()
+    }
+    assert adaptive == dict(pinned)
