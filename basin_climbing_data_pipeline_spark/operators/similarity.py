@@ -889,3 +889,100 @@ LEFT JOIN n_cand n USING (query_id)
 LEFT JOIN hits h USING (query_id)
 ORDER BY s.query_id
 """
+
+
+# ---------------------------------------------------------------------------
+# scalar int8 quantization — vector storage at 1/4 memory, error measured
+# ---------------------------------------------------------------------------
+
+QUANT_LEVELS = 127  # symmetric int8: q in [-127, 127]
+
+
+def quantization_error_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization of the embedding column with a measured
+    reconstruction-error report — the storage-side member of the vector
+    family (float32 → int8 + one scale per vector = 4× less memory and
+    bandwidth at serving time; brute force / LSH / IVF / k-means cover
+    search, this covers what sits on disk).
+
+    Per vector: scale = max |x|, q_i = floor(x_i/scale·127 + 0.5)
+    (symmetric, sign-preserving); reconstruction x̂_i = q_i·scale/127; the
+    report = per-cosine-fidelity bucket counts of cos(x, x̂) in exact
+    micro units plus the corpus-wide floor(mean).  All expressions are
+    JVM column folds with the same left-fold order as the DuckDB oracle
+    (the established ``_dot64`` parity contract), and every derived
+    number is floored to integer micro units before comparison — so the
+    quantizer itself, not a lookalike, is what the oracle verifies.
+
+    Scale shape: one narrow projection per vector (no shuffle until the
+    4-row histogram aggregation); at 100 TB this is a map-only pass you
+    run once when writing the quantized table."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = F.col("embedding")
+    scale = F.array_max(F.transform(x, lambda v: F.abs(v.cast("double"))))
+    q = F.transform(
+        x, lambda v: F.floor(v.cast("double") / scale * QUANT_LEVELS + 0.5)
+    )
+    deq = F.transform(q, lambda v: v * scale / QUANT_LEVELS)
+    vec = emb.select(
+        "vec_id", x.alias("orig"), deq.alias("recon")
+    )
+    cos = _cosine(
+        _dot64(F.col("orig"), F.col("recon")),
+        F.sqrt(_dot64(F.col("orig"), F.col("orig"))),
+        F.sqrt(_dot64(F.col("recon"), F.col("recon"))),
+    )
+    scored = vec.select(
+        F.floor(cos * 1000000.0 + 0.5).cast("long").alias("cos_micro")
+    )
+    # fidelity buckets: how far below perfect the reconstruction sits
+    bucket = (
+        F.when(F.col("cos_micro") >= 999990, ">=0.99999")
+        .when(F.col("cos_micro") >= 999900, ">=0.9999")
+        .when(F.col("cos_micro") >= 999000, ">=0.999")
+        .otherwise("<0.999")
+    )
+    return (
+        scored.groupBy(bucket.alias("fidelity"))
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.floor(F.avg("cos_micro")).cast("long").alias("mean_cos_micro"),
+            F.min("cos_micro").alias("min_cos_micro"),
+        )
+        .orderBy("fidelity")
+    )
+
+
+def quantization_error_eval_sql() -> str:
+    scale = "list_max(list_transform(embedding, v -> abs(v::double)))"
+    q = f"list_transform(embedding, v -> floor(v::double / {scale} * {QUANT_LEVELS} + 0.5))"
+    # materialize orig/recon in a CTE so the dot folds reference columns
+    dot_or = _dot_sql("orig", "recon")
+    n_o = _dot_sql("orig", "orig")
+    n_r = _dot_sql("recon", "recon")
+    cos = (
+        f"floor(({dot_or}) / (sqrt({n_o}) * sqrt({n_r})) * {COSINE_SCALE} + 0.5)"
+        f" / {COSINE_SCALE}"
+    )
+    return f"""
+WITH vec AS (
+  SELECT vec_id,
+         list_transform(embedding, v -> v::double) AS orig,
+         list_transform({q}, qv -> qv * {scale} / {QUANT_LEVELS}) AS recon
+  FROM embeddings
+),
+scored AS (
+  SELECT CAST(floor(({cos}) * 1000000.0 + 0.5) AS BIGINT) AS cos_micro
+  FROM vec
+)
+SELECT CASE WHEN cos_micro >= 999990 THEN '>=0.99999'
+            WHEN cos_micro >= 999900 THEN '>=0.9999'
+            WHEN cos_micro >= 999000 THEN '>=0.999'
+            ELSE '<0.999' END AS fidelity,
+       count(*) AS n_vectors,
+       CAST(floor(avg(cos_micro)) AS BIGINT) AS mean_cos_micro,
+       min(cos_micro) AS min_cos_micro
+FROM scored
+GROUP BY 1
+ORDER BY fidelity
+"""

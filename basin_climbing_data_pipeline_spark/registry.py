@@ -210,6 +210,11 @@ register(
     dd.simhash_adaptive_near_pairs_sql(),
 )
 register("corpus_funnel", sp.corpus_funnel, sp.corpus_funnel_sql())
+register(
+    "quantization_error_eval",
+    sim.quantization_error_eval,
+    sim.quantization_error_eval_sql(),
+)
 
 # First the eight pushed out by this session's insertions: flags_build /
 # events_unified / flag_type_summary (flags.py was rewritten in round 3

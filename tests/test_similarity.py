@@ -162,3 +162,19 @@ def test_minhash_error_eval_invariants(spark, sf_dir):
         assert 0 <= r["mean_abs_err_micro"] <= 1000000
         assert 0 <= r["max_abs_err_micro"] <= 1000000
         assert 0 <= r["mean_true_jaccard_micro"] <= 1000000
+
+
+def test_quantization_fidelity_bounds(spark, sf_dir):
+    """int8 scalar quantization must stay near-lossless on cosine (the
+    operator's reason to exist); buckets partition the corpus exactly."""
+    from basin_climbing_data_pipeline_spark.io import load_table
+
+    rows = sim.quantization_error_eval(spark, sf_dir).collect()
+    assert rows
+    total = sum(r["n_vectors"] for r in rows)
+    n_corpus = load_table(spark, sf_dir, "embeddings").count()
+    assert total == n_corpus
+    for r in rows:
+        assert 0 <= r["min_cos_micro"] <= r["mean_cos_micro"] <= 1000000
+    # corpus-wide: nothing below 0.999 cosine after int8 round-trip
+    assert all(r["fidelity"] != "<0.999" for r in rows)
