@@ -1141,3 +1141,107 @@ WHERE bit_count(xor(sig_a, sig_b)) <= {SIMHASH_MAX_HAMMING}
 GROUP BY 1
 ORDER BY hamming
 """
+
+
+# ---------------------------------------------------------------------------
+# chunk-level boilerplate detection — sub-document dedup granularity
+# ---------------------------------------------------------------------------
+
+CHUNK_WORDS = 4  # non-overlapping chunk width (words)
+BOILERPLATE_MIN_DOCS = 2  # chunk in >= this many distinct docs => boilerplate
+
+
+def chunk_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document boilerplate audit (C4/RefinedWeb-style line dedup,
+    re-expressed at fixed word-chunk granularity because the synthetic
+    corpus is single-line): split each document into non-overlapping
+    CHUNK_WORDS-word chunks, find chunks that recur across >=
+    BOILERPLATE_MIN_DOCS distinct documents, and report per-document how
+    much of it is boilerplate.  This is the dedup family's sub-document
+    member: the reference's closest analog is its duplicate-email audit
+    (build_customer_master.py:139-153) — a recurrence count over a derived
+    key — lifted to chunk keys.
+
+    Scale shape (inverted index, same as the shingle join): explode to
+    (doc, chunk-hash), one groupBy on the chunk hash for document
+    frequency, one equi-join back on the chunk hash, one per-doc groupBy.
+    No self-join, no text comparison; every stage is keyed, so it survives
+    a 1000-executor corpus.  Trailing partial chunks (< CHUNK_WORDS words)
+    are excluded so chunk identity is position-stable."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", "source", F.split(F.trim(F.col("text")), " ").alias("w")
+    )
+    # guard: size(w) < CHUNK_WORDS would make sequence(1, 0) DESCEND in
+    # Spark ([1, 0]); emit an empty chunk list instead
+    chunks_expr = F.expr(
+        f"CASE WHEN size(w) >= {CHUNK_WORDS} THEN "
+        f"transform(sequence(1, size(w) div {CHUNK_WORDS}),"
+        f" i -> concat_ws(' ', slice(w, (i-1)*{CHUNK_WORDS}+1, {CHUNK_WORDS})))"
+        " ELSE array() END"
+    )
+    ex = words.select(
+        "doc_id", "source", F.explode(chunks_expr).alias("chunk")
+    ).select("doc_id", "source", F.md5("chunk").alias("ch"))
+    doc_freq = (
+        ex.select("doc_id", "ch")
+        .distinct()
+        .groupBy("ch")
+        .agg(F.countDistinct("doc_id").alias("docs_with"))
+    )
+    return (
+        ex.join(doc_freq, "ch")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(
+                (F.col("docs_with") >= BOILERPLATE_MIN_DOCS).cast("bigint")
+            ).alias("n_boilerplate_chunks"),
+        )
+        .withColumn(
+            "boilerplate_ratio",
+            _ratio(
+                F.col("n_boilerplate_chunks").cast("double"),
+                F.col("n_chunks").cast("double"),
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _ratio(num: F.Column, den: F.Column) -> F.Column:
+    from ..functions.money import ratio
+
+    return ratio(num, den, 4)
+
+
+def chunk_boilerplate_sql() -> str:
+    from ..functions.money import ratio_sql
+
+    k = CHUNK_WORDS
+    return f"""
+WITH base AS (
+  SELECT doc_id, source, string_split(trim(text), ' ') AS w FROM documents
+),
+chunks AS (
+  SELECT doc_id, source,
+         md5(unnest([array_to_string(list_slice(w, (i-1)*{k}+1, i*{k}), ' ')
+                     for i in range(1, len(w)//{k} + 1)])) AS ch
+  FROM base
+),
+doc_freq AS (
+  SELECT ch, count(DISTINCT doc_id) AS docs_with FROM chunks GROUP BY ch
+)
+SELECT c.doc_id, c.source,
+       count(*) AS n_chunks,
+       CAST(sum((f.docs_with >= {BOILERPLATE_MIN_DOCS})::int) AS BIGINT)
+         AS n_boilerplate_chunks,
+       {ratio_sql(
+           "sum((f.docs_with >= " + str(BOILERPLATE_MIN_DOCS) + ")::int)::double",
+           "count(*)::double",
+           4,
+       )} AS boilerplate_ratio
+FROM chunks c JOIN doc_freq f USING (ch)
+GROUP BY c.doc_id, c.source
+ORDER BY c.doc_id
+"""

@@ -343,3 +343,83 @@ SELECT * FROM (
 )
 ORDER BY stage_order
 """
+
+
+# ---------------------------------------------------------------------------
+# temperature-scaled mixture weights — multilingual/domain rebalancing
+# ---------------------------------------------------------------------------
+
+MIXTURE_TEMPERATURE_ALPHA = 0.5  # w_i ∝ share_i^alpha; 0.5 => sqrt scaling
+_TEMP_W_SCALE = 1_000_000.0  # fixed-point scale for the sqrt weights
+
+
+def temperature_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source sampling weights: per source, token count
+    and share of the corpus, then w_i ∝ share_i^α (α = 0.5, i.e. sqrt)
+    normalized to a sampling percentage — the standard rebalancing step
+    that upsamples tail sources/languages relative to proportional
+    sampling (α = 1 is proportional, α → 0 is uniform).
+
+    Determinism across engines: the sqrt weights are fixed-pointed to
+    BIGINT *before* normalization, so both the per-source weight and the
+    normalizing sum are exact integer arithmetic — no float summation-order
+    drift between Spark partitions and DuckDB.
+
+    Scale shape: one partial-aggregated groupBy on source (the per-source
+    rollup is tiny by definition), then window normalization over the
+    ~|sources| aggregated rows — the unpartitioned window runs on the
+    post-aggregation side, never on the corpus."""
+    from pyspark.sql import Window
+
+    from ..functions.money import ratio
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_words = F.size(F.split(F.trim(F.col("text")), " ")).cast("bigint")
+    per_src = docs.select("source", n_words.alias("nw")).groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("nw").alias("n_tokens")
+    )
+    w = Window.partitionBy()
+    share = F.col("n_tokens").cast("double") / F.sum("n_tokens").over(w).cast("double")
+    scaled = per_src.withColumn(
+        "w_fix",
+        F.floor(F.sqrt(share) * _TEMP_W_SCALE + 0.5).cast("bigint"),
+    ).withColumn("token_share", ratio(share, F.lit(1.0), 6))
+    return (
+        scaled.select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "token_share",
+            ratio(
+                F.col("w_fix").cast("double"),
+                F.sum("w_fix").over(w).cast("double"),
+                6,
+            ).alias("temp_weight"),
+        )
+        .orderBy("source")
+    )
+
+
+def temperature_mixture_weights_sql() -> str:
+    from ..functions.money import ratio_sql
+
+    s = _TEMP_W_SCALE
+    return f"""
+WITH per_src AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+scaled AS (
+  SELECT source, n_docs, n_tokens,
+         n_tokens::double / (sum(n_tokens) OVER ())::double AS share,
+         CAST(floor(sqrt(n_tokens::double / (sum(n_tokens) OVER ())::double)
+              * {s} + 0.5) AS BIGINT) AS w_fix
+  FROM per_src
+)
+SELECT source, n_docs, n_tokens,
+       {ratio_sql('share', '1.0', 6)} AS token_share,
+       {ratio_sql('w_fix::double', '(sum(w_fix) OVER ())::double', 6)} AS temp_weight
+FROM scaled
+ORDER BY source
+"""

@@ -405,3 +405,73 @@ FROM ranked
 GROUP BY source
 ORDER BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# PII-style pattern scrub — redaction audit over the corpus
+# ---------------------------------------------------------------------------
+
+# Redaction pattern families, applied in declaration order (order matters
+# once patterns could overlap).  In a production corpus these are the usual
+# email / E.164-phone / SSN / IP regexes (the reference normalizes exactly
+# those identifier shapes, customer_matching.py:19-75); the synthetic corpus
+# has no such tokens, so the config uses corpus-appropriate word patterns —
+# the operator (count → replace → fingerprint) is pattern-independent.
+SCRUB_PATTERNS: dict[str, str] = {
+    "id_like": r"\b(customer|vector)\b",
+    "contact_like": r"\b(line|row)\b",
+}
+SCRUB_TOKEN = "<scrub>"
+
+
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redaction audit: per document, how many matches each scrub-pattern
+    family has, plus the md5 fingerprint of the fully-scrubbed text (all
+    families replaced, in config order).  The fingerprint is what a
+    downstream exact-dedup pass would key on — scrubbing BEFORE dedup is
+    the canonical order in a training-data pipeline, since redaction can
+    make near-identical documents exactly identical.
+
+    Scale shape: pure per-row column expressions (regexp_count +
+    regexp_replace chain) — no UDF, no shuffle; the whole query is one
+    codegen'd projection over the scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = [
+        F.regexp_count(F.col("text"), F.lit(pat)).cast("bigint").alias(f"n_{fam}")
+        for fam, pat in SCRUB_PATTERNS.items()
+    ]
+    scrubbed = F.col("text")
+    for pat in SCRUB_PATTERNS.values():
+        scrubbed = F.regexp_replace(scrubbed, pat, SCRUB_TOKEN)
+    total = None
+    for fam in SCRUB_PATTERNS:
+        c = F.col(f"n_{fam}")
+        total = c if total is None else total + c
+    return (
+        docs.select("doc_id", "source", *counts, F.md5(scrubbed).alias("scrubbed_fp"))
+        .withColumn("n_scrubbed_total", total)
+        .orderBy("doc_id")
+    )
+
+
+def pii_scrub_sql() -> str:
+    count_cols = ",\n       ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{fam}"
+        for fam, pat in SCRUB_PATTERNS.items()
+    )
+    scrubbed = "text"
+    for pat in SCRUB_PATTERNS.values():
+        scrubbed = f"regexp_replace({scrubbed}, '{pat}', '{SCRUB_TOKEN}', 'g')"
+    total = " + ".join(f"n_{fam}" for fam in SCRUB_PATTERNS)
+    return f"""
+WITH scrubbed AS (
+  SELECT doc_id, source,
+       {count_cols},
+       md5({scrubbed}) AS scrubbed_fp
+  FROM documents
+)
+SELECT doc_id, source, {", ".join("n_" + f for f in SCRUB_PATTERNS)}, scrubbed_fp,
+       ({total}) AS n_scrubbed_total
+FROM scrubbed
+ORDER BY doc_id
+"""

@@ -19,8 +19,10 @@ driver-green row at current code.  Round-4 rotation (both sessions):
    minhash_error_eval, sequence_packing, incremental_dedup,
    streaming_dedup_counts); the round-4 additions that did NOT fit
    (decontamination, streaming_attribution_join, cluster_collapse_summary,
-   simhash_adaptive_near_pairs, corpus_funnel) lead block 4 and MUST be
-   front-loaded in round 5;
+   simhash_adaptive_near_pairs, corpus_funnel, quantization_error_eval,
+   and the third-session chunk_boilerplate / pii_scrub /
+   temperature_mixture_weights) lead block 4 and MUST be front-loaded in
+   round 5;
 3. the rest of the window: queries whose source was touched in rounds
    3-4, highest-risk first — the integer-micro signature rewrite
    (lsh_buckets, embedding_near_dup_pairs), the leads/customers/dedup
@@ -214,6 +216,19 @@ register(
     "quantization_error_eval",
     sim.quantization_error_eval,
     sim.quantization_error_eval_sql(),
+)
+
+# round-4 THIRD-session additions — same situation as the block above
+# (strict-check.py-green at HEAD, no window slot free): chunk-granularity
+# boilerplate audit, redaction scrub, temperature mixture weights.  The
+# round-5 front-load set is therefore the nine entries from
+# `decontamination` through `temperature_mixture_weights`.
+register("chunk_boilerplate", dd.chunk_boilerplate, dd.chunk_boilerplate_sql())
+register("pii_scrub", ts.pii_scrub, ts.pii_scrub_sql())
+register(
+    "temperature_mixture_weights",
+    sp.temperature_mixture_weights,
+    sp.temperature_mixture_weights_sql(),
 )
 
 # First the eight pushed out by this session's insertions: flags_build /

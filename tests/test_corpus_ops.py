@@ -1,0 +1,108 @@
+"""Invariant tests for the round-4 third-session corpus operators:
+chunk-level boilerplate, redaction scrub, temperature mixture weights.
+
+Cross-engine value parity is covered by tools/check.py oracles; these
+tests pin the semantic invariants that a hash match alone wouldn't
+explain to a reader (guard behavior, bounds, monotonicity).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+from pyspark.sql import functions as F
+
+from basin_climbing_data_pipeline_spark.io import load_table
+from basin_climbing_data_pipeline_spark.operators.dedup import (
+    BOILERPLATE_MIN_DOCS,
+    CHUNK_WORDS,
+    chunk_boilerplate,
+)
+from basin_climbing_data_pipeline_spark.operators.sampling import (
+    temperature_mixture_weights,
+)
+from basin_climbing_data_pipeline_spark.operators.textstats import (
+    SCRUB_PATTERNS,
+    SCRUB_TOKEN,
+    pii_scrub,
+)
+
+
+def test_chunk_boilerplate_bounds(spark, sf_dir):
+    rows = chunk_boilerplate(spark, sf_dir).collect()
+    assert rows, "corpus should produce at least one chunked doc"
+    for r in rows:
+        assert 0 <= r["n_boilerplate_chunks"] <= r["n_chunks"]
+        assert 0.0 <= r["boilerplate_ratio"] <= 1.0
+    # tiny-vocab synthetic corpus: some chunks MUST recur across docs,
+    # otherwise the query proves nothing
+    assert any(r["n_boilerplate_chunks"] > 0 for r in rows)
+
+
+def test_chunk_guard_short_doc(spark):
+    """A doc shorter than CHUNK_WORDS words must yield zero chunks — the
+    sequence(1, 0)-descends hazard the builder guards against."""
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, " ".join(["w"] * (CHUNK_WORDS * 2)))], "doc_id int, text string"
+    )
+    chunks_expr = F.expr(
+        f"CASE WHEN size(w) >= {CHUNK_WORDS} THEN "
+        f"transform(sequence(1, size(w) div {CHUNK_WORDS}),"
+        f" i -> concat_ws(' ', slice(w, (i-1)*{CHUNK_WORDS}+1, {CHUNK_WORDS})))"
+        " ELSE array() END"
+    )
+    out = (
+        df.select("doc_id", F.split(F.trim(F.col("text")), " ").alias("w"))
+        .select("doc_id", F.size(chunks_expr).alias("n"))
+        .collect()
+    )
+    by_id = {r["doc_id"]: r["n"] for r in out}
+    assert by_id[1] == 0
+    assert by_id[2] == 2
+
+
+def test_pii_scrub_matches_python_re(spark, sf_dir):
+    """Spot-check 20 docs: Spark's regexp_count/replace agrees with
+    Python's re module on the same patterns."""
+    sample = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 20)
+        .select("doc_id", "text")
+        .collect()
+    )
+    got = {
+        r["doc_id"]: r
+        for r in pii_scrub(spark, sf_dir).filter(F.col("doc_id") < 20).collect()
+    }
+    for row in sample:
+        text = row["text"]
+        expected_counts = {
+            fam: len(re.findall(pat, text)) for fam, pat in SCRUB_PATTERNS.items()
+        }
+        scrubbed = text
+        for pat in SCRUB_PATTERNS.values():
+            scrubbed = re.sub(pat, SCRUB_TOKEN, scrubbed)
+        g = got[row["doc_id"]]
+        for fam, n in expected_counts.items():
+            assert g[f"n_{fam}"] == n, (row["doc_id"], fam)
+        assert g["scrubbed_fp"] == hashlib.md5(scrubbed.encode()).hexdigest()
+        assert g["n_scrubbed_total"] == sum(expected_counts.values())
+
+
+def test_temperature_weights_rebalance(spark, sf_dir):
+    rows = temperature_mixture_weights(spark, sf_dir).collect()
+    assert len(rows) >= 2
+    # fixed-point weights normalize to ~1 (each weight rounded to 1e-6)
+    assert abs(sum(r["temp_weight"] for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r["token_share"] for r in rows) - 1.0) < 1e-4
+    # sqrt temperature compresses the spread: the weight ordering matches
+    # the share ordering, but max/min weight ratio shrinks
+    by_share = sorted(rows, key=lambda r: r["token_share"])
+    weights = [r["temp_weight"] for r in by_share]
+    assert weights == sorted(weights)
+    shares = [r["token_share"] for r in by_share]
+    assert weights[-1] / weights[0] < shares[-1] / shares[0]
+    # tail source is upsampled vs proportional, head source downsampled
+    assert weights[0] > shares[0]
+    assert weights[-1] < shares[-1]
