@@ -1245,3 +1245,81 @@ FROM chunks c JOIN doc_freq f USING (ch)
 GROUP BY c.doc_id, c.source
 ORDER BY c.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# cross-source leakage — where the near-dups come from
+# ---------------------------------------------------------------------------
+
+
+def cross_source_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs rolled up by (source, source): how much of the
+    corpus's duplication is WITHIN a source vs LEAKAGE between sources —
+    the diagnostic that tells a corpus recipe whether two ingested dumps
+    overlap (e.g. the same crawl ingested twice under different names).
+
+    Composes the verified MinHash-LSH pair table (materialized, shared
+    with dedup_clusters); adds two equi-joins against the tiny
+    (doc_id, source) projection and one ~|sources|² rollup.  Pair order is
+    normalized with least/greatest so (A,B) and (B,A) land in one row.
+
+    avg_jaccard is computed from the already-1e-6-fixed-point jaccard
+    rescaled to exact BIGINT micro-units before summing, so the mean is
+    partition-order-independent and engine-exact."""
+    pairs = minhash_lsh_pairs(spark, sf_dir).filter(
+        F.col("jaccard") >= CLUSTER_JACCARD_MIN
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    sa = docs.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"))
+    sb = docs.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b"))
+    micro = F.floor(F.col("jaccard") * 1000000.0 + 0.5).cast("bigint")
+    from ..functions.money import ratio
+
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            F.least("src_a", "src_b").alias("source_1"),
+            F.greatest("src_a", "src_b").alias("source_2"),
+            (F.col("src_a") != F.col("src_b")).alias("cross_source"),
+            micro.alias("j_micro"),
+        )
+        .groupBy("source_1", "source_2", "cross_source")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            ratio(
+                F.sum("j_micro").cast("double"),
+                (F.count("*") * 1000000).cast("double"),
+                6,
+            ).alias("avg_jaccard"),
+            (F.max("j_micro") / 1000000.0).alias("max_jaccard"),
+        )
+        .orderBy("source_1", "source_2")
+    )
+
+
+def cross_source_leakage_sql() -> str:
+    from ..functions.money import ratio_sql
+
+    return f"""
+WITH lsh_pairs AS (
+{minhash_lsh_pairs_sql()}
+),
+labeled AS (
+  SELECT least(da.source, db.source) AS source_1,
+         greatest(da.source, db.source) AS source_2,
+         da.source != db.source AS cross_source,
+         CAST(floor(p.jaccard * 1000000.0 + 0.5) AS BIGINT) AS j_micro
+  FROM lsh_pairs p
+  JOIN documents da ON da.doc_id = p.doc_a
+  JOIN documents db ON db.doc_id = p.doc_b
+  WHERE p.jaccard >= {CLUSTER_JACCARD_MIN}
+)
+SELECT source_1, source_2, cross_source,
+       count(*) AS n_pairs,
+       {ratio_sql('sum(j_micro)::double', '(count(*) * 1000000)::double', 6)} AS avg_jaccard,
+       (max(j_micro) / 1000000.0) AS max_jaccard
+FROM labeled
+GROUP BY source_1, source_2, cross_source
+ORDER BY source_1, source_2
+"""

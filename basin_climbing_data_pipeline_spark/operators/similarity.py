@@ -986,3 +986,80 @@ FROM scored
 GROUP BY 1
 ORDER BY fidelity
 """
+
+
+# ---------------------------------------------------------------------------
+# hard-negative mining — contrastive-training batch construction
+# ---------------------------------------------------------------------------
+
+HARD_NEG_K = 3  # hard negatives per query
+
+
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the HARD_NEG_K nearest corpus vectors with a DIFFERENT label —
+    the highest-similarity wrong-label examples that make the strongest
+    negatives in an InfoNCE batch.
+
+    Plan shape is cosine_topk's (precomputed norms, broadcast query side,
+    per-query top-k window) with the label-mismatch predicate pushed into
+    the join condition, so non-candidates never reach the ranking window.
+    Valid at 1e9-row corpus for the same reason cosine_topk is: the
+    broadcast side is |queries| rows and the scan side streams."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    with_norm = emb.select(
+        "vec_id",
+        "embedding",
+        "label",
+        F.sqrt(_dot64(F.col("embedding"), F.col("embedding"))).alias("norm"),
+    )
+    queries = with_norm.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+        F.col("label").alias("query_label"),
+    )
+    corpus = with_norm.select(
+        F.col("vec_id").alias("corpus_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("norm").alias("c_norm"),
+        F.col("label").alias("neg_label"),
+    )
+    joined = corpus.join(
+        F.broadcast(queries), F.col("neg_label") != F.col("query_label")
+    )
+    cos = _cosine(_dot64(F.col("q_emb"), F.col("c_emb")), F.col("q_norm"), F.col("c_norm"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "corpus_id")
+    return (
+        joined.withColumn("cosine", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= HARD_NEG_K)
+        .select("query_id", "query_label", "corpus_id", "neg_label", "cosine", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+def hard_negative_mining_sql() -> str:
+    dot = _dot_sql("q.embedding", "c.embedding")
+    nq = _dot_sql("q.embedding", "q.embedding")
+    nc = _dot_sql("c.embedding", "c.embedding")
+    return f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, q.label AS query_label,
+         c.vec_id AS corpus_id, c.label AS neg_label,
+         floor(({dot}) / (sqrt({nq}) * sqrt({nc})) * {COSINE_SCALE} + 0.5) / {COSINE_SCALE}
+           AS cosine
+  FROM embeddings q JOIN embeddings c ON q.label != c.label
+  WHERE q.vec_id < {N_QUERIES}
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, corpus_id) AS rank
+  FROM scored
+)
+SELECT query_id, query_label, corpus_id, neg_label, cosine, rank
+FROM ranked WHERE rank <= {HARD_NEG_K}
+ORDER BY query_id, rank
+"""

@@ -21,7 +21,8 @@ driver-green row at current code.  Round-4 rotation (both sessions):
    (decontamination, streaming_attribution_join, cluster_collapse_summary,
    simhash_adaptive_near_pairs, corpus_funnel, quantization_error_eval,
    and the third-session chunk_boilerplate / pii_scrub /
-   temperature_mixture_weights) lead block 4 and MUST be front-loaded in
+   temperature_mixture_weights / cross_source_leakage /
+   hard_negative_mining) lead block 4 and MUST be front-loaded in
    round 5;
 3. the rest of the window: queries whose source was touched in rounds
    3-4, highest-risk first — the integer-micro signature rewrite
@@ -220,15 +221,22 @@ register(
 
 # round-4 THIRD-session additions — same situation as the block above
 # (strict-check.py-green at HEAD, no window slot free): chunk-granularity
-# boilerplate audit, redaction scrub, temperature mixture weights.  The
-# round-5 front-load set is therefore the nine entries from
-# `decontamination` through `temperature_mixture_weights`.
+# boilerplate audit, redaction scrub, temperature mixture weights,
+# cross-source leakage rollup, hard-negative mining.  The round-5
+# front-load set is therefore the eleven entries from `decontamination`
+# through `hard_negative_mining`.
 register("chunk_boilerplate", dd.chunk_boilerplate, dd.chunk_boilerplate_sql())
 register("pii_scrub", ts.pii_scrub, ts.pii_scrub_sql())
 register(
     "temperature_mixture_weights",
     sp.temperature_mixture_weights,
     sp.temperature_mixture_weights_sql(),
+)
+register(
+    "cross_source_leakage", dd.cross_source_leakage, dd.cross_source_leakage_sql()
+)
+register(
+    "hard_negative_mining", sim.hard_negative_mining, sim.hard_negative_mining_sql()
 )
 
 # First the eight pushed out by this session's insertions: flags_build /

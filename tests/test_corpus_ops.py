@@ -106,3 +106,53 @@ def test_temperature_weights_rebalance(spark, sf_dir):
     # tail source is upsampled vs proportional, head source downsampled
     assert weights[0] > shares[0]
     assert weights[-1] < shares[-1]
+
+
+def test_cross_source_leakage_consistency(spark, sf_dir):
+    from basin_climbing_data_pipeline_spark.operators.dedup import (
+        CLUSTER_JACCARD_MIN,
+        cross_source_leakage,
+        minhash_lsh_pairs,
+    )
+
+    rows = cross_source_leakage(spark, sf_dir).collect()
+    assert rows, "near-dup pairs above the cluster threshold must exist"
+    for r in rows:
+        assert r["source_1"] <= r["source_2"]
+        assert r["cross_source"] == (r["source_1"] != r["source_2"])
+        assert 0.0 <= r["avg_jaccard"] <= r["max_jaccard"] <= 1.0
+        assert r["n_pairs"] >= 1
+    total = sum(r["n_pairs"] for r in rows)
+    expected = (
+        minhash_lsh_pairs(spark, sf_dir)
+        .filter(F.col("jaccard") >= CLUSTER_JACCARD_MIN)
+        .count()
+    )
+    assert total == expected
+
+
+def test_hard_negative_mining_vs_topk(spark, sf_dir):
+    from basin_climbing_data_pipeline_spark.operators.similarity import (
+        HARD_NEG_K,
+        N_QUERIES,
+        cosine_topk,
+        hard_negative_mining,
+    )
+
+    negs = hard_negative_mining(spark, sf_dir).collect()
+    per_q: dict[int, list] = {}
+    for r in negs:
+        assert r["neg_label"] != r["query_label"]
+        per_q.setdefault(r["query_id"], []).append(r)
+    assert len(per_q) == N_QUERIES
+    top1 = {
+        r["query_id"]: r["cosine"]
+        for r in cosine_topk(spark, sf_dir).collect()
+        if r["rank"] == 1
+    }
+    for qid, rs in per_q.items():
+        assert len(rs) == HARD_NEG_K
+        cosines = [r["cosine"] for r in sorted(rs, key=lambda r: r["rank"])]
+        assert cosines == sorted(cosines, reverse=True)
+        # the hardest wrong-label negative can't beat the unrestricted top-1
+        assert cosines[0] <= top1[qid]
