@@ -475,3 +475,71 @@ SELECT doc_id, source, {", ".join("n_" + f for f in SCRUB_PATTERNS)}, scrubbed_f
 FROM scrubbed
 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# subword / tokenizer-fertility stats
+# ---------------------------------------------------------------------------
+
+SUBWORD_PIECE_CHARS = 4  # fixed-width subword proxy: ceil(len/4) pieces/word
+
+
+def subword_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting beyond whitespace (the budget unit a trainer
+    actually bills in): per document, whitespace tokens, a BPE-ish regex
+    token count (word / number / punctuation runs — the GPT-2 pre-tokenizer
+    shape), a fixed-width subword count (ceil(len/SUBWORD_PIECE_CHARS)
+    pieces per word — a deterministic stand-in for a learned BPE merge
+    table, which would be a broadcast vocabulary lookup in the same plan
+    position), and the resulting fertility (subword pieces per word).
+
+    Scale shape: pure per-row expressions — the word loop is a JVM
+    higher-order aggregate, not a UDF; one codegen'd projection over the
+    scan, no shuffle but the output sort."""
+    from ..functions.money import ratio
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = _words(F.col("text"))
+    n_words = F.size(words)
+    n_subword = F.expr(
+        f"aggregate(split(trim(text), ' '), 0L,"
+        f" (acc, x) -> acc + (length(x) + {SUBWORD_PIECE_CHARS - 1})"
+        f" div {SUBWORD_PIECE_CHARS})"
+    )
+    n_regex = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]+"), F.lit(0))
+    )
+    return docs.select(
+        "doc_id",
+        "source",
+        n_words.alias("n_words"),
+        n_subword.alias("n_subword_tokens"),
+        n_regex.cast("bigint").alias("n_regex_tokens"),
+        ratio(n_subword.cast("double"), n_words.cast("double"), 4).alias("fertility"),
+    ).orderBy("doc_id")
+
+
+def subword_token_stats_sql() -> str:
+    from ..functions.money import ratio_sql
+
+    k = SUBWORD_PIECE_CHARS
+    return f"""
+WITH base AS (
+  SELECT doc_id, source, text, string_split(trim(text), ' ') AS words
+  FROM documents
+)
+SELECT doc_id, source,
+       len(words) AS n_words,
+       CAST(list_sum(list_transform(words, x -> (length(x) + {k - 1}) // {k}))
+            AS BIGINT) AS n_subword_tokens,
+       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]+')) AS BIGINT)
+         AS n_regex_tokens,
+       {ratio_sql(
+           "list_sum(list_transform(words, x -> (length(x) + "
+           + str(k - 1) + ") // " + str(k) + "))::double",
+           "len(words)::double",
+           4,
+       )} AS fertility
+FROM base
+ORDER BY doc_id
+"""

@@ -22,8 +22,9 @@ driver-green row at current code.  Round-4 rotation (both sessions):
    simhash_adaptive_near_pairs, corpus_funnel, quantization_error_eval,
    and the third-session chunk_boilerplate / pii_scrub /
    temperature_mixture_weights / cross_source_leakage /
-   hard_negative_mining) lead block 4 and MUST be front-loaded in
-   round 5;
+   hard_negative_mining / subword_token_stats /
+   streaming_static_enrichment) lead block 4 and MUST be front-loaded
+   in round 5;
 3. the rest of the window: queries whose source was touched in rounds
    3-4, highest-risk first — the integer-micro signature rewrite
    (lsh_buckets, embedding_near_dup_pairs), the leads/customers/dedup
@@ -222,9 +223,10 @@ register(
 # round-4 THIRD-session additions — same situation as the block above
 # (strict-check.py-green at HEAD, no window slot free): chunk-granularity
 # boilerplate audit, redaction scrub, temperature mixture weights,
-# cross-source leakage rollup, hard-negative mining.  The round-5
-# front-load set is therefore the eleven entries from `decontamination`
-# through `hard_negative_mining`.
+# cross-source leakage rollup, hard-negative mining, subword/fertility
+# token stats, stream-static dimension enrichment.  The round-5
+# front-load set is therefore the thirteen entries from `decontamination`
+# through `streaming_static_enrichment`.
 register("chunk_boilerplate", dd.chunk_boilerplate, dd.chunk_boilerplate_sql())
 register("pii_scrub", ts.pii_scrub, ts.pii_scrub_sql())
 register(
@@ -237,6 +239,14 @@ register(
 )
 register(
     "hard_negative_mining", sim.hard_negative_mining, sim.hard_negative_mining_sql()
+)
+register(
+    "subword_token_stats", ts.subword_token_stats, ts.subword_token_stats_sql()
+)
+register(
+    "streaming_static_enrichment",
+    st.streaming_static_enrichment,
+    st.streaming_static_enrichment_sql(),
 )
 
 # First the eight pushed out by this session's insertions: flags_build /

@@ -314,3 +314,71 @@ JOIN events p
  AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
 ORDER BY v.user_id, view_event_id, purchase_event_id
 """
+
+
+def streaming_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC join: enrich the live event stream with the customer
+    dimension (market segment), then tumbling-window counts per segment —
+    the canonical "enrich events with a dimension table" streaming pattern
+    (the reference's batch analog: per-event customer lookups against the
+    master table, customer_events_builder.py joins).
+
+    The static side needs NO watermark and holds no join state: Spark
+    re-plans it per micro-batch and broadcasts it under the join threshold
+    — at 100 TB of stream the dimension stays a broadcast lookup, which is
+    why stream-static is the right shape for enrichment (a stream-stream
+    join would buffer the dimension in the state store for no reason).
+    Unmatched events (user_id outside the dimension) drop via the inner
+    join — same semantics as the oracle's JOIN."""
+    from ..functions.money import sum_money
+    from ..io import load_table
+
+    segments = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    stream = stream_events(spark, sf_dir).withWatermark("ts", "1 hour")
+    enriched = stream.join(segments, "user_id")  # stream-static inner join
+    agg = (
+        enriched.groupBy(
+            F.window("ts", f"{WINDOW_HOURS} hours").alias("w"),
+            F.col("segment"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            sum_money(F.col("value")).alias("total_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "segment",
+            "n_events",
+            "total_value",
+        )
+    )
+    sink = f"stream_enrich_{uuid.uuid4().hex[:8]}"
+    with _stream_partitions(spark):
+        q = (
+            agg.writeStream.trigger(availableNow=True)
+            .outputMode("complete")
+            .format("memory")
+            .queryName(sink)
+            .start()
+        )
+        q.awaitTermination(timeout=300)
+    result = spark.table(sink).localCheckpoint()
+    spark.catalog.dropTempView(sink)
+    return result.orderBy("window_start_us", "segment")
+
+
+def streaming_static_enrichment_sql() -> str:
+    from ..functions.money import sum_money_sql
+
+    return f"""
+SELECT (epoch_us(e.ts::TIMESTAMP) // {WINDOW_US}) * {WINDOW_US} AS window_start_us,
+       c.c_mktsegment AS segment,
+       count(*) AS n_events,
+       {sum_money_sql('e.value')} AS total_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""

@@ -156,3 +156,72 @@ def test_hard_negative_mining_vs_topk(spark, sf_dir):
         assert cosines == sorted(cosines, reverse=True)
         # the hardest wrong-label negative can't beat the unrestricted top-1
         assert cosines[0] <= top1[qid]
+
+
+def test_subword_token_stats_invariants(spark, sf_dir):
+    from basin_climbing_data_pipeline_spark.operators.textstats import (
+        SUBWORD_PIECE_CHARS,
+        subword_token_stats,
+    )
+
+    rows = subword_token_stats(spark, sf_dir).limit(50).collect()
+    assert rows
+    for r in rows:
+        # every word yields >= 1 piece, and at most ceil(maxlen/k) per word
+        assert r["n_subword_tokens"] >= r["n_words"]
+        assert r["fertility"] >= 1.0
+        # all-lowercase single-space corpus: regex word runs == whitespace
+        assert r["n_regex_tokens"] == r["n_words"]
+
+
+def test_subword_count_matches_python(spark, sf_dir):
+    from basin_climbing_data_pipeline_spark.operators.textstats import (
+        SUBWORD_PIECE_CHARS,
+        subword_token_stats,
+    )
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 10)
+        .collect()
+    }
+    got = {
+        r["doc_id"]: r
+        for r in subword_token_stats(spark, sf_dir).filter(F.col("doc_id") < 10).collect()
+    }
+    k = SUBWORD_PIECE_CHARS
+    for doc_id, text in docs.items():
+        words = text.strip().split(" ")
+        expected = sum((len(w) + k - 1) // k for w in words)
+        assert got[doc_id]["n_subword_tokens"] == expected
+
+
+def test_streaming_static_enrichment_matches_batch(spark, sf_dir):
+    """The availableNow replay of the stream-static join must equal the
+    batch join of the same data."""
+    from basin_climbing_data_pipeline_spark.functions.money import sum_money
+    from basin_climbing_data_pipeline_spark.streaming.events_stream import (
+        WINDOW_US,
+        streaming_static_enrichment,
+    )
+
+    got = {
+        (r["window_start_us"], r["segment"]): (r["n_events"], r["total_value"])
+        for r in streaming_static_enrichment(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+    batch = (
+        ev.join(cust, "user_id")
+        .groupBy(
+            (F.floor(F.unix_micros("ts") / WINDOW_US) * WINDOW_US).alias("w"),
+            "segment",
+        )
+        .agg(F.count("*").alias("n"), sum_money(F.col("value")).alias("v"))
+        .collect()
+    )
+    expected = {(r["w"], r["segment"]): (r["n"], r["v"]) for r in batch}
+    assert got == expected
