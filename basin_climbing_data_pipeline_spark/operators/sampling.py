@@ -432,3 +432,115 @@ SELECT source, n_docs, n_tokens,
 FROM scaled
 ORDER BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# per-source document caps — head-of-domain selection
+# ---------------------------------------------------------------------------
+
+SOURCE_CAP_DOCS = 20  # max docs admitted per source
+
+
+def source_quality_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap with quality-ranked admission: each source
+    keeps its SOURCE_CAP_DOCS best documents by the shared composite
+    quality score (deterministic tie-break on doc_id) — the "domain cap"
+    step a web corpus applies so no single domain dominates the mix.
+    Output per source: corpus size, kept count, and the admission
+    cutoff (worst admitted score).
+
+    Scale shape: one shuffle to rank within source (at web scale the
+    partition key is the domain — bounded by the cap afterwards, and a
+    pathologically hot domain is exactly what AQE skew-split handles),
+    then a per-source rollup that rides the same partitioning."""
+    from pyspark.sql import Window
+
+    from .textstats import doc_stats, quality_score_col
+
+    scored = (
+        doc_stats(spark, sf_dir)
+        .withColumn("q", quality_score_col())
+        .select("doc_id", "source", "q")
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("q"), "doc_id")
+    ranked = scored.withColumn("rn", F.row_number().over(w))
+    kept = F.col("rn") <= SOURCE_CAP_DOCS
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(kept.cast("bigint")).alias("n_kept"),
+            F.min(F.when(kept, F.col("q"))).alias("cutoff_score"),
+        )
+        .orderBy("source")
+    )
+
+
+def source_quality_cap_sql() -> str:
+    from .textstats import doc_stats_sql, quality_score_sql
+
+    return f"""
+WITH stats AS ({doc_stats_sql()}),
+scored AS (
+  SELECT doc_id, source, {quality_score_sql()} AS q FROM stats
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY source ORDER BY q DESC, doc_id) AS rn
+  FROM scored
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum((rn <= {SOURCE_CAP_DOCS})::int) AS BIGINT) AS n_kept,
+       min(CASE WHEN rn <= {SOURCE_CAP_DOCS} THEN q END) AS cutoff_score
+FROM ranked
+GROUP BY source
+ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# training shard assignment — the final global shuffle
+# ---------------------------------------------------------------------------
+
+N_TRAIN_SHARDS = 8
+
+
+def training_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-training global shuffle, deterministically: every document
+    gets a shard (md5 bucket of doc_id — uniform, reproducible, no
+    ``rand()``) and a position within its shard (rank by the full md5
+    digest, doc_id tie-break).  Readers then stream shards sequentially
+    and get a fixed pseudo-random document order — the property a trainer
+    needs for restartable data loading.
+
+    Scale shape: one hash shuffle on the shard key and a within-shard
+    sort; shards are equal-sized in expectation, so the sort is
+    (N/shards)·log(N/shards) per partition with no skew by construction."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    assigned = docs.select(
+        "doc_id",
+        _md5_bucket(F.col("doc_id"), N_TRAIN_SHARDS).alias("shard"),
+        F.md5(F.col("doc_id").cast("string")).alias("_digest"),
+    )
+    w = Window.partitionBy("shard").orderBy("_digest", "doc_id")
+    return (
+        assigned.withColumn("pos", F.row_number().over(w))
+        .select("doc_id", "shard", "pos")
+        .orderBy("shard", "pos")
+    )
+
+
+def training_shard_assignment_sql() -> str:
+    b = _md5_bucket_sql("doc_id", N_TRAIN_SHARDS)
+    return f"""
+WITH assigned AS (
+  SELECT doc_id, {b} AS shard, md5(doc_id::varchar) AS _digest
+  FROM documents
+)
+SELECT doc_id, shard,
+       row_number() OVER (PARTITION BY shard ORDER BY _digest, doc_id) AS pos
+FROM assigned
+ORDER BY shard, pos
+"""

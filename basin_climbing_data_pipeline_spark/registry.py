@@ -23,7 +23,8 @@ driver-green row at current code.  Round-4 rotation (both sessions):
    and the third-session chunk_boilerplate / pii_scrub /
    temperature_mixture_weights / cross_source_leakage /
    hard_negative_mining / subword_token_stats /
-   streaming_static_enrichment) lead block 4 and MUST be front-loaded
+   streaming_static_enrichment / source_quality_cap /
+   training_shard_assignment) lead block 4 and MUST be front-loaded
    in round 5;
 3. the rest of the window: queries whose source was touched in rounds
    3-4, highest-risk first — the integer-micro signature rewrite
@@ -224,9 +225,10 @@ register(
 # (strict-check.py-green at HEAD, no window slot free): chunk-granularity
 # boilerplate audit, redaction scrub, temperature mixture weights,
 # cross-source leakage rollup, hard-negative mining, subword/fertility
-# token stats, stream-static dimension enrichment.  The round-5
-# front-load set is therefore the thirteen entries from `decontamination`
-# through `streaming_static_enrichment`.
+# token stats, stream-static dimension enrichment, per-source quality
+# caps, training shard assignment.  The round-5 front-load set is
+# therefore the fifteen entries from `decontamination` through
+# `training_shard_assignment`.
 register("chunk_boilerplate", dd.chunk_boilerplate, dd.chunk_boilerplate_sql())
 register("pii_scrub", ts.pii_scrub, ts.pii_scrub_sql())
 register(
@@ -247,6 +249,12 @@ register(
     "streaming_static_enrichment",
     st.streaming_static_enrichment,
     st.streaming_static_enrichment_sql(),
+)
+register("source_quality_cap", sp.source_quality_cap, sp.source_quality_cap_sql())
+register(
+    "training_shard_assignment",
+    sp.training_shard_assignment,
+    sp.training_shard_assignment_sql(),
 )
 
 # First the eight pushed out by this session's insertions: flags_build /

@@ -225,3 +225,38 @@ def test_streaming_static_enrichment_matches_batch(spark, sf_dir):
     )
     expected = {(r["w"], r["segment"]): (r["n"], r["v"]) for r in batch}
     assert got == expected
+
+
+def test_source_quality_cap(spark, sf_dir):
+    from basin_climbing_data_pipeline_spark.operators.sampling import (
+        SOURCE_CAP_DOCS,
+        source_quality_cap,
+    )
+
+    rows = source_quality_cap(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_kept"] == min(r["n_docs"], SOURCE_CAP_DOCS)
+        assert r["cutoff_score"] is not None
+
+
+def test_training_shard_assignment(spark, sf_dir):
+    from basin_climbing_data_pipeline_spark.operators.sampling import (
+        N_TRAIN_SHARDS,
+        training_shard_assignment,
+    )
+
+    rows = training_shard_assignment(spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert len(rows) == n_docs
+    assert len({r["doc_id"] for r in rows}) == n_docs
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        assert 0 <= r["shard"] < N_TRAIN_SHARDS
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    # positions are dense 1..n per shard (restartable-reader contract)
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    # the shuffle actually shuffles: shard-order doc ids are not sorted
+    order = [r["doc_id"] for r in rows]
+    assert order != sorted(order)
