@@ -167,3 +167,98 @@ SELECT doc_id,
 FROM s
 ORDER BY doc_id
 """
+
+
+THUMB_SIDE = 8  # thumbnail edge for the resize stage
+
+RESIZE_SCHEMA = (
+    "doc_id long, width int, height int, thumb_sum long, thumb_mean double"
+)
+
+
+def resize_image(payload: bytes, out_w: int = THUMB_SIDE, out_h: int = THUMB_SIDE) -> dict:
+    """Nearest-neighbor resize over the (fake-)decoded grayscale frame.
+
+    The DECODE under it is the container stub, but the resampling math is
+    the real algorithm (source index = floor(dst·src_extent/dst_extent)
+    per axis — what PIL's ``Image.NEAREST`` computes); swapping the
+    decoder for PIL leaves this function untouched."""
+    img = decode_image(payload)
+    w, h, px = img["width"], img["height"], img["pixels"]
+    out = bytearray()
+    for y in range(out_h):
+        sy = y * h // out_h
+        for x in range(out_w):
+            sx = x * w // out_w
+            out.append(px[sy * w + sx])
+    return {"width": out_w, "height": out_h, "pixels": bytes(out)}
+
+
+def media_resize_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RESIZE stage as a driver-checked query: decode → 8×8
+    nearest-neighbor thumbnail → thumbnail stats, over Arrow-batched
+    ``mapInPandas`` (the plan position a real PIL resize occupies).  The
+    stub decode tiles payload bytes, so thumbnail pixel (y,x) is
+    payload[(sy·W+sx) mod n] — arithmetic, hence the DuckDB oracle can
+    replay even the resampling bit-exactly."""
+    import math
+
+    import pandas as pd
+
+    media = build_media_table(spark, sf_dir)
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img = decode_image(bytes(payload))
+                thumb = resize_image(bytes(payload))
+                s = sum(thumb["pixels"])
+                n = THUMB_SIDE * THUMB_SIDE
+                rows.append(
+                    (
+                        doc_id,
+                        img["width"],
+                        img["height"],
+                        s,
+                        math.floor(s / n * 10000.0 + 0.5) / 10000.0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "thumb_sum", "thumb_mean"]
+            )
+
+    return media.mapInPandas(_resize, RESIZE_SCHEMA).orderBy("doc_id")
+
+
+def media_resize_features_sql() -> str:
+    n = THUMB_SIDE
+    cells = n * n
+    return f"""
+WITH s AS (
+  SELECT doc_id, text,
+         octet_length(encode(text)) AS nb,
+         list_sum([ord(x) FOR x IN split(text, '')])::bigint % 1000000007 AS checksum
+  FROM documents
+),
+dims AS (
+  SELECT doc_id, text, nb,
+         (checksum % 640)::bigint + 1 AS w,
+         (checksum % 480)::bigint + 1 AS h
+  FROM s
+),
+thumb AS (
+  SELECT doc_id, w, h,
+         list_sum([
+           ord(substr(text,
+                      ((((i // {n}) * h // {n}) * w + ((i % {n}) * w // {n})) % nb)::int + 1,
+                      1))
+           FOR i IN range(0, {cells})
+         ])::bigint AS thumb_sum
+  FROM dims
+)
+SELECT doc_id, w::int AS width, h::int AS height, thumb_sum,
+       floor(thumb_sum::double / {cells} * 10000.0 + 0.5) / 10000.0 AS thumb_mean
+FROM thumb
+ORDER BY doc_id
+"""

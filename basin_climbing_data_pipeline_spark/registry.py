@@ -24,8 +24,8 @@ driver-green row at current code.  Round-4 rotation (both sessions):
    temperature_mixture_weights / cross_source_leakage /
    hard_negative_mining / subword_token_stats /
    streaming_static_enrichment / source_quality_cap /
-   training_shard_assignment) lead block 4 and MUST be front-loaded
-   in round 5;
+   training_shard_assignment / media_resize_features) lead block 4 and
+   MUST be front-loaded in round 5;
 3. the rest of the window: queries whose source was touched in rounds
    3-4, highest-risk first — the integer-micro signature rewrite
    (lsh_buckets, embedding_near_dup_pairs), the leads/customers/dedup
@@ -226,9 +226,9 @@ register(
 # boilerplate audit, redaction scrub, temperature mixture weights,
 # cross-source leakage rollup, hard-negative mining, subword/fertility
 # token stats, stream-static dimension enrichment, per-source quality
-# caps, training shard assignment.  The round-5 front-load set is
-# therefore the fifteen entries from `decontamination` through
-# `training_shard_assignment`.
+# caps, training shard assignment, the mapInPandas resize stage.  The
+# round-5 front-load set is therefore the sixteen entries from
+# `decontamination` through `media_resize_features`.
 register("chunk_boilerplate", dd.chunk_boilerplate, dd.chunk_boilerplate_sql())
 register("pii_scrub", ts.pii_scrub, ts.pii_scrub_sql())
 register(
@@ -255,6 +255,9 @@ register(
     "training_shard_assignment",
     sp.training_shard_assignment,
     sp.training_shard_assignment_sql(),
+)
+register(
+    "media_resize_features", mm.media_resize_features, mm.media_resize_features_sql()
 )
 
 # First the eight pushed out by this session's insertions: flags_build /

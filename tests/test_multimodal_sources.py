@@ -126,3 +126,35 @@ def test_list_keys_and_catalog_scan(spark, tmp_path):
         .collect()
     }
     assert by_table == {"t1": 30, "t2": 5}
+
+
+def test_resize_image_nearest_neighbor():
+    from basin_climbing_data_pipeline_spark.operators.multimodal import (
+        THUMB_SIDE,
+        decode_image,
+        resize_image,
+    )
+
+    payload = b"some deterministic payload bytes for the fake decoder"
+    img = decode_image(payload)
+    thumb = resize_image(payload)
+    assert thumb["width"] == thumb["height"] == THUMB_SIDE
+    assert len(thumb["pixels"]) == THUMB_SIDE * THUMB_SIDE
+    # NEAREST contract: destination (0,0) maps to source (0,0)
+    assert thumb["pixels"][0] == img["pixels"][0]
+    # every thumb pixel must exist at its computed source offset
+    w, h = img["width"], img["height"]
+    for y in range(THUMB_SIDE):
+        for x in range(THUMB_SIDE):
+            sy, sx = y * h // THUMB_SIDE, x * w // THUMB_SIDE
+            assert thumb["pixels"][y * THUMB_SIDE + x] == img["pixels"][sy * w + sx]
+
+
+def test_resize_upscale_and_downscale():
+    from basin_climbing_data_pipeline_spark.operators.multimodal import resize_image
+
+    payload = bytes(range(256))
+    up = resize_image(payload, out_w=1000, out_h=2)
+    assert len(up["pixels"]) == 2000
+    down = resize_image(payload, out_w=1, out_h=1)
+    assert len(down["pixels"]) == 1
