@@ -1063,3 +1063,137 @@ SELECT query_id, query_label, corpus_id, neg_label, cosine, rank
 FROM ranked WHERE rank <= {HARD_NEG_K}
 ORDER BY query_id, rank
 """
+
+
+# ---------------------------------------------------------------------------
+# quantized search recall — does int8 storage change the answers?
+# ---------------------------------------------------------------------------
+
+
+def quantized_topk_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end int8 impact eval: run the SAME brute-force top-k twice —
+    once on float embeddings (the cosine_topk ground truth), once on the
+    int8-quantized vectors — and report per-query overlap@k.  This is the
+    number a serving team actually decides on (reconstruction cosine,
+    quantization_error_eval, is the proxy; neighbor-set recall is the
+    product metric).
+
+    Determinism: the quantized similarity is an INTEGER dot product of the
+    q∈[-127,127] codes (exact BIGINT fold, order-insensitive) normalized
+    by float sqrt of the integer self-dots — the one float op both engines
+    round identically — then floored to micro units.  Ranking ties break
+    on corpus_id.
+
+    Scale shape: two broadcast-query scans over the corpus (the
+    cosine_topk plan, twice) and a tiny per-query join of two k-row
+    sets — still linear in corpus at 1e9 rows, and the integer dot is
+    exactly the SIMD-friendly kernel an int8 serving index runs."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = F.col("embedding")
+    scale = F.array_max(F.transform(x, lambda v: F.abs(v.cast("double"))))
+    q = F.transform(
+        x, lambda v: F.floor(v.cast("double") / scale * QUANT_LEVELS + 0.5).cast("long")
+    )
+    qvec = emb.select("vec_id", q.alias("qe"))
+    qnorm = F.sqrt(
+        F.aggregate(
+            F.zip_with(F.col("qe"), F.col("qe"), lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + t,
+        ).cast("double")
+    )
+    with_norm = qvec.select("vec_id", "qe", qnorm.alias("qn"))
+    queries = with_norm.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qe").alias("q_emb"),
+        F.col("qn").alias("q_norm"),
+    )
+    corpus = with_norm.select(
+        F.col("vec_id").alias("corpus_id"),
+        F.col("qe").alias("c_emb"),
+        F.col("qn").alias("c_norm"),
+    )
+    idot = F.aggregate(
+        F.zip_with(F.col("q_emb"), F.col("c_emb"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+    qcos_micro = F.floor(
+        idot.cast("double") / (F.col("q_norm") * F.col("c_norm")) * 1000000.0 + 0.5
+    ).cast("long")
+    w = Window.partitionBy("query_id").orderBy(F.desc("qcos_micro"), "corpus_id")
+    quant_topk = (
+        corpus.join(F.broadcast(queries), F.col("query_id") != F.col("corpus_id"))
+        .withColumn("qcos_micro", qcos_micro)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "corpus_id")
+    )
+    exact_topk = cosine_topk(spark, sf_dir).select("query_id", "corpus_id")
+    overlap = quant_topk.join(exact_topk, ["query_id", "corpus_id"]).groupBy(
+        "query_id"
+    ).agg(F.count("*").alias("n_overlap"))
+    # left join from the exact queries so recall 0 would still surface
+    base = exact_topk.groupBy("query_id").agg(F.count("*").alias("k"))
+    return (
+        base.join(overlap, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
+            (F.floor(F.coalesce("n_overlap", F.lit(0)) * 1000000.0 / F.col("k")))
+            .cast("long")
+            .alias("recall_micro"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def quantized_topk_recall_sql() -> str:
+    scale = "list_max(list_transform(embedding, v -> abs(v::double)))"
+    q = (
+        f"list_transform(embedding, v -> "
+        f"floor(v::double / {scale} * {QUANT_LEVELS} + 0.5)::bigint)"
+    )
+    iq = f"list_sum(list_transform(range(1, {DIM + 1}), i -> a.qe[i] * b.qe[i]))"
+    na = f"sqrt(list_sum(list_transform(range(1, {DIM + 1}), i -> a.qe[i] * a.qe[i]))::double)"
+    nb = f"sqrt(list_sum(list_transform(range(1, {DIM + 1}), i -> b.qe[i] * b.qe[i]))::double)"
+    exact = cosine_topk_sql()
+    return f"""
+WITH qvec AS (
+  SELECT vec_id, {q} AS qe FROM embeddings
+),
+qscored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS corpus_id,
+         CAST(floor(({iq})::double / ({na} * {nb}) * 1000000.0 + 0.5) AS BIGINT)
+           AS qcos_micro
+  FROM qvec a JOIN qvec b ON a.vec_id != b.vec_id
+  WHERE a.vec_id < {N_QUERIES}
+),
+qranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY qcos_micro DESC, corpus_id) AS rank
+  FROM qscored
+),
+quant_topk AS (
+  SELECT query_id, corpus_id FROM qranked WHERE rank <= {TOP_K}
+),
+exact_topk AS (
+  SELECT query_id, corpus_id FROM ({exact})
+),
+base AS (
+  SELECT query_id, count(*) AS k FROM exact_topk GROUP BY query_id
+),
+overlap AS (
+  SELECT q.query_id, count(*) AS n_overlap
+  FROM quant_topk q JOIN exact_topk e USING (query_id, corpus_id)
+  GROUP BY q.query_id
+)
+SELECT b.query_id,
+       COALESCE(o.n_overlap, 0)::BIGINT AS n_overlap,
+       CAST(floor(COALESCE(o.n_overlap, 0) * 1000000.0 / b.k) AS BIGINT)
+         AS recall_micro
+FROM base b LEFT JOIN overlap o USING (query_id)
+ORDER BY b.query_id
+"""

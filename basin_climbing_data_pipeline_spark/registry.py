@@ -24,8 +24,9 @@ driver-green row at current code.  Round-4 rotation (both sessions):
    temperature_mixture_weights / cross_source_leakage /
    hard_negative_mining / subword_token_stats /
    streaming_static_enrichment / source_quality_cap /
-   training_shard_assignment / media_resize_features) lead block 4 and
-   MUST be front-loaded in round 5;
+   training_shard_assignment / media_resize_features /
+   quantized_topk_recall) lead block 4 and MUST be front-loaded in
+   round 5;
 3. the rest of the window: queries whose source was touched in rounds
    3-4, highest-risk first — the integer-micro signature rewrite
    (lsh_buckets, embedding_near_dup_pairs), the leads/customers/dedup
@@ -226,9 +227,10 @@ register(
 # boilerplate audit, redaction scrub, temperature mixture weights,
 # cross-source leakage rollup, hard-negative mining, subword/fertility
 # token stats, stream-static dimension enrichment, per-source quality
-# caps, training shard assignment, the mapInPandas resize stage.  The
-# round-5 front-load set is therefore the sixteen entries from
-# `decontamination` through `media_resize_features`.
+# caps, training shard assignment, the mapInPandas resize stage, the
+# int8 neighbor-set recall eval.  The round-5 front-load set is
+# therefore the seventeen entries from `decontamination` through
+# `quantized_topk_recall`.
 register("chunk_boilerplate", dd.chunk_boilerplate, dd.chunk_boilerplate_sql())
 register("pii_scrub", ts.pii_scrub, ts.pii_scrub_sql())
 register(
@@ -258,6 +260,9 @@ register(
 )
 register(
     "media_resize_features", mm.media_resize_features, mm.media_resize_features_sql()
+)
+register(
+    "quantized_topk_recall", sim.quantized_topk_recall, sim.quantized_topk_recall_sql()
 )
 
 # First the eight pushed out by this session's insertions: flags_build /

@@ -178,3 +178,20 @@ def test_quantization_fidelity_bounds(spark, sf_dir):
         assert 0 <= r["min_cos_micro"] <= r["mean_cos_micro"] <= 1000000
     # corpus-wide: nothing below 0.999 cosine after int8 round-trip
     assert all(r["fidelity"] != "<0.999" for r in rows)
+
+
+def test_quantized_topk_recall_bounds(spark, sf_dir):
+    """Recall is in [0,1]; int8 at 64 dims should preserve most neighbor
+    sets (mean recall well above chance)."""
+    from basin_climbing_data_pipeline_spark.operators.similarity import (
+        TOP_K,
+        quantized_topk_recall,
+    )
+
+    rows = quantized_topk_recall(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_overlap"] <= TOP_K
+        assert 0 <= r["recall_micro"] <= 1_000_000
+    mean_recall = sum(r["recall_micro"] for r in rows) / len(rows) / 1e6
+    assert mean_recall >= 0.6, f"int8 recall collapsed: {mean_recall}"
