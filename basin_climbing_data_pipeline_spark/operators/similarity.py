@@ -1131,14 +1131,17 @@ def quantized_topk_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "corpus_id")
     )
+    # both top-k sets are <= K * N_QUERIES rows by construction — broadcast
+    # them explicitly (they come out of windows, so Catalyst has no size
+    # stats and would otherwise plan sort-merge joins for 50-row inputs)
     exact_topk = cosine_topk(spark, sf_dir).select("query_id", "corpus_id")
-    overlap = quant_topk.join(exact_topk, ["query_id", "corpus_id"]).groupBy(
-        "query_id"
-    ).agg(F.count("*").alias("n_overlap"))
+    overlap = quant_topk.join(
+        F.broadcast(exact_topk), ["query_id", "corpus_id"]
+    ).groupBy("query_id").agg(F.count("*").alias("n_overlap"))
     # left join from the exact queries so recall 0 would still surface
     base = exact_topk.groupBy("query_id").agg(F.count("*").alias("k"))
     return (
-        base.join(overlap, "query_id", "left")
+        base.join(F.broadcast(overlap), "query_id", "left")
         .select(
             "query_id",
             F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),

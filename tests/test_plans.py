@@ -105,3 +105,42 @@ def test_minhash_error_eval_is_equi(spark, sf_dir):
     # candidate pairs x signature table: two equi-joins, no nested loop
     st = _audit(spark, sf_dir, "minhash_error_eval")
     assert st.n_bnl_joins == 0
+
+
+def test_pii_scrub_is_scan_plus_projection(spark, sf_dir):
+    # pure per-row redaction: no joins at all; the only exchange is the
+    # output ordering
+    st = _audit(spark, sf_dir, "pii_scrub")
+    assert st.n_broadcast_hash_joins == 0
+    assert st.n_sort_merge_joins == 0
+    assert st.n_bnl_joins == 0
+
+
+def test_chunk_boilerplate_is_inverted_index(spark, sf_dir):
+    # chunk doc-frequency join must stay equi (broadcast or SMJ on the
+    # chunk hash), never a cartesian pair scan
+    st = _audit(spark, sf_dir, "chunk_boilerplate")
+    assert st.n_bnl_joins == 0
+
+
+def test_hard_negatives_ride_broadcast(spark, sf_dir):
+    # the label-mismatch predicate is non-equi by design — it must run as
+    # a broadcast nested loop over the tiny query side, never a shuffle
+    # of the corpus against itself
+    st = _audit(spark, sf_dir, "hard_negative_mining")
+    assert st.n_bnl_joins >= 1
+    assert st.n_sort_merge_joins == 0
+
+
+def test_quantized_recall_no_sort_merge(spark, sf_dir):
+    # both search passes broadcast the 10-row query side; the only joins
+    # beyond them are the tiny per-query k-row overlaps
+    st = _audit(spark, sf_dir, "quantized_topk_recall")
+    assert st.n_sort_merge_joins == 0
+
+
+def test_shard_assignment_single_shuffle(spark, sf_dir):
+    # one hash shuffle for the within-shard window, plus the output sort
+    st = _audit(spark, sf_dir, "training_shard_assignment")
+    assert st.n_shuffle_exchanges <= 2
+    assert st.n_broadcast_hash_joins == 0
