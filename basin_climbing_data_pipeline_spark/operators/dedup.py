@@ -44,10 +44,9 @@ SIMHASH_MAX_HAMMING = 3
 # ---------------------------------------------------------------------------
 
 
-def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, lang, shingle, h32) — distinct 3-word shingles per doc with
-    their 32-bit md5-derived hashes."""
-    docs = load_table(spark, sf_dir, "documents")
+def _shingles_from_docs(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, shingle, h32) from any (doc_id, lang, text) frame —
+    distinct 3-word shingles per doc with 32-bit md5-derived hashes."""
     # hoist the word split into its own projection: inside the transform
     # lambda Spark re-evaluates split(trim(text)) per element (no CSE across
     # a lambda boundary), which is O(words²) splitting per document —
@@ -63,6 +62,11 @@ def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn(
         "h32", F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long")
     )
+
+
+def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus shingles: :func:`_shingles_from_docs` over the documents table."""
+    return _shingles_from_docs(load_table(spark, sf_dir, "documents"))
 
 
 _SHINGLES_SQL = """
@@ -1322,4 +1326,136 @@ SELECT source_1, source_2, cross_source,
 FROM labeled
 GROUP BY source_1, source_2, cross_source
 ORDER BY source_1, source_2
+"""
+
+
+# ---------------------------------------------------------------------------
+# end-to-end dedup recall — planted near-duplicates through the real pipeline
+# ---------------------------------------------------------------------------
+
+PLANT_MOD = 5  # every PLANT_MOD-th doc gets a planted near-dup copy
+PLANT_OFFSET = 1_000_000  # planted copy's doc_id = original + offset
+PLANT_DROP_EVERY = 7  # the copy drops every 7th word (~14% edit)
+
+
+def dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured end-to-end recall of the MinHash-LSH candidate generator
+    against PLANTED near-duplicates: derive a perturbed copy (every
+    PLANT_DROP_EVERY-th word dropped) of every PLANT_MOD-th document, run
+    the REAL signature + banding pipeline over corpus ∪ copies, and report
+    what fraction of the planted (original, copy) pairs the band join
+    surfaces.  ann_recall_eval measures the vector path against brute
+    force; this is its text-side sibling — ground truth by construction
+    instead of by exhaustive comparison, which is the only form of ground
+    truth available at corpus scale.
+
+    One row: n_planted, n_found, recall_micro, plus the banding-theory
+    context (bands, rows_per_band).  Deterministic end to end — the
+    perturbation is positional, no RNG — so the DuckDB oracle replays the
+    entire pipeline including the measured recall.
+
+    Scale shape: identical to minhash_lsh_pairs (the planted side adds
+    |corpus|/PLANT_MOD rows); the recall join is an equi-join of the tiny
+    planted pair list against band-collision pairs."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    perturbed_text = F.array_join(
+        F.expr(
+            f"filter(split(trim(text), ' '), (x, i) -> (i + 1) % {PLANT_DROP_EVERY} != 0)"
+        ),
+        " ",
+    )
+    planted_src = docs.filter(F.col("doc_id") % PLANT_MOD == 0)
+    copies = planted_src.select(
+        (F.col("doc_id") + PLANT_OFFSET).alias("doc_id"),
+        "lang",
+        perturbed_text.alias("text"),
+    )
+    aug = docs.unionByName(copies)
+    bands = _minhash_bands(_minhash_signatures_from(_shingles_from_docs(aug)))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    planted = planted_src.select(
+        F.col("doc_id").alias("doc_a"),
+        (F.col("doc_id") + PLANT_OFFSET).alias("doc_b"),
+    )
+    hits = planted.join(cand, ["doc_a", "doc_b"], "left_semi")
+    n_planted = planted.agg(F.count("*").alias("n")).select("n")
+    n_found = hits.agg(F.count("*").alias("f")).select("f")
+    return (
+        n_planted.crossJoin(n_found)  # two 1-row aggregates
+        .select(
+            F.col("n").cast("long").alias("n_planted"),
+            F.col("f").cast("long").alias("n_found"),
+            F.floor(F.col("f") * 1000000.0 / F.col("n")).cast("long").alias("recall_micro"),
+            F.lit(MINHASH_BANDS).cast("long").alias("bands"),
+            F.lit(MINHASH_K // MINHASH_BANDS).cast("long").alias("rows_per_band"),
+        )
+    )
+
+
+def dedup_recall_eval_sql() -> str:
+    mh_aggs = ",\n       ".join(
+        f"min((h32 * {2 * i + 1} + {7919 * i}) % {MINHASH_PRIME}) AS mh{i}"
+        for i in range(MINHASH_K)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {j} AS band, mh{2 * j} || '_' || mh{2 * j + 1} AS sig FROM sigs"
+        for j in range(MINHASH_BANDS)
+    )
+    return f"""
+WITH aug AS (
+  SELECT doc_id, lang, text FROM documents
+  UNION ALL
+  SELECT doc_id + {PLANT_OFFSET}, lang,
+         array_to_string(
+           [w[i] FOR i IN range(1, len(w)+1) IF i % {PLANT_DROP_EVERY} != 0], ' ')
+  FROM (SELECT doc_id, lang, string_split(trim(text), ' ') AS w
+        FROM documents WHERE doc_id % {PLANT_MOD} = 0)
+),
+shingle_rows AS (
+  SELECT doc_id, lang, unnest(list_distinct(
+           [words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+            FOR i IN range(1, greatest(len(words) - 1, 2))]
+         )) AS shingle
+  FROM (SELECT doc_id, lang, string_split(trim(text), ' ') AS words FROM aug)
+),
+shingles AS (
+  SELECT doc_id, lang, shingle,
+         ('0x' || substr(md5(shingle), 1, 8))::bigint AS h32
+  FROM shingle_rows
+  WHERE shingle IS NOT NULL AND shingle != ''
+),
+sigs AS (
+  SELECT doc_id, {mh_aggs}
+  FROM shingles GROUP BY doc_id
+),
+bands AS ({band_rows}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+planted AS (
+  SELECT doc_id AS doc_a, doc_id + {PLANT_OFFSET} AS doc_b
+  FROM documents WHERE doc_id % {PLANT_MOD} = 0
+),
+counts AS (
+  SELECT (SELECT count(*) FROM planted) AS n,
+         (SELECT count(*) FROM planted p
+          JOIN cand c ON c.doc_a = p.doc_a AND c.doc_b = p.doc_b) AS f
+)
+SELECT n::BIGINT AS n_planted, f::BIGINT AS n_found,
+       CAST(floor(f * 1000000.0 / n) AS BIGINT) AS recall_micro,
+       {MINHASH_BANDS}::BIGINT AS bands,
+       {MINHASH_K // MINHASH_BANDS}::BIGINT AS rows_per_band
+FROM counts
 """

@@ -260,3 +260,21 @@ def test_training_shard_assignment(spark, sf_dir):
     # the shuffle actually shuffles: shard-order doc ids are not sorted
     order = [r["doc_id"] for r in rows]
     assert order != sorted(order)
+
+
+def test_dedup_recall_eval(spark, sf_dir):
+    from basin_climbing_data_pipeline_spark.operators.dedup import (
+        PLANT_MOD,
+        dedup_recall_eval,
+    )
+
+    row = dedup_recall_eval(spark, sf_dir).collect()[0]
+    expected_planted = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % PLANT_MOD == 0)
+        .count()
+    )
+    assert row["n_planted"] == expected_planted
+    assert 0 <= row["n_found"] <= row["n_planted"]
+    # a ~14% word-drop edit must be caught well above chance by 8x2 banding
+    assert row["recall_micro"] >= 500_000, row
