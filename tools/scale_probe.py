@@ -71,6 +71,11 @@ DEFAULT_QUERIES = [
     "pass_transfer_name_links",
     "ann_recall_eval",
     "minhash_error_eval",
+    # round-4 third-session inverted-index / pair-risk additions
+    "chunk_boilerplate",
+    "cross_source_leakage",
+    "hard_negative_mining",
+    "dedup_recall_eval",
 ]
 
 
