@@ -544,3 +544,60 @@ SELECT doc_id, shard,
 FROM assigned
 ORDER BY shard, pos
 """
+
+
+# ---------------------------------------------------------------------------
+# mixture epoch plan — from weights to an executable sampling schedule
+# ---------------------------------------------------------------------------
+
+EPOCH_TOKEN_BUDGET = 200_000  # total training-token budget for the plan
+
+
+def mixture_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turn the temperature mixture weights into the executable per-source
+    schedule: target tokens = weight × budget, expressed as FULL EPOCHS of
+    the source plus a fractional remainder — "repeat src3 twice, then take
+    a 37.5% hash-gated sample for the third pass".  This is the table a
+    data loader executes (integer repeats + one deterministic subsample),
+    and the epochs number is the over-sampling diagnostic a recipe review
+    reads ("are we doing 8 epochs of a tiny source?").
+
+    All schedule numbers are exact integer micro-units derived from the
+    already-integer weight fixed points — no float accumulates across
+    rows.  Composes temperature_mixture_weights; adds zero extra passes
+    over the corpus (the weights aggregate is the only corpus read)."""
+    w = temperature_mixture_weights(spark, sf_dir)
+    target_tokens = F.floor(
+        F.col("temp_weight") * EPOCH_TOKEN_BUDGET
+    ).cast("long")
+    epochs_micro = F.floor(
+        target_tokens * 1000000.0 / F.col("n_tokens")
+    ).cast("long")
+    return w.select(
+        "source",
+        "n_tokens",
+        "temp_weight",
+        target_tokens.alias("target_tokens"),
+        (epochs_micro / F.lit(1000000)).cast("long").alias("full_epochs"),
+        (epochs_micro % F.lit(1000000)).alias("frac_epoch_micro"),
+    ).orderBy("source")
+
+
+def mixture_epoch_plan_sql() -> str:
+    return f"""
+WITH weights AS (
+{temperature_mixture_weights_sql()}
+),
+plan AS (
+  SELECT source, n_tokens, temp_weight,
+         CAST(floor(temp_weight * {EPOCH_TOKEN_BUDGET}) AS BIGINT) AS target_tokens
+  FROM weights
+)
+SELECT source, n_tokens, temp_weight, target_tokens,
+       CAST(floor(target_tokens * 1000000.0 / n_tokens) AS BIGINT) // 1000000
+         AS full_epochs,
+       CAST(floor(target_tokens * 1000000.0 / n_tokens) AS BIGINT) % 1000000
+         AS frac_epoch_micro
+FROM plan
+ORDER BY source
+"""

@@ -543,3 +543,86 @@ SELECT doc_id, source,
 FROM base
 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# sliding-window chunking — embedding-corpus construction
+# ---------------------------------------------------------------------------
+
+CHUNK_WINDOW_TOKENS = 32  # window width (tokens)
+CHUNK_STRIDE_TOKENS = 24  # stride (tokens); < width => overlap
+
+
+def sliding_window_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split every document into overlapping fixed-width token windows
+    (width CHUNK_WINDOW_TOKENS, stride CHUNK_STRIDE_TOKENS) — the chunking
+    step that turns a document corpus into an embedding/RAG corpus, where
+    each window becomes one embedding row.  Output: one row per window
+    with its token span and an md5 fingerprint of the window text (the
+    key a downstream chunk-level dedup or vector index would use).
+
+    Window layout: starts at 0, stride apart; the last window is the
+    first one whose end reaches the document end (so short docs yield
+    exactly one window, and no trailing tokens are dropped — the
+    guarantee a retrieval corpus needs).
+
+    Scale shape: per-row transform + explode (output ∝ corpus × ~1.3
+    overlap factor), no shuffle but the output sort; the fingerprint
+    makes the result directly joinable against the dedup family."""
+    docs = load_table(spark, sf_dir, "documents")
+    wtok, stride = CHUNK_WINDOW_TOKENS, CHUNK_STRIDE_TOKENS
+    # n_windows = 1 + ceil(max(n - width, 0) / stride)
+    windows = F.expr(
+        f"""
+        transform(
+          sequence(0, cast(ceil(greatest(size(w) - {wtok}, 0) / {stride}) as int)),
+          i -> struct(
+            i * {stride} AS start_tok,
+            least(i * {stride} + {wtok}, size(w)) AS end_tok,
+            concat_ws(' ', slice(w, i * {stride} + 1,
+                                 least({wtok}, size(w) - i * {stride}))) AS chunk
+          )
+        )"""
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            F.split(F.trim(F.col("text")), " ").alias("w"),
+        )
+        .select("doc_id", "source", F.posexplode(windows).alias("window_idx", "win"))
+        .select(
+            "doc_id",
+            "source",
+            F.col("window_idx").cast("long").alias("window_idx"),
+            F.col("win.start_tok").cast("long").alias("start_tok"),
+            F.col("win.end_tok").cast("long").alias("end_tok"),
+            F.md5(F.col("win.chunk")).alias("chunk_fp"),
+        )
+        .orderBy("doc_id", "window_idx")
+    )
+
+
+def sliding_window_chunks_sql() -> str:
+    wtok, stride = CHUNK_WINDOW_TOKENS, CHUNK_STRIDE_TOKENS
+    return f"""
+WITH base AS (
+  SELECT doc_id, source, string_split(trim(text), ' ') AS w FROM documents
+),
+wins AS (
+  SELECT doc_id, source,
+         unnest(range(0, ceil(greatest(len(w) - {wtok}, 0) / {stride})::bigint + 1))
+           AS window_idx,
+         w
+  FROM base
+)
+SELECT doc_id, source, window_idx,
+       window_idx * {stride} AS start_tok,
+       least(window_idx * {stride} + {wtok}, len(w)) AS end_tok,
+       md5(array_to_string(
+         list_slice(w, (window_idx * {stride} + 1)::int,
+                    least(window_idx * {stride} + {wtok}, len(w))::int), ' '))
+         AS chunk_fp
+FROM wins
+ORDER BY doc_id, window_idx
+"""

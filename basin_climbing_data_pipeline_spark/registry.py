@@ -25,8 +25,9 @@ driver-green row at current code.  Round-4 rotation (both sessions):
    hard_negative_mining / subword_token_stats /
    streaming_static_enrichment / source_quality_cap /
    training_shard_assignment / media_resize_features /
-   quantized_topk_recall / dedup_recall_eval) lead block 4 and MUST be
-   front-loaded in round 5;
+   quantized_topk_recall / dedup_recall_eval / sliding_window_chunks /
+   mixture_epoch_plan) lead block 4 and MUST be front-loaded in
+   round 5;
 3. the rest of the window: queries whose source was touched in rounds
    3-4, highest-risk first — the integer-micro signature rewrite
    (lsh_buckets, embedding_near_dup_pairs), the leads/customers/dedup
@@ -228,9 +229,10 @@ register(
 # cross-source leakage rollup, hard-negative mining, subword/fertility
 # token stats, stream-static dimension enrichment, per-source quality
 # caps, training shard assignment, the mapInPandas resize stage, the
-# int8 neighbor-set recall eval, the planted-near-dup recall eval.  The
-# round-5 front-load set is therefore the eighteen entries from
-# `decontamination` through `dedup_recall_eval`.
+# int8 neighbor-set recall eval, the planted-near-dup recall eval,
+# sliding-window chunking, the mixture epoch plan.  The round-5
+# front-load set is therefore the twenty entries from `decontamination`
+# through `mixture_epoch_plan`.
 register("chunk_boilerplate", dd.chunk_boilerplate, dd.chunk_boilerplate_sql())
 register("pii_scrub", ts.pii_scrub, ts.pii_scrub_sql())
 register(
@@ -265,6 +267,10 @@ register(
     "quantized_topk_recall", sim.quantized_topk_recall, sim.quantized_topk_recall_sql()
 )
 register("dedup_recall_eval", dd.dedup_recall_eval, dd.dedup_recall_eval_sql())
+register(
+    "sliding_window_chunks", ts.sliding_window_chunks, ts.sliding_window_chunks_sql()
+)
+register("mixture_epoch_plan", sp.mixture_epoch_plan, sp.mixture_epoch_plan_sql())
 
 # First the eight pushed out by this session's insertions: flags_build /
 # events_unified / flag_type_summary (flags.py was rewritten in round 3

@@ -278,3 +278,51 @@ def test_dedup_recall_eval(spark, sf_dir):
     assert 0 <= row["n_found"] <= row["n_planted"]
     # a ~14% word-drop edit must be caught well above chance by 8x2 banding
     assert row["recall_micro"] >= 500_000, row
+
+
+def test_sliding_window_chunks_cover_whole_doc(spark, sf_dir):
+    from basin_climbing_data_pipeline_spark.operators.textstats import (
+        CHUNK_STRIDE_TOKENS,
+        CHUNK_WINDOW_TOKENS,
+        sliding_window_chunks,
+    )
+
+    wins = sliding_window_chunks(spark, sf_dir).filter(F.col("doc_id") < 30).collect()
+    lens = {
+        r["doc_id"]: len(r["text"].strip().split(" "))
+        for r in load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 30).collect()
+    }
+    by_doc: dict[int, list] = {}
+    for r in wins:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(lens)
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r["window_idx"])
+        n = lens[doc_id]
+        # dense indices, stride-aligned starts, last window reaches the end
+        for i, r in enumerate(rows):
+            assert r["window_idx"] == i
+            assert r["start_tok"] == i * CHUNK_STRIDE_TOKENS
+            assert r["end_tok"] == min(r["start_tok"] + CHUNK_WINDOW_TOKENS, n)
+        assert rows[-1]["end_tok"] == n
+        # every window except possibly the last is full width
+        for r in rows[:-1]:
+            assert r["end_tok"] - r["start_tok"] == CHUNK_WINDOW_TOKENS
+
+
+def test_mixture_epoch_plan_consistent(spark, sf_dir):
+    from basin_climbing_data_pipeline_spark.operators.sampling import (
+        EPOCH_TOKEN_BUDGET,
+        mixture_epoch_plan,
+    )
+
+    rows = mixture_epoch_plan(spark, sf_dir).collect()
+    assert rows
+    total_target = sum(r["target_tokens"] for r in rows)
+    # floors lose < 1 token per source
+    assert EPOCH_TOKEN_BUDGET - len(rows) <= total_target <= EPOCH_TOKEN_BUDGET
+    for r in rows:
+        # target ≈ epochs × corpus tokens (micro-floor identity)
+        micro = r["full_epochs"] * 1_000_000 + r["frac_epoch_micro"]
+        assert micro == (r["target_tokens"] * 1_000_000) // r["n_tokens"]
+        assert 0 <= r["frac_epoch_micro"] < 1_000_000
