@@ -423,6 +423,41 @@ SCRUB_PATTERNS: dict[str, str] = {
 }
 SCRUB_TOKEN = "<scrub>"
 
+# the production pattern set the same machinery runs on a real corpus
+# (exercised against planted PII in tests/test_corpus_ops.py; Java and RE2
+# compatible subset — no lookarounds)
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9]{1,2}[ .-]?\(?[0-9]{3}\)?[ .-]?[0-9]{3}[ .-]?[0-9]{4}",
+    "ssn_like": r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+}
+
+
+def scrub_columns(
+    df: DataFrame,
+    text_col: str,
+    patterns: dict[str, str],
+    keep: list[str],
+) -> DataFrame:
+    """The scrub projection over any (…, text) frame: per-family match
+    counts, total, and the md5 fingerprint of the text with every family
+    replaced (in dict order — order matters once patterns overlap)."""
+    counts = [
+        F.regexp_count(F.col(text_col), F.lit(pat)).cast("bigint").alias(f"n_{fam}")
+        for fam, pat in patterns.items()
+    ]
+    scrubbed = F.col(text_col)
+    for pat in patterns.values():
+        scrubbed = F.regexp_replace(scrubbed, pat, SCRUB_TOKEN)
+    total = None
+    for fam in patterns:
+        c = F.col(f"n_{fam}")
+        total = c if total is None else total + c
+    return df.select(*keep, *counts, F.md5(scrubbed).alias("scrubbed_fp")).withColumn(
+        "n_scrubbed_total", total
+    )
+
 
 def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Redaction audit: per document, how many matches each scrub-pattern
@@ -436,21 +471,8 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     regexp_replace chain) — no UDF, no shuffle; the whole query is one
     codegen'd projection over the scan."""
     docs = load_table(spark, sf_dir, "documents")
-    counts = [
-        F.regexp_count(F.col("text"), F.lit(pat)).cast("bigint").alias(f"n_{fam}")
-        for fam, pat in SCRUB_PATTERNS.items()
-    ]
-    scrubbed = F.col("text")
-    for pat in SCRUB_PATTERNS.values():
-        scrubbed = F.regexp_replace(scrubbed, pat, SCRUB_TOKEN)
-    total = None
-    for fam in SCRUB_PATTERNS:
-        c = F.col(f"n_{fam}")
-        total = c if total is None else total + c
-    return (
-        docs.select("doc_id", "source", *counts, F.md5(scrubbed).alias("scrubbed_fp"))
-        .withColumn("n_scrubbed_total", total)
-        .orderBy("doc_id")
+    return scrub_columns(docs, "text", SCRUB_PATTERNS, ["doc_id", "source"]).orderBy(
+        "doc_id"
     )
 
 

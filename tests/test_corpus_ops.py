@@ -326,3 +326,45 @@ def test_mixture_epoch_plan_consistent(spark, sf_dir):
         micro = r["full_epochs"] * 1_000_000 + r["frac_epoch_micro"]
         assert micro == (r["target_tokens"] * 1_000_000) // r["n_tokens"]
         assert 0 <= r["frac_epoch_micro"] < 1_000_000
+
+
+def test_scrub_machinery_on_real_pii_patterns(spark):
+    """The production PII pattern set, exercised on planted PII: the same
+    scrub_columns machinery pii_scrub runs on the corpus."""
+    import hashlib
+    import re
+
+    from basin_climbing_data_pipeline_spark.operators.textstats import (
+        PII_PATTERNS,
+        SCRUB_TOKEN,
+        scrub_columns,
+    )
+
+    rows = [
+        (1, "contact jane.doe+x@example.co.uk or call +1 (512) 555-1234 now"),
+        (2, "ssn 123-45-6789 leaked from host 10.0.255.7 yesterday"),
+        (3, "no pii here, just words and numbers like 42"),
+        (4, "two mails: a@b.io c.d@e-f.org and 192.168.0.1"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r["doc_id"]: r
+        for r in scrub_columns(df, "text", PII_PATTERNS, ["doc_id"]).collect()
+    }
+    for doc_id, text in rows:
+        expected = {
+            fam: len(re.findall(pat, text)) for fam, pat in PII_PATTERNS.items()
+        }
+        scrubbed = text
+        for pat in PII_PATTERNS.values():
+            scrubbed = re.sub(pat, SCRUB_TOKEN, scrubbed)
+        g = got[doc_id]
+        for fam, nexp in expected.items():
+            assert g[f"n_{fam}"] == nexp, (doc_id, fam, nexp)
+        assert g["scrubbed_fp"] == hashlib.md5(scrubbed.encode()).hexdigest()
+    # sanity: the planted rows actually fire every family at least once
+    assert sum(g["n_email"] for g in got.values()) >= 3
+    assert sum(g["n_phone"] for g in got.values()) >= 1
+    assert sum(g["n_ssn_like"] for g in got.values()) >= 1
+    assert sum(g["n_ipv4"] for g in got.values()) >= 2
+    assert got[3]["n_scrubbed_total"] == 0
