@@ -36,6 +36,7 @@ MINHASH_K = 16
 MINHASH_BANDS = 8  # 2 rows per band
 MINHASH_PRIME = 4294967311  # smallest prime > 2^32
 JACCARD_THRESHOLD = 0.03
+CONTAINMENT_THRESHOLD = 0.12  # |A∩B| / min(|A|,|B|) over the pruned shingle space
 SIMHASH_BITS = 16
 SIMHASH_MAX_HAMMING = 3
 
@@ -203,6 +204,94 @@ jac AS (
 )
 SELECT doc_a, doc_b, common, jaccard
 FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
+def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs with shingle CONTAINMENT ≥ threshold — containment
+    ``|A∩B| / min(|A|, |B|)`` catches a small document embedded inside a
+    much larger one, which Jaccard structurally misses (a 100-word doc
+    fully contained in a 10k-word doc has Jaccard ≈ 0.01 but containment
+    = 1.0).  This is the quote/excerpt/boilerplate-wrapper detector of a
+    web-scale dedup stack, run alongside the symmetric Jaccard pass.
+
+    Same inverted-index scale shape as :func:`ngram_jaccard_pairs`: the
+    only shuffle keys are the shingle (pair generation) and the doc pair
+    (overlap count); document-frequency pruning bounds the per-shingle
+    join fan-out at any corpus size, and containment is then defined over
+    the pruned shingle space on both sides.  No pairwise text compare.
+
+    Reference scope: the dedup family generalizes the reference's
+    duplicate-transaction/email passes (shared/data_utils.py dedup
+    helpers) to corpus scale."""
+    from pyspark.sql import Window
+
+    raw = _shingles_df(spark, sf_dir).select("doc_id", "lang", "shingle")
+    sh = (
+        raw.withColumn("df", F.count("*").over(Window.partitionBy("shingle")))
+        .filter(F.col("df") <= MAX_SHINGLE_DF)
+        .drop("df")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    overlap = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    cont = F.floor(
+        F.col("common") / F.least("n_a", "n_b") * 1000000.0 + 0.5
+    ) / 1000000.0
+    return (
+        overlap.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("containment", cont)
+        .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
+        .select(
+            "doc_a",
+            "doc_b",
+            "common",
+            F.least("n_a", "n_b").alias("n_small"),
+            "containment",
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def containment_pairs_sql() -> str:
+    return f"""
+WITH {_SHINGLES_SQL.replace("shingles AS (", "shingles_raw AS (")},
+kept AS (
+  SELECT shingle FROM shingles_raw GROUP BY shingle HAVING count(*) <= {MAX_SHINGLE_DF}
+),
+shingles AS (
+  SELECT s.* FROM shingles_raw s JOIN kept USING (shingle)
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+overlap AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM shingles a JOIN shingles b
+    ON a.shingle = b.shingle AND a.lang = b.lang AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+cont AS (
+  SELECT doc_a, doc_b, common, least(sa.n_sh, sb.n_sh) AS n_small,
+         floor(common::double / least(sa.n_sh, sb.n_sh) * 1000000.0 + 0.5)
+           / 1000000.0 AS containment
+  FROM overlap
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+)
+SELECT doc_a, doc_b, common, n_small, containment
+FROM cont WHERE containment >= {CONTAINMENT_THRESHOLD}
 ORDER BY doc_a, doc_b
 """
 

@@ -648,3 +648,250 @@ SELECT doc_id, source, window_idx,
 FROM wins
 ORDER BY doc_id, window_idx
 """
+
+
+# ---------------------------------------------------------------------------
+# vocabulary coverage / OOV rate
+# ---------------------------------------------------------------------------
+
+VOCAB_SIZES = (4, 8, 16, 32)
+
+
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coverage curve of a frequency-built vocabulary: for each candidate
+    vocab size K, what fraction of all token OCCURRENCES is covered by the
+    top-K tokens (1 − coverage = the OOV rate a K-entry tokenizer would
+    pay).  The tokenizer-budget sizing query of a training-data pipeline.
+
+    Scale shape: the corpus collapses to the token-count table first (one
+    explode + one groupBy shuffle — the same aggregation any word-count
+    does), and only THAT table (vocab-sized, ≪ corpus: a few 100k rows at
+    any corpus scale) flows through the global rank window.  The window's
+    single-partition sort is over the vocab, never the corpus, so it stays
+    driver-safe at 100 TB.  K fan-out is an array explode over literal
+    sizes — no re-scan per K."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(_words(F.col("text"))).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+    # vocab-sized input: the unpartitioned rank window is over ~|vocab| rows
+    ranked = counts.withColumn(
+        "rk", F.row_number().over(Window.orderBy(F.desc("n"), "token"))
+    )
+    sizes = F.array(*[F.lit(k) for k in VOCAB_SIZES])
+    per_k = ranked.select(
+        "n", "rk", F.explode(sizes).alias("vocab_size")
+    )
+    return (
+        per_k.groupBy("vocab_size")
+        .agg(
+            F.sum(F.when(F.col("rk") <= F.col("vocab_size"), F.col("n")).otherwise(F.lit(0))).alias(
+                "covered_tokens"
+            ),
+            F.sum("n").alias("total_tokens"),
+        )
+        .select(
+            "vocab_size",
+            "covered_tokens",
+            "total_tokens",
+            ratio(F.col("covered_tokens"), F.col("total_tokens"), 6).alias("coverage"),
+        )
+        .orderBy("vocab_size")
+    )
+
+
+def vocab_coverage_sql() -> str:
+    sizes = ", ".join(str(k) for k in VOCAB_SIZES)
+    return f"""
+WITH counts AS (
+  SELECT token, count(*) AS n
+  FROM (SELECT unnest(string_split(trim(text), ' ')) AS token FROM documents)
+  WHERE token != ''
+  GROUP BY token
+),
+ranked AS (
+  SELECT n, row_number() OVER (ORDER BY n DESC, token) AS rk FROM counts
+),
+per_k AS (
+  SELECT n, rk, unnest([{sizes}]) AS vocab_size FROM ranked
+)
+SELECT vocab_size,
+       sum(CASE WHEN rk <= vocab_size THEN n ELSE 0 END) AS covered_tokens,
+       sum(n) AS total_tokens,
+       {ratio_sql('sum(CASE WHEN rk <= vocab_size THEN n ELSE 0 END)',
+                  'sum(n)', 6)} AS coverage
+FROM per_k
+GROUP BY vocab_size
+ORDER BY vocab_size
+"""
+
+
+# ---------------------------------------------------------------------------
+# tf-idf keyword extraction
+# ---------------------------------------------------------------------------
+
+TFIDF_TOP_K = 3
+
+
+def tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-:data:`TFIDF_TOP_K` keywords per document by a tf-idf score —
+    the classic two-aggregation + per-doc-argmax extraction pattern
+    (explode → per-(doc,token) tf → per-token df → rank within doc).
+
+    The score is the RATIONAL surrogate ``tf * 1e6 div df`` (monotone in
+    tf and in 1/df), computed in exact integer arithmetic so Spark and
+    DuckDB agree bit-for-bit; production would swap in ``tf·ln(N/df)`` —
+    a one-line change that alters no plan shape, only the ranking key.
+    (Transcendental scoring is exercised — with exact micro-int sums —
+    in :func:`zipf_slope`.)
+
+    Scale shape: tf is one groupBy on (doc_id, token); df is one groupBy
+    on token (vocab-sized output, broadcast to the tf side); the top-k
+    window partitions by doc_id.  Two shuffles on high-cardinality keys,
+    both key-balanced; the df join is a broadcast."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(_words(F.col("text"))).alias("token")
+    ).filter(F.col("token") != "")
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(F.broadcast(df), "token").withColumn(
+        "score_micro", F.expr("tf * 1000000L div df")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_micro"), F.asc("token")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TFIDF_TOP_K)
+        .select("doc_id", F.col("rk").alias("rank"), "token", "tf", "df", "score_micro")
+        .orderBy("doc_id", "rank")
+    )
+
+
+def tfidf_keywords_sql() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token FROM documents
+),
+tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM toks WHERE token != ''
+  GROUP BY doc_id, token
+),
+df AS (
+  SELECT token, count(DISTINCT doc_id) AS df FROM toks WHERE token != ''
+  GROUP BY token
+),
+scored AS (
+  SELECT t.doc_id, t.token, t.tf, df.df,
+         (t.tf * 1000000) // df.df AS score_micro,
+         row_number() OVER (
+           PARTITION BY t.doc_id ORDER BY (t.tf * 1000000) // df.df DESC, t.token
+         ) AS rk
+  FROM tf t JOIN df USING (token)
+)
+SELECT doc_id, rk AS rank, token, tf, df, score_micro
+FROM scored WHERE rk <= {TFIDF_TOP_K}
+ORDER BY doc_id, rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# Zipf rank-frequency fit
+# ---------------------------------------------------------------------------
+
+ZIPF_TOP_N = 1000  # fit over the top-N tokens (whole vocab here; the head at scale)
+
+
+def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares slope of ln(freq) against ln(rank) over the top-N
+    vocabulary — the Zipf exponent, a one-row corpus-health metric (a
+    natural corpus fits slope ≈ −1; template/spam-heavy corpora flatten).
+
+    Exactness discipline: the regression inputs ln(rank), ln(freq) are
+    micro-rounded to int64 BEFORE summation, so the four sufficient
+    statistics (Σx, Σy, Σxy, Σx²) are exact integer sums — immune to
+    float summation-order drift across engines and partitions — and the
+    final slope/intercept are micro-rounded doubles of those exact ints.
+    ln itself is evaluated on exact integers in both engines; the only
+    cross-engine risk is a libm ulp landing exactly on a .5 micro
+    boundary (~1e-9 per value).
+
+    Scale shape: same as :func:`vocab_coverage` — corpus → token-count
+    table (one shuffle), rank window over the vocab-sized table only,
+    then a single global aggregate of four int64 sums."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(_words(F.col("text"))).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+    ranked = (
+        counts.withColumn(
+            "rk", F.row_number().over(Window.orderBy(F.desc("n"), "token"))
+        )
+        .filter(F.col("rk") <= ZIPF_TOP_N)
+        .select(
+            F.floor(F.log(F.col("rk").cast("double")) * 1000000.0 + 0.5)
+            .cast("long")
+            .alias("x"),
+            F.floor(F.log(F.col("n").cast("double")) * 1000000.0 + 0.5)
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    stats = ranked.agg(
+        F.count("*").alias("k"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    # slope in ln-units: the micro scaling of x and y cancels
+    slope = (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("k") / 1000000.0
+    return stats.select(
+        F.col("k").alias("n_tokens"),
+        (F.floor(slope * 1000000.0 + 0.5) / 1000000.0).alias("zipf_slope"),
+        (F.floor(intercept * 1000000.0 + 0.5) / 1000000.0).alias("ln_intercept"),
+    )
+
+
+def zipf_slope_sql() -> str:
+    return f"""
+WITH counts AS (
+  SELECT token, count(*) AS n
+  FROM (SELECT unnest(string_split(trim(text), ' ')) AS token FROM documents)
+  WHERE token != ''
+  GROUP BY token
+),
+ranked AS (
+  SELECT floor(ln(rk::double) * 1000000.0 + 0.5)::bigint AS x,
+         floor(ln(n::double) * 1000000.0 + 0.5)::bigint AS y
+  FROM (SELECT n, row_number() OVER (ORDER BY n DESC, token) AS rk FROM counts)
+  WHERE rk <= {ZIPF_TOP_N}
+),
+stats AS (
+  SELECT count(*) AS k, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM ranked
+)
+SELECT k AS n_tokens,
+       floor((k * sxy - sx * sy)::double / (k * sxx - sx * sx) * 1000000.0 + 0.5)
+         / 1000000.0 AS zipf_slope,
+       floor(((sy - (k * sxy - sx * sy)::double / (k * sxx - sx * sx) * sx) / k)
+             / 1000000.0 * 1000000.0 + 0.5) / 1000000.0 AS ln_intercept
+FROM stats
+"""

@@ -26,8 +26,9 @@ driver-green row at current code.  Round-4 rotation (both sessions):
    streaming_static_enrichment / source_quality_cap /
    training_shard_assignment / media_resize_features /
    quantized_topk_recall / dedup_recall_eval / sliding_window_chunks /
-   mixture_epoch_plan) lead block 4 and MUST be front-loaded in
-   round 5;
+   mixture_epoch_plan, and the fourth-session containment_pairs /
+   vocab_coverage / tfidf_keywords / zipf_slope) lead block 4 and MUST
+   be front-loaded in round 5;
 3. the rest of the window: queries whose source was touched in rounds
    3-4, highest-risk first — the integer-micro signature rewrite
    (lsh_buckets, embedding_near_dup_pairs), the leads/customers/dedup
@@ -271,6 +272,16 @@ register(
     "sliding_window_chunks", ts.sliding_window_chunks, ts.sliding_window_chunks_sql()
 )
 register("mixture_epoch_plan", sp.mixture_epoch_plan, sp.mixture_epoch_plan_sql())
+
+# round-4 FOURTH-session additions — same situation (strict-check.py-green
+# at HEAD, no window slot free; part of the round-5 front-load set):
+# shingle-containment dedup (doc-inside-doc, the case Jaccard misses),
+# vocabulary-coverage/OOV curve, tf-idf keyword extraction, and the Zipf
+# rank-frequency exponent.
+register("containment_pairs", dd.containment_pairs, dd.containment_pairs_sql())
+register("vocab_coverage", ts.vocab_coverage, ts.vocab_coverage_sql())
+register("tfidf_keywords", ts.tfidf_keywords, ts.tfidf_keywords_sql())
+register("zipf_slope", ts.zipf_slope, ts.zipf_slope_sql())
 
 # First the eight pushed out by this session's insertions: flags_build /
 # events_unified / flag_type_summary (flags.py was rewritten in round 3

@@ -1,0 +1,81 @@
+"""Invariant tests for the round-4 fourth-session corpus operators:
+shingle containment, vocabulary coverage, tf-idf keywords, Zipf slope.
+
+Cross-engine value parity is covered by tools/check.py oracles; these
+pin the semantic invariants a hash match alone wouldn't explain.
+"""
+
+from __future__ import annotations
+
+import math
+
+from basin_climbing_data_pipeline_spark.operators.dedup import (
+    CONTAINMENT_THRESHOLD,
+    containment_pairs,
+    ngram_jaccard_pairs,
+)
+from basin_climbing_data_pipeline_spark.operators.textstats import (
+    TFIDF_TOP_K,
+    VOCAB_SIZES,
+    tfidf_keywords,
+    vocab_coverage,
+    zipf_slope,
+)
+
+
+def test_containment_dominates_jaccard(spark, sf_dir):
+    """containment = common/min(|A|,|B|) ≥ jaccard = common/|A∪B| for every
+    pair, so every Jaccard-flagged pair above the containment threshold
+    must also be containment-flagged — the doc-inside-doc detector is a
+    strict superset on the shared candidate space."""
+    cont = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in containment_pairs(spark, sf_dir).collect()
+    }
+    assert cont, "synthetic corpus should produce containment pairs"
+    for r in ngram_jaccard_pairs(spark, sf_dir).collect():
+        key = (r["doc_a"], r["doc_b"])
+        if r["jaccard"] >= CONTAINMENT_THRESHOLD:
+            assert key in cont and cont[key] >= r["jaccard"] - 1e-9
+    for (a, b), c in cont.items():
+        assert a < b
+        assert CONTAINMENT_THRESHOLD <= c <= 1.0
+
+
+def test_vocab_coverage_monotone(spark, sf_dir):
+    rows = vocab_coverage(spark, sf_dir).orderBy("vocab_size").collect()
+    assert [r["vocab_size"] for r in rows] == list(VOCAB_SIZES)
+    prev = -1.0
+    for r in rows:
+        assert 0.0 <= r["coverage"] <= 1.0
+        assert r["covered_tokens"] <= r["total_tokens"]
+        assert r["coverage"] >= prev, "coverage must be monotone in vocab size"
+        prev = r["coverage"]
+    # total is K-independent
+    assert len({r["total_tokens"] for r in rows}) == 1
+
+
+def test_tfidf_topk_shape(spark, sf_dir):
+    rows = tfidf_keywords(spark, sf_dir).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc, rs in by_doc.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= TFIDF_TOP_K
+        # ranking key is (score desc, token asc) — verify it held
+        keys = [(-r["score_micro"], r["token"]) for r in rs]
+        assert keys == sorted(keys)
+        for r in rs:
+            assert r["score_micro"] == r["tf"] * 1000000 // r["df"]
+
+
+def test_zipf_slope_sane(spark, sf_dir):
+    row = zipf_slope(spark, sf_dir).collect()
+    assert len(row) == 1
+    r = row[0]
+    assert r["n_tokens"] >= 2
+    # frequencies are non-increasing in rank, so the fit slope must be <= 0
+    assert r["zipf_slope"] <= 0.0
+    assert math.isfinite(r["ln_intercept"])
