@@ -27,8 +27,8 @@ driver-green row at current code.  Round-4 rotation (both sessions):
    training_shard_assignment / media_resize_features /
    quantized_topk_recall / dedup_recall_eval / sliding_window_chunks /
    mixture_epoch_plan, and the fourth-session containment_pairs /
-   vocab_coverage / tfidf_keywords / zipf_slope) lead block 4 and MUST
-   be front-loaded in round 5;
+   vocab_coverage / tfidf_keywords / zipf_slope / hll_distinct_eval /
+   cms_heavy_hitters) lead block 4 and MUST be front-loaded in round 5;
 3. the rest of the window: queries whose source was touched in rounds
    3-4, highest-risk first — the integer-micro signature rewrite
    (lsh_buckets, embedding_near_dup_pairs), the leads/customers/dedup
@@ -55,6 +55,7 @@ from .operators import linking as lk
 from .operators import multimodal as mm
 from .operators import sampling as sp
 from .operators import similarity as sim
+from .operators import sketches as sketch
 from .operators import skew as sk
 from .operators import textstats as ts
 from .operators import events as ev
@@ -282,6 +283,8 @@ register("containment_pairs", dd.containment_pairs, dd.containment_pairs_sql())
 register("vocab_coverage", ts.vocab_coverage, ts.vocab_coverage_sql())
 register("tfidf_keywords", ts.tfidf_keywords, ts.tfidf_keywords_sql())
 register("zipf_slope", ts.zipf_slope, ts.zipf_slope_sql())
+register("hll_distinct_eval", sketch.hll_distinct_eval, sketch.hll_distinct_eval_sql())
+register("cms_heavy_hitters", sketch.cms_heavy_hitters, sketch.cms_heavy_hitters_sql())
 
 # First the eight pushed out by this session's insertions: flags_build /
 # events_unified / flag_type_summary (flags.py was rewritten in round 3

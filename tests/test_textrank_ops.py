@@ -79,3 +79,27 @@ def test_zipf_slope_sane(spark, sf_dir):
     # frequencies are non-increasing in rank, so the fit slope must be <= 0
     assert r["zipf_slope"] <= 0.0
     assert math.isfinite(r["ln_intercept"])
+
+
+def test_cms_overestimates_only(spark, sf_dir):
+    """Count-Min guarantee: estimate >= true count, always."""
+    from basin_climbing_data_pipeline_spark.operators.sketches import cms_heavy_hitters
+
+    rows = cms_heavy_hitters(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["cms_estimate"] >= r["true_n"]
+        assert r["overestimate"] == r["cms_estimate"] - r["true_n"]
+
+
+def test_hll_error_bounded(spark, sf_dir):
+    """HLL with m=256 + linear-counting small-range switch: measured
+    relative error should sit well inside ~4 standard errors
+    (1.04/sqrt(256) ≈ 6.5% per sigma)."""
+    from basin_climbing_data_pipeline_spark.operators.sketches import hll_distinct_eval
+
+    rows = hll_distinct_eval(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_exact"] > 0
+        assert r["rel_error"] <= 0.26, (r["event_type"], r["rel_error"])
