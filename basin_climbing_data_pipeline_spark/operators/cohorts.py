@@ -619,3 +619,107 @@ FROM sig a JOIN sig b
 GROUP BY 1, 2
 ORDER BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# ordered event funnel
+# ---------------------------------------------------------------------------
+
+FUNNEL_HOP_US = 3_600_000_000  # each step must follow the previous within 1h
+
+
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order conversion funnel over the raw event stream: first
+    'view' per user → first 'click' within FUNNEL_HOP_US after it → first
+    'purchase' within FUNNEL_HOP_US after that click.  Output is one row
+    per step with the surviving-user count and the conversion rate from
+    the previous step — the product-analytics query every event pipeline
+    ships (the reference's at-risk/conversion reports are the same shape
+    over membership events; build_conversion_rate_analysis.py:327-432).
+
+    Scale shape: each step is a per-user min-aggregate joined user-to-user
+    (co-hashed on user_id, map-side partial min); no window over the raw
+    stream, no self-join on time.  The 3-row step summary is driver-safe
+    by construction.  Strict ``>`` ordering + a bounded hop keeps the
+    semantics watermark-friendly (the same funnel runs incrementally on a
+    stream with per-user state = last step timestamps)."""
+    from ..io import load_table
+
+    base = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    v = (
+        base.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t1"))
+    )
+    c = (
+        base.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter((F.col("ts_us") > F.col("t1")) & (F.col("ts_us") <= F.col("t1") + FUNNEL_HOP_US))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t2"))
+    )
+    p = (
+        base.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter((F.col("ts_us") > F.col("t2")) & (F.col("ts_us") <= F.col("t2") + FUNNEL_HOP_US))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t3"))
+    )
+    steps = (
+        v.agg(F.count("*").alias("n_users")).select(F.lit(1).alias("step"), F.lit("view").alias("event_type"), "n_users")
+        .unionByName(
+            c.agg(F.count("*").alias("n_users")).select(F.lit(2).alias("step"), F.lit("click").alias("event_type"), "n_users")
+        )
+        .unionByName(
+            p.agg(F.count("*").alias("n_users")).select(F.lit(3).alias("step"), F.lit("purchase").alias("event_type"), "n_users")
+        )
+    )
+    w = Window.orderBy("step")  # 3-row frame
+    prev = F.lag("n_users").over(w)
+    return steps.select(
+        "step",
+        "event_type",
+        "n_users",
+        F.when(prev.isNull(), F.lit(1.0))
+        .otherwise(ratio(F.col("n_users"), prev, 6))
+        .alias("conversion"),
+    ).orderBy("step")
+
+
+def event_funnel_sql() -> str:
+    hop = FUNNEL_HOP_US
+    return f"""
+WITH base AS (
+  SELECT user_id, event_type, epoch_us(ts::TIMESTAMP) AS ts_us FROM events
+),
+v AS (
+  SELECT user_id, min(ts_us) AS t1 FROM base WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT b.user_id, min(b.ts_us) AS t2
+  FROM base b JOIN v USING (user_id)
+  WHERE b.event_type = 'click' AND b.ts_us > v.t1 AND b.ts_us <= v.t1 + {hop}
+  GROUP BY b.user_id
+),
+p AS (
+  SELECT b.user_id, min(b.ts_us) AS t3
+  FROM base b JOIN c USING (user_id)
+  WHERE b.event_type = 'purchase' AND b.ts_us > c.t2 AND b.ts_us <= c.t2 + {hop}
+  GROUP BY b.user_id
+),
+steps AS (
+  SELECT 1 AS step, 'view' AS event_type, count(*) AS n_users FROM v
+  UNION ALL
+  SELECT 2, 'click', count(*) FROM c
+  UNION ALL
+  SELECT 3, 'purchase', count(*) FROM p
+)
+SELECT step, event_type, n_users,
+       CASE WHEN lag(n_users) OVER (ORDER BY step) IS NULL THEN 1.0
+            ELSE {ratio_sql('n_users', 'lag(n_users) OVER (ORDER BY step)', 6)}
+       END AS conversion
+FROM steps
+ORDER BY step
+"""

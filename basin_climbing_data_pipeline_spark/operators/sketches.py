@@ -248,3 +248,169 @@ SELECT t.token, t.true_n, e.cms_estimate,
 FROM top t JOIN est e USING (token)
 ORDER BY t.true_n DESC, t.token
 """
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter semi-join pruning
+# ---------------------------------------------------------------------------
+
+BLOOM_BITS = 512  # m
+BLOOM_HASHES = 3  # k
+BLOOM_MIN_PURCHASES = 20  # build set = heavy-purchaser tail, sf-invariant density
+BLOOM_WORDS = BLOOM_BITS // 32  # 32-bit lanes: shift stays < 32, overflow-safe in both engines
+
+
+def bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join pruning, evaluated: build an m-bit / k-hash
+    Bloom filter over the BUILD key set (users who purchased in the first
+    week), probe it with every distinct event user, and compare against
+    the exact semi-join — reporting bloom pass count, false positives,
+    the measured FPR and the theoretical ``(1 - e^(-kn/m))^k``.
+
+    This is the primitive behind runtime row-group pruning of a 100 TB
+    fact scan by a selective dim: the filter is a BIT_OR-mergeable
+    8×int64 aggregate (broadcast for free), the probe is a column
+    expression — no shuffle of the big side at all.  The guarantee the
+    test pins: zero false NEGATIVES, so pruning never drops a matching
+    row; false positives only cost wasted reads, and this query measures
+    that cost.
+
+    Determinism: bit positions are md5-derived (hash i of key =
+    md5('i|key') first 8 hex mod m), register merge is BIT_OR — exact in
+    both engines; the only floats are the final rates, micro-rounded."""
+    events = load_table(spark, sf_dir, "events")
+    base = events.select("user_id", "event_type")
+    # selective build side at ANY sf: heavy purchasers (≥ BLOOM_MIN_PURCHASES
+    # purchases — the per-user event density is sf-invariant in this corpus,
+    # so the build set stays a small tail of the probe side as data scales)
+    build = (
+        base.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_p"))
+        .filter(F.col("n_p") >= BLOOM_MIN_PURCHASES)
+        .select("user_id")
+    )
+    probe = base.select("user_id").distinct()
+
+    idx = F.array(*[F.lit(i) for i in range(BLOOM_HASHES)])
+
+    def positions(df: DataFrame) -> DataFrame:
+        return (
+            df.select("user_id", F.explode(idx).alias("i"))
+            .withColumn(
+                "pos",
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.col("i").cast("string"), F.lit("|"), F.col("user_id").cast("string"))),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % BLOOM_BITS,
+            )
+            .withColumn("word", F.expr("pos div 32"))
+            .withColumn("mask", F.expr("shiftleft(1L, cast(pos % 32 as int))"))
+        )
+
+    bloom = positions(build).groupBy("word").agg(F.expr("bit_or(mask)").alias("bits"))
+    # probe: a hash position passes iff its word's bits cover its mask;
+    # a missing word row (no build key touched it) fails the probe
+    probed = (
+        positions(probe)
+        .join(bloom, "word", "left")
+        .withColumn(
+            "hit",
+            F.when(F.col("bits").isNotNull() & (F.expr("bits & mask") == F.col("mask")), F.lit(1)).otherwise(F.lit(0)),
+        )
+        .groupBy("user_id")
+        .agg((F.min("hit") == 1).alias("bloom_pass"))
+    )
+    member = build.withColumn("is_member", F.lit(True))
+    flags = probed.join(member.select("user_id", "is_member"), "user_id", "left").fillna(
+        {"is_member": False}
+    )
+    agg = flags.agg(
+        F.count("*").alias("n_probe"),
+        F.sum(F.col("is_member").cast("int")).alias("n_members"),
+        F.sum(F.col("bloom_pass").cast("int")).alias("n_bloom_pass"),
+        F.sum((F.col("bloom_pass") & ~F.col("is_member")).cast("int")).alias("false_positives"),
+        F.sum((~F.col("bloom_pass") & F.col("is_member")).cast("int")).alias("false_negatives"),
+    ).withColumn("k", F.lit(0))
+    n_build = build.agg(F.count("*").alias("n_build")).withColumn("k", F.lit(0))
+    out = agg.join(n_build, "k").drop("k")
+    theo = F.pow(
+        F.lit(1.0) - F.exp(-F.lit(float(BLOOM_HASHES)) * F.col("n_build") / F.lit(float(BLOOM_BITS))),
+        F.lit(float(BLOOM_HASHES)),
+    )
+    non_members = F.col("n_probe") - F.col("n_members")
+    return out.select(
+        "n_build",
+        "n_probe",
+        "n_members",
+        "n_bloom_pass",
+        "false_positives",
+        "false_negatives",
+        (F.floor(F.col("false_positives") / non_members * 1000000.0 + 0.5) / 1000000.0).alias(
+            "measured_fpr"
+        ),
+        (F.floor(theo * 1000000.0 + 0.5) / 1000000.0).alias("theoretical_fpr"),
+    )
+
+
+def bloom_join_prune_sql() -> str:
+    ks = ", ".join(str(i) for i in range(BLOOM_HASHES))
+    return f"""
+WITH build AS (
+  SELECT user_id FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id HAVING count(*) >= {BLOOM_MIN_PURCHASES}
+),
+probe AS (SELECT DISTINCT user_id FROM events),
+build_pos AS (
+  SELECT user_id, i,
+         ('0x' || substr(md5(i::varchar || '|' || user_id::varchar), 1, 8))::bigint
+           % {BLOOM_BITS} AS pos
+  FROM build, (SELECT unnest([{ks}]) AS i)
+),
+bloom AS (
+  SELECT pos // 32 AS word, bit_or(1::bigint << (pos % 32)::int) AS bits
+  FROM build_pos GROUP BY 1
+),
+probe_pos AS (
+  SELECT user_id, i,
+         ('0x' || substr(md5(i::varchar || '|' || user_id::varchar), 1, 8))::bigint
+           % {BLOOM_BITS} AS pos
+  FROM probe, (SELECT unnest([{ks}]) AS i)
+),
+probed AS (
+  SELECT p.user_id,
+         min(CASE WHEN b.bits IS NOT NULL
+                   AND (b.bits & (1::bigint << (p.pos % 32)::int))
+                       = (1::bigint << (p.pos % 32)::int)
+                  THEN 1 ELSE 0 END) = 1 AS bloom_pass
+  FROM probe_pos p LEFT JOIN bloom b ON b.word = p.pos // 32
+  GROUP BY p.user_id
+),
+flags AS (
+  SELECT pr.user_id, pr.bloom_pass, (m.user_id IS NOT NULL) AS is_member
+  FROM probed pr LEFT JOIN build m USING (user_id)
+),
+agg AS (
+  SELECT count(*) AS n_probe,
+         sum(is_member::int)::bigint AS n_members,
+         sum(bloom_pass::int)::bigint AS n_bloom_pass,
+         sum((bloom_pass AND NOT is_member)::int)::bigint AS false_positives,
+         sum((NOT bloom_pass AND is_member)::int)::bigint AS false_negatives
+  FROM flags
+),
+nb AS (SELECT count(*) AS n_build FROM build)
+SELECT nb.n_build, a.n_probe, a.n_members, a.n_bloom_pass,
+       a.false_positives, a.false_negatives,
+       floor(a.false_positives::double / (a.n_probe - a.n_members) * 1000000.0 + 0.5)
+         / 1000000.0 AS measured_fpr,
+       floor(power(1.0 - exp(-{float(BLOOM_HASHES)} * nb.n_build / {float(BLOOM_BITS)}),
+                   {float(BLOOM_HASHES)}) * 1000000.0 + 0.5) / 1000000.0
+         AS theoretical_fpr
+FROM agg a, nb
+"""

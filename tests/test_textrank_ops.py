@@ -103,3 +103,27 @@ def test_hll_error_bounded(spark, sf_dir):
     for r in rows:
         assert r["n_exact"] > 0
         assert r["rel_error"] <= 0.26, (r["event_type"], r["rel_error"])
+
+
+def test_bloom_no_false_negatives(spark, sf_dir):
+    """The Bloom pruning guarantee: a build-set member NEVER fails the
+    probe — pruning can only over-read, never drop matching rows."""
+    from basin_climbing_data_pipeline_spark.operators.sketches import bloom_join_prune
+
+    r = bloom_join_prune(spark, sf_dir).collect()[0]
+    assert r["false_negatives"] == 0
+    assert r["n_bloom_pass"] == r["n_members"] + r["false_positives"]
+    assert 0.0 <= r["measured_fpr"] <= 1.0
+
+
+def test_event_funnel_monotone(spark, sf_dir):
+    """Funnel counts can only shrink step to step (strict ordering +
+    bounded hop), and conversions stay in [0, 1]."""
+    from basin_climbing_data_pipeline_spark.operators.cohorts import event_funnel
+
+    rows = event_funnel(spark, sf_dir).orderBy("step").collect()
+    assert [r["event_type"] for r in rows] == ["view", "click", "purchase"]
+    ns = [r["n_users"] for r in rows]
+    assert ns == sorted(ns, reverse=True)
+    for r in rows:
+        assert 0.0 <= r["conversion"] <= 1.0
