@@ -331,15 +331,15 @@ def bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     flags = probed.join(member.select("user_id", "is_member"), "user_id", "left").fillna(
         {"is_member": False}
     )
-    agg = flags.agg(
+    # build ⊆ probe by construction (both derive from events), so
+    # n_build == n_members — one aggregation, no 1-row scalar join
+    out = flags.agg(
         F.count("*").alias("n_probe"),
         F.sum(F.col("is_member").cast("int")).alias("n_members"),
         F.sum(F.col("bloom_pass").cast("int")).alias("n_bloom_pass"),
         F.sum((F.col("bloom_pass") & ~F.col("is_member")).cast("int")).alias("false_positives"),
         F.sum((~F.col("bloom_pass") & F.col("is_member")).cast("int")).alias("false_negatives"),
-    ).withColumn("k", F.lit(0))
-    n_build = build.agg(F.count("*").alias("n_build")).withColumn("k", F.lit(0))
-    out = agg.join(n_build, "k").drop("k")
+    ).withColumn("n_build", F.col("n_members"))
     theo = F.pow(
         F.lit(1.0) - F.exp(-F.lit(float(BLOOM_HASHES)) * F.col("n_build") / F.lit(float(BLOOM_BITS))),
         F.lit(float(BLOOM_HASHES)),
@@ -403,14 +403,13 @@ agg AS (
          sum((bloom_pass AND NOT is_member)::int)::bigint AS false_positives,
          sum((NOT bloom_pass AND is_member)::int)::bigint AS false_negatives
   FROM flags
-),
-nb AS (SELECT count(*) AS n_build FROM build)
-SELECT nb.n_build, a.n_probe, a.n_members, a.n_bloom_pass,
+)
+SELECT a.n_members AS n_build, a.n_probe, a.n_members, a.n_bloom_pass,
        a.false_positives, a.false_negatives,
        floor(a.false_positives::double / (a.n_probe - a.n_members) * 1000000.0 + 0.5)
          / 1000000.0 AS measured_fpr,
-       floor(power(1.0 - exp(-{float(BLOOM_HASHES)} * nb.n_build / {float(BLOOM_BITS)}),
+       floor(power(1.0 - exp(-{float(BLOOM_HASHES)} * a.n_members / {float(BLOOM_BITS)}),
                    {float(BLOOM_HASHES)}) * 1000000.0 + 0.5) / 1000000.0
          AS theoretical_fpr
-FROM agg a, nb
+FROM agg a
 """

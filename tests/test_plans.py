@@ -144,3 +144,32 @@ def test_shard_assignment_single_shuffle(spark, sf_dir):
     st = _audit(spark, sf_dir, "training_shard_assignment")
     assert st.n_shuffle_exchanges <= 2
     assert st.n_broadcast_hash_joins == 0
+
+
+def test_containment_is_inverted_index(spark, sf_dir):
+    # containment must ride the shingle equi-join like Jaccard — no BNLJ,
+    # no cartesian pair generation
+    st = _audit(spark, sf_dir, "containment_pairs")
+    assert st.n_bnl_joins == 0
+
+
+def test_tfidf_df_join_broadcasts(spark, sf_dir):
+    # the vocab-sized df side must broadcast onto tf, not sort-merge
+    st = _audit(spark, sf_dir, "tfidf_keywords")
+    assert st.n_broadcast_hash_joins >= 1
+    assert st.n_sort_merge_joins == 0
+    assert st.n_bnl_joins == 0
+
+
+def test_sketches_no_bnl_no_sortmerge(spark, sf_dir):
+    # HLL / CMS / Bloom: every join is a tiny-side broadcast equi join
+    for name in ("hll_distinct_eval", "cms_heavy_hitters", "bloom_join_prune"):
+        st = _audit(spark, sf_dir, name)
+        assert st.n_bnl_joins == 0, name
+        assert st.n_sort_merge_joins == 0, name
+
+
+def test_event_funnel_co_hashes_on_user(spark, sf_dir):
+    # per-step min-aggs joined on user_id — equi joins only
+    st = _audit(spark, sf_dir, "event_funnel")
+    assert st.n_bnl_joins == 0
