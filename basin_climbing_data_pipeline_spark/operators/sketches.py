@@ -413,3 +413,129 @@ SELECT a.n_members AS n_build, a.n_probe, a.n_members, a.n_bloom_pass,
          AS theoretical_fpr
 FROM agg a
 """
+
+
+# ---------------------------------------------------------------------------
+# log-bucket histogram quantiles
+# ---------------------------------------------------------------------------
+
+HIST_SUBBUCKETS = 16  # buckets per decade: bucket = floor(log10(v+1) * 16)
+HIST_QS = (0.5, 0.9, 0.99)
+
+
+def histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles from a log-bucket histogram (HdrHistogram-style), evaluated
+    against the exact discrete percentiles — the third canonical sketch
+    next to HLL (distinct) and CMS (frequency): one pass, fixed
+    ``decades × 16`` buckets of state, SUM-mergeable across partitions
+    and days, quantile read-back by cumulative walk + linear
+    interpolation inside the containing bucket.
+
+    Bucket bounds are DATA-INDEPENDENT (``bucket = floor(log10(v+1)·16)``)
+    — no min/max pre-pass, no scalar join, merge never re-buckets; the
+    relative-error bound is set by the bucket width (~15% per bound here),
+    and the query reports the measured error per quantile.
+
+    Scale shape: the sketch side is one groupBy onto ≤ ~100 bucket rows and
+    window math over that tiny table.  The EXACT side (ground truth for
+    the eval only) pays a global rank — at 100 TB you'd run the sketch
+    alone; the eval exists to certify it."""
+    from pyspark.sql import Window
+
+    vals = load_table(spark, sf_dir, "documents").select("n_chars", "doc_id")
+    bucketed = vals.select(
+        F.floor(F.log10(F.col("n_chars") + 1) * HIST_SUBBUCKETS).cast("long").alias("bucket")
+    )
+    hist = bucketed.groupBy("bucket").agg(F.count("*").alias("cnt"))
+    wb = Window.orderBy("bucket")  # histogram-sized frame
+    cum = hist.withColumn("cum", F.sum("cnt").over(wb)).withColumn(
+        "n", F.sum("cnt").over(Window.partitionBy())
+    )
+    qs = F.array(*[F.lit(q) for q in HIST_QS])
+    per_q = cum.select("bucket", "cnt", "cum", "n", F.explode(qs).alias("q")).withColumn(
+        "target", F.ceil(F.col("q") * F.col("n"))
+    )
+    containing = per_q.filter(
+        (F.col("cum") >= F.col("target")) & (F.col("cum") - F.col("cnt") < F.col("target"))
+    )
+    lo = F.pow(F.lit(10.0), F.col("bucket") / F.lit(float(HIST_SUBBUCKETS))) - 1.0
+    hi = F.pow(F.lit(10.0), (F.col("bucket") + 1) / F.lit(float(HIST_SUBBUCKETS))) - 1.0
+    est = lo + (F.col("target") - (F.col("cum") - F.col("cnt"))) / F.col("cnt") * (hi - lo)
+    sketch_side = containing.select(
+        "q", (F.floor(est * 1000000.0 + 0.5) / 1000000.0).alias("hist_estimate")
+    )
+
+    wr = Window.orderBy("n_chars", "doc_id")  # eval-only global rank
+    ranked = vals.withColumn("rn", F.row_number().over(wr)).withColumn(
+        "n", F.count("*").over(Window.partitionBy())
+    )
+    exact_per_q = (
+        ranked.select("n_chars", "rn", "n", F.explode(qs).alias("q"))
+        .filter(F.col("rn") == F.ceil(F.col("q") * F.col("n")))
+        .select("q", F.col("n_chars").alias("exact_value"))
+    )
+    return (
+        sketch_side.join(exact_per_q, "q")
+        .select(
+            "q",
+            "exact_value",
+            "hist_estimate",
+            (
+                F.floor(
+                    F.abs(F.col("hist_estimate") - F.col("exact_value"))
+                    / F.col("exact_value")
+                    * 1000000.0
+                    + 0.5
+                )
+                / 1000000.0
+            ).alias("rel_error"),
+        )
+        .orderBy("q")
+    )
+
+
+def histogram_quantiles_sql() -> str:
+    qs = ", ".join(f"{q}::double" for q in HIST_QS)
+    sb = HIST_SUBBUCKETS
+    return f"""
+WITH bucketed AS (
+  SELECT floor(log10(n_chars + 1) * {sb})::bigint AS bucket FROM documents
+),
+hist AS (SELECT bucket, count(*) AS cnt FROM bucketed GROUP BY bucket),
+cum AS (
+  SELECT bucket, cnt,
+         sum(cnt) OVER (ORDER BY bucket) AS cum,
+         sum(cnt) OVER () AS n
+  FROM hist
+),
+per_q AS (
+  SELECT bucket, cnt, cum, n, q, ceil(q * n) AS target
+  FROM cum, (SELECT unnest([{qs}]) AS q)
+),
+containing AS (
+  SELECT q,
+         (power(10.0, bucket / {float(sb)}) - 1.0)
+           + (target - (cum - cnt))::double / cnt
+             * ((power(10.0, (bucket + 1) / {float(sb)}) - 1.0)
+                - (power(10.0, bucket / {float(sb)}) - 1.0)) AS est
+  FROM per_q
+  WHERE cum >= target AND cum - cnt < target
+),
+ranked AS (
+  SELECT n_chars,
+         row_number() OVER (ORDER BY n_chars, doc_id) AS rn,
+         count(*) OVER () AS n
+  FROM documents
+),
+exact_per_q AS (
+  SELECT q, n_chars AS exact_value
+  FROM ranked, (SELECT unnest([{qs}]) AS q)
+  WHERE rn = ceil(q * n)
+)
+SELECT c.q, e.exact_value,
+       floor(c.est * 1000000.0 + 0.5) / 1000000.0 AS hist_estimate,
+       floor(abs(floor(c.est * 1000000.0 + 0.5) / 1000000.0 - e.exact_value)
+             / e.exact_value * 1000000.0 + 0.5) / 1000000.0 AS rel_error
+FROM containing c JOIN exact_per_q e USING (q)
+ORDER BY c.q
+"""

@@ -28,8 +28,9 @@ driver-green row at current code.  Round-4 rotation (both sessions):
    quantized_topk_recall / dedup_recall_eval / sliding_window_chunks /
    mixture_epoch_plan, and the fourth-session containment_pairs /
    vocab_coverage / tfidf_keywords / zipf_slope / hll_distinct_eval /
-   cms_heavy_hitters / bloom_join_prune / event_funnel) lead block 4 and
-   MUST be front-loaded in round 5;
+   cms_heavy_hitters / bloom_join_prune / event_funnel /
+   histogram_quantiles) lead block 4 and MUST be front-loaded in
+   round 5;
 3. the rest of the window: queries whose source was touched in rounds
    3-4, highest-risk first — the integer-micro signature rewrite
    (lsh_buckets, embedding_near_dup_pairs), the leads/customers/dedup
@@ -288,6 +289,7 @@ register("hll_distinct_eval", sketch.hll_distinct_eval, sketch.hll_distinct_eval
 register("cms_heavy_hitters", sketch.cms_heavy_hitters, sketch.cms_heavy_hitters_sql())
 register("bloom_join_prune", sketch.bloom_join_prune, sketch.bloom_join_prune_sql())
 register("event_funnel", co.event_funnel, co.event_funnel_sql())
+register("histogram_quantiles", sketch.histogram_quantiles, sketch.histogram_quantiles_sql())
 
 # First the eight pushed out by this session's insertions: flags_build /
 # events_unified / flag_type_summary (flags.py was rewritten in round 3

@@ -127,3 +127,18 @@ def test_event_funnel_monotone(spark, sf_dir):
     assert ns == sorted(ns, reverse=True)
     for r in rows:
         assert 0.0 <= r["conversion"] <= 1.0
+
+
+def test_histogram_quantiles_error_within_bucket_bound(spark, sf_dir):
+    """Log-bucket width is 10^(1/16) ≈ 1.155, so the interpolated estimate
+    can be off by at most ~15.5% of the true value (plus discreteness);
+    measured error must respect that bound and quantiles must be
+    non-decreasing in q."""
+    from basin_climbing_data_pipeline_spark.operators.sketches import histogram_quantiles
+
+    rows = histogram_quantiles(spark, sf_dir).orderBy("q").collect()
+    assert len(rows) == 3
+    ests = [r["hist_estimate"] for r in rows]
+    assert ests == sorted(ests)
+    for r in rows:
+        assert r["rel_error"] <= 0.16, (r["q"], r["rel_error"])
