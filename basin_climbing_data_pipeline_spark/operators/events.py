@@ -262,11 +262,17 @@ FROM ck GROUP BY checkin_date ORDER BY checkin_date
 # ---------------------------------------------------------------------------
 
 
+@materialized("proximity")
 def proximity_connections(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same-day, same-entry-type co-checkins within 30 minutes → pair edges
     with strength buckets.  The self-join is blocked on (event_type, date)
     before the band predicate — the reference's group-then-probe
-    (build_family_relationships.py:403-416) as explicit equi-join keys."""
+    (build_family_relationships.py:403-416) as explicit equi-join keys.
+
+    Materialized: the pair table is the edge list of the co-presence
+    graph — pagerank_proximity and triangle_stats scan it, so one build
+    serves three queries per session (the reference likewise stores its
+    connections table; config.py catalog)."""
     window_us = config.INTERACTION_PROXIMITY_SECONDS * 1_000_000
     ck = build_checkins(spark, sf_dir).select(
         "customer_id",

@@ -1,0 +1,228 @@
+"""Graph analytics over the co-presence graph: fixed-iteration PageRank
+and triangle counting / clustering coefficient.
+
+The proximity pair rollup (events.proximity_connections — reference
+build_customer_interactions.py's connection strength table) IS a graph;
+these operators answer the questions a graph table exists for: who is
+central (PageRank) and how clustered is the community (triangles).
+Next to dedup_clusters' connected components this completes the graph
+family: reachability, centrality, local structure.
+
+Exactness discipline: PageRank is run in INTEGER MICRO-UNITS — scores
+start at 1e6, each iteration sends ``score div degree`` to every
+neighbor and damps with ``(85 · Σ) div 100`` — so the fixed-point after
+any number of iterations is bit-identical across engines and across any
+partitioning/summation order (float PageRank is neither).  Triangle
+counts and wedge counts are exact integers; only the final clustering
+coefficient is a micro-rounded ratio.
+
+Scale shape: every PageRank iteration is one equi-join (scores ⋈ edges
+on src) + one groupBy (dst) — the standard distributed power-method
+step; each round eagerly ``localCheckpoint``s its scores exactly like
+dedup_clusters' label propagation (dedup.py:486), so round k never
+re-executes rounds 1..k-1 and lineage stays flat at any depth.  Triangles are the ordered
+edge-edge equi-join (wedge generation on the shared vertex, then a
+closing-edge semi join) — never an all-pairs scan; cost is bounded by
+Σ deg² (wedges), the known triangle-join bound.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+STRONG_TIE_MIN = 3  # graph ops run on the strong-tie subgraph (>= 3 co-presences):
+# the raw co-presence graph is near-complete by construction (70% clustering,
+# avg degree ~0.7·N), where wedge enumeration is Theta(N^3) for ANY engine;
+# thresholding is the graph-analytics norm (edges that mean something) and
+# bounds wedge volume by the strong-tie degree distribution instead.
+#
+# Scale caveat (measured, tools/scale_probe.py): a COUNT threshold is
+# observation-window-dependent — 4x longer history for the same users grows
+# degrees ~4x and wedge volume ~16x (probe: 7.7x wall at 4x data).  The
+# production threshold is a RATE (co-presences per active month >= r), which
+# keeps the strong-tie degree distribution — and thus Σdeg² — stationary as
+# history accumulates; the count form here matches the bounded test window.
+PR_ITERS = 3
+PR_DAMP_NUM = 85  # damping 0.85 as an exact integer ratio
+PR_BASE_MICRO = 150_000  # (1 - 0.85) · 1e6
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric directed edge list (src, dst) from the undirected
+    proximity pairs."""
+    from .events import proximity_connections
+
+    pairs = (
+        proximity_connections(spark, sf_dir)
+        .filter(F.col("strength_score") >= STRONG_TIE_MIN)
+        .select(F.col("customer_id_1").alias("a"), F.col("customer_id_2").alias("b"))
+    )
+    return pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+
+
+def pagerank_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 customers by integer-micro PageRank over the proximity
+    graph after PR_ITERS power-method iterations."""
+    from ..io import tracked_persist
+
+    edges = tracked_persist(_edges(spark, sf_dir))
+    # degree is joined every round AND seeds the scores — checkpoint once so
+    # the proximity subtree isn't re-derived per iteration; per-round score
+    # checkpoints keep the power-method lineage flat (same discipline as
+    # dedup_clusters' label propagation, dedup.py), otherwise round k
+    # re-executes rounds 1..k-1 and the plan grows multiplicatively.
+    degree = edges.groupBy("src").agg(F.count("*").alias("degree")).localCheckpoint()
+    scores = degree.select("src", F.lit(1_000_000).cast("long").alias("score"))
+    for _ in range(PR_ITERS):
+        contrib = (
+            scores.join(degree, "src")
+            .join(edges, "src")
+            .select("dst", F.expr("score div degree").alias("c"))
+        )
+        incoming = contrib.groupBy(F.col("dst").alias("src")).agg(
+            F.sum("c").alias("s")
+        )
+        # nodes with no in-edges can't occur (edges are symmetric), but an
+        # outer join keeps the contract obvious
+        scores = (
+            degree.select("src")
+            .join(incoming, "src", "left")
+            .select(
+                "src",
+                (
+                    F.lit(PR_BASE_MICRO)
+                    + F.expr(f"({PR_DAMP_NUM} * coalesce(s, 0L)) div 100")
+                ).alias("score"),
+            )
+            .localCheckpoint()
+        )
+    return (
+        scores.join(degree, "src")
+        .select(F.col("src").alias("customer_id"), "degree", F.col("score").alias("score_micro"))
+        .orderBy(F.desc("score_micro"), "customer_id")
+        .limit(20)
+    )
+
+
+def pagerank_proximity_sql() -> str:
+    from .events import proximity_connections_sql
+
+    it = """
+it{n} AS (
+  SELECT d.src,
+         {base} + ({damp} * coalesce(i.s, 0)) // 100 AS score
+  FROM degree d
+  LEFT JOIN (
+    SELECT e.dst AS src, sum(p.score // d2.degree)::bigint AS s
+    FROM it{p} p
+    JOIN degree d2 USING (src)
+    JOIN edges e USING (src)
+    GROUP BY e.dst
+  ) i USING (src)
+)"""
+    iters = ",".join(
+        it.format(n=i + 1, p=i, base=PR_BASE_MICRO, damp=PR_DAMP_NUM)
+        for i in range(PR_ITERS)
+    )
+    return f"""
+WITH prox AS MATERIALIZED ({proximity_connections_sql()}),
+pairs AS MATERIALIZED (SELECT customer_id_1 AS a, customer_id_2 AS b FROM prox
+          WHERE strength_score >= {STRONG_TIE_MIN}),
+edges AS MATERIALIZED (
+  SELECT a AS src, b AS dst FROM pairs
+  UNION ALL
+  SELECT b AS src, a AS dst FROM pairs
+),
+degree AS MATERIALIZED (SELECT src, count(*) AS degree FROM edges GROUP BY src),
+it0 AS (SELECT src, 1000000::bigint AS score FROM degree),
+{iters}
+SELECT d.src AS customer_id, d.degree, s.score AS score_micro
+FROM it{PR_ITERS} s JOIN degree d USING (src)
+ORDER BY s.score DESC, d.src
+LIMIT 20
+"""
+
+
+def triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global triangle census of the proximity graph: node/edge/triangle
+    counts and the clustering coefficient 3·triangles / wedges."""
+    from .events import proximity_connections
+
+    pairs = (
+        proximity_connections(spark, sf_dir)
+        .filter(F.col("strength_score") >= STRONG_TIE_MIN)
+        .select(F.col("customer_id_1").alias("a"), F.col("customer_id_2").alias("b"))
+    )  # a < b by construction — the orientation that makes the join linear-ish
+    # wedges a<b<c open at b... the ordered pattern: (a,b) + (b,c) + (a,c)
+    ab = pairs.alias("ab")
+    bc = pairs.alias("bc")
+    wedges = ab.join(bc, F.col("ab.b") == F.col("bc.a")).select(
+        F.col("ab.a").alias("a"), F.col("ab.b").alias("b"), F.col("bc.b").alias("c")
+    )
+    closing = pairs.select(F.col("a").alias("a"), F.col("b").alias("c"))
+    triangles = wedges.join(closing, ["a", "c"], "left_semi")
+    n_tri = triangles.agg(F.count("*").alias("n_triangles"))
+    deg = (
+        pairs.select(F.col("a").alias("v"))
+        .unionByName(pairs.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+    )
+    stats = deg.agg(
+        F.count("*").alias("n_nodes"),
+        (F.sum("d") / 2).cast("long").alias("n_edges"),
+        F.sum(F.expr("d * (d - 1) div 2")).alias("n_wedges"),
+    ).withColumn("k", F.lit(0))
+    out = n_tri.withColumn("k", F.lit(0)).join(stats, "k").drop("k")
+    return out.select(
+        "n_nodes",
+        "n_edges",
+        "n_triangles",
+        "n_wedges",
+        (
+            F.when(F.col("n_wedges") == 0, F.lit(0.0))
+            .otherwise(
+                F.floor(
+                    F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges") * 1000000.0
+                    + 0.5
+                )
+                / 1000000.0
+            )
+        ).alias("clustering_coeff"),
+    )
+
+
+def triangle_stats_sql() -> str:
+    from .events import proximity_connections_sql
+
+    return f"""
+WITH prox AS MATERIALIZED ({proximity_connections_sql()}),
+pairs AS MATERIALIZED (SELECT customer_id_1 AS a, customer_id_2 AS b FROM prox
+          WHERE strength_score >= {STRONG_TIE_MIN}),
+tri AS (
+  SELECT count(*) AS n_triangles
+  FROM pairs ab
+  JOIN pairs bc ON bc.a = ab.b
+  WHERE EXISTS (
+    SELECT 1 FROM pairs ac WHERE ac.a = ab.a AND ac.b = bc.b
+  )
+),
+deg AS (
+  SELECT v, count(*) AS d FROM (
+    SELECT a AS v FROM pairs UNION ALL SELECT b AS v FROM pairs
+  ) GROUP BY v
+),
+stats AS (
+  SELECT count(*) AS n_nodes, (sum(d) / 2)::bigint AS n_edges,
+         sum(d * (d - 1) // 2)::bigint AS n_wedges
+  FROM deg
+)
+SELECT s.n_nodes, s.n_edges, t.n_triangles, s.n_wedges,
+       CASE WHEN s.n_wedges = 0 THEN 0.0
+            ELSE floor(3.0 * t.n_triangles / s.n_wedges * 1000000.0 + 0.5) / 1000000.0
+       END AS clustering_coeff
+FROM tri t, stats s
+"""

@@ -173,3 +173,9 @@ def test_event_funnel_co_hashes_on_user(spark, sf_dir):
     # per-step min-aggs joined on user_id — equi joins only
     st = _audit(spark, sf_dir, "event_funnel")
     assert st.n_bnl_joins == 0
+
+
+def test_triangle_join_is_equi(spark, sf_dir):
+    # wedge generation + closure must both be equi joins — no BNLJ
+    st = _audit(spark, sf_dir, "triangle_stats")
+    assert st.n_sort_merge_joins + st.n_broadcast_hash_joins >= 2

@@ -142,3 +142,30 @@ def test_histogram_quantiles_error_within_bucket_bound(spark, sf_dir):
     assert ests == sorted(ests)
     for r in rows:
         assert r["rel_error"] <= 0.16, (r["q"], r["rel_error"])
+
+
+def test_pagerank_deterministic_and_sane(spark, sf_dir):
+    from basin_climbing_data_pipeline_spark.operators.graph import (
+        PR_BASE_MICRO,
+        pagerank_proximity,
+    )
+
+    a = pagerank_proximity(spark, sf_dir).collect()
+    b = pagerank_proximity(spark, sf_dir).collect()
+    assert a == b, "integer PageRank must be bit-deterministic across runs"
+    assert a, "strong-tie graph should be non-empty at test scale"
+    scores = [r["score_micro"] for r in a]
+    assert scores == sorted(scores, reverse=True)
+    for r in a:
+        assert r["score_micro"] >= PR_BASE_MICRO
+        assert r["degree"] >= 1
+
+
+def test_triangle_stats_invariants(spark, sf_dir):
+    from basin_climbing_data_pipeline_spark.operators.graph import triangle_stats
+
+    r = triangle_stats(spark, sf_dir).collect()[0]
+    # every triangle closes exactly one ordered wedge, so tri <= wedges
+    assert 0 <= r["n_triangles"] <= r["n_wedges"]
+    assert 0.0 <= r["clustering_coeff"] <= 1.0
+    assert r["n_edges"] >= r["n_triangles"] ** (1 / 3)  # sanity, not tight
