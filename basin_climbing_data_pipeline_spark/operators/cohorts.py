@@ -723,3 +723,64 @@ SELECT step, event_type, n_users,
 FROM steps
 ORDER BY step
 """
+
+
+def markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of the per-user event stream:
+    for each (current → next) event-type pair, the transition count and
+    row-normalized probability.  The sequence-analytics primitive behind
+    next-action prediction and anomaly scoring (a transition whose
+    probability collapses week-over-week is a behavior change).
+
+    Scale shape: ONE window (partition by user, order by time) produces
+    the lagged pairs — the same single-shuffle shape as visit_numbers —
+    then a groupBy on the 5×5 pair space; the normalizing row total rides
+    a window over that tiny matrix, never the event stream."""
+    from pyspark.sql import Window as W
+
+    from ..io import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+    )
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    pairs = (
+        ev.withColumn("next_event", F.lead("event_type").over(w))
+        .filter(F.col("next_event").isNotNull())
+        .groupBy(F.col("event_type").alias("from_event"), "next_event")
+        .agg(F.count("*").alias("n"))
+    )
+    row_total = F.sum("n").over(W.partitionBy("from_event"))
+    return (
+        pairs.select(
+            "from_event",
+            "next_event",
+            "n",
+            ratio(F.col("n"), row_total, 6).alias("p"),
+        )
+        .orderBy("from_event", "next_event")
+    )
+
+
+def markov_transitions_sql() -> str:
+    return f"""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts::TIMESTAMP), event_id
+         ) AS next_event
+  FROM events
+),
+pairs AS (
+  SELECT event_type AS from_event, next_event, count(*) AS n
+  FROM seq WHERE next_event IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT from_event, next_event, n,
+       {ratio_sql('n', 'sum(n) OVER (PARTITION BY from_event)', 6)} AS p
+FROM pairs
+ORDER BY from_event, next_event
+"""

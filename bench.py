@@ -74,7 +74,10 @@ def main() -> None:
     # Serial on purpose: concurrent materialization jobs oversubscribe the
     # local scheduler (measured 22.4s threaded vs 15.7s serial at sf0.1).
     t_load = time.time()
-    from basin_climbing_data_pipeline_spark.operators.events import build_checkins
+    from basin_climbing_data_pipeline_spark.operators.events import (
+        build_checkins,
+        proximity_connections,
+    )
     from basin_climbing_data_pipeline_spark.operators.customers import (
         build_customers,
         family_relationships,
@@ -86,7 +89,7 @@ def main() -> None:
 
     for b in (build_transactions, build_checkins, build_customers,
               build_memberships_2024, events_unified, build_flags,
-              family_relationships, minhash_lsh_pairs):
+              family_relationships, minhash_lsh_pairs, proximity_connections):
         b(spark, sf_dir).count()
     load_sec = round(time.time() - t_load, 3)
 

@@ -169,3 +169,21 @@ def test_triangle_stats_invariants(spark, sf_dir):
     assert 0 <= r["n_triangles"] <= r["n_wedges"]
     assert 0.0 <= r["clustering_coeff"] <= 1.0
     assert r["n_edges"] >= r["n_triangles"] ** (1 / 3)  # sanity, not tight
+
+
+def test_markov_rows_normalize(spark, sf_dir):
+    """Each from_event row of the transition matrix must sum to ~1 (exact
+    up to the fixed-point rounding of each cell)."""
+    from collections import defaultdict
+
+    from basin_climbing_data_pipeline_spark.operators.cohorts import markov_transitions
+
+    rows = markov_transitions(spark, sf_dir).collect()
+    assert rows
+    by_from = defaultdict(float)
+    for r in rows:
+        assert r["n"] >= 1
+        assert 0.0 <= r["p"] <= 1.0
+        by_from[r["from_event"]] += r["p"]
+    for fe, total in by_from.items():
+        assert abs(total - 1.0) < 5e-6, (fe, total)
