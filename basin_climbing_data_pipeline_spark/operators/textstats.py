@@ -895,3 +895,116 @@ SELECT k AS n_tokens,
              / 1000000.0 * 1000000.0 + 0.5) / 1000000.0 AS ln_intercept
 FROM stats
 """
+
+
+# ---------------------------------------------------------------------------
+# per-source entropy / KL divergence
+# ---------------------------------------------------------------------------
+
+
+def source_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-distribution health: Shannon entropy (nats) and KL
+    divergence from the corpus-wide distribution — the two numbers mixture
+    design actually reads (low entropy → templated source; high KL →
+    source that skews the mix).
+
+    Exactness: each term's log factor is micro-rounded to int64 BEFORE
+    the weighted sum (``Σ n_ts · lnp_micro`` is an exact integer in both
+    engines, immune to summation order); the division back to nats
+    happens once per source and is micro-rounded.  Same discipline as
+    zipf_slope.
+
+    Scale shape: corpus → (source, token) count table (the one big
+    shuffle); corpus-wide token totals are a SECOND aggregation of that
+    same table (vocab-sized, broadcast back); per-source sums ride a
+    groupBy on source.  Nothing after the first aggregation touches
+    corpus volume."""
+    docs = load_table(spark, sf_dir, "documents")
+    st = (
+        docs.select("source", F.explode(_words(F.col("text"))).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("source", "token")
+        .agg(F.count("*").alias("n_st"))
+    )
+    totals = st.groupBy("source").agg(F.sum("n_st").alias("n_s"))
+    from pyspark.sql import Window
+
+    corpus = st.groupBy("token").agg(F.sum("n_st").alias("n_t"))
+    # corpus side is vocab-sized: the grand total rides a window over that
+    # tiny table (no 1-row scalar join), and the result broadcasts
+    corpus_q = F.broadcast(
+        corpus.withColumn("n", F.sum("n_t").over(Window.partitionBy())).select(
+            "token",
+            F.floor(F.log(F.col("n_t") / F.col("n")) * 1000000.0 + 0.5)
+            .cast("long")
+            .alias("lnq_micro"),
+        )
+    )
+    terms = (
+        st.join(totals, "source")
+        .withColumn(
+            "lnp_micro",
+            F.floor(F.log(F.col("n_st") / F.col("n_s")) * 1000000.0 + 0.5).cast("long"),
+        )
+        .join(corpus_q, "token")
+    )
+    return (
+        terms.groupBy("source")
+        .agg(
+            F.max("n_s").alias("n_tokens"),
+            F.count("*").alias("vocab_size"),
+            F.sum(F.col("n_st") * F.col("lnp_micro")).alias("_e"),
+            F.sum(F.col("n_st") * (F.col("lnp_micro") - F.col("lnq_micro"))).alias("_k"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "vocab_size",
+            (
+                F.floor(-F.col("_e") / F.col("n_tokens") / 1000000.0 * 1000000.0 + 0.5)
+                / 1000000.0
+            ).alias("entropy_nats"),
+            (
+                F.floor(F.col("_k") / F.col("n_tokens") / 1000000.0 * 1000000.0 + 0.5)
+                / 1000000.0
+            ).alias("kl_from_corpus"),
+        )
+        .orderBy("source")
+    )
+
+
+def source_token_entropy_sql() -> str:
+    return """
+WITH st AS (
+  SELECT source, token, count(*) AS n_st
+  FROM (SELECT source, unnest(string_split(trim(text), ' ')) AS token FROM documents)
+  WHERE token != ''
+  GROUP BY source, token
+),
+totals AS (SELECT source, sum(n_st)::bigint AS n_s FROM st GROUP BY source),
+corpus AS (SELECT token, sum(n_st)::bigint AS n_t FROM st GROUP BY token),
+n_total AS (SELECT sum(n_t)::bigint AS n FROM corpus),
+corpus_q AS (
+  SELECT token,
+         floor(ln(n_t::double / n.n) * 1000000.0 + 0.5)::bigint AS lnq_micro
+  FROM corpus, n_total n
+),
+terms AS (
+  SELECT s.source, s.n_st, t.n_s,
+         floor(ln(s.n_st::double / t.n_s) * 1000000.0 + 0.5)::bigint AS lnp_micro,
+         q.lnq_micro
+  FROM st s
+  JOIN totals t USING (source)
+  JOIN corpus_q q USING (token)
+)
+SELECT source,
+       max(n_s) AS n_tokens,
+       count(*) AS vocab_size,
+       floor(-sum(n_st * lnp_micro)::double / max(n_s) / 1000000.0 * 1000000.0 + 0.5)
+         / 1000000.0 AS entropy_nats,
+       floor(sum(n_st * (lnp_micro - lnq_micro))::double / max(n_s) / 1000000.0
+             * 1000000.0 + 0.5) / 1000000.0 AS kl_from_corpus
+FROM terms
+GROUP BY source
+ORDER BY source
+"""

@@ -187,3 +187,20 @@ def test_markov_rows_normalize(spark, sf_dir):
         by_from[r["from_event"]] += r["p"]
     for fe, total in by_from.items():
         assert abs(total - 1.0) < 5e-6, (fe, total)
+
+
+def test_entropy_bounds(spark, sf_dir):
+    """Shannon entropy is bounded by ln(vocab_size); KL from the corpus
+    mix is non-negative (Gibbs), up to per-term micro rounding."""
+    import math
+
+    from basin_climbing_data_pipeline_spark.operators.textstats import (
+        source_token_entropy,
+    )
+
+    rows = source_token_entropy(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["entropy_nats"] <= math.log(r["vocab_size"]) + 1e-4
+        assert r["kl_from_corpus"] >= -1e-4
+        assert r["vocab_size"] >= 1
