@@ -133,6 +133,24 @@ ORDER BY h.doc_id
 MAX_SHINGLE_DF = 50  # document-frequency pruning: drop "stop shingles"
 
 
+@materialized("pruned_shingles")
+def _pruned_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, shingle) with document-frequency pruning applied —
+    the shared inverted-index input of :func:`ngram_jaccard_pairs` and
+    :func:`containment_pairs`.  Materialized: both overlap queries (and
+    any future set-similarity variant) scan one stored build.  The df
+    count rides a window over the shingle key — the pair join shuffles on
+    shingle anyway, so the pruning adds no extra shuffle stage."""
+    from pyspark.sql import Window
+
+    raw = _shingles_df(spark, sf_dir).select("doc_id", "lang", "shingle")
+    return (
+        raw.withColumn("df", F.count("*").over(Window.partitionBy("shingle")))
+        .filter(F.col("df") <= MAX_SHINGLE_DF)
+        .drop("df")
+    )
+
+
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairs with 3-gram Jaccard ≥ threshold, computed by inverted-index
     join: explode shingles, equi-join on the shingle, count overlap per pair,
@@ -141,16 +159,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pair join (a shingle with df=d contributes d² join rows — pruning the
     head of the df distribution bounds the join at any corpus size; Jaccard
     is then defined over the pruned shingle space on both sides)."""
-    from pyspark.sql import Window
-
-    raw = _shingles_df(spark, sf_dir).select("doc_id", "lang", "shingle")
-    # df via window count over the shingle key — the pair join shuffles on
-    # shingle anyway, so this adds no extra shuffle stage
-    sh = (
-        raw.withColumn("df", F.count("*").over(Window.partitionBy("shingle")))
-        .filter(F.col("df") <= MAX_SHINGLE_DF)
-        .drop("df")
-    )
+    sh = _pruned_shingles(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     overlap = (
@@ -225,14 +234,7 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference scope: the dedup family generalizes the reference's
     duplicate-transaction/email passes (shared/data_utils.py dedup
     helpers) to corpus scale."""
-    from pyspark.sql import Window
-
-    raw = _shingles_df(spark, sf_dir).select("doc_id", "lang", "shingle")
-    sh = (
-        raw.withColumn("df", F.count("*").over(Window.partitionBy("shingle")))
-        .filter(F.col("df") <= MAX_SHINGLE_DF)
-        .drop("df")
-    )
+    sh = _pruned_shingles(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     overlap = (
