@@ -38,9 +38,11 @@ EVENTS_NANOS_SCHEMA = (
 
 # stateful operators keep one state-store instance per shuffle partition; at
 # this aggregate's cardinality (windows x event types) the per-store overhead
-# dominates with 32 partitions (measured 9.7s -> 2.0s at sf0.1 going 32 -> 8).
+# dominates with 32 partitions (measured 9.7s -> 2.0s at sf0.1 going 32 -> 8,
+# and a further ~12% across the family — ~25% on the stream-stream join,
+# whose state store runs per-partition on BOTH sides — going 8 -> 4).
 # On a cluster you'd size this to the state volume, not the CPU count.
-STREAM_SHUFFLE_PARTITIONS = 8
+STREAM_SHUFFLE_PARTITIONS = 4
 
 
 class _stream_partitions:
