@@ -492,3 +492,52 @@ WHERE l_returnflag = 'A' AND ({cat}) IS NOT NULL
 GROUP BY 1, 2
 ORDER BY month, expense_category
 """
+
+
+REFUND_METRIC_COLS = (
+    "gross_revenue",
+    "refund_amount",
+    "net_revenue",
+    "refund_count",
+    "txn_count",
+    "refund_rate",
+)
+
+
+def refund_metrics_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The refund-metrics table reshaped wide → long with the UNPIVOT
+    operator (``DataFrame.unpivot`` / SQL UNPIVOT): one (category, metric,
+    value) row per cell — the layout a metrics store or chart API ingests
+    (the reference's dashboards reshape exactly this table before
+    plotting, dashboard/dashboard.py:658-684).
+
+    Unpivot is a zero-shuffle projection (each input row fans out to k
+    output rows map-side), so the long layout costs nothing beyond the
+    aggregation that built the wide table; every metric is cast to double
+    first because a melted value column must carry one type."""
+    wide = refund_metrics_by_category(spark, sf_dir)
+    casted = wide.select(
+        "revenue_category",
+        *[F.col(c).cast("double").alias(c) for c in REFUND_METRIC_COLS],
+    )
+    return (
+        casted.unpivot(
+            ids=["revenue_category"],
+            values=list(REFUND_METRIC_COLS),
+            variableColumnName="metric",
+            valueColumnName="value",
+        )
+        .orderBy("revenue_category", "metric")
+    )
+
+
+def refund_metrics_long_sql() -> str:
+    cols = ", ".join(REFUND_METRIC_COLS)
+    casts = ", ".join(f"{c}::double AS {c}" for c in REFUND_METRIC_COLS)
+    return f"""
+WITH wide AS ({refund_metrics_by_category_sql()}),
+casted AS (SELECT revenue_category, {casts} FROM wide)
+SELECT revenue_category, metric, value
+FROM casted UNPIVOT (value FOR metric IN ({cols}))
+ORDER BY revenue_category, metric
+"""
