@@ -34,6 +34,10 @@ class PlanStats:
     scans: list[str]
     pushed_filters: list[str]
     read_schemas: list[str]
+    # NOTE: 0 under AQE is an artifact, not "codegen off" — a formatted plan
+    # printed before execution (isFinalPlan=false) carries no
+    # WholeStageCodegen markers; spark.sql.codegen.wholeStage stays true
+    # (default) in every engine session.
     wholestage_ids: int
 
 
