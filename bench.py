@@ -82,14 +82,18 @@ def main() -> None:
         build_customers,
         family_relationships,
     )
-    from basin_climbing_data_pipeline_spark.operators.dedup import minhash_lsh_pairs
+    from basin_climbing_data_pipeline_spark.operators.dedup import (
+        _pruned_shingles,
+        minhash_lsh_pairs,
+    )
     from basin_climbing_data_pipeline_spark.operators.flags import build_flags, events_unified
     from basin_climbing_data_pipeline_spark.operators.memberships import build_memberships_2024
     from basin_climbing_data_pipeline_spark.operators.transactions import build_transactions
 
     for b in (build_transactions, build_checkins, build_customers,
               build_memberships_2024, events_unified, build_flags,
-              family_relationships, minhash_lsh_pairs, proximity_connections):
+              family_relationships, minhash_lsh_pairs, proximity_connections,
+              _pruned_shingles):
         b(spark, sf_dir).count()
     load_sec = round(time.time() - t_load, 3)
 
