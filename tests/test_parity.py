@@ -116,3 +116,61 @@ def test_band_bucket_parity_random(spark):
         ).fetchall()
     )
     assert s_rows == d_rows
+
+
+def test_transcendental_micro_parity_random(spark, tmp_path):
+    """The micro-int ln/log10/pow discipline (zipf_slope,
+    source_token_entropy, histogram_quantiles) must agree bit-for-bit on
+    random corpora, not just the driver tables — transcendentals are the
+    one place a libm ulp could diverge, and micro-rounding must absorb it."""
+    import duckdb as ddb
+    import pandas as pd
+
+    from basin_climbing_data_pipeline_spark.operators.textstats import (
+        source_token_entropy,
+        source_token_entropy_sql,
+        zipf_slope,
+        zipf_slope_sql,
+    )
+    from basin_climbing_data_pipeline_spark.operators.sketches import (
+        histogram_quantiles,
+        histogram_quantiles_sql,
+    )
+
+    rng = random.Random(4242)
+    vocab = [f"w{i}" for i in range(60)]
+    rows = []
+    did = 0
+    for _ in range(250):
+        # Zipfian-ish token pick so ranks/frequencies are adversarially uneven
+        n = rng.randint(1, 120)
+        toks = [vocab[min(int(rng.paretovariate(1.1)), 59)] for _ in range(n)]
+        text = " ".join(toks)
+        rows.append(
+            (did, text, rng.choice(["en", "de"]), f"src{rng.randint(0, 4)}", len(text))
+        )
+        did += 1
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source", "n_chars"])
+    path = str(tmp_path / "documents.parquet")
+    pdf.to_parquet(path)
+
+    con = ddb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}')")
+    for fn, sql in (
+        (zipf_slope, zipf_slope_sql()),
+        (source_token_entropy, source_token_entropy_sql()),
+        (histogram_quantiles, histogram_quantiles_sql()),
+    ):
+        sdf = fn(spark, str(tmp_path))
+        s = sorted(
+            tuple(repr(v) for _, v in sorted(r.asDict().items())) for r in sdf.collect()
+        )
+        odf = con.execute(sql).df()
+        o = sorted(
+            tuple(
+                repr(v.item() if hasattr(v, "item") else v)
+                for _, v in sorted(rec.items())
+            )
+            for rec in odf.to_dict("records")
+        )
+        assert s == o, fn.__name__
