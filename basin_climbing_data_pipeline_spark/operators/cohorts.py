@@ -784,3 +784,82 @@ SELECT from_event, next_event, n,
 FROM pairs
 ORDER BY from_event, next_event
 """
+
+
+ANOMALY_Z_MICRO = 2_000_000  # flag days with |z| >= 2.0
+
+
+def daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Days whose event volume deviates ≥ 2σ from that event type's mean —
+    the ops-alerting query over the daily count series (the reference
+    eyeballs the same series in its dashboards; this is the automated
+    form).
+
+    Determinism note: the z-score needs a sqrt, but IEEE-754 sqrt is
+    CORRECTLY ROUNDED (unlike ln/exp), so variance assembled from exact
+    integer sums (Σn, Σn² over int64 day counts) gives bit-identical
+    z-scores in any engine — no micro-int staging needed before the final
+    rounding.
+
+    Scale shape: events collapse to (type, day) counts in one shuffle;
+    the per-type moments are a second tiny aggregation broadcast back
+    onto the day rows (window over the day table, not the event stream)."""
+    from pyspark.sql import Window as W
+
+    from ..io import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.col("ts").cast("date").alias("d")
+    )
+    daily = ev.groupBy("event_type", "d").agg(F.count("*").alias("n"))
+    wt = W.partitionBy("event_type")
+    # exact integer moments over the per-type day series
+    stats = (
+        daily.withColumn("k", F.count("*").over(wt))
+        .withColumn("s1", F.sum("n").over(wt))
+        .withColumn("s2", F.sum(F.col("n") * F.col("n")).over(wt))
+    )
+    mean = F.col("s1") / F.col("k")
+    # population variance from exact sums: E[x²] − E[x]²
+    var = F.col("s2") / F.col("k") - mean * mean
+    z = (F.col("n") - mean) / F.sqrt(var)
+    return (
+        # integer-exact positive-variance guard: k·Σn² > (Σn)² — a constant
+        # series has no z-score, and 0/0 NaN casts diverge across engines
+        stats.filter(
+            (F.col("k") >= 2)
+            & (F.col("s2") * F.col("k") > F.col("s1") * F.col("s1"))
+        )
+        .withColumn("z_micro", F.floor(z * 1000000.0 + 0.5).cast("long"))
+        .filter(F.abs(F.col("z_micro")) >= ANOMALY_Z_MICRO)
+        .select("event_type", "d", "n", "z_micro")
+        .orderBy("event_type", "d")
+    )
+
+
+def daily_anomalies_sql() -> str:
+    return f"""
+WITH daily AS (
+  SELECT event_type, ts::TIMESTAMP::date AS d, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type, d, n,
+         count(*) OVER w AS k,
+         sum(n) OVER w AS s1,
+         sum(n * n) OVER w AS s2
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type)
+)
+SELECT event_type, d, n,
+       floor((n - s1::double / k)
+             / sqrt(s2::double / k - (s1::double / k) * (s1::double / k))
+             * 1000000.0 + 0.5)::bigint AS z_micro
+FROM stats
+WHERE k >= 2
+  AND s2 * k > s1 * s1
+  AND abs(floor((n - s1::double / k)
+                / sqrt(s2::double / k - (s1::double / k) * (s1::double / k))
+                * 1000000.0 + 0.5)) >= {ANOMALY_Z_MICRO}
+ORDER BY event_type, d
+"""

@@ -204,3 +204,15 @@ def test_entropy_bounds(spark, sf_dir):
         assert 0.0 <= r["entropy_nats"] <= math.log(r["vocab_size"]) + 1e-4
         assert r["kl_from_corpus"] >= -1e-4
         assert r["vocab_size"] >= 1
+
+
+def test_daily_anomalies_threshold(spark, sf_dir):
+    from basin_climbing_data_pipeline_spark.operators.cohorts import (
+        ANOMALY_Z_MICRO,
+        daily_anomalies,
+    )
+
+    rows = daily_anomalies(spark, sf_dir).collect()
+    for r in rows:
+        assert abs(r["z_micro"]) >= ANOMALY_Z_MICRO
+        assert r["n"] >= 0
