@@ -1008,3 +1008,109 @@ FROM terms
 GROUP BY source
 ORDER BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations
+# ---------------------------------------------------------------------------
+
+PMI_MIN_COUNT = 5
+
+
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 bigram collocations by pointwise mutual information —
+    ``ln( p(xy) / (p(x)·p(y)) )`` — the classic phrase/collocation
+    extractor of an NLP preprocessing stack (feeds tokenizer merge rules
+    and stop-phrase lists).
+
+    Determinism: every probability is a ratio of exact integer counts;
+    the single ln per surviving bigram is evaluated on the identical
+    double in both engines and the result is micro-rounded, with the
+    micro value also serving as the sort key.
+
+    Scale shape: one explode+groupBy each for bigrams and unigrams (the
+    corpus shuffles); totals ride windows over those vocab-sized count
+    tables; the unigram side broadcasts onto the bigram rows twice (x
+    and y).  The min-count filter prunes the long tail before the join."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(F.split(F.trim(F.col("text")), " ").alias("w"))
+    bigrams = words.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, greatest(size(w) - 2, 0)),"
+                " i -> struct(w[i] as x, w[i+1] as y))"
+            )
+        ).alias("bg")
+    ).select("bg.x", "bg.y").filter(
+        (F.col("x") != "") & (F.col("y") != "") & F.col("y").isNotNull()
+    )
+    bg_counts = bigrams.groupBy("x", "y").agg(F.count("*").alias("nxy"))
+    uni = (
+        docs.select(F.explode(_words(F.col("text"))).alias("t"))
+        .filter(F.col("t") != "")
+        .groupBy("t")
+        .agg(F.count("*").alias("n"))
+    )
+    b_total = bg_counts.withColumn("b", F.sum("nxy").over(Window.partitionBy()))
+    u_total = F.broadcast(
+        uni.withColumn("t_total", F.sum("n").over(Window.partitionBy()))
+    )
+    joined = (
+        b_total.filter(F.col("nxy") >= PMI_MIN_COUNT)
+        .join(
+            u_total.select(F.col("t").alias("x"), F.col("n").alias("nx"), "t_total"),
+            "x",
+        )
+        .join(u_total.select(F.col("t").alias("y"), F.col("n").alias("ny")), "y")
+    )
+    pmi = F.log(
+        (F.col("nxy") / F.col("b"))
+        / ((F.col("nx") / F.col("t_total")) * (F.col("ny") / F.col("t_total")))
+    )
+    return (
+        joined.select(
+            "x",
+            "y",
+            "nxy",
+            F.floor(pmi * 1000000.0 + 0.5).cast("long").alias("pmi_micro"),
+        )
+        .orderBy(F.desc("pmi_micro"), "x", "y")
+        .limit(20)
+    )
+
+
+def pmi_collocations_sql() -> str:
+    return f"""
+WITH words AS (
+  SELECT string_split(trim(text), ' ') AS w FROM documents
+),
+bigrams AS (
+  SELECT w[i] AS x, w[i + 1] AS y
+  FROM (SELECT w, unnest(range(1, len(w))) AS i FROM words)
+  WHERE w[i] != '' AND w[i + 1] != ''
+),
+bg AS (SELECT x, y, count(*) AS nxy FROM bigrams GROUP BY x, y),
+uni AS (
+  SELECT t, count(*) AS n FROM (
+    SELECT unnest(string_split(trim(text), ' ')) AS t FROM documents
+  ) WHERE t != '' GROUP BY t
+),
+bt AS (SELECT x, y, nxy, sum(nxy) OVER () AS b FROM bg),
+ut AS (SELECT t, n, sum(n) OVER () AS t_total FROM uni),
+joined AS (
+  SELECT bt.x, bt.y, bt.nxy,
+         floor(ln((bt.nxy::double / bt.b)
+                  / ((ux.n::double / ux.t_total) * (uy.n::double / uy.t_total)))
+               * 1000000.0 + 0.5)::bigint AS pmi_micro
+  FROM bt
+  JOIN ut ux ON ux.t = bt.x
+  JOIN ut uy ON uy.t = bt.y
+  WHERE bt.nxy >= {PMI_MIN_COUNT}
+)
+SELECT x, y, nxy, pmi_micro
+FROM joined
+ORDER BY pmi_micro DESC, x, y
+LIMIT 20
+"""

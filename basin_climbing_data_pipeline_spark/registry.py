@@ -31,7 +31,8 @@ driver-green row at current code.  Round-4 rotation (both sessions):
    cms_heavy_hitters / bloom_join_prune / event_funnel /
    histogram_quantiles / pagerank_proximity / triangle_stats /
    markov_transitions / source_token_entropy / refund_metrics_long /
-   daily_anomalies) lead block 4 and MUST be front-loaded in round 5;
+   daily_anomalies / pmi_collocations) lead block 4 and MUST be
+   front-loaded in round 5;
 3. the rest of the window: queries whose source was touched in rounds
    3-4, highest-risk first — the integer-micro signature rewrite
    (lsh_buckets, embedding_near_dup_pairs), the leads/customers/dedup
@@ -298,6 +299,7 @@ register("markov_transitions", co.markov_transitions, co.markov_transitions_sql(
 register("source_token_entropy", ts.source_token_entropy, ts.source_token_entropy_sql())
 register("refund_metrics_long", txn.refund_metrics_long, txn.refund_metrics_long_sql())
 register("daily_anomalies", co.daily_anomalies, co.daily_anomalies_sql())
+register("pmi_collocations", ts.pmi_collocations, ts.pmi_collocations_sql())
 
 # First the eight pushed out by this session's insertions: flags_build /
 # events_unified / flag_type_summary (flags.py was rewritten in round 3

@@ -216,3 +216,17 @@ def test_daily_anomalies_threshold(spark, sf_dir):
     for r in rows:
         assert abs(r["z_micro"]) >= ANOMALY_Z_MICRO
         assert r["n"] >= 0
+
+
+def test_pmi_collocations_sane(spark, sf_dir):
+    from basin_climbing_data_pipeline_spark.operators.textstats import (
+        PMI_MIN_COUNT,
+        pmi_collocations,
+    )
+
+    rows = pmi_collocations(spark, sf_dir).collect()
+    assert rows
+    keys = [(-r["pmi_micro"], r["x"], r["y"]) for r in rows]
+    assert keys == sorted(keys), "deterministic (pmi desc, x, y) ordering"
+    for r in rows:
+        assert r["nxy"] >= PMI_MIN_COUNT
