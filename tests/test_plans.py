@@ -179,3 +179,26 @@ def test_triangle_join_is_equi(spark, sf_dir):
     # wedge generation + closure must both be equi joins — no BNLJ
     st = _audit(spark, sf_dir, "triangle_stats")
     assert st.n_sort_merge_joins + st.n_broadcast_hash_joins >= 2
+
+
+def test_session_four_batch_no_bnl_no_sortmerge(spark, sf_dir):
+    # the analytics batch: every join broadcasts its dim/vocab side,
+    # nothing falls back to sort-merge or nested-loop at test scale
+    for name in (
+        "markov_transitions",
+        "source_token_entropy",
+        "pmi_collocations",
+        "daily_anomalies",
+        "event_funnel",
+        "refund_metrics_long",
+    ):
+        st = _audit(spark, sf_dir, name)
+        assert st.n_bnl_joins == 0, name
+        assert st.n_sort_merge_joins == 0, name
+
+
+def test_markov_single_corpus_shuffle_kind(spark, sf_dir):
+    # the event stream is shuffled once for the per-user window; everything
+    # after operates on the 5x5 pair matrix
+    st = _audit(spark, sf_dir, "markov_transitions")
+    assert st.n_shuffle_exchanges <= 4
