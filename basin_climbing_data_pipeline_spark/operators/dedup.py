@@ -1550,3 +1550,126 @@ SELECT n::BIGINT AS n_planted, f::BIGINT AS n_found,
        {MINHASH_K // MINHASH_BANDS}::BIGINT AS rows_per_band
 FROM counts
 """
+
+
+# ---------------------------------------------------------------------------
+# sorted-neighborhood candidate generation (blocked SNM)
+# ---------------------------------------------------------------------------
+
+SNM_WINDOW = 3  # neighbors compared after each doc in sort order
+SNM_MIN_JACCARD = 0.5  # 3-gram shingle Jaccard to confirm a candidate
+
+
+def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood near-dup detection: sort the corpus by a text
+    prefix key, compare each document only against its next SNM_WINDOW
+    neighbors in sort order, and keep pairs whose 3-gram shingle Jaccard
+    clears SNM_MIN_JACCARD.  SNM is the classic entity-resolution
+    complement to hash blocking (MinHash/SimHash catch permuted overlap
+    probabilistically; SNM catches shared-prefix duplicates exactly, at a
+    guaranteed O(n·w) candidate budget and zero hashing).  Reference
+    analog: the last-name-blocked fuzzy candidate join
+    (build_family_relationships.py:276-356) — a sort key as the blocking
+    device instead of an equality key.
+
+    Scale shape: a global sort in Spark would funnel one window partition;
+    instead the corpus is blocked by the first word (at web scale: a
+    coarser key prefix) and the lead() window runs WITHIN blocks —
+    partitionBy(block) + orderBy(prefix), which partitions cleanly at any
+    corpus size.  The verify is a pure array op on the pair — candidates
+    are bounded at n·w, never n², and the shingle arrays ride the window
+    rows so no second scan or join is needed."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    words = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), " ").alias("w")
+    )
+    base = words.select(
+        "doc_id",
+        F.element_at("w", 1).alias("block"),
+        F.concat_ws(" ", F.slice("w", 1, 8)).alias("sortkey"),
+        F.expr(
+            "array_distinct(transform(sequence(0, greatest(size(w) - 3, 0)),"
+            " i -> concat_ws(' ', w[i], w[i+1], w[i+2])))"
+        ).alias("toks"),
+    )
+    w = Window.partitionBy("block").orderBy("sortkey", "doc_id")
+    # window exprs must be materialized as columns BEFORE the explode (Spark
+    # rejects window functions inside a generator's argument)
+    with_leads = base.select(
+        "doc_id",
+        "toks",
+        *[
+            F.lead(
+                F.struct(F.col("doc_id").alias("nb_id"), F.col("toks").alias("nb_toks")),
+                i,
+            )
+            .over(w)
+            .alias(f"_lead{i}")
+            for i in range(1, SNM_WINDOW + 1)
+        ],
+    )
+    cands = (
+        with_leads.withColumn(
+            "nb", F.explode(F.array(*[f"_lead{i}" for i in range(1, SNM_WINDOW + 1)]))
+        )
+        .filter(F.col("nb.nb_id").isNotNull())
+        .select("doc_id", "toks", F.col("nb.nb_id").alias("nb_id"), F.col("nb.nb_toks").alias("nb_toks"))
+    )
+    inter = F.size(F.array_intersect("toks", "nb_toks")).cast("double")
+    union = F.size(F.array_union("toks", "nb_toks")).cast("double")
+    from ..functions.money import ratio
+
+    jac = ratio(inter, union, 4)
+    return (
+        cands.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= SNM_MIN_JACCARD)
+        .select(
+            F.least("doc_id", "nb_id").alias("doc_a"),
+            F.greatest("doc_id", "nb_id").alias("doc_b"),
+            "jaccard",
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def sorted_neighborhood_pairs_sql() -> str:
+    from ..functions.money import ratio_sql
+
+    lead_union = "\nUNION ALL\n".join(
+        f"""
+  SELECT doc_id, toks,
+         lead(doc_id, {i}) OVER w{i} AS nb_id,
+         lead(toks, {i}) OVER w{i} AS nb_toks
+  FROM base
+  WINDOW w{i} AS (PARTITION BY block ORDER BY sortkey, doc_id)"""
+        for i in range(1, SNM_WINDOW + 1)
+    )
+    jac = ratio_sql(
+        "len(list_intersect(toks, nb_toks))::double",
+        "len(list_distinct(list_concat(toks, nb_toks)))::double",
+        4,
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         w[1] AS block,
+         array_to_string(list_slice(w, 1, 8), ' ') AS sortkey,
+         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                        FOR i IN range(1, greatest(len(w) - 1, 2))]) AS toks
+  FROM (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents)
+),
+cands AS ({lead_union}),
+scored AS (
+  SELECT doc_id, nb_id, {jac} AS jaccard
+  FROM cands
+  WHERE nb_id IS NOT NULL
+)
+SELECT least(doc_id, nb_id) AS doc_a,
+       greatest(doc_id, nb_id) AS doc_b,
+       jaccard
+FROM scored
+WHERE jaccard >= {SNM_MIN_JACCARD}
+ORDER BY doc_a, doc_b
+"""

@@ -1114,3 +1114,213 @@ FROM joined
 ORDER BY pmi_micro DESC, x, y
 LIMIT 20
 """
+
+
+# ---------------------------------------------------------------------------
+# quality rule battery (Gopher-style hard filters)
+# ---------------------------------------------------------------------------
+
+# Rule bounds (module constants so Spark and the oracle compile the same
+# thresholds).  All ratio comparisons run on the shared fixed-point ratio()
+# output, so a doc sits on the same side of every threshold in both engines.
+RULE_MIN_WORDS = 20
+RULE_MAX_WORDS = 400
+RULE_MIN_AVG_WORD_LEN = 2.0
+RULE_MAX_AVG_WORD_LEN = 8.0
+RULE_MAX_TOP_TOKEN_FRAC = 0.2
+RULE_MIN_TTR = 0.3
+RULE_MAX_STOPWORD_FRAC = 0.35
+
+
+def quality_rule_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style hard-filter battery (doc-length bounds, mean-word-length
+    bounds, most-frequent-token fraction, type-token ratio, stopword
+    fraction) rolled up per source: how many documents each rule rejects and
+    the all-rules pass rate.  This is the rule-count companion to the
+    composite ``quality_buckets`` score — a training corpus applies BOTH
+    (score for mixing, hard rules for outright removal).  Reference analog:
+    the flags engine's per-rule trigger counts
+    (customer_flags_engine.py:352-354), lifted to corpus hygiene.
+
+    Scale shape: every rule is a pure column expression over one scan (the
+    top-token fraction runs inside the row's token array — no explode, no
+    shuffle), then ONE groupBy on source.  Nothing leaves the JVM."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = _words(F.col("text"))
+    stop_pred = " OR ".join(f"w = '{s}'" for s in STOPWORDS)
+    n_words = F.size(words)
+    n_stop = F.size(F.expr(f"filter(split(trim(text), ' '), w -> {stop_pred})"))
+    n_uniq = F.size(F.array_distinct(words))
+    top_cnt = F.expr(
+        "array_max(transform(array_distinct(split(trim(text), ' ')),"
+        " t -> size(filter(split(trim(text), ' '), x -> x = t))))"
+    )
+    avg_len = ratio(
+        (F.length(F.trim(F.col("text"))) - n_words + 1).cast("double"),
+        n_words.cast("double"),
+        4,
+    )
+    top_frac = ratio(top_cnt.cast("double"), n_words.cast("double"), 4)
+    ttr = ratio(n_uniq.cast("double"), n_words.cast("double"), 4)
+    stop_frac = ratio(n_stop.cast("double"), n_words.cast("double"), 4)
+    fails = {
+        "fail_len": ~n_words.between(RULE_MIN_WORDS, RULE_MAX_WORDS),
+        "fail_word_len": ~avg_len.between(RULE_MIN_AVG_WORD_LEN, RULE_MAX_AVG_WORD_LEN),
+        "fail_top_token": top_frac > RULE_MAX_TOP_TOKEN_FRAC,
+        "fail_ttr": ttr < RULE_MIN_TTR,
+        "fail_stopword": stop_frac > RULE_MAX_STOPWORD_FRAC,
+    }
+    flagged = docs.select(
+        "source", *[cond.cast("bigint").alias(name) for name, cond in fails.items()]
+    )
+    pass_all = (sum(F.col(n) for n in fails) == 0).cast("bigint")
+    return (
+        flagged.withColumn("pass_all", pass_all)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            *[F.sum(n).alias(n) for n in fails],
+            F.sum("pass_all").alias("n_pass"),
+            ratio(F.sum("pass_all").cast("double"), F.count("*").cast("double"), 4).alias(
+                "pass_rate"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+def quality_rule_battery_sql() -> str:
+    stop_pred = " OR ".join(f"w = '{s}'" for s in STOPWORDS)
+    return f"""
+WITH base AS (
+  SELECT source, text, string_split(trim(text), ' ') AS words
+  FROM documents
+),
+m AS (
+  SELECT source,
+         len(words) AS n_words,
+         {ratio_sql('(length(trim(text)) - len(words) + 1)::double', 'len(words)::double', 4)} AS avg_len,
+         {ratio_sql('list_max(list_transform(list_distinct(words), t -> len(list_filter(words, x -> x = t))))::double', 'len(words)::double', 4)} AS top_frac,
+         {ratio_sql('len(list_distinct(words))::double', 'len(words)::double', 4)} AS ttr,
+         {ratio_sql('len(list_filter(words, w -> ' + stop_pred + '))::double', 'len(words)::double', 4)} AS stop_frac
+  FROM base
+),
+f AS (
+  SELECT source,
+         (NOT (n_words BETWEEN {RULE_MIN_WORDS} AND {RULE_MAX_WORDS}))::int AS fail_len,
+         (NOT (avg_len BETWEEN {RULE_MIN_AVG_WORD_LEN} AND {RULE_MAX_AVG_WORD_LEN}))::int AS fail_word_len,
+         (top_frac > {RULE_MAX_TOP_TOKEN_FRAC})::int AS fail_top_token,
+         (ttr < {RULE_MIN_TTR})::int AS fail_ttr,
+         (stop_frac > {RULE_MAX_STOPWORD_FRAC})::int AS fail_stopword
+  FROM m
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(fail_len) AS BIGINT) AS fail_len,
+       CAST(sum(fail_word_len) AS BIGINT) AS fail_word_len,
+       CAST(sum(fail_top_token) AS BIGINT) AS fail_top_token,
+       CAST(sum(fail_ttr) AS BIGINT) AS fail_ttr,
+       CAST(sum(fail_stopword) AS BIGINT) AS fail_stopword,
+       CAST(sum((fail_len + fail_word_len + fail_top_token + fail_ttr + fail_stopword = 0)::int) AS BIGINT) AS n_pass,
+       {ratio_sql('sum((fail_len + fail_word_len + fail_top_token + fail_ttr + fail_stopword = 0)::int)::double', 'count(*)::double', 4)} AS pass_rate
+FROM f
+GROUP BY source
+ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# unigram-LM log-probability scoring (perplexity proxy)
+# ---------------------------------------------------------------------------
+
+# micro-int thresholds for the likelihood buckets (ln-prob, nats * 1e6)
+LOGPROB_LIKELY_MICRO = -3_000_000
+LOGPROB_TYPICAL_MICRO = -4_500_000
+
+
+def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality scoring: fit a unigram LM on the corpus
+    itself (token frequencies), score every document by its mean token
+    log-probability, and bucket into likely/typical/rare.  This is the
+    cheapest member of the model-based-quality family (CCNet's wikipedia-LM
+    perplexity filter, re-expressed with the corpus as its own LM) — rare
+    mean-logprob documents are the OOD/garbage tail a mixture designer
+    down-weights before the expensive model-based scorers run.
+
+    Exactness: per-token ln p is micro-rounded to int64 once (vocab-sized
+    table), each document sums exact integers (order-insensitive), and the
+    per-doc mean is micro-rounded once — same discipline as
+    ``source_token_entropy``.  Bucket thresholds compare the int64 micro
+    mean, so a doc lands in the same bucket in both engines.
+
+    Scale shape: one token-count aggregation (vocab-sized result,
+    broadcast back), one explode + equi-join on token, one per-doc groupBy.
+    Every stage is keyed; the vocab table is tiny at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select("doc_id", "source", F.explode(_words(F.col("text"))).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    from pyspark.sql import Window
+
+    uni = toks.groupBy("token").agg(F.count("*").alias("n_t"))
+    lm = F.broadcast(
+        uni.withColumn("n", F.sum("n_t").over(Window.partitionBy())).select(
+            "token",
+            F.floor(F.log(F.col("n_t") / F.col("n")) * 1000000.0 + 0.5)
+            .cast("long")
+            .alias("lnp_micro"),
+        )
+    )
+    per_doc = (
+        toks.join(lm, "token")
+        .groupBy("doc_id", "source")
+        .agg(F.count("*").alias("n_tokens"), F.sum("lnp_micro").alias("_s"))
+        .withColumn(
+            "avg_micro",
+            F.floor(F.col("_s").cast("double") / F.col("n_tokens") + 0.5).cast("long"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        (F.col("avg_micro") / 1000000.0).alias("avg_logprob"),
+        F.when(F.col("avg_micro") >= LOGPROB_LIKELY_MICRO, "likely")
+        .when(F.col("avg_micro") >= LOGPROB_TYPICAL_MICRO, "typical")
+        .otherwise("rare")
+        .alias("ppl_bucket"),
+    ).orderBy("doc_id")
+
+
+def unigram_logprob_quality_sql() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, source, token
+  FROM (SELECT doc_id, source, unnest(string_split(trim(text), ' ')) AS token
+        FROM documents)
+  WHERE token != ''
+),
+uni AS (SELECT token, count(*) AS n_t FROM toks GROUP BY token),
+lm AS (
+  SELECT token,
+         floor(ln(n_t::double / (SELECT sum(n_t) FROM uni)) * 1000000.0 + 0.5)::bigint
+           AS lnp_micro
+  FROM uni
+),
+per_doc AS (
+  SELECT t.doc_id, t.source,
+         count(*) AS n_tokens,
+         floor(sum(lm.lnp_micro)::double / count(*) + 0.5)::bigint AS avg_micro
+  FROM toks t
+  JOIN lm USING (token)
+  GROUP BY t.doc_id, t.source
+)
+SELECT doc_id, source, n_tokens,
+       avg_micro / 1000000.0 AS avg_logprob,
+       CASE WHEN avg_micro >= {LOGPROB_LIKELY_MICRO} THEN 'likely'
+            WHEN avg_micro >= {LOGPROB_TYPICAL_MICRO} THEN 'typical'
+            ELSE 'rare' END AS ppl_bucket
+FROM per_doc
+ORDER BY doc_id
+"""

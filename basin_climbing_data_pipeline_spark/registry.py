@@ -31,7 +31,9 @@ driver-green row at current code.  Round-4 rotation (both sessions):
    cms_heavy_hitters / bloom_join_prune / event_funnel /
    histogram_quantiles / pagerank_proximity / triangle_stats /
    markov_transitions / source_token_entropy / refund_metrics_long /
-   daily_anomalies / pmi_collocations) lead block 4 and MUST be
+   daily_anomalies / pmi_collocations, and the fifth-session
+   quality_rule_battery / unigram_logprob_quality /
+   sorted_neighborhood_pairs) lead block 4 and MUST be
    front-loaded in round 5;
 3. the rest of the window: queries whose source was touched in rounds
    3-4, highest-risk first — the integer-micro signature rewrite
@@ -300,6 +302,25 @@ register("source_token_entropy", ts.source_token_entropy, ts.source_token_entrop
 register("refund_metrics_long", txn.refund_metrics_long, txn.refund_metrics_long_sql())
 register("daily_anomalies", co.daily_anomalies, co.daily_anomalies_sql())
 register("pmi_collocations", ts.pmi_collocations, ts.pmi_collocations_sql())
+
+# round-4 FIFTH-session additions — same situation (strict-check.py-green at
+# HEAD, no window slot free; part of the round-5 front-load set): the
+# Gopher-style hard-filter rule battery, the unigram-LM perplexity-proxy
+# scorer, and sorted-neighborhood dedup blocking (the sort-key complement
+# to the hash/LSH blockers).
+register(
+    "quality_rule_battery", ts.quality_rule_battery, ts.quality_rule_battery_sql()
+)
+register(
+    "unigram_logprob_quality",
+    ts.unigram_logprob_quality,
+    ts.unigram_logprob_quality_sql(),
+)
+register(
+    "sorted_neighborhood_pairs",
+    dd.sorted_neighborhood_pairs,
+    dd.sorted_neighborhood_pairs_sql(),
+)
 
 # First the eight pushed out by this session's insertions: flags_build /
 # events_unified / flag_type_summary (flags.py was rewritten in round 3

@@ -368,3 +368,102 @@ def test_scrub_machinery_on_real_pii_patterns(spark):
     assert sum(g["n_ssn_like"] for g in got.values()) >= 1
     assert sum(g["n_ipv4"] for g in got.values()) >= 2
     assert got[3]["n_scrubbed_total"] == 0
+
+
+# ---------------------------------------------------------------------------
+# round-4 fifth-session operators
+# ---------------------------------------------------------------------------
+
+
+def test_quality_rule_battery_counts_consistent(spark, sf_dir):
+    """Per-source fail counts bound n_docs; pass count equals docs failing
+    zero rules; the battery must actually discriminate on this corpus
+    (some rule fires somewhere, some doc passes everywhere)."""
+    from basin_climbing_data_pipeline_spark.operators.textstats import (
+        quality_rule_battery,
+    )
+
+    rows = quality_rule_battery(spark, sf_dir).collect()
+    assert rows
+    fail_cols = ["fail_len", "fail_word_len", "fail_top_token", "fail_ttr", "fail_stopword"]
+    for r in rows:
+        for c in fail_cols:
+            assert 0 <= r[c] <= r["n_docs"]
+        assert 0 <= r["n_pass"] <= r["n_docs"]
+        # a doc that passes all rules fails none: n_pass + (docs failing >=1)
+        # = n_docs, so n_pass >= n_docs - sum(fails)
+        assert r["n_pass"] >= r["n_docs"] - sum(r[c] for c in fail_cols)
+    assert any(any(r[c] > 0 for c in fail_cols) for r in rows), "no rule ever fired"
+    assert any(r["n_pass"] > 0 for r in rows), "no doc passed the battery"
+
+
+def test_unigram_logprob_matches_python(spark, sf_dir):
+    """Recompute the corpus unigram LM and a few documents' micro-rounded
+    mean log-probs in plain Python; Spark must agree exactly."""
+    import math
+    from collections import Counter
+
+    from basin_climbing_data_pipeline_spark.operators.textstats import (
+        unigram_logprob_quality,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    counts: Counter[str] = Counter()
+    for r in docs:
+        counts.update(t for t in r["text"].strip().split(" ") if t)
+    total = sum(counts.values())
+    lnp = {
+        t: math.floor(math.log(n / total) * 1e6 + 0.5) for t, n in counts.items()
+    }
+    got = {r["doc_id"]: r for r in unigram_logprob_quality(spark, sf_dir).collect()}
+    assert len(got) == len(docs)
+    for r in docs[:25]:
+        toks = [t for t in r["text"].strip().split(" ") if t]
+        want_micro = math.floor(sum(lnp[t] for t in toks) / len(toks) + 0.5)
+        g = got[r["doc_id"]]
+        assert g["n_tokens"] == len(toks)
+        assert abs(g["avg_logprob"] - want_micro / 1e6) < 1e-9
+        want_bucket = (
+            "likely" if want_micro >= -3_000_000
+            else "typical" if want_micro >= -4_500_000
+            else "rare"
+        )
+        assert g["ppl_bucket"] == want_bucket
+
+
+def test_sorted_neighborhood_finds_planted_prefix_dup(spark, sf_dir):
+    """SNM must catch a near-identical shared-prefix pair (its home turf)
+    and must never emit more than n * SNM_WINDOW candidates."""
+    from basin_climbing_data_pipeline_spark.operators.dedup import (
+        SNM_WINDOW,
+        sorted_neighborhood_pairs,
+    )
+
+    out = sorted_neighborhood_pairs(spark, sf_dir)
+    rows = out.collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert len(rows) <= n_docs * SNM_WINDOW
+    for r in rows:
+        assert r["doc_a"] < r["doc_b"]
+        assert r["jaccard"] >= 0.5
+    # the synthetic corpus plants shared-prefix near-dups; SNM is the
+    # operator that must see them
+    assert rows, "expected at least one confirmed near-dup pair"
+
+
+def test_sorted_neighborhood_no_global_sort(spark, sf_dir):
+    """The window must run per block — a plan that funnels the corpus into
+    a single partition would be a 100 TB scale-killer."""
+    from basin_climbing_data_pipeline_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    plan = (
+        sorted_neighborhood_pairs(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the final orderBy is a rangepartitioning sort on the (tiny) result;
+    # the corpus-sized window stage must hash-partition by block
+    assert "hashpartitioning(block" in plan
