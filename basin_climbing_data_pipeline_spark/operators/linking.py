@@ -330,3 +330,99 @@ FROM cats
 WHERE risk_category IS NOT NULL
 ORDER BY sort_key, last_visit DESC NULLS LAST, customer_id
 """
+
+
+# ---------------------------------------------------------------------------
+# cogrouped as-of alignment (applyInPandas over a cogroup)
+# ---------------------------------------------------------------------------
+
+COGROUP_SPEND_SCHEMA = (
+    "checkin_id long, customer_id long, checkin_date date, "
+    "n_txns_to_date long, spend_to_date double"
+)
+
+
+def _align_spend(left, right):
+    """Per-customer pandas cogroup worker: for each checkin, count/sum the
+    transactions dated on or before it.  One sort + one searchsorted per
+    side — O(n log n + m log m) per customer, vs the O(n·m) fan-out the
+    equivalent range join pays inside each customer."""
+    import numpy as np
+
+    if len(left) == 0:
+        return left.iloc[0:0].reindex(
+            columns=["checkin_id", "customer_id", "checkin_date",
+                     "n_txns_to_date", "spend_to_date"]
+        )
+    out = left.sort_values(["checkin_date", "checkin_id"]).reset_index(drop=True)
+    if len(right) == 0:
+        out["n_txns_to_date"] = np.int64(0)
+        out["spend_to_date"] = 0.0
+        return out[["checkin_id", "customer_id", "checkin_date",
+                    "n_txns_to_date", "spend_to_date"]]
+    r = right.sort_values("txn_date").reset_index(drop=True)
+    # exact integer cents, same discipline as functions/money.py
+    cents = np.floor(r["total_amount"].to_numpy() * 100.0 + 0.5).astype("int64")
+    cum = np.concatenate(([0], np.cumsum(cents)))
+    pos = np.searchsorted(
+        r["txn_date"].to_numpy(), out["checkin_date"].to_numpy(), side="right"
+    )
+    out["n_txns_to_date"] = pos.astype("int64")
+    out["spend_to_date"] = cum[pos] / 100.0
+    return out[["checkin_id", "customer_id", "checkin_date",
+                "n_txns_to_date", "spend_to_date"]]
+
+
+def cogroup_spend_at_checkin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spend-to-date at every gym check-in, computed with the cogrouped
+    ``applyInPandas`` surface: checkins and transactions are EACH grouped
+    by customer and the two groups meet in one Arrow-batched pandas
+    function — the Spark-native shape for aligning two large per-key
+    sequences (the reference walks per-customer event lists the same way,
+    build_customer_master.py:173-243, single-process).
+
+    Why cogroup instead of a join here: the declarative equivalent is a
+    per-customer range join (txn_date <= checkin_date) whose intermediate
+    fans out to |checkins| × |txns| rows inside every customer before the
+    groupBy collapses it; the cogroup path shuffles each side ONCE on
+    customer_id and does an O(n log n) sorted merge per key with no
+    intermediate blow-up.  Both sides arrive Arrow-batched; money stays
+    exact integer cents inside the worker (functions/money.py
+    discipline), so the output hash-matches the join-based oracle."""
+    from .events import build_checkins
+    from .transactions import build_transactions
+
+    checkins = build_checkins(spark, sf_dir).select(
+        "checkin_id", "customer_id", "checkin_date"
+    )
+    txns = build_transactions(spark, sf_dir).select(
+        "customer_id", "txn_date", "total_amount"
+    )
+    return (
+        checkins.groupby("customer_id")
+        .cogroup(txns.groupby("customer_id"))
+        .applyInPandas(_align_spend, COGROUP_SPEND_SCHEMA)
+        .orderBy("checkin_id")
+    )
+
+
+def cogroup_spend_at_checkin_sql() -> str:
+    from ..functions.money import to_cents_sql
+
+    from .events import checkins_sql
+    from .transactions import transactions_sql
+
+    return f"""
+WITH c AS ({checkins_sql()}),
+t AS ({transactions_sql()})
+SELECT c.checkin_id,
+       c.customer_id,
+       c.checkin_date,
+       count(t.txn_date) AS n_txns_to_date,
+       coalesce(sum({to_cents_sql('t.total_amount')}), 0) / 100.0 AS spend_to_date
+FROM c
+LEFT JOIN t
+  ON t.customer_id = c.customer_id AND t.txn_date <= c.checkin_date
+GROUP BY c.checkin_id, c.customer_id, c.checkin_date
+ORDER BY c.checkin_id
+"""

@@ -37,6 +37,8 @@ from ..functions.money import (
     ratio_sql,
     sum_money,
     sum_money_sql,
+    to_cents,
+    to_cents_sql,
 )
 from ..functions.text import keyword_categorize, keyword_categorize_sql, map_lookup, map_lookup_sql
 from ..io import load_table, materialized
@@ -540,4 +542,63 @@ casted AS (SELECT revenue_category, {casts} FROM wide)
 SELECT revenue_category, metric, value
 FROM casted UNPIVOT (value FOR metric IN ({cols}))
 ORDER BY revenue_category, metric
+"""
+
+
+# ---------------------------------------------------------------------------
+# pivot (long -> wide reshape)
+# ---------------------------------------------------------------------------
+
+# fixed pivot column set: config categories + the default bucket, so the
+# output schema is static in both engines (a pivot over discovered values
+# would need an extra distinct pass AND make the schema data-dependent)
+PIVOT_CATEGORIES: list[tuple[str, str]] = [
+    (cat, cat.lower().replace(" ", "_"))
+    for cat in sorted({c for _, c in config.REVENUE_CATEGORY_KEYWORDS}
+                      | {config.REVENUE_CATEGORY_DEFAULT})
+]
+
+
+def revenue_pivot_by_category(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly net revenue reshaped long → wide with the PIVOT operator
+    (``groupBy().pivot(col, values)``): one row per month, one column per
+    revenue category — the spreadsheet/chart layout of the reference's
+    stacked dashboard chart (dashboard/dashboard.py:555-598).  The
+    companion of ``refund_metrics_long`` (UNPIVOT): together they close
+    the reshape family in both directions.
+
+    Passing the explicit category list to ``pivot()`` matters twice: it
+    keeps the schema static (a bare pivot first runs a distinct job over
+    the corpus to discover values — an extra scan AND a data-dependent
+    schema), and it lets the pivot compile to ONE pass of conditional
+    aggregates over the groupBy — exactly one shuffle on the month key at
+    any scale.  Cells aggregate integer cents (order-insensitive exact),
+    absent (month, category) cells surface as 0.0."""
+    txn = build_transactions(spark, sf_dir)
+    wide = (
+        txn.groupBy(F.trunc("txn_date", "month").alias("month"))
+        .pivot("revenue_category", [cat for cat, _ in PIVOT_CATEGORIES])
+        .agg(F.sum(to_cents(F.col("total_amount"))))
+    )
+    return wide.select(
+        "month",
+        *[
+            (F.coalesce(F.col(f"`{cat}`"), F.lit(0)) / 100.0).alias(alias)
+            for cat, alias in PIVOT_CATEGORIES
+        ],
+    ).orderBy("month")
+
+
+def revenue_pivot_by_category_sql() -> str:
+    cells = ",\n       ".join(
+        f"coalesce(sum(CASE WHEN revenue_category = '{cat}' THEN {to_cents_sql('total_amount')} END), 0) / 100.0 AS {alias}"
+        for cat, alias in PIVOT_CATEGORIES
+    )
+    return f"""
+WITH txn AS ({transactions_sql()})
+SELECT date_trunc('month', txn_date)::date AS month,
+       {cells}
+FROM txn
+GROUP BY 1
+ORDER BY month
 """

@@ -33,7 +33,8 @@ driver-green row at current code.  Round-4 rotation (both sessions):
    markov_transitions / source_token_entropy / refund_metrics_long /
    daily_anomalies / pmi_collocations, and the fifth-session
    quality_rule_battery / unigram_logprob_quality /
-   sorted_neighborhood_pairs) lead block 4 and MUST be
+   sorted_neighborhood_pairs / revenue_pivot_by_category /
+   cogroup_spend_at_checkin) lead block 4 and MUST be
    front-loaded in round 5;
 3. the rest of the window: queries whose source was touched in rounds
    3-4, highest-risk first — the integer-micro signature rewrite
@@ -306,8 +307,10 @@ register("pmi_collocations", ts.pmi_collocations, ts.pmi_collocations_sql())
 # round-4 FIFTH-session additions — same situation (strict-check.py-green at
 # HEAD, no window slot free; part of the round-5 front-load set): the
 # Gopher-style hard-filter rule battery, the unigram-LM perplexity-proxy
-# scorer, and sorted-neighborhood dedup blocking (the sort-key complement
-# to the hash/LSH blockers).
+# scorer, sorted-neighborhood dedup blocking (the sort-key complement to
+# the hash/LSH blockers), the PIVOT wide reshape (UNPIVOT's inverse), and
+# the cogrouped-applyInPandas as-of spend alignment (the last Pandas-UDF
+# surface the engine hadn't exercised).
 register(
     "quality_rule_battery", ts.quality_rule_battery, ts.quality_rule_battery_sql()
 )
@@ -320,6 +323,16 @@ register(
     "sorted_neighborhood_pairs",
     dd.sorted_neighborhood_pairs,
     dd.sorted_neighborhood_pairs_sql(),
+)
+register(
+    "revenue_pivot_by_category",
+    txn.revenue_pivot_by_category,
+    txn.revenue_pivot_by_category_sql(),
+)
+register(
+    "cogroup_spend_at_checkin",
+    lk.cogroup_spend_at_checkin,
+    lk.cogroup_spend_at_checkin_sql(),
 )
 
 # First the eight pushed out by this session's insertions: flags_build /

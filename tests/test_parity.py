@@ -174,3 +174,75 @@ def test_transcendental_micro_parity_random(spark, tmp_path):
             for rec in odf.to_dict("records")
         )
         assert s == o, fn.__name__
+
+
+def test_cogroup_spend_matches_native_join(spark, sf_dir):
+    """The cogrouped applyInPandas alignment must agree row-for-row with
+    the declarative range-join + groupBy plan it replaces."""
+    from pyspark.sql import functions as F
+
+    from basin_climbing_data_pipeline_spark.functions.money import to_cents
+    from basin_climbing_data_pipeline_spark.operators.events import build_checkins
+    from basin_climbing_data_pipeline_spark.operators.linking import (
+        cogroup_spend_at_checkin,
+    )
+    from basin_climbing_data_pipeline_spark.operators.transactions import (
+        build_transactions,
+    )
+
+    c = build_checkins(spark, sf_dir).select("checkin_id", "customer_id", "checkin_date")
+    t = build_transactions(spark, sf_dir).select(
+        "customer_id", "txn_date", to_cents(F.col("total_amount")).alias("cents")
+    )
+    native = (
+        c.join(
+            t,
+            (c["customer_id"] == t["customer_id"])
+            & (t["txn_date"] <= c["checkin_date"]),
+            "left",
+        )
+        .groupBy("checkin_id", c["customer_id"], "checkin_date")
+        .agg(
+            F.count("txn_date").alias("n_txns_to_date"),
+            (F.coalesce(F.sum("cents"), F.lit(0)) / 100.0).alias("spend_to_date"),
+        )
+    )
+    got = {r["checkin_id"]: r for r in cogroup_spend_at_checkin(spark, sf_dir).collect()}
+    want = {r["checkin_id"]: r for r in native.collect()}
+    assert got.keys() == want.keys()
+    mismatches = [
+        k
+        for k in want
+        if (got[k]["n_txns_to_date"], got[k]["spend_to_date"])
+        != (want[k]["n_txns_to_date"], want[k]["spend_to_date"])
+    ]
+    assert not mismatches, mismatches[:5]
+
+
+def test_cogroup_worker_empty_sides():
+    """A customer with checkins but no transactions gets zeros; a customer
+    with transactions but no checkins contributes no rows."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from basin_climbing_data_pipeline_spark.operators.linking import _align_spend
+
+    left = pd.DataFrame(
+        {
+            "checkin_id": [7, 3],
+            "customer_id": [1, 1],
+            "checkin_date": [dt.date(2024, 2, 1), dt.date(2024, 1, 1)],
+        }
+    )
+    right = pd.DataFrame({"customer_id": [], "txn_date": [], "total_amount": []})
+    out = _align_spend(left, right)
+    assert list(out["checkin_id"]) == [3, 7]
+    assert list(out["n_txns_to_date"]) == [0, 0]
+    assert list(out["spend_to_date"]) == [0.0, 0.0]
+
+    out2 = _align_spend(left.iloc[0:0], pd.DataFrame({"customer_id": [1]}))
+    assert len(out2) == 0
+    assert list(out2.columns) == [
+        "checkin_id", "customer_id", "checkin_date", "n_txns_to_date", "spend_to_date",
+    ]

@@ -202,3 +202,20 @@ def test_markov_single_corpus_shuffle_kind(spark, sf_dir):
     # after operates on the 5x5 pair matrix
     st = _audit(spark, sf_dir, "markov_transitions")
     assert st.n_shuffle_exchanges <= 4
+
+
+def test_pivot_is_single_pass(spark, sf_dir):
+    """pivot() with an explicit value list must compile to one conditional
+    aggregation — no extra distinct job to discover pivot values, and only
+    the month-key shuffle + final sort."""
+    st = _audit(spark, sf_dir, "revenue_pivot_by_category")
+    assert st.n_bnl_joins == 0
+    assert st.n_shuffle_exchanges <= 3, st.n_shuffle_exchanges
+
+
+def test_cogroup_shuffles_each_side_once(spark, sf_dir):
+    """The cogroup must shuffle checkins and transactions once each on
+    customer_id (plus the final presentation sort) — no join fan-out."""
+    st = _audit(spark, sf_dir, "cogroup_spend_at_checkin")
+    assert st.n_sort_merge_joins == 0
+    assert st.n_bnl_joins == 0

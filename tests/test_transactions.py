@@ -73,3 +73,28 @@ def test_flagship_shape(spark, sf_dir):
         months.setdefault(r["month"], 0.0)
         months[r["month"]] += r["pct_of_month"]
     assert all(abs(v - 100.0) < 0.5 for v in months.values())
+
+
+def test_revenue_pivot_cells_match_long_table(spark, sf_dir):
+    """Every wide cell equals the corresponding (month, category) net
+    revenue in the long-form flagship table; absent cells are exactly 0."""
+    from basin_climbing_data_pipeline_spark.operators.transactions import (
+        PIVOT_CATEGORIES,
+        revenue_by_month_category,
+        revenue_pivot_by_category,
+    )
+
+    long_rows = {
+        (r["month"], r["revenue_category"]): r["net_revenue"]
+        for r in revenue_by_month_category(spark, sf_dir).collect()
+    }
+    wide = revenue_pivot_by_category(spark, sf_dir).collect()
+    assert wide, "pivot produced no rows"
+    alias_to_cat = {alias: cat for cat, alias in PIVOT_CATEGORIES}
+    seen = 0
+    for row in wide:
+        for alias, cat in alias_to_cat.items():
+            want = long_rows.get((row["month"], cat), 0.0)
+            assert abs(row[alias] - want) < 1e-9, (row["month"], cat)
+            seen += row[alias] != 0.0
+    assert seen == len(long_rows), "wide cells and long rows must cover each other"
