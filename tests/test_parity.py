@@ -233,9 +233,10 @@ def test_cogroup_worker_empty_sides():
             "checkin_id": [7, 3],
             "customer_id": [1, 1],
             "checkin_date": [dt.date(2024, 2, 1), dt.date(2024, 1, 1)],
+            "checkin_day": [19754, 19723],
         }
     )
-    right = pd.DataFrame({"customer_id": [], "txn_date": [], "total_amount": []})
+    right = pd.DataFrame({"customer_id": [], "txn_day": [], "total_amount": []})
     out = _align_spend(left, right)
     assert list(out["checkin_id"]) == [3, 7]
     assert list(out["n_txns_to_date"]) == [0, 0]
