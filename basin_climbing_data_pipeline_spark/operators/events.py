@@ -457,3 +457,75 @@ FROM gaps
 WHERE gap_days >= {break_days}
 GROUP BY customer_id
 """
+
+
+# ---------------------------------------------------------------------------
+# native session windows (F.session_window batch aggregation)
+# ---------------------------------------------------------------------------
+
+
+def native_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with Spark's built-in ``session_window`` aggregation —
+    the declarative form of :func:`checkin_sessions`' lag → flag → cumsum
+    pipeline, and the one that carries over verbatim to Structured
+    Streaming (a streaming groupBy(session_window) keeps per-key open
+    sessions as state and closes them on watermark advance).
+
+    Boundary semantics differ from the lag formulation by one equality:
+    ``session_window`` merges two events iff their gap is STRICTLY less
+    than the gap duration (the window is [ts, ts+gap)), while the lag
+    pipeline starts a new session on gap > threshold; the oracle pins the
+    native semantics (``diff >= gap`` → new session).
+
+    Scale shape: one shuffle on customer_id; the session merge runs
+    inside the per-key sort Spark already does for the aggregation — no
+    window-function pass, no self-join."""
+    ck = build_checkins(spark, sf_dir)
+    sw = F.session_window(
+        F.timestamp_micros(F.col("checkin_ts_us")), f"{SESSION_GAP_SECONDS} seconds"
+    )
+    return (
+        ck.groupBy("customer_id", sw.alias("sw"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("checkin_ts_us").alias("session_start_us"),
+            F.max("checkin_ts_us").alias("session_end_us"),
+            sum_money(F.col("spend_amount")).alias("session_spend"),
+        )
+        .select(
+            "customer_id",
+            "session_start_us",
+            "session_end_us",
+            "n_events",
+            "session_spend",
+        )
+        .orderBy("customer_id", "session_start_us")
+    )
+
+
+def native_session_windows_sql() -> str:
+    gap_us = SESSION_GAP_SECONDS * 1_000_000
+    return f"""
+WITH ck AS ({checkins_sql()}),
+flagged AS (
+  SELECT *, CASE WHEN lag(checkin_ts_us) OVER w IS NULL
+                   OR checkin_ts_us - lag(checkin_ts_us) OVER w >= {gap_us}
+                 THEN 1 ELSE 0 END AS is_new_session
+  FROM ck
+  WINDOW w AS (PARTITION BY customer_id ORDER BY checkin_ts_us, checkin_id)
+),
+sessioned AS (
+  SELECT *, sum(is_new_session) OVER (
+      PARTITION BY customer_id ORDER BY checkin_ts_us, checkin_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM flagged
+)
+SELECT customer_id,
+       min(checkin_ts_us) AS session_start_us,
+       max(checkin_ts_us) AS session_end_us,
+       count(*) AS n_events,
+       {sum_money_sql('spend_amount')} AS session_spend
+FROM sessioned
+GROUP BY customer_id, session_seq
+ORDER BY customer_id, session_start_us
+"""

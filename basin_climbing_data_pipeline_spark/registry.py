@@ -34,8 +34,8 @@ driver-green row at current code.  Round-4 rotation (both sessions):
    daily_anomalies / pmi_collocations, and the fifth-session
    quality_rule_battery / unigram_logprob_quality /
    sorted_neighborhood_pairs / revenue_pivot_by_category /
-   cogroup_spend_at_checkin) lead block 4 and MUST be
-   front-loaded in round 5;
+   cogroup_spend_at_checkin / native_session_windows) lead block 4
+   and MUST be front-loaded in round 5;
 3. the rest of the window: queries whose source was touched in rounds
    3-4, highest-risk first — the integer-micro signature rewrite
    (lsh_buckets, embedding_near_dup_pairs), the leads/customers/dedup
@@ -333,6 +333,11 @@ register(
     "cogroup_spend_at_checkin",
     lk.cogroup_spend_at_checkin,
     lk.cogroup_spend_at_checkin_sql(),
+)
+register(
+    "native_session_windows",
+    ev.native_session_windows,
+    ev.native_session_windows_sql(),
 )
 
 # First the eight pushed out by this session's insertions: flags_build /

@@ -96,3 +96,50 @@ def test_stateful_sessionizer_matches_batch(spark, sf_dir):
     # open session flushes depends on the end-of-stream timeout pass
     assert closed <= streamed <= all_sessions
     assert len(all_sessions - streamed) <= batch.select("customer_id").distinct().count()
+
+
+def test_native_session_windows_invariants(spark, sf_dir):
+    """session_window output must partition the checkin stream: per-customer
+    sessions are disjoint, separated by >= the gap, and account for every
+    checkin exactly once."""
+    from basin_climbing_data_pipeline_spark.operators.events import (
+        SESSION_GAP_SECONDS,
+        build_checkins,
+        native_session_windows,
+    )
+
+    rows = native_session_windows(spark, sf_dir).collect()
+    total = sum(r["n_events"] for r in rows)
+    assert total == build_checkins(spark, sf_dir).count()
+    by_cust: dict[int, list] = {}
+    for r in rows:
+        assert r["session_start_us"] <= r["session_end_us"]
+        by_cust.setdefault(r["customer_id"], []).append(r)
+    gap_us = SESSION_GAP_SECONDS * 1_000_000
+    for sessions in by_cust.values():
+        sessions.sort(key=lambda r: r["session_start_us"])
+        for a, b in zip(sessions, sessions[1:]):
+            assert b["session_start_us"] - a["session_end_us"] >= gap_us
+
+
+def test_native_session_windows_matches_lag_pipeline(spark, sf_dir):
+    """The built-in session_window and the lag → cumsum formulation must
+    produce identical sessions (up to the documented boundary equality,
+    absent from this corpus: microsecond timestamps never tie at exactly
+    the 30-minute gap)."""
+    from basin_climbing_data_pipeline_spark.operators.events import (
+        checkin_sessions,
+        native_session_windows,
+    )
+
+    native = {
+        (r["customer_id"], r["session_start_us"], r["session_end_us"], r["n_events"],
+         r["session_spend"])
+        for r in native_session_windows(spark, sf_dir).collect()
+    }
+    lagged = {
+        (r["customer_id"], r["session_start_us"], r["session_end_us"], r["n_events"],
+         r["session_spend"])
+        for r in checkin_sessions(spark, sf_dir).collect()
+    }
+    assert native == lagged
