@@ -226,3 +226,136 @@ SELECT s.n_nodes, s.n_edges, t.n_triangles, s.n_wedges,
        END AS clustering_coeff
 FROM tri t, stats s
 """
+
+
+# ---------------------------------------------------------------------------
+# common-neighbor link prediction
+# ---------------------------------------------------------------------------
+
+RECS_TOP_K = 20
+# Per-node adjacency cap for wedge generation: keep each node's ADJ_CAP
+# strongest ties (by co-presence count, deterministic tie-break) before
+# joining.  Wedge volume is Σ deg² — unbounded as the graph densifies (the
+# 4× probe measured 8.7× on the uncapped join, same cause as
+# triangle_stats' 7.7×) — capping bounds it at N·ADJ_CAP², which is the
+# standard production shape for common-neighbor scoring (recommendations
+# beyond a node's top ties are noise anyway).
+ADJ_CAP = 16
+
+
+def common_neighbor_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction by common-neighbor counting: for every NON-adjacent
+    ordered pair (a < b) sharing at least one strong-tie neighbor within
+    the capped adjacency, score the pair by its common-neighbor count and
+    neighbor-set Jaccard, and keep the global top-``RECS_TOP_K``.  This is
+    the classic friend-of-friend recommender over the co-presence graph —
+    the missing member of the graph family next to reachability
+    (dedup_clusters), centrality (pagerank_proximity) and local structure
+    (triangle_stats).  Reference analog: build_customer_connections.py's
+    strength table is exactly the edge input a gym would feed "climbs with
+    your partners" suggestions from.
+
+    Scale shape: adjacency is capped per node FIRST (one window over the
+    edge list — see ``ADJ_CAP``), then candidate pairs come from the same
+    ordered wedge equi-join as the triangle census, now bounded at
+    N·ADJ_CAP² instead of Σ deg²; direct edges leave via one left-anti
+    equi-join; Jaccard needs only the two endpoint (capped) degrees —
+    |N(a) ∪ N(b)| = deg(a) + deg(b) − common."""
+    from pyspark.sql import Window
+
+    from ..functions.money import ratio
+    from .events import proximity_connections
+
+    pairs = (
+        proximity_connections(spark, sf_dir)
+        .filter(F.col("strength_score") >= STRONG_TIE_MIN)
+        .select(
+            F.col("customer_id_1").alias("a"),
+            F.col("customer_id_2").alias("b"),
+            "n_copresent",
+        )
+    )
+    directed = pairs.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), "n_copresent"
+    ).unionByName(
+        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"), "n_copresent")
+    )
+    wcap = Window.partitionBy("src").orderBy(F.desc("n_copresent"), "dst")
+    edges = (
+        directed.withColumn("_rn", F.row_number().over(wcap))
+        .filter(F.col("_rn") <= ADJ_CAP)
+        .select("src", "dst")
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("degree"))
+    e1, e2 = edges.alias("e1"), edges.alias("e2")
+    wedges = e1.join(e2, F.col("e1.dst") == F.col("e2.src")).filter(
+        F.col("e1.src") < F.col("e2.dst")
+    )
+    cand = wedges.groupBy(
+        F.col("e1.src").alias("a"), F.col("e2.dst").alias("b")
+    ).agg(F.count("*").alias("common_neighbors"))
+    direct = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    non_adj = cand.join(direct, ["a", "b"], "left_anti")
+    da = deg.select(F.col("src").alias("a"), F.col("degree").alias("deg_a"))
+    db = deg.select(F.col("src").alias("b"), F.col("degree").alias("deg_b"))
+    return (
+        non_adj.join(F.broadcast(da), "a")
+        .join(F.broadcast(db), "b")
+        .select(
+            "a",
+            "b",
+            "common_neighbors",
+            ratio(
+                F.col("common_neighbors").cast("double"),
+                (F.col("deg_a") + F.col("deg_b") - F.col("common_neighbors")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("neighbor_jaccard"),
+        )
+        .orderBy(F.desc("common_neighbors"), F.desc("neighbor_jaccard"), "a", "b")
+        .limit(RECS_TOP_K)
+    )
+
+
+def common_neighbor_recs_sql() -> str:
+    from .events import proximity_connections_sql
+
+    return f"""
+WITH prox AS MATERIALIZED ({proximity_connections_sql()}),
+pairs AS MATERIALIZED (SELECT customer_id_1 AS a, customer_id_2 AS b, n_copresent
+          FROM prox WHERE strength_score >= {STRONG_TIE_MIN}),
+directed AS (
+  SELECT a AS src, b AS dst, n_copresent FROM pairs
+  UNION ALL
+  SELECT b AS src, a AS dst, n_copresent FROM pairs
+),
+edges AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT src, dst,
+           row_number() OVER (PARTITION BY src
+                              ORDER BY n_copresent DESC, dst) AS rn
+    FROM directed
+  ) WHERE rn <= {ADJ_CAP}
+),
+degree AS (SELECT src, count(*) AS degree FROM edges GROUP BY src),
+cand AS (
+  SELECT e1.src AS a, e2.dst AS b, count(*) AS common_neighbors
+  FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
+  WHERE e1.src < e2.dst
+  GROUP BY e1.src, e2.dst
+),
+non_adj AS (
+  SELECT c.* FROM cand c
+  ANTI JOIN edges e ON e.src = c.a AND e.dst = c.b
+)
+SELECT n.a, n.b, n.common_neighbors,
+       floor(n.common_neighbors::double
+             / (da.degree + db.degree - n.common_neighbors) * 1000000.0 + 0.5)
+         / 1000000.0 AS neighbor_jaccard
+FROM non_adj n
+JOIN degree da ON da.src = n.a
+JOIN degree db ON db.src = n.b
+ORDER BY n.common_neighbors DESC, neighbor_jaccard DESC, n.a, n.b
+LIMIT {RECS_TOP_K}
+"""

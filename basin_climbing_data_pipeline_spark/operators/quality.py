@@ -1,0 +1,168 @@
+"""Warehouse data-quality constraint audit (deequ/dbt-test-style).
+
+The reference defends against dirty data ad hoc at every load site —
+``if col in df.columns`` (shared/data_loader.py:24-27), ``errors='coerce'``
+timestamp parsing (shared/data_loader.py:23-28), ``row.get(..., default)``
+(build_customer_master.py:187-191) — but never *measures* it.  A pipeline
+that feeds training data needs the declarative form: a constraint table
+(uniqueness, referential integrity, null rates, domain rules) evaluated on
+every build, with violation counts as first-class output.
+
+Each check is one aggregation over one warehouse table; checks on the same
+table share a scan via a single multi-aggregate projection where possible.
+At 100 TB this is the cheapest shape there is — metadata-only reads would
+skip violations, and every check is a map-side partial aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def warehouse_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per constraint: (check_name, n_rows, n_violations, passed).
+
+    Checks:
+    - ``transactions.transaction_id`` unique (ST4's exactly-once guarantee,
+      reference pipeline_handler.py:330-331)
+    - ``transactions.total_amount`` non-null
+    - ``checkins.customer_id`` references ``customers`` (the id-space
+      discipline of reference id_mapping.py:21-102)
+    - ``memberships`` interval sanity: start_date <= end_date
+    - ``customers.email`` well-formed (reference customer_matching.py:19-38)
+    - ``checkins.entry_method`` in the known code domain (reference
+      fetch_capitan_checkin_data.py MEM/ENT/GUE/FRE/EVE codes)
+    """
+    from .. import config
+    from .customers import build_customers
+    from .events import build_checkins
+    from .memberships import build_memberships_2024
+    from .transactions import build_transactions
+
+    txn = build_transactions(spark, sf_dir)
+    ck = build_checkins(spark, sf_dir)
+    cust = build_customers(spark, sf_dir)
+    mem = build_memberships_2024(spark, sf_dir)
+
+    txn_stats = txn.agg(
+        F.count("*").alias("n"),
+        (F.count("*") - F.countDistinct("transaction_id")).alias("dup_ids"),
+        F.count(F.when(F.col("total_amount").isNull(), 1)).alias("null_amounts"),
+    )
+    txn_checks = txn_stats.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("transactions_id_unique").alias("check_name"),
+                    F.col("n").alias("n_rows"),
+                    F.col("dup_ids").alias("n_violations"),
+                ),
+                F.struct(
+                    F.lit("transactions_amount_not_null").alias("check_name"),
+                    F.col("n").alias("n_rows"),
+                    F.col("null_amounts").alias("n_violations"),
+                ),
+            )
+        ).alias("c")
+    ).select("c.check_name", "c.n_rows", "c.n_violations")
+
+    # FK check as ONE left join + conditional count — no separate anti-join
+    # job, and the dimension side broadcasts
+    orphan = (
+        ck.join(
+            F.broadcast(cust.select(F.col("customer_id").alias("known_id"))),
+            ck["customer_id"] == F.col("known_id"),
+            "left",
+        )
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count(F.when(F.col("known_id").isNull(), 1)).alias("n_violations"),
+        )
+        .select(F.lit("checkins_customer_fk").alias("check_name"), "n_rows", "n_violations")
+    )
+
+    mem_checks = mem.agg(
+        F.count("*").alias("n_rows"),
+        F.count(F.when(F.col("start_date") > F.col("end_date"), 1)).alias("n_violations"),
+    ).select(F.lit("memberships_date_order").alias("check_name"), "n_rows", "n_violations")
+
+    email_ok = F.col("email").rlike(r"^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}$")
+    cust_checks = cust.agg(
+        F.count("*").alias("n_rows"),
+        F.count(F.when(F.col("email").isNotNull() & ~email_ok, 1)).alias("n_violations"),
+    ).select(F.lit("customers_email_format").alias("check_name"), "n_rows", "n_violations")
+
+    entry_methods = sorted(set(config.ENTRY_METHOD_BY_EVENT_TYPE.values()) | {"UNK"})
+    entry_domain = ck.agg(
+        F.count("*").alias("n_rows"),
+        F.count(F.when(~F.col("entry_method").isin(*entry_methods), 1)).alias(
+            "n_violations"
+        ),
+    ).select(F.lit("checkins_entry_domain").alias("check_name"), "n_rows", "n_violations")
+
+    all_checks = (
+        txn_checks.unionByName(orphan)
+        .unionByName(mem_checks)
+        .unionByName(cust_checks)
+        .unionByName(entry_domain)
+    )
+    return all_checks.select(
+        "check_name",
+        "n_rows",
+        "n_violations",
+        (F.col("n_violations") == 0).alias("passed"),
+    ).orderBy("check_name")
+
+
+def warehouse_constraint_audit_sql() -> str:
+    from .. import config
+    from .customers import customers_sql
+    from .events import checkins_sql
+    from .memberships import memberships_2024_sql
+    from .transactions import transactions_sql
+
+    entry_methods = sorted(set(config.ENTRY_METHOD_BY_EVENT_TYPE.values()) | {"UNK"})
+    entry_list = ", ".join(f"'{m}'" for m in entry_methods)
+    return f"""
+WITH txn AS ({transactions_sql()}),
+ck AS ({checkins_sql()}),
+cust AS ({customers_sql()}),
+mem AS ({memberships_2024_sql()}),
+checks AS (
+  SELECT 'transactions_id_unique' AS check_name,
+         count(*) AS n_rows,
+         count(*) - count(DISTINCT transaction_id) AS n_violations
+  FROM txn
+  UNION ALL
+  SELECT 'transactions_amount_not_null', count(*),
+         count(CASE WHEN total_amount IS NULL THEN 1 END)
+  FROM txn
+  UNION ALL
+  SELECT 'checkins_customer_fk',
+         (SELECT count(*) FROM ck),
+         (SELECT count(*) FROM ck
+          WHERE customer_id NOT IN (SELECT customer_id FROM cust))
+  UNION ALL
+  SELECT 'memberships_date_order', count(*),
+         count(CASE WHEN start_date > end_date THEN 1 END)
+  FROM mem
+  UNION ALL
+  SELECT 'customers_email_format', count(*),
+         count(CASE WHEN email IS NOT NULL
+                     AND NOT regexp_matches(email,
+                       '^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}$')
+                    THEN 1 END)
+  FROM cust
+  UNION ALL
+  SELECT 'checkins_entry_domain', count(*),
+         count(CASE WHEN entry_method NOT IN ({entry_list}) THEN 1 END)
+  FROM ck
+)
+SELECT check_name,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(n_violations AS BIGINT) AS n_violations,
+       n_violations = 0 AS passed
+FROM checks
+ORDER BY check_name
+"""

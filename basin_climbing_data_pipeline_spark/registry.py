@@ -34,7 +34,8 @@ driver-green row at current code.  Round-4 rotation (both sessions):
    daily_anomalies / pmi_collocations, and the fifth-session
    quality_rule_battery / unigram_logprob_quality /
    sorted_neighborhood_pairs / revenue_pivot_by_category /
-   cogroup_spend_at_checkin / native_session_windows) lead block 4
+   cogroup_spend_at_checkin / native_session_windows /
+   common_neighbor_recs / warehouse_constraint_audit) lead block 4
    and MUST be front-loaded in round 5;
 3. the rest of the window: queries whose source was touched in rounds
    3-4, highest-risk first — the integer-micro signature rewrite
@@ -61,6 +62,7 @@ from .operators import graph as gr
 from .operators import leads as ld
 from .operators import linking as lk
 from .operators import multimodal as mm
+from .operators import quality as qa
 from .operators import sampling as sp
 from .operators import similarity as sim
 from .operators import sketches as sketch
@@ -338,6 +340,16 @@ register(
     "native_session_windows",
     ev.native_session_windows,
     ev.native_session_windows_sql(),
+)
+register(
+    "common_neighbor_recs",
+    gr.common_neighbor_recs,
+    gr.common_neighbor_recs_sql(),
+)
+register(
+    "warehouse_constraint_audit",
+    qa.warehouse_constraint_audit,
+    qa.warehouse_constraint_audit_sql(),
 )
 
 # First the eight pushed out by this session's insertions: flags_build /
