@@ -863,3 +863,93 @@ WHERE k >= 2
                 * 1000000.0 + 0.5)) >= {ANOMALY_Z_MICRO}
 ORDER BY event_type, d
 """
+
+
+# ---------------------------------------------------------------------------
+# ntile decile segmentation
+# ---------------------------------------------------------------------------
+
+N_SPEND_DECILES = 10
+
+
+def spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer lifetime-spend decile segmentation via the ``ntile`` window:
+    rank every purchasing customer into N_SPEND_DECILES equal-size buckets
+    and report per-decile size, spend range, and share of total revenue —
+    the whale-curve table behind "top 10% of customers drive X%" (the
+    reference's top-spenders head() report, build_customer_master.py:439,
+    generalized to the full distribution).
+
+    Determinism: ntile over an ORDER BY with a total order (spend cents
+    desc, customer_id) assigns identical buckets in any engine — both
+    Spark and DuckDB define ntile by row position with larger buckets
+    first, so the tie-break ordering is the only thing that matters.
+
+    Scale shape: the per-customer rollup shuffles once on customer_id;
+    ntile then needs a global row order, which Spark executes as a
+    single-partition window — fine over the ALREADY-AGGREGATED rows (one
+    per customer) at this corpus, but the honest 1e9-customer form
+    derives the 9 cut points from a quantile sketch (histogram_quantiles'
+    machinery) and assigns deciles by range comparison, map-side.  Exact
+    ntile is kept here because it is the oracle-checkable definition."""
+    from .transactions import build_transactions
+
+    txn = build_transactions(spark, sf_dir)
+    per_cust = txn.groupBy("customer_id").agg(
+        F.sum(to_cents(F.col("total_amount"))).alias("spend_cents")
+    )
+    w = Window.orderBy(F.desc("spend_cents"), "customer_id")
+    tiled = per_cust.withColumn("decile", F.ntile(N_SPEND_DECILES).over(w))
+    total = tiled.select(F.sum("spend_cents").alias("t"))
+    return (
+        tiled.groupBy("decile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            (F.max("spend_cents") / 100.0).alias("max_spend"),
+            (F.min("spend_cents") / 100.0).alias("min_spend"),
+            (F.sum("spend_cents") / 100.0).alias("decile_spend"),
+            F.sum("spend_cents").alias("_cents"),
+        )
+        .join(F.broadcast(total))
+        .select(
+            "decile",
+            "n_customers",
+            "max_spend",
+            "min_spend",
+            "decile_spend",
+            ratio(F.col("_cents").cast("double") * 100.0, F.col("t").cast("double"), 2).alias(
+                "pct_of_revenue"
+            ),
+        )
+        .orderBy("decile")
+    )
+
+
+def spend_deciles_sql() -> str:
+    from .transactions import transactions_sql
+
+    return f"""
+WITH txn AS ({transactions_sql()}),
+per_cust AS (
+  SELECT customer_id, sum({to_cents_sql('total_amount')}) AS spend_cents
+  FROM txn GROUP BY customer_id
+),
+tiled AS (
+  SELECT *, ntile({N_SPEND_DECILES}) OVER (ORDER BY spend_cents DESC, customer_id)
+         AS decile
+  FROM per_cust
+),
+rolled AS (
+  SELECT decile,
+         count(*) AS n_customers,
+         max(spend_cents) / 100.0 AS max_spend,
+         min(spend_cents) / 100.0 AS min_spend,
+         sum(spend_cents) / 100.0 AS decile_spend,
+         sum(spend_cents) AS cents
+  FROM tiled GROUP BY decile
+)
+SELECT decile, n_customers, max_spend, min_spend, decile_spend,
+       {ratio_sql('cents::double * 100.0', '(SELECT sum(cents) FROM rolled)::double', 2)} AS pct_of_revenue
+FROM rolled
+ORDER BY decile
+"""

@@ -602,3 +602,61 @@ FROM txn
 GROUP BY 1
 ORDER BY month
 """
+
+
+# ---------------------------------------------------------------------------
+# CUBE aggregation (all grouping-set combinations)
+# ---------------------------------------------------------------------------
+
+
+def revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Net revenue over the full CUBE of (month, revenue_category,
+    data_source): every subtotal combination — per month, per category, per
+    source, each pairing, and the grand total — in ONE aggregation pass,
+    with ``grouping_id`` labeling which dimensions each row aggregates
+    over.  Completes the grouping-sets family next to period_snapshots'
+    ROLLUP (SURVEY §2.4 A12): the reference assembles its 'all' rows by
+    manual concat (build_conversion_rate_analysis.py:505-516); CUBE is the
+    declarative superset.
+
+    Scale shape: Spark expands the cube map-side (each input row fans out
+    to 2³ grouping sets) and ships partial aggregates — one shuffle, same
+    as a plain groupBy, with 8× the (still tiny) key space.  NULL
+    dimension values in subtotal rows are re-labeled 'ALL' so the output
+    is unambiguous (and so the oracle's CUBE — which also uses NULL —
+    hashes identically after the same relabel)."""
+    txn = build_transactions(spark, sf_dir)
+    month = F.trunc("txn_date", "month")
+    cubed = (
+        txn.cube(month.alias("month"), F.col("revenue_category"), F.col("data_source"))
+        .agg(
+            sum_money(F.col("total_amount")).alias("net_revenue"),
+            F.count("*").alias("txn_count"),
+            F.grouping_id().alias("grouping_id"),
+        )
+    )
+    return cubed.select(
+        F.coalesce(F.col("month").cast("string"), F.lit("ALL")).alias("month"),
+        F.coalesce(F.col("revenue_category"), F.lit("ALL")).alias("revenue_category"),
+        F.coalesce(F.col("data_source"), F.lit("ALL")).alias("data_source"),
+        "net_revenue",
+        "txn_count",
+        "grouping_id",
+    ).orderBy("grouping_id", "month", "revenue_category", "data_source")
+
+
+def revenue_cube_sql() -> str:
+    return f"""
+WITH txn AS ({transactions_sql()})
+SELECT coalesce(CAST(date_trunc('month', txn_date)::date AS VARCHAR), 'ALL') AS month,
+       coalesce(revenue_category, 'ALL') AS revenue_category,
+       coalesce(data_source, 'ALL') AS data_source,
+       {sum_money_sql('total_amount')} AS net_revenue,
+       count(*) AS txn_count,
+       CAST(grouping(date_trunc('month', txn_date)) * 4
+            + grouping(revenue_category) * 2
+            + grouping(data_source) AS BIGINT) AS grouping_id
+FROM txn
+GROUP BY CUBE (date_trunc('month', txn_date), revenue_category, data_source)
+ORDER BY grouping_id, month, revenue_category, data_source
+"""

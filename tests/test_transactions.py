@@ -98,3 +98,44 @@ def test_revenue_pivot_cells_match_long_table(spark, sf_dir):
             assert abs(row[alias] - want) < 1e-9, (row["month"], cat)
             seen += row[alias] != 0.0
     assert seen == len(long_rows), "wide cells and long rows must cover each other"
+
+
+def test_revenue_cube_consistency(spark, sf_dir):
+    """Cube slices must agree with the plain groupBy table and with each
+    other: the grand-total row equals the sum of the fully-grouped cells,
+    and the (month, category) slice matches revenue_by_month_category."""
+    from basin_climbing_data_pipeline_spark.operators.transactions import (
+        revenue_by_month_category,
+        revenue_cube,
+    )
+
+    rows = revenue_cube(spark, sf_dir).collect()
+    detail = [r for r in rows if r["grouping_id"] == 0]
+    grand = [r for r in rows if r["grouping_id"] == 7]
+    assert len(grand) == 1
+    assert grand[0]["txn_count"] == sum(r["txn_count"] for r in detail)
+    assert abs(grand[0]["net_revenue"] - sum(r["net_revenue"] for r in detail)) < 1e-6
+    # grouping_id 1 = source aggregated away -> (month, category) slice
+    slice_mc = {
+        (r["month"], r["revenue_category"]): (r["net_revenue"], r["txn_count"])
+        for r in rows
+        if r["grouping_id"] == 1
+    }
+    for r in revenue_by_month_category(spark, sf_dir).collect():
+        got = slice_mc[(str(r["month"]), r["revenue_category"])]
+        assert got == (r["net_revenue"], r["txn_count"])
+
+
+def test_spend_deciles_partition_customers(spark, sf_dir):
+    """Deciles must partition purchasing customers into near-equal buckets
+    (sizes differ by at most 1), be monotonically ordered by spend, and
+    account for 100% of revenue."""
+    from basin_climbing_data_pipeline_spark.operators.cohorts import spend_deciles
+
+    rows = sorted(spend_deciles(spark, sf_dir).collect(), key=lambda r: r["decile"])
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    sizes = [r["n_customers"] for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    for a, b in zip(rows, rows[1:]):
+        assert a["min_spend"] >= b["max_spend"]
+    assert abs(sum(r["pct_of_revenue"] for r in rows) - 100.0) < 0.1
