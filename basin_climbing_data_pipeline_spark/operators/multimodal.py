@@ -262,3 +262,86 @@ SELECT doc_id, w::int AS width, h::int AS height, thumb_sum,
 FROM thumb
 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# frame sampling as a driver-checked query
+# ---------------------------------------------------------------------------
+
+FRAME_SAMPLE_EVERY_N = 10
+FRAME_SIZE_BYTES = 64
+
+FRAME_SAMPLE_SCHEMA = (
+    "doc_id long, n_frames long, n_sampled long, sampled_checksum long"
+)
+
+
+def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FRAME-SAMPLE stage as a driver-checked query: treat each payload
+    as a fixed-size frame stream, keep every ``FRAME_SAMPLE_EVERY_N``-th
+    frame (:func:`sample_frames` — the ffmpeg ``select=not(mod(n,N))``
+    contract), and emit per-document frame counts plus an exact integer
+    byte-sum checksum over the sampled frames, via Arrow-batched
+    ``mapInPandas``.  Completes the multimodal quartet
+    (decode / feature-extract / resize / frame-sample) as registered
+    queries.  The stub frames are byte slices, so the DuckDB oracle
+    replays the stride arithmetic on the utf-8 text bit-exactly.
+
+    Scale shape: embarrassingly parallel map over payload partitions —
+    no shuffle until the (tiny) presentation sort; a real ffmpeg sampler
+    occupies exactly this plan position with the same batch contract."""
+    import pandas as pd
+
+    media = build_media_table(spark, sf_dir)
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                all_frames = [
+                    b[i : i + FRAME_SIZE_BYTES].ljust(FRAME_SIZE_BYTES, b"\x00")
+                    for i in range(0, max(len(b), 1), FRAME_SIZE_BYTES)
+                ]
+                sampled = sample_frames(b, every_n=FRAME_SAMPLE_EVERY_N)
+                rows.append(
+                    (
+                        doc_id,
+                        len(all_frames),
+                        len(sampled),
+                        sum(sum(f) for f in sampled),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_frames", "n_sampled", "sampled_checksum"]
+            )
+
+    return media.mapInPandas(_sample, FRAME_SAMPLE_SCHEMA).orderBy("doc_id")
+
+
+def media_frame_sample_sql() -> str:
+    fs = FRAME_SIZE_BYTES
+    k = FRAME_SAMPLE_EVERY_N
+    return f"""
+WITH s AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS nb FROM documents
+),
+dims AS (
+  SELECT doc_id, text,
+         CAST(ceil(greatest(nb, 1)::double / {fs}) AS BIGINT) AS n_frames
+  FROM s
+),
+sums AS (
+  SELECT doc_id, n_frames,
+         CAST((n_frames + {k} - 1) // {k} AS BIGINT) AS n_sampled,
+         CAST(coalesce(list_sum(
+           [CASE WHEN ((i - 1) // {fs}) % {k} = 0
+                 THEN ord(substring(text, i, 1)) ELSE 0 END
+            FOR i IN range(1, length(text) + 1)]
+         ), 0) AS BIGINT) AS sampled_checksum
+  FROM dims
+)
+SELECT doc_id, n_frames, n_sampled, sampled_checksum
+FROM sums
+ORDER BY doc_id
+"""

@@ -36,7 +36,8 @@ driver-green row at current code.  Round-4 rotation (both sessions):
    sorted_neighborhood_pairs / revenue_pivot_by_category /
    cogroup_spend_at_checkin / native_session_windows /
    common_neighbor_recs / warehouse_constraint_audit / revenue_cube /
-   spend_deciles) lead block 4 and MUST be front-loaded in round 5;
+   media_frame_sample / spend_deciles) lead block 4 and MUST be
+   front-loaded in round 5;
 3. the rest of the window: queries whose source was touched in rounds
    3-4, highest-risk first — the integer-micro signature rewrite
    (lsh_buckets, embedding_near_dup_pairs), the leads/customers/dedup
@@ -352,6 +353,7 @@ register(
     qa.warehouse_constraint_audit_sql(),
 )
 register("revenue_cube", txn.revenue_cube, txn.revenue_cube_sql())
+register("media_frame_sample", mm.media_frame_sample, mm.media_frame_sample_sql())
 register("spend_deciles", co.spend_deciles, co.spend_deciles_sql())
 
 # First the eight pushed out by this session's insertions: flags_build /

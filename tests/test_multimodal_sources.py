@@ -158,3 +158,24 @@ def test_resize_upscale_and_downscale():
     assert len(up["pixels"]) == 2000
     down = resize_image(payload, out_w=1, out_h=1)
     assert len(down["pixels"]) == 1
+
+
+def test_media_frame_sample_matches_python(spark, sf_dir):
+    """Spark's mapInPandas frame-sample stage must agree with a direct
+    Python replay over the same payloads."""
+    from basin_climbing_data_pipeline_spark.io import load_table
+    from basin_climbing_data_pipeline_spark.operators import multimodal as mm
+
+    got = {r["doc_id"]: r for r in mm.media_frame_sample(spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    assert len(got) == len(docs)
+    for r in docs[:25]:
+        b = r["text"].encode()
+        frames = [
+            b[i : i + 64].ljust(64, b"\x00") for i in range(0, max(len(b), 1), 64)
+        ]
+        sampled = frames[::10]
+        g = got[r["doc_id"]]
+        assert g["n_frames"] == len(frames)
+        assert g["n_sampled"] == len(sampled)
+        assert g["sampled_checksum"] == sum(sum(f) for f in sampled)
