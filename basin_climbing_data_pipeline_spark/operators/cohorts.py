@@ -953,3 +953,93 @@ SELECT decile, n_customers, max_spend, min_spend, decile_spend,
 FROM rolled
 ORDER BY decile
 """
+
+
+# ---------------------------------------------------------------------------
+# retention triangle (cohort survival matrix)
+# ---------------------------------------------------------------------------
+
+
+def retention_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: customers grouped by first-checkin
+    week (the cohort), each later week's active share reported as
+    ``pct_retained`` — the survival-curve table behind every retention
+    chart, and the companion of :func:`conversion_cohorts` (which measures
+    conversion; this measures coming back).  Reference analog: the
+    recency/engagement tables (build_day_pass_engagement_table.py:114-121)
+    summarize the same behavior per customer; the triangle is its cohort
+    rollup.
+
+    Scale shape: first-checkin week is one groupBy on customer_id; the
+    join back is keyed on the same column (co-partitioned); the triangle
+    rollup grows as cohorts × offsets — tiny at any corpus size.  Weekly
+    activity is DISTINCT (customer, week) so a daily regular doesn't
+    inflate retention."""
+    from .events import build_checkins
+
+    ck = build_checkins(spark, sf_dir).select(
+        "customer_id", F.to_date(F.date_trunc("week", F.col("checkin_date"))).alias("week")
+    )
+    first_week = ck.groupBy("customer_id").agg(F.min("week").alias("cohort_week"))
+    active = (
+        ck.distinct()
+        .join(first_week, "customer_id")
+        .select(
+            "cohort_week",
+            F.floor(F.datediff(F.col("week"), F.col("cohort_week")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+            "customer_id",
+        )
+    )
+    counts = active.groupBy("cohort_week", "week_offset").agg(
+        F.countDistinct("customer_id").alias("n_active")
+    )
+    sizes = counts.filter(F.col("week_offset") == 0).select(
+        "cohort_week", F.col("n_active").alias("cohort_size")
+    )
+    return (
+        counts.join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_active",
+            "cohort_size",
+            ratio(F.col("n_active").cast("double") * 100.0, F.col("cohort_size").cast("double"), 2).alias(
+                "pct_retained"
+            ),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+def retention_triangle_sql() -> str:
+    from .events import checkins_sql
+
+    return f"""
+WITH ck AS ({checkins_sql()}),
+weeks AS (
+  SELECT DISTINCT customer_id, date_trunc('week', checkin_date)::date AS week
+  FROM ck
+),
+first_week AS (
+  SELECT customer_id, min(week) AS cohort_week FROM weeks GROUP BY customer_id
+),
+active AS (
+  SELECT f.cohort_week,
+         CAST((w.week - f.cohort_week) // 7 AS BIGINT) AS week_offset,
+         w.customer_id
+  FROM weeks w JOIN first_week f USING (customer_id)
+),
+counts AS (
+  SELECT cohort_week, week_offset, count(DISTINCT customer_id) AS n_active
+  FROM active GROUP BY 1, 2
+),
+sizes AS (
+  SELECT cohort_week, n_active AS cohort_size FROM counts WHERE week_offset = 0
+)
+SELECT c.cohort_week, c.week_offset, c.n_active, s.cohort_size,
+       {ratio_sql('c.n_active::double * 100.0', 's.cohort_size::double', 2)} AS pct_retained
+FROM counts c JOIN sizes s USING (cohort_week)
+ORDER BY c.cohort_week, c.week_offset
+"""

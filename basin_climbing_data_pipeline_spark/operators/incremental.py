@@ -247,3 +247,94 @@ def write_snapshot(df: DataFrame, path: str, snapshot_date: str) -> None:
     df.withColumn("snapshot_date", snapshot_column(snapshot_date)).write.mode(
         "append"
     ).partitionBy("snapshot_date").parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# tombstone-aware changeset merge (the full MERGE semantics)
+# ---------------------------------------------------------------------------
+
+
+def apply_changeset(
+    existing: DataFrame,
+    changes: DataFrame,
+    id_col: str,
+    op_col: str,
+    order_cols: list[str],
+) -> DataFrame:
+    """Delta-``MERGE`` semantics without Delta: ``changes`` rows carry an
+    ``op_col`` in {'upsert', 'delete'}; upserts replace matching ids (or
+    insert new ones), deletes tombstone them.  The reference only ever
+    replaces windows (SURVEY §2.9 ST1) — this is the general CDC form its
+    Klaviyo/Shopify sync targets apply on their side.
+
+    ONE shuffle for the whole merge: union (existing tagged 0, changes
+    tagged 1) → per-id window ordered (change-first, then ``order_cols``)
+    → keep the winning row → drop rows whose winner is a tombstone.  The
+    delete branch costs nothing extra — a tombstone simply wins its id's
+    window and is filtered.  At scale this keys on the id like any MERGE;
+    with a date-partitioned table you'd restrict ``existing`` to the
+    changeset's partition range first (overwrite_window_partitions)."""
+    ex = existing.withColumn(op_col, F.lit("upsert")).withColumn("_is_change", F.lit(0))
+    ch = changes.withColumn("_is_change", F.lit(1))
+    unioned = ex.unionByName(ch)
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("_is_change"), *[F.col(c) for c in order_cols]
+    )
+    return (
+        unioned.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) & (F.col(op_col) != "delete"))
+        .drop("_rn", "_is_change", op_col)
+    )
+
+
+def changeset_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checked changeset merge: the stale stored transactions table
+    receives a derived changeset — refund rows in the re-fetch window
+    become DELETES (chargeback reversal), everything else an UPSERT with a
+    bumped row_version — through :func:`apply_changeset`."""
+    from .transactions import build_transactions
+
+    txn = build_transactions(spark, sf_dir)
+    stored = txn.filter(
+        F.col("txn_date") <= F.lit(MERGE_STALE_END).cast("date")
+    ).withColumn("row_version", F.lit(1))
+    window_rows = txn.filter(F.col("txn_date") >= F.lit(MERGE_WINDOW_START).cast("date"))
+    changes = window_rows.withColumn("row_version", F.lit(2)).withColumn(
+        "op", F.when(F.col("is_refund"), "delete").otherwise("upsert")
+    )
+    merged = apply_changeset(
+        stored, changes, "transaction_id", "op", _MERGE_ORDER_COLS
+    )
+    return merged.select(
+        "transaction_id", "txn_date", "revenue_category", "total_amount", "row_version"
+    ).orderBy("transaction_id")
+
+
+def changeset_merge_sql() -> str:
+    from .transactions import transactions_sql
+
+    order_sql = ", ".join(f"{c} NULLS FIRST" for c in _MERGE_ORDER_COLS)
+    return f"""
+WITH txn AS ({transactions_sql()}),
+stored AS (
+  SELECT *, 1 AS row_version, 'upsert' AS op, 0 AS is_change
+  FROM txn WHERE txn_date <= DATE '{MERGE_STALE_END}'
+),
+changes AS (
+  SELECT *, 2 AS row_version,
+         CASE WHEN is_refund THEN 'delete' ELSE 'upsert' END AS op,
+         1 AS is_change
+  FROM txn WHERE txn_date >= DATE '{MERGE_WINDOW_START}'
+),
+unioned AS (
+  SELECT * FROM stored UNION ALL SELECT * FROM changes
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY transaction_id
+              ORDER BY is_change DESC, {order_sql}) AS rn
+  FROM unioned
+)
+SELECT transaction_id, txn_date, revenue_category, total_amount, row_version
+FROM ranked WHERE rn = 1 AND op != 'delete'
+ORDER BY transaction_id
+"""

@@ -181,3 +181,38 @@ def test_partition_overwrite_merge_equals_relational_merge(spark, tmp_path):
         ("c2", d(2024, 1, 5), 30),
         ("d", d(2024, 1, 7), 4),
     }
+
+
+def test_apply_changeset_semantics(spark):
+    """Upserts replace, inserts append, deletes tombstone — and an id
+    absent from the changeset is untouched."""
+    from basin_climbing_data_pipeline_spark.operators.incremental import (
+        apply_changeset,
+    )
+
+    existing = spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 1), (3, "c", 1)], "id long, val string, ver int"
+    )
+    changes = spark.createDataFrame(
+        [(2, "B", 2, "upsert"), (3, None, 2, "delete"), (4, "d", 2, "upsert")],
+        "id long, val string, ver int, op string",
+    )
+    out = {
+        r["id"]: (r["val"], r["ver"])
+        for r in apply_changeset(existing, changes, "id", "op", ["ver"]).collect()
+    }
+    assert out == {1: ("a", 1), 2: ("B", 2), 4: ("d", 2)}
+
+
+def test_retention_triangle_monotone(spark, sf_dir):
+    """Offset-0 retention is 100% by construction and no later offset can
+    exceed the cohort size."""
+    from basin_climbing_data_pipeline_spark.operators.cohorts import retention_triangle
+
+    rows = retention_triangle(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_active"] <= r["cohort_size"]
+        if r["week_offset"] == 0:
+            assert r["pct_retained"] == 100.0
+        assert r["week_offset"] >= 0
