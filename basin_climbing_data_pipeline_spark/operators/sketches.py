@@ -539,3 +539,171 @@ SELECT c.q, e.exact_value,
 FROM containing c JOIN exact_per_q e USING (q)
 ORDER BY c.q
 """
+
+
+# ---------------------------------------------------------------------------
+# sketch-based decile assignment (the scale path for ntile segmentation)
+# ---------------------------------------------------------------------------
+
+DECILE_QS = tuple(i / 10.0 for i in range(1, 10))
+
+
+def sketch_decile_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 1e9-customer form of ``spend_deciles``, with its accuracy
+    measured: derive the 9 decile cut points from the log-bucket histogram
+    sketch (no global row order anywhere on the sketch path), assign each
+    customer a decile by comparing spend against the broadcast cut points
+    (map-side), and report per-exact-decile how often the sketch
+    assignment agrees with exact ``ntile``.  This converts the documented
+    single-partition-window caveat on ``spend_deciles`` into a measured
+    design answer.
+
+    Scale shape, sketch path only: one groupBy to per-customer cents, one
+    groupBy onto ≤ ~160 histogram buckets, window math over that tiny
+    table, then a broadcast of 9 cut-point rows and a map-side
+    comparison.  The exact ntile side exists solely as the eval's ground
+    truth.  Ties straddling a cut point are the irreducible disagreement
+    (a value-based cut cannot split equal values the way a row-count tile
+    does) — that is precisely what the agreement rate quantifies."""
+    from pyspark.sql import Window
+
+    from ..functions.money import to_cents
+    from .transactions import build_transactions
+
+    txn = build_transactions(spark, sf_dir)
+    per_cust = txn.groupBy("customer_id").agg(
+        F.sum(to_cents(F.col("total_amount"))).alias("cents")
+    )
+    # sign-aware symmetric log bucket: lifetime spend can be NEGATIVE (net
+    # refunds), where a plain log10 bucket is undefined (and DuckDB raises
+    # where Spark nulls).  b >= 0 covers [10^(b/16)-1, 10^((b+1)/16)-1);
+    # b < 0 mirrors the magnitude so bucket order == value order.
+    cents = F.col("cents")
+    bucketed = per_cust.select(
+        F.when(
+            cents >= 0, F.floor(F.log10(cents + 1) * HIST_SUBBUCKETS)
+        )
+        .otherwise(-1 - F.floor(F.log10(-cents + 1) * HIST_SUBBUCKETS))
+        .cast("long")
+        .alias("bucket")
+    )
+    hist = bucketed.groupBy("bucket").agg(F.count("*").alias("cnt"))
+    wb = Window.orderBy("bucket")  # histogram-sized frame
+    cum = hist.withColumn("cum", F.sum("cnt").over(wb)).withColumn(
+        "n", F.sum("cnt").over(Window.partitionBy())
+    )
+    qs = F.array(*[F.lit(q) for q in DECILE_QS])
+    per_q = cum.select("bucket", "cnt", "cum", "n", F.explode(qs).alias("q")).withColumn(
+        "target", F.ceil(F.col("q") * F.col("n"))
+    )
+    containing = per_q.filter(
+        (F.col("cum") >= F.col("target")) & (F.col("cum") - F.col("cnt") < F.col("target"))
+    )
+    sb = float(HIST_SUBBUCKETS)
+    b = F.col("bucket")
+    m = -1 - b  # magnitude bucket for the negative branch
+    lo = F.when(b >= 0, F.pow(F.lit(10.0), b / sb) - 1.0).otherwise(
+        -(F.pow(F.lit(10.0), (m + 1) / sb) - 1.0)
+    )
+    hi = F.when(b >= 0, F.pow(F.lit(10.0), (b + 1) / sb) - 1.0).otherwise(
+        -(F.pow(F.lit(10.0), m / sb) - 1.0)
+    )
+    est = lo + (F.col("target") - (F.col("cum") - F.col("cnt"))) / F.col("cnt") * (hi - lo)
+    cuts = containing.select(
+        (F.floor(est * 1000000.0 + 0.5) / 1000000.0).alias("cut")
+    )
+    assigned = per_cust.join(F.broadcast(cuts)).groupBy("customer_id", "cents").agg(
+        (1 + F.sum((F.col("cents") > F.col("cut")).cast("int"))).alias("decile_sketch")
+    )
+    w = Window.orderBy("cents", "customer_id")
+    exact = per_cust.withColumn("decile_exact", F.ntile(10).over(w))
+    joined = exact.join(assigned, ["customer_id", "cents"])
+    return (
+        joined.groupBy("decile_exact")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum((F.col("decile_sketch") == F.col("decile_exact")).cast("long")).alias(
+                "n_agree"
+            ),
+            F.max(F.abs(F.col("decile_sketch") - F.col("decile_exact"))).alias(
+                "max_offset"
+            ),
+        )
+        .withColumn(
+            "agreement",
+            (F.floor(F.col("n_agree") / F.col("n_customers") * 10000.0 + 0.5) / 10000.0),
+        )
+        .orderBy("decile_exact")
+    )
+
+
+def sketch_decile_assignment_sql() -> str:
+    from ..functions.money import to_cents_sql
+    from .transactions import transactions_sql
+
+    qs_rows = ", ".join(f"({q})" for q in DECILE_QS)
+    return f"""
+WITH txn AS ({transactions_sql()}),
+per_cust AS (
+  SELECT customer_id, sum({to_cents_sql('total_amount')}) AS cents
+  FROM txn GROUP BY customer_id
+),
+hist AS (
+  SELECT CASE WHEN cents >= 0
+              THEN floor(log10(cents + 1) * {HIST_SUBBUCKETS})
+              ELSE -1 - floor(log10(-cents + 1) * {HIST_SUBBUCKETS})
+         END::bigint AS bucket,
+         count(*) AS cnt
+  FROM per_cust GROUP BY 1
+),
+cum AS (
+  SELECT bucket, cnt,
+         sum(cnt) OVER (ORDER BY bucket) AS cum,
+         sum(cnt) OVER () AS n
+  FROM hist
+),
+per_q AS (
+  SELECT c.*, q.q, ceil(q.q * c.n) AS target
+  FROM cum c CROSS JOIN (VALUES {qs_rows}) AS q(q)
+),
+containing AS (
+  SELECT * FROM per_q WHERE cum >= target AND cum - cnt < target
+),
+bounds AS (
+  SELECT *,
+         CASE WHEN bucket >= 0
+              THEN power(10.0, bucket / {HIST_SUBBUCKETS}.0) - 1.0
+              ELSE -(power(10.0, ((-1 - bucket) + 1) / {HIST_SUBBUCKETS}.0) - 1.0)
+         END AS lo,
+         CASE WHEN bucket >= 0
+              THEN power(10.0, (bucket + 1) / {HIST_SUBBUCKETS}.0) - 1.0
+              ELSE -(power(10.0, (-1 - bucket) / {HIST_SUBBUCKETS}.0) - 1.0)
+         END AS hi
+  FROM containing
+),
+cuts AS (
+  SELECT floor((lo + (target - (cum - cnt))::double / cnt * (hi - lo))
+          * 1000000.0 + 0.5) / 1000000.0 AS cut
+  FROM bounds
+),
+assigned AS (
+  SELECT p.customer_id, p.cents,
+         1 + sum((p.cents > c.cut)::int) AS decile_sketch
+  FROM per_cust p CROSS JOIN cuts c
+  GROUP BY p.customer_id, p.cents
+),
+exact AS (
+  SELECT customer_id, cents,
+         ntile(10) OVER (ORDER BY cents, customer_id) AS decile_exact
+  FROM per_cust
+)
+SELECT e.decile_exact,
+       count(*) AS n_customers,
+       CAST(sum((a.decile_sketch = e.decile_exact)::int) AS BIGINT) AS n_agree,
+       CAST(max(abs(a.decile_sketch - e.decile_exact)) AS BIGINT) AS max_offset,
+       floor(sum((a.decile_sketch = e.decile_exact)::int)::double / count(*)
+             * 10000.0 + 0.5) / 10000.0 AS agreement
+FROM exact e JOIN assigned a USING (customer_id, cents)
+GROUP BY e.decile_exact
+ORDER BY e.decile_exact
+"""

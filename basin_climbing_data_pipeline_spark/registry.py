@@ -37,8 +37,8 @@ driver-green row at current code.  Round-4 rotation (both sessions):
    cogroup_spend_at_checkin / native_session_windows /
    common_neighbor_recs / warehouse_constraint_audit / revenue_cube /
    media_frame_sample / spend_deciles / changeset_merge /
-   retention_triangle) lead block 4 and MUST be front-loaded in
-   round 5;
+   retention_triangle / sketch_decile_assignment) lead block 4 and
+   MUST be front-loaded in round 5;
 3. the rest of the window: queries whose source was touched in rounds
    3-4, highest-risk first — the integer-micro signature rewrite
    (lsh_buckets, embedding_near_dup_pairs), the leads/customers/dedup
@@ -358,6 +358,11 @@ register("media_frame_sample", mm.media_frame_sample, mm.media_frame_sample_sql(
 register("spend_deciles", co.spend_deciles, co.spend_deciles_sql())
 register("changeset_merge", inc.changeset_merge, inc.changeset_merge_sql())
 register("retention_triangle", co.retention_triangle, co.retention_triangle_sql())
+register(
+    "sketch_decile_assignment",
+    sketch.sketch_decile_assignment,
+    sketch.sketch_decile_assignment_sql(),
+)
 
 # First the eight pushed out by this session's insertions: flags_build /
 # events_unified / flag_type_summary (flags.py was rewritten in round 3
