@@ -529,3 +529,85 @@ FROM sessioned
 GROUP BY customer_id, session_seq
 ORDER BY customer_id, session_start_us
 """
+
+
+# ---------------------------------------------------------------------------
+# first/last-touch purchase attribution
+# ---------------------------------------------------------------------------
+
+ATTRIBUTION_WINDOW_US = 7 * 86_400 * 1_000_000  # 7-day lookback
+
+# total order for the attribution frame: two events can share a microsecond,
+# and first/last_value over a tied ORDER BY is physical-order-nondeterministic;
+# ts_us * 8 + type_code is a collision-free composite that both engines sort
+# identically (max ts_us ~1.7e15, * 8 stays far under 2^63)
+_EVENT_TYPE_CODE = "CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2 WHEN 'signup' THEN 3 WHEN 'error' THEN 4 ELSE 5 END"
+
+
+def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing attribution over the raw event stream: for every purchase,
+    the FIRST-touch and LAST-touch non-purchase event types within the
+    7-day lookback window, rolled up to a (first_touch, last_touch) →
+    purchases matrix.  First/last-touch are the two canonical attribution
+    models; the pair matrix shows how much they disagree — the number a
+    marketing team actually argues about.  Reference analog: the lead
+    funnel's source attribution (build_leads_table.py:30-669 assigns each
+    lead ONE source; this generalizes to per-purchase path endpoints).
+
+    Scale shape: one window per user over a RANGE frame (the same shape as
+    rolling_60d_visits) — a single shuffle on user_id; the rollup rides on
+    a ≤ 5×5 key space.  ``first/last(…, ignorenulls=True)`` over the
+    range frame skips interleaved purchases without a second pass."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_type",
+    )
+    key = (F.col("ts_us") * 8 + F.expr(_EVENT_TYPE_CODE)).alias("ord_key")
+    ev = ev.select("user_id", "event_type", key)
+    wr = (
+        Window.partitionBy("user_id")
+        .orderBy("ord_key")
+        .rangeBetween(-ATTRIBUTION_WINDOW_US * 8, -1)
+    )
+    touch = F.when(F.col("event_type") != "purchase", F.col("event_type"))
+    attributed = ev.select(
+        "event_type",
+        F.first(touch, ignorenulls=True).over(wr).alias("first_touch"),
+        F.last(touch, ignorenulls=True).over(wr).alias("last_touch"),
+    ).filter(F.col("event_type") == "purchase")
+    return (
+        attributed.groupBy(
+            F.coalesce("first_touch", F.lit("none")).alias("first_touch"),
+            F.coalesce("last_touch", F.lit("none")).alias("last_touch"),
+        )
+        .agg(F.count("*").alias("n_purchases"))
+        .orderBy("first_touch", "last_touch")
+    )
+
+
+def purchase_attribution_sql() -> str:
+    return f"""
+WITH ev AS (
+  SELECT user_id, event_type,
+         epoch_us(ts) * 8 + {_EVENT_TYPE_CODE} AS ord_key
+  FROM events
+),
+attributed AS (
+  SELECT event_type,
+         first_value(CASE WHEN event_type != 'purchase' THEN event_type END
+                     IGNORE NULLS) OVER w AS first_touch,
+         last_value(CASE WHEN event_type != 'purchase' THEN event_type END
+                    IGNORE NULLS) OVER w AS last_touch
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ord_key
+               RANGE BETWEEN {ATTRIBUTION_WINDOW_US * 8} PRECEDING AND 1 PRECEDING)
+)
+SELECT coalesce(first_touch, 'none') AS first_touch,
+       coalesce(last_touch, 'none') AS last_touch,
+       count(*) AS n_purchases
+FROM attributed
+WHERE event_type = 'purchase'
+GROUP BY 1, 2
+ORDER BY first_touch, last_touch
+"""

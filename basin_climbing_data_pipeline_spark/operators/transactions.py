@@ -660,3 +660,77 @@ FROM txn
 GROUP BY CUBE (date_trunc('month', txn_date), revenue_category, data_source)
 ORDER BY grouping_id, month, revenue_category, data_source
 """
+
+
+# ---------------------------------------------------------------------------
+# dense calendar + forward fill (LOCF gap filling)
+# ---------------------------------------------------------------------------
+
+
+def daily_revenue_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-category daily revenue on a DENSE calendar with
+    last-observation-carried-forward gap filling: densify each category's
+    active date range (``sequence`` + ``explode`` — the same date-dimension
+    move as the reference's ``date_range`` timelines,
+    dashboard/dashboard.py:1017), left-join the actual daily sums, and
+    forward-fill gaps with ``last(..., ignorenulls=True)`` over an
+    unbounded-preceding frame.  LOCF is the canonical time-series
+    gap-filler (sensor feeds, daily balances); ``is_filled`` marks carried
+    rows so downstream consumers can tell observation from imputation.
+
+    Scale shape: per-category bounds come from the same groupBy as the
+    daily sums (no global scalar, no cross join); the dense explode is
+    category-local; the fill is one window per category ordered by day —
+    a single shuffle on the category key."""
+    txn = build_transactions(spark, sf_dir)
+    daily = txn.groupBy(
+        F.col("revenue_category"), F.col("txn_date").alias("day")
+    ).agg(sum_money(F.col("total_amount")).alias("net_revenue"))
+    bounds = daily.groupBy("revenue_category").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    calendar = bounds.select(
+        "revenue_category",
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day"),
+    )
+    dense = calendar.join(daily, ["revenue_category", "day"], "left")
+    w = (
+        Window.partitionBy("revenue_category")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return dense.select(
+        "revenue_category",
+        "day",
+        F.last("net_revenue", ignorenulls=True).over(w).alias("net_revenue"),
+        F.col("net_revenue").isNull().alias("is_filled"),
+    ).orderBy("revenue_category", "day")
+
+
+def daily_revenue_locf_sql() -> str:
+    return f"""
+WITH txn AS ({transactions_sql()}),
+daily AS (
+  SELECT revenue_category, txn_date AS day,
+         {sum_money_sql('total_amount')} AS net_revenue
+  FROM txn GROUP BY 1, 2
+),
+bounds AS (
+  SELECT revenue_category, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1
+),
+calendar AS (
+  SELECT revenue_category, unnest(generate_series(d0, d1, INTERVAL 1 DAY))::date AS day
+  FROM bounds
+),
+dense AS (
+  SELECT c.revenue_category, c.day, d.net_revenue
+  FROM calendar c LEFT JOIN daily d USING (revenue_category, day)
+)
+SELECT revenue_category, day,
+       last_value(net_revenue IGNORE NULLS) OVER (
+         PARTITION BY revenue_category ORDER BY day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS net_revenue,
+       net_revenue IS NULL AS is_filled
+FROM dense
+ORDER BY revenue_category, day
+"""

@@ -37,7 +37,8 @@ driver-green row at current code.  Round-4 rotation (both sessions):
    cogroup_spend_at_checkin / native_session_windows /
    common_neighbor_recs / warehouse_constraint_audit / revenue_cube /
    media_frame_sample / spend_deciles / changeset_merge /
-   retention_triangle / sketch_decile_assignment) lead block 4 and
+   retention_triangle / sketch_decile_assignment /
+   daily_revenue_locf / purchase_attribution) lead block 4 and
    MUST be front-loaded in round 5;
 3. the rest of the window: queries whose source was touched in rounds
    3-4, highest-risk first — the integer-micro signature rewrite
@@ -363,6 +364,8 @@ register(
     sketch.sketch_decile_assignment,
     sketch.sketch_decile_assignment_sql(),
 )
+register("daily_revenue_locf", txn.daily_revenue_locf, txn.daily_revenue_locf_sql())
+register("purchase_attribution", ev.purchase_attribution, ev.purchase_attribution_sql())
 
 # First the eight pushed out by this session's insertions: flags_build /
 # events_unified / flag_type_summary (flags.py was rewritten in round 3

@@ -143,3 +143,24 @@ def test_native_session_windows_matches_lag_pipeline(spark, sf_dir):
         for r in checkin_sessions(spark, sf_dir).collect()
     }
     assert native == lagged
+
+
+def test_purchase_attribution_totals(spark, sf_dir):
+    """Every purchase lands in exactly one (first, last) cell; 'none'
+    pairs only with 'none' (no prior touch means no touch at all)."""
+    from pyspark.sql import functions as F
+
+    from basin_climbing_data_pipeline_spark.io import load_table
+    from basin_climbing_data_pipeline_spark.operators.events import (
+        purchase_attribution,
+    )
+
+    rows = purchase_attribution(spark, sf_dir).collect()
+    total = sum(r["n_purchases"] for r in rows)
+    n_purchases = (
+        load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase").count()
+    )
+    assert total == n_purchases
+    for r in rows:
+        assert (r["first_touch"] == "none") == (r["last_touch"] == "none")
+        assert r["first_touch"] != "purchase" and r["last_touch"] != "purchase"

@@ -159,3 +159,30 @@ def test_sketch_decile_assignment_quality(spark, sf_dir):
     total = sum(r["n_customers"] for r in rows)
     agree = sum(r["n_agree"] for r in rows)
     assert agree / total >= 0.85, (agree, total)
+
+
+def test_daily_revenue_locf_dense_and_filled(spark, sf_dir):
+    """The calendar must be gapless per category, filled rows must carry
+    the previous observed value, and day-one is always an observation."""
+    from basin_climbing_data_pipeline_spark.operators.transactions import (
+        daily_revenue_locf,
+    )
+
+    rows = daily_revenue_locf(spark, sf_dir).collect()
+    by_cat: dict[str, list] = {}
+    for r in rows:
+        by_cat.setdefault(r["revenue_category"], []).append(r)
+    assert by_cat
+    for cat, days in by_cat.items():
+        days.sort(key=lambda r: r["day"])
+        assert not days[0]["is_filled"], cat
+        prev = None
+        for a, b in zip(days, days[1:]):
+            assert (b["day"] - a["day"]).days == 1, (cat, a["day"], b["day"])
+        for r in days:
+            if r["is_filled"]:
+                assert r["net_revenue"] == prev
+            prev = r["net_revenue"]
+        assert any(r["is_filled"] for r in days) or len(days) == len(
+            {r["day"] for r in days}
+        )
