@@ -900,24 +900,23 @@ def spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.orderBy(F.desc("spend_cents"), "customer_id")
     tiled = per_cust.withColumn("decile", F.ntile(N_SPEND_DECILES).over(w))
-    total = tiled.select(F.sum("spend_cents").alias("t"))
+    rolled = tiled.groupBy("decile").agg(
+        F.count("*").alias("n_customers"),
+        (F.max("spend_cents") / 100.0).alias("max_spend"),
+        (F.min("spend_cents") / 100.0).alias("min_spend"),
+        (F.sum("spend_cents") / 100.0).alias("decile_spend"),
+        F.sum("spend_cents").alias("_cents"),
+    )
+    # grand total as a window over the 10-row rollup — no 1-row scalar join
+    t = F.sum("_cents").over(Window.partitionBy())
     return (
-        tiled.groupBy("decile")
-        .agg(
-            F.count("*").alias("n_customers"),
-            (F.max("spend_cents") / 100.0).alias("max_spend"),
-            (F.min("spend_cents") / 100.0).alias("min_spend"),
-            (F.sum("spend_cents") / 100.0).alias("decile_spend"),
-            F.sum("spend_cents").alias("_cents"),
-        )
-        .join(F.broadcast(total))
-        .select(
+        rolled.select(
             "decile",
             "n_customers",
             "max_spend",
             "min_spend",
             "decile_spend",
-            ratio(F.col("_cents").cast("double") * 100.0, F.col("t").cast("double"), 2).alias(
+            ratio(F.col("_cents").cast("double") * 100.0, t.cast("double"), 2).alias(
                 "pct_of_revenue"
             ),
         )
