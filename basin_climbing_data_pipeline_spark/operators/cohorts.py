@@ -1042,3 +1042,104 @@ SELECT c.cohort_week, c.week_offset, c.n_active, s.cohort_size,
 FROM counts c JOIN sizes s USING (cohort_week)
 ORDER BY c.cohort_week, c.week_offset
 """
+
+
+# ---------------------------------------------------------------------------
+# market-basket category lift
+# ---------------------------------------------------------------------------
+
+BASKET_MIN_SUPPORT = 10  # baskets containing the pair
+
+
+def category_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity between revenue categories: a basket is one
+    (customer, day); for every category pair bought together in at least
+    ``BASKET_MIN_SUPPORT`` baskets, report support and LIFT
+    (P(a∧b) / P(a)·P(b), fixed-point) — the first Apriori step, and the
+    cross-sell table behind "day-pass buyers also book events".
+    Reference analog: build_customer_interactions.py's same-purchase
+    grouping (U4) aggregates people; this aggregates the catalog.
+
+    Scale shape: baskets collapse to DISTINCT (basket, category) first
+    (≤ 7 categories ⇒ ≤ 21 pairs per basket — the pair self-join is
+    bounded by the catalog, not the basket count); singleton frequencies
+    ride a category-sized broadcast.  Lift arithmetic is exact-integer
+    cross-multiplication, micro-rounded once."""
+    from .transactions import build_transactions
+
+    txn = build_transactions(spark, sf_dir)
+    baskets = txn.select(
+        F.concat_ws("_", F.col("customer_id"), F.col("txn_date")).alias("basket"),
+        "revenue_category",
+    ).distinct()
+    a, b = baskets.alias("a"), baskets.alias("b")
+    pairs = (
+        a.join(b, F.col("a.basket") == F.col("b.basket"))
+        .filter(F.col("a.revenue_category") < F.col("b.revenue_category"))
+        .groupBy(
+            F.col("a.revenue_category").alias("cat_a"),
+            F.col("b.revenue_category").alias("cat_b"),
+        )
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= BASKET_MIN_SUPPORT)
+    )
+    singles = baskets.groupBy("revenue_category").agg(F.count("*").alias("n_cat"))
+    totals = baskets.select(F.countDistinct("basket").alias("n_baskets"))
+    sa = singles.select(F.col("revenue_category").alias("cat_a"), F.col("n_cat").alias("n_a"))
+    sb = singles.select(F.col("revenue_category").alias("cat_b"), F.col("n_cat").alias("n_b"))
+    joined = (
+        pairs.join(F.broadcast(sa), "cat_a")
+        .join(F.broadcast(sb), "cat_b")
+        .join(F.broadcast(totals))
+    )
+    lift = (
+        F.floor(
+            F.col("n_ab").cast("double")
+            * F.col("n_baskets")
+            / (F.col("n_a").cast("double") * F.col("n_b"))
+            * 1000000.0
+            + 0.5
+        )
+        / 1000000.0
+    )
+    return joined.select(
+        "cat_a",
+        "cat_b",
+        "n_ab",
+        "n_a",
+        "n_b",
+        "n_baskets",
+        lift.alias("lift"),
+    ).orderBy("cat_a", "cat_b")
+
+
+def category_basket_lift_sql() -> str:
+    from .transactions import transactions_sql
+
+    return f"""
+WITH txn AS ({transactions_sql()}),
+baskets AS (
+  SELECT DISTINCT customer_id || '_' || txn_date AS basket, revenue_category
+  FROM txn
+),
+pairs AS (
+  SELECT a.revenue_category AS cat_a, b.revenue_category AS cat_b, count(*) AS n_ab
+  FROM baskets a JOIN baskets b
+    ON a.basket = b.basket AND a.revenue_category < b.revenue_category
+  GROUP BY 1, 2
+  HAVING count(*) >= {BASKET_MIN_SUPPORT}
+),
+singles AS (
+  SELECT revenue_category, count(*) AS n_cat FROM baskets GROUP BY 1
+),
+totals AS (SELECT count(DISTINCT basket) AS n_baskets FROM baskets)
+SELECT p.cat_a, p.cat_b, p.n_ab,
+       sa.n_cat AS n_a, sb.n_cat AS n_b, t.n_baskets,
+       floor(p.n_ab::double * t.n_baskets / (sa.n_cat::double * sb.n_cat)
+             * 1000000.0 + 0.5) / 1000000.0 AS lift
+FROM pairs p
+JOIN singles sa ON sa.revenue_category = p.cat_a
+JOIN singles sb ON sb.revenue_category = p.cat_b
+CROSS JOIN totals t
+ORDER BY p.cat_a, p.cat_b
+"""

@@ -707,3 +707,125 @@ FROM exact e JOIN assigned a USING (customer_id, cents)
 GROUP BY e.decile_exact
 ORDER BY e.decile_exact
 """
+
+
+# ---------------------------------------------------------------------------
+# population stability index (distribution drift monitor)
+# ---------------------------------------------------------------------------
+
+PSI_SPLIT_DATE = "1995-06-17"  # fixed epoch midpoint: before = baseline, after = current
+
+
+def spend_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per revenue category: how far the
+    transaction-amount distribution drifted between the baseline period
+    (before ``PSI_SPLIT_DATE``) and the current one — THE standard
+    model-monitoring drift metric (rule of thumb: <0.1 stable, 0.1–0.25
+    shifting, >0.25 retrain).  A training-data pipeline runs exactly this
+    per source/feature before each mixture refresh.
+
+    Amounts land in the same sign-aware log buckets as
+    ``sketch_decile_assignment`` (data-independent bounds, so baseline
+    and current histograms are mergeable and comparable without a
+    re-bucketing pass); shares are Laplace-smoothed over the union bucket
+    set so empty cells stay finite.  Each bucket's PSI term is
+    nano-rounded to int64 BEFORE the per-category sum — summation-order
+    immune, same discipline as source_token_entropy.
+
+    Scale shape: one groupBy to (category, bucket) counts — bounded at
+    categories × ~160 buckets regardless of corpus size — then window
+    math over that tiny table.  Nothing after the first aggregation
+    touches transaction volume."""
+    from pyspark.sql import Window
+
+    from ..functions.money import to_cents
+    from .transactions import build_transactions
+
+    txn = build_transactions(spark, sf_dir)
+    cents = to_cents(F.col("total_amount"))
+    bucket = (
+        F.when(cents >= 0, F.floor(F.log10(cents + 1) * HIST_SUBBUCKETS))
+        .otherwise(-1 - F.floor(F.log10(-cents + 1) * HIST_SUBBUCKETS))
+        .cast("long")
+    )
+    is_base = (F.col("txn_date") < F.lit(PSI_SPLIT_DATE).cast("date")).cast("long")
+    counts = (
+        txn.select(F.col("revenue_category"), bucket.alias("bucket"), is_base.alias("b"))
+        .groupBy("revenue_category", "bucket")
+        .agg(
+            F.sum("b").alias("n_p"),
+            F.sum(1 - F.col("b")).alias("n_q"),
+        )
+    )
+    wc = Window.partitionBy("revenue_category")
+    enriched = counts.select(
+        "revenue_category",
+        "n_p",
+        "n_q",
+        F.sum("n_p").over(wc).alias("np_tot"),
+        F.sum("n_q").over(wc).alias("nq_tot"),
+        F.count("*").over(wc).alias("n_buckets"),
+    )
+    p = (F.col("n_p") + 1).cast("double") / (F.col("np_tot") + F.col("n_buckets"))
+    q = (F.col("n_q") + 1).cast("double") / (F.col("nq_tot") + F.col("n_buckets"))
+    term_nano = F.floor((p - q) * F.log(p / q) * 1000000000.0 + 0.5).cast("long")
+    return (
+        enriched.withColumn("term_nano", term_nano)
+        .groupBy("revenue_category")
+        .agg(
+            F.max("np_tot").alias("n_baseline"),
+            F.max("nq_tot").alias("n_current"),
+            F.max("n_buckets").alias("n_buckets"),
+            (F.sum("term_nano") / 1000000000.0).alias("psi"),
+        )
+        .orderBy("revenue_category")
+    )
+
+
+def spend_drift_psi_sql() -> str:
+    from ..functions.money import to_cents_sql
+
+    from .transactions import transactions_sql
+
+    cents = to_cents_sql("total_amount")
+    return f"""
+WITH txn AS ({transactions_sql()}),
+bucketed AS (
+  SELECT revenue_category,
+         CASE WHEN {cents} >= 0
+              THEN floor(log10({cents} + 1) * {HIST_SUBBUCKETS})
+              ELSE -1 - floor(log10(-{cents} + 1) * {HIST_SUBBUCKETS})
+         END::bigint AS bucket,
+         (txn_date < DATE '{PSI_SPLIT_DATE}')::bigint AS b
+  FROM txn
+),
+counts AS (
+  SELECT revenue_category, bucket,
+         sum(b) AS n_p, sum(1 - b) AS n_q
+  FROM bucketed GROUP BY 1, 2
+),
+enriched AS (
+  SELECT revenue_category, n_p, n_q,
+         sum(n_p) OVER (PARTITION BY revenue_category) AS np_tot,
+         sum(n_q) OVER (PARTITION BY revenue_category) AS nq_tot,
+         count(*) OVER (PARTITION BY revenue_category) AS n_buckets
+  FROM counts
+),
+terms AS (
+  SELECT revenue_category, np_tot, nq_tot, n_buckets,
+         floor(((n_p + 1)::double / (np_tot + n_buckets)
+                - (n_q + 1)::double / (nq_tot + n_buckets))
+               * ln(((n_p + 1)::double / (np_tot + n_buckets))
+                    / ((n_q + 1)::double / (nq_tot + n_buckets)))
+               * 1000000000.0 + 0.5)::bigint AS term_nano
+  FROM enriched
+)
+SELECT revenue_category,
+       max(np_tot) AS n_baseline,
+       max(nq_tot) AS n_current,
+       max(n_buckets) AS n_buckets,
+       sum(term_nano) / 1000000000.0 AS psi
+FROM terms
+GROUP BY revenue_category
+ORDER BY revenue_category
+"""

@@ -467,3 +467,43 @@ def test_sorted_neighborhood_no_global_sort(spark, sf_dir):
     # the final orderBy is a rangepartitioning sort on the (tiny) result;
     # the corpus-sized window stage must hash-partition by block
     assert "hashpartitioning(block" in plan
+
+
+def test_category_basket_lift_bounds(spark, sf_dir):
+    """Pair support can't exceed either singleton's; lift must be exactly
+    n_ab * N / (n_a * n_b) at fixed-point precision."""
+    import math
+
+    from basin_climbing_data_pipeline_spark.operators.cohorts import (
+        BASKET_MIN_SUPPORT,
+        category_basket_lift,
+    )
+
+    rows = category_basket_lift(spark, sf_dir).collect()
+    assert rows, "expected co-purchased category pairs"
+    for r in rows:
+        assert r["cat_a"] < r["cat_b"]
+        assert BASKET_MIN_SUPPORT <= r["n_ab"] <= min(r["n_a"], r["n_b"])
+        want = math.floor(r["n_ab"] * r["n_baskets"] / (r["n_a"] * r["n_b"]) * 1e6 + 0.5) / 1e6
+        assert abs(r["lift"] - want) < 1e-9
+
+
+def test_spend_drift_psi_properties(spark, sf_dir):
+    """PSI is ~0 when a distribution is compared with itself and non-negative
+    up to per-term rounding; identical split halves aren't expected, so the
+    registered query just has to be finite and near-symmetric-bounded."""
+    from pyspark.sql import functions as F
+
+    from basin_climbing_data_pipeline_spark.operators.sketches import spend_drift_psi
+    from basin_climbing_data_pipeline_spark.operators.transactions import (
+        build_transactions,
+    )
+
+    rows = spend_drift_psi(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # each nano-rounded term is >= -0.5e-9; PSI can't be meaningfully negative
+        assert r["psi"] >= -1e-6, r
+        assert r["psi"] < 25.0, r
+        assert r["n_baseline"] > 0 and r["n_current"] > 0
+        assert r["n_buckets"] > 0
