@@ -1143,3 +1143,105 @@ JOIN singles sb ON sb.revenue_category = p.cat_b
 CROSS JOIN totals t
 ORDER BY p.cat_a, p.cat_b
 """
+
+
+# ---------------------------------------------------------------------------
+# Pearson correlation from exact integer moments
+# ---------------------------------------------------------------------------
+
+
+def visit_spend_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation between per-customer visit count and lifetime
+    spend, from EXACT integer moments: Σx, Σy, Σxy, Σx², Σy² accumulate as
+    int64 over (visits, spend-cents) — order-insensitive under any
+    partitioning — and only the final normalized formula runs in floating
+    point, with a fixed operand order mirrored by the oracle, then
+    micro-rounded.  (Spark's built-in ``corr`` is a streaming float
+    aggregation whose result depends on partition merge order — unusable
+    under cross-engine value hashing; the moments form is the
+    deterministic equivalent.)  Answers the gym's actual question: do
+    frequent visitors spend more?
+
+    Scale shape: two co-keyed groupBys (visits, spend) joined on the
+    customer base, then one scalar aggregation of five int64 sums —
+    map-side partials do everything."""
+    from .customers import build_customers
+    from .events import build_checkins
+    from .transactions import build_transactions
+
+    cust = build_customers(spark, sf_dir).select("customer_id")
+    visits = (
+        build_checkins(spark, sf_dir).groupBy("customer_id").agg(F.count("*").alias("x"))
+    )
+    spend = build_transactions(spark, sf_dir).groupBy("customer_id").agg(
+        F.sum(to_cents(F.col("total_amount"))).alias("y")
+    )
+    xy = (
+        cust.join(visits, "customer_id", "left")
+        .join(spend, "customer_id", "left")
+        .select(
+            F.coalesce("x", F.lit(0)).cast("long").alias("x"),
+            F.coalesce("y", F.lit(0)).cast("long").alias("y"),
+        )
+    )
+    # y² of a big spender overflows int64 once corpora grow (measured at the
+    # 4x probe); the squared moments accumulate as DECIMAL(38,0) — exact and
+    # order-insensitive like the int64 path, with 38-digit headroom — and
+    # drop to double once, for the final formula only
+    yd = F.col("y").cast("decimal(19,0)")
+    xd = F.col("x").cast("decimal(19,0)")
+    m = xy.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum((xd * yd).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((xd * xd).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((yd * yd).cast("decimal(38,0)")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    cov = F.col("sxy").cast("double") / n - (F.col("sx") / n) * (F.col("sy") / n)
+    vx = F.col("sxx").cast("double") / n - (F.col("sx") / n) * (F.col("sx") / n)
+    vy = F.col("syy").cast("double") / n - (F.col("sy") / n) * (F.col("sy") / n)
+    r = cov / F.sqrt(vx * vy)
+    return m.select(
+        "n",
+        "sx",
+        "sy",
+        (F.floor(r * 1000000.0 + 0.5) / 1000000.0).alias("pearson_r"),
+    )
+
+
+def visit_spend_correlation_sql() -> str:
+    from .customers import customers_sql
+    from .events import checkins_sql
+    from .transactions import transactions_sql
+
+    return f"""
+WITH cust AS ({customers_sql()}),
+ck AS ({checkins_sql()}),
+txn AS ({transactions_sql()}),
+visits AS (SELECT customer_id, count(*) AS x FROM ck GROUP BY 1),
+spend AS (
+  SELECT customer_id, sum({to_cents_sql('total_amount')}) AS y
+  FROM txn GROUP BY 1
+),
+xy AS (
+  SELECT coalesce(v.x, 0)::bigint AS x, coalesce(s.y, 0)::bigint AS y
+  FROM cust c
+  LEFT JOIN visits v USING (customer_id)
+  LEFT JOIN spend s USING (customer_id)
+),
+m AS (
+  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x::hugeint * y::hugeint) AS sxy,
+         sum(x::hugeint * x::hugeint) AS sxx,
+         sum(y::hugeint * y::hugeint) AS syy
+  FROM xy
+)
+SELECT n, sx, sy,
+       floor((sxy::double / n::double - (sx / n::double) * (sy / n::double))
+             / sqrt((sxx::double / n::double - (sx / n::double) * (sx / n::double))
+                    * (syy::double / n::double - (sy / n::double) * (sy / n::double)))
+             * 1000000.0 + 0.5) / 1000000.0 AS pearson_r
+FROM m
+"""

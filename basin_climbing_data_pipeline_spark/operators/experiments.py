@@ -58,3 +58,121 @@ SELECT customer_id, '{EXPERIMENT_ID}' AS experiment_id, ab_group,
 FROM ranked WHERE rn = 1
 ORDER BY customer_id
 """
+
+
+# ---------------------------------------------------------------------------
+# A/B conversion z-test
+# ---------------------------------------------------------------------------
+
+ZTEST_CONVERSION_DAYS = 30  # membership start within N days of entry = converted
+
+
+def experiment_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test over the A/B experiment: per experiment, the
+    A and B conversion rates (membership started within
+    ``ZTEST_CONVERSION_DAYS`` of entry) and the pooled z-score — the
+    readout the reference's AB experiment log exists to feed
+    (experiment_tracking.py:15-127; the reference never computes the
+    statistic, it eyeballs counts).  |z| > 1.96 is the usual "ship it"
+    line; the query reports the number, not the verdict.
+
+    Determinism: counts are exact integers; the z formula runs in
+    floating point with a fixed operand order mirrored by the oracle
+    (IEEE division/sqrt are correctly rounded — same precedent as
+    daily_anomalies' z-scores), then micro-rounds once.
+
+    Scale shape: one as-of-style left join (entry → first membership
+    within the window, both sides keyed on customer), one conditional
+    aggregation to 1 row per experiment."""
+    from .memberships import build_memberships_2024
+
+    entries = experiment_entries(spark, sf_dir)
+    first_m = (
+        build_memberships_2024(spark, sf_dir)
+        .groupBy("owner_id")
+        .agg(F.min("start_date").alias("m_start"))
+    )
+    joined = entries.join(
+        first_m, entries["customer_id"] == first_m["owner_id"], "left"
+    ).select(
+        "experiment_id",
+        "ab_group",
+        (
+            F.col("m_start").isNotNull()
+            & (F.col("m_start") >= F.col("entry_date"))
+            & (F.col("m_start") <= F.date_add(F.col("entry_date"), ZTEST_CONVERSION_DAYS))
+        )
+        .cast("long")
+        .alias("converted"),
+    )
+    agg = joined.groupBy("experiment_id").agg(
+        F.sum((F.col("ab_group") == "A").cast("long")).alias("n_a"),
+        F.sum(F.when(F.col("ab_group") == "A", F.col("converted")).otherwise(0)).alias("conv_a"),
+        F.sum((F.col("ab_group") == "B").cast("long")).alias("n_b"),
+        F.sum(F.when(F.col("ab_group") == "B", F.col("converted")).otherwise(0)).alias("conv_b"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    pa = F.col("conv_a") / na
+    pb = F.col("conv_b") / nb
+    pool = (F.col("conv_a") + F.col("conv_b")) / (na + nb)
+    z = (pa - pb) / F.sqrt(pool * (1.0 - pool) * (1.0 / na + 1.0 / nb))
+    from ..functions.money import ratio
+
+    # guards: a tiny corpus can leave a group empty (rate undefined) or the
+    # pooled rate degenerate at 0/1 (sqrt(0) -> div-by-zero under ANSI mode);
+    # the statistic is NULL there, never an error
+    both = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    z_ok = both & (F.col("conv_a") + F.col("conv_b") > 0) & (
+        F.col("conv_a") + F.col("conv_b") < F.col("n_a") + F.col("n_b")
+    )
+    return agg.select(
+        "experiment_id",
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        F.when(F.col("n_a") > 0, ratio(F.col("conv_a").cast("double"), na, 4)).alias("rate_a"),
+        F.when(F.col("n_b") > 0, ratio(F.col("conv_b").cast("double"), nb, 4)).alias("rate_b"),
+        F.when(z_ok, F.floor(z * 1000000.0 + 0.5) / 1000000.0).alias("z_score"),
+    ).orderBy("experiment_id")
+
+
+def experiment_conversion_ztest_sql() -> str:
+    from ..functions.money import ratio_sql
+
+    from .memberships import memberships_2024_sql
+
+    d = ZTEST_CONVERSION_DAYS
+    return f"""
+WITH entries AS ({experiment_entries_sql()}),
+m AS ({memberships_2024_sql()}),
+first_m AS (
+  SELECT owner_id, min(start_date) AS m_start FROM m GROUP BY owner_id
+),
+joined AS (
+  SELECT e.experiment_id, e.ab_group,
+         (f.m_start IS NOT NULL AND f.m_start >= e.entry_date
+          AND f.m_start <= e.entry_date + {d})::bigint AS converted
+  FROM entries e LEFT JOIN first_m f ON e.customer_id = f.owner_id
+),
+agg AS (
+  SELECT experiment_id,
+         sum((ab_group = 'A')::bigint) AS n_a,
+         sum(CASE WHEN ab_group = 'A' THEN converted ELSE 0 END) AS conv_a,
+         sum((ab_group = 'B')::bigint) AS n_b,
+         sum(CASE WHEN ab_group = 'B' THEN converted ELSE 0 END) AS conv_b
+  FROM joined GROUP BY experiment_id
+)
+SELECT experiment_id, n_a, conv_a, n_b, conv_b,
+       CASE WHEN n_a > 0 THEN {ratio_sql('conv_a::double', 'n_a::double', 4)} END AS rate_a,
+       CASE WHEN n_b > 0 THEN {ratio_sql('conv_b::double', 'n_b::double', 4)} END AS rate_b,
+       CASE WHEN n_a > 0 AND n_b > 0 AND conv_a + conv_b > 0
+                 AND conv_a + conv_b < n_a + n_b
+            THEN floor((conv_a / n_a::double - conv_b / n_b::double)
+                 / sqrt(((conv_a + conv_b) / (n_a::double + n_b::double))
+                        * (1.0 - (conv_a + conv_b) / (n_a::double + n_b::double))
+                        * (1.0 / n_a::double + 1.0 / n_b::double))
+                 * 1000000.0 + 0.5) / 1000000.0 END AS z_score
+FROM agg
+ORDER BY experiment_id
+"""

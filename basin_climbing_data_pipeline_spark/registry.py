@@ -39,8 +39,9 @@ driver-green row at current code.  Round-4 rotation (both sessions):
    media_frame_sample / spend_deciles / changeset_merge /
    retention_triangle / sketch_decile_assignment /
    daily_revenue_locf / purchase_attribution /
-   category_basket_lift / spend_drift_psi) lead block 4 and
-   MUST be front-loaded in round 5;
+   category_basket_lift / spend_drift_psi /
+   visit_spend_correlation / experiment_conversion_ztest) lead
+   block 4 and MUST be front-loaded in round 5;
 3. the rest of the window: queries whose source was touched in rounds
    3-4, highest-risk first — the integer-micro signature rewrite
    (lsh_buckets, embedding_near_dup_pairs), the leads/customers/dedup
@@ -369,6 +370,16 @@ register("daily_revenue_locf", txn.daily_revenue_locf, txn.daily_revenue_locf_sq
 register("purchase_attribution", ev.purchase_attribution, ev.purchase_attribution_sql())
 register("category_basket_lift", co.category_basket_lift, co.category_basket_lift_sql())
 register("spend_drift_psi", sketch.spend_drift_psi, sketch.spend_drift_psi_sql())
+register(
+    "visit_spend_correlation",
+    co.visit_spend_correlation,
+    co.visit_spend_correlation_sql(),
+)
+register(
+    "experiment_conversion_ztest",
+    ex.experiment_conversion_ztest,
+    ex.experiment_conversion_ztest_sql(),
+)
 
 # First the eight pushed out by this session's insertions: flags_build /
 # events_unified / flag_type_summary (flags.py was rewritten in round 3

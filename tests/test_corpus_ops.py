@@ -507,3 +507,39 @@ def test_spend_drift_psi_properties(spark, sf_dir):
         assert r["psi"] < 25.0, r
         assert r["n_baseline"] > 0 and r["n_current"] > 0
         assert r["n_buckets"] > 0
+
+
+def test_visit_spend_correlation_matches_numpy(spark, sf_dir):
+    """The exact-moment Pearson r must agree with numpy.corrcoef over the
+    same per-customer (visits, spend-cents) pairs."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from basin_climbing_data_pipeline_spark.functions.money import to_cents
+    from basin_climbing_data_pipeline_spark.operators.cohorts import (
+        visit_spend_correlation,
+    )
+    from basin_climbing_data_pipeline_spark.operators.customers import build_customers
+    from basin_climbing_data_pipeline_spark.operators.events import build_checkins
+    from basin_climbing_data_pipeline_spark.operators.transactions import (
+        build_transactions,
+    )
+
+    cust = build_customers(spark, sf_dir).select("customer_id")
+    visits = build_checkins(spark, sf_dir).groupBy("customer_id").agg(F.count("*").alias("x"))
+    spend = build_transactions(spark, sf_dir).groupBy("customer_id").agg(
+        F.sum(to_cents(F.col("total_amount"))).alias("y")
+    )
+    pairs = (
+        cust.join(visits, "customer_id", "left")
+        .join(spend, "customer_id", "left")
+        .fillna(0)
+        .collect()
+    )
+    x = np.array([r["x"] for r in pairs], dtype=float)
+    y = np.array([r["y"] for r in pairs], dtype=float)
+    want = float(np.corrcoef(x, y)[0, 1])
+    (row,) = visit_spend_correlation(spark, sf_dir).collect()
+    assert row["n"] == len(pairs)
+    assert abs(row["pearson_r"] - want) < 1e-4

@@ -49,3 +49,27 @@ def test_replay_is_skip_if_exists(spark, sf_dir):
     )
     appended = append_if_absent(entries, extra, "customer_id")
     assert appended.count() == entries.count() + 1
+
+
+def test_ztest_matches_scipy_formula(spark, sf_dir):
+    """Recompute the two-proportion z from the emitted counts in plain
+    Python — the query's float path must agree to 1e-6."""
+    import math
+
+    from basin_climbing_data_pipeline_spark.operators.experiments import (
+        experiment_conversion_ztest,
+    )
+
+    rows = experiment_conversion_ztest(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        if r["z_score"] is None:
+            assert r["n_a"] == 0 or r["n_b"] == 0 or r["conv_a"] + r["conv_b"] in (
+                0,
+                r["n_a"] + r["n_b"],
+            )
+            continue
+        pa, pb = r["conv_a"] / r["n_a"], r["conv_b"] / r["n_b"]
+        pool = (r["conv_a"] + r["conv_b"]) / (r["n_a"] + r["n_b"])
+        z = (pa - pb) / math.sqrt(pool * (1 - pool) * (1 / r["n_a"] + 1 / r["n_b"]))
+        assert abs(r["z_score"] - math.floor(z * 1e6 + 0.5) / 1e6) < 1e-9
