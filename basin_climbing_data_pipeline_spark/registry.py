@@ -41,7 +41,15 @@ driver-green row at current code.  Round-4 rotation (both sessions):
    daily_revenue_locf / purchase_attribution /
    category_basket_lift / spend_drift_psi /
    visit_spend_correlation / experiment_conversion_ztest) lead
-   block 4 and MUST be front-loaded in round 5;
+   block 4.  That set now counts 56 entries — SIX more than the
+   50-slot window — so the round-5 rotation front-loads 50 of them
+   and rolls the remaining six to round 6; roll the entries whose
+   machinery is already driven end-to-end by an in-window sibling
+   (quantization_error_eval and quantized_topk_recall share the
+   int8 path; media_resize_features rides the same mapInPandas
+   stage as media_frame_sample; cluster_collapse_summary and
+   dedup_recall_eval ride the driver-green minhash_lsh_pairs
+   index; corpus_funnel is a composition of driver-green stages);
 3. the rest of the window: queries whose source was touched in rounds
    3-4, highest-risk first — the integer-micro signature rewrite
    (lsh_buckets, embedding_near_dup_pairs), the leads/customers/dedup
