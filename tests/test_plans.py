@@ -219,3 +219,28 @@ def test_cogroup_shuffles_each_side_once(spark, sf_dir):
     st = _audit(spark, sf_dir, "cogroup_spend_at_checkin")
     assert st.n_sort_merge_joins == 0
     assert st.n_bnl_joins == 0
+
+
+def test_basket_lift_pair_join_is_equi(spark, sf_dir):
+    """The pair generation must be an equi join on the basket key — the
+    catalog-bounded inverted-index shape, never a cartesian scan of
+    baskets."""
+    st = _audit(spark, sf_dir, "category_basket_lift")
+    # the only BNLJ is the deliberate 1-row totals broadcast into the
+    # <=21-row pairs table (the formatted plan lists the node twice:
+    # tree + operator detail, hence <= 2)
+    assert st.n_bnl_joins <= 2
+
+
+def test_psi_and_locf_stay_keyed(spark, sf_dir):
+    for name in ("spend_drift_psi", "daily_revenue_locf"):
+        st = _audit(spark, sf_dir, name)
+        assert st.n_bnl_joins == 0, name
+
+
+def test_attribution_single_user_window(spark, sf_dir):
+    """purchase_attribution = one window shuffle on user_id + the rollup;
+    no join at all."""
+    st = _audit(spark, sf_dir, "purchase_attribution")
+    assert st.n_sort_merge_joins == 0
+    assert st.n_bnl_joins == 0
