@@ -734,3 +734,140 @@ SELECT revenue_category, day,
 FROM dense
 ORDER BY revenue_category, day
 """
+
+
+# ---------------------------------------------------------------------------
+# period-over-period growth
+# ---------------------------------------------------------------------------
+
+
+def revenue_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month net-revenue growth per category: the monthly series
+    with each month's absolute and percent change vs the previous month
+    (lag window) — the delta view every revenue dashboard pairs with the
+    level view (reference dashboard.py:516-542 charts levels; the growth
+    chart is its first derivative).  Percent change is NULL for a
+    category's first month and when the base month nets to zero.
+
+    Scale shape: the monthly aggregation is the only corpus-sized shuffle;
+    the lag runs per category over month-count rows."""
+    txn = build_transactions(spark, sf_dir)
+    monthly = txn.groupBy(
+        F.col("revenue_category"), F.trunc("txn_date", "month").alias("month")
+    ).agg(F.sum(to_cents(F.col("total_amount"))).alias("cents"))
+    w = Window.partitionBy("revenue_category").orderBy("month")
+    prev = F.lag("cents").over(w)
+    return monthly.select(
+        "revenue_category",
+        "month",
+        (F.col("cents") / 100.0).alias("net_revenue"),
+        ((F.col("cents") - prev) / 100.0).alias("mom_change"),
+        F.when(
+            prev.isNotNull() & (prev != 0),
+            ratio((F.col("cents") - prev).cast("double") * 100.0, prev.cast("double"), 2),
+        ).alias("mom_pct"),
+    ).orderBy("revenue_category", "month")
+
+
+def revenue_mom_growth_sql() -> str:
+    return f"""
+WITH txn AS ({transactions_sql()}),
+monthly AS (
+  SELECT revenue_category, date_trunc('month', txn_date)::date AS month,
+         sum({to_cents_sql('total_amount')}) AS cents
+  FROM txn GROUP BY 1, 2
+),
+lagged AS (
+  SELECT *, lag(cents) OVER (PARTITION BY revenue_category ORDER BY month) AS prev
+  FROM monthly
+)
+SELECT revenue_category, month,
+       cents / 100.0 AS net_revenue,
+       (cents - prev) / 100.0 AS mom_change,
+       CASE WHEN prev IS NOT NULL AND prev != 0
+            THEN {ratio_sql('(cents - prev)::double * 100.0', 'prev::double', 2)}
+       END AS mom_pct
+FROM lagged
+ORDER BY revenue_category, month
+"""
+
+
+# ---------------------------------------------------------------------------
+# seasonal-naive forecast backtest
+# ---------------------------------------------------------------------------
+
+
+def seasonal_naive_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtest of the seasonal-naive forecaster (predict month m with
+    month m−12's actual) per category: for every month with a
+    year-earlier observation, the absolute percent error, rolled up to
+    per-category MAPE — the baseline every real forecasting model must
+    beat, with its error MEASURED (same eval discipline as
+    ann_recall_eval / hll_distinct_eval).  Reference analog: the
+    forward revenue projection (fetch_capitan_membership_data.py:401-428)
+    projects from known bill dates; this measures what a naive model
+    would have scored on history.
+
+    Exactness: errors are exact integer cents cross-multiplied into a
+    micro-int per-month APE before the mean (order-insensitive); months
+    whose actual nets to zero are excluded from MAPE (APE undefined).
+
+    Scale shape: one monthly aggregation, a 12-month lag window per
+    category, a category-sized rollup."""
+    txn = build_transactions(spark, sf_dir)
+    monthly = txn.groupBy(
+        F.col("revenue_category"), F.trunc("txn_date", "month").alias("month")
+    ).agg(F.sum(to_cents(F.col("total_amount"))).alias("cents"))
+    w = Window.partitionBy("revenue_category").orderBy("month")
+    pred = F.lag("cents", 12).over(w)
+    scored = monthly.withColumn("pred", pred).filter(
+        F.col("pred").isNotNull() & (F.col("cents") != 0)
+    )
+    ape_micro = F.floor(
+        F.abs(F.col("cents") - F.col("pred")).cast("double")
+        / F.abs(F.col("cents"))
+        * 1000000.0
+        + 0.5
+    ).cast("long")
+    return (
+        scored.withColumn("ape_micro", ape_micro)
+        .groupBy("revenue_category")
+        .agg(
+            F.count("*").alias("n_months"),
+            (
+                F.floor(F.sum("ape_micro").cast("double") / F.count("*") + 0.5).cast("long")
+                / 1000000.0
+            ).alias("mape"),
+            (F.max("ape_micro") / 1000000.0).alias("worst_ape"),
+        )
+        .orderBy("revenue_category")
+    )
+
+
+def seasonal_naive_forecast_eval_sql() -> str:
+    return f"""
+WITH txn AS ({transactions_sql()}),
+monthly AS (
+  SELECT revenue_category, date_trunc('month', txn_date)::date AS month,
+         sum({to_cents_sql('total_amount')}) AS cents
+  FROM txn GROUP BY 1, 2
+),
+scored AS (
+  SELECT *, lag(cents, 12) OVER (PARTITION BY revenue_category ORDER BY month) AS pred
+  FROM monthly
+),
+ape AS (
+  SELECT revenue_category,
+         floor(abs(cents - pred)::double / abs(cents) * 1000000.0 + 0.5)::bigint
+           AS ape_micro
+  FROM scored
+  WHERE pred IS NOT NULL AND cents != 0
+)
+SELECT revenue_category,
+       count(*) AS n_months,
+       floor(sum(ape_micro)::double / count(*) + 0.5)::bigint / 1000000.0 AS mape,
+       max(ape_micro) / 1000000.0 AS worst_ape
+FROM ape
+GROUP BY revenue_category
+ORDER BY revenue_category
+"""

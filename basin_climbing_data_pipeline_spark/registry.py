@@ -40,10 +40,11 @@ driver-green row at current code.  Round-4 rotation (both sessions):
    retention_triangle / sketch_decile_assignment /
    daily_revenue_locf / purchase_attribution /
    category_basket_lift / spend_drift_psi /
-   visit_spend_correlation / experiment_conversion_ztest) lead
-   block 4.  That set now counts 56 entries — SIX more than the
+   visit_spend_correlation / experiment_conversion_ztest /
+   revenue_mom_growth / seasonal_naive_forecast_eval) lead
+   block 4.  That set now counts 58 entries — EIGHT more than the
    50-slot window — so the round-5 rotation front-loads 50 of them
-   and rolls the remaining six to round 6; roll the entries whose
+   and rolls the remaining eight to round 6; roll the entries whose
    machinery is already driven end-to-end by an in-window sibling
    (quantization_error_eval and quantized_topk_recall share the
    int8 path; media_resize_features rides the same mapInPandas
@@ -387,6 +388,12 @@ register(
     "experiment_conversion_ztest",
     ex.experiment_conversion_ztest,
     ex.experiment_conversion_ztest_sql(),
+)
+register("revenue_mom_growth", txn.revenue_mom_growth, txn.revenue_mom_growth_sql())
+register(
+    "seasonal_naive_forecast_eval",
+    txn.seasonal_naive_forecast_eval,
+    txn.seasonal_naive_forecast_eval_sql(),
 )
 
 # First the eight pushed out by this session's insertions: flags_build /

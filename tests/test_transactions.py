@@ -186,3 +186,37 @@ def test_daily_revenue_locf_dense_and_filled(spark, sf_dir):
         assert any(r["is_filled"] for r in days) or len(days) == len(
             {r["day"] for r in days}
         )
+
+
+def test_mom_growth_reconstructs_series(spark, sf_dir):
+    """mom_change must equal the difference of consecutive monthly levels,
+    and pct must be null exactly on first months / zero bases."""
+    from basin_climbing_data_pipeline_spark.operators.transactions import (
+        revenue_mom_growth,
+    )
+
+    rows = revenue_mom_growth(spark, sf_dir).collect()
+    by_cat: dict[str, list] = {}
+    for r in rows:
+        by_cat.setdefault(r["revenue_category"], []).append(r)
+    for cat, months in by_cat.items():
+        months.sort(key=lambda r: r["month"])
+        assert months[0]["mom_change"] is None and months[0]["mom_pct"] is None
+        for a, b in zip(months, months[1:]):
+            assert abs(b["mom_change"] - (b["net_revenue"] - a["net_revenue"])) < 1e-9
+            if a["net_revenue"] == 0:
+                assert b["mom_pct"] is None
+
+
+def test_seasonal_naive_eval_bounds(spark, sf_dir):
+    """MAPE is an average of per-month APEs, so it's bounded by the worst
+    APE; every category with >= 13 months of history must be scored."""
+    from basin_climbing_data_pipeline_spark.operators.transactions import (
+        seasonal_naive_forecast_eval,
+    )
+
+    rows = seasonal_naive_forecast_eval(spark, sf_dir).collect()
+    assert rows, "TPC-H-dated corpus spans > 1 year; expected scored categories"
+    for r in rows:
+        assert r["n_months"] > 0
+        assert 0.0 <= r["mape"] <= r["worst_ape"] + 1e-9
