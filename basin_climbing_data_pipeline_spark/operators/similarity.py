@@ -1200,3 +1200,139 @@ SELECT b.query_id,
 FROM base b LEFT JOIN overlap o USING (query_id)
 ORDER BY b.query_id
 """
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup (cluster-then-dedup, SemDeDup-style)
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_COSINE = NEAR_DUP_COSINE  # same near-dup bar as the banded-LSH path
+
+
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-then-dedup over embedding space (the SemDeDup recipe, Abbas
+    et al. 2023): assign every vector to its nearest coarse centroid,
+    compare pairs only WITHIN a cell, mark the higher-id member of every
+    ≥-threshold pair as a semantic duplicate, and report per-cell how much
+    the corpus shrinks.  The third member of the embedding-dedup family:
+    banded LSH (embedding_near_dup_pairs) trades recall for linear cost,
+    brute force (cosine_topk) is exact but quadratic — cluster-local
+    comparison is the middle path production corpus builds actually run.
+
+    Scale shape: assignment is the IVF broadcast argmax (16 centroid rows
+    here; k-means output in production); the pair stage is an equi self-join
+    on the cell id, so cost is Σ cell² — held at N·occupancy by growing the
+    centroid count with the corpus, exactly the IVF sizing argument
+    (similarity.py:_planes_for).  The documented trade: a near-dup pair
+    straddling two cells is missed — SemDeDup accepts that recall loss in
+    exchange for never leaving cell-local work.
+
+    Keep rule: a vector is REMOVED iff some smaller-id vector in its cell
+    clears the threshold with it ("min-id representative" — deterministic,
+    1-pass, no iterative components)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    with_norm = emb.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(_dot64(F.col("embedding"), F.col("embedding"))).alias("norm"),
+    )
+    centroids = with_norm.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("norm").alias("c_norm"),
+    )
+    cos_c = _cosine(_dot64(F.col("embedding"), F.col("c_emb")), F.col("norm"), F.col("c_norm"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy(F.desc("_ccos"), "centroid_id")
+    assigned = (
+        with_norm.join(F.broadcast(centroids))
+        .withColumn("_ccos", cos_c)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "norm", "centroid_id")
+    )
+    from ..io import tracked_persist
+
+    assigned = tracked_persist(assigned)  # both sides of the pair join + sizes
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    pair_cos = _cosine(
+        _dot64(F.col("a.embedding"), F.col("b.embedding")),
+        F.col("a.norm"),
+        F.col("b.norm"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.centroid_id") == F.col("b.centroid_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .withColumn("cosine", pair_cos)
+        .filter(F.col("cosine") >= SEMDEDUP_COSINE)
+        .select(F.col("a.centroid_id").alias("centroid_id"), F.col("b.vec_id").alias("removed_id"))
+    )
+    per_cell_pairs = pairs.groupBy("centroid_id").agg(
+        F.count("*").alias("n_dup_pairs"),
+        F.countDistinct("removed_id").alias("n_removed"),
+    )
+    sizes = assigned.groupBy("centroid_id").agg(F.count("*").alias("n_vectors"))
+    return (
+        sizes.join(per_cell_pairs, "centroid_id", "left")
+        .na.fill({"n_dup_pairs": 0, "n_removed": 0})
+        .select(
+            "centroid_id",
+            "n_vectors",
+            "n_dup_pairs",
+            "n_removed",
+            (F.col("n_vectors") - F.col("n_removed")).alias("n_kept"),
+        )
+        .orderBy("centroid_id")
+    )
+
+
+def semantic_dedup_sql() -> str:
+    dot_c = _dot_sql("e.embedding", "c.embedding")
+    ne = _dot_sql("e.embedding", "e.embedding")
+    nc = _dot_sql("c.embedding", "c.embedding")
+    cos_c = f"floor(({dot_c}) / (sqrt({ne}) * sqrt({nc})) * {COSINE_SCALE} + 0.5) / {COSINE_SCALE}"
+    dot_p = _dot_sql("a.embedding", "b.embedding")
+    cos_p = f"floor(({dot_p}) / (a.norm * b.norm) * {COSINE_SCALE} + 0.5) / {COSINE_SCALE}"
+    return f"""
+WITH centroids AS (
+  SELECT vec_id AS centroid_id, embedding FROM embeddings WHERE vec_id < {N_CENTROIDS}
+),
+scored AS (
+  SELECT e.vec_id, e.embedding, c.centroid_id, {cos_c} AS ccos
+  FROM embeddings e CROSS JOIN centroids c
+),
+assigned AS (
+  SELECT vec_id, embedding, centroid_id,
+         sqrt({_dot_sql('embedding', 'embedding')}) AS norm
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY ccos DESC, centroid_id) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+pairs AS (
+  SELECT a.centroid_id, b.vec_id AS removed_id
+  FROM assigned a JOIN assigned b
+    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+  WHERE {cos_p} >= {SEMDEDUP_COSINE}
+),
+per_cell AS (
+  SELECT centroid_id, count(*) AS n_dup_pairs,
+         count(DISTINCT removed_id) AS n_removed
+  FROM pairs GROUP BY centroid_id
+),
+sizes AS (
+  SELECT centroid_id, count(*) AS n_vectors FROM assigned GROUP BY centroid_id
+)
+SELECT s.centroid_id, s.n_vectors,
+       coalesce(p.n_dup_pairs, 0) AS n_dup_pairs,
+       coalesce(p.n_removed, 0) AS n_removed,
+       s.n_vectors - coalesce(p.n_removed, 0) AS n_kept
+FROM sizes s LEFT JOIN per_cell p USING (centroid_id)
+ORDER BY s.centroid_id
+"""

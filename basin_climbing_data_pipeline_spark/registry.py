@@ -41,10 +41,10 @@ driver-green row at current code.  Round-4 rotation (both sessions):
    daily_revenue_locf / purchase_attribution /
    category_basket_lift / spend_drift_psi /
    visit_spend_correlation / experiment_conversion_ztest /
-   revenue_mom_growth / seasonal_naive_forecast_eval) lead
-   block 4.  That set now counts 58 entries — EIGHT more than the
+   revenue_mom_growth / seasonal_naive_forecast_eval /
+   semantic_dedup) lead block 4.  That set now counts 59 entries — NINE more than the
    50-slot window — so the round-5 rotation front-loads 50 of them
-   and rolls the remaining eight to round 6; roll the entries whose
+   and rolls the remainder to round 6; roll the entries whose
    machinery is already driven end-to-end by an in-window sibling
    (quantization_error_eval and quantized_topk_recall share the
    int8 path; media_resize_features rides the same mapInPandas
@@ -395,6 +395,7 @@ register(
     txn.seasonal_naive_forecast_eval,
     txn.seasonal_naive_forecast_eval_sql(),
 )
+register("semantic_dedup", sim.semantic_dedup, sim.semantic_dedup_sql())
 
 # First the eight pushed out by this session's insertions: flags_build /
 # events_unified / flag_type_summary (flags.py was rewritten in round 3

@@ -195,3 +195,20 @@ def test_quantized_topk_recall_bounds(spark, sf_dir):
         assert 0 <= r["recall_micro"] <= 1_000_000
     mean_recall = sum(r["recall_micro"] for r in rows) / len(rows) / 1e6
     assert mean_recall >= 0.6, f"int8 recall collapsed: {mean_recall}"
+
+
+def test_semantic_dedup_consistency(spark, sf_dir):
+    """Cells partition the corpus; removals never exceed cell size minus
+    one (a cell keeps at least its min-id member); pair counts bound
+    removals."""
+    from basin_climbing_data_pipeline_spark.io import load_table
+    from basin_climbing_data_pipeline_spark.operators.similarity import semantic_dedup
+
+    rows = semantic_dedup(spark, sf_dir).collect()
+    n_total = load_table(spark, sf_dir, "embeddings").count()
+    assert sum(r["n_vectors"] for r in rows) == n_total
+    for r in rows:
+        assert r["n_kept"] == r["n_vectors"] - r["n_removed"]
+        assert r["n_removed"] <= max(r["n_vectors"] - 1, 0)
+        assert r["n_removed"] <= r["n_dup_pairs"]
+        assert r["n_kept"] >= 1 or r["n_vectors"] == 0
