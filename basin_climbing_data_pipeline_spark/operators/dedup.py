@@ -1673,3 +1673,104 @@ FROM scored
 WHERE jaccard >= {SNM_MIN_JACCARD}
 ORDER BY doc_a, doc_b
 """
+
+
+# ---------------------------------------------------------------------------
+# blocker recall eval: SNM vs MinHash-LSH against exact-Jaccard truth
+# ---------------------------------------------------------------------------
+
+BLOCKER_TRUTH_JACCARD = 0.5  # the "real near-dup" bar for the ground truth
+
+
+def blocker_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head-to-head recall of the two candidate-generation strategies —
+    sorted-neighborhood (sort-key blocking) and MinHash-LSH (hash
+    blocking) — against exact ground truth: all pairs whose pruned-shingle
+    Jaccard clears ``BLOCKER_TRUTH_JACCARD`` (the inverted-index
+    computation, exhaustive over the pruned shingle space, affordable as
+    an EVAL).  One row per blocker plus their union: candidate volume,
+    truth size, hits, recall.  This quantifies the complementarity claim
+    the dedup family rests on — hash blocking catches permuted overlap,
+    sort blocking catches shared prefixes, and the union's recall is what
+    a production dedup stack actually ships.  Same measured-quality
+    discipline as ann_recall_eval / dedup_recall_eval.
+
+    Scale shape: all three inputs are existing bounded pipelines (truth
+    rides the pruned inverted index; the blockers are the registered
+    operators); the eval itself is two semi joins and three tiny
+    aggregates."""
+    truth = (
+        ngram_jaccard_pairs(spark, sf_dir)
+        .filter(F.col("jaccard") >= BLOCKER_TRUTH_JACCARD)
+        .select("doc_a", "doc_b")
+    )
+    truth = tracked_persist(truth)
+    snm = sorted_neighborhood_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    lsh = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    union = snm.unionByName(lsh).distinct()
+
+    def score(name: str, cand: DataFrame) -> DataFrame:
+        cand = cand.select("doc_a", "doc_b")
+        hits = truth.join(cand, ["doc_a", "doc_b"], "left_semi")
+        return (
+            cand.agg(F.count("*").alias("n_candidates"))
+            .join(truth.agg(F.count("*").alias("n_truth")))
+            .join(hits.agg(F.count("*").alias("n_hit")))
+            .select(
+                F.lit(name).alias("blocker"),
+                "n_candidates",
+                "n_truth",
+                "n_hit",
+                (
+                    F.floor(
+                        F.col("n_hit").cast("double") / F.col("n_truth") * 1000000.0 + 0.5
+                    )
+                    / 1000000.0
+                ).alias("recall"),
+            )
+        )
+
+    return (
+        score("minhash_lsh", lsh)
+        .unionByName(score("snm", snm))
+        .unionByName(score("union", union))
+        .orderBy("blocker")
+    )
+
+
+def blocker_recall_eval_sql() -> str:
+    truth_src = ngram_jaccard_pairs_sql().strip().rstrip()
+    # reuse the full oracle SQL of each pipeline as a subquery
+    snm_src = sorted_neighborhood_pairs_sql()
+    lsh_src = minhash_lsh_pairs_sql()
+    return f"""
+WITH truth AS (
+  SELECT doc_a, doc_b FROM ({truth_src}) WHERE jaccard >= {BLOCKER_TRUTH_JACCARD}
+),
+snm AS (SELECT doc_a, doc_b FROM ({snm_src})),
+lsh AS (SELECT doc_a, doc_b FROM ({lsh_src})),
+un AS (SELECT DISTINCT doc_a, doc_b FROM (SELECT * FROM snm UNION ALL SELECT * FROM lsh)),
+scored AS (
+  SELECT 'minhash_lsh' AS blocker,
+         (SELECT count(*) FROM lsh) AS n_candidates,
+         (SELECT count(*) FROM truth) AS n_truth,
+         (SELECT count(*) FROM truth t SEMI JOIN lsh c
+            ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b) AS n_hit
+  UNION ALL
+  SELECT 'snm',
+         (SELECT count(*) FROM snm),
+         (SELECT count(*) FROM truth),
+         (SELECT count(*) FROM truth t SEMI JOIN snm c
+            ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)
+  UNION ALL
+  SELECT 'union',
+         (SELECT count(*) FROM un),
+         (SELECT count(*) FROM truth),
+         (SELECT count(*) FROM truth t SEMI JOIN un c
+            ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)
+)
+SELECT blocker, n_candidates, n_truth, n_hit,
+       floor(n_hit::double / n_truth * 1000000.0 + 0.5) / 1000000.0 AS recall
+FROM scored
+ORDER BY blocker
+"""

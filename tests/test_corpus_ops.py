@@ -543,3 +543,18 @@ def test_visit_spend_correlation_matches_numpy(spark, sf_dir):
     (row,) = visit_spend_correlation(spark, sf_dir).collect()
     assert row["n"] == len(pairs)
     assert abs(row["pearson_r"] - want) < 1e-4
+
+
+def test_blocker_recall_eval_consistency(spark, sf_dir):
+    """Hits are bounded by truth and by candidates; the union blocker can
+    never have lower recall than either member."""
+    from basin_climbing_data_pipeline_spark.operators.dedup import blocker_recall_eval
+
+    rows = {r["blocker"]: r for r in blocker_recall_eval(spark, sf_dir).collect()}
+    assert set(rows) == {"minhash_lsh", "snm", "union"}
+    for r in rows.values():
+        assert 0 <= r["n_hit"] <= min(r["n_truth"], r["n_candidates"])
+        assert 0.0 <= r["recall"] <= 1.0
+    assert rows["union"]["recall"] >= max(
+        rows["minhash_lsh"]["recall"], rows["snm"]["recall"]
+    )
