@@ -338,3 +338,114 @@ SELECT transaction_id, txn_date, revenue_category, total_amount, row_version
 FROM ranked WHERE rn = 1 AND op != 'delete'
 ORDER BY transaction_id
 """
+
+
+# ---------------------------------------------------------------------------
+# table diff audit (build-over-build regression diffing)
+# ---------------------------------------------------------------------------
+
+
+def diff_tables(
+    old: DataFrame, new: DataFrame, id_col: str, compare_cols: list[str]
+) -> DataFrame:
+    """Row-level diff of two builds of the same table: one row
+    (added / removed / changed / unchanged → count), computed from ONE
+    full-outer equi-join on the key with md5 row digests on each side —
+    the data-diff a pipeline team runs between yesterday's and today's
+    build before promoting it.  The digest collapses the value comparison
+    to one string equality regardless of column count; at 100 TB both
+    sides shuffle once on the key and the digests are computed map-side."""
+    def digest(df: DataFrame, name: str) -> DataFrame:
+        return df.select(
+            F.col(id_col),
+            F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in compare_cols])).alias(
+                name
+            ),
+        )
+
+    o = digest(old, "old_digest")
+    n = digest(new, "new_digest")
+    joined = o.join(n, id_col, "full_outer")
+    status = (
+        F.when(F.col("old_digest").isNull(), "added")
+        .when(F.col("new_digest").isNull(), "removed")
+        .when(F.col("old_digest") != F.col("new_digest"), "changed")
+        .otherwise("unchanged")
+    )
+    return joined.select(status.alias("status")).groupBy("status").agg(
+        F.count("*").alias("n_rows")
+    )
+
+
+def table_diff_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checked diff between the STALE stored transactions table and
+    the CHANGESET-MERGED build (the two states ``changeset_merge``
+    produces): how many rows the merge added, removed (refund tombstones),
+    changed (row_version bump) and left untouched.  The promotion gate a
+    warehouse runs build-over-build, with the reference's daily splice as
+    the subject (pipeline_handler.py:429-479)."""
+    from .transactions import build_transactions
+
+    txn = build_transactions(spark, sf_dir)
+    stored_raw = txn.filter(
+        F.col("txn_date") <= F.lit(MERGE_STALE_END).cast("date")
+    ).withColumn("row_version", F.lit(1))
+    # the synthetic lineitem plants duplicate transaction_ids on purpose
+    # (A8); the diff's key must be unique, so the stored side gets the same
+    # deterministic keep-first the merge paths use
+    w = Window.partitionBy("transaction_id").orderBy(
+        *[F.col(c) for c in _MERGE_ORDER_COLS]
+    )
+    stored = (
+        stored_raw.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    merged = changeset_merge(spark, sf_dir)
+    compare = ["txn_date", "revenue_category", "total_amount", "row_version"]
+    return diff_tables(
+        stored.select("transaction_id", *compare),
+        merged.select("transaction_id", *compare),
+        "transaction_id",
+        compare,
+    ).orderBy("status")
+
+
+def table_diff_audit_sql() -> str:
+    from .transactions import transactions_sql
+
+    return f"""
+WITH merged AS ({changeset_merge_sql()}),
+txn AS ({transactions_sql()}),
+stored_raw AS (
+  SELECT transaction_id, txn_date, revenue_category, total_amount, 1 AS row_version,
+         row_number() OVER (PARTITION BY transaction_id
+                            ORDER BY {", ".join(c + " NULLS FIRST" for c in _MERGE_ORDER_COLS)}) AS rn
+  FROM txn WHERE txn_date <= DATE '{MERGE_STALE_END}'
+),
+stored AS (SELECT * FROM stored_raw WHERE rn = 1),
+o AS (
+  SELECT transaction_id,
+         md5(concat_ws(chr(31), txn_date::varchar, revenue_category,
+                       total_amount::varchar, row_version::varchar)) AS old_digest
+  FROM stored
+),
+n AS (
+  SELECT transaction_id,
+         md5(concat_ws(chr(31), txn_date::varchar, revenue_category,
+                       total_amount::varchar, row_version::varchar)) AS new_digest
+  FROM merged
+),
+joined AS (
+  SELECT coalesce(o.transaction_id, n.transaction_id) AS id, o.old_digest, n.new_digest
+  FROM o FULL OUTER JOIN n ON o.transaction_id = n.transaction_id
+)
+SELECT CASE WHEN old_digest IS NULL THEN 'added'
+            WHEN new_digest IS NULL THEN 'removed'
+            WHEN old_digest != new_digest THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       count(*) AS n_rows
+FROM joined
+GROUP BY 1
+ORDER BY status
+"""

@@ -216,3 +216,49 @@ def test_retention_triangle_monotone(spark, sf_dir):
         if r["week_offset"] == 0:
             assert r["pct_retained"] == 100.0
         assert r["week_offset"] >= 0
+
+
+def test_diff_tables_statuses(spark):
+    """added/removed/changed/unchanged must each be detected on a planted
+    4-row scenario."""
+    from basin_climbing_data_pipeline_spark.operators.incremental import diff_tables
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, val string"
+    )
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "C"), (4, "d")], "id long, val string"
+    )
+    out = {r["status"]: r["n_rows"] for r in diff_tables(old, new, "id", ["val"]).collect()}
+    assert out == {"added": 1, "removed": 1, "changed": 1, "unchanged": 1}
+
+
+def test_table_diff_audit_reconciles(spark, sf_dir):
+    """The diff's row accounting must reconcile with the two builds' sizes:
+    |old| = removed + changed + unchanged, |new| = added + changed +
+    unchanged."""
+    from pyspark.sql import functions as F
+
+    from basin_climbing_data_pipeline_spark.operators.incremental import (
+        MERGE_STALE_END,
+        changeset_merge,
+        table_diff_audit,
+    )
+    from basin_climbing_data_pipeline_spark.operators.transactions import (
+        build_transactions,
+    )
+
+    out = {r["status"]: r["n_rows"] for r in table_diff_audit(spark, sf_dir).collect()}
+    # the audit diffs the DEDUPED stored build (unique transaction_id)
+    n_old = (
+        build_transactions(spark, sf_dir)
+        .filter(F.col("txn_date") <= F.lit(MERGE_STALE_END).cast("date"))
+        .select("transaction_id")
+        .distinct()
+        .count()
+    )
+    n_new = changeset_merge(spark, sf_dir).count()
+    get = lambda k: out.get(k, 0)
+    assert n_old == get("removed") + get("changed") + get("unchanged")
+    assert n_new == get("added") + get("changed") + get("unchanged")
+    assert get("changed") > 0  # the version bump must register as change
