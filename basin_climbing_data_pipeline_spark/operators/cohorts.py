@@ -1232,7 +1232,8 @@ xy AS (
   LEFT JOIN spend s USING (customer_id)
 ),
 m AS (
-  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+  SELECT count(*) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
          sum(x::hugeint * y::hugeint) AS sxy,
          sum(x::hugeint * x::hugeint) AS sxx,
          sum(y::hugeint * y::hugeint) AS syy

@@ -157,10 +157,10 @@ joined AS (
 ),
 agg AS (
   SELECT experiment_id,
-         sum((ab_group = 'A')::bigint) AS n_a,
-         sum(CASE WHEN ab_group = 'A' THEN converted ELSE 0 END) AS conv_a,
-         sum((ab_group = 'B')::bigint) AS n_b,
-         sum(CASE WHEN ab_group = 'B' THEN converted ELSE 0 END) AS conv_b
+         CAST(sum((ab_group = 'A')::bigint) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN ab_group = 'A' THEN converted ELSE 0 END) AS BIGINT) AS conv_a,
+         CAST(sum((ab_group = 'B')::bigint) AS BIGINT) AS n_b,
+         CAST(sum(CASE WHEN ab_group = 'B' THEN converted ELSE 0 END) AS BIGINT) AS conv_b
   FROM joined GROUP BY experiment_id
 )
 SELECT experiment_id, n_a, conv_a, n_b, conv_b,

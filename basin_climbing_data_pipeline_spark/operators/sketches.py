@@ -821,8 +821,8 @@ terms AS (
   FROM enriched
 )
 SELECT revenue_category,
-       max(np_tot) AS n_baseline,
-       max(nq_tot) AS n_current,
+       CAST(max(np_tot) AS BIGINT) AS n_baseline,
+       CAST(max(nq_tot) AS BIGINT) AS n_current,
        max(n_buckets) AS n_buckets,
        sum(term_nano) / 1000000000.0 AS psi
 FROM terms

@@ -721,8 +721,8 @@ per_k AS (
   SELECT n, rk, unnest([{sizes}]) AS vocab_size FROM ranked
 )
 SELECT vocab_size,
-       sum(CASE WHEN rk <= vocab_size THEN n ELSE 0 END) AS covered_tokens,
-       sum(n) AS total_tokens,
+       CAST(sum(CASE WHEN rk <= vocab_size THEN n ELSE 0 END) AS BIGINT) AS covered_tokens,
+       CAST(sum(n) AS BIGINT) AS total_tokens,
        {ratio_sql('sum(CASE WHEN rk <= vocab_size THEN n ELSE 0 END)',
                   'sum(n)', 6)} AS coverage
 FROM per_k
