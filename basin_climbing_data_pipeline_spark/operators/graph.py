@@ -37,15 +37,34 @@ STRONG_TIE_MIN = 3  # graph ops run on the strong-tie subgraph (>= 3 co-presence
 # thresholding is the graph-analytics norm (edges that mean something) and
 # bounds wedge volume by the strong-tie degree distribution instead.
 #
-# Scale caveat (measured, tools/scale_probe.py): a COUNT threshold is
-# observation-window-dependent — 4x longer history for the same users grows
-# degrees ~4x and wedge volume ~16x (probe: 7.7x wall at 4x data).  The
-# production threshold is a RATE (co-presences per active month >= r), which
-# keeps the strong-tie degree distribution — and thus Σdeg² — stationary as
-# history accumulates; the count form here matches the bounded test window.
+# The threshold is applied as a RATE — co-presences per 30-day window of
+# the pair's span (``_strong_tie_filter``) — because a plain COUNT is
+# observation-window-dependent: 4x longer history for the same users grows
+# degrees ~4x and wedge volume ~16x (measured 7.7x wall at the 4x probe on
+# the count form).  The rate keeps the strong-tie degree distribution — and
+# thus Σdeg² — stationary as history accumulates; for spans <= 30 days it
+# reduces to the plain count >= STRONG_TIE_MIN.
 PR_ITERS = 3
 PR_DAMP_NUM = 85  # damping 0.85 as an exact integer ratio
 PR_BASE_MICRO = 150_000  # (1 - 0.85) · 1e6
+
+
+def _strong_tie_filter(df):
+    """RATE-threshold strong ties: >= STRONG_TIE_MIN co-presences per
+    30-day window of the pair's observed span.  A plain count threshold is
+    observation-window-dependent (4x longer history for the same users
+    grows degrees ~4x and wedge volume ~16x — measured 7.7x wall on the 4x
+    probe); normalizing by the span keeps the strong-tie degree
+    distribution — and thus the Σdeg² wedge bound — stationary as history
+    accumulates.  For spans <= 30 days this reduces to the plain
+    count >= STRONG_TIE_MIN."""
+    windows = F.floor(F.datediff(F.col("last_date"), F.col("first_date")) / 30) + 1
+    return df.filter(F.col("n_copresent") >= F.lit(STRONG_TIE_MIN) * windows)
+
+
+_STRONG_TIE_SQL = (
+    f"n_copresent >= {STRONG_TIE_MIN} * ((last_date - first_date) // 30 + 1)"
+)
 
 
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -53,10 +72,8 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     proximity pairs."""
     from .events import proximity_connections
 
-    pairs = (
-        proximity_connections(spark, sf_dir)
-        .filter(F.col("strength_score") >= STRONG_TIE_MIN)
-        .select(F.col("customer_id_1").alias("a"), F.col("customer_id_2").alias("b"))
+    pairs = _strong_tie_filter(proximity_connections(spark, sf_dir)).select(
+        F.col("customer_id_1").alias("a"), F.col("customer_id_2").alias("b")
     )
     return pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
         pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
@@ -130,7 +147,7 @@ it{n} AS (
     return f"""
 WITH prox AS MATERIALIZED ({proximity_connections_sql()}),
 pairs AS MATERIALIZED (SELECT customer_id_1 AS a, customer_id_2 AS b FROM prox
-          WHERE strength_score >= {STRONG_TIE_MIN}),
+          WHERE {_STRONG_TIE_SQL}),
 edges AS MATERIALIZED (
   SELECT a AS src, b AS dst FROM pairs
   UNION ALL
@@ -151,10 +168,8 @@ def triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts and the clustering coefficient 3·triangles / wedges."""
     from .events import proximity_connections
 
-    pairs = (
-        proximity_connections(spark, sf_dir)
-        .filter(F.col("strength_score") >= STRONG_TIE_MIN)
-        .select(F.col("customer_id_1").alias("a"), F.col("customer_id_2").alias("b"))
+    pairs = _strong_tie_filter(proximity_connections(spark, sf_dir)).select(
+        F.col("customer_id_1").alias("a"), F.col("customer_id_2").alias("b")
     )  # a < b by construction — the orientation that makes the join linear-ish
     # wedges a<b<c open at b... the ordered pattern: (a,b) + (b,c) + (a,c)
     ab = pairs.alias("ab")
@@ -201,7 +216,7 @@ def triangle_stats_sql() -> str:
     return f"""
 WITH prox AS MATERIALIZED ({proximity_connections_sql()}),
 pairs AS MATERIALIZED (SELECT customer_id_1 AS a, customer_id_2 AS b FROM prox
-          WHERE strength_score >= {STRONG_TIE_MIN}),
+          WHERE {_STRONG_TIE_SQL}),
 tri AS (
   SELECT count(*) AS n_triangles
   FROM pairs ab
@@ -266,14 +281,10 @@ def common_neighbor_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.money import ratio
     from .events import proximity_connections
 
-    pairs = (
-        proximity_connections(spark, sf_dir)
-        .filter(F.col("strength_score") >= STRONG_TIE_MIN)
-        .select(
-            F.col("customer_id_1").alias("a"),
-            F.col("customer_id_2").alias("b"),
-            "n_copresent",
-        )
+    pairs = _strong_tie_filter(proximity_connections(spark, sf_dir)).select(
+        F.col("customer_id_1").alias("a"),
+        F.col("customer_id_2").alias("b"),
+        "n_copresent",
     )
     directed = pairs.select(
         F.col("a").alias("src"), F.col("b").alias("dst"), "n_copresent"
@@ -324,7 +335,7 @@ def common_neighbor_recs_sql() -> str:
     return f"""
 WITH prox AS MATERIALIZED ({proximity_connections_sql()}),
 pairs AS MATERIALIZED (SELECT customer_id_1 AS a, customer_id_2 AS b, n_copresent
-          FROM prox WHERE strength_score >= {STRONG_TIE_MIN}),
+          FROM prox WHERE {_STRONG_TIE_SQL}),
 directed AS (
   SELECT a AS src, b AS dst, n_copresent FROM pairs
   UNION ALL
