@@ -304,3 +304,31 @@ def test_warehouse_constraint_audit_catches_violations(spark):
     ).collect()[0]
     assert stats["dups"] == 1
     assert stats["nulls"] == 1
+
+
+def test_strong_tie_rate_threshold(spark):
+    """The rate form must equal the count form for <=30-day spans and
+    demand proportionally more co-presences for longer spans."""
+    import datetime as dt
+
+    from basin_climbing_data_pipeline_spark.operators.graph import (
+        STRONG_TIE_MIN,
+        _strong_tie_filter,
+    )
+
+    rows = [
+        # (n_copresent, first, last, should_survive)
+        (3, dt.date(2024, 1, 1), dt.date(2024, 1, 25), True),   # short span, count form
+        (2, dt.date(2024, 1, 1), dt.date(2024, 1, 25), False),
+        (3, dt.date(2024, 1, 1), dt.date(2024, 5, 1), False),   # 121d span -> needs 15
+        (15, dt.date(2024, 1, 1), dt.date(2024, 5, 1), True),
+        (14, dt.date(2024, 1, 1), dt.date(2024, 5, 1), False),
+    ]
+    df = spark.createDataFrame(
+        [(i, n, a, b) for i, (n, a, b, _) in enumerate(rows)],
+        "id long, n_copresent long, first_date date, last_date date",
+    )
+    kept = {r["id"] for r in _strong_tie_filter(df).collect()}
+    for i, (n, a, b, want) in enumerate(rows):
+        assert (i in kept) == want, (i, n, a, b)
+    assert STRONG_TIE_MIN == 3  # the scenario table above encodes this
