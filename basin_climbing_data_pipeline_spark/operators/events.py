@@ -611,3 +611,74 @@ WHERE event_type = 'purchase'
 GROUP BY 1, 2
 ORDER BY first_touch, last_touch
 """
+
+
+# ---------------------------------------------------------------------------
+# visit streaks (gaps-and-islands)
+# ---------------------------------------------------------------------------
+
+
+def visit_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest run of CONSECUTIVE visit days per customer — the
+    gaps-and-islands idiom: distinct visit dates, a per-customer
+    ``row_number`` ordered by date, and the invariant that consecutive
+    days share a constant ``date − row_number`` anchor; grouping on the
+    anchor yields the islands in one pass, no self-join, no iteration.
+    The engagement stat behind "7-day streak" badges, and the remaining
+    classic of the sessionization family (checkin_sessions = time-gap
+    sessions, native_session_windows = built-in session windows, this =
+    calendar-consecutive runs).
+
+    Scale shape: one distinct on (customer, date), one per-customer
+    window, two keyed groupBys — every stage rides the customer key."""
+    ck = build_checkins(spark, sf_dir)
+    days = ck.select("customer_id", F.col("checkin_date").alias("d")).distinct()
+    w = Window.partitionBy("customer_id").orderBy("d")
+    anchored = days.withColumn(
+        "anchor", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    islands = anchored.groupBy("customer_id", "anchor").agg(
+        F.count("*").alias("len"),
+        F.min("d").alias("streak_start"),
+        F.max("d").alias("streak_end"),
+    )
+    wbest = Window.partitionBy("customer_id").orderBy(
+        F.desc("len"), "streak_start"
+    )
+    return (
+        islands.withColumn("rn", F.row_number().over(wbest))
+        .filter(F.col("rn") == 1)
+        .select(
+            "customer_id",
+            F.col("len").alias("longest_streak_days"),
+            "streak_start",
+            "streak_end",
+        )
+        .orderBy("customer_id")
+    )
+
+
+def visit_streaks_sql() -> str:
+    return f"""
+WITH ck AS ({checkins_sql()}),
+days AS (SELECT DISTINCT customer_id, checkin_date AS d FROM ck),
+anchored AS (
+  SELECT customer_id, d,
+         d - CAST(row_number() OVER (PARTITION BY customer_id ORDER BY d) AS INTEGER)
+           AS anchor
+  FROM days
+),
+islands AS (
+  SELECT customer_id, anchor, count(*) AS len,
+         min(d) AS streak_start, max(d) AS streak_end
+  FROM anchored GROUP BY customer_id, anchor
+),
+best AS (
+  SELECT *, row_number() OVER (PARTITION BY customer_id
+                               ORDER BY len DESC, streak_start) AS rn
+  FROM islands
+)
+SELECT customer_id, len AS longest_streak_days, streak_start, streak_end
+FROM best WHERE rn = 1
+ORDER BY customer_id
+"""

@@ -42,8 +42,8 @@ driver-green row at current code.  Round-4 rotation (both sessions):
    category_basket_lift / spend_drift_psi /
    visit_spend_correlation / experiment_conversion_ztest /
    revenue_mom_growth / seasonal_naive_forecast_eval /
-   semantic_dedup / blocker_recall_eval / table_diff_audit) lead
-   block 4.  That set now counts 61 entries — ELEVEN more than the
+   semantic_dedup / blocker_recall_eval / table_diff_audit /
+   visit_streaks) lead block 4.  That set now counts 62 entries — TWELVE more than the
    50-slot window — so the round-5 rotation front-loads 50 of them
    and rolls the remainder to round 6; roll the entries whose
    machinery is already driven end-to-end by an in-window sibling
@@ -399,6 +399,7 @@ register(
 register("semantic_dedup", sim.semantic_dedup, sim.semantic_dedup_sql())
 register("blocker_recall_eval", dd.blocker_recall_eval, dd.blocker_recall_eval_sql())
 register("table_diff_audit", inc.table_diff_audit, inc.table_diff_audit_sql())
+register("visit_streaks", ev.visit_streaks, ev.visit_streaks_sql())
 
 # First the eight pushed out by this session's insertions: flags_build /
 # events_unified / flag_type_summary (flags.py was rewritten in round 3

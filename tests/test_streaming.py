@@ -164,3 +164,35 @@ def test_purchase_attribution_totals(spark, sf_dir):
     for r in rows:
         assert (r["first_touch"] == "none") == (r["last_touch"] == "none")
         assert r["first_touch"] != "purchase" and r["last_touch"] != "purchase"
+
+
+def test_visit_streaks_matches_python(spark, sf_dir):
+    """Recompute the longest consecutive-day run per customer in plain
+    Python from the distinct visit dates; the islands window must agree."""
+    from basin_climbing_data_pipeline_spark.operators.events import (
+        build_checkins,
+        visit_streaks,
+    )
+
+    days_by_cust: dict[int, set] = {}
+    for r in build_checkins(spark, sf_dir).select("customer_id", "checkin_date").collect():
+        days_by_cust.setdefault(r["customer_id"], set()).add(r["checkin_date"])
+    got = {r["customer_id"]: r for r in visit_streaks(spark, sf_dir).collect()}
+    assert got.keys() == days_by_cust.keys()
+    import datetime as dt
+
+    for cust, days in list(days_by_cust.items())[:50]:
+        ordered = sorted(days)
+        best_len, best_start = 1, ordered[0]
+        cur_len, cur_start = 1, ordered[0]
+        for a, b in zip(ordered, ordered[1:]):
+            if (b - a).days == 1:
+                cur_len += 1
+            else:
+                cur_len, cur_start = 1, b
+            if cur_len > best_len:
+                best_len, best_start = cur_len, cur_start
+        g = got[cust]
+        assert g["longest_streak_days"] == best_len, cust
+        assert g["streak_start"] == best_start, cust
+        assert g["streak_end"] == best_start + dt.timedelta(days=best_len - 1)
