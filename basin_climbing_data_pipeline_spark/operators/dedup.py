@@ -1584,7 +1584,12 @@ def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     words = docs.select(
         "doc_id", F.split(F.trim(F.col("text")), " ").alias("w")
-    )
+    ).filter(F.size("w") >= 3)
+    # docs under 3 words are excluded BEFORE shingling on both engines: a
+    # 2-word doc cannot form a 3-gram, and the engines' out-of-bounds
+    # semantics diverge (concat_ws skips NULLs, DuckDB || propagates) —
+    # so the guard is both the correct semantics and the only
+    # cross-engine-stable one.
     base = words.select(
         "doc_id",
         F.element_at("w", 1).alias("block"),
@@ -1659,6 +1664,7 @@ WITH base AS (
          list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
                         FOR i IN range(1, greatest(len(w) - 1, 2))]) AS toks
   FROM (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents)
+  WHERE len(w) >= 3
 ),
 cands AS ({lead_union}),
 scored AS (
@@ -1721,11 +1727,16 @@ def blocker_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_candidates",
                 "n_truth",
                 "n_hit",
-                (
+                # n_truth > 0 guard: an empty truth set (higher truth bar or
+                # sparser corpus) would make Spark's 0/0 NULL but DuckDB's
+                # NaN/inf under IEEE ops — same guard pattern as
+                # experiment_conversion_ztest's z_ok
+                F.when(
+                    F.col("n_truth") > 0,
                     F.floor(
                         F.col("n_hit").cast("double") / F.col("n_truth") * 1000000.0 + 0.5
                     )
-                    / 1000000.0
+                    / 1000000.0,
                 ).alias("recall"),
             )
         )
@@ -1770,7 +1781,9 @@ scored AS (
             ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)
 )
 SELECT blocker, n_candidates, n_truth, n_hit,
-       floor(n_hit::double / n_truth * 1000000.0 + 0.5) / 1000000.0 AS recall
+       CASE WHEN n_truth > 0
+            THEN floor(n_hit::double / n_truth * 1000000.0 + 0.5) / 1000000.0
+       END AS recall
 FROM scored
 ORDER BY blocker
 """

@@ -69,6 +69,7 @@ def replace_bounded_window_merge(
     window_end,
     id_col: str,
     order_cols: list[str],
+    version_col: str | None = None,
 ) -> DataFrame:
     """Order-insensitive variant of :func:`replace_window_merge` for streamed
     re-fetch windows that may arrive in ANY order (Spark's file source gives
@@ -77,29 +78,42 @@ def replace_bounded_window_merge(
     before a later one never deletes that later window's rows — splice the
     fresh rows inside the window, dedup by id with fresh-wins.
 
-    Order-insensitivity contract: *row retention* (which ids survive) is
-    independent of window arrival order, but *values* follow
-    last-processed-wins — if two windows both carry a row for the same id
-    with DIFFERENT column values, the later-processed window's row is kept
-    even if it was fetched earlier.  This matches the reference's source
-    semantics (a re-fetch returns the provider's current state for the row,
-    so overlapping windows carry identical rows for unchanged ids); callers
-    whose source can serve stale overlapping rows must thread a fetch
-    timestamp into ``order_cols`` (descending) so the newest fetch wins
-    regardless of processing order.
+    Order-insensitivity contract (default, ``version_col=None``): *row
+    retention* (which ids survive) is independent of window arrival order,
+    but *values* follow last-processed-wins — if two windows both carry a
+    row for the same id with DIFFERENT column values, the later-processed
+    window's row is kept even if it was fetched earlier.  This matches the
+    reference's source semantics (a re-fetch returns the provider's current
+    state for the row, so overlapping windows carry identical rows for
+    unchanged ids).
+
+    ``version_col`` mode, for sources that CAN serve stale overlapping
+    rows: pass the name of a fetch-timestamp/version column and the merge
+    becomes an upsert-by-newest-version (the Delta ``MERGE``-style
+    semantics): stored rows inside the window stay in the candidate set and
+    the dedup orders by ``version_col`` DESCENDING ahead of freshness, so
+    the newest *fetch* wins no matter which window is processed last.  The
+    trade-off is deliberate and documented: upsert mode cannot observe
+    upstream deletes (a row absent from a newer re-fetch survives via its
+    stored older-version copy) — delete detection requires the default
+    replace semantics.
 
     ``replace_window_merge`` (one-sided) remains correct for the cron-batch
     path where windows are refetched in ascending order and the newest window
     is authoritative for everything after its start."""
+    outside = (F.col(date_col) < F.lit(window_start)) | (
+        F.col(date_col) > F.lit(window_end)
+    )
     kept = existing.filter(
-        (F.col(date_col) < F.lit(window_start)) | (F.col(date_col) > F.lit(window_end))
+        outside if version_col is None else F.lit(True)
     ).withColumn("_is_fresh", F.lit(0))
     incoming = fresh.filter(
         (F.col(date_col) >= F.lit(window_start)) & (F.col(date_col) <= F.lit(window_end))
     ).withColumn("_is_fresh", F.lit(1))
     unioned = kept.unionByName(incoming)
+    version_first = [F.desc(version_col)] if version_col is not None else []
     w = Window.partitionBy(id_col).orderBy(
-        F.desc("_is_fresh"), *[F.col(c) for c in order_cols]
+        *version_first, F.desc("_is_fresh"), *[F.col(c) for c in order_cols]
     )
     return (
         unioned.withColumn("_rn", F.row_number().over(w))

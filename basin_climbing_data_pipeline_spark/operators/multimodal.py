@@ -320,14 +320,21 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def media_frame_sample_sql() -> str:
+    # The checksum is defined over utf-8 PAYLOAD BYTES, so the oracle must
+    # iterate octet positions, not character positions (they differ the
+    # moment any document contains a non-ASCII code point).  DuckDB cannot
+    # index into a BLOB directly, but hex(encode(text)) exposes byte i as
+    # the hex pair at chars (2i-1, 2i); strpos against the hex alphabet
+    # recovers the byte value exactly.
     fs = FRAME_SIZE_BYTES
     k = FRAME_SAMPLE_EVERY_N
     return f"""
 WITH s AS (
-  SELECT doc_id, text, octet_length(encode(text)) AS nb FROM documents
+  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS nb
+  FROM documents
 ),
 dims AS (
-  SELECT doc_id, text,
+  SELECT doc_id, hx, nb,
          CAST(ceil(greatest(nb, 1)::double / {fs}) AS BIGINT) AS n_frames
   FROM s
 ),
@@ -336,8 +343,10 @@ sums AS (
          CAST((n_frames + {k} - 1) // {k} AS BIGINT) AS n_sampled,
          CAST(coalesce(list_sum(
            [CASE WHEN ((i - 1) // {fs}) % {k} = 0
-                 THEN ord(substring(text, i, 1)) ELSE 0 END
-            FOR i IN range(1, length(text) + 1)]
+                 THEN (strpos('0123456789ABCDEF', substring(hx, 2 * i - 1, 1)) - 1) * 16
+                      + (strpos('0123456789ABCDEF', substring(hx, 2 * i, 1)) - 1)
+                 ELSE 0 END
+            FOR i IN range(1, nb + 1)]
          ), 0) AS BIGINT) AS sampled_checksum
   FROM dims
 )

@@ -714,11 +714,20 @@ def kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_members"))
     )
     cents = spark.createDataFrame(
-        cent_rows, "cluster_id bigint, centroid_micro array<bigint>"
+        cent_rows, "cluster_id bigint, centroid_arr array<bigint>"
     )
+    # centroid serialized as a comma-joined string, not array<bigint>: the
+    # driver's canonicalizer sorts result columns with pandas, which cannot
+    # hash list cells — and a flat string hashes identically across engines.
     return (
         cents.join(sizes, "cluster_id")
-        .select("cluster_id", "n_members", "centroid_micro")
+        .select(
+            "cluster_id",
+            "n_members",
+            F.array_join(
+                F.transform("centroid_arr", lambda x: x.cast("string")), ","
+            ).alias("centroid_micro"),
+        )
         .orderBy("cluster_id")
     )
 
@@ -763,7 +772,8 @@ c0 AS (SELECT vec_id AS cluster_id, e AS c FROM emb WHERE vec_id < {N_CENTROIDS}
 {assign('emb', 'c1', 'a2')},
 {update('a2', 'c2')},
 {assign('emb', 'c2', 'a3')}
-SELECT c2.cluster_id, count(*) AS n_members, c2.c AS centroid_micro
+SELECT c2.cluster_id, count(*) AS n_members,
+       array_to_string(c2.c, ',') AS centroid_micro
 FROM a3 JOIN c2 USING (cluster_id)
 GROUP BY c2.cluster_id, c2.c
 ORDER BY c2.cluster_id

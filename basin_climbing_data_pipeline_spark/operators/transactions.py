@@ -812,16 +812,24 @@ def seasonal_naive_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-int per-month APE before the mean (order-insensitive); months
     whose actual nets to zero are excluded from MAPE (APE undefined).
 
-    Scale shape: one monthly aggregation, a 12-month lag window per
-    category, a category-sized rollup."""
+    Scale shape: one monthly aggregation, an equi self-join on
+    (category, month-12mo) — robust to months with zero transactions,
+    unlike a row-offset lag — and a category-sized rollup."""
     txn = build_transactions(spark, sf_dir)
     monthly = txn.groupBy(
         F.col("revenue_category"), F.trunc("txn_date", "month").alias("month")
     ).agg(F.sum(to_cents(F.col("total_amount"))).alias("cents"))
-    w = Window.partitionBy("revenue_category").orderBy("month")
-    pred = F.lag("cents", 12).over(w)
-    scored = monthly.withColumn("pred", pred).filter(
-        F.col("pred").isNotNull() & (F.col("cents") != 0)
+    # the prediction is CALENDAR month m-12's actual, via an equi self-join
+    # on (category, month-12mo) — a lag(cents, 12) would be 12 ROWS back,
+    # which silently shifts to the wrong month whenever a category skips a
+    # month (zero-transaction months are absent from `monthly`).
+    pred_src = monthly.select(
+        "revenue_category",
+        F.add_months("month", 12).alias("month"),
+        F.col("cents").alias("pred"),
+    )
+    scored = monthly.join(pred_src, ["revenue_category", "month"]).filter(
+        F.col("cents") != 0
     )
     ape_micro = F.floor(
         F.abs(F.col("cents") - F.col("pred")).cast("double")
@@ -853,15 +861,18 @@ monthly AS (
   FROM txn GROUP BY 1, 2
 ),
 scored AS (
-  SELECT *, lag(cents, 12) OVER (PARTITION BY revenue_category ORDER BY month) AS pred
-  FROM monthly
+  SELECT m.revenue_category, m.month, m.cents, p.cents AS pred
+  FROM monthly m
+  JOIN monthly p
+    ON p.revenue_category = m.revenue_category
+   AND (p.month + INTERVAL 12 MONTH)::date = m.month
 ),
 ape AS (
   SELECT revenue_category,
          floor(abs(cents - pred)::double / abs(cents) * 1000000.0 + 0.5)::bigint
            AS ape_micro
   FROM scored
-  WHERE pred IS NOT NULL AND cents != 0
+  WHERE cents != 0
 )
 SELECT revenue_category,
        count(*) AS n_months,

@@ -451,6 +451,50 @@ def test_sorted_neighborhood_finds_planted_prefix_dup(spark, sf_dir):
     assert rows, "expected at least one confirmed near-dup pair"
 
 
+def test_sorted_neighborhood_short_docs_oracle_parity(spark, tmp_path):
+    """Docs under 3 words cannot form a 3-gram and the engines' out-of-range
+    indexing semantics diverge (concat_ws skips NULLs, DuckDB || propagates)
+    — the guard excludes them before shingling on BOTH engines.  The corpus
+    has no short docs, so this pins the guarded behavior directly."""
+    import duckdb
+    import pandas as pd
+
+    from basin_climbing_data_pipeline_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+        sorted_neighborhood_pairs_sql,
+    )
+
+    texts = [
+        "a",                        # 1 word — must be excluded
+        "a b",                      # 2 words — must be excluded
+        "a b c",                    # exactly 3 — one gram
+        "a b c d e f g h near dup one two three",
+        "a b c d e f g h near dup one two four",
+    ]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": ["xx"] * len(texts),
+            "source": ["synthetic"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    pdf.to_parquet(tmp_path / "documents.parquet")
+    got = sorted_neighborhood_pairs(spark, str(tmp_path)).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    want = con.execute(sorted_neighborhood_pairs_sql()).df()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True), check_dtype=False
+    )
+    # the planted near-dup pair survives; no pair involves a short doc
+    assert {(a, b) for a, b in zip(got["doc_a"], got["doc_b"])} >= {(3, 4)}
+    assert not set(got["doc_a"]) & {0, 1} and not set(got["doc_b"]) & {0, 1}
+
+
 def test_sorted_neighborhood_no_global_sort(spark, sf_dir):
     """The window must run per block — a plan that funnels the corpus into
     a single partition would be a 100 TB scale-killer."""

@@ -64,6 +64,44 @@ def test_bounded_merge_order_insensitive(spark):
     assert {i for i, _ in got_rev} == {"a", "b", "c"}
 
 
+def test_bounded_merge_version_col_makes_values_order_insensitive(spark):
+    """``version_col`` mode — the escape hatch for sources that can serve
+    STALE overlapping rows: with a fetch-timestamp column named, the merge
+    becomes upsert-by-newest-version and the newest fetch's VALUE wins
+    regardless of which window is processed last (the default contract is
+    last-processed-wins)."""
+    d = dt.date
+
+    def fdf(rows):
+        return spark.createDataFrame(rows, "id string, d date, v int, fetch_ts int")
+
+    # both windows cover b on the same date but carry different values;
+    # w_new was fetched later (fetch_ts 2) than w_old (fetch_ts 1)
+    w_old = fdf([("b", d(2024, 1, 5), 2, 1)])
+    w_new = fdf([("b", d(2024, 1, 5), 20, 2)])
+
+    def apply(existing, fresh):
+        return inc.replace_bounded_window_merge(
+            existing, fresh, "d", d(2024, 1, 5), d(2024, 1, 5), "id",
+            ["d", "v"], version_col="fetch_ts",
+        )
+
+    empty = spark.createDataFrame([], "id string, d date, v int, fetch_ts int")
+    fwd = apply(apply(empty, w_old), w_new)
+    rev = apply(apply(empty, w_new), w_old)
+    assert [(r["id"], r["v"]) for r in fwd.collect()] == [("b", 20)]
+    # even though w_old is processed LAST, its stale value loses to the
+    # stored newer fetch
+    assert [(r["id"], r["v"]) for r in rev.collect()] == [("b", 20)]
+    # default mode on the same inputs is last-processed-wins: the stale
+    # window, processed last, overwrites — exactly the divergence the
+    # version_col contract exists to close
+    rev_default = inc.replace_bounded_window_merge(
+        apply(empty, w_new), w_old, "d", d(2024, 1, 5), d(2024, 1, 5), "id", ["d", "v"],
+    )
+    assert [(r["id"], r["v"]) for r in rev_default.collect()] == [("b", 2)]
+
+
 def test_append_if_absent(spark):
     d = dt.date
     existing = _df(spark, [("a", d(2024, 1, 1), 1)])

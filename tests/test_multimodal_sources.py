@@ -160,6 +160,50 @@ def test_resize_upscale_and_downscale():
     assert len(down["pixels"]) == 1
 
 
+def test_media_frame_sample_non_ascii_oracle_parity(spark, tmp_path):
+    """The frame-sample checksum is defined over utf-8 PAYLOAD BYTES; the
+    DuckDB oracle must agree even when byte and character positions diverge
+    (multi-byte code points) — the corpus is pure ASCII, so this pins the
+    byte semantics the corpus can't exercise."""
+    import duckdb
+    import pandas as pd
+
+    from basin_climbing_data_pipeline_spark.operators import multimodal as mm
+
+    texts = [
+        "héllo wörld " * 30,          # 2-byte code points straddling frames
+        "日本語のテキスト" * 20,        # 3-byte code points
+        "plain ascii text " * 10,
+        "émoji 🎉 mix " * 25,          # 4-byte code point
+        "x",
+    ]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": ["xx"] * len(texts),
+            "source": ["synthetic"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    pdf.to_parquet(tmp_path / "documents.parquet")
+    got = mm.media_frame_sample(spark, str(tmp_path)).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    want = con.execute(mm.media_frame_sample_sql()).df()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True), check_dtype=False
+    )
+    # and both agree with a direct byte replay
+    for t, (_, row) in zip(texts, got.iterrows()):
+        b = t.encode()
+        frames = [b[i : i + 64] for i in range(0, max(len(b), 1), 64)]
+        assert row["n_frames"] == len(frames)
+        assert row["sampled_checksum"] == sum(sum(f) for f in frames[::10])
+
+
 def test_media_frame_sample_matches_python(spark, sf_dir):
     """Spark's mapInPandas frame-sample stage must agree with a direct
     Python replay over the same payloads."""
