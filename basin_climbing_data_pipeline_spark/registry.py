@@ -7,7 +7,11 @@ oracle SQL exactly (the driver sorts columns by name and value-hashes).
 
 Registration ORDER is deliberate: the driver verifies the first 50 entries
 per round, so each round rotates the window to re-verify whatever lacks a
-driver-green row at current code.  Round-4 rotation (both sessions):
+driver-green row at current code.  ROUND 5's window is set by the explicit
+``_ROUND5_WINDOW`` reorder at the bottom of this module (front-loading the
+62 entries that had never had a driver row); the block comments below
+record the round-4 rotation for provenance.  Round-4 rotation (both
+sessions):
 
 1. the 31 queries whose latest driver-green row is ROUND 2 (they sat
    outside round 3's window while the shared io.py read/materialize path
@@ -486,6 +490,106 @@ register("exact_dedup", dd.exact_dedup, dd.exact_dedup_sql())
 register("ngram_jaccard_pairs", dd.ngram_jaccard_pairs, dd.ngram_jaccard_pairs_sql())
 register("minhash_signatures", dd.minhash_signatures, dd.minhash_signatures_sql())
 register("simhash_signatures", dd.simhash_signatures, dd.simhash_signatures_sql())
+
+# round-5 additions (the ONLY two, per the round-4 review's stretch item —
+# everything else this round is verification-debt paydown): the S-family's
+# first oracle row, and the F3 applyInPandas escape hatch as a rows-only
+# driver check (its semantics are pinned by the pytest differential against
+# the native flags path; no oracle SQL because the per-customer sequential
+# rule replay is the point).  Both sit at slots 51-52 — round 6 front-loads
+# them with the 13 rolled entries.
+from .sources import readers as rd  # noqa: E402
+
+register("catalog_table_counts", rd.catalog_table_counts, rd.catalog_table_counts_sql())
+register("flags_via_applyinpandas", fl.flags_via_applyinpandas, None)
+
+
+# --- round-5 window rotation ----------------------------------------------
+# The driver verifies the FIRST 50 registry entries per round.  Round 5's
+# single job (per the round-4 review) is paying down verification debt: 62
+# entries had never had a driver row.  The window below is kmeans_refine
+# (red in round 4 for its array<bigint> output, now fixed to a serialized
+# string — must re-green first) followed by 49 of those 62.  The 13 that
+# roll to round 6 are exactly the ones whose machinery an in-window or
+# already-driver-green sibling drives end-to-end this round:
+#   quantization_error_eval / quantized_topk_recall — the int8 quantization
+#     path, checked together in round 6;
+#   media_resize_features — same mapInPandas stage as in-window
+#     media_frame_sample;
+#   cluster_collapse_summary / dedup_recall_eval — ride the r4-green
+#     minhash_lsh_pairs index;
+#   corpus_funnel — composition of driver-green stages;
+#   simhash_adaptive_near_pairs — sibling simhash_near_pairs r4-green;
+#   sketch_decile_assignment — rides in-window histogram_quantiles;
+#   refund_metrics_long / revenue_pivot_by_category / revenue_mom_growth —
+#     reshapes/lags of the r4-green revenue aggregates;
+#   retention_triangle — cohort machinery of driver-green
+#     conversion_cohorts;
+#   visit_spend_correlation — corr over two driver-green inputs.
+# Round 6 must front-load those 13 plus anything round 5 touches.
+_ROUND5_WINDOW = [
+    "kmeans_refine",
+    # never-driver-checked entries (49 of 62)
+    "decontamination",
+    "streaming_attribution_join",
+    "chunk_boilerplate",
+    "pii_scrub",
+    "temperature_mixture_weights",
+    "cross_source_leakage",
+    "hard_negative_mining",
+    "subword_token_stats",
+    "streaming_static_enrichment",
+    "source_quality_cap",
+    "training_shard_assignment",
+    "sliding_window_chunks",
+    "mixture_epoch_plan",
+    "containment_pairs",
+    "vocab_coverage",
+    "tfidf_keywords",
+    "zipf_slope",
+    "hll_distinct_eval",
+    "cms_heavy_hitters",
+    "bloom_join_prune",
+    "event_funnel",
+    "histogram_quantiles",
+    "pagerank_proximity",
+    "triangle_stats",
+    "markov_transitions",
+    "source_token_entropy",
+    "daily_anomalies",
+    "pmi_collocations",
+    "quality_rule_battery",
+    "unigram_logprob_quality",
+    "sorted_neighborhood_pairs",
+    "cogroup_spend_at_checkin",
+    "native_session_windows",
+    "common_neighbor_recs",
+    "warehouse_constraint_audit",
+    "revenue_cube",
+    "media_frame_sample",
+    "spend_deciles",
+    "changeset_merge",
+    "daily_revenue_locf",
+    "purchase_attribution",
+    "category_basket_lift",
+    "spend_drift_psi",
+    "experiment_conversion_ztest",
+    "seasonal_naive_forecast_eval",
+    "semantic_dedup",
+    "blocker_recall_eval",
+    "table_diff_audit",
+    "visit_streaks",
+]
+assert len(_ROUND5_WINDOW) == 50, len(_ROUND5_WINDOW)
+# slots 51-52: this round's only two additions, first in line for round 6
+_ROUND6_FRONT = ["catalog_table_counts", "flags_via_applyinpandas"]
+_missing = [n for n in _ROUND5_WINDOW + _ROUND6_FRONT if n not in REGISTRY]
+assert not _missing, _missing
+_head = _ROUND5_WINDOW + _ROUND6_FRONT
+_rest = [n for n in REGISTRY if n not in set(_head)]
+_reordered = {n: REGISTRY[n] for n in _head + _rest}
+REGISTRY.clear()
+REGISTRY.update(_reordered)
 
 
 def queries() -> dict[str, SparkQuery]:

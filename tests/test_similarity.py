@@ -127,8 +127,13 @@ def test_kmeans_objective_never_increases(spark, sf_dir):
     seeds = emb.filter(F.col("vec_id") < sim.N_CENTROIDS).select(
         F.col("vec_id").alias("cluster_id"), F.col("e").alias("c")
     )
+    # centroid_micro is serialized as a comma-joined string for the driver's
+    # canonicalizer; parse it back to the integer vector
     refined = sim.kmeans_refine(spark, sf_dir).select(
-        "cluster_id", F.col("centroid_micro").alias("c")
+        "cluster_id",
+        F.transform(
+            F.split("centroid_micro", ","), lambda s: s.cast("long")
+        ).alias("c"),
     )
     assert objective(refined) <= objective(seeds)
     # refinement must actually move the centroids off the seed vectors

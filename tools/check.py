@@ -68,8 +68,19 @@ def value_hash(lines: list[str]) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    # --json PATH: also write a machine-readable per-query record (status,
+    # rows, seconds, git head) — the repo commits this as CHECKLOCAL.json so
+    # each round leaves an auditable full-registry verification artifact
+    # even for entries outside the driver's 50-slot window.
+    args = sys.argv[1:]
+    json_path = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_path = args[i + 1]
+        args = args[:i] + args[i + 2 :]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    results: dict[str, dict] = {}
 
     from basin_climbing_data_pipeline_spark.registry import REGISTRY
     from basin_climbing_data_pipeline_spark.session import get_spark
@@ -90,22 +101,26 @@ def main() -> int:
             sdf = fn(spark, sf_dir)
             s_cols = sdf.columns
             s_rows = [tuple(r) for r in sdf.collect()]
-        except Exception:
+        except Exception as e:
             print(f"FAIL {name}: spark error")
             traceback.print_exc()
+            results[name] = {"status": "fail", "err": f"spark: {e}"}
             n_fail += 1
             continue
         if sql is None:
             print(f"rows-only {name}: {len(s_rows)} rows  ({time.time()-t0:.1f}s)")
+            results[name] = {"status": "rows_only", "rows": len(s_rows),
+                             "sec": round(time.time() - t0, 2)}
             n_rows_only += 1
             continue
         try:
             res = con.execute(sql)
             d_cols = [d[0] for d in res.description]
             d_rows = res.fetchall()
-        except Exception:
+        except Exception as e:
             print(f"FAIL {name}: duckdb error")
             traceback.print_exc()
+            results[name] = {"status": "fail", "err": f"duckdb: {e}"}
             n_fail += 1
             continue
 
@@ -128,12 +143,31 @@ def main() -> int:
             print(f"FAIL {name}  ({time.time()-t0:.1f}s)")
             for p in problems:
                 print("   " + p)
+            results[name] = {"status": "fail", "err": "; ".join(problems)[:500]}
             n_fail += 1
         else:
             print(f"PASS {name}: {len(s_rows)} rows  ({time.time()-t0:.1f}s)")
+            results[name] = {"status": "pass", "rows": len(s_rows),
+                             "sec": round(time.time() - t0, 2)}
             n_pass += 1
 
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
+    if json_path:
+        import json
+        import subprocess
+
+        head = subprocess.run(
+            ["git", "-C", os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+             "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True,
+        ).stdout.strip()
+        with open(json_path, "w") as f:
+            json.dump(
+                {"sf_dir": sf_dir, "git_head": head,
+                 "n_pass": n_pass, "n_fail": n_fail, "n_rows_only": n_rows_only,
+                 "queries": results},
+                f, indent=1, sort_keys=True,
+            )
     return 1 if n_fail else 0
 
 
