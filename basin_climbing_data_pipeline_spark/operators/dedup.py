@@ -1486,7 +1486,12 @@ def dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("n").cast("long").alias("n_planted"),
             F.col("f").cast("long").alias("n_found"),
-            F.floor(F.col("f") * 1000000.0 / F.col("n")).cast("long").alias("recall_micro"),
+            # n > 0 guard: an unplanted corpus would make recall 0/0
+            # (Spark NULL vs DuckDB NaN) — same class as blocker_recall
+            F.when(
+                F.col("n") > 0,
+                F.floor(F.col("f") * 1000000.0 / F.col("n")).cast("long"),
+            ).alias("recall_micro"),
             F.lit(MINHASH_BANDS).cast("long").alias("bands"),
             F.lit(MINHASH_K // MINHASH_BANDS).cast("long").alias("rows_per_band"),
         )
@@ -1545,7 +1550,9 @@ counts AS (
           JOIN cand c ON c.doc_a = p.doc_a AND c.doc_b = p.doc_b) AS f
 )
 SELECT n::BIGINT AS n_planted, f::BIGINT AS n_found,
-       CAST(floor(f * 1000000.0 / n) AS BIGINT) AS recall_micro,
+       CASE WHEN n > 0
+            THEN CAST(floor(f * 1000000.0 / n) AS BIGINT)
+       END AS recall_micro,
        {MINHASH_BANDS}::BIGINT AS bands,
        {MINHASH_K // MINHASH_BANDS}::BIGINT AS rows_per_band
 FROM counts

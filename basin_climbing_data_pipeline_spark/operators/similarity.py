@@ -1,5 +1,14 @@
 """Similarity search over the ``embeddings`` table (array<float> 64-d).
 
+INPUT INVARIANT — nonzero vectors: every operator in this module (cosine,
+int8 quantization scale, LSH signs) divides by a vector norm or max-|v|
+and assumes no all-zero embedding exists.  A zero vector would yield
+Spark NULL vs DuckDB NaN/inf cosines (divergent cross-engine semantics)
+and carries no direction to search by; a production ingest must drop or
+re-embed zero vectors before this stage, exactly as FAISS requires for
+its inner-product indexes.  The driver corpus satisfies the invariant by
+construction (verified: min L2 norm > 0 at sf0.01/sf0.1).
+
 Two paths, per the north-star contract:
 
 - brute-force cosine top-k: the correctness baseline — query set × corpus

@@ -151,9 +151,14 @@ def revenue_by_month_category(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("txn_count"),
     )
     w = Window.partitionBy("month")
+    month_total = F.sum("net_revenue").over(w)
+    # month_total != 0 guard: a month whose purchases and refunds net to
+    # exactly zero would make the share 0/0 (Spark NULL vs DuckDB NaN)
     return monthly.withColumn(
         "pct_of_month",
-        ratio(F.col("net_revenue") * 100.0, F.sum("net_revenue").over(w), 2),
+        F.when(
+            month_total != 0, ratio(F.col("net_revenue") * 100.0, month_total, 2)
+        ),
     ).orderBy("month", "revenue_category")
 
 
@@ -169,7 +174,9 @@ monthly AS (
   GROUP BY 1, 2
 )
 SELECT month, revenue_category, net_revenue, txn_count,
-       {ratio_sql('net_revenue * 100.0', 'sum(net_revenue) OVER (PARTITION BY month)', 2)} AS pct_of_month
+       CASE WHEN sum(net_revenue) OVER (PARTITION BY month) != 0
+            THEN {ratio_sql('net_revenue * 100.0', 'sum(net_revenue) OVER (PARTITION BY month)', 2)}
+       END AS pct_of_month
 FROM monthly
 ORDER BY month, revenue_category
 """
@@ -191,7 +198,17 @@ def refund_metrics_by_category(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(F.col("is_refund"), 1)).alias("refund_count"),
             F.count("*").alias("txn_count"),
         )
-        .withColumn("refund_rate", ratio(F.col("refund_amount"), F.col("gross_revenue"), 4))
+        # gross > 0 guard: a category holding only refunds would make the
+        # rate 0/0 — Spark NULL vs DuckDB NaN under IEEE ops (the
+        # cross-engine divergence class ADVICE keeps flagging); NULL is the
+        # honest answer for "rate of nothing"
+        .withColumn(
+            "refund_rate",
+            F.when(
+                F.col("gross_revenue") != 0,
+                ratio(F.col("refund_amount"), F.col("gross_revenue"), 4),
+            ),
+        )
         .orderBy("revenue_category")
     )
 
@@ -211,7 +228,9 @@ agg AS (
   FROM txn
   GROUP BY revenue_category
 )
-SELECT *, {ratio_sql('refund_amount', 'gross_revenue', 4)} AS refund_rate
+SELECT *, CASE WHEN gross_revenue != 0
+               THEN {ratio_sql('refund_amount', 'gross_revenue', 4)}
+          END AS refund_rate
 FROM agg
 ORDER BY revenue_category
 """
