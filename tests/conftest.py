@@ -22,3 +22,9 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_DIR
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: full-registry audits (~90s); deselect with -m 'not slow'"
+    )

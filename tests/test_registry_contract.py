@@ -1,0 +1,53 @@
+"""Driver-contract regression guards on the registry itself.
+
+The driver verifies the FIRST 50 registry entries per round and
+canonicalizes results with pandas (sort columns by name, hash values) —
+two contracts that broke silently in the past: an import-order drift would
+scramble the verification window, and a complex-typed output column
+(``kmeans_refine``'s former ``array<bigint>`` centroids) crashes the
+canonicalizer's ``sort_values``.  These tests pin both.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from basin_climbing_data_pipeline_spark import registry
+
+
+def test_window_order_is_the_declared_rotation():
+    """The first 50 entries must be exactly _ROUND5_WINDOW, in order —
+    the round's verification plan IS the registration order."""
+    names = list(registry.REGISTRY)
+    assert names[:50] == registry._ROUND5_WINDOW
+    assert names[50:52] == registry._ROUND6_FRONT
+
+
+def test_every_query_has_an_oracle_or_documented_rows_only():
+    """Each entry carries oracle SQL unless it is one of the documented
+    rows-only checks (genuinely non-SQL-expressible semantics)."""
+    rows_only_allowed = {"flags_via_applyinpandas"}
+    missing = [
+        name
+        for name, (_fn, sql) in registry.REGISTRY.items()
+        if sql is None and name not in rows_only_allowed
+    ]
+    assert not missing, missing
+
+
+@pytest.mark.slow
+def test_no_complex_output_types(spark, sf_dir):
+    """No registered query may emit array/map/struct output columns: the
+    driver canonicalizer sorts result columns with pandas, which cannot
+    factorize list cells (the exact failure that made kmeans_refine the
+    one red driver row in round 4).  Schema-only — builds every plan at
+    sf0.001 without executing it."""
+    from pyspark.sql import types as T
+
+    bad = []
+    for name, (fn, _sql) in registry.REGISTRY.items():
+        schema = fn(spark, sf_dir).schema
+        for f in schema.fields:
+            if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType)):
+                bad.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
+    assert not bad, bad
