@@ -160,6 +160,32 @@ def test_resize_upscale_and_downscale():
     assert len(down["pixels"]) == 1
 
 
+def test_catalog_table_counts_listing_drives_table_set(spark, tmp_path):
+    """The catalog audit's table set must come FROM the listing, not a
+    constant: a directory holding only a subset of tables yields only
+    those rows, and an empty catalog fails loudly.  The DuckDB oracle
+    (fixed table views) cannot see this — it is the control-plane half
+    of the audit."""
+    import shutil
+
+    import pytest as _pytest
+
+    from basin_climbing_data_pipeline_spark.sources.readers import (
+        catalog_table_counts,
+    )
+
+    src = "/root/testdata/sf0.001"
+    for t in ("region", "nation", "customer"):
+        shutil.copy(f"{src}/{t}.parquet", tmp_path / f"{t}.parquet")
+    got = catalog_table_counts(spark, str(tmp_path)).collect()
+    assert [r["table_name"] for r in got] == ["customer", "nation", "region"]
+    assert all(r["n_files"] == 1 for r in got)
+    empty = tmp_path / "empty_catalog"
+    empty.mkdir()
+    with _pytest.raises(AssertionError, match="no tables"):
+        catalog_table_counts(spark, str(empty))
+
+
 def test_media_frame_sample_non_ascii_oracle_parity(spark, tmp_path):
     """The frame-sample checksum is defined over utf-8 PAYLOAD BYTES; the
     DuckDB oracle must agree even when byte and character positions diverge

@@ -1,0 +1,46 @@
+"""Partition-independence proof: the determinism discipline's core claim.
+
+Every output the engine produces is supposed to be bit-identical under ANY
+partitioning — integer fixed-point money, explicit dedup tie-breaks,
+order-insensitive aggregations — because on a 1000-executor cluster two
+runs of the same query never see the same partition layout.  The DuckDB
+oracle cannot test this (it has one layout); this differential does:
+run partition-sensitive queries at shuffle.partitions=3 and =32 and
+require identical sorted rows.
+
+Queries chosen for maximum sensitivity: keep-first dedup under duplicate
+keys (dedup_transactions), rank-based keep-best join (family_relationships),
+the driver-coordinated iterative k-means (kmeans_refine, float-mean
+trajectories would diverge here), and a windowed share-of-total
+(revenue_by_month_category).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from basin_climbing_data_pipeline_spark import registry
+
+SENSITIVE = [
+    "dedup_transactions",
+    "family_relationships",
+    "kmeans_refine",
+    "revenue_by_month_category",
+]
+
+
+@pytest.mark.parametrize("name", SENSITIVE)
+def test_output_identical_across_partitionings(spark, sf_dir, name, monkeypatch):
+    # raw plans: the materialized warehouse would serve the second run from
+    # parquet and hide any partitioning sensitivity in the builder itself
+    monkeypatch.setenv("SPARK_GRAFT_NO_MATERIALIZE", "1")
+    fn = registry.REGISTRY[name][0]
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        rows_3 = sorted(map(tuple, fn(spark, sf_dir).collect()))
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        rows_32 = sorted(map(tuple, fn(spark, sf_dir).collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert rows_3 == rows_32
