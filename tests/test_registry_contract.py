@@ -51,3 +51,29 @@ def test_no_complex_output_types(spark, sf_dir):
             if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType)):
                 bad.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
     assert not bad, bad
+
+
+def test_session_timezone_fail_loud_and_self_heal(spark, sf_dir, monkeypatch):
+    """Two halves of the timezone defense: the raw events-timestamp path
+    REFUSES to run under a non-UTC session (an NTZ->LTZ cast there would
+    silently shift instants), and the registry wrapper SELF-HEALS — the
+    driver may invoke queries() on a session it configured itself, so a
+    wrapped query under a mis-tuned session must retune and produce the
+    baseline rows."""
+    monkeypatch.setenv("SPARK_GRAFT_NO_MATERIALIZE", "1")
+    from basin_climbing_data_pipeline_spark.io import load_table
+
+    fn = registry.REGISTRY["entry_method_counts"][0]
+    baseline = sorted(map(tuple, fn(spark, sf_dir).collect()))
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        # fail-loud: the raw nanos-normalization path rejects the session
+        with pytest.raises(ValueError, match="timeZone"):
+            load_table(spark, sf_dir, "events")
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        # self-heal: the wrapped registry query retunes and matches
+        healed = sorted(map(tuple, fn(spark, sf_dir).collect()))
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    assert healed == baseline
