@@ -53,8 +53,15 @@ def _shingles_from_docs(docs: DataFrame) -> DataFrame:
     # a lambda boundary), which is O(words²) splitting per document —
     # measured 9x slower than splitting once (3.2s vs 0.35s at sf0.1)
     words = docs.select("doc_id", "lang", F.split(F.trim(F.col("text")), " ").alias("w"))
+    # the index filter (i+2 < size) is load-bearing, not defensive: under
+    # ANSI mode an out-of-range w[i+2] THROWS (Spark 4 default), so a doc
+    # under 3 words would crash the whole job — short docs must yield an
+    # EMPTY shingle set, which is also what the DuckDB oracle produces
+    # (its out-of-range index is NULL, the || propagates, and the
+    # IS NOT NULL filter drops the row)
     shingles = F.expr(
-        "array_distinct(transform(sequence(0, greatest(size(w) - 3, 0)),"
+        "array_distinct(transform("
+        " filter(sequence(0, greatest(size(w) - 3, 0)), i -> i + 2 < size(w)),"
         " i -> concat_ws(' ', w[i], w[i+1], w[i+2])))"
     )
     out = words.select(

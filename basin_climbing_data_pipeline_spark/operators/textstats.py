@@ -1036,10 +1036,14 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     words = docs.select(F.split(F.trim(F.col("text")), " ").alias("w"))
+    # the index filter (i+1 < size) is load-bearing under ANSI mode: an
+    # out-of-range w[i+1] THROWS on a 1-word doc (Spark 4 default) — short
+    # docs must contribute no bigrams, matching the oracle's NULL-drop
     bigrams = words.select(
         F.explode(
             F.expr(
-                "transform(sequence(0, greatest(size(w) - 2, 0)),"
+                "transform("
+                " filter(sequence(0, greatest(size(w) - 2, 0)), i -> i + 1 < size(w)),"
                 " i -> struct(w[i] as x, w[i+1] as y))"
             )
         ).alias("bg")
