@@ -682,8 +682,11 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "step",
         "event_type",
         "n_users",
+        # prev > 0 guard: under ANSI mode an unguarded ratio over an empty
+        # prior step (zero users reached it) THROWS, aborting the job —
+        # conversion out of nothing is NULL, matching the oracle's CASE
         F.when(prev.isNull(), F.lit(1.0))
-        .otherwise(ratio(F.col("n_users"), prev, 6))
+        .when(prev > 0, ratio(F.col("n_users"), prev, 6))
         .alias("conversion"),
     ).orderBy("step")
 
@@ -718,7 +721,8 @@ steps AS (
 )
 SELECT step, event_type, n_users,
        CASE WHEN lag(n_users) OVER (ORDER BY step) IS NULL THEN 1.0
-            ELSE {ratio_sql('n_users', 'lag(n_users) OVER (ORDER BY step)', 6)}
+            WHEN lag(n_users) OVER (ORDER BY step) > 0
+            THEN {ratio_sql('n_users', 'lag(n_users) OVER (ORDER BY step)', 6)}
        END AS conversion
 FROM steps
 ORDER BY step
@@ -916,9 +920,13 @@ def spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_spend",
             "min_spend",
             "decile_spend",
-            ratio(F.col("_cents").cast("double") * 100.0, t.cast("double"), 2).alias(
-                "pct_of_revenue"
-            ),
+            # t != 0 guard: refunds make spend signed, so a corpus netting
+            # to exactly zero would THROW under ANSI division — share of
+            # nothing is NULL on both engines
+            F.when(
+                t != 0,
+                ratio(F.col("_cents").cast("double") * 100.0, t.cast("double"), 2),
+            ).alias("pct_of_revenue"),
         )
         .orderBy("decile")
     )
@@ -948,7 +956,9 @@ rolled AS (
   FROM tiled GROUP BY decile
 )
 SELECT decile, n_customers, max_spend, min_spend, decile_spend,
-       {ratio_sql('cents::double * 100.0', '(SELECT sum(cents) FROM rolled)::double', 2)} AS pct_of_revenue
+       CASE WHEN (SELECT sum(cents) FROM rolled) != 0
+            THEN {ratio_sql('cents::double * 100.0', '(SELECT sum(cents) FROM rolled)::double', 2)}
+       END AS pct_of_revenue
 FROM rolled
 ORDER BY decile
 """

@@ -45,7 +45,17 @@ DAY_US = 86_400_000_000
 @materialized("checkins")
 def build_checkins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Checkin stream from events.  Timestamps exposed as epoch-micros BIGINT
-    (cross-engine safe) plus a date column."""
+    (cross-engine safe) plus a date column.
+
+    INPUT INVARIANT — unique event_id: the events table's id is its primary
+    key (true of the reference's source systems and the driver corpus), so
+    this batch path performs no dedup and checkin_id stays unique for every
+    downstream grain (a duplicated id would double rows here but collapse
+    in GROUP-BY-keyed consumers, silently skewing per-checkin outputs).
+    At-least-once FEEDS are the streaming path's concern — the windowed
+    stream dedups retransmissions by event_id (events_stream.py); an
+    at-least-once batch source must do the same upstream of this builder
+    (the keep-first pattern of dedup_transactions)."""
     ev = load_table(spark, sf_dir, "events")
     return ev.select(
         F.col("event_id").alias("checkin_id"),

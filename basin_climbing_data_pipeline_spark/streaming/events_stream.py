@@ -186,15 +186,30 @@ def windowed_event_counts_sql() -> str:
     """Oracle for the streamed aggregation (Spark tumbling windows are
     epoch-aligned, so window_start = floor(ts/6h)*6h).  Distinct-user counts
     are left out of the gate: streaming aggregation only supports
-    approx_count_distinct, whose HLL estimate has no DuckDB equivalent."""
+    approx_count_distinct, whose HLL estimate has no DuckDB equivalent.
+
+    The oracle mirrors the stream's ``dropDuplicates(event_id)`` with a
+    keep-one per event_id (deterministic arg-min pick).  Contract note:
+    the stream's dedup exists for at-least-once feeds, where a duplicate
+    event_id is a RETRANSMISSION carrying the identical payload — then any
+    surviving copy is equal and both engines agree; duplicate ids with
+    *different* payloads are out of contract (Spark's pick would be
+    arrival-order-dependent, i.e. nondeterministic by definition)."""
     from ..functions.money import sum_money_sql
 
     return f"""
+WITH dedup AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY event_id
+                                 ORDER BY ts, event_type, value) AS rn
+    FROM events
+  ) WHERE rn = 1
+)
 SELECT (epoch_us(ts::TIMESTAMP) // {WINDOW_US}) * {WINDOW_US} AS window_start_us,
        event_type,
        count(*) AS n_events,
        {sum_money_sql('value')} AS total_value
-FROM events
+FROM dedup
 GROUP BY 1, 2
 ORDER BY 1, 2
 """

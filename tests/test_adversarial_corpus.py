@@ -76,8 +76,7 @@ def fuzz_dir(tmp_path_factory):
     return str(d)
 
 
-@pytest.mark.parametrize("name", QUERIES)
-def test_adversarial_corpus_oracle_parity(spark, fuzz_dir, name):
+def _assert_oracle_parity(spark, fuzz_dir, name):
     fn, sql = registry.REGISTRY[name]
     got = sorted(
         tuple(str(v) for v in row)
@@ -99,3 +98,108 @@ def test_adversarial_corpus_oracle_parity(spark, fuzz_dir, name):
         tuple(str(v) for _c, v in sorted(zip(cols, row))) for row in cur.fetchall()
     )
     assert got == want, f"{name}: {len(got)} spark rows vs {len(want)} oracle rows"
+
+
+@pytest.mark.parametrize("name", QUERIES)
+def test_adversarial_corpus_oracle_parity(spark, fuzz_dir, name):
+    _assert_oracle_parity(spark, fuzz_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# adversarial EVENTS corpus: timestamp ties, date boundaries, session-gap
+# and 6h-window edges, half-cent values — unique event_id per the documented
+# source invariant (build_checkins docstring)
+# ---------------------------------------------------------------------------
+
+
+def _adversarial_events_rows():
+    import datetime as dt
+
+    rows = []
+    base = dt.datetime(2024, 1, 10, 0, 0, 0)
+    for i in range(5):  # five events at the IDENTICAL timestamp (tie-break)
+        rows.append((1000 + i, base, 1,
+                     ["view", "click", "purchase", "signup", "error"][i],
+                     10.0 + i, '{"k": 1}'))
+    mid = dt.datetime(2024, 1, 15, 0, 0, 0)  # exact-midnight date boundary
+    rows += [(1100, mid, 2, "view", 5.0, '{"k": 2}'),
+             (1101, mid - dt.timedelta(microseconds=1), 2, "click", 5.0, '{"k": 3}'),
+             (1102, mid + dt.timedelta(microseconds=1), 2, "purchase", 5.0, '{"k": 4}')]
+    t0 = dt.datetime(2024, 1, 20, 8, 0, 0)  # 1s-apart burst (session gaps)
+    rows += [(1300 + i, t0 + dt.timedelta(seconds=i), 4, "view", 1.0, '{"k": 7}')
+             for i in range(50)]
+    t1 = dt.datetime(2024, 1, 22, 0, 0, 0)  # exactly-6h-apart (window edge)
+    rows += [(1400 + i, t1 + dt.timedelta(hours=6 * i), 5, "click", 2.0, '{"k": 8}')
+             for i in range(4)]
+    rows += [(1500, dt.datetime(2024, 1, 23, 10, 0), 6, "purchase", 0.005, '{"k": 9}'),
+             (1501, dt.datetime(2024, 1, 23, 11, 0), 6, "purchase", 999999.995, '{"k": 10}'),
+             (1502, dt.datetime(2024, 1, 23, 12, 0), 6, "purchase", 0.0, '{"k": 11}')]
+    return rows
+
+
+def _write_events(dirpath, rows):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = pq.read_schema("/root/testdata/sf0.001/events.parquet")
+    tbl = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], src.field("ts").type),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+        "value": pa.array([r[4] for r in rows], pa.float64()),
+        "props": pa.array([r[5] for r in rows], pa.string()),
+    })
+    pq.write_table(tbl, f"{dirpath}/events.parquet")
+
+
+@pytest.fixture(scope="module")
+def fuzz_events_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("fuzz_events")
+    src = "/root/testdata/sf0.001"
+    for t in ("region nation customer supplier part orders lineitem documents "
+              "embeddings").split():
+        shutil.copy(f"{src}/{t}.parquet", d / f"{t}.parquet")
+    _write_events(str(d), _adversarial_events_rows())
+    return str(d)
+
+
+EVENT_QUERIES = [
+    "event_funnel",            # crashed before the prev > 0 ANSI guard
+    "streaming_windowed_counts",  # oracle lacked the event_id dedup
+    "checkin_sessions",
+    "purchase_attribution",
+    "markov_transitions",
+    "visit_streaks",
+]
+
+
+@pytest.mark.parametrize("name", EVENT_QUERIES)
+def test_adversarial_events_oracle_parity(spark, fuzz_events_dir, name):
+    _assert_oracle_parity(spark, fuzz_events_dir, name)
+
+
+def test_streaming_dedup_matches_oracle_on_retransmission(spark, tmp_path):
+    """At-least-once contract: a duplicate event_id carrying the IDENTICAL
+    payload (a retransmission) is dropped by the stream's dropDuplicates
+    and by the oracle's keep-one — n_events counts the event once."""
+    import datetime as dt
+
+    d = tmp_path
+    src = "/root/testdata/sf0.001"
+    for t in ("region nation customer supplier part orders lineitem documents "
+              "embeddings").split():
+        shutil.copy(f"{src}/{t}.parquet", d / f"{t}.parquet")
+    ts = dt.datetime(2024, 1, 16, 12, 0)
+    _write_events(str(d), [
+        (1, ts, 3, "purchase", 100.0, '{"k": 5}'),
+        (1, ts, 3, "purchase", 100.0, '{"k": 5}'),  # retransmission
+        (2, ts, 3, "view", 1.0, '{"k": 5}'),
+    ])
+    fn, sql = registry.REGISTRY["streaming_windowed_counts"]
+    got = {(r["event_type"], r["n_events"]) for r in fn(spark, str(d)).collect()}
+    assert got == {("purchase", 1), ("view", 1)}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet')")
+    want = {(t_, n) for _w, t_, n, _v in con.execute(sql).fetchall()}
+    assert want == got
