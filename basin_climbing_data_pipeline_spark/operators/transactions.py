@@ -535,7 +535,11 @@ def refund_metrics_long(spark: SparkSession, sf_dir: str) -> DataFrame:
     Unpivot is a zero-shuffle projection (each input row fans out to k
     output rows map-side), so the long layout costs nothing beyond the
     aggregation that built the wide table; every metric is cast to double
-    first because a melted value column must carry one type."""
+    first because a melted value column must carry one type.  NULL cells
+    (e.g. refund_rate for a refunds-only category) are RETAINED as
+    explicit (metric, NULL) rows — Spark's unpivot keeps them and a
+    metrics store wants the cell present; the oracle needs UNPIVOT
+    INCLUDE NULLS because DuckDB's default silently drops them."""
     wide = refund_metrics_by_category(spark, sf_dir)
     casted = wide.select(
         "revenue_category",
@@ -559,7 +563,7 @@ def refund_metrics_long_sql() -> str:
 WITH wide AS ({refund_metrics_by_category_sql()}),
 casted AS (SELECT revenue_category, {casts} FROM wide)
 SELECT revenue_category, metric, value
-FROM casted UNPIVOT (value FOR metric IN ({cols}))
+FROM casted UNPIVOT INCLUDE NULLS (value FOR metric IN ({cols}))
 ORDER BY revenue_category, metric
 """
 

@@ -203,3 +203,92 @@ def test_streaming_dedup_matches_oracle_on_retransmission(spark, tmp_path):
     con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet')")
     want = {(t_, n) for _w, t_, n, _v in con.execute(sql).fetchall()}
     assert want == got
+
+
+# ---------------------------------------------------------------------------
+# adversarial TRANSACTIONS corpus: half-cent rounding ties, discount=1.0
+# (gross 0), refunds with tax, a refunds-ONLY category-month (NULL
+# refund_rate), duplicate transaction_ids with different amounts, year
+# boundaries, referential violations (order without lines / line without
+# order), 1e9-scale amounts
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def fuzz_txn_dir(tmp_path_factory):
+    import datetime as dt
+
+    import duckdb as _dd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("fuzz_txn")
+    src = "/root/testdata/sf0.001"
+    for t in ("region nation customer supplier part documents embeddings "
+              "events").split():
+        shutil.copy(f"{src}/{t}.parquet", d / f"{t}.parquet")
+    con = _dd.connect()
+    pk = [r[0] for r in con.execute(
+        f"SELECT p_partkey FROM read_parquet('{src}/part.parquet') LIMIT 6").fetchall()]
+    ck = [r[0] for r in con.execute(
+        f"SELECT c_custkey FROM read_parquet('{src}/customer.parquet') LIMIT 6").fetchall()]
+    li_schema = pq.read_schema(f"{src}/lineitem.parquet")
+    o_schema = pq.read_schema(f"{src}/orders.parquet")
+    orders, li = [], []
+
+    def order(okey, cust, status, date):
+        orders.append((okey, cust, status, 100.0,
+                       dt.datetime.combine(date, dt.time()), "3-MEDIUM"))
+
+    def line(okey, part, ln, qty, price, disc, tax, rf):
+        li.append((okey, part, 1, ln, float(qty), float(price), float(disc),
+                   float(tax), rf, "O",
+                   dt.datetime.combine(dt.date(2001, 6, 15), dt.time())))
+
+    d0 = dt.date(2001, 6, 10)
+    order(9001, ck[0], "O", d0)
+    line(9001, pk[0], 1, 1, 100.01, 0.5, 0.0, "N")        # gross 50.005 tie
+    line(9001, pk[1], 2, 1, 0.01, 0.0, 0.08, "N")
+    line(9001, pk[2], 3, 1, 999999999.99, 0.0, 0.0, "N")
+    order(9002, ck[1], "F", d0)
+    line(9002, pk[0], 1, 2, 150.0, 1.0, 0.05, "N")        # discount 1.0
+    line(9002, pk[1], 2, 1, 200.0, 0.0, 0.08, "R")        # refund w/ tax
+    order(9003, ck[2], "P", dt.date(2001, 7, 2))
+    line(9003, pk[3], 1, 1, 300.0, 0.0, 0.0, "N")         # dup txn id...
+    line(9003, pk[3], 1, 1, 400.0, 0.0, 0.0, "N")         # ...diff amount
+    order(9004, ck[3], "O", dt.date(2000, 12, 31))
+    line(9004, pk[4], 1, 1, 50.0, 0.1, 0.02, "N")
+    order(9005, ck[3], "O", dt.date(2001, 1, 1))
+    line(9005, pk[4], 1, 1, 50.0, 0.1, 0.02, "N")
+    order(9006, ck[4], "O", d0)                           # order, no lines
+    line(9999, pk[5], 1, 1, 75.0, 0.0, 0.0, "N")          # line, no order
+    order(9007, ck[5], "O", dt.date(1999, 3, 10))
+    line(9007, pk[5], 1, 1, 500.0, 0.0, 0.04, "R")        # refunds-only month
+
+    pq.write_table(
+        pa.table({f.name: pa.array([r[i] for r in li], f.type)
+                  for i, f in enumerate(li_schema)}),
+        f"{d}/lineitem.parquet",
+    )
+    pq.write_table(
+        pa.table({f.name: pa.array([r[i] for r in orders], f.type)
+                  for i, f in enumerate(o_schema)}),
+        f"{d}/orders.parquet",
+    )
+    return str(d)
+
+
+TXN_QUERIES = [
+    "refund_metrics_long",   # oracle dropped NULL cells before INCLUDE NULLS
+    "refund_metrics_by_category",  # refund_rate NULL for refunds-only category
+    "transactions_build",
+    "dedup_transactions",
+    "merged_transactions_window",
+    "revenue_by_month_category",
+    "daily_revenue_locf",
+]
+
+
+@pytest.mark.parametrize("name", TXN_QUERIES)
+def test_adversarial_transactions_oracle_parity(spark, fuzz_txn_dir, name):
+    _assert_oracle_parity(spark, fuzz_txn_dir, name)
