@@ -292,3 +292,70 @@ TXN_QUERIES = [
 @pytest.mark.parametrize("name", TXN_QUERIES)
 def test_adversarial_transactions_oracle_parity(spark, fuzz_txn_dir, name):
     _assert_oracle_parity(spark, fuzz_txn_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# adversarial EMBEDDINGS corpus: identical vectors (exact cosine ties),
+# the antipodal vector (cosine -1), one-hot axis vectors (exact-zero
+# hyperplane dot products -> LSH sign-of-zero), tiny-but-valid norms, a
+# negative-heavy vector — all nonzero per the documented module invariant
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def fuzz_emb_dir(tmp_path_factory):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("fuzz_emb")
+    src = "/root/testdata/sf0.001"
+    for t in ("region nation customer supplier part orders lineitem events "
+              "documents").split():
+        shutil.copy(f"{src}/{t}.parquet", d / f"{t}.parquet")
+    DIM = 64
+    rng = np.random.RandomState(7)
+    vecs, labels = [], []
+
+    def add(v, lab):
+        vecs.append(np.asarray(v, dtype=np.float32))
+        labels.append(lab)
+
+    base = rng.randn(DIM).astype(np.float32)
+    base /= np.linalg.norm(base)
+    for _ in range(3):
+        add(base.copy(), 1)          # identical: exact top-k ties
+    add(-base, 2)                    # antipodal
+    for dim in range(6):
+        e = np.zeros(DIM, dtype=np.float32)
+        e[dim] = 1.0
+        add(e, 3)                    # one-hot: zero dots vs hyperplanes
+    for _ in range(4):
+        v = base + rng.randn(DIM).astype(np.float32) * 1e-4
+        add(v / np.linalg.norm(v), 4)  # near-identical (banding)
+    add(np.full(DIM, 0.01, dtype=np.float32), 5)  # tiny-but-valid norm
+    add(-np.abs(rng.randn(DIM)).astype(np.float32) / 8.0, 6)
+    while len(vecs) < 40:
+        v = rng.randn(DIM).astype(np.float32)
+        add(v / np.linalg.norm(v), 7)
+    tbl = pa.table({
+        "vec_id": pa.array(range(len(vecs)), pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+        "label": pa.array(labels, pa.int32()),
+    })
+    pq.write_table(tbl, f"{d}/embeddings.parquet")
+    return str(d)
+
+
+EMB_QUERIES = [
+    "cosine_topk",           # exact ties broken by corpus_id on both engines
+    "lsh_buckets",           # sign-of-zero dot products
+    "embedding_near_dup_pairs",
+    "kmeans_refine",
+    "quantized_topk_recall",
+]
+
+
+@pytest.mark.parametrize("name", EMB_QUERIES)
+def test_adversarial_embeddings_oracle_parity(spark, fuzz_emb_dir, name):
+    _assert_oracle_parity(spark, fuzz_emb_dir, name)
