@@ -359,3 +359,58 @@ EMB_QUERIES = [
 @pytest.mark.parametrize("name", EMB_QUERIES)
 def test_adversarial_embeddings_oracle_parity(spark, fuzz_emb_dir, name):
     _assert_oracle_parity(spark, fuzz_emb_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# adversarial PART-NAME corpus: transfer-grammar lookalikes ("x from y
+# (N remaining)" with a 1e12 N), pathological 'from' repetition, regex
+# metacharacters inside keyword strings, case variants, unicode, and
+# empty/whitespace names — the description-derived grammar + keyword-
+# categorization surface
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def fuzz_part_dir(tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("fuzz_part")
+    src = "/root/testdata/sf0.001"
+    for t in ("region nation customer supplier orders lineitem events "
+              "documents embeddings").split():
+        shutil.copy(f"{src}/{t}.parquet", d / f"{t}.parquet")
+    tbl = pq.read_table(f"{src}/part.parquet")
+    df = tbl.to_pandas()
+    adv = [
+        "day pass from C42 (3 remaining)",
+        "membership from C7",
+        "from from from",
+        "punch [card] (regex) .* chars+",
+        "DAY PASS uppercase variant",
+        "öffnung ünïcode pass",
+        "",
+        "   ",
+        "day membership pass punch",
+        "a from b (999999999999 remaining)",
+    ]
+    for i, name in enumerate(adv):
+        df.loc[i % len(df), "p_name"] = name
+    pq.write_table(
+        pa.Table.from_pandas(df, schema=tbl.schema, preserve_index=False),
+        f"{d}/part.parquet",
+    )
+    return str(d)
+
+
+PART_QUERIES = [
+    "pass_transfer_name_links",  # the grammar parse itself
+    "transactions_build",        # keyword categorization
+    "expense_categories",        # exact-match map on adversarial keys
+    "day_pass_counts_by_month",
+]
+
+
+@pytest.mark.parametrize("name", PART_QUERIES)
+def test_adversarial_part_names_oracle_parity(spark, fuzz_part_dir, name):
+    _assert_oracle_parity(spark, fuzz_part_dir, name)
