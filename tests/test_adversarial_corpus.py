@@ -414,3 +414,68 @@ PART_QUERIES = [
 @pytest.mark.parametrize("name", PART_QUERIES)
 def test_adversarial_part_names_oracle_parity(spark, fuzz_part_dir, name):
     _assert_oracle_parity(spark, fuzz_part_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# adversarial MEMBERSHIP-INTERVAL corpus: orders placed so derived
+# intervals touch the point-in-period date exactly (start == P, end == P,
+# end == P-1, start == P+1), overlap on one owner, and span P with END
+# status — the J6/J7 interval-join boundary semantics
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def fuzz_mem_dir(tmp_path_factory):
+    import datetime as dt
+
+    import duckdb as _dd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from basin_climbing_data_pipeline_spark.operators.memberships import POINT_DATE
+
+    d = tmp_path_factory.mktemp("fuzz_mem")
+    src = "/root/testdata/sf0.001"
+    for t in ("region nation customer supplier part lineitem events documents "
+              "embeddings").split():
+        shutil.copy(f"{src}/{t}.parquet", d / f"{t}.parquet")
+    con = _dd.connect()
+    ck = [r[0] for r in con.execute(
+        f"SELECT c_custkey FROM read_parquet('{src}/customer.parquet') LIMIT 8"
+    ).fetchall()]
+    o_schema = pq.read_schema(f"{src}/orders.parquet")
+    P = dt.date.fromisoformat(POINT_DATE)
+    rows = []
+
+    def order(okey, cust, status, date, prio):
+        rows.append((okey, cust, status, 120.0,
+                     dt.datetime.combine(date, dt.time()), prio))
+
+    order(8001, ck[0], "O", P, "1-URGENT")                          # start == P
+    order(8002, ck[1], "O", P - dt.timedelta(days=14), "1-URGENT")  # end == P
+    order(8003, ck[2], "O", P - dt.timedelta(days=15), "1-URGENT")  # end == P-1
+    order(8004, ck[3], "O", P + dt.timedelta(days=1), "1-URGENT")   # start == P+1
+    order(8005, ck[4], "O", P - dt.timedelta(days=5), "5-LOW")      # overlap...
+    order(8006, ck[4], "O", P - dt.timedelta(days=2), "2-HIGH")     # ...same owner
+    order(8007, ck[5], "F", P - dt.timedelta(days=10), "5-LOW")     # spans P, END
+    order(8008, ck[6], "O", dt.date(2024, 1, 5), "3-MEDIUM")
+    order(8009, ck[7], "P", dt.date(2024, 1, 20), "2-HIGH")
+    pq.write_table(
+        pa.table({f.name: pa.array([r[i] for r in rows], f.type)
+                  for i, f in enumerate(o_schema)}),
+        f"{d}/orders.parquet",
+    )
+    return str(d)
+
+
+MEM_QUERIES = [
+    "active_memberships_on_date",   # the boundary-inclusive point query
+    "membership_conversion_asof",   # J6 as-of
+    "checkins_membership_coverage", # J7 point-in-period
+    "membership_flow",
+]
+
+
+@pytest.mark.parametrize("name", MEM_QUERIES)
+def test_adversarial_membership_intervals_oracle_parity(spark, fuzz_mem_dir, name):
+    _assert_oracle_parity(spark, fuzz_mem_dir, name)
