@@ -591,6 +591,37 @@ _ROUND5_WINDOW = [
     "visit_streaks",
 ]
 assert len(_ROUND5_WINDOW) == 50, len(_ROUND5_WINDOW)
+
+# STAGED for round 6 (inactive this round — do not wire up until the round-5
+# CORRECTNESS file exists): the complete list round 6's window must lead
+# with, in priority order.  Flip by renaming to the active window variable
+# and appending enough already-green entries to fill 50 slots.
+_ROUND6_WINDOW_PLAN = [
+    # the 13 entries rolled out of round 5's window
+    "quantization_error_eval",
+    "quantized_topk_recall",
+    "media_resize_features",
+    "cluster_collapse_summary",
+    "dedup_recall_eval",
+    "corpus_funnel",
+    "simhash_adaptive_near_pairs",
+    "sketch_decile_assignment",
+    "refund_metrics_long",
+    "revenue_pivot_by_category",
+    "revenue_mom_growth",
+    "retention_triangle",
+    "visit_spend_correlation",
+    # round-5's two additions (slots 51-52 this round)
+    "catalog_table_counts",
+    "flags_via_applyinpandas",
+    # driver-green entries whose code round 5 touched afterward
+    # (zero-denominator guards / version_col default-path; outputs
+    # unchanged at this corpus, CHECKLOCAL-green at HEAD)
+    "revenue_by_month_category",
+    "refund_metrics_by_category",
+    "merged_transactions_window",
+    "streaming_windowed_counts",  # oracle gained the event_id dedup mirror
+]
 # slots 51-52: this round's only two additions, first in line for round 6
 _ROUND6_FRONT = ["catalog_table_counts", "flags_via_applyinpandas"]
 _missing = [n for n in _ROUND5_WINDOW + _ROUND6_FRONT if n not in REGISTRY]
