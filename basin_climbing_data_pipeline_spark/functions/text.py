@@ -132,3 +132,29 @@ def levenshtein_similarity(a: Column, b: Column) -> Column:
     fixed-point rounded via floor(x*1e4+0.5) for cross-engine determinism."""
     raw = 1.0 - F.levenshtein(a, b) / F.greatest(F.length(a), F.length(b))
     return F.floor(raw * 10000.0 + 0.5) / 10000.0
+
+
+def fold_norm(col: Column) -> Column:
+    """Engine-stable dedup normalization: lower + trim, then pinned to the
+    SIMPLE Unicode case fold on the two points where engine lowercasing
+    diverges (found by random-unicode fuzzing):
+
+    - Greek capital sigma: Spark applies Unicode SpecialCasing's
+      context-sensitive Final_Sigma rule (word-final lower(Σ) = ς) while
+      DuckDB maps unconditionally to σ — fold ς → σ, which is also what
+      Python's str.casefold() produces.
+    - Latin capital I-with-dot (İ): Java expands to i + U+0307 combining
+      dot; DuckDB drops the dot mid-word but keeps it standalone — strip
+      U+0307 after lowering so both engines land on plain 'i'.
+
+    ASCII text is untouched.  Use this (with :data:`FOLD_NORM_SQL`) for any
+    hash whose two engine computations must agree byte-for-byte on
+    arbitrary Unicode — fingerprints, exact-dedup keys, join keys."""
+    # translate with a shorter replacement DELETES the unmatched chars:
+    # 'ς' -> 'σ', '̇' -> removed
+    return F.translate(F.lower(F.trim(col)), "ς̇", "σ")
+
+
+FOLD_NORM_SQL = (
+    "replace(replace(lower(trim({c})), chr(962), chr(963)), chr(775), '')"
+)

@@ -101,10 +101,15 @@ shingles AS (
 
 def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup by text hash: keep the lowest doc_id per group; report
-    every doc with its canonical id and group size (n_dupes = 1 → unique)."""
+    every doc with its canonical id and group size (n_dupes = 1 → unique).
+    The hash key uses :func:`fold_norm`, not plain lower() — engine
+    lowercasing diverges on Unicode special-casing (Greek final sigma),
+    which would make the dedup KEY itself engine-dependent."""
+    from ..functions.text import fold_norm
+
     docs = load_table(spark, sf_dir, "documents")
     hashed = docs.select(
-        "doc_id", F.md5(F.lower(F.trim(F.col("text")))).alias("text_hash")
+        "doc_id", F.md5(fold_norm(F.col("text"))).alias("text_hash")
     )
     groups = hashed.groupBy("text_hash").agg(
         F.min("doc_id").alias("canonical_doc_id"), F.count("*").alias("n_dupes")
@@ -117,9 +122,12 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def exact_dedup_sql() -> str:
-    return """
+    from ..functions.text import FOLD_NORM_SQL
+
+    norm = FOLD_NORM_SQL.format(c="text")
+    return f"""
 WITH hashed AS (
-  SELECT doc_id, md5(lower(trim(text))) AS text_hash FROM documents
+  SELECT doc_id, md5({norm}) AS text_hash FROM documents
 ),
 groups AS (
   SELECT text_hash, min(doc_id) AS canonical_doc_id, count(*) AS n_dupes

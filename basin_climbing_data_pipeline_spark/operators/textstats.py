@@ -241,17 +241,24 @@ LIMIT 20
 
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit md5-derived fingerprint of the normalized text (the document-
-    fingerprinting primitive; grouping on it is exact dedup)."""
+    fingerprinting primitive; grouping on it is exact dedup).  Normalization
+    is :func:`fold_norm` — plain lower() is NOT engine-stable on arbitrary
+    Unicode (Spark's context-sensitive Final_Sigma vs DuckDB's simple map
+    made fingerprints disagree on Greek text; see functions/text.py)."""
+    from ..functions.text import fold_norm
+
     docs = load_table(spark, sf_dir, "documents")
-    norm = F.lower(F.trim(F.col("text")))
-    fp = F.conv(F.substring(F.md5(norm), 1, 15), 16, 10).cast("long")
+    fp = F.conv(F.substring(F.md5(fold_norm(F.col("text"))), 1, 15), 16, 10).cast("long")
     return docs.select("doc_id", fp.alias("fingerprint60"), "lang", "source")
 
 
 def doc_fingerprints_sql() -> str:
-    return """
+    from ..functions.text import FOLD_NORM_SQL
+
+    norm = FOLD_NORM_SQL.format(c="text")
+    return f"""
 SELECT doc_id,
-       ('0x' || substr(md5(lower(trim(text))), 1, 15))::bigint AS fingerprint60,
+       ('0x' || substr(md5({norm}), 1, 15))::bigint AS fingerprint60,
        lang, source
 FROM documents
 """

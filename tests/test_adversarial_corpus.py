@@ -479,3 +479,83 @@ MEM_QUERIES = [
 @pytest.mark.parametrize("name", MEM_QUERIES)
 def test_adversarial_membership_intervals_oracle_parity(spark, fuzz_mem_dir, name):
     _assert_oracle_parity(spark, fuzz_mem_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# seeded RANDOM-UNICODE corpus: words sampled across ascii, latin-1
+# supplement, greek, CJK, the emoji plane, and punctuation — the widest
+# net; this layer is what exposed the lower() special-casing divergence
+# (Spark's context-sensitive Final_Sigma vs DuckDB's simple map) that
+# motivated fold_norm
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def fuzz_random_dir(tmp_path_factory):
+    import random
+
+    d = tmp_path_factory.mktemp("fuzz_random")
+    src = "/root/testdata/sf0.001"
+    for t in ("region nation customer supplier part orders lineitem events "
+              "embeddings").split():
+        shutil.copy(f"{src}/{t}.parquet", d / f"{t}.parquet")
+    rng = random.Random(20260814)
+
+    def rand_word():
+        pools = [
+            lambda: chr(rng.randint(0x61, 0x7A)),
+            lambda: chr(rng.randint(0x41, 0x5A)),
+            lambda: chr(rng.randint(0xC0, 0xFF)),
+            lambda: chr(rng.randint(0x370, 0x3FF)),      # greek incl. Σ
+            lambda: chr(rng.randint(0x4E00, 0x4FFF)),
+            lambda: chr(rng.randint(0x1F300, 0x1F5FF)),
+            lambda: rng.choice("0123456789.,!?'\"()[]{}*+-/\\|@#$%^&_=~`<>;:"),
+        ]
+        picks = rng.choices(pools, weights=[50, 10, 8, 6, 6, 4, 16],
+                            k=rng.randint(1, 12))
+        return "".join(f() for f in picks)
+
+    texts = [" ".join(rand_word() for _ in range(rng.randint(1, 60)))
+             for _ in range(40)]
+    rows = [{"doc_id": i, "text": t, "lang": ["en", "de", "ja", "xx"][i % 4],
+             "source": ["web", "books", "code"][i % 3], "n_chars": len(t)}
+            for i, t in enumerate(texts)]
+    pd.DataFrame(rows).to_parquet(d / "documents.parquet")
+    return str(d)
+
+
+RANDOM_QUERIES = [
+    "doc_fingerprints",  # diverged before fold_norm (Final_Sigma)
+    "exact_dedup",       # same normalization, as the dedup KEY
+    "doc_stats",
+    "minhash_signatures",
+    "pii_scrub",
+]
+
+
+@pytest.mark.parametrize("name", RANDOM_QUERIES)
+def test_random_unicode_oracle_parity(spark, fuzz_random_dir, name):
+    _assert_oracle_parity(spark, fuzz_random_dir, name)
+
+
+def test_fold_norm_pins_special_casing(spark):
+    """fold_norm must agree across engines exactly on the two known
+    special-casing divergence points — word-final Σ and İ."""
+    from pyspark.sql import functions as F
+
+    from basin_climbing_data_pipeline_spark.functions.text import (
+        FOLD_NORM_SQL,
+        fold_norm,
+    )
+
+    cases = ["ΣΣΣ τέλοΣ", "ΑΣ", "İstanbul", "İ", "plain ASCII Text"]
+    sdf = spark.createDataFrame([(c,) for c in cases], "t string")
+    got = {r["t"]: r["f"] for r in sdf.select("t", fold_norm(F.col("t")).alias("f")).collect()}
+    con = duckdb.connect()
+    for c in cases:
+        want = con.execute(
+            f"SELECT {FOLD_NORM_SQL.format(c='?')}", [c]
+        ).fetchone()[0]
+        assert got[c] == want, (c, got[c], want)
+    # the sigma fold lands on Python's casefold for Greek
+    assert got["ΣΣΣ τέλοΣ"] == "ΣΣΣ τέλοΣ".casefold()
