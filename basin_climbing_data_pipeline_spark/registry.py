@@ -621,6 +621,8 @@ _ROUND6_WINDOW_PLAN = [
     "refund_metrics_by_category",
     "merged_transactions_window",
     "streaming_windowed_counts",  # oracle gained the event_id dedup mirror
+    "doc_fingerprints",  # normalization moved to the engine-stable fold
+    "exact_dedup",       # same fold on the dedup hash key
 ]
 # slots 51-52: this round's only two additions, first in line for round 6
 _ROUND6_FRONT = ["catalog_table_counts", "flags_via_applyinpandas"]
