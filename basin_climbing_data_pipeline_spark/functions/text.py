@@ -156,5 +156,5 @@ def fold_norm(col: Column) -> Column:
 
 
 FOLD_NORM_SQL = (
-    "replace(replace(lower(trim({c})), chr(962), chr(963)), chr(775), '')"
+    "replace(replace(lower(trim({c}, ' ')), chr(962), chr(963)), chr(775), '')"
 )

@@ -132,7 +132,7 @@ WITH base AS (
   FROM customer JOIN nation ON c_nationkey = n_nationkey
 )
 SELECT *,
-  lower(trim(email)) AS email_normalized,
+  lower(trim(email, ' ')) AS email_normalized,
   CASE WHEN email IS NULL THEN NULL ELSE {corrected} END AS email_domain,
   {phone_norm} AS phone_e164
 FROM base

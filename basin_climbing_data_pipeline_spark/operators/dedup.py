@@ -83,7 +83,7 @@ shingle_rows AS (
            [words[i] || ' ' || words[i+1] || ' ' || words[i+2]
             FOR i IN range(1, greatest(len(words) - 1, 2))]
          )) AS shingle
-  FROM (SELECT doc_id, lang, string_split(trim(text), ' ') AS words FROM documents)
+  FROM (SELECT doc_id, lang, string_split(trim(text, ' '), ' ') AS words FROM documents)
 ),
 shingles AS (
   SELECT doc_id, lang, shingle,
@@ -528,7 +528,7 @@ def simhash_signatures_sql() -> str:
     sig = " + ".join(f"(CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(SIMHASH_BITS))
     return f"""
 WITH words AS (
-  SELECT doc_id, lang, unnest(list_distinct(string_split(trim(text), ' '))) AS word
+  SELECT doc_id, lang, unnest(list_distinct(string_split(trim(text, ' '), ' '))) AS word
   FROM documents
 ),
 hashed AS (
@@ -1213,7 +1213,7 @@ WITH params AS (
   FROM documents
 ),
 words AS (
-  SELECT doc_id, lang, unnest(list_distinct(string_split(trim(text), ' '))) AS word
+  SELECT doc_id, lang, unnest(list_distinct(string_split(trim(text, ' '), ' '))) AS word
   FROM documents
 ),
 hashed AS (
@@ -1331,7 +1331,7 @@ def chunk_boilerplate_sql() -> str:
     k = CHUNK_WORDS
     return f"""
 WITH base AS (
-  SELECT doc_id, source, string_split(trim(text), ' ') AS w FROM documents
+  SELECT doc_id, source, string_split(trim(text, ' '), ' ') AS w FROM documents
 ),
 chunks AS (
   SELECT doc_id, source,
@@ -1529,7 +1529,7 @@ WITH aug AS (
   SELECT doc_id + {PLANT_OFFSET}, lang,
          array_to_string(
            [w[i] FOR i IN range(1, len(w)+1) IF i % {PLANT_DROP_EVERY} != 0], ' ')
-  FROM (SELECT doc_id, lang, string_split(trim(text), ' ') AS w
+  FROM (SELECT doc_id, lang, string_split(trim(text, ' '), ' ') AS w
         FROM documents WHERE doc_id % {PLANT_MOD} = 0)
 ),
 shingle_rows AS (
@@ -1537,7 +1537,7 @@ shingle_rows AS (
            [words[i] || ' ' || words[i+1] || ' ' || words[i+2]
             FOR i IN range(1, greatest(len(words) - 1, 2))]
          )) AS shingle
-  FROM (SELECT doc_id, lang, string_split(trim(text), ' ') AS words FROM aug)
+  FROM (SELECT doc_id, lang, string_split(trim(text, ' '), ' ') AS words FROM aug)
 ),
 shingles AS (
   SELECT doc_id, lang, shingle,
@@ -1685,7 +1685,7 @@ WITH base AS (
          array_to_string(list_slice(w, 1, 8), ' ') AS sortkey,
          list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
                         FOR i IN range(1, greatest(len(w) - 1, 2))]) AS toks
-  FROM (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents)
+  FROM (SELECT doc_id, string_split(trim(text, ' '), ' ') AS w FROM documents)
   WHERE len(w) >= 3
 ),
 cands AS ({lead_union}),

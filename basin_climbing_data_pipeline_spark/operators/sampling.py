@@ -194,7 +194,7 @@ def sequence_packing_sql() -> str:
 WITH toks AS (
   SELECT source, doc_id,
          doc_id // {PACK_SHARD_DOCS} AS shard,
-         len(string_split(trim(text), ' '))::BIGINT AS n_tokens
+         len(string_split(trim(text, ' '), ' '))::BIGINT AS n_tokens
   FROM documents
 ),
 packed AS (
@@ -305,7 +305,7 @@ WITH RECURSIVE {_clusters_cte_sql()},
 exact_canonical AS (
   SELECT doc_id FROM (
     SELECT doc_id,
-           doc_id = min(doc_id) OVER (PARTITION BY md5(lower(trim(text))))
+           doc_id = min(doc_id) OVER (PARTITION BY md5(replace(replace(lower(trim(text, ' ')), chr(962), chr(963)), chr(775), '')))
              AS is_canonical
     FROM documents
   ) WHERE is_canonical
@@ -416,7 +416,7 @@ def temperature_mixture_weights_sql() -> str:
     return f"""
 WITH per_src AS (
   SELECT source, count(*) AS n_docs,
-         CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS n_tokens
+         CAST(sum(len(string_split(trim(text, ' '), ' '))) AS BIGINT) AS n_tokens
   FROM documents GROUP BY source
 ),
 scaled AS (

@@ -220,7 +220,7 @@ def cms_heavy_hitters_sql() -> str:
     return f"""
 WITH counts AS (
   SELECT token, count(*) AS n
-  FROM (SELECT unnest(string_split(trim(text), ' ')) AS token FROM documents)
+  FROM (SELECT unnest(string_split(trim(text, ' '), ' ')) AS token FROM documents)
   WHERE token != ''
   GROUP BY token
 ),

@@ -77,7 +77,7 @@ def doc_stats_sql() -> str:
 WITH base AS (
   SELECT doc_id, lang, source, n_chars, text,
          length(text) AS n_chars_actual,
-         string_split(trim(text), ' ') AS words
+         string_split(trim(text, ' '), ' ') AS words
   FROM documents
 )
 SELECT doc_id, lang, source, n_chars, n_chars_actual,
@@ -85,7 +85,7 @@ SELECT doc_id, lang, source, n_chars, n_chars_actual,
        len(list_distinct(words)) AS n_unique_words,
        {ratio_sql("len(list_filter(words, w -> " + stop_pred + "))::double", "len(words)::double", 4)} AS stopword_ratio,
        {ratio_sql('len(list_distinct(words))::double', 'len(words)::double', 4)} AS unique_ratio,
-       {ratio_sql('(length(trim(text)) - len(words) + 1)::double', 'len(words)::double', 4)} AS avg_word_len
+       {ratio_sql("(length(trim(text, ' ')) - len(words) + 1)::double", "len(words)::double", 4)} AS avg_word_len
 FROM base
 """
 
@@ -141,7 +141,7 @@ def language_id_confusion_sql() -> str:
         best = f"greatest({best}, score_{lang})"
     return f"""
 WITH base AS (
-  SELECT doc_id, lang AS labeled_lang, string_split(trim(text), ' ') AS words
+  SELECT doc_id, lang AS labeled_lang, string_split(trim(text, ' '), ' ') AS words
   FROM documents
 ),
 scored AS (
@@ -231,7 +231,7 @@ def token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
 def token_frequencies_sql() -> str:
     return """
 SELECT token, count(*) AS n
-FROM (SELECT unnest(string_split(trim(text), ' ')) AS token FROM documents)
+FROM (SELECT unnest(string_split(trim(text, ' '), ' ')) AS token FROM documents)
 WHERE token != ''
 GROUP BY token
 ORDER BY n DESC, token
@@ -321,7 +321,7 @@ def bigram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 def bigram_repetition_sql() -> str:
     return f"""
 WITH toks AS (
-  SELECT doc_id, lang, split(trim(text), ' ') AS words FROM documents
+  SELECT doc_id, lang, split(trim(text, ' '), ' ') AS words FROM documents
 ),
 bi AS (
   SELECT doc_id, lang, words[i] || ' ' || words[i + 1] AS bigram
@@ -554,7 +554,7 @@ def subword_token_stats_sql() -> str:
     k = SUBWORD_PIECE_CHARS
     return f"""
 WITH base AS (
-  SELECT doc_id, source, text, string_split(trim(text), ' ') AS words
+  SELECT doc_id, source, text, string_split(trim(text, ' '), ' ') AS words
   FROM documents
 )
 SELECT doc_id, source,
@@ -636,7 +636,7 @@ def sliding_window_chunks_sql() -> str:
     wtok, stride = CHUNK_WINDOW_TOKENS, CHUNK_STRIDE_TOKENS
     return f"""
 WITH base AS (
-  SELECT doc_id, source, string_split(trim(text), ' ') AS w FROM documents
+  SELECT doc_id, source, string_split(trim(text, ' '), ' ') AS w FROM documents
 ),
 wins AS (
   SELECT doc_id, source,
@@ -717,7 +717,7 @@ def vocab_coverage_sql() -> str:
     return f"""
 WITH counts AS (
   SELECT token, count(*) AS n
-  FROM (SELECT unnest(string_split(trim(text), ' ')) AS token FROM documents)
+  FROM (SELECT unnest(string_split(trim(text, ' '), ' ')) AS token FROM documents)
   WHERE token != ''
   GROUP BY token
 ),
@@ -786,7 +786,7 @@ def tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tfidf_keywords_sql() -> str:
     return f"""
 WITH toks AS (
-  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token FROM documents
+  SELECT doc_id, unnest(string_split(trim(text, ' '), ' ')) AS token FROM documents
 ),
 tf AS (
   SELECT doc_id, token, count(*) AS tf FROM toks WHERE token != ''
@@ -857,17 +857,26 @@ def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("y"),
         )
     )
+    # the moment products overflow int64 once the fitted head is large
+    # (k=1000: k·sxx ≈ 4.8e19 > 2^63 — found by random-corpus fuzzing;
+    # DuckDB silently promotes to HUGEINT while ANSI Spark THROWS), so the
+    # squared moments accumulate as DECIMAL(38,0) — exact and
+    # order-insensitive, same pattern as visit_spend_correlation
+    xd = F.col("x").cast("decimal(19,0)")
+    yd = F.col("y").cast("decimal(19,0)")
     stats = ranked.agg(
         F.count("*").alias("k"),
         F.sum("x").alias("sx"),
         F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum((xd * yd).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((xd * xd).cast("decimal(38,0)")).alias("sxx"),
     )
-    # slope in ln-units: the micro scaling of x and y cancels
-    slope = (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
-        F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
-    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    num = dec(F.col("k")) * F.col("sxy") - dec(F.col("sx")) * dec(F.col("sy"))
+    den = dec(F.col("k")) * F.col("sxx") - dec(F.col("sx")) * dec(F.col("sx"))
+    # slope in ln-units: the micro scaling of x and y cancels; the one
+    # drop to double happens here, on both engines' identical exact ints
+    slope = num.cast("double") / den.cast("double")
     intercept = (F.col("sy") - slope * F.col("sx")) / F.col("k") / 1000000.0
     return stats.select(
         F.col("k").alias("n_tokens"),
@@ -880,7 +889,7 @@ def zipf_slope_sql() -> str:
     return f"""
 WITH counts AS (
   SELECT token, count(*) AS n
-  FROM (SELECT unnest(string_split(trim(text), ' ')) AS token FROM documents)
+  FROM (SELECT unnest(string_split(trim(text, ' '), ' ')) AS token FROM documents)
   WHERE token != ''
   GROUP BY token
 ),
@@ -984,7 +993,7 @@ def source_token_entropy_sql() -> str:
     return """
 WITH st AS (
   SELECT source, token, count(*) AS n_st
-  FROM (SELECT source, unnest(string_split(trim(text), ' ')) AS token FROM documents)
+  FROM (SELECT source, unnest(string_split(trim(text, ' '), ' ')) AS token FROM documents)
   WHERE token != ''
   GROUP BY source, token
 ),
@@ -1095,7 +1104,7 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pmi_collocations_sql() -> str:
     return f"""
 WITH words AS (
-  SELECT string_split(trim(text), ' ') AS w FROM documents
+  SELECT string_split(trim(text, ' '), ' ') AS w FROM documents
 ),
 bigrams AS (
   SELECT w[i] AS x, w[i + 1] AS y
@@ -1105,7 +1114,7 @@ bigrams AS (
 bg AS (SELECT x, y, count(*) AS nxy FROM bigrams GROUP BY x, y),
 uni AS (
   SELECT t, count(*) AS n FROM (
-    SELECT unnest(string_split(trim(text), ' ')) AS t FROM documents
+    SELECT unnest(string_split(trim(text, ' '), ' ')) AS t FROM documents
   ) WHERE t != '' GROUP BY t
 ),
 bt AS (SELECT x, y, nxy, sum(nxy) OVER () AS b FROM bg),
@@ -1204,13 +1213,13 @@ def quality_rule_battery_sql() -> str:
     stop_pred = " OR ".join(f"w = '{s}'" for s in STOPWORDS)
     return f"""
 WITH base AS (
-  SELECT source, text, string_split(trim(text), ' ') AS words
+  SELECT source, text, string_split(trim(text, ' '), ' ') AS words
   FROM documents
 ),
 m AS (
   SELECT source,
          len(words) AS n_words,
-         {ratio_sql('(length(trim(text)) - len(words) + 1)::double', 'len(words)::double', 4)} AS avg_len,
+         {ratio_sql("(length(trim(text, ' ')) - len(words) + 1)::double", "len(words)::double", 4)} AS avg_len,
          {ratio_sql('list_max(list_transform(list_distinct(words), t -> len(list_filter(words, x -> x = t))))::double', 'len(words)::double', 4)} AS top_frac,
          {ratio_sql('len(list_distinct(words))::double', 'len(words)::double', 4)} AS ttr,
          {ratio_sql('len(list_filter(words, w -> ' + stop_pred + '))::double', 'len(words)::double', 4)} AS stop_frac
@@ -1308,7 +1317,7 @@ def unigram_logprob_quality_sql() -> str:
     return f"""
 WITH toks AS (
   SELECT doc_id, source, token
-  FROM (SELECT doc_id, source, unnest(string_split(trim(text), ' ')) AS token
+  FROM (SELECT doc_id, source, unnest(string_split(trim(text, ' '), ' ')) AS token
         FROM documents)
   WHERE token != ''
 ),

@@ -501,7 +501,7 @@ def expense_categories(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def expense_categories_sql() -> str:
-    cat = map_lookup_sql("trim(p_brand)", config.EXPENSE_CATEGORY_BY_RAW)
+    cat = map_lookup_sql("trim(p_brand, ' ')", config.EXPENSE_CATEGORY_BY_RAW)
     return f"""
 SELECT date_trunc('month', l_shipdate)::date AS month,
        {cat} AS expense_category,

@@ -490,28 +490,32 @@ def test_adversarial_membership_intervals_oracle_parity(spark, fuzz_mem_dir, nam
 # ---------------------------------------------------------------------------
 
 
-@pytest.fixture(scope="module")
-def fuzz_random_dir(tmp_path_factory):
+@pytest.fixture(scope="module", params=[20260814, 7, 99])
+def fuzz_random_dir(tmp_path_factory, request):
     import random
 
-    d = tmp_path_factory.mktemp("fuzz_random")
+    d = tmp_path_factory.mktemp(f"fuzz_random_{request.param}")
     src = "/root/testdata/sf0.001"
     for t in ("region nation customer supplier part orders lineitem events "
               "embeddings").split():
         shutil.copy(f"{src}/{t}.parquet", d / f"{t}.parquet")
-    rng = random.Random(20260814)
+    rng = random.Random(request.param)
 
     def rand_word():
         pools = [
             lambda: chr(rng.randint(0x61, 0x7A)),
             lambda: chr(rng.randint(0x41, 0x5A)),
-            lambda: chr(rng.randint(0xC0, 0xFF)),
+            lambda: chr(rng.randint(0xC0, 0x17F)),       # latin ext-A (İ etc.)
             lambda: chr(rng.randint(0x370, 0x3FF)),      # greek incl. Σ
+            lambda: chr(rng.randint(0x400, 0x4FF)),      # cyrillic
             lambda: chr(rng.randint(0x4E00, 0x4FFF)),
             lambda: chr(rng.randint(0x1F300, 0x1F5FF)),
             lambda: rng.choice("0123456789.,!?'\"()[]{}*+-/\\|@#$%^&_=~`<>;:"),
+            # general punctuation incl. unicode SPACES (U+2000-U+200A) — the
+            # pool that exposed one-arg trim()'s engine divergence
+            lambda: chr(rng.randint(0x2000, 0x206F)),
         ]
-        picks = rng.choices(pools, weights=[50, 10, 8, 6, 6, 4, 16],
+        picks = rng.choices(pools, weights=[40, 10, 10, 6, 6, 6, 4, 12, 6],
                             k=rng.randint(1, 12))
         return "".join(f() for f in picks)
 
@@ -527,9 +531,10 @@ def fuzz_random_dir(tmp_path_factory):
 RANDOM_QUERIES = [
     "doc_fingerprints",  # diverged before fold_norm (Final_Sigma)
     "exact_dedup",       # same normalization, as the dedup KEY
-    "doc_stats",
+    "doc_stats",         # diverged before ascii-space-pinned oracle trim
     "minhash_signatures",
     "pii_scrub",
+    "zipf_slope",        # overflowed int64 moments before DECIMAL(38,0)
 ]
 
 
