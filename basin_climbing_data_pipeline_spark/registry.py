@@ -624,6 +624,14 @@ _ROUND6_WINDOW_PLAN = [
     "doc_fingerprints",  # normalization moved to the engine-stable fold
     "exact_dedup",       # same fold on the dedup hash key
 ]
+# Additionally: commit f69c511 pinned ~30 ORACLE strings to two-arg
+# trim(x, ' ') (no Spark-side change — outputs identical on the driver
+# corpus, all 156 CHECKLOCAL-green after).  Round 6 should fill its
+# remaining slots with the non-window entries from that sweep
+# (git show f69c511 --stat lists the files): token_frequencies,
+# minhash_signatures, simhash_signatures, customers_build,
+# expense_categories, cms_heavy_hitters, and the textstats family
+# members not already listed above.
 # slots 51-52: this round's only two additions, first in line for round 6
 _ROUND6_FRONT = ["catalog_table_counts", "flags_via_applyinpandas"]
 _missing = [n for n in _ROUND5_WINDOW + _ROUND6_FRONT if n not in REGISTRY]
