@@ -146,16 +146,25 @@ def enrich_incremental(media: DataFrame, cache: DataFrame) -> DataFrame:
 def media_features_sql() -> str:
     """The fake decode is arithmetic over utf-8 bytes, so it IS
     SQL-expressible — DuckDB mirrors byte-sum/length via the blob functions,
-    making even the Pandas-UDF stage oracle-checkable."""
+    making even the Pandas-UDF stage oracle-checkable.  Byte values come
+    from hex-pair extraction over hex(payload) — casting the blob to
+    varchar and summing ord() would count CODE POINTS, which silently
+    diverges from the byte sum on any non-ASCII document (the
+    media_frame_sample lesson, applied here)."""
     return """
-WITH blobs AS (
-  SELECT doc_id, encode(text) AS payload FROM documents
-),
-s AS (
+WITH s AS (
   SELECT doc_id,
-         octet_length(payload)::int AS n_bytes,
-         list_sum([ord(x) FOR x IN split(payload::varchar, '')])::bigint AS raw
-  FROM blobs
+         hex(encode(text)) AS hx,
+         octet_length(encode(text))::int AS n_bytes
+  FROM documents
+),
+r AS (
+  SELECT doc_id, n_bytes,
+         coalesce(list_sum([
+           (strpos('0123456789ABCDEF', substring(hx, 2 * i - 1, 1)) - 1) * 16
+           + (strpos('0123456789ABCDEF', substring(hx, 2 * i, 1)) - 1)
+           FOR i IN range(1, n_bytes + 1)]), 0)::bigint AS raw
+  FROM s
 )
 SELECT doc_id,
        n_bytes AS meta_bytes,
@@ -164,7 +173,7 @@ SELECT doc_id,
        ((raw % 1000000007) % 640)::int + 1 AS width,
        ((raw % 1000000007) % 480)::int + 1 AS height,
        floor(raw::double / greatest(n_bytes, 1) * 10000.0 + 0.5) / 10000.0 AS mean_byte
-FROM s
+FROM r
 ORDER BY doc_id
 """
 
@@ -232,17 +241,31 @@ def media_resize_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def media_resize_features_sql() -> str:
+    # byte-at-1-based-position extractor over hex(payload): the pixel
+    # stream is BYTES of the utf-8 payload, so indexing characters of the
+    # text would diverge on multi-byte code points (same fix as
+    # media_features_sql / media_frame_sample_sql)
+    def byte_at(pos: str) -> str:
+        return (
+            f"(strpos('0123456789ABCDEF', substring(hx, 2 * ({pos}) - 1, 1)) - 1) * 16"
+            f" + (strpos('0123456789ABCDEF', substring(hx, 2 * ({pos}), 1)) - 1)"
+        )
+
     n = THUMB_SIDE
     cells = n * n
+    pix = f"((((i // {n}) * h // {n}) * w + ((i % {n}) * w // {n})) % nb)::int + 1"
     return f"""
 WITH s AS (
-  SELECT doc_id, text,
+  SELECT doc_id, hex(encode(text)) AS hx,
          octet_length(encode(text)) AS nb,
-         list_sum([ord(x) FOR x IN split(text, '')])::bigint % 1000000007 AS checksum
+         coalesce(list_sum([
+           {byte_at('j')}
+           FOR j IN range(1, octet_length(encode(text)) + 1)]), 0)::bigint
+           % 1000000007 AS checksum
   FROM documents
 ),
 dims AS (
-  SELECT doc_id, text, nb,
+  SELECT doc_id, hx, nb,
          (checksum % 640)::bigint + 1 AS w,
          (checksum % 480)::bigint + 1 AS h
   FROM s
@@ -250,9 +273,7 @@ dims AS (
 thumb AS (
   SELECT doc_id, w, h,
          list_sum([
-           ord(substr(text,
-                      ((((i // {n}) * h // {n}) * w + ((i % {n}) * w // {n})) % nb)::int + 1,
-                      1))
+           {byte_at(pix)}
            FOR i IN range(0, {cells})
          ])::bigint AS thumb_sum
   FROM dims

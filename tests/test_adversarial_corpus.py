@@ -535,6 +535,8 @@ RANDOM_QUERIES = [
     "minhash_signatures",
     "pii_scrub",
     "zipf_slope",        # overflowed int64 moments before DECIMAL(38,0)
+    "media_features",    # oracle summed code points, not payload bytes
+    "media_resize_features",
 ]
 
 
