@@ -631,7 +631,8 @@ _ROUND6_WINDOW_PLAN = [
 # (git show f69c511 --stat lists the files): token_frequencies,
 # minhash_signatures, simhash_signatures, customers_build,
 # expense_categories, cms_heavy_hitters, and the textstats family
-# members not already listed above.
+# members not already listed above.  media_features' oracle likewise
+# became byte-exact (1426506) — oracle-only, CHECKLOCAL-green.
 # slots 51-52: this round's only two additions, first in line for round 6
 _ROUND6_FRONT = ["catalog_table_counts", "flags_via_applyinpandas"]
 _missing = [n for n in _ROUND5_WINDOW + _ROUND6_FRONT if n not in REGISTRY]
