@@ -566,3 +566,89 @@ def test_fold_norm_pins_special_casing(spark):
         assert got[c] == want, (c, got[c], want)
     # the sigma fold lands on Python's casefold for Greek
     assert got["ΣΣΣ τέλοΣ"] == "ΣΣΣ τέλοΣ".casefold()
+
+
+# ---------------------------------------------------------------------------
+# seeded RANDOM-RELATIONAL corpus: random orders/lineitems (prices with up
+# to 8 decimal places — the money-rounding stress — random discounts/taxes/
+# flags/dates, orders without lines) and randomized part names mixing
+# category keywords, grammar tokens, and unicode — the whole relational
+# stack under randomization
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def fuzz_rel_dir(tmp_path_factory):
+    import datetime as dt
+    import random
+
+    import duckdb as _dd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("fuzz_rel")
+    src = "/root/testdata/sf0.001"
+    for t in ("region nation customer supplier documents embeddings "
+              "events").split():
+        shutil.copy(f"{src}/{t}.parquet", d / f"{t}.parquet")
+    rng = random.Random(9090)
+    con = _dd.connect()
+    ck = [r[0] for r in con.execute(
+        f"SELECT c_custkey FROM read_parquet('{src}/customer.parquet')").fetchall()]
+    p_schema = pq.read_schema(f"{src}/part.parquet")
+    part = pq.read_table(f"{src}/part.parquet").to_pandas()
+    words = ["day", "pass", "membership", "punch", "card", "retail", "fitness",
+             "camp", "birthday", "party", "from", "remaining", "widget",
+             "ünït", "ΣALE", "товар", "(x)", "a.b"]
+    part["p_name"] = [
+        " ".join(rng.choice(words) for _ in range(rng.randint(1, 5)))
+        for _ in range(len(part))
+    ]
+    pq.write_table(
+        pa.Table.from_pandas(part, schema=p_schema, preserve_index=False),
+        f"{d}/part.parquet",
+    )
+    pk = list(part["p_partkey"])
+    o_schema = pq.read_schema(f"{src}/orders.parquet")
+    li_schema = pq.read_schema(f"{src}/lineitem.parquet")
+    orders, li = [], []
+    base = dt.date(1995, 1, 1)
+    for okey in range(1500):
+        d0 = base + dt.timedelta(days=rng.randint(0, 2500))
+        orders.append((okey, rng.choice(ck), rng.choice(["O", "F", "P"]),
+                       round(rng.uniform(1, 1e5), rng.randint(0, 6)),
+                       dt.datetime.combine(d0, dt.time()),
+                       rng.choice(["1-URGENT", "2-HIGH", "3-MEDIUM",
+                                   "4-NOT SPECIFIED", "5-LOW"])))
+        for ln in range(rng.randint(0, 4)):
+            li.append((okey, rng.choice(pk), 1, ln + 1,
+                       float(rng.randint(1, 50)),
+                       round(rng.uniform(0.01, 2e5), rng.randint(0, 8)),
+                       round(rng.uniform(0, 0.99), rng.randint(0, 4)),
+                       round(rng.uniform(0, 0.1), rng.randint(0, 4)),
+                       rng.choice(["N", "A", "R"]), rng.choice(["O", "F"]),
+                       dt.datetime.combine(
+                           d0 + dt.timedelta(days=rng.randint(0, 90)), dt.time())))
+    pq.write_table(
+        pa.table({f.name: pa.array([r[i] for r in orders], f.type)
+                  for i, f in enumerate(o_schema)}), f"{d}/orders.parquet")
+    pq.write_table(
+        pa.table({f.name: pa.array([r[i] for r in li], f.type)
+                  for i, f in enumerate(li_schema)}), f"{d}/lineitem.parquet")
+    return str(d)
+
+
+REL_QUERIES = [
+    "transactions_build",       # money rounding on 8-decimal prices
+    "dedup_transactions",
+    "merged_transactions_window",
+    "customer_master",
+    "membership_conversion_asof",
+    "cogroup_spend_at_checkin",  # the Pandas cogroup vs the SQL range join
+    "pass_transfer_name_links",  # grammar over randomized descriptions
+]
+
+
+@pytest.mark.parametrize("name", REL_QUERIES)
+def test_random_relational_oracle_parity(spark, fuzz_rel_dir, name):
+    _assert_oracle_parity(spark, fuzz_rel_dir, name)
