@@ -7,7 +7,12 @@ Spark NULL vs DuckDB NaN/inf cosines (divergent cross-engine semantics)
 and carries no direction to search by; a production ingest must drop or
 re-embed zero vectors before this stage, exactly as FAISS requires for
 its inner-product indexes.  The driver corpus satisfies the invariant by
-construction (verified: min L2 norm > 0 at sf0.01/sf0.1).
+construction (verified: min L2 norm > 0 at sf0.01/sf0.1).  Magnitude
+envelope: the integer-micro arithmetic (floor(x*1e6)) keeps 64-dim
+squared distances and dot products inside int64 while
+64·(2·|x|·1e6)² < 2^63, i.e. |x| ≲ 150; fuzz-verified green through
+|x| ≈ 30 on mixed-magnitude corpora, and embeddings are unit-normalized
+here anyway — re-scale at ingest if a source emits larger coordinates.
 
 Two paths, per the north-star contract:
 
