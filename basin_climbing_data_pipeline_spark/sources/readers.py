@@ -140,15 +140,18 @@ def catalog_table_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     listing (``catalog_scan`` — the list_objects_v2 analog, reference
     upload_data.py:48-64) decides WHICH tables exist, and the data-plane
     counts each listed table's rows through the typed ``load_table`` path.
-    Output is one (table_name, n_files, n_rows) row per cataloged table —
-    the reconciliation audit a store-backed warehouse runs to catch
-    truncated uploads or orphaned keys.
+    Output is one (table_name, n_rows) row per cataloged table — the
+    reconciliation audit a store-backed warehouse runs to catch truncated
+    uploads or orphaned keys.
 
-    The oracle can only see the pre-registered table views, so the
-    verifiable contract is exactly the audit's data half: per-table row
-    counts.  The catalog half is exercised because the table list (and the
-    file count per table) comes FROM the listing, not from a constant —
-    an empty or extra listing changes the output rows.
+    The oracle can only see the pre-registered table views — it cannot
+    list the store — so the verifiable contract is exactly the audit's
+    data half: per-table row counts.  (A per-table file count belongs in
+    ``catalog_scan``-based audits where both sides read the same listing;
+    emitting it here with a constant-1 oracle would make any multi-file
+    table a guaranteed false mismatch.)  The catalog half is still
+    exercised because the table LIST comes from the listing, not from a
+    constant — an empty or extra listing changes the output rows.
 
     Scale shape: listing is a driver-side control-plane call (boto3 does
     the same); each count is a parquet metadata/scan aggregate; the union
@@ -158,20 +161,18 @@ def catalog_table_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..io import TABLES, load_table
 
     keys = [k for k in list_keys(sf_dir) if k.endswith(".parquet") and "/" not in k]
-    per_table: dict[str, int] = {}
-    for k in keys:
-        per_table[k[: -len(".parquet")]] = per_table.get(k[: -len(".parquet")], 0) + 1
+    listed = {k[: -len(".parquet")] for k in keys}
     counts = None
     for t in TABLES:
-        if t not in per_table:
+        if t not in listed:
             continue
         one = load_table(spark, sf_dir, t).agg(
             F.lit(t).alias("table_name"),
-            F.lit(per_table[t]).cast("long").alias("n_files"),
             F.count("*").alias("n_rows"),
         )
         counts = one if counts is None else counts.unionByName(one)
-    assert counts is not None, f"catalog listing of {sf_dir} found no tables"
+    if counts is None:
+        raise ValueError(f"catalog listing of {sf_dir} found no tables")
     return counts.orderBy("table_name")
 
 
@@ -179,7 +180,6 @@ def catalog_table_counts_sql() -> str:
     from ..io import TABLES
 
     selects = "\nUNION ALL\n".join(
-        f"SELECT '{t}' AS table_name, 1::BIGINT AS n_files, count(*) AS n_rows FROM {t}"
-        for t in TABLES
+        f"SELECT '{t}' AS table_name, count(*) AS n_rows FROM {t}" for t in TABLES
     )
     return f"SELECT * FROM (\n{selects}\n) ORDER BY table_name"

@@ -103,13 +103,46 @@ def main() -> None:
         b(spark, sf_dir).count()
         load_per_table[b.__name__] = round(time.time() - t_b, 3)
 
-    stage1 = (build_transactions, build_checkins, build_customers,
-              build_memberships_2024, events_unified, _pruned_shingles)
-    stage2 = (build_flags, family_relationships, minhash_lsh_pairs,
-              proximity_connections)
-    for stage in (stage1, stage2):
-        with ThreadPoolExecutor(max_workers=len(stage)) as pool:
-            list(pool.map(load_one, stage))
+    # Declared build dependencies: builder -> builders whose materialized
+    # table it reads (conservative supersets are fine).  Stages are DERIVED
+    # topologically from this map rather than hand-maintained: the per-key
+    # materialize locks serialize an in-thread dependency build, but a
+    # MUTUAL dependency would deadlock the pool — deriving stages turns
+    # that future edit into a loud cycle error instead of a hang.
+    builder_deps = {
+        build_transactions: (),
+        build_checkins: (),
+        build_customers: (),
+        build_memberships_2024: (),
+        events_unified: (build_transactions, build_checkins, build_memberships_2024),
+        _pruned_shingles: (),
+        build_flags: (build_checkins, build_customers, build_memberships_2024,
+                      events_unified),
+        family_relationships: (build_customers, build_checkins),
+        minhash_lsh_pairs: (_pruned_shingles,),
+        proximity_connections: (build_checkins,),
+    }
+    # Cycle check up front (Kahn's peel over the declared map): with every
+    # builder in ONE pool, the per-key materialize locks serialize each
+    # dependency edge correctly, but a MUTUAL dependency would deadlock
+    # two threads on each other's lock — refuse loudly instead of hanging.
+    pending, placed = dict(builder_deps), set()
+    while pending:
+        ready = tuple(b for b, ds in pending.items() if all(d in placed for d in ds))
+        if not ready:
+            raise RuntimeError(
+                "dependency cycle among warehouse builders: "
+                + ", ".join(b.__name__ for b in pending)
+            )
+        placed.update(ready)
+        for b in ready:
+            del pending[b]
+    # One pool, maximum overlap: a builder whose dependency is mid-build
+    # just blocks on that key's lock while unrelated builders proceed —
+    # wall time is the longest dependency CHAIN, not the stage sum.
+    builders = tuple(builder_deps)
+    with ThreadPoolExecutor(max_workers=len(builders)) as pool:
+        list(pool.map(load_one, builders))
     load_sec = round(time.time() - t_load, 3)
 
     timings: dict[str, float] = {}

@@ -652,3 +652,36 @@ REL_QUERIES = [
 @pytest.mark.parametrize("name", REL_QUERIES)
 def test_random_relational_oracle_parity(spark, fuzz_rel_dir, name):
     _assert_oracle_parity(spark, fuzz_rel_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# degenerate regression fits: zipf_slope's denominator k·Σx² − (Σx)² is
+# exactly 0 when the ranked head holds ONE distinct token (k=1 → x=ln(1)=0)
+# — ANSI Spark and DuckDB disagree on 0/0 unless both sides guard, so the
+# guarded fit must report NULL slope/intercept on both engines.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def single_token_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("zipf_degenerate")
+    src = "/root/testdata/sf0.001"
+    for t in ("region nation customer supplier part orders lineitem events "
+              "embeddings").split():
+        shutil.copy(f"{src}/{t}.parquet", d / f"{t}.parquet")
+    rows = [
+        {"doc_id": i, "text": "same same same", "lang": "en", "source": "web",
+         "n_chars": 14}
+        for i in range(4)
+    ]
+    pd.DataFrame(rows).to_parquet(d / "documents.parquet")
+    return str(d)
+
+
+def test_zipf_slope_single_distinct_token_is_null_on_both_engines(
+    spark, single_token_dir
+):
+    _assert_oracle_parity(spark, single_token_dir, "zipf_slope")
+    row = registry.REGISTRY["zipf_slope"][0](spark, single_token_dir).collect()[0]
+    assert row["n_tokens"] == 1
+    assert row["zipf_slope"] is None and row["ln_intercept"] is None

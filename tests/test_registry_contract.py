@@ -16,17 +16,17 @@ from basin_climbing_data_pipeline_spark import registry
 
 
 def test_window_order_is_the_declared_rotation():
-    """The first 50 entries must be exactly _ROUND5_WINDOW, in order —
+    """The first 50 entries must be exactly _ROUND6_WINDOW, in order —
     the round's verification plan IS the registration order."""
     names = list(registry.REGISTRY)
-    assert names[:50] == registry._ROUND5_WINDOW
-    assert names[50:52] == registry._ROUND6_FRONT
+    assert names[:50] == registry._ROUND6_WINDOW
 
 
 def test_every_query_has_an_oracle_or_documented_rows_only():
     """Each entry carries oracle SQL unless it is one of the documented
     rows-only checks (genuinely non-SQL-expressible semantics)."""
-    rows_only_allowed = {"flags_via_applyinpandas"}
+    rows_only_allowed: set[str] = set()  # flags_via_applyinpandas gained a
+    # value-hash oracle in round 6; nothing is rows-only today
     missing = [
         name
         for name, (_fn, sql) in registry.REGISTRY.items()

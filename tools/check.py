@@ -76,6 +76,8 @@ def main() -> int:
     json_path = None
     if "--json" in args:
         i = args.index("--json")
+        if i + 1 >= len(args) or args[i + 1].startswith("-") or os.path.isdir(args[i + 1]):
+            raise SystemExit("usage: check.py [sf_dir] [query ...] --json OUT.json")
         json_path = args[i + 1]
         args = args[:i] + args[i + 2 :]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
