@@ -655,16 +655,14 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the step every dedup pipeline needs between pair generation and
     keep-one-per-group, and the one Spark has no built-in operator for.
 
-    Implementation: iterative min-label propagation.  Every node starts
-    labeled with its own doc_id; each round, a node takes the minimum label
-    among itself and its neighbors (one equi-join + one groupBy-min per
-    round); converged when a round changes nothing.  Rounds needed = graph
-    diameter — near-dup clusters are shallow (dozens of docs, diameter ≤
-    ~6), so this terminates in a few rounds; a trillion-edge corpus with
-    adversarial chain topology would swap this loop for the
-    large-star/small-star variant (O(log n) rounds, same join shape).
-    ``localCheckpoint`` truncates the plan lineage each round so the
-    iteration count never shows up in plan depth.
+    Implementation: alternating large-star/small-star contraction
+    (:func:`alternating_star_labels`) — rounds grow with log(diameter),
+    so both the shallow near-dup clusters here (1-3 rounds) and a
+    trillion-edge crawl graph with adversarial chain topology (~log₂ n
+    rounds) converge inside the same bound.  Each pass is one
+    groupBy-min plus one equi-join; ``localCheckpoint`` truncates the
+    plan lineage each round so the iteration count never shows up in
+    plan depth.
 
     The driver-side loop coordinates jobs (like GraphFrames/Pregel); all
     DATA stays distributed — the only thing collected per round is the
@@ -692,17 +690,108 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def propagate_min_labels(edges: DataFrame, max_rounds: int = 32) -> DataFrame:
-    """Min-label propagation over a symmetric ``(src, dst)`` edge list →
+def propagate_min_labels(edges: DataFrame, max_rounds: int = 24) -> DataFrame:
+    """Connected components over a symmetric ``(src, dst)`` edge list →
     ``(node, label)`` with label = the component's minimum node id.
 
-    Rounds needed = graph diameter; ``max_rounds`` is the safety bound.
-    Worst case is a chain (diameter = n-1) — unit-tested with one in
-    tests/test_sampling_clusters.py — which is exactly the topology where a
-    trillion-edge corpus would swap this loop for large-star/small-star
-    (O(log n) rounds, same equi-join + groupBy-min shape).  The edge list is
-    cached for the duration of the loop and released before returning; only
-    the 1-row convergence count ever reaches the driver."""
+    Implemented as alternating large-star/small-star contraction (Kiveris
+    et al., "Connected Components in MapReduce and Beyond", SoCC 2014) —
+    rounds grow with log(diameter), not diameter, so an adversarial chain
+    topology (the 100-TB worst case a web-crawl dedup graph can contain)
+    converges in ~log₂(n) alternations where one-hop min-label propagation
+    needs n.  See :func:`alternating_star_labels` for the round mechanics;
+    this wrapper keeps the historical (edges) -> labels API used by every
+    cluster consumer."""
+    labels, _rounds = alternating_star_labels(edges, max_rounds)
+    return labels
+
+
+def alternating_star_labels(
+    edges: DataFrame, max_rounds: int = 24
+) -> tuple[DataFrame, int]:
+    """Two-phase star contraction returning ``(labels, rounds_used)``.
+
+    Each round is one large-star then one small-star pass, every pass a
+    single groupBy-min plus an equi-join on the current edge set:
+
+    * LARGE-STAR: per node u over the symmetric closure, every neighbor
+      v > u is re-pointed at m(u) = min(Γ(u) ∪ {u}) — strictly-larger
+      neighbors hop to the local minimum, halving star depth;
+    * SMALL-STAR: per node u over the min-oriented list (u ≥ v), every
+      neighbor ≤ u plus u itself is re-pointed at min(Γ(u)) — collapsing
+      the short spokes large-star leaves behind.
+
+    The fixed point is a forest of stars centered at each component's
+    minimum id; convergence is detected by an exact symmetric-difference
+    check (two anti-join counts — the only values that ever reach the
+    driver).  ``localCheckpoint`` truncates lineage each round so the
+    iteration count never shows up in plan depth.  Non-convergence within
+    ``max_rounds`` raises rather than silently splitting a component —
+    at log-bounded rounds that means a broken invariant, not a deep graph.
+    """
+    nodes = edges.select(F.col("src").alias("node")).distinct().localCheckpoint()
+    e = (
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    rounds = 0
+    converged = e.isEmpty()
+    while not converged and rounds < max_rounds:
+        rounds += 1
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        large_min = sym.groupBy("u").agg(F.least(F.min("v"), F.col("u")).alias("mn"))
+        large = (
+            sym.join(large_min, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        oriented = large.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        small_min = oriented.groupBy("u").agg(F.min("v").alias("mn"))
+        small = (
+            oriented.join(small_min, "u")
+            .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+            .union(small_min.select("u", F.col("mn").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        changed = (
+            small.join(e, ["u", "v"], "left_anti").count()
+            + e.join(small, ["u", "v"], "left_anti").count()
+        )
+        e = small
+        converged = changed == 0
+    if not converged:
+        raise RuntimeError(
+            f"star contraction did not converge in {max_rounds} rounds; "
+            "log-bounded convergence failed — check the edge list for "
+            "asymmetry or nulls"
+        )
+    labels = (
+        nodes.join(
+            e.select(F.col("u").alias("node"), F.col("v").alias("lbl")),
+            "node",
+            "left",
+        )
+        .groupBy("node")
+        .agg(F.min(F.coalesce("lbl", "node")).alias("label"))
+    )
+    return labels, rounds
+
+
+def propagate_min_labels_onehop(edges: DataFrame, max_rounds: int = 32) -> DataFrame:
+    """The one-hop min-label propagation loop (rounds = graph diameter) —
+    kept as the differential reference for :func:`alternating_star_labels`
+    (tests/test_sampling_clusters.py diffs the two on random graphs) and
+    as the simpler template when the graph is known-shallow.  The edge
+    list is cached for the loop and released before returning; only the
+    1-row convergence count ever reaches the driver."""
     edges = edges.persist()
     labels = (
         edges.select(F.col("src").alias("node"))
@@ -730,8 +819,7 @@ def propagate_min_labels(edges: DataFrame, max_rounds: int = 32) -> DataFrame:
     edges.unpersist()
     if changed != 0:
         # silently returning partial propagation would split one true
-        # component into several clusters — fail loudly instead; a graph
-        # this deep needs the large-star/small-star variant
+        # component into several clusters — fail loudly instead
         raise RuntimeError(
             f"min-label propagation did not converge in {max_rounds} rounds "
             f"({changed} labels still changing); graph diameter exceeds the "

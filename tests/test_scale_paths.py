@@ -188,3 +188,59 @@ def test_adaptive_simhash_matches_pinned_at_test_scale(spark, sf_dir):
         for r in dd.simhash_adaptive_near_pairs(spark, sf_dir).collect()
     }
     assert adaptive == dict(pinned)
+
+
+def test_star_contraction_rounds_are_log_bounded_on_a_chain(spark):
+    """The adversarial topology for connected components: a chain of n
+    nodes (diameter n-1).  One-hop min-label propagation needs n rounds;
+    the large-star/small-star contraction must finish in O(log n) — the
+    property that keeps a 100-TB crawl-graph dedup inside a fixed job
+    budget.  n=256 → one-hop would need 255 rounds; the bound here is 12
+    (~1.5·log₂ n)."""
+    from basin_climbing_data_pipeline_spark.operators import dedup as dd
+
+    n = 256
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    edges = pairs.union(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels, rounds = dd.alternating_star_labels(edges)
+    assert rounds <= 12, f"star contraction took {rounds} rounds on a {n}-chain"
+    rows = labels.collect()
+    assert len(rows) == n
+    assert all(r["label"] == 0 for r in rows)
+
+
+def test_star_contraction_matches_onehop_on_random_graphs(spark):
+    """Differential: both component algorithms must emit identical
+    (node, label) maps on seeded random graphs — mixed component sizes,
+    rings, stars, isolated pairs, non-contiguous ids."""
+    import random
+
+    from basin_climbing_data_pipeline_spark.operators import dedup as dd
+
+    rng = random.Random(1234)
+    for trial in range(3):
+        ids = rng.sample(range(10_000), 120)
+        pairs = []
+        # random clumps
+        for i in range(0, 100, 10):
+            clump = ids[i : i + 10]
+            pairs += [(a, rng.choice(clump)) for a in clump]
+        # a ring and an isolated pair from the remainder
+        ring = ids[100:115]
+        pairs += list(zip(ring, ring[1:] + ring[:1]))
+        pairs.append((ids[115], ids[116]))
+        pairs = [(a, b) for a, b in pairs if a != b]
+        pdf = spark.createDataFrame(pairs, "src long, dst long")
+        edges = pdf.union(
+            pdf.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        star = {r["node"]: r["label"] for r in dd.propagate_min_labels(edges).collect()}
+        onehop = {
+            r["node"]: r["label"]
+            for r in dd.propagate_min_labels_onehop(edges).collect()
+        }
+        assert star == onehop, f"trial {trial}: star vs one-hop diverged"
