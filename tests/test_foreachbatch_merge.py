@@ -5,6 +5,7 @@ stateful sessionizer never moves session bounds backwards on late events."""
 from __future__ import annotations
 
 import pandas as pd
+import pytest
 from pyspark.sql import functions as F
 
 from basin_climbing_data_pipeline_spark.io import load_table
@@ -114,3 +115,55 @@ def test_merge_stream_starts_on_empty_source_dir(spark, tmp_path):
     os.makedirs(src)
     merged = merge_stream(spark, src, str(tmp_path / "tgt"), "merge_sink_empty")
     assert merged.count() == 0
+
+
+def test_delta_profile_matches_parquet(spark, sf_dir, tmp_path):
+    """The ACID (Delta MERGE) profile of the window-splice sink must equal
+    the versioned-parquet profile on the same overlapping-window file
+    sequence.  Runs only when delta-spark is importable AND the session
+    carries the Delta SQL extension; skipped otherwise (this container
+    ships neither — the parquet profile is the test profile by design)."""
+    pytest.importorskip("delta")
+    if "DeltaSparkSessionExtension" not in spark.conf.get("spark.sql.extensions", ""):
+        pytest.skip("session built without the Delta SQL extension")
+    from basin_climbing_data_pipeline_spark.streaming.foreach_merge import (
+        merge_stream_delta,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    flat = str(tmp_path / "flat")
+    import os
+
+    os.makedirs(flat)
+    events.withColumn("ts", F.expr("ts_us * 1000")).drop("ts_us").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    ).coalesce(1).write.mode("overwrite").parquet(flat)
+
+    parquet_merged = merge_stream(spark, flat, str(tmp_path / "tgt_pq"), "m_pq")
+    delta_merged = merge_stream_delta(spark, flat, str(tmp_path / "tgt_dl"), "m_dl")
+    p = sorted(tuple(r) for r in parquet_merged.collect())
+    d = sorted(tuple(r) for r in delta_merged.collect())
+    assert p == d
+
+
+def test_delta_profile_refuses_loudly_without_dependency(spark, tmp_path):
+    """Without delta-spark the ACID profile must name its fallback, not
+    crash obscurely mid-stream."""
+    try:
+        import delta  # noqa: F401
+
+        pytest.skip("delta-spark installed; the refusal path is unreachable")
+    except ImportError:
+        pass
+    from basin_climbing_data_pipeline_spark.streaming.foreach_merge import (
+        merge_stream_delta,
+    )
+
+    with pytest.raises(NotImplementedError, match="merge_stream"):
+        merge_stream_delta(spark, str(tmp_path), str(tmp_path / "t"), "m")
