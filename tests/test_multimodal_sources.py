@@ -179,10 +179,10 @@ def test_catalog_table_counts_listing_drives_table_set(spark, tmp_path):
         shutil.copy(f"{src}/{t}.parquet", tmp_path / f"{t}.parquet")
     got = catalog_table_counts(spark, str(tmp_path)).collect()
     assert [r["table_name"] for r in got] == ["customer", "nation", "region"]
-    assert all(r["n_files"] == 1 for r in got)
+    assert all(r["n_rows"] > 0 for r in got)
     empty = tmp_path / "empty_catalog"
     empty.mkdir()
-    with _pytest.raises(AssertionError, match="no tables"):
+    with _pytest.raises(ValueError, match="no tables"):
         catalog_table_counts(spark, str(empty))
 
 
