@@ -862,6 +862,104 @@ ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# source-priority dedup: keep the best-provenance doc per near-dup cluster
+# ---------------------------------------------------------------------------
+
+# Source priority tiers, lower keeps.  A production pipeline declares this
+# ranking over its corpora (curated encyclopedic > books > crawl — the
+# resolution step The Pile / RefinedWeb-style mixes run after clustering);
+# the synthetic sources spread across three tiers deterministically so
+# every tier is exercised.  Unknown sources fall to the worst tier, so new
+# corpora never silently outrank curated ones.
+SOURCE_TIER: dict[str, int] = {f"src{i}": i % 3 for i in range(20)}
+SOURCE_TIER_DEFAULT = 9
+
+
+def _tier_col(col: F.Column) -> F.Column:
+    expr = None
+    for k, v in SOURCE_TIER.items():
+        cond = col == F.lit(k)
+        expr = F.when(cond, v) if expr is None else expr.when(cond, v)
+    return expr.otherwise(F.lit(SOURCE_TIER_DEFAULT))
+
+
+def _tier_sql(col_sql: str) -> str:
+    branches = " ".join(f"WHEN '{k}' THEN {v}" for k, v in SOURCE_TIER.items())
+    return f"CASE {col_sql} {branches} ELSE {SOURCE_TIER_DEFAULT} END"
+
+
+def source_priority_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplicate RESOLUTION: within each near-duplicate
+    cluster, keep exactly the doc from the highest-priority source
+    (ties broken by lowest doc_id) and mark the rest as dropped-in-favor-
+    of — the decision step a multi-corpus training mix runs between
+    clustering and materialization, where "which copy survives" is an
+    editorial policy (curated > books > crawl), not an accident of
+    hashing.  Builds on the same verified-MinHash edge set as
+    :func:`dedup_clusters`.
+
+    Output: one row per clustered doc — (doc_id, cluster_id, source,
+    tier, keep_doc_id, kept); singletons are untouched by definition and
+    excluded, exactly as in ``dedup_clusters``.
+
+    Scale shape: clustering is the log-round star contraction; the
+    resolution itself is one broadcast-sized tier map, one equi-join of
+    labels to the docs table, and one per-cluster min — no step touches
+    more than the clustered subset."""
+    pairs = minhash_lsh_pairs(spark, sf_dir).filter(
+        F.col("jaccard") >= CLUSTER_JACCARD_MIN
+    )
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).union(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    labels = propagate_min_labels(edges)
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("node"), "source"
+    )
+    from pyspark.sql import Window
+
+    ranked = (
+        labels.join(docs, "node")
+        .withColumn("tier", _tier_col(F.col("source")))
+        .withColumn(
+            "keep_doc_id",
+            F.min(F.struct("tier", "node")).over(Window.partitionBy("label"))["node"],
+        )
+    )
+    return ranked.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        "source",
+        "tier",
+        "keep_doc_id",
+        (F.col("node") == F.col("keep_doc_id")).alias("kept"),
+    ).orderBy("doc_id")
+
+
+def source_priority_dedup_sql() -> str:
+    return f"""
+WITH RECURSIVE {_clusters_cte_sql()},
+ranked AS (
+  SELECT l.node, l.cluster_id, d.source,
+         {_tier_sql('d.source')} AS tier
+  FROM labels l JOIN documents d ON d.doc_id = l.node
+),
+keepers AS (
+  SELECT cluster_id, node AS keep_doc_id
+  FROM (
+    SELECT cluster_id, node,
+           row_number() OVER (PARTITION BY cluster_id ORDER BY tier, node) AS rk
+    FROM ranked
+  ) WHERE rk = 1
+)
+SELECT r.node AS doc_id, r.cluster_id, r.source, r.tier,
+       k.keep_doc_id, r.node = k.keep_doc_id AS kept
+FROM ranked r JOIN keepers k USING (cluster_id)
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # MinHash estimator error evaluation — measured quality of the sketch
 # ---------------------------------------------------------------------------
 

@@ -521,3 +521,120 @@ SELECT CASE WHEN visits_before >= 5 THEN '5+' ELSE visits_before::varchar END AS
        count(*) AS n_customers
 FROM counts GROUP BY 1 ORDER BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# SCD2 compression: snapshot series -> effective-dated dimension
+# ---------------------------------------------------------------------------
+
+# The observation grid: the reference's store keeps first-of-month immutable
+# snapshots of state-like tables (pipeline_handler.py:343-354); an
+# effective-dated (SCD Type-2) dimension is those snapshots COMPRESSED to
+# one row per unbroken run of identical state.  The grid below brackets the
+# 2024 membership window (starts Jan 1-25, durations 7-30 d) so all three
+# lifecycle states occur.
+SCD2_SNAPSHOT_DATES: tuple[str, ...] = (
+    "2024-01-07",
+    "2024-01-31",
+    "2024-02-29",
+    "2024-03-31",
+)
+
+
+def scd2_compress(
+    observed: DataFrame, key_col: str, state_col: str, date_col: str
+) -> DataFrame:
+    """Generic SCD2 run-compression over (key, observation_date, state)
+    rows: one output row per unbroken run of identical state per key —
+    ``(key, state, effective_from, effective_to)`` with run bounds =
+    min/max observation date.  Classic gaps-and-islands (the difference
+    of two row_numbers is constant within a run), so a state that RECURS
+    (active → frozen → active) yields two separate rows, which a naive
+    groupBy(key, state) would wrongly merge — pinned by a unit test.
+
+    Scale shape: two window functions and one aggregation, all
+    partitioned by key — embarrassingly parallel over keys, no
+    corpus-sized shuffle beyond the initial hash partition."""
+    from pyspark.sql import Window
+
+    w_all = Window.partitionBy(key_col).orderBy(date_col)
+    w_state = Window.partitionBy(key_col, state_col).orderBy(date_col)
+    runs = observed.select(
+        key_col,
+        state_col,
+        date_col,
+        (F.row_number().over(w_all) - F.row_number().over(w_state)).alias("_island"),
+    )
+    return runs.groupBy(key_col, state_col, "_island").agg(
+        F.min(date_col).alias("effective_from"),
+        F.max(date_col).alias("effective_to"),
+    ).drop("_island")
+
+
+def membership_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The memberships dimension as SCD2 history: observe every membership's
+    lifecycle state (pending / active / expired) on the snapshot grid,
+    compress runs with :func:`scd2_compress`, and flag the row current as
+    of the final snapshot — turning the reference's pile of monthly
+    snapshot CSVs into the effective-dated dimension a warehouse queries
+    with BETWEEN instead of by opening N files.
+
+    Scale shape: the observation fan-out is a 4-element literal array
+    explode (rows × |grid|, map-side); everything after is per-membership
+    windows.  A 100-TB store runs the same plan with the grid read from
+    the snapshot listing instead of a constant."""
+    m = build_memberships_2024(spark, sf_dir)
+    grid = F.array(*[F.to_date(F.lit(d)) for d in SCD2_SNAPSHOT_DATES])
+    observed = m.select(
+        "membership_id",
+        "start_date",
+        "end_date",
+        F.explode(grid).alias("snap_date"),
+    ).select(
+        "membership_id",
+        "snap_date",
+        F.when(F.col("snap_date") < F.col("start_date"), "pending")
+        .when(F.col("snap_date") > F.col("end_date"), "expired")
+        .otherwise("active")
+        .alias("state"),
+    )
+    hist = scd2_compress(observed, "membership_id", "state", "snap_date")
+    last = SCD2_SNAPSHOT_DATES[-1]
+    return hist.select(
+        "membership_id",
+        "state",
+        "effective_from",
+        "effective_to",
+        (F.col("effective_to") == F.to_date(F.lit(last))).alias("is_current"),
+    ).orderBy("membership_id", "effective_from")
+
+
+def membership_scd2_sql() -> str:
+    dates = ", ".join(f"DATE '{d}'" for d in SCD2_SNAPSHOT_DATES)
+    return f"""
+WITH m AS ({memberships_2024_sql()}),
+observed AS (
+  SELECT membership_id, g.snap_date,
+         CASE WHEN g.snap_date < start_date THEN 'pending'
+              WHEN g.snap_date > end_date THEN 'expired'
+              ELSE 'active' END AS state
+  FROM m CROSS JOIN (SELECT unnest([{dates}]) AS snap_date) g
+),
+runs AS (
+  SELECT membership_id, state, snap_date,
+         row_number() OVER (PARTITION BY membership_id ORDER BY snap_date)
+         - row_number() OVER (PARTITION BY membership_id, state ORDER BY snap_date)
+           AS island
+  FROM observed
+),
+hist AS (
+  SELECT membership_id, state,
+         min(snap_date) AS effective_from,
+         max(snap_date) AS effective_to
+  FROM runs GROUP BY membership_id, state, island
+)
+SELECT membership_id, state, effective_from, effective_to,
+       effective_to = DATE '{SCD2_SNAPSHOT_DATES[-1]}' AS is_current
+FROM hist
+ORDER BY membership_id, effective_from
+"""

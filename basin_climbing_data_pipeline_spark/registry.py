@@ -508,6 +508,12 @@ register(
     fl.flags_via_applyinpandas_sql(),
 )
 
+# --- round-6 additions (registered AFTER the 50-slot window fills; their
+# driver rows land in round 7 — see _ROUND7_WINDOW_PLAN below) --------------
+
+register("source_priority_dedup", dd.source_priority_dedup, dd.source_priority_dedup_sql())
+register("membership_scd2", mem.membership_scd2, mem.membership_scd2_sql())
+
 
 # --- round-5 window rotation ----------------------------------------------
 # The driver verifies the FIRST 50 registry entries per round.  Round 5's
@@ -618,6 +624,15 @@ _ROUND6_WINDOW = [
     "revenue_actual_plus_projected",
     "membership_conversion_asof",
 ]
+# STAGED for round 7 (informational — flip by building a _ROUND7_WINDOW the
+# same way): lead with this round's two additions (source_priority_dedup,
+# membership_scd2 — never driver-checked), then the 17 round-3-green
+# entries named in the freshness-rotation comment inside _ROUND6_WINDOW,
+# then anything round 6 touches after its driver run; fill the remaining
+# ~31 slots with the oldest driver-green rows at that point (the round-4
+# block).
+_ROUND7_FRONT = ["source_priority_dedup", "membership_scd2"]
+
 # hard failures, not asserts: a python -O run must not silently rotate the
 # driver's verification window onto the wrong entries.
 if len(_ROUND6_WINDOW) != 50:

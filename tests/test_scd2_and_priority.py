@@ -1,0 +1,95 @@
+"""Unit contracts for the round-6 additions: SCD2 run-compression and
+source-priority duplicate resolution."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from basin_climbing_data_pipeline_spark.operators import dedup as dd
+from basin_climbing_data_pipeline_spark.operators import memberships as mem
+
+
+def test_scd2_compress_splits_recurring_states(spark):
+    """A state that RECURS must yield two separate effective ranges —
+    the failure mode a naive groupBy(key, state) silently merges."""
+    d = lambda s: dt.date.fromisoformat(s)  # noqa: E731
+    rows = [
+        # key 1: active -> frozen -> active  (A-B-A)
+        (1, d("2024-01-01"), "active"),
+        (1, d("2024-02-01"), "frozen"),
+        (1, d("2024-03-01"), "active"),
+        (1, d("2024-04-01"), "active"),
+        # key 2: single unbroken run
+        (2, d("2024-01-01"), "active"),
+        (2, d("2024-02-01"), "active"),
+    ]
+    observed = spark.createDataFrame(rows, "k long, snap date, state string")
+    got = sorted(
+        (r["k"], r["state"], r["effective_from"].isoformat(), r["effective_to"].isoformat())
+        for r in mem.scd2_compress(observed, "k", "state", "snap").collect()
+    )
+    assert got == [
+        (1, "active", "2024-01-01", "2024-01-01"),
+        (1, "active", "2024-03-01", "2024-04-01"),
+        (1, "frozen", "2024-02-01", "2024-02-01"),
+        (2, "active", "2024-01-01", "2024-02-01"),
+    ]
+
+
+def test_membership_scd2_invariants(spark, sf_dir):
+    """Per membership: ranges tile the snapshot grid without overlap,
+    states follow the pending->active->expired lifecycle order, and
+    exactly one row is current."""
+    rows = mem.membership_scd2(spark, sf_dir).collect()
+    assert rows
+    by_m: dict[int, list] = {}
+    for r in rows:
+        by_m.setdefault(r["membership_id"], []).append(r)
+    grid = [dt.date.fromisoformat(d) for d in mem.SCD2_SNAPSHOT_DATES]
+    order = {"pending": 0, "active": 1, "expired": 2}
+    for m_id, hist in by_m.items():
+        hist.sort(key=lambda r: r["effective_from"])
+        covered = []
+        for r in hist:
+            covered += [d for d in grid if r["effective_from"] <= d <= r["effective_to"]]
+        assert covered == grid, f"membership {m_id} ranges do not tile the grid"
+        states = [r["state"] for r in hist]
+        assert states == sorted(states, key=order.__getitem__), states
+        assert sum(r["is_current"] for r in hist) == 1
+
+
+def test_source_priority_dedup_policy(spark, sf_dir):
+    """Every cluster keeps exactly one doc; the keeper carries the
+    cluster's minimum tier (ties broken by lowest doc_id); dropped rows
+    all point at the keeper."""
+    rows = dd.source_priority_dedup(spark, sf_dir).collect()
+    assert rows
+    by_c: dict[int, list] = {}
+    for r in rows:
+        by_c.setdefault(r["cluster_id"], []).append(r)
+    for cid, members in by_c.items():
+        kept = [r for r in members if r["kept"]]
+        assert len(kept) == 1, f"cluster {cid} kept {len(kept)} docs"
+        best = min((r["tier"], r["doc_id"]) for r in members)
+        assert (kept[0]["tier"], kept[0]["doc_id"]) == best
+        assert all(r["keep_doc_id"] == kept[0]["doc_id"] for r in members)
+
+
+def test_source_priority_matches_cluster_membership(spark, sf_dir):
+    """The resolution runs over exactly the dedup_clusters doc set —
+    same edges, same threshold — so the two views never disagree on
+    which docs are clustered."""
+    pri = {r["doc_id"]: r["cluster_id"] for r in dd.source_priority_dedup(spark, sf_dir).collect()}
+    clu = {r["doc_id"]: r["cluster_id"] for r in dd.dedup_clusters(spark, sf_dir).collect()}
+    assert pri == clu
+
+
+def test_unknown_source_falls_to_worst_tier(spark):
+    got = (
+        spark.createDataFrame([("src3",), ("never_seen",)], "source string")
+        .select(dd._tier_col(F.col("source")).alias("t"))
+        .collect()
+    )
+    assert [r["t"] for r in got] == [0, dd.SOURCE_TIER_DEFAULT]
