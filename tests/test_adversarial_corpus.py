@@ -52,6 +52,7 @@ QUERIES = [
     "pmi_collocations",
     "doc_stats",
     "sorted_neighborhood_pairs",
+    "source_priority_dedup",
 ]
 
 
@@ -537,6 +538,7 @@ RANDOM_QUERIES = [
     "zipf_slope",        # overflowed int64 moments before DECIMAL(38,0)
     "media_features",    # oracle summed code points, not payload bytes
     "media_resize_features",
+    "source_priority_dedup",  # unknown sources -> default tier, ties on doc_id
 ]
 
 
@@ -646,6 +648,7 @@ REL_QUERIES = [
     "membership_conversion_asof",
     "cogroup_spend_at_checkin",  # the Pandas cogroup vs the SQL range join
     "pass_transfer_name_links",  # grammar over randomized descriptions
+    "membership_scd2",           # SCD2 islands over randomized lifecycles
 ]
 
 
