@@ -34,6 +34,11 @@ Measured at replicas=4 (sf0.1 base, local[32]):
   length-blocked predecessor grew with block size).
 - ann_recall_eval 3.8x, minhash_error_eval 4.1x — candidate generation and
   signature joins linear in corpus, as designed.
+- dedup_clusters 3.3x, source_priority_dedup 2.4x (round 6, star-contraction
+  clustering) — LSH pair generation + log-round component labeling stay
+  ~linear; the priority resolution adds only a broadcast map and a
+  per-cluster min.  membership_scd2 0.9x — per-key windows over a 4-element
+  grid explode; fixed session overhead dominates at this scale.
 """
 
 from __future__ import annotations
