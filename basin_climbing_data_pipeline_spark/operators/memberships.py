@@ -552,18 +552,23 @@ def scd2_compress(
     (active → frozen → active) yields two separate rows, which a naive
     groupBy(key, state) would wrongly merge — pinned by a unit test.
 
-    Scale shape: two window functions and one aggregation, all
-    partitioned by key — embarrassingly parallel over keys, no
-    corpus-sized shuffle beyond the initial hash partition."""
+    Scale shape: island ids come from a change-flag running sum so BOTH
+    window passes share one partition key and sort order — a single
+    shuffle on key, one sort, then a same-keyed aggregation (the
+    two-row_number textbook variant would shuffle a second time on
+    (key, state)).  Embarrassingly parallel over keys."""
     from pyspark.sql import Window
 
-    w_all = Window.partitionBy(key_col).orderBy(date_col)
-    w_state = Window.partitionBy(key_col, state_col).orderBy(date_col)
+    w = Window.partitionBy(key_col).orderBy(date_col)
+    prev = F.lag(state_col).over(w)
+    changed = (prev.isNull() | (prev != F.col(state_col))).cast("int")
     runs = observed.select(
         key_col,
         state_col,
         date_col,
-        (F.row_number().over(w_all) - F.row_number().over(w_state)).alias("_island"),
+        F.sum(changed).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("_island"),
     )
     return runs.groupBy(key_col, state_col, "_island").agg(
         F.min(date_col).alias("effective_from"),
@@ -620,12 +625,20 @@ observed AS (
               ELSE 'active' END AS state
   FROM m CROSS JOIN (SELECT unnest([{dates}]) AS snap_date) g
 ),
+flags AS (
+  SELECT membership_id, state, snap_date,
+         CASE WHEN lag(state) OVER w IS NULL
+                OR lag(state) OVER w != state THEN 1 ELSE 0 END AS changed
+  FROM observed
+  WINDOW w AS (PARTITION BY membership_id ORDER BY snap_date)
+),
 runs AS (
   SELECT membership_id, state, snap_date,
-         row_number() OVER (PARTITION BY membership_id ORDER BY snap_date)
-         - row_number() OVER (PARTITION BY membership_id, state ORDER BY snap_date)
-           AS island
-  FROM observed
+         sum(changed) OVER (
+           PARTITION BY membership_id ORDER BY snap_date
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS island
+  FROM flags
 ),
 hist AS (
   SELECT membership_id, state,
