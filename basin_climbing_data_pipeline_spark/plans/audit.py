@@ -34,10 +34,12 @@ class PlanStats:
     scans: list[str]
     pushed_filters: list[str]
     read_schemas: list[str]
-    # NOTE: 0 under AQE is an artifact, not "codegen off" — a formatted plan
-    # printed before execution (isFinalPlan=false) carries no
-    # WholeStageCodegen markers; spark.sql.codegen.wholeStage stays true
-    # (default) in every engine session.
+    # WholeStageCodegen span count from the formatted plan.  Under AQE the
+    # pre-execution plan (isFinalPlan=false) carries NO codegen markers —
+    # neither does the CODEGEN explain, which refuses to descend into
+    # AdaptiveSparkPlan — so this reads 0 unless the plan was built with
+    # spark.sql.adaptive.enabled=false; tools/plan_report.py does exactly
+    # that for its audit pass (rounds <= 5 printed the misleading 0).
     wholestage_ids: int
 
 
@@ -55,5 +57,5 @@ def audit(df: DataFrame) -> PlanStats:
         scans=scans,
         pushed_filters=[p for p in pushed if p.strip()],
         read_schemas=re.findall(r"ReadSchema: ([^\n]*)", plan),
-        wholestage_ids=len(set(re.findall(r"WholeStageCodegen \((\d+)\)", plan))),
+        wholestage_ids=len(set(re.findall(r"\[codegen id : (\d+)\]", plan))),
     )

@@ -22,11 +22,19 @@ def main() -> None:
     spark = get_spark("plan-report")
     spark.sparkContext.setLogLevel("ERROR")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # AQE off for the AUDIT ONLY: the adaptive pre-execution plan hides
+    # WholeStageCodegen markers (isFinalPlan=false), which made the codegen
+    # column read 0 in rounds <= 5.  Static operator/exchange/join counts
+    # are identical either way; production sessions keep AQE on.  The
+    # registry wrapper re-enables AQE via tune_session, so the audit calls
+    # the unwrapped builder and applies the UTC pin itself.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     for name, (fn, _sql) in REGISTRY.items():
         if only and name not in only:
             continue
         try:
-            st = audit(fn(spark, sf_dir))
+            st = audit(getattr(fn, "__wrapped__", fn)(spark, sf_dir))
         except Exception as e:
             print(f"{name}: plan error {e}")
             continue
