@@ -93,3 +93,93 @@ def test_unknown_source_falls_to_worst_tier(spark):
         .collect()
     )
     assert [r["t"] for r in got] == [0, dd.SOURCE_TIER_DEFAULT]
+
+
+def test_scd2_compress_matches_runlength_reference_property(spark):
+    """Property: scd2_compress equals a pure-Python run-length encoding of
+    each key's date-ordered state sequence, for arbitrary (short) state
+    sequences across keys — recurrences, single-date runs, one-key and
+    multi-key frames."""
+    import datetime as dt
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    base = dt.date(2024, 1, 1)
+
+    @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(
+        seqs=st.lists(  # one inner list of states per key, dates = index
+            st.lists(st.sampled_from(["a", "b", "c"]), min_size=1, max_size=6),
+            min_size=1,
+            max_size=3,
+        )
+    )
+    def run(seqs):
+        rows = [
+            (k, base + dt.timedelta(days=i), s)
+            for k, states in enumerate(seqs)
+            for i, s in enumerate(states)
+        ]
+        expected = set()
+        for k, states in enumerate(seqs):
+            start = 0
+            for i in range(1, len(states) + 1):
+                if i == len(states) or states[i] != states[start]:
+                    expected.add(
+                        (
+                            k,
+                            states[start],
+                            base + dt.timedelta(days=start),
+                            base + dt.timedelta(days=i - 1),
+                        )
+                    )
+                    start = i
+        observed = spark.createDataFrame(rows, "k long, snap date, state string")
+        got = {
+            (r["k"], r["state"], r["effective_from"], r["effective_to"])
+            for r in mem.scd2_compress(observed, "k", "state", "snap").collect()
+        }
+        assert got == expected, seqs
+
+    run()
+
+
+def test_star_contraction_matches_union_find_property(spark):
+    """Property: alternating-star connected components equal a union-find
+    reference on arbitrary small edge lists (self-loops, duplicate edges,
+    non-contiguous ids)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(
+        edges=st.lists(
+            st.tuples(st.integers(0, 30), st.integers(0, 30)),
+            min_size=1,
+            max_size=20,
+        )
+    )
+    def run(edges):
+        parent: dict[int, int] = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            parent[find(a)] = find(b)
+        expected = {n: min(m for m in parent if find(m) == find(n)) for n in parent}
+
+        pdf = spark.createDataFrame(edges, "src long, dst long")
+        sym = pdf.union(pdf.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        got = {
+            r["node"]: r["label"]
+            for r in dd.propagate_min_labels(sym).collect()
+        }
+        assert got == expected, edges
+
+    run()
