@@ -722,3 +722,215 @@ SELECT transfer_id, pass_type, purchaser_name, remaining_count, is_punch_pass,
 FROM ranked WHERE rn = 1
 ORDER BY transfer_id
 """
+
+
+# ---------------------------------------------------------------------------
+# data-questions queue: ambiguous/missing data needing human review
+# ---------------------------------------------------------------------------
+
+# Point-in-time anchor for the review queue (the 2024 event window's
+# mid-January cut, same instant the flags engine evaluates at).
+DATA_QUESTIONS_AS_OF = "2024-01-20"
+DQ_RECENT_DAYS = 14
+
+
+def data_questions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The human-review queue (reference build_data_questions.py:20-143:
+    "customers with ambiguous or missing data that the pipeline can't
+    resolve automatically", landed as ``customers/data_questions.csv`` for
+    the crew CRM) — the deterministic half of the F6 agent surface, as a
+    registered query.  Three rule families, each grounded in what THIS
+    corpus makes ambiguous:
+
+    * ``email_typo`` — the contact email's domain needed TLD-typo
+      correction (the reference's correction map exists precisely because
+      these records need a human fix at source); high priority when the
+      customer actually visits (>= 3 checkins).
+    * ``unreachable_guardian`` — a visiting child whose direct parent has
+      no usable email (NULL or typo'd domain): who do we contact?
+      (reference Q1 missing_parent, re-keyed to reachability since every
+      corpus child carries a direct link).
+    * ``ambiguous_family`` — a visiting child with >= 2 same-surname
+      adults besides its direct parent (reference Q1 ambiguous_parent):
+      which is the second guardian?
+    * ``lapsed_no_recent_visit`` — membership ended before the cut, no
+      checkin in the trailing {DQ_RECENT_DAYS} days, email on file
+      (reference Q3 lapsed-members outreach gap).
+
+    Scale shape: one checkin count aggregate, broadcast-sized surname and
+    parent lookups, one membership max — every join keyed, nothing
+    quadratic; the queue is output-capped by its own filters (rare-event
+    rows), not by a LIMIT."""
+    import datetime as dt
+
+    from .events import build_checkins
+    from .memberships import build_memberships_2024
+
+    as_of = dt.date.fromisoformat(DATA_QUESTIONS_AS_OF)
+    cust = build_customers(spark, sf_dir)
+    visits = (
+        build_checkins(spark, sf_dir)
+        .filter(F.col("checkin_date") <= F.lit(as_of))
+        .groupBy("customer_id")
+        .agg(
+            F.count("*").alias("n_visits"),
+            F.max("checkin_date").alias("last_visit"),
+        )
+    )
+    c = cust.join(visits, "customer_id", "left").na.fill({"n_visits": 0})
+    raw_domain = F.substring_index(F.col("email"), "@", -1)
+    has_typo = F.col("email").isNotNull() & (raw_domain != F.col("email_domain"))
+
+    q_typo = c.filter(has_typo).select(
+        "customer_id",
+        F.lit("email_typo").alias("question_type"),
+        F.when(F.col("n_visits") >= 3, "high").otherwise("medium").alias("priority"),
+        F.col("n_visits"),
+    )
+
+    parents = c.select(
+        F.col("customer_id").alias("parent_customer_id"),
+        F.col("email").alias("parent_email"),
+        (F.col("email").isNotNull() & (F.substring_index(F.col("email"), "@", -1) == F.col("email_domain"))).alias("parent_reachable"),
+    )
+    kids = (
+        c.filter(F.col("is_child") & (F.col("n_visits") > 0))
+        .join(parents, "parent_customer_id", "left")
+    )
+    q_guardian = kids.filter(
+        F.col("parent_email").isNull() | ~F.col("parent_reachable")
+    ).select(
+        "customer_id",
+        F.lit("unreachable_guardian").alias("question_type"),
+        F.when(F.col("n_visits") >= 3, "high").otherwise("medium").alias("priority"),
+        F.col("n_visits"),
+    )
+
+    adult_counts = (
+        c.filter(~F.col("is_child") & F.col("email").isNotNull())
+        .groupBy("last_name")
+        .agg(
+            F.count("*").alias("n_adults"),
+        )
+    )
+    q_family = (
+        kids.join(F.broadcast(adult_counts), "last_name", "left")
+        .na.fill({"n_adults": 0})
+        # candidates beyond the direct parent (the parent is an adult with
+        # email in this corpus whenever reachable; subtract it when counted)
+        .withColumn(
+            "n_candidates",
+            F.col("n_adults") - F.when(F.col("parent_reachable"), 1).otherwise(0),
+        )
+        .filter(F.col("n_candidates") >= 2)
+        .select(
+            "customer_id",
+            F.lit("ambiguous_family").alias("question_type"),
+            F.lit("medium").alias("priority"),
+            F.col("n_visits"),
+        )
+    )
+
+    mem_end = (
+        build_memberships_2024(spark, sf_dir)
+        .groupBy(F.col("owner_id").alias("customer_id"))
+        .agg(F.max("end_date").alias("last_end"))
+    )
+    recent_cut = as_of - dt.timedelta(days=DQ_RECENT_DAYS)
+    q_lapsed = (
+        c.join(mem_end, "customer_id")
+        .filter(
+            (F.col("last_end") < F.lit(as_of))
+            & F.col("email").isNotNull()
+            & (F.col("last_visit").isNull() | (F.col("last_visit") <= F.lit(recent_cut)))
+        )
+        .select(
+            "customer_id",
+            F.lit("lapsed_no_recent_visit").alias("question_type"),
+            F.when(F.col("n_visits") >= 5, "high").otherwise("medium").alias("priority"),
+            F.col("n_visits"),
+        )
+    )
+
+    return (
+        q_typo.unionByName(q_guardian)
+        .unionByName(q_family)
+        .unionByName(q_lapsed)
+        .orderBy("customer_id", "question_type")
+    )
+
+
+def data_questions_sql() -> str:
+    from .memberships import memberships_2024_sql
+
+    mem2024 = memberships_2024_sql()
+    return f"""
+WITH cust AS ({customers_sql()}),
+ck AS (
+  SELECT user_id AS customer_id, count(*) AS n_visits, max(ts::date) AS last_visit
+  FROM events WHERE ts::date <= DATE '{DATA_QUESTIONS_AS_OF}'
+  GROUP BY user_id
+),
+c AS (
+  SELECT cust.*, coalesce(ck.n_visits, 0) AS n_visits, ck.last_visit
+  FROM cust LEFT JOIN ck USING (customer_id)
+),
+typo AS (
+  SELECT customer_id, 'email_typo' AS question_type,
+         CASE WHEN n_visits >= 3 THEN 'high' ELSE 'medium' END AS priority,
+         n_visits
+  FROM c
+  WHERE email IS NOT NULL AND split_part(email, '@', 2) != email_domain
+),
+parents AS (
+  SELECT customer_id AS parent_customer_id, email AS parent_email,
+         email IS NOT NULL AND split_part(email, '@', 2) = email_domain
+           AS parent_reachable
+  FROM c
+),
+kids AS (
+  SELECT c.*, p.parent_email, p.parent_reachable
+  FROM c LEFT JOIN parents p USING (parent_customer_id)
+  WHERE c.is_child AND c.n_visits > 0
+),
+guardian AS (
+  SELECT customer_id, 'unreachable_guardian' AS question_type,
+         CASE WHEN n_visits >= 3 THEN 'high' ELSE 'medium' END AS priority,
+         n_visits
+  FROM kids
+  WHERE parent_email IS NULL OR NOT parent_reachable
+),
+adult_counts AS (
+  SELECT last_name, count(*) AS n_adults
+  FROM c WHERE NOT is_child AND email IS NOT NULL
+  GROUP BY last_name
+),
+family AS (
+  SELECT k.customer_id, 'ambiguous_family' AS question_type,
+         'medium' AS priority, k.n_visits
+  FROM kids k LEFT JOIN adult_counts a USING (last_name)
+  WHERE coalesce(a.n_adults, 0)
+        - (CASE WHEN k.parent_reachable THEN 1 ELSE 0 END) >= 2
+),
+mem_end AS (
+  SELECT owner_id AS customer_id, max(end_date) AS last_end
+  FROM ({mem2024}) GROUP BY owner_id
+),
+lapsed AS (
+  SELECT c.customer_id, 'lapsed_no_recent_visit' AS question_type,
+         CASE WHEN c.n_visits >= 5 THEN 'high' ELSE 'medium' END AS priority,
+         c.n_visits
+  FROM c JOIN mem_end m USING (customer_id)
+  WHERE m.last_end < DATE '{DATA_QUESTIONS_AS_OF}'
+    AND c.email IS NOT NULL
+    AND (c.last_visit IS NULL
+         OR c.last_visit <= DATE '{DATA_QUESTIONS_AS_OF}' - {DQ_RECENT_DAYS})
+)
+SELECT * FROM (
+  SELECT * FROM typo
+  UNION ALL SELECT * FROM guardian
+  UNION ALL SELECT * FROM family
+  UNION ALL SELECT * FROM lapsed
+)
+ORDER BY customer_id, question_type
+"""

@@ -513,6 +513,7 @@ register(
 
 register("source_priority_dedup", dd.source_priority_dedup, dd.source_priority_dedup_sql())
 register("membership_scd2", mem.membership_scd2, mem.membership_scd2_sql())
+register("data_questions", cu.data_questions, cu.data_questions_sql())
 
 
 # --- round-5 window rotation ----------------------------------------------
@@ -625,13 +626,13 @@ _ROUND6_WINDOW = [
     "membership_conversion_asof",
 ]
 # STAGED for round 7 (informational — flip by building a _ROUND7_WINDOW the
-# same way): lead with this round's two additions (source_priority_dedup,
-# membership_scd2 — never driver-checked), then the 17 round-3-green
+# same way): lead with this round's additions (source_priority_dedup,
+# membership_scd2, data_questions — never driver-checked), then the 17 round-3-green
 # entries named in the freshness-rotation comment inside _ROUND6_WINDOW,
 # then anything round 6 touches after its driver run; fill the remaining
 # ~31 slots with the oldest driver-green rows at that point (the round-4
 # block).
-_ROUND7_FRONT = ["source_priority_dedup", "membership_scd2"]
+_ROUND7_FRONT = ["source_priority_dedup", "membership_scd2", "data_questions"]
 
 # hard failures, not asserts: a python -O run must not silently rotate the
 # driver's verification window onto the wrong entries.

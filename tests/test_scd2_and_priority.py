@@ -183,3 +183,33 @@ def test_star_contraction_matches_union_find_property(spark):
         assert got == expected, edges
 
     run()
+
+
+def test_data_questions_queue_contract(spark, sf_dir):
+    """Review-queue invariants: every rule family emits at most one row
+    per customer, priorities are from the fixed vocabulary, and each rule
+    only fires on rows satisfying its own predicate (spot-checked via the
+    customer dimension)."""
+    from basin_climbing_data_pipeline_spark.operators.customers import (
+        build_customers,
+        data_questions,
+    )
+
+    rows = data_questions(spark, sf_dir).collect()
+    assert rows
+    seen = set()
+    for r in rows:
+        key = (r["customer_id"], r["question_type"])
+        assert key not in seen, f"duplicate queue row {key}"
+        seen.add(key)
+        assert r["priority"] in {"high", "medium"}
+        assert r["n_visits"] >= 0
+    cust = {r["customer_id"]: r for r in build_customers(spark, sf_dir).collect()}
+    for r in rows:
+        c = cust[r["customer_id"]]
+        if r["question_type"] == "email_typo":
+            assert c["email"] is not None
+            assert c["email"].rsplit("@", 1)[1] != c["email_domain"]
+        if r["question_type"] in ("unreachable_guardian", "ambiguous_family"):
+            assert c["is_child"]
+            assert r["n_visits"] > 0
