@@ -757,16 +757,21 @@ def data_questions(spark: SparkSession, sf_dir: str) -> DataFrame:
       checkin in the trailing {DQ_RECENT_DAYS} days, email on file
       (reference Q3 lapsed-members outreach gap).
 
-    Scale shape: one checkin count aggregate, broadcast-sized surname and
-    parent lookups, one membership max — every join keyed, nothing
-    quadratic; the queue is output-capped by its own filters (rare-event
-    rows), not by a LIMIT."""
+    Scale shape: ONE enriched customer pass — checkin-count aggregate,
+    broadcast surname counts, broadcast-keyed parent/membership lookups —
+    then all four rules fire from a conditional-struct array explode (the
+    F1 columnar fan-out idiom), so the customer dimension and the checkin
+    aggregate are scanned once, not once per rule (a per-rule
+    union-of-filters would re-derive them four times: Catalyst does not
+    dedup common subtrees across union branches).  The queue is
+    output-capped by its own predicates (rare-event rows), not a LIMIT."""
     import datetime as dt
 
     from .events import build_checkins
     from .memberships import build_memberships_2024
 
     as_of = dt.date.fromisoformat(DATA_QUESTIONS_AS_OF)
+    recent_cut = as_of - dt.timedelta(days=DQ_RECENT_DAYS)
     cust = build_customers(spark, sf_dir)
     visits = (
         build_checkins(spark, sf_dir)
@@ -778,84 +783,75 @@ def data_questions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     c = cust.join(visits, "customer_id", "left").na.fill({"n_visits": 0})
-    raw_domain = F.substring_index(F.col("email"), "@", -1)
-    has_typo = F.col("email").isNotNull() & (raw_domain != F.col("email_domain"))
-
-    q_typo = c.filter(has_typo).select(
-        "customer_id",
-        F.lit("email_typo").alias("question_type"),
-        F.when(F.col("n_visits") >= 3, "high").otherwise("medium").alias("priority"),
-        F.col("n_visits"),
+    reachable = F.col("email").isNotNull() & (
+        F.substring_index(F.col("email"), "@", -1) == F.col("email_domain")
     )
-
     parents = c.select(
         F.col("customer_id").alias("parent_customer_id"),
         F.col("email").alias("parent_email"),
-        (F.col("email").isNotNull() & (F.substring_index(F.col("email"), "@", -1) == F.col("email_domain"))).alias("parent_reachable"),
+        reachable.alias("parent_reachable"),
     )
-    kids = (
-        c.filter(F.col("is_child") & (F.col("n_visits") > 0))
-        .join(parents, "parent_customer_id", "left")
-    )
-    q_guardian = kids.filter(
-        F.col("parent_email").isNull() | ~F.col("parent_reachable")
-    ).select(
-        "customer_id",
-        F.lit("unreachable_guardian").alias("question_type"),
-        F.when(F.col("n_visits") >= 3, "high").otherwise("medium").alias("priority"),
-        F.col("n_visits"),
-    )
-
     adult_counts = (
         c.filter(~F.col("is_child") & F.col("email").isNotNull())
         .groupBy("last_name")
-        .agg(
-            F.count("*").alias("n_adults"),
-        )
+        .agg(F.count("*").alias("n_adults"))
     )
-    q_family = (
-        kids.join(F.broadcast(adult_counts), "last_name", "left")
-        .na.fill({"n_adults": 0})
-        # candidates beyond the direct parent (the parent is an adult with
-        # email in this corpus whenever reachable; subtract it when counted)
-        .withColumn(
-            "n_candidates",
-            F.col("n_adults") - F.when(F.col("parent_reachable"), 1).otherwise(0),
-        )
-        .filter(F.col("n_candidates") >= 2)
-        .select(
-            "customer_id",
-            F.lit("ambiguous_family").alias("question_type"),
-            F.lit("medium").alias("priority"),
-            F.col("n_visits"),
-        )
-    )
-
     mem_end = (
         build_memberships_2024(spark, sf_dir)
         .groupBy(F.col("owner_id").alias("customer_id"))
         .agg(F.max("end_date").alias("last_end"))
     )
-    recent_cut = as_of - dt.timedelta(days=DQ_RECENT_DAYS)
-    q_lapsed = (
-        c.join(mem_end, "customer_id")
-        .filter(
-            (F.col("last_end") < F.lit(as_of))
-            & F.col("email").isNotNull()
-            & (F.col("last_visit").isNull() | (F.col("last_visit") <= F.lit(recent_cut)))
-        )
-        .select(
-            "customer_id",
-            F.lit("lapsed_no_recent_visit").alias("question_type"),
-            F.when(F.col("n_visits") >= 5, "high").otherwise("medium").alias("priority"),
-            F.col("n_visits"),
-        )
+    enriched = (
+        c.join(parents, "parent_customer_id", "left")
+        .join(F.broadcast(adult_counts), "last_name", "left")
+        .join(mem_end, "customer_id", "left")
+        .na.fill({"n_adults": 0})
     )
 
+    has_typo = F.col("email").isNotNull() & (
+        F.substring_index(F.col("email"), "@", -1) != F.col("email_domain")
+    )
+    is_visiting_child = F.col("is_child") & (F.col("n_visits") > 0)
+    # candidates beyond the direct parent (the parent is an adult with
+    # email in this corpus whenever reachable; subtract it when counted)
+    n_candidates = F.col("n_adults") - F.when(F.col("parent_reachable"), 1).otherwise(0)
+    vis_priority = lambda k: F.when(F.col("n_visits") >= k, "high").otherwise("medium")  # noqa: E731
+
+    def q(cond, qtype: str, priority):
+        return F.when(
+            cond,
+            F.struct(
+                F.lit(qtype).alias("question_type"), priority.alias("priority")
+            ),
+        )
+
+    questions = F.array(
+        q(has_typo, "email_typo", vis_priority(3)),
+        q(
+            is_visiting_child
+            & (F.col("parent_email").isNull() | ~F.col("parent_reachable")),
+            "unreachable_guardian",
+            vis_priority(3),
+        ),
+        q(is_visiting_child & (n_candidates >= 2), "ambiguous_family", F.lit("medium")),
+        q(
+            F.col("last_end").isNotNull()
+            & (F.col("last_end") < F.lit(as_of))
+            & F.col("email").isNotNull()
+            & (F.col("last_visit").isNull() | (F.col("last_visit") <= F.lit(recent_cut))),
+            "lapsed_no_recent_visit",
+            vis_priority(5),
+        ),
+    )
     return (
-        q_typo.unionByName(q_guardian)
-        .unionByName(q_family)
-        .unionByName(q_lapsed)
+        enriched.select("customer_id", "n_visits", F.explode(questions).alias("q"))
+        .filter(F.col("q").isNotNull())
+        .select(
+            "customer_id",
+            F.col("q.question_type").alias("question_type"),
+            F.col("q.priority").alias("priority"),
+            "n_visits",
+        )
         .orderBy("customer_id", "question_type")
     )
 
