@@ -47,4 +47,7 @@ def test_query_index_generator_runs():
         capture_output=True, text=True, cwd="/root/repo", timeout=600,
     )
     assert out.returncode == 0
-    assert out.stdout.count("| sql |") + out.stdout.count("| rows-only |") == 156
+    from basin_climbing_data_pipeline_spark.registry import REGISTRY
+
+    n = out.stdout.count("| sql |") + out.stdout.count("| rows-only |")
+    assert n == len(REGISTRY)
