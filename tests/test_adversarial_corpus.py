@@ -649,6 +649,7 @@ REL_QUERIES = [
     "cogroup_spend_at_checkin",  # the Pandas cogroup vs the SQL range join
     "pass_transfer_name_links",  # grammar over randomized descriptions
     "membership_scd2",           # SCD2 islands over randomized lifecycles
+    "data_questions",            # queue rules over randomized memberships
 ]
 
 
