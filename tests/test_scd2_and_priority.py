@@ -213,3 +213,65 @@ def test_data_questions_queue_contract(spark, sf_dir):
         if r["question_type"] in ("unreachable_guardian", "ambiguous_family"):
             assert c["is_child"]
             assert r["n_visits"] > 0
+
+
+def test_scd2_apply_snapshot_fold_equals_batch_compress(spark):
+    """Property: folding snapshots one date at a time through
+    scd2_apply_snapshot (the O(dimension)-per-night incremental path)
+    equals scd2_compress over the union of all observations (the
+    O(history) rebuild) — including keys that skip snapshot dates and
+    reappear, with the same or a different state."""
+    import datetime as dt
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    base = dt.date(2024, 1, 1)
+    schema = "k long, state string, effective_from date, effective_to date"
+
+    @settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(
+        seqs=st.lists(  # per key: state per day, None = absent that day
+            st.lists(
+                st.one_of(st.none(), st.sampled_from(["a", "b"])),
+                min_size=1,
+                max_size=5,
+            ),
+            min_size=1,
+            max_size=3,
+        )
+    )
+    def run(seqs):
+        n_days = max(len(s) for s in seqs)
+        obs_rows = [
+            (k, base + dt.timedelta(days=i), s)
+            for k, states in enumerate(seqs)
+            for i, s in enumerate(states)
+            if s is not None
+        ]
+        if not obs_rows:
+            return
+        observed = spark.createDataFrame(obs_rows, "k long, snap date, state string")
+        batch = {
+            (r["k"], r["state"], r["effective_from"], r["effective_to"])
+            for r in mem.scd2_compress(observed, "k", "state", "snap").collect()
+        }
+        hist = spark.createDataFrame([], schema)
+        for i in range(n_days):
+            d = base + dt.timedelta(days=i)
+            snap_rows = [
+                (k, states[i])
+                for k, states in enumerate(seqs)
+                if i < len(states) and states[i] is not None
+            ]
+            if not snap_rows:
+                continue
+            snap = spark.createDataFrame(snap_rows, "k long, state string")
+            hist = mem.scd2_apply_snapshot(hist, snap, "k", "state", d).localCheckpoint()
+        fold = {
+            (r["k"], r["state"], r["effective_from"], r["effective_to"])
+            for r in hist.collect()
+        }
+        assert fold == batch, seqs
+
+    run()
