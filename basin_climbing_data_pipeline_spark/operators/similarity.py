@@ -799,6 +799,32 @@ ORDER BY c2.cluster_id
 # ---------------------------------------------------------------------------
 
 
+def _lsh_query_candidates(
+    spark: SparkSession, sf_dir: str, n_planes: int | None = None
+) -> DataFrame:
+    """The banded hyperplane-LSH candidate set for the query vectors:
+    (query_id, corpus_id) for every corpus vector sharing ANY band bucket
+    with a query — the generation stage both ANN evals (recall, NDCG)
+    grade.  Probe side is N_QUERIES x N_BANDS rows, broadcast into an
+    equi-join on (band, bucket)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    r = n_planes if n_planes is not None else _planes_for(_corpus_rows(spark, sf_dir))
+    # signature UDF in its own projection, posexplode above it (see
+    # embedding_near_dup_pairs for the Project-above-Generate trap)
+    sig = emb.select("vec_id", _band_buckets(r).alias("bks")).select(
+        "vec_id", F.posexplode("bks").alias("band", "bucket")
+    )
+    qsig = sig.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "band", "bucket"
+    )
+    return (
+        sig.join(F.broadcast(qsig), ["band", "bucket"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("corpus_id"))
+        .distinct()
+    )
+
+
 def ann_recall_eval(
     spark: SparkSession, sf_dir: str, n_planes: int | None = None
 ) -> DataFrame:
@@ -819,22 +845,7 @@ def ann_recall_eval(
     into an equi-join on (band, bucket); candidate volume per query ≈
     N_BANDS x occupancy (corpus-size-derived R holds occupancy constant),
     and the top-k join is a broadcast of k x N_QUERIES rows."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    r = n_planes if n_planes is not None else _planes_for(_corpus_rows(spark, sf_dir))
-    # signature UDF in its own projection, posexplode above it (see
-    # embedding_near_dup_pairs for the Project-above-Generate trap)
-    sig = emb.select("vec_id", _band_buckets(r).alias("bks")).select(
-        "vec_id", F.posexplode("bks").alias("band", "bucket")
-    )
-    qsig = sig.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), "band", "bucket"
-    )
-    cand = (
-        sig.join(F.broadcast(qsig), ["band", "bucket"])
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", F.col("vec_id").alias("corpus_id"))
-        .distinct()
-    )
+    cand = _lsh_query_candidates(spark, sf_dir, n_planes)
     from ..io import tracked_persist
 
     # truth is consumed twice (hit counting + the query spine); cache the
@@ -912,6 +923,174 @@ FROM (SELECT DISTINCT query_id FROM truth) s
 LEFT JOIN n_cand n USING (query_id)
 LEFT JOIN hits h USING (query_id)
 ORDER BY s.query_id
+"""
+
+
+# NDCG position gains, micro-rounded IN PYTHON so both engines consume the
+# SAME integer literals — the one transcendental (log2) never runs inside
+# either engine, the zipf/entropy exactness discipline taken one step
+# further.  Binary relevance: ideal DCG = all TOP_K positions relevant.
+NDCG_GAIN_MICRO: tuple[int, ...] = tuple(
+    int(math.floor(1_000_000 / math.log2(i + 1) + 0.5)) for i in range(1, TOP_K + 1)
+)
+IDCG_MICRO = sum(NDCG_GAIN_MICRO)
+
+
+def ann_ndcg_eval(
+    spark: SparkSession, sf_dir: str, n_planes: int | None = None
+) -> DataFrame:
+    """Rank-aware quality of the full serving path — LSH candidate
+    generation + exact cosine re-rank + top-k cut — as binary NDCG@k
+    against brute-force ground truth.  Recall@k (:func:`ann_recall_eval`)
+    grades the candidate SET; this grades the ORDER the user actually
+    sees: a true neighbor surfaced at rank 1 is worth ~2.6x one at rank 5
+    (1/log2(i+1) gains), which is the number a retrieval dashboard wants.
+
+    Exactness: position gains are micro-int constants precomputed in
+    Python (identical literals in both engines), relevance is an exact
+    set-membership test against the true top-k, so DCG is an exact
+    integer sum and NDCG an integer division — bit-identical hashes.
+
+    Scale shape: candidates ≈ N_BANDS x occupancy per query; the re-rank
+    joins candidates to the two vector sides on their keys (query side
+    broadcast), one window over per-query candidate counts, one k-row
+    semi-join for relevance.  Corpus-sized work appears only in the
+    ground-truth scan, which is the eval's bounded deliberate cost."""
+    cand = _lsh_query_candidates(spark, sf_dir, n_planes)
+    emb = load_table(spark, sf_dir, "embeddings")
+    with_norm = emb.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(_dot64(F.col("embedding"), F.col("embedding"))).alias("norm"),
+    )
+    q = with_norm.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    c = with_norm.select(
+        F.col("vec_id").alias("corpus_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("norm").alias("c_norm"),
+    )
+    scored = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(c, "corpus_id")
+        .withColumn(
+            "cosine",
+            _cosine(_dot64(F.col("q_emb"), F.col("c_emb")), F.col("q_norm"), F.col("c_norm")),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "corpus_id")
+    system = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "corpus_id", "rank")
+    )
+    from ..io import tracked_persist
+
+    truth = tracked_persist(cosine_topk(spark, sf_dir).select("query_id", "corpus_id"))
+    gain = F.when(F.col("rank") == 1, NDCG_GAIN_MICRO[0])
+    for i in range(1, TOP_K):
+        gain = gain.when(F.col("rank") == i + 1, NDCG_GAIN_MICRO[i])
+    relevant = system.join(truth, ["query_id", "corpus_id"], "left_semi")
+    per_q = relevant.groupBy("query_id").agg(
+        F.count("*").alias("n_relevant_ranked"),
+        F.sum(gain).alias("dcg_micro"),
+    )
+    n_ranked = system.groupBy("query_id").agg(F.count("*").alias("n_ranked"))
+    spine = truth.select("query_id").distinct()
+    return (
+        spine.join(n_ranked, "query_id", "left")
+        .join(per_q, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_ranked", F.lit(0)).alias("n_ranked"),
+            F.coalesce("n_relevant_ranked", F.lit(0)).alias("n_relevant_ranked"),
+            F.coalesce("dcg_micro", F.lit(0)).cast("long").alias("dcg_micro"),
+            # integral div, not double /: the DuckDB mirror uses // and a
+            # float quotient truncated could land one ulp under the exact
+            # integer quotient
+            F.expr(f"coalesce(dcg_micro, 0L) * 1000000L div {IDCG_MICRO}")
+            .cast("long")
+            .alias("ndcg_micro"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def ann_ndcg_eval_sql(n_planes: int | None = None) -> str:
+    params = f"SELECT {n_planes} AS r" if n_planes is not None else _PLANES_SQL
+    dot = _dot_sql("q.embedding", "c.embedding")
+    nq = _dot_sql("q.embedding", "q.embedding")
+    nc = _dot_sql("c.embedding", "c.embedding")
+    gains = " ".join(
+        f"WHEN {i + 1} THEN {g}" for i, g in enumerate(NDCG_GAIN_MICRO)
+    )
+    return f"""
+WITH params AS ({params}),
+sig AS (
+  SELECT e.vec_id, bands.band, {_band_bucket_sql("bands.band")} AS bucket
+  FROM embeddings e, params,
+       (VALUES {", ".join(f"({b})" for b in range(N_BANDS))}) AS bands(band)
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, s.vec_id AS corpus_id
+  FROM sig q JOIN sig s ON q.band = s.band AND q.bucket = s.bucket
+  WHERE q.vec_id < {N_QUERIES} AND s.vec_id != q.vec_id
+),
+rescored AS (
+  SELECT cand.query_id, cand.corpus_id,
+         floor(({dot}) / (sqrt({nq}) * sqrt({nc})) * {COSINE_SCALE} + 0.5) / {COSINE_SCALE}
+           AS cosine
+  FROM cand
+  JOIN embeddings q ON q.vec_id = cand.query_id
+  JOIN embeddings c ON c.vec_id = cand.corpus_id
+),
+system AS (
+  SELECT query_id, corpus_id, rank FROM (
+    SELECT query_id, corpus_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, corpus_id) AS rank
+    FROM rescored
+  ) WHERE rank <= {TOP_K}
+),
+truth_scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+         floor(({dot}) / (sqrt({nq}) * sqrt({nc})) * {COSINE_SCALE} + 0.5) / {COSINE_SCALE}
+           AS cosine
+  FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+),
+truth AS (
+  SELECT query_id, corpus_id FROM (
+    SELECT query_id, corpus_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, corpus_id) AS rank
+    FROM truth_scored
+  ) WHERE rank <= {TOP_K}
+),
+per_q AS (
+  SELECT s.query_id, count(*) AS n_relevant_ranked,
+         sum(CASE s.rank {gains} END) AS dcg_micro
+  FROM system s JOIN truth t USING (query_id, corpus_id)
+  GROUP BY s.query_id
+),
+n_ranked AS (
+  SELECT query_id, count(*) AS n_ranked FROM system GROUP BY query_id
+)
+SELECT sp.query_id,
+       coalesce(n.n_ranked, 0) AS n_ranked,
+       coalesce(p.n_relevant_ranked, 0) AS n_relevant_ranked,
+       CAST(coalesce(p.dcg_micro, 0) AS BIGINT) AS dcg_micro,
+       CAST(coalesce(p.dcg_micro, 0) * 1000000 // {IDCG_MICRO} AS BIGINT)
+         AS ndcg_micro
+FROM (SELECT DISTINCT query_id FROM truth) sp
+LEFT JOIN n_ranked n USING (query_id)
+LEFT JOIN per_q p USING (query_id)
+ORDER BY sp.query_id
 """
 
 

@@ -514,6 +514,7 @@ register(
 register("source_priority_dedup", dd.source_priority_dedup, dd.source_priority_dedup_sql())
 register("membership_scd2", mem.membership_scd2, mem.membership_scd2_sql())
 register("data_questions", cu.data_questions, cu.data_questions_sql())
+register("ann_ndcg_eval", sim.ann_ndcg_eval, sim.ann_ndcg_eval_sql())
 
 
 # --- round-5 window rotation ----------------------------------------------
@@ -632,7 +633,15 @@ _ROUND6_WINDOW = [
 # then anything round 6 touches after its driver run; fill the remaining
 # ~31 slots with the oldest driver-green rows at that point (the round-4
 # block).
-_ROUND7_FRONT = ["source_priority_dedup", "membership_scd2", "data_questions"]
+_ROUND7_FRONT = [
+    "source_priority_dedup",
+    "membership_scd2",
+    "data_questions",
+    "ann_ndcg_eval",
+    # ann_recall_eval: r5-green, but round 6 refactored its candidate
+    # block into the shared _lsh_query_candidates helper — re-verify
+    "ann_recall_eval",
+]
 
 # hard failures, not asserts: a python -O run must not silently rotate the
 # driver's verification window onto the wrong entries.

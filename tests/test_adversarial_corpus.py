@@ -354,6 +354,7 @@ EMB_QUERIES = [
     "embedding_near_dup_pairs",
     "kmeans_refine",
     "quantized_topk_recall",
+    "ann_ndcg_eval",         # rank-aware: gains are python-int literals
 ]
 
 
