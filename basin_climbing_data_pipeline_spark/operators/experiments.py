@@ -176,3 +176,162 @@ SELECT experiment_id, n_a, conv_a, n_b, conv_b,
 FROM agg
 ORDER BY experiment_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap: confidence intervals in ONE pass, no resample shuffle
+# ---------------------------------------------------------------------------
+
+# A classical bootstrap resamples N rows B times — unrunnable at 100 TB.
+# The Poisson bootstrap replaces each replicate's resample with an
+# independent Poisson(1) WEIGHT per (row, replicate): one map-side fan-out
+# of B weighted copies, B partial-aggregating sums, no data shuffle beyond
+# a B-key aggregate.  Weights come from the engine's md5-uniform
+# discipline, so both engines draw the SAME replicate weights and the CI
+# is bit-reproducible.  The Poisson(1) inverse-CDF thresholds are
+# precomputed in Python (micro units) — exp() never runs in either engine.
+import math as _math
+
+B_REPLICATES = 40
+# cumulative P(X <= k) for X ~ Poisson(1), k = 0..5; weights cap at 6
+POISSON1_CDF_MICRO: tuple[int, ...] = tuple(
+    int(_math.floor(sum(_math.exp(-1.0) / _math.factorial(j) for j in range(k + 1)) * 1_000_000 + 0.5))
+    for k in range(6)
+)
+CI_LO_RANK = 1   # 2.5th percentile of 40 sorted replicate means
+CI_HI_RANK = 39  # 97.5th percentile
+
+
+def _poisson1_weight(u_micro: F.Column) -> F.Column:
+    w = F.when(u_micro < POISSON1_CDF_MICRO[0], 0)
+    for k in range(1, 6):
+        w = w.when(u_micro < POISSON1_CDF_MICRO[k], k)
+    return w.otherwise(6)
+
+
+def _poisson1_weight_sql(u: str) -> str:
+    branches = " ".join(
+        f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(POISSON1_CDF_MICRO)
+    )
+    return f"CASE {branches} ELSE 6 END"
+
+
+def bootstrap_spend_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% bootstrap CI for mean per-customer net spend, via the Poisson
+    bootstrap — the estimator a 100-TB pipeline can actually afford: the
+    per-customer rollup is scanned ONCE, fanned out map-side into
+    ``B_REPLICATES`` weighted copies (md5-deterministic Poisson(1)
+    weights), and each replicate mean is a pair of exact integer sums
+    over a B-key aggregate.  The CI is the 2.5th/97.5th percentile of the
+    sorted replicate means (deterministic rank picks, ties broken by
+    replicate id).
+
+    Output: one row — population size, point mean, B, and the CI bounds,
+    all fixed-point cents.  Exactness: weighted sums are exact int64
+    (weight ≤ 6 × cents; DECIMAL(38) is the 1e12-customer upgrade), the
+    single division per replicate is the shared fixed-point ratio."""
+    from ..functions.money import ratio, to_cents
+    from .transactions import build_transactions
+
+    txn = build_transactions(spark, sf_dir)
+    spend = txn.groupBy("customer_id").agg(
+        F.sum(to_cents(F.col("total_amount"))).alias("cents")
+    )
+    reps = spend.select(
+        "customer_id",
+        "cents",
+        F.explode(F.array(*[F.lit(b) for b in range(B_REPLICATES)])).alias("b"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("customer_id"), F.col("b"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 1_000_000
+    )
+    weighted = reps.withColumn("w", _poisson1_weight(u))
+    per_rep = weighted.groupBy("b").agg(
+        F.sum(F.col("w") * F.col("cents")).alias("sw_cents"),
+        F.sum("w").alias("sw"),
+    )
+    rep_means = per_rep.select(
+        "b",
+        F.when(F.col("sw") > 0, ratio(F.col("sw_cents"), F.col("sw"), 2)).alias(
+            "rep_mean_cents"
+        ),
+    )
+    w_rank = Window.orderBy("rep_mean_cents", "b")
+    ranked = rep_means.withColumn("rk", F.row_number().over(w_rank))
+    ci = ranked.agg(
+        F.max(F.when(F.col("rk") == CI_LO_RANK, F.col("rep_mean_cents"))).alias(
+            "ci_lo_cents"
+        ),
+        F.max(F.when(F.col("rk") == CI_HI_RANK, F.col("rep_mean_cents"))).alias(
+            "ci_hi_cents"
+        ),
+    )
+    point = spend.agg(
+        F.count("*").alias("n_customers"),
+        ratio(F.sum("cents"), F.count("*"), 2).alias("mean_cents"),
+    )
+    # two 1-row aggregates — the bounded driver-side crossJoin pattern
+    return point.crossJoin(ci).select(
+        "n_customers",
+        F.lit(B_REPLICATES).alias("b_replicates"),
+        "mean_cents",
+        "ci_lo_cents",
+        "ci_hi_cents",
+    )
+
+
+def bootstrap_spend_ci_sql() -> str:
+    from ..functions.money import ratio_sql, to_cents_sql
+    from .transactions import transactions_sql
+
+    u = (
+        "('0x' || substr(md5(customer_id::varchar || ':' || b::varchar), 1, 8))::bigint"
+        " % 1000000"
+    )
+    return f"""
+WITH txn AS ({transactions_sql()}),
+spend AS (
+  SELECT customer_id, sum({to_cents_sql('total_amount')}) AS cents
+  FROM txn GROUP BY customer_id
+),
+reps AS (
+  SELECT customer_id, cents, r.b
+  FROM spend CROSS JOIN (SELECT unnest(range({B_REPLICATES})) AS b) r
+),
+weighted AS (
+  SELECT b, cents, {_poisson1_weight_sql(u)} AS w FROM reps
+),
+per_rep AS (
+  SELECT b, sum(w * cents) AS sw_cents, sum(w) AS sw
+  FROM weighted GROUP BY b
+),
+rep_means AS (
+  SELECT b, CASE WHEN sw > 0 THEN {ratio_sql('sw_cents', 'sw', 2)} END AS rep_mean_cents
+  FROM per_rep
+),
+ranked AS (
+  SELECT rep_mean_cents,
+         row_number() OVER (ORDER BY rep_mean_cents, b) AS rk
+  FROM rep_means
+),
+ci AS (
+  SELECT max(CASE WHEN rk = {CI_LO_RANK} THEN rep_mean_cents END) AS ci_lo_cents,
+         max(CASE WHEN rk = {CI_HI_RANK} THEN rep_mean_cents END) AS ci_hi_cents
+  FROM ranked
+),
+point AS (
+  SELECT count(*) AS n_customers,
+         {ratio_sql('sum(cents)', 'count(*)', 2)} AS mean_cents
+  FROM spend
+)
+SELECT n_customers, {B_REPLICATES} AS b_replicates, mean_cents,
+       ci_lo_cents, ci_hi_cents
+FROM point CROSS JOIN ci
+"""

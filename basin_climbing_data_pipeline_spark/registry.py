@@ -515,6 +515,7 @@ register("source_priority_dedup", dd.source_priority_dedup, dd.source_priority_d
 register("membership_scd2", mem.membership_scd2, mem.membership_scd2_sql())
 register("data_questions", cu.data_questions, cu.data_questions_sql())
 register("ann_ndcg_eval", sim.ann_ndcg_eval, sim.ann_ndcg_eval_sql())
+register("bootstrap_spend_ci", ex.bootstrap_spend_ci, ex.bootstrap_spend_ci_sql())
 
 
 # --- round-5 window rotation ----------------------------------------------
@@ -638,6 +639,7 @@ _ROUND7_FRONT = [
     "membership_scd2",
     "data_questions",
     "ann_ndcg_eval",
+    "bootstrap_spend_ci",
     # ann_recall_eval: r5-green, but round 6 refactored its candidate
     # block into the shared _lsh_query_candidates helper — re-verify
     "ann_recall_eval",

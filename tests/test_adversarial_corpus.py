@@ -651,6 +651,7 @@ REL_QUERIES = [
     "pass_transfer_name_links",  # grammar over randomized descriptions
     "membership_scd2",           # SCD2 islands over randomized lifecycles
     "data_questions",            # queue rules over randomized memberships
+    "bootstrap_spend_ci",        # md5 replicate weights over random amounts
 ]
 
 

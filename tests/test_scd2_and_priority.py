@@ -275,3 +275,19 @@ def test_scd2_apply_snapshot_fold_equals_batch_compress(spark):
         assert fold == batch, seqs
 
     run()
+
+
+def test_bootstrap_ci_brackets_point_mean(spark, sf_dir):
+    """Poisson-bootstrap sanity: lo <= point mean <= hi, bounds are
+    distinct replicate means, and the estimate is deterministic across
+    invocations (md5 weights, no RNG)."""
+    from basin_climbing_data_pipeline_spark.operators.experiments import (
+        bootstrap_spend_ci,
+    )
+
+    r1 = bootstrap_spend_ci(spark, sf_dir).collect()[0]
+    assert r1["ci_lo_cents"] <= r1["mean_cents"] <= r1["ci_hi_cents"]
+    assert r1["ci_lo_cents"] < r1["ci_hi_cents"]
+    assert r1["b_replicates"] == 40 and r1["n_customers"] > 0
+    r2 = bootstrap_spend_ci(spark, sf_dir).collect()[0]
+    assert tuple(r1) == tuple(r2)
