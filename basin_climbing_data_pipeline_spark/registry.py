@@ -644,6 +644,9 @@ _ROUND7_FRONT = [
     # block into the shared _lsh_query_candidates helper — re-verify
     "ann_recall_eval",
 ]
+_r7_missing = [n for n in _ROUND7_FRONT if n not in REGISTRY]
+if _r7_missing:
+    raise ValueError(f"round-7 staged names not in registry: {_r7_missing}")
 
 # hard failures, not asserts: a python -O run must not silently rotate the
 # driver's verification window onto the wrong entries.
