@@ -601,3 +601,300 @@ SELECT source, n_tokens, temp_weight, target_tokens,
 FROM plan
 ORDER BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling (hashed n-gram features)
+# ---------------------------------------------------------------------------
+
+# DSIR (Xie et al. 2023, "Data Selection for Language Models via Importance
+# Resampling", NeurIPS — public paper): select raw-corpus documents whose
+# hashed n-gram feature distribution looks like a TARGET corpus, by scoring
+# every doc with the log importance weight under two smoothed bag-of-hashed-
+# ngram models and Gumbel-top-k sampling on those weights.  The target here
+# is the English slice of the corpus (the "target = trusted distribution"
+# analog of DSIR's Wikipedia+books target); features are hashed unigrams +
+# bigrams, the paper's exact featurization.
+DSIR_BUCKETS = 128
+DSIR_TARGET_LANG = "en"
+DSIR_KEEP = 100
+# gumbel noise is derived from md5(doc_id) with a fixed salt so selection is
+# reproducible across runs/engines/partitionings, like every sampler here
+DSIR_SALT = "dsir|"
+_TWO_32 = 4294967296.0
+
+
+def dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection: hashed-ngram importance weights + deterministic
+    Gumbel-top-k sampling.
+
+    Pipeline (all relational, no UDFs):
+
+    1. features: explode unigrams (non-empty tokens) and bigrams (the
+       ``bigram_repetition`` slice/zip construction) and hash each into
+       ``DSIR_BUCKETS`` md5 buckets — the same engine-portable md5 bucket
+       every sampler in this module uses, never ``rand()``/``hash()``.
+    2. two add-1-smoothed unigram models over buckets: p from the target
+       slice (lang = 'en'), q from the whole corpus.  Both are
+       ``DSIR_BUCKETS``-row aggregates — broadcast-sized at ANY corpus
+       scale, the reason DSIR scales where per-token LMs don't.
+    3. per-doc log importance weight: sum over feature OCCURRENCES of
+       ln(p_f / q_f), micro-rounded once per bucket (int64 thereafter, so
+       the per-doc sum is exact and order-insensitive — the repo's
+       fixed-point discipline).
+    4. Gumbel-top-k: key = lnw_micro + floor(1e6 * g) with
+       g = -ln(-ln(u)), u a salted md5 uniform of doc_id — sampling
+       without replacement ∝ importance weight, reproducible everywhere.
+       The top-``DSIR_KEEP`` pick is orderBy+limit (TakeOrdered — a
+       distributed heap, no single-partition window sort), then a
+       broadcast semi-join flags survivors.
+
+    Scale shape: two explode+groupBy passes over tokens (map-side
+    combinable, keyed by (doc, bucket) so no hot keys), one broadcast join
+    of a 128-row model table, one TakeOrdered top-k.  Nothing driver-side
+    but the k-row id list."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), " ")
+    n_big = F.greatest(F.size(words) - 1, F.lit(0))
+    uni = (
+        docs.select("doc_id", "lang", F.explode(words).alias("feat"))
+        .filter(F.col("feat") != "")
+    )
+    bi = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.arrays_zip(
+                F.slice(words, 1, n_big).alias("w1"),
+                F.slice(words, 2, n_big).alias("w2"),
+            )
+        ).alias("p"),
+    ).select(
+        "doc_id", "lang", F.concat_ws(" ", F.col("p.w1"), F.col("p.w2")).alias("feat")
+    )
+    feats = uni.unionByName(bi).select(
+        "doc_id", "lang", _md5_bucket(F.col("feat"), DSIR_BUCKETS).alias("bucket")
+    )
+
+    q_cnt = feats.groupBy("bucket").agg(F.count("*").alias("n_q"))
+    p_cnt = (
+        feats.filter(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_p"))
+    )
+    from pyspark.sql import Window
+
+    model = (
+        q_cnt.join(p_cnt, "bucket", "left")
+        .withColumn("n_p", F.coalesce(F.col("n_p"), F.lit(0)))
+        .withColumn("tot_q", F.sum("n_q").over(Window.partitionBy()))
+        .withColumn("tot_p", F.sum("n_p").over(Window.partitionBy()))
+    )
+    ratio_micro = F.floor(
+        F.log(
+            ((F.col("n_p") + 1.0) * (F.col("tot_q") + F.lit(float(DSIR_BUCKETS))))
+            / ((F.col("tot_p") + F.lit(float(DSIR_BUCKETS))) * (F.col("n_q") + 1.0))
+        )
+        * 1000000.0
+        + 0.5
+    ).cast("long")
+    model = F.broadcast(model.select("bucket", ratio_micro.alias("ratio_micro")))
+
+    per_doc = (
+        feats.groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("n"))
+        .join(model, "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").alias("n_feats"),
+            F.sum(F.col("n") * F.col("ratio_micro")).alias("lnw_micro"),
+        )
+    )
+    scored = (
+        docs.select("doc_id", "source", "lang")
+        .join(per_doc, "doc_id", "left")
+        .withColumn("n_feats", F.coalesce(F.col("n_feats"), F.lit(0)))
+        .withColumn("lnw_micro", F.coalesce(F.col("lnw_micro"), F.lit(0)))
+    )
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(DSIR_SALT), F.col("doc_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        + 0.5
+    ) / _TWO_32
+    g_micro = F.floor(-F.log(-F.log(u)) * 1000000.0 + 0.5).cast("long")
+    keyed = scored.withColumn("sel_key", F.col("lnw_micro") + g_micro)
+    top = keyed.orderBy(F.desc("sel_key"), "doc_id").limit(DSIR_KEEP).select(
+        "doc_id", F.lit(True).alias("selected")
+    )
+    return (
+        keyed.join(F.broadcast(top), "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            "lang",
+            "n_feats",
+            (F.col("lnw_micro") / 1000000.0).alias("lnw"),
+            F.coalesce(F.col("selected"), F.lit(False)).alias("selected"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def dsir_selection_sql() -> str:
+    b = DSIR_BUCKETS
+    u_sql = (
+        f"((('0x' || substr(md5('{DSIR_SALT}' || doc_id::varchar), 1, 8))::bigint + 0.5)"
+        f" / {_TWO_32})"
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, lang, split(trim(text, ' '), ' ') AS words FROM documents
+),
+uni AS (
+  SELECT doc_id, lang, t.feat
+  FROM (SELECT doc_id, lang, unnest(words) AS feat FROM base) t
+  WHERE feat != ''
+),
+bi AS (
+  SELECT doc_id, lang, words[i] || ' ' || words[i + 1] AS feat
+  FROM base, unnest(range(1, len(words))) AS t(i)
+),
+feats AS (
+  SELECT doc_id, lang, {_md5_bucket_sql('feat', b)} AS bucket
+  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+),
+q_cnt AS (SELECT bucket, count(*) AS n_q FROM feats GROUP BY bucket),
+p_cnt AS (
+  SELECT bucket, count(*) AS n_p FROM feats
+  WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY bucket
+),
+model AS (
+  SELECT q.bucket,
+         floor(ln(((coalesce(p.n_p, 0) + 1.0) * ((SELECT sum(n_q) FROM q_cnt) + {float(b)}))
+                  / (((SELECT sum(coalesce(p2.n_p, 0)) FROM q_cnt q2
+                       LEFT JOIN p_cnt p2 ON q2.bucket = p2.bucket) + {float(b)})
+                     * (q.n_q + 1.0)))
+               * 1000000.0 + 0.5)::bigint AS ratio_micro
+  FROM q_cnt q LEFT JOIN p_cnt p ON q.bucket = p.bucket
+),
+per_doc AS (
+  SELECT db.doc_id, sum(db.n) AS n_feats, sum(db.n * m.ratio_micro) AS lnw_micro
+  FROM (SELECT doc_id, bucket, count(*) AS n FROM feats GROUP BY 1, 2) db
+  JOIN model m ON db.bucket = m.bucket
+  GROUP BY db.doc_id
+),
+scored AS (
+  SELECT d.doc_id, d.source, d.lang,
+         coalesce(p.n_feats, 0) AS n_feats,
+         coalesce(p.lnw_micro, 0) AS lnw_micro,
+         coalesce(p.lnw_micro, 0)
+           + floor(-ln(-ln({u_sql})) * 1000000.0 + 0.5)::bigint AS sel_key
+  FROM documents d LEFT JOIN per_doc p USING (doc_id)
+),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY sel_key DESC, doc_id) AS rk FROM scored
+)
+SELECT doc_id, source, lang, n_feats,
+       lnw_micro / 1000000.0 AS lnw,
+       rk <= {DSIR_KEEP} AS selected
+FROM ranked
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# soft dedup: duplicate-discounted sampling mass instead of hard dropping
+# ---------------------------------------------------------------------------
+
+
+def soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-aware DOWN-WEIGHTING per source: every document in a
+    near-duplicate cluster carries sampling weight 1/cluster_size, so a
+    cluster contributes one document's worth of expected training mass no
+    matter how many copies exist — the soft alternative (SoftDeDup-style
+    reweighting, He et al. 2024 — public paper) to hard keep-one dropping,
+    which a mixture designer prefers when duplicates carry distribution
+    signal.
+
+    Output: one row per source with raw vs duplicate-discounted token
+    mass and the retained fraction — the table that says "src7's crawl is
+    31% duplicated mass; its temperature weight is overstated".
+
+    Composes :func:`~..operators.dedup.dedup_clusters` (log-round star
+    contraction, the scale path); the weighting itself is one left join
+    of the clustered subset (coalesce singletons to size 1) and one
+    per-source aggregation over exact integer micro-weights.  Nothing
+    here adds a corpus-scale shuffle beyond the cluster build."""
+    from .dedup import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.filter(F.split(F.trim(F.col("text")), " "), lambda w: w != ""))
+    base = docs.select("doc_id", "source", n_tokens.alias("n_tokens"))
+    clusters = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_size")
+    weighted = (
+        base.join(clusters, "doc_id", "left")
+        .withColumn("cluster_size", F.coalesce(F.col("cluster_size"), F.lit(1)))
+        .withColumn(
+            "weight_micro",
+            F.floor(1000000.0 / F.col("cluster_size") + 0.5).cast("long"),
+        )
+    )
+    agg = weighted.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("cluster_size") > 1, 1).otherwise(0)).alias("n_clustered_docs"),
+        F.sum("n_tokens").alias("raw_tokens"),
+        F.sum(F.col("n_tokens") * F.col("weight_micro")).alias("_eff_micro"),
+    )
+    from ..functions.money import ratio
+
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_clustered_docs",
+        "raw_tokens",
+        (F.col("_eff_micro") / 1000000.0).alias("effective_tokens"),
+        F.when(
+            F.col("raw_tokens") > 0,
+            ratio(F.col("_eff_micro").cast("double"), F.col("raw_tokens") * 1000000.0, 4),
+        ).alias("mass_retained"),
+    ).orderBy("source")
+
+
+def soft_dedup_weights_sql() -> str:
+    from .dedup import _clusters_cte_sql
+    from ..functions.money import ratio_sql
+
+    retained = ratio_sql("eff_micro::double", "raw_tokens * 1000000.0", 4)
+    return f"""
+WITH RECURSIVE {_clusters_cte_sql()},
+tok AS (
+  SELECT doc_id, source,
+         len(list_filter(split(trim(text, ' '), ' '), w -> w != '')) AS n_tokens
+  FROM documents
+),
+weighted AS (
+  SELECT t.doc_id, t.source, t.n_tokens,
+         coalesce(s.cluster_size, 1) AS cluster_size,
+         floor(1000000.0 / coalesce(s.cluster_size, 1) + 0.5)::bigint AS weight_micro
+  FROM tok t
+  LEFT JOIN labels l ON l.node = t.doc_id
+  LEFT JOIN sizes s ON s.cluster_id = l.cluster_id
+),
+agg AS (
+  SELECT source,
+         count(*) AS n_docs,
+         CAST(sum(CASE WHEN cluster_size > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_clustered_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS raw_tokens,
+         CAST(sum(n_tokens * weight_micro) AS BIGINT) AS eff_micro
+  FROM weighted GROUP BY source
+)
+SELECT source, n_docs, n_clustered_docs, raw_tokens,
+       eff_micro / 1000000.0 AS effective_tokens,
+       CASE WHEN raw_tokens > 0 THEN {retained} END AS mass_retained
+FROM agg
+ORDER BY source
+"""

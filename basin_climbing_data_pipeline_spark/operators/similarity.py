@@ -1539,3 +1539,236 @@ SELECT s.centroid_id, s.n_vectors,
 FROM sizes s LEFT JOIN per_cell p USING (centroid_id)
 ORDER BY s.centroid_id
 """
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified top-k (serving-path re-ranking)
+# ---------------------------------------------------------------------------
+
+# Maximal Marginal Relevance (Carbonell & Goldstein 1998, SIGIR — public
+# paper): re-rank a candidate pool so each pick trades relevance to the
+# query against redundancy with what's already picked:
+#   MMR(c) = λ·rel(q, c) − (1−λ)·max_{s∈selected} sim(c, s).
+# λ = 0.7 encoded as exact integer weights 7/3 over the micro-int cosines,
+# so every comparison is integer math and the greedy argmax is engine-exact.
+MMR_POOL = 20   # top-M relevance pool per query (bounds ALL MMR work)
+MMR_K = 5       # diversified picks per query
+_MMR_REL_W = 7  # λ·10
+_MMR_DIV_W = 3  # (1−λ)·10
+
+
+def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversified top-k serving: exact top-``MMR_POOL`` relevance pool per
+    query, then ``MMR_K`` greedy MMR picks.
+
+    Scale shape: the pool stage is the same broadcast-queries exact scan as
+    :func:`cosine_topk` (the ANN candidate generators can feed the same
+    pool); everything after is bounded at M²·Q rows (pairwise sims within
+    each query's 20-candidate pool) REGARDLESS of corpus size — the greedy
+    loop is K fixed relational steps (argmax-per-query via one window
+    each), no driver collect, lineage truncated per step.
+
+    Determinism: relevance and pairwise cosines are 1e-6 fixed-point; the
+    greedy key is the exact integer 7·rel_micro − 3·maxsim_micro with
+    corpus_id tie-break, so both engines pick identical chains."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    with_norm = emb.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(_dot64(F.col("embedding"), F.col("embedding"))).alias("norm"),
+    )
+    queries = with_norm.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    corpus = with_norm.select(
+        F.col("vec_id").alias("corpus_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("norm").alias("c_norm"),
+    )
+    from pyspark.sql import Window
+
+    rel = _cosine(_dot64(F.col("q_emb"), F.col("c_emb")), F.col("q_norm"), F.col("c_norm"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("rel"), "corpus_id")
+    pool = (
+        corpus.join(F.broadcast(queries), F.col("query_id") != F.col("corpus_id"))
+        .withColumn("rel", rel)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= MMR_POOL)
+        .select(
+            "query_id",
+            "corpus_id",
+            "c_emb",
+            "c_norm",
+            F.floor(F.col("rel") * COSINE_SCALE + 0.5).cast("long").alias("rel_micro"),
+        )
+        .localCheckpoint()
+    )
+    a = pool.select(
+        "query_id",
+        F.col("corpus_id").alias("id_a"),
+        F.col("c_emb").alias("emb_a"),
+        F.col("c_norm").alias("norm_a"),
+    )
+    b = pool.select(
+        "query_id",
+        F.col("corpus_id").alias("id_b"),
+        F.col("c_emb").alias("emb_b"),
+        F.col("c_norm").alias("norm_b"),
+    )
+    sim = _cosine(_dot64(F.col("emb_a"), F.col("emb_b")), F.col("norm_a"), F.col("norm_b"))
+    sims = (
+        a.join(b, ["query_id"])
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select(
+            "query_id",
+            "id_a",
+            "id_b",
+            F.floor(sim * COSINE_SCALE + 0.5).cast("long").alias("sim_micro"),
+        )
+        .localCheckpoint()
+    )
+    cands = pool.select("query_id", "corpus_id", "rel_micro")
+
+    # step 1: pure relevance argmax (selected set empty -> maxsim = 0)
+    w1 = Window.partitionBy("query_id").orderBy(F.desc("rel_micro"), "corpus_id")
+    sel = (
+        cands.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id",
+            "corpus_id",
+            "rel_micro",
+            F.lit(0).cast("long").alias("maxsim_micro"),
+            F.lit(1).alias("sel_rank"),
+        )
+        .localCheckpoint()
+    )
+    for step in range(2, MMR_K + 1):
+        prev_ids = sel.select("query_id", F.col("corpus_id").alias("sel_id"))
+        remaining = cands.join(
+            prev_ids.withColumnRenamed("sel_id", "corpus_id"),
+            ["query_id", "corpus_id"],
+            "left_anti",
+        )
+        scored = (
+            remaining.join(prev_ids, "query_id")
+            .join(
+                sims.withColumnRenamed("id_a", "corpus_id").withColumnRenamed(
+                    "id_b", "sel_id"
+                ),
+                ["query_id", "corpus_id", "sel_id"],
+            )
+            .groupBy("query_id", "corpus_id", "rel_micro")
+            .agg(F.max("sim_micro").alias("maxsim_micro"))
+        )
+        mmr_key = (
+            F.lit(_MMR_REL_W) * F.col("rel_micro")
+            - F.lit(_MMR_DIV_W) * F.col("maxsim_micro")
+        )
+        ws = Window.partitionBy("query_id").orderBy(F.desc(mmr_key), "corpus_id")
+        pick = (
+            scored.withColumn("rn", F.row_number().over(ws))
+            .filter(F.col("rn") == 1)
+            .select(
+                "query_id",
+                "corpus_id",
+                "rel_micro",
+                "maxsim_micro",
+                F.lit(step).alias("sel_rank"),
+            )
+        )
+        sel = sel.unionByName(pick).localCheckpoint()
+
+    return sel.select(
+        "query_id",
+        "corpus_id",
+        "sel_rank",
+        (F.col("rel_micro") / COSINE_SCALE).alias("relevance"),
+        (F.col("maxsim_micro") / COSINE_SCALE).alias("max_sim_selected"),
+        (
+            (
+                F.lit(_MMR_REL_W) * F.col("rel_micro")
+                - F.lit(_MMR_DIV_W) * F.col("maxsim_micro")
+            )
+            / F.lit(10.0 * COSINE_SCALE)
+        ).alias("mmr_score"),
+    ).orderBy("query_id", "sel_rank")
+
+
+def mmr_diversified_topk_sql() -> str:
+    dot_qc = _dot_sql("q.embedding", "c.embedding")
+    nq = _dot_sql("q.embedding", "q.embedding")
+    nc = _dot_sql("c.embedding", "c.embedding")
+    dot_ab = _dot_sql("ea.embedding", "eb.embedding")
+    na = _dot_sql("ea.embedding", "ea.embedding")
+    nb = _dot_sql("eb.embedding", "eb.embedding")
+    steps = []
+    for i in range(2, MMR_K + 1):
+        prev = f"sel{i - 1}"
+        steps.append(
+            f"""pick{i} AS (
+  SELECT query_id, corpus_id, rel_micro, maxsim_micro, {i} AS sel_rank
+  FROM (
+    SELECT sc.*, row_number() OVER (
+      PARTITION BY query_id
+      ORDER BY {_MMR_REL_W} * rel_micro - {_MMR_DIV_W} * maxsim_micro DESC,
+               corpus_id) AS rn
+    FROM (
+      SELECT p.query_id, p.corpus_id, p.rel_micro,
+             max(sm.sim_micro) AS maxsim_micro
+      FROM pool p
+      JOIN {prev} s ON s.query_id = p.query_id
+      JOIN sims sm ON sm.query_id = p.query_id
+        AND sm.id_a = p.corpus_id AND sm.id_b = s.corpus_id
+      WHERE NOT EXISTS (SELECT 1 FROM {prev} x
+                        WHERE x.query_id = p.query_id
+                          AND x.corpus_id = p.corpus_id)
+      GROUP BY p.query_id, p.corpus_id, p.rel_micro
+    ) sc
+  ) WHERE rn = 1
+),
+sel{i} AS (SELECT * FROM {prev} UNION ALL SELECT * FROM pick{i})"""
+        )
+    steps_sql = ",\n".join(steps)
+    return f"""
+WITH pool AS (
+  SELECT query_id, corpus_id, rel_micro FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+           floor(({dot_qc}) / (sqrt({nq}) * sqrt({nc})) * {COSINE_SCALE} + 0.5)::bigint
+             AS rel_micro,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY floor(({dot_qc}) / (sqrt({nq}) * sqrt({nc})) * {COSINE_SCALE} + 0.5) DESC,
+                      c.vec_id) AS rn
+    FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+    WHERE q.vec_id < {N_QUERIES}
+  ) WHERE rn <= {MMR_POOL}
+),
+sims AS (
+  SELECT a.query_id, a.corpus_id AS id_a, b.corpus_id AS id_b,
+         floor(({dot_ab}) / (sqrt({na}) * sqrt({nb})) * {COSINE_SCALE} + 0.5)::bigint
+           AS sim_micro
+  FROM pool a
+  JOIN pool b ON a.query_id = b.query_id AND a.corpus_id != b.corpus_id
+  JOIN embeddings ea ON ea.vec_id = a.corpus_id
+  JOIN embeddings eb ON eb.vec_id = b.corpus_id
+),
+sel1 AS (
+  SELECT query_id, corpus_id, rel_micro, 0::bigint AS maxsim_micro, 1 AS sel_rank
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY rel_micro DESC, corpus_id) AS rn
+    FROM pool
+  ) WHERE rn = 1
+),
+{steps_sql}
+SELECT query_id, corpus_id, sel_rank,
+       rel_micro / {COSINE_SCALE} AS relevance,
+       maxsim_micro / {COSINE_SCALE} AS max_sim_selected,
+       ({_MMR_REL_W} * rel_micro - {_MMR_DIV_W} * maxsim_micro) / {10.0 * COSINE_SCALE}
+         AS mmr_score
+FROM sel{MMR_K}
+ORDER BY query_id, sel_rank
+"""

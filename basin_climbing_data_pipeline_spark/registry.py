@@ -516,6 +516,13 @@ register("membership_scd2", mem.membership_scd2, mem.membership_scd2_sql())
 register("data_questions", cu.data_questions, cu.data_questions_sql())
 register("ann_ndcg_eval", sim.ann_ndcg_eval, sim.ann_ndcg_eval_sql())
 register("bootstrap_spend_ci", ex.bootstrap_spend_ci, ex.bootstrap_spend_ci_sql())
+register("dsir_selection", sp.dsir_selection, sp.dsir_selection_sql())
+register("soft_dedup_weights", sp.soft_dedup_weights, sp.soft_dedup_weights_sql())
+register(
+    "mmr_diversified_topk",
+    sim.mmr_diversified_topk,
+    sim.mmr_diversified_topk_sql(),
+)
 
 
 # --- round-5 window rotation ----------------------------------------------
@@ -643,6 +650,10 @@ _ROUND7_FRONT = [
     # ann_recall_eval: r5-green, but round 6 refactored its candidate
     # block into the shared _lsh_query_candidates helper — re-verify
     "ann_recall_eval",
+    # late round-6 additions (never driver-checked)
+    "dsir_selection",
+    "soft_dedup_weights",
+    "mmr_diversified_topk",
 ]
 _r7_missing = [n for n in _ROUND7_FRONT if n not in REGISTRY]
 if _r7_missing:

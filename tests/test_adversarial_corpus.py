@@ -53,6 +53,8 @@ QUERIES = [
     "doc_stats",
     "sorted_neighborhood_pairs",
     "source_priority_dedup",
+    "dsir_selection",        # bigram slice/zip + nested-ln gumbel on short docs
+    "soft_dedup_weights",    # singleton coalesce + zero-token mass guard
 ]
 
 
@@ -355,6 +357,7 @@ EMB_QUERIES = [
     "kmeans_refine",
     "quantized_topk_recall",
     "ann_ndcg_eval",         # rank-aware: gains are python-int literals
+    "mmr_diversified_topk",  # greedy chain must survive exact-tie pools
 ]
 
 
@@ -540,6 +543,8 @@ RANDOM_QUERIES = [
     "media_features",    # oracle summed code points, not payload bytes
     "media_resize_features",
     "source_priority_dedup",  # unknown sources -> default tier, ties on doc_id
+    "dsir_selection",         # md5-bucketed multi-byte features, micro-ln model
+    "soft_dedup_weights",     # cluster sizes over the unicode near-dup graph
 ]
 
 

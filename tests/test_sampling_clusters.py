@@ -169,3 +169,82 @@ def test_corpus_funnel_monotone(spark, sf_dir):
     counts = [r["n_docs"] for r in rows]
     assert counts[0] > 0
     assert all(a >= b for a, b in zip(counts, counts[1:]))
+
+
+def test_dsir_selection_invariants(spark, sf_dir):
+    rows = sp.dsir_selection(spark, sf_dir).collect()
+    n_docs = len(rows)
+    assert n_docs > 0
+    # exactly min(K, n) docs selected, deterministically
+    assert sum(1 for r in rows if r.selected) == min(sp.DSIR_KEEP, n_docs)
+    again = {(r.doc_id, r.selected) for r in sp.dsir_selection(spark, sf_dir).collect()}
+    assert {(r.doc_id, r.selected) for r in rows} == again
+    # importance weights must favor the target slice: the mean per-feature
+    # log weight of target-language docs exceeds the off-target mean
+    def mean_lnw(pred):
+        xs = [r.lnw / r.n_feats for r in rows if pred(r) and r.n_feats > 0]
+        return sum(xs) / len(xs)
+
+    assert mean_lnw(lambda r: r.lang == sp.DSIR_TARGET_LANG) > mean_lnw(
+        lambda r: r.lang != sp.DSIR_TARGET_LANG
+    )
+
+
+def test_dsir_selection_weight_is_exact_feature_sum(spark):
+    """Hand-checkable corpus: two 'english-like' docs sharing a vocabulary
+    and one gibberish doc — the gibberish doc's importance weight must be
+    the lowest, and every doc's n_feats = unigrams(non-empty) + bigrams."""
+    import shutil
+
+    import pandas as pd
+
+    tmp = "/tmp/dsir_tiny"
+    shutil.rmtree(tmp, ignore_errors=True)
+    import os
+
+    os.makedirs(tmp)
+    src = "/root/testdata/sf0.001"
+    for t in (
+        "region nation customer supplier part orders lineitem events embeddings"
+    ).split():
+        shutil.copy(f"{src}/{t}.parquet", f"{tmp}/{t}.parquet")
+    texts = [
+        ("the quick brown fox jumps", "en"),
+        ("the slow brown dog jumps", "en"),
+        ("zzq qxz zzq qxz zzq", "xx"),
+    ]
+    pd.DataFrame(
+        [
+            {"doc_id": i, "text": t, "lang": lang, "source": "s", "n_chars": len(t)}
+            for i, (t, lang) in enumerate(texts)
+        ]
+    ).to_parquet(f"{tmp}/documents.parquet")
+    rows = {r.doc_id: r for r in sp.dsir_selection(spark, tmp).collect()}
+    assert rows[0].n_feats == 5 + 4 and rows[2].n_feats == 5 + 4
+    assert rows[2].lnw < min(rows[0].lnw, rows[1].lnw)
+
+
+def test_soft_dedup_weights_mass_bounds(spark, sf_dir):
+    rows = sp.soft_dedup_weights(spark, sf_dir).collect()
+    clustered = {
+        r.doc_id: r.cluster_size for r in dd.dedup_clusters(spark, sf_dir).collect()
+    }
+    by_src = {r.source: r for r in rows}
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "source")
+        .collect()
+    )
+    n_clustered_by_src: dict[str, int] = {}
+    for d in docs:
+        if d.doc_id in clustered:
+            n_clustered_by_src[d.source] = n_clustered_by_src.get(d.source, 0) + 1
+    for r in rows:
+        # discounted mass never exceeds raw mass; equality iff no duplicates
+        assert r.effective_tokens <= r.raw_tokens + 1e-9
+        assert r.n_clustered_docs == n_clustered_by_src.get(r.source, 0)
+        if r.n_clustered_docs == 0:
+            assert r.effective_tokens == r.raw_tokens and r.mass_retained == 1.0
+        else:
+            assert r.mass_retained < 1.0
+    assert sum(r.n_docs for r in rows) == len(docs)

@@ -217,3 +217,53 @@ def test_semantic_dedup_consistency(spark, sf_dir):
         assert r["n_removed"] <= max(r["n_vectors"] - 1, 0)
         assert r["n_removed"] <= r["n_dup_pairs"]
         assert r["n_kept"] >= 1 or r["n_vectors"] == 0
+
+
+def test_mmr_matches_python_greedy_reference(spark, sf_dir):
+    """Replicate the MMR greedy chain in numpy with the same 1e-6
+    fixed-point rounding and tie-breaks; the distributed K-step loop must
+    produce the identical (query, rank) -> pick chain."""
+    import math
+
+    import numpy as np
+
+    from basin_climbing_data_pipeline_spark.io import load_table
+
+    emb = {
+        r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    norms = {k: math.sqrt(float(np.dot(v, v))) for k, v in emb.items()}
+
+    def cos_micro(a, b):
+        return math.floor(
+            float(np.dot(emb[a], emb[b])) / (norms[a] * norms[b]) * sim.COSINE_SCALE
+            + 0.5
+        )
+
+    expected = {}
+    for q in range(sim.N_QUERIES):
+        rels = sorted(
+            ((cos_micro(q, c), c) for c in emb if c != q),
+            key=lambda t: (-t[0], t[1]),
+        )[: sim.MMR_POOL]
+        pool = {c: r for r, c in rels}
+        selected = [rels[0][1]]
+        while len(selected) < sim.MMR_K:
+            best = None
+            for c, r in pool.items():
+                if c in selected:
+                    continue
+                maxsim = max(cos_micro(c, s) for s in selected)
+                key = (-(7 * r - 3 * maxsim), c)
+                if best is None or key < best[0]:
+                    best = (key, c)
+            selected.append(best[1])
+        for rank, c in enumerate(selected, 1):
+            expected[(q, rank)] = c
+
+    got = {
+        (r.query_id, r.sel_rank): r.corpus_id
+        for r in sim.mmr_diversified_topk(spark, sf_dir).collect()
+    }
+    assert got == expected
