@@ -6,7 +6,7 @@ row count, sorted column names, and an order-insensitive value hash.  Strict
 float comparison (repr) by design — stricter than the driver is likely to be,
 so passing here should mean passing there.
 
-Usage:  python tools/check.py [sf_dir] [query ...]
+Usage:  python tools/check.py [sf_dir] [query ...] [--bitwise] [--json OUT.json]
 """
 
 from __future__ import annotations
@@ -29,6 +29,13 @@ TABLES = (
 ).split()
 
 
+# --bitwise: canonicalize floats with FULL repr (no rounding, no -0.0
+# normalization) — stricter than any plausible driver hash.  The repo's
+# integer-micro/cents discipline should make Spark and DuckDB floats
+# bitwise identical, so a loose-only pass marks a latent driver risk.
+BITWISE = False
+
+
 def canon_value(v):
     if v is None:
         return "NULL"
@@ -37,6 +44,8 @@ def canon_value(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        if BITWISE:
+            return repr(v)
         # normalize -0.0 and integral floats
         if v == 0:
             return "0.0"
@@ -73,11 +82,15 @@ def main() -> int:
     # each round leaves an auditable full-registry verification artifact
     # even for entries outside the driver's 50-slot window.
     args = sys.argv[1:]
+    global BITWISE
+    if "--bitwise" in args:
+        BITWISE = True
+        args.remove("--bitwise")
     json_path = None
     if "--json" in args:
         i = args.index("--json")
         if i + 1 >= len(args) or args[i + 1].startswith("-") or os.path.isdir(args[i + 1]):
-            raise SystemExit("usage: check.py [sf_dir] [query ...] --json OUT.json")
+            raise SystemExit("usage: check.py [sf_dir] [query ...] [--bitwise] --json OUT.json")
         json_path = args[i + 1]
         args = args[:i] + args[i + 2 :]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"

@@ -39,6 +39,11 @@ Measured at replicas=4 (sf0.1 base, local[32]):
   ~linear; the priority resolution adds only a broadcast map and a
   per-cluster min.  membership_scd2 0.9x — per-key windows over a 4-element
   grid explode; fixed session overhead dominates at this scale.
+- dsir_selection 1.5x, soft_dedup_weights 2.4x, mmr_diversified_topk 1.2x
+  (late round 6) — DSIR is two token passes + a 128-row broadcast model;
+  soft-dedup rides the same ~linear cluster build as dedup_clusters; MMR's
+  post-pool work is constant (M^2 x Q) by construction, so its ratio is
+  pure candidate-scan growth.
 """
 
 from __future__ import annotations
