@@ -524,6 +524,10 @@ register(
     sim.mmr_diversified_topk_sql(),
 )
 
+from .operators import retrieval as rt  # noqa: E402
+
+register("bm25_topk", rt.bm25_topk, rt.bm25_topk_sql())
+
 
 # --- round-5 window rotation ----------------------------------------------
 # The driver verifies the FIRST 50 registry entries per round.  Round 5's
@@ -654,6 +658,7 @@ _ROUND7_FRONT = [
     "dsir_selection",
     "soft_dedup_weights",
     "mmr_diversified_topk",
+    "bm25_topk",
 ]
 _r7_missing = [n for n in _ROUND7_FRONT if n not in REGISTRY]
 if _r7_missing:

@@ -55,6 +55,7 @@ QUERIES = [
     "source_priority_dedup",
     "dsir_selection",        # bigram slice/zip + nested-ln gumbel on short docs
     "soft_dedup_weights",    # singleton coalesce + zero-token mass guard
+    "bm25_topk",             # ln idf + length norm on empty/short/unicode docs
 ]
 
 
