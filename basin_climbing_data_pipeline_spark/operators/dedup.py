@@ -1995,3 +1995,76 @@ SELECT blocker, n_candidates, n_truth, n_hit,
 FROM scored
 ORDER BY blocker
 """
+
+
+# ---------------------------------------------------------------------------
+# repeated n-gram coverage — per-doc duplicated-span fraction
+# ---------------------------------------------------------------------------
+
+
+def repeated_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-span coverage: the fraction of a document's
+    distinct 3-word shingles that also occur in at least one OTHER
+    document (the RefinedWeb/SlimPajama "duplicated n-gram fraction"
+    filter signal — a doc made mostly of spans seen elsewhere is
+    boilerplate or a near-copy even when no single pair-level match
+    fires).
+
+    Rides the shared shingle scaffolding (:func:`_shingles_from_docs` —
+    distinct shingles per doc, ANSI-safe short-doc guard); docs under 3
+    words have no shingles and surface with ``n_grams = 0`` and a NULL
+    fraction.
+
+    Scale shape: the inverted-index pattern — one groupBy on the shingle
+    key (document frequency), one join back on that key, one per-doc
+    rollup.  Linear in corpus size at fixed shingle occupancy; a
+    pathologically hot shingle (stopword run) is a skewed join key, which
+    is exactly what AQE skew-split handles — and the join carries only
+    (shingle, count), never text."""
+    from ..functions.money import ratio
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    sh = _shingles_df(spark, sf_dir).select("doc_id", "shingle")
+    gram_df = sh.groupBy("shingle").agg(F.count("*").alias("n_docs_with"))
+    per_doc = (
+        sh.join(gram_df, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum((F.col("n_docs_with") >= 2).cast("bigint")).alias("n_dup_grams"),
+        )
+    )
+    joined = docs.join(per_doc, "doc_id", "left")
+    return joined.select(
+        "doc_id",
+        F.coalesce(F.col("n_grams"), F.lit(0)).cast("long").alias("n_grams"),
+        F.coalesce(F.col("n_dup_grams"), F.lit(0)).cast("long").alias("n_dup_grams"),
+        F.when(
+            F.col("n_grams").isNotNull(),
+            ratio(F.col("n_dup_grams").cast("double"), F.col("n_grams").cast("double"), 4),
+        ).alias("dup_fraction"),
+    ).orderBy("doc_id")
+
+
+def repeated_ngram_coverage_sql() -> str:
+    from ..functions.money import ratio_sql
+
+    frac = ratio_sql("n_dup_grams::double", "n_grams::double", 4)
+    return f"""
+WITH {_SHINGLES_SQL},
+gram_df AS (
+  SELECT shingle, count(*) AS n_docs_with FROM shingles GROUP BY shingle
+),
+per_doc AS (
+  SELECT s.doc_id, count(*) AS n_grams,
+         CAST(sum((g.n_docs_with >= 2)::int) AS BIGINT) AS n_dup_grams
+  FROM shingles s JOIN gram_df g USING (shingle)
+  GROUP BY s.doc_id
+)
+SELECT d.doc_id,
+       coalesce(p.n_grams, 0) AS n_grams,
+       coalesce(p.n_dup_grams, 0) AS n_dup_grams,
+       CASE WHEN p.n_grams IS NOT NULL THEN {frac} END AS dup_fraction
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+ORDER BY d.doc_id
+"""

@@ -1351,3 +1351,88 @@ SELECT doc_id, source, n_tokens,
 FROM per_doc
 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# gram novelty by source — how much NEW content each source contributes
+# ---------------------------------------------------------------------------
+
+
+def gram_novelty_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source first-occurrence novelty: treating ``doc_id`` order as
+    ingestion order (the corpus invariant — doc_ids are assigned at
+    ingest), a document's novel grams are the distinct 3-word shingles
+    whose FIRST occurrence (minimum doc_id corpus-wide) is that document.
+    Rolled up per source: how many grams a source contributed total and
+    how many were new when they arrived — the "is this crawl adding
+    anything" number a corpus-growth dashboard tracks.
+
+    Scale shape: identical inverted-index pattern to
+    :func:`~.dedup.repeated_ngram_coverage` — one groupBy on the shingle
+    key (min doc_id), one join back, two cheap rollups.  The min-per-gram
+    aggregation combines map-side, so the shuffle carries one row per
+    distinct gram per partition."""
+    from ..functions.money import ratio
+    from .dedup import _shingles_df
+
+    sh = _shingles_df(spark, sf_dir).select("doc_id", "shingle")
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        sh.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum((F.col("doc_id") == F.col("first_doc")).cast("bigint")).alias("n_novel"),
+        )
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    agg = (
+        docs.join(per_doc, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.coalesce(F.col("n_grams"), F.lit(0))).cast("long").alias("n_grams"),
+            F.sum(F.coalesce(F.col("n_novel"), F.lit(0))).cast("long").alias("n_novel_grams"),
+        )
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_grams",
+        "n_novel_grams",
+        F.when(
+            F.col("n_grams") > 0,
+            ratio(F.col("n_novel_grams").cast("double"), F.col("n_grams").cast("double"), 4),
+        ).alias("novelty_ratio"),
+    ).orderBy("source")
+
+
+def gram_novelty_by_source_sql() -> str:
+    from ..functions.money import ratio_sql
+    from .dedup import _SHINGLES_SQL
+
+    frac = ratio_sql("n_novel_grams::double", "n_grams::double", 4)
+    return f"""
+WITH {_SHINGLES_SQL},
+first_seen AS (
+  SELECT shingle, min(doc_id) AS first_doc FROM shingles GROUP BY shingle
+),
+per_doc AS (
+  SELECT s.doc_id, count(*) AS n_grams,
+         CAST(sum((s.doc_id = f.first_doc)::int) AS BIGINT) AS n_novel
+  FROM shingles s JOIN first_seen f USING (shingle)
+  GROUP BY s.doc_id
+),
+agg AS (
+  SELECT d.source,
+         count(*) AS n_docs,
+         CAST(sum(coalesce(p.n_grams, 0)) AS BIGINT) AS n_grams,
+         CAST(sum(coalesce(p.n_novel, 0)) AS BIGINT) AS n_novel_grams
+  FROM documents d LEFT JOIN per_doc p USING (doc_id)
+  GROUP BY d.source
+)
+SELECT source, n_docs, n_grams, n_novel_grams,
+       CASE WHEN n_grams > 0 THEN {frac} END AS novelty_ratio
+FROM agg
+ORDER BY source
+"""

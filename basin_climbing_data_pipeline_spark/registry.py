@@ -527,6 +527,8 @@ register(
 from .operators import retrieval as rt  # noqa: E402
 
 register("bm25_topk", rt.bm25_topk, rt.bm25_topk_sql())
+register("repeated_ngram_coverage", dd.repeated_ngram_coverage, dd.repeated_ngram_coverage_sql())
+register("gram_novelty_by_source", ts.gram_novelty_by_source, ts.gram_novelty_by_source_sql())
 
 
 # --- round-5 window rotation ----------------------------------------------
@@ -659,6 +661,8 @@ _ROUND7_FRONT = [
     "soft_dedup_weights",
     "mmr_diversified_topk",
     "bm25_topk",
+    "repeated_ngram_coverage",
+    "gram_novelty_by_source",
 ]
 _r7_missing = [n for n in _ROUND7_FRONT if n not in REGISTRY]
 if _r7_missing:

@@ -56,6 +56,8 @@ QUERIES = [
     "dsir_selection",        # bigram slice/zip + nested-ln gumbel on short docs
     "soft_dedup_weights",    # singleton coalesce + zero-token mass guard
     "bm25_topk",             # ln idf + length norm on empty/short/unicode docs
+    "repeated_ngram_coverage",  # left-join NULL fraction on <3-word docs
+    "gram_novelty_by_source",   # first-occurrence min over fuzzed doc_id order
 ]
 
 

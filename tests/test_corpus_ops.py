@@ -602,3 +602,39 @@ def test_blocker_recall_eval_consistency(spark, sf_dir):
     assert rows["union"]["recall"] >= max(
         rows["minhash_lsh"]["recall"], rows["snm"]["recall"]
     )
+
+
+def test_repeated_ngram_coverage_invariants(spark, sf_dir):
+    from basin_climbing_data_pipeline_spark.operators.dedup import (
+        repeated_ngram_coverage,
+    )
+
+    rows = repeated_ngram_coverage(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents").count()
+    assert len(rows) == docs, "every document must surface, even gram-less ones"
+    for r in rows:
+        assert 0 <= r["n_dup_grams"] <= r["n_grams"]
+        if r["n_grams"] == 0:
+            assert r["dup_fraction"] is None
+        else:
+            assert 0.0 <= r["dup_fraction"] <= 1.0
+    # tiny-vocab synthetic corpus: spans MUST recur across docs
+    assert any(r["n_dup_grams"] > 0 for r in rows)
+
+
+def test_gram_novelty_totals_consistent(spark, sf_dir):
+    """Novel grams summed over all sources == distinct grams in the corpus
+    (every gram is novel exactly once, at its first doc)."""
+    from basin_climbing_data_pipeline_spark.operators.dedup import _shingles_df
+    from basin_climbing_data_pipeline_spark.operators.textstats import (
+        gram_novelty_by_source,
+    )
+
+    rows = gram_novelty_by_source(spark, sf_dir).collect()
+    n_novel = sum(r["n_novel_grams"] for r in rows)
+    n_distinct = _shingles_df(spark, sf_dir).select("shingle").distinct().count()
+    assert n_novel == n_distinct
+    for r in rows:
+        assert 0 <= r["n_novel_grams"] <= r["n_grams"]
+        if r["novelty_ratio"] is not None:
+            assert 0.0 <= r["novelty_ratio"] <= 1.0
