@@ -898,3 +898,202 @@ SELECT source, n_docs, n_clustered_docs, raw_tokens,
 FROM agg
 ORDER BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# stratified proportional sample — exact largest-remainder allocation
+# ---------------------------------------------------------------------------
+
+STRAT_BUDGET_DIV = 5  # sample budget = corpus_size // 5 (a 20% draw)
+
+
+def stratified_sample_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact proportional stratified sampling: allocate a corpus-derived
+    budget (``total // STRAT_BUDGET_DIV``) across sources by the
+    largest-remainder (Hamilton) method — ``base = N·n_s div T`` plus one
+    extra seat for the ``N - Σbase`` largest remainders — then admit each
+    stratum's quota by md5-digest rank (the repo's deterministic
+    no-``rand()`` sampling discipline).  Unlike ``df.sampleBy`` (Bernoulli
+    per row, only approximately proportional), the allocation is EXACT:
+    Σquota == budget, every time, at every scale.
+
+    All allocation arithmetic is int64 (``N·n_s`` ≤ budget·corpus — safe
+    far beyond 100 TB row counts as BIGINT products), so both engines
+    agree bit-for-bit with no float apportionment.
+
+    Scale shape: per-source counts are one map-side-combined groupBy;
+    the 1-row total broadcasts back; the remainder ranking is a window
+    over ONE ROW PER STRATUM (sources/domains — thousands at web scale,
+    driver-safe); admission is a per-source digest rank — the same
+    bounded window as ``source_quality_cap``.  With budget < total,
+    ``base ≤ n_s − 1`` for n_s ≥ 2 (and 1 for n_s = 1), so quota never
+    exceeds the stratum size."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    counts = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    # budget via INTEGER division on both sides: a float divide + cast
+    # diverges cross-engine (Spark cast truncates 3.6 -> 3, DuckDB cast
+    # ROUNDS 3.6 -> 4 — the fuzz corpus caught exactly this)
+    totals = counts.agg(F.sum("n_docs").alias("total")).select(
+        "total", F.expr(f"total div {STRAT_BUDGET_DIV}").alias("budget")
+    )
+    with_tot = counts.crossJoin(F.broadcast(totals))
+    based = with_tot.select(
+        "source",
+        "n_docs",
+        "budget",
+        F.expr("budget * n_docs div total").alias("base"),
+        F.expr("(budget * n_docs) % total").alias("rem"),
+    )
+    w = Window.orderBy(F.desc("rem"), F.asc("source"))
+    leftover = F.col("budget") - F.sum("base").over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    alloc = based.withColumn("rem_rank", F.row_number().over(w)).select(
+        "source",
+        "n_docs",
+        (F.col("base") + (F.col("rem_rank") <= leftover).cast("long")).alias("quota"),
+    )
+    dw = Window.partitionBy("source").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    ranked = docs.withColumn("rn", F.row_number().over(dw))
+    sel = ranked.join(F.broadcast(alloc.select("source", "quota")), "source").filter(
+        F.col("rn") <= F.col("quota")
+    )
+    picked = sel.groupBy("source").agg(
+        F.count("*").alias("n_selected"), F.min("doc_id").alias("first_doc")
+    )
+    return (
+        alloc.join(picked, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "quota",
+            F.coalesce(F.col("n_selected"), F.lit(0)).cast("long").alias("n_selected"),
+            "first_doc",
+        )
+        .orderBy("source")
+    )
+
+
+def stratified_sample_alloc_sql() -> str:
+    return f"""
+WITH counts AS (
+  SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+),
+totals AS (
+  SELECT sum(n_docs) AS total,
+         sum(n_docs) // {STRAT_BUDGET_DIV} AS budget
+  FROM counts
+),
+based AS (
+  SELECT source, n_docs, budget,
+         (budget * n_docs) // total AS base,
+         (budget * n_docs) % total AS rem
+  FROM counts, totals
+),
+alloc AS (
+  SELECT source, n_docs,
+         base + (row_number() OVER (ORDER BY rem DESC, source)
+                 <= budget - sum(base) OVER ())::int AS quota
+  FROM based
+),
+ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(doc_id::varchar), doc_id) AS rn
+  FROM documents
+),
+picked AS (
+  SELECT r.source, count(*) AS n_selected, min(r.doc_id) AS first_doc
+  FROM ranked r JOIN alloc a USING (source)
+  WHERE r.rn <= a.quota
+  GROUP BY r.source
+)
+SELECT a.source, a.n_docs, a.quota,
+       coalesce(p.n_selected, 0) AS n_selected,
+       p.first_doc
+FROM alloc a LEFT JOIN picked p USING (source)
+ORDER BY a.source
+"""
+
+
+# ---------------------------------------------------------------------------
+# weighted reservoir sample — A-ES (exponential-sort) top-K, hash-derived
+# ---------------------------------------------------------------------------
+
+RESERVOIR_K = 50
+
+
+def weighted_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional sample without replacement via the A-ES /
+    Efraimidis–Spirakis exponential-sort key: each doc draws a
+    deterministic uniform ``u = (h + 0.5) / 2^32`` (md5-derived ``h`` —
+    never ``rand()``, so the sample is reproducible and
+    partition-independent) and competes on ``key = ln(u) / w`` with
+    weight ``w = n_chars``; the top-:data:`RESERVOIR_K` keys ARE a
+    weighted sample without replacement.  This is the distributed
+    replacement for a sequential reservoir: no state, no order
+    dependence, pure top-k.
+
+    Docs with ``n_chars <= 0`` carry no sampling mass and are excluded
+    (the weight-domain invariant, mirrored in the oracle).
+
+    Determinism: keys are ranked and emitted at nano fixed-point
+    (``floor(key·1e9 + 0.5)``) with a doc_id tie-break — exact-dyadic
+    ``u`` into ``ln``, fixed-point out (the ``zipf_slope`` discipline).
+
+    Scale shape: a scan-side key projection plus ONE TakeOrdered top-K —
+    ``orderBy().limit()`` compiles to per-partition partial top-K + a
+    K-row driver merge, never a global sort; the rank window then runs
+    over K rows only."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    )
+    u = (h.cast("double") + 0.5) / 4294967296.0
+    key_micro = F.floor(F.log(u) / F.col("n_chars").cast("double") * 1000000000.0 + 0.5).cast(
+        "long"
+    )
+    top = (
+        docs.filter(F.col("n_chars") > 0)
+        .select("doc_id", F.col("n_chars").alias("weight"), key_micro.alias("key_nano"))
+        .orderBy(F.desc("key_nano"), F.asc("doc_id"))
+        .limit(RESERVOIR_K)
+    )
+    w = Window.orderBy(F.desc("key_nano"), F.asc("doc_id"))
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .select(
+            "rank",
+            "doc_id",
+            "weight",
+            (F.col("key_nano").cast("double") / 1000000000.0).alias("sel_key"),
+        )
+        .orderBy("rank")
+    )
+
+
+def weighted_reservoir_sample_sql() -> str:
+    return f"""
+WITH keyed AS (
+  SELECT doc_id, n_chars AS weight,
+         CAST(floor(
+           ln((('0x' || substr(md5(doc_id::varchar), 1, 8))::bigint::double + 0.5)
+              / 4294967296.0)
+           / n_chars::double * 1000000000.0 + 0.5) AS BIGINT) AS key_nano
+  FROM documents
+  WHERE n_chars > 0
+),
+ranked AS (
+  SELECT doc_id, weight, key_nano,
+         row_number() OVER (ORDER BY key_nano DESC, doc_id) AS rank
+  FROM keyed
+)
+SELECT rank, doc_id, weight, key_nano::double / 1000000000.0 AS sel_key
+FROM ranked
+WHERE rank <= {RESERVOIR_K}
+ORDER BY rank
+"""

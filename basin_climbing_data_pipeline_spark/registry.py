@@ -529,6 +529,12 @@ from .operators import retrieval as rt  # noqa: E402
 register("bm25_topk", rt.bm25_topk, rt.bm25_topk_sql())
 register("repeated_ngram_coverage", dd.repeated_ngram_coverage, dd.repeated_ngram_coverage_sql())
 register("gram_novelty_by_source", ts.gram_novelty_by_source, ts.gram_novelty_by_source_sql())
+register("stratified_sample_alloc", sp.stratified_sample_alloc, sp.stratified_sample_alloc_sql())
+register(
+    "weighted_reservoir_sample",
+    sp.weighted_reservoir_sample,
+    sp.weighted_reservoir_sample_sql(),
+)
 
 
 # --- round-5 window rotation ----------------------------------------------
@@ -663,6 +669,8 @@ _ROUND7_FRONT = [
     "bm25_topk",
     "repeated_ngram_coverage",
     "gram_novelty_by_source",
+    "stratified_sample_alloc",
+    "weighted_reservoir_sample",
 ]
 _r7_missing = [n for n in _ROUND7_FRONT if n not in REGISTRY]
 if _r7_missing:

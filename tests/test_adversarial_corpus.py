@@ -58,6 +58,8 @@ QUERIES = [
     "bm25_topk",             # ln idf + length norm on empty/short/unicode docs
     "repeated_ngram_coverage",  # left-join NULL fraction on <3-word docs
     "gram_novelty_by_source",   # first-occurrence min over fuzzed doc_id order
+    "stratified_sample_alloc",   # integer Hamilton seats on tiny strata
+    "weighted_reservoir_sample", # ln(u)/w keys incl. zero-weight exclusion
 ]
 
 

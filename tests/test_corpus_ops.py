@@ -638,3 +638,43 @@ def test_gram_novelty_totals_consistent(spark, sf_dir):
         assert 0 <= r["n_novel_grams"] <= r["n_grams"]
         if r["novelty_ratio"] is not None:
             assert 0.0 <= r["novelty_ratio"] <= 1.0
+
+
+def test_stratified_alloc_exact_budget(spark, sf_dir):
+    from basin_climbing_data_pipeline_spark.operators.sampling import (
+        STRAT_BUDGET_DIV,
+        stratified_sample_alloc,
+    )
+
+    rows = stratified_sample_alloc(spark, sf_dir).collect()
+    total = sum(r["n_docs"] for r in rows)
+    budget = total // STRAT_BUDGET_DIV
+    assert sum(r["quota"] for r in rows) == budget, "Hamilton allocation is exact"
+    for r in rows:
+        assert 0 <= r["quota"] <= r["n_docs"]
+        assert r["n_selected"] == r["quota"], "admission always fills the quota"
+        # proportionality within one seat of the exact share
+        exact = budget * r["n_docs"] / total
+        assert abs(r["quota"] - exact) < 1.0
+
+
+def test_weighted_reservoir_biases_toward_heavy_docs(spark, sf_dir):
+    """A-ES with w = n_chars must overrepresent long documents: the mean
+    weight of the selected sample exceeds the corpus mean weight."""
+    from basin_climbing_data_pipeline_spark.operators.sampling import (
+        RESERVOIR_K,
+        weighted_reservoir_sample,
+    )
+
+    rows = weighted_reservoir_sample(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents").select("n_chars").collect()
+    k = min(RESERVOIR_K, len(docs))
+    assert len(rows) == k
+    assert [r["rank"] for r in rows] == list(range(1, k + 1))
+    keys = [r["sel_key"] for r in rows]
+    assert keys == sorted(keys, reverse=True)
+    assert all(r["sel_key"] <= 0.0 for r in rows), "ln(u)/w is never positive"
+    if len(docs) > 2 * k:
+        corpus_mean = sum(r["n_chars"] for r in docs) / len(docs)
+        sample_mean = sum(r["weight"] for r in rows) / k
+        assert sample_mean > corpus_mean
