@@ -1772,3 +1772,108 @@ SELECT query_id, corpus_id, sel_rank,
 FROM sel{MMR_K}
 ORDER BY query_id, sel_rank
 """
+
+
+# ---------------------------------------------------------------------------
+# embedding centroid drift — per-label distribution shift vs the corpus
+# ---------------------------------------------------------------------------
+
+
+def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid vs the corpus centroid: cosine of each
+    label's mean vector to the global mean — the embedding-space analog
+    of ``sketches.spend_drift_psi``.  A label (source/shard/time-slice at
+    production scale) whose centroid swings away from the corpus centroid
+    is the canonical "this slice's distribution moved" alarm for
+    embedding pipelines (encoder drift, a source gone off-topic, a bad
+    batch of vectors).
+
+    Centroids use the k-means discipline (:func:`kmeans_refine`): exact
+    BIGINT micro sums per (label, dim) — order-insensitive under any
+    partitioning — and ONE floored division; the global centroid reuses
+    the same per-(label, dim) partials (sum of sums), so the corpus is
+    scanned once.  Dot/norm products stay inside int64 by the |x| <= 150
+    magnitude envelope (module header).
+
+    Scale shape: one posexplode + groupBy(label, dim) with map-side
+    combine — labels x 64 rows out of the shuffle regardless of corpus
+    size; everything after is labels-sized, and the dim join is a
+    broadcast."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "label", _micro_embedding().alias("e")
+    )
+    per_dim = (
+        emb.select("label", F.posexplode("e").alias("dim", "val"))
+        .groupBy("label", "dim")
+        .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+    )
+    from ..io import tracked_persist
+
+    per_dim = tracked_persist(per_dim)  # feeds both centroid levels
+    lab = per_dim.withColumn(
+        "m", F.floor(F.col("s").cast("double") / F.col("n")).cast("long")
+    )
+    glob = (
+        per_dim.groupBy("dim")
+        .agg(F.sum("s").alias("gs"), F.sum("n").alias("gn"))
+        .select(
+            "dim",
+            F.floor(F.col("gs").cast("double") / F.col("gn")).cast("long").alias("g"),
+        )
+    )
+    per_label = (
+        lab.join(F.broadcast(glob), "dim")
+        .groupBy("label")
+        .agg(
+            F.max("n").alias("n_vecs"),
+            F.sum(F.col("m") * F.col("g")).alias("dot"),
+            F.sum(F.col("m") * F.col("m")).alias("mm"),
+            F.sum(F.col("g") * F.col("g")).alias("gg"),
+        )
+    )
+    cos = F.floor(
+        F.col("dot").cast("double")
+        / (F.sqrt(F.col("mm").cast("double")) * F.sqrt(F.col("gg").cast("double")))
+        * COSINE_SCALE
+        + 0.5
+    ) / COSINE_SCALE
+    return per_label.select(
+        "label",
+        "n_vecs",
+        F.when((F.col("mm") > 0) & (F.col("gg") > 0), cos).alias("cos_to_global"),
+    ).orderBy("label")
+
+
+def embedding_centroid_drift_sql() -> str:
+    return f"""
+WITH emb AS (
+  SELECT label,
+         list_transform(embedding, x -> CAST(floor(x::double * {MICRO} + 0.5) AS BIGINT)) AS e
+  FROM embeddings
+),
+per_dim AS (
+  SELECT label, t.i AS dim, sum(e[t.i]) AS s, count(*) AS n
+  FROM emb, unnest(range(1, {DIM + 1})) t(i)
+  GROUP BY label, t.i
+),
+lab AS (
+  SELECT label, dim, n, CAST(floor(s::double / n) AS BIGINT) AS m FROM per_dim
+),
+gcent AS (
+  SELECT dim, CAST(floor(sum(s)::double / sum(n)) AS BIGINT) AS g
+  FROM per_dim GROUP BY dim
+),
+per_label AS (
+  SELECT label, max(n) AS n_vecs,
+         sum(m * g) AS dot, sum(m * m) AS mm, sum(g * g) AS gg
+  FROM lab JOIN gcent USING (dim)
+  GROUP BY label
+)
+SELECT label, n_vecs,
+       CASE WHEN mm > 0 AND gg > 0 THEN
+         floor(dot::double / (sqrt(mm::double) * sqrt(gg::double))
+               * {COSINE_SCALE} + 0.5) / {COSINE_SCALE}
+       END AS cos_to_global
+FROM per_label
+ORDER BY label
+"""

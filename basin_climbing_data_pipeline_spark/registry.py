@@ -535,6 +535,11 @@ register(
     sp.weighted_reservoir_sample,
     sp.weighted_reservoir_sample_sql(),
 )
+register(
+    "embedding_centroid_drift",
+    sim.embedding_centroid_drift,
+    sim.embedding_centroid_drift_sql(),
+)
 
 
 # --- round-5 window rotation ----------------------------------------------
@@ -671,6 +676,7 @@ _ROUND7_FRONT = [
     "gram_novelty_by_source",
     "stratified_sample_alloc",
     "weighted_reservoir_sample",
+    "embedding_centroid_drift",
 ]
 _r7_missing = [n for n in _ROUND7_FRONT if n not in REGISTRY]
 if _r7_missing:

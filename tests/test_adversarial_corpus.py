@@ -363,6 +363,7 @@ EMB_QUERIES = [
     "quantized_topk_recall",
     "ann_ndcg_eval",         # rank-aware: gains are python-int literals
     "mmr_diversified_topk",  # greedy chain must survive exact-tie pools
+    "embedding_centroid_drift",  # floored centroid division + zero-norm guard
 ]
 
 

@@ -267,3 +267,36 @@ def test_mmr_matches_python_greedy_reference(spark, sf_dir):
         for r in sim.mmr_diversified_topk(spark, sf_dir).collect()
     }
     assert got == expected
+
+
+def test_embedding_centroid_drift_matches_numpy(spark, sf_dir):
+    """Re-derive the floored-micro centroids and cosine in numpy."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from basin_climbing_data_pipeline_spark.operators.similarity import (
+        COSINE_SCALE,
+        MICRO,
+        embedding_centroid_drift,
+    )
+
+    got = {r["label"]: r for r in embedding_centroid_drift(spark, sf_dir).collect()}
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    micro = np.floor(
+        np.stack(emb["embedding"].to_numpy()).astype(np.float64) * MICRO + 0.5
+    ).astype(np.int64)
+    labels = emb["label"].to_numpy()
+    gsum = micro.sum(axis=0)
+    g = np.floor(gsum.astype(np.float64) / len(emb)).astype(np.int64)
+    for lab in sorted(set(labels.tolist())):
+        rows = micro[labels == lab]
+        m = np.floor(rows.sum(axis=0).astype(np.float64) / len(rows)).astype(np.int64)
+        dot = int((m * g).sum())
+        mm, gg = int((m * m).sum()), int((g * g).sum())
+        want = math.floor(dot / (math.sqrt(mm) * math.sqrt(gg)) * COSINE_SCALE + 0.5) / COSINE_SCALE
+        r = got[lab]
+        assert r["n_vecs"] == len(rows)
+        assert r["cos_to_global"] == want
+        assert -1.0 <= r["cos_to_global"] <= 1.0
