@@ -905,3 +905,104 @@ FROM ape
 GROUP BY revenue_category
 ORDER BY revenue_category
 """
+
+
+# ---------------------------------------------------------------------------
+# EWMA revenue smoothing — exact-dyadic exponential decay
+# ---------------------------------------------------------------------------
+
+EWMA_WINDOW = 14  # trailing days in the truncated EWMA
+
+
+def ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted daily revenue per category: the densified
+    zero-filled daily series (a day with no transactions IS zero revenue
+    — the calendar move of :func:`daily_revenue_locf`) smoothed with
+    alpha = 1/2 decay truncated at :data:`EWMA_WINDOW` days:
+    ``ewma_d = Σ_k 2^-k · x_{d-k} / Σ_k 2^-k`` over the trailing rows
+    that exist.
+
+    alpha = 1/2 is chosen so every weight is an exact dyadic double and
+    every ``cents · 2^-k`` product and partial sum stays exact in IEEE
+    arithmetic (cents < 2^40, window 2^13 — the significand never
+    overflows 53 bits), making the smoother bit-reproducible across
+    engines and partitionings with NO fixed-point scaffolding in the
+    accumulation; only the final division is rounded (to cents).
+
+    Scale shape: dense explode is category-local; the unrolled lag
+    window is ONE pass over a single shuffle on the category key — no
+    self-join, no range join; state per row is EWMA_WINDOW lags."""
+    txn = build_transactions(spark, sf_dir)
+    daily = txn.groupBy(
+        F.col("revenue_category"), F.col("txn_date").alias("day")
+    ).agg(F.sum(to_cents(F.col("total_amount"))).alias("cents"))
+    bounds = daily.groupBy("revenue_category").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    calendar = bounds.select(
+        "revenue_category",
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day"),
+    )
+    dense = calendar.join(daily, ["revenue_category", "day"], "left").select(
+        "revenue_category", "day", F.coalesce(F.col("cents"), F.lit(0)).alias("cents")
+    )
+    w = Window.partitionBy("revenue_category").orderBy("day")
+    num = None
+    den = None
+    for k in range(EWMA_WINDOW):
+        lagged = F.lag("cents", k).over(w)
+        wt = 0.5**k
+        t_num = F.when(lagged.isNotNull(), lagged.cast("double") * wt).otherwise(0.0)
+        t_den = F.when(lagged.isNotNull(), F.lit(wt)).otherwise(0.0)
+        num = t_num if num is None else num + t_num
+        den = t_den if den is None else den + t_den
+    return dense.select(
+        "revenue_category",
+        "day",
+        (F.col("cents") / 100.0).alias("net_revenue"),
+        (F.floor(num / den + 0.5) / 100.0).alias("ewma_revenue"),
+    ).orderBy("revenue_category", "day")
+
+
+def ewma_daily_revenue_sql() -> str:
+    num_terms = " + ".join(
+        f"CASE WHEN lag_{k} IS NOT NULL THEN lag_{k}::double * {0.5**k!r} ELSE 0.0 END"
+        for k in range(EWMA_WINDOW)
+    )
+    den_terms = " + ".join(
+        f"CASE WHEN lag_{k} IS NOT NULL THEN {0.5**k!r} ELSE 0.0 END"
+        for k in range(EWMA_WINDOW)
+    )
+    lag_cols = ",\n         ".join(
+        f"lag(cents, {k}) OVER (PARTITION BY revenue_category ORDER BY day) AS lag_{k}"
+        for k in range(EWMA_WINDOW)
+    )
+    return f"""
+WITH txn AS ({transactions_sql()}),
+daily AS (
+  SELECT revenue_category, txn_date AS day,
+         sum({to_cents_sql('total_amount')}) AS cents
+  FROM txn GROUP BY 1, 2
+),
+bounds AS (
+  SELECT revenue_category, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1
+),
+calendar AS (
+  SELECT revenue_category, unnest(generate_series(d0, d1, INTERVAL 1 DAY))::date AS day
+  FROM bounds
+),
+dense AS (
+  SELECT c.revenue_category, c.day, coalesce(d.cents, 0) AS cents
+  FROM calendar c LEFT JOIN daily d USING (revenue_category, day)
+),
+lagged AS (
+  SELECT revenue_category, day, cents,
+         {lag_cols}
+  FROM dense
+)
+SELECT revenue_category, day,
+       cents / 100.0 AS net_revenue,
+       floor(({num_terms}) / ({den_terms}) + 0.5) / 100.0 AS ewma_revenue
+FROM lagged
+ORDER BY revenue_category, day
+"""

@@ -540,6 +540,7 @@ register(
     sim.embedding_centroid_drift,
     sim.embedding_centroid_drift_sql(),
 )
+register("ewma_daily_revenue", txn.ewma_daily_revenue, txn.ewma_daily_revenue_sql())
 
 
 # --- round-5 window rotation ----------------------------------------------
@@ -677,6 +678,7 @@ _ROUND7_FRONT = [
     "stratified_sample_alloc",
     "weighted_reservoir_sample",
     "embedding_centroid_drift",
+    "ewma_daily_revenue",
 ]
 _r7_missing = [n for n in _ROUND7_FRONT if n not in REGISTRY]
 if _r7_missing:

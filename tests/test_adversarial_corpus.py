@@ -294,6 +294,7 @@ TXN_QUERIES = [
     "merged_transactions_window",
     "revenue_by_month_category",
     "daily_revenue_locf",
+    "ewma_daily_revenue",    # dyadic lag-chain over a fuzzed sparse calendar
 ]
 
 

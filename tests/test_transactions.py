@@ -220,3 +220,35 @@ def test_seasonal_naive_eval_bounds(spark, sf_dir):
     for r in rows:
         assert r["n_months"] > 0
         assert 0.0 <= r["mape"] <= r["worst_ape"] + 1e-9
+
+
+def test_ewma_matches_python(spark, sf_dir):
+    """Re-derive the truncated alpha=1/2 EWMA in pure Python from the
+    operator's own dense series."""
+    import math
+
+    from basin_climbing_data_pipeline_spark.operators.transactions import (
+        EWMA_WINDOW,
+        ewma_daily_revenue,
+    )
+
+    rows = ewma_daily_revenue(spark, sf_dir).collect()
+    by_cat: dict[str, list] = {}
+    for r in rows:
+        by_cat.setdefault(r["revenue_category"], []).append(r)
+    assert by_cat, "corpus yields transactions"
+    for cat, series in by_cat.items():
+        series.sort(key=lambda r: r["day"])
+        # dense calendar: consecutive days, no gaps
+        days = [r["day"] for r in series]
+        assert all((b - a).days == 1 for a, b in zip(days, days[1:])), cat
+        cents = [round(r["net_revenue"] * 100) for r in series]
+        for i, r in enumerate(series):
+            num = den = 0.0
+            for k in range(min(EWMA_WINDOW, i + 1)):
+                num += cents[i - k] * 0.5**k
+                den += 0.5**k
+            assert r["ewma_revenue"] == math.floor(num / den + 0.5) / 100.0, (cat, r["day"])
+        # smoother property: EWMA range is within the raw range
+        lo, hi = min(cents) / 100.0, max(cents) / 100.0
+        assert all(lo - 0.01 <= r["ewma_revenue"] <= hi + 0.01 for r in series)
