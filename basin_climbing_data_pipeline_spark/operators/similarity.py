@@ -1877,3 +1877,163 @@ SELECT label, n_vecs,
 FROM per_label
 ORDER BY label
 """
+
+
+# ---------------------------------------------------------------------------
+# IVF nprobe sweep — the recall/cost dial of the inverted-file path, measured
+# ---------------------------------------------------------------------------
+
+IVF_NPROBES = (1, 2, 4)
+
+
+def ivf_probe_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@:data:`TOP_K` of IVF search as a function of ``nprobe`` (how
+    many nearest cells the query visits): for each query vector and each
+    nprobe in :data:`IVF_NPROBES`, candidates = corpus vectors whose
+    :func:`ivf_cell_search` cell is among the query's nprobe closest
+    centroids; graded against brute-force truth (:func:`cosine_topk`).
+    This is THE operating curve an ANN deployment tunes — "nprobe=2 buys
+    92% recall at 2/16ths of the corpus scanned" — and a sibling of
+    :func:`ann_recall_eval` (which grades the hyperplane-LSH generator;
+    IVF cells adapt to data geometry, hyperplanes don't).
+
+    Everything after the assignment argmax is integer arithmetic, so
+    rows hash identically across engines.
+
+    Scale shape: the corpus-side assignment is the same broadcast
+    16-centroid argmax IVF always pays (once, amortized across queries);
+    the query-side centroid ranking is N_QUERIES x N_CENTROIDS rows; the
+    candidate join is query-cells (broadcast, ≤ N_QUERIES·max nprobe
+    rows) against the cell-keyed corpus — candidate volume per (query,
+    nprobe) ≈ nprobe/N_CENTROIDS of the corpus, which is the cost dial
+    the output quantifies."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    with_norm = emb.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(_dot64(F.col("embedding"), F.col("embedding"))).alias("norm"),
+    )
+    from ..io import tracked_persist
+
+    with_norm = tracked_persist(with_norm)  # assignment + query ranking + truth
+    centroids = with_norm.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("norm").alias("c_norm"),
+    )
+    cos = _cosine(_dot64(F.col("embedding"), F.col("c_emb")), F.col("norm"), F.col("c_norm"))
+    scored = with_norm.join(F.broadcast(centroids)).withColumn("cosine", cos)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), "centroid_id")
+    ranked = scored.withColumn("rn", F.row_number().over(w))
+    assigned = ranked.filter(F.col("rn") == 1).select(
+        F.col("vec_id").alias("corpus_id"), "centroid_id"
+    )
+    max_probe = max(IVF_NPROBES)
+    qcells = (
+        ranked.filter((F.col("vec_id") < N_QUERIES) & (F.col("rn") <= max_probe))
+        .select(F.col("vec_id").alias("query_id"), "centroid_id", F.col("rn").alias("crank"))
+    )
+    probes = spark.createDataFrame([(p,) for p in IVF_NPROBES], "nprobe int")
+    probe_cells = qcells.join(F.broadcast(probes), F.col("crank") <= F.col("nprobe")).select(
+        "query_id", "nprobe", "centroid_id"
+    )
+    cand = (
+        assigned.join(F.broadcast(probe_cells), "centroid_id")
+        .filter(F.col("corpus_id") != F.col("query_id"))
+        .select("query_id", "nprobe", "corpus_id")
+    )
+    truth = tracked_persist(cosine_topk(spark, sf_dir).select("query_id", "corpus_id"))
+    hits = (
+        cand.join(truth, ["query_id", "corpus_id"], "left_semi")
+        .groupBy("query_id", "nprobe")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    n_cand = cand.groupBy("query_id", "nprobe").agg(F.count("*").alias("n_candidates"))
+    spine = truth.select("query_id").distinct().crossJoin(F.broadcast(probes))
+    return (
+        spine.join(n_cand, ["query_id", "nprobe"], "left")
+        .join(hits, ["query_id", "nprobe"], "left")
+        .select(
+            "query_id",
+            "nprobe",
+            F.coalesce("n_candidates", F.lit(0)).cast("long").alias("n_candidates"),
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.floor(F.coalesce("n_hits", F.lit(0)) * 1000000.0 / TOP_K)
+            .cast("long")
+            .alias("recall_micro"),
+        )
+        .orderBy("query_id", "nprobe")
+    )
+
+
+def ivf_probe_recall_sweep_sql() -> str:
+    dot = _dot_sql("e.embedding", "c.embedding")
+    ne = _dot_sql("e.embedding", "e.embedding")
+    nc = _dot_sql("c.embedding", "c.embedding")
+    qdot = _dot_sql("q.embedding", "c.embedding")
+    nq = _dot_sql("q.embedding", "q.embedding")
+    probes_values = ", ".join(f"({p})" for p in IVF_NPROBES)
+    return f"""
+WITH centroids AS (
+  SELECT vec_id AS centroid_id, embedding FROM embeddings WHERE vec_id < {N_CENTROIDS}
+),
+ranked AS (
+  SELECT e.vec_id, c.centroid_id,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY floor(({dot}) / (sqrt({ne}) * sqrt({nc})) * {COSINE_SCALE} + 0.5)
+                      / {COSINE_SCALE} DESC,
+                    c.centroid_id) AS rn
+  FROM embeddings e CROSS JOIN centroids c
+),
+assigned AS (
+  SELECT vec_id AS corpus_id, centroid_id FROM ranked WHERE rn = 1
+),
+probes(nprobe) AS (VALUES {probes_values}),
+probe_cells AS (
+  SELECT vec_id AS query_id, p.nprobe, centroid_id
+  FROM ranked, probes p
+  WHERE vec_id < {N_QUERIES} AND rn <= p.nprobe
+),
+cand AS (
+  SELECT pc.query_id, pc.nprobe, a.corpus_id
+  FROM assigned a JOIN probe_cells pc USING (centroid_id)
+  WHERE a.corpus_id != pc.query_id
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+         floor(({qdot}) / (sqrt({nq}) * sqrt({nc})) * {COSINE_SCALE} + 0.5) / {COSINE_SCALE}
+           AS cosine
+  FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+),
+truth AS (
+  SELECT query_id, corpus_id FROM (
+    SELECT query_id, corpus_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, corpus_id) AS rank
+    FROM scored
+  ) WHERE rank <= {TOP_K}
+),
+hits AS (
+  SELECT c.query_id, c.nprobe, count(*) AS n_hits
+  FROM cand c SEMI JOIN truth t ON t.query_id = c.query_id AND t.corpus_id = c.corpus_id
+  GROUP BY c.query_id, c.nprobe
+),
+n_cand AS (
+  SELECT query_id, nprobe, count(*) AS n_candidates FROM cand GROUP BY query_id, nprobe
+),
+spine AS (
+  SELECT DISTINCT t.query_id, p.nprobe FROM truth t, probes p
+)
+SELECT s.query_id, s.nprobe,
+       coalesce(n.n_candidates, 0) AS n_candidates,
+       coalesce(h.n_hits, 0) AS n_hits,
+       CAST(floor(coalesce(h.n_hits, 0) * 1000000.0 / {TOP_K}) AS BIGINT) AS recall_micro
+FROM spine s
+LEFT JOIN n_cand n USING (query_id, nprobe)
+LEFT JOIN hits h USING (query_id, nprobe)
+ORDER BY s.query_id, s.nprobe
+"""

@@ -541,6 +541,11 @@ register(
     sim.embedding_centroid_drift_sql(),
 )
 register("ewma_daily_revenue", txn.ewma_daily_revenue, txn.ewma_daily_revenue_sql())
+register(
+    "ivf_probe_recall_sweep",
+    sim.ivf_probe_recall_sweep,
+    sim.ivf_probe_recall_sweep_sql(),
+)
 
 
 # --- round-5 window rotation ----------------------------------------------
@@ -679,6 +684,7 @@ _ROUND7_FRONT = [
     "weighted_reservoir_sample",
     "embedding_centroid_drift",
     "ewma_daily_revenue",
+    "ivf_probe_recall_sweep",
 ]
 _r7_missing = [n for n in _ROUND7_FRONT if n not in REGISTRY]
 if _r7_missing:

@@ -365,6 +365,7 @@ EMB_QUERIES = [
     "ann_ndcg_eval",         # rank-aware: gains are python-int literals
     "mmr_diversified_topk",  # greedy chain must survive exact-tie pools
     "embedding_centroid_drift",  # floored centroid division + zero-norm guard
+    "ivf_probe_recall_sweep",    # cell-assignment ties + empty-candidate spine
 ]
 
 

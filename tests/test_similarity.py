@@ -300,3 +300,33 @@ def test_embedding_centroid_drift_matches_numpy(spark, sf_dir):
         assert r["n_vecs"] == len(rows)
         assert r["cos_to_global"] == want
         assert -1.0 <= r["cos_to_global"] <= 1.0
+
+
+def test_ivf_probe_sweep_monotone(spark, sf_dir):
+    """More probes can only help: n_candidates and n_hits are monotone
+    non-decreasing in nprobe per query, and recall at max nprobe dominates."""
+    from basin_climbing_data_pipeline_spark.operators.similarity import (
+        IVF_NPROBES,
+        N_QUERIES,
+        TOP_K,
+        ivf_probe_recall_sweep,
+    )
+
+    rows = ivf_probe_recall_sweep(spark, sf_dir).collect()
+    assert len(rows) == N_QUERIES * len(IVF_NPROBES)
+    by_q: dict[int, list] = {}
+    for r in rows:
+        assert 0 <= r["n_hits"] <= TOP_K
+        assert r["n_hits"] <= r["n_candidates"] or r["n_candidates"] == 0
+        by_q.setdefault(r["query_id"], []).append(r)
+    for series in by_q.values():
+        series.sort(key=lambda r: r["nprobe"])
+        assert [r["nprobe"] for r in series] == list(IVF_NPROBES)
+        for a, b in zip(series, series[1:]):
+            assert a["n_candidates"] <= b["n_candidates"]
+            assert a["n_hits"] <= b["n_hits"]
+    # the sweep must show the dial doing something on this corpus
+    total_1 = sum(s[0]["n_hits"] for s in by_q.values())
+    total_max = sum(s[-1]["n_hits"] for s in by_q.values())
+    assert total_max >= total_1
+    assert total_max > 0
