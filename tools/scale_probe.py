@@ -44,6 +44,13 @@ Measured at replicas=4 (sf0.1 base, local[32]):
   soft-dedup rides the same ~linear cluster build as dedup_clusters; MMR's
   post-pool work is constant (M^2 x Q) by construction, so its ratio is
   pure candidate-scan growth.
+- bm25_topk 1.5x, repeated_ngram_coverage 2.0x, gram_novelty_by_source
+  2.1x (round-6 continuation) — BM25 is scan-side tf + a 1-row stats agg;
+  the two gram ops are inverted-index joins, linear at fixed shingle
+  occupancy.  stratified_sample_alloc 1.1x, weighted_reservoir_sample
+  0.9x, embedding_centroid_drift 1.1x — allocation work is strata-sized,
+  the reservoir is one TakeOrdered, and the centroid shuffle is
+  labels x 64 rows regardless of corpus size.
 """
 
 from __future__ import annotations
