@@ -546,6 +546,11 @@ register(
     sim.ivf_probe_recall_sweep,
     sim.ivf_probe_recall_sweep_sql(),
 )
+register(
+    "streaming_weighted_sample",
+    st.streaming_weighted_sample,
+    st.streaming_weighted_sample_sql(),
+)
 
 
 # --- round-5 window rotation ----------------------------------------------
@@ -685,6 +690,7 @@ _ROUND7_FRONT = [
     "embedding_centroid_drift",
     "ewma_daily_revenue",
     "ivf_probe_recall_sweep",
+    "streaming_weighted_sample",
 ]
 _r7_missing = [n for n in _ROUND7_FRONT if n not in REGISTRY]
 if _r7_missing:

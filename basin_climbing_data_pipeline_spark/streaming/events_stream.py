@@ -399,3 +399,119 @@ FROM events e JOIN customer c ON e.user_id = c.c_custkey
 GROUP BY 1, 2
 ORDER BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# streaming weighted sample — associative top-K A-ES fold over micro-batches
+# ---------------------------------------------------------------------------
+
+STREAM_RESERVOIR_K = 40
+
+
+def _aes_keyed(df: DataFrame) -> DataFrame:
+    """(event_id, weight, key_nano) A-ES projection: deterministic uniform
+    u from md5(event_id), key = ln(u)/w at nano fixed-point, weight =
+    event value (non-positive weights carry no sampling mass and are
+    excluded — mirrored in the oracle)."""
+    h = F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    )
+    u = (h.cast("double") + 0.5) / 4294967296.0
+    key_nano = F.floor(F.log(u) / F.col("value") * 1000000000.0 + 0.5).cast("long")
+    return df.filter(F.col("value") > 0).select(
+        "event_id", F.col("value").alias("weight"), key_nano.alias("key_nano")
+    )
+
+
+def streaming_weighted_sample(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Weight-proportional sample of the event stream, maintained
+    incrementally: each micro-batch's A-ES top-K
+    (:data:`STREAM_RESERVOIR_K` best ``ln(u)/w`` keys) is folded into the
+    retained top-K via ``foreachBatch``.  Because top-K under a total
+    order is associative and commutative, the final state equals the
+    batch computation over all events REGARDLESS of micro-batch
+    boundaries — the fold-equals-batch property the SQL oracle checks
+    end-to-end and ``test_streaming.py`` proves across a 3-file split.
+    This is the streaming form of
+    :func:`~..operators.sampling.weighted_reservoir_sample` — a
+    sequential reservoir needs per-row state; the A-ES key turns it into
+    a stateless shuffle-free fold.
+
+    State is K rows (localCheckpointed per batch, bounded driver memory);
+    at production scale the same fold writes a K-row table per batch —
+    state volume is K, independent of stream length."""
+    stream = stream_events(spark, sf_dir)
+    if max_files_per_trigger is not None:
+        # re-read with a per-trigger file cap (test hook for multi-batch folds)
+        from ..io import normalize_event_ts
+
+        schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        raw = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events*.parquet")
+            .option("maxFilesPerTrigger", str(max_files_per_trigger))
+            .parquet(sf_dir)
+        )
+        stream = normalize_event_ts(raw)
+    keyed = _aes_keyed(stream)
+    state: dict[str, DataFrame] = {}
+
+    def fold(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_top = batch_df.orderBy(F.desc("key_nano"), F.asc("event_id")).limit(
+            STREAM_RESERVOIR_K
+        )
+        merged = (
+            state["df"].unionByName(batch_top) if "df" in state else batch_top
+        )
+        state["df"] = (
+            merged.orderBy(F.desc("key_nano"), F.asc("event_id"))
+            .limit(STREAM_RESERVOIR_K)
+            .localCheckpoint()
+        )
+
+    with _stream_partitions(spark):
+        q = keyed.writeStream.trigger(availableNow=True).foreachBatch(fold).start()
+        q.awaitTermination(timeout=300)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("key_nano"), F.asc("event_id"))
+    final = state.get("df")
+    if final is None:
+        return spark.createDataFrame(
+            [], "rank int, event_id long, weight double, sel_key double"
+        )
+    return (
+        final.withColumn("rank", F.row_number().over(w))
+        .select(
+            "rank",
+            "event_id",
+            "weight",
+            (F.col("key_nano").cast("double") / 1000000000.0).alias("sel_key"),
+        )
+        .orderBy("rank")
+    )
+
+
+def streaming_weighted_sample_sql() -> str:
+    return f"""
+WITH keyed AS (
+  SELECT event_id, value AS weight,
+         CAST(floor(
+           ln((('0x' || substr(md5(event_id::varchar), 1, 8))::bigint::double + 0.5)
+              / 4294967296.0)
+           / value * 1000000000.0 + 0.5) AS BIGINT) AS key_nano
+  FROM events
+  WHERE value > 0
+),
+ranked AS (
+  SELECT event_id, weight, key_nano,
+         row_number() OVER (ORDER BY key_nano DESC, event_id) AS rank
+  FROM keyed
+)
+SELECT rank, event_id, weight, key_nano::double / 1000000000.0 AS sel_key
+FROM ranked
+WHERE rank <= {STREAM_RESERVOIR_K}
+ORDER BY rank
+"""

@@ -271,3 +271,43 @@ def test_dedup_within_watermark_state_survives_across_batches(spark, tmp_path):
     # users 1,2,3 each counted once — user 1's second-batch copy was
     # dropped by state carried across the batch boundary
     assert rows == {"view": 3}
+
+
+def test_streaming_weighted_sample_fold_equals_batch(spark, sf_dir, tmp_path):
+    """Split the event stream into 3 files consumed one per micro-batch:
+    the incrementally-folded top-K must equal the batch A-ES top-K
+    (associative fold — batch boundaries cannot matter)."""
+    import hashlib
+    import math
+
+    import pandas as pd
+
+    from basin_climbing_data_pipeline_spark.streaming.events_stream import (
+        STREAM_RESERVOIR_K,
+        streaming_weighted_sample,
+    )
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    names = ["events.parquet", "events_b.parquet", "events_c.parquet"]
+    for i, name in enumerate(names):
+        ev.iloc[i::3].to_parquet(tmp_path / name)
+
+    got = streaming_weighted_sample(
+        spark, str(tmp_path), max_files_per_trigger=1
+    ).collect()
+
+    scored = []
+    for r in ev.itertuples():
+        if not r.value > 0:
+            continue
+        h = int(hashlib.md5(str(r.event_id).encode()).hexdigest()[:8], 16)
+        u = (h + 0.5) / 4294967296.0
+        key = math.floor(math.log(u) / r.value * 1e9 + 0.5)
+        scored.append((key, int(r.event_id), r.value))
+    scored.sort(key=lambda t: (-t[0], t[1]))
+    want = scored[: min(STREAM_RESERVOIR_K, len(scored))]
+
+    assert [(r["event_id"], r["weight"], round(r["sel_key"] * 1e9)) for r in got] == [
+        (e, w, k) for k, e, w in want
+    ]
+    assert [r["rank"] for r in got] == list(range(1, len(want) + 1))
