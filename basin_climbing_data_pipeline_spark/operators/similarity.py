@@ -2037,3 +2037,111 @@ LEFT JOIN n_cand n USING (query_id, nprobe)
 LEFT JOIN hits h USING (query_id, nprobe)
 ORDER BY s.query_id, s.nprobe
 """
+
+
+# ---------------------------------------------------------------------------
+# product quantization — per-subspace codebook assignment + distortion
+# ---------------------------------------------------------------------------
+
+PQ_M = 8  # subspaces (64 dims / 8 per subvector)
+PQ_SUBDIM = DIM // PQ_M
+PQ_CODES = 16  # codewords per subspace (seed vectors, like the IVF quantizer)
+
+
+def pq_codebook_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encode + distortion audit: split every vector
+    into :data:`PQ_M` subvectors, assign each to its nearest codeword
+    (codebooks = the seed vectors' subvectors, vec_id < :data:`PQ_CODES`
+    — standing in for per-subspace k-means exactly as
+    :func:`ivf_cell_search` seeds its coarse quantizer), and report per
+    subspace: codewords actually used and total/mean squared
+    reconstruction error in exact micro² units.  PQ is the memory side of
+    the 100-TB ANN story — IVF prunes the scan,
+    PQ shrinks 64×4 bytes/vector to :data:`PQ_M` bytes — and this query
+    is its distortion dashboard (a subspace whose code usage collapses or
+    whose distortion spikes is a bad codebook).
+
+    All arithmetic is int64 on micro units (|x| ≤ 150 envelope keeps the
+    64-term squared sums under 2^63), so rows hash identically across
+    engines.
+
+    Scale shape: encode is the standard N×M×K scan (exploded to
+    (vector, subspace) rows against a broadcast M×K codebook — 128 rows
+    here), one windowed argmin, one M-row rollup; no shuffle touches
+    anything corpus-sized except the argmin's (vec_id, m) partition."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _micro_embedding().alias("e")
+    )
+    subs = F.array(
+        *[
+            F.slice(F.col("e"), m * PQ_SUBDIM + 1, PQ_SUBDIM)
+            for m in range(PQ_M)
+        ]
+    )
+    exploded = emb.select("vec_id", F.posexplode(subs).alias("m", "sub"))
+    codebook = (
+        emb.filter(F.col("vec_id") < PQ_CODES)
+        .select(F.col("vec_id").alias("code_id"), F.posexplode(subs).alias("m", "csub"))
+    )
+    dist = F.expr(
+        "aggregate(zip_with(sub, csub, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"
+    )
+    scored = exploded.join(F.broadcast(codebook), "m").withColumn("sq_err", dist)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id", "m").orderBy("sq_err", "code_id")
+    best = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        best.groupBy("m")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.countDistinct("code_id").alias("n_codes_used"),
+            F.sum("sq_err").alias("total_sq_err"),
+        )
+        .select(
+            F.col("m").alias("subspace"),
+            "n_vectors",
+            "n_codes_used",
+            "total_sq_err",
+            F.expr("total_sq_err div n_vectors").alias("mean_sq_err"),
+        )
+        .orderBy("subspace")
+    )
+
+
+def pq_codebook_eval_sql() -> str:
+    return f"""
+WITH emb AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(floor(x::double * {MICRO} + 0.5) AS BIGINT)) AS e
+  FROM embeddings
+),
+subspaces(m) AS (VALUES {", ".join(f"({m})" for m in range(PQ_M))}),
+exploded AS (
+  SELECT vec_id, m, e[m * {PQ_SUBDIM} + 1 : m * {PQ_SUBDIM} + {PQ_SUBDIM}] AS sub
+  FROM emb, subspaces
+),
+codebook AS (
+  SELECT vec_id AS code_id, m, sub AS csub FROM exploded WHERE vec_id < {PQ_CODES}
+),
+scored AS (
+  SELECT x.vec_id, x.m, c.code_id,
+         list_sum(list_transform(range(1, {PQ_SUBDIM + 1}),
+                  i -> (x.sub[i] - c.csub[i]) * (x.sub[i] - c.csub[i]))) AS sq_err
+  FROM exploded x JOIN codebook c USING (m)
+),
+best AS (
+  SELECT vec_id, m, code_id, sq_err,
+         row_number() OVER (PARTITION BY vec_id, m ORDER BY sq_err, code_id) AS rn
+  FROM scored
+)
+SELECT m AS subspace,
+       count(*) AS n_vectors,
+       count(DISTINCT code_id) AS n_codes_used,
+       CAST(sum(sq_err) AS BIGINT) AS total_sq_err,
+       CAST(sum(sq_err) AS BIGINT) // count(*) AS mean_sq_err
+FROM best
+WHERE rn = 1
+GROUP BY m
+ORDER BY subspace
+"""

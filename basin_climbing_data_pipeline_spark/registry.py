@@ -551,6 +551,7 @@ register(
     st.streaming_weighted_sample,
     st.streaming_weighted_sample_sql(),
 )
+register("pq_codebook_eval", sim.pq_codebook_eval, sim.pq_codebook_eval_sql())
 
 
 # --- round-5 window rotation ----------------------------------------------
@@ -691,6 +692,7 @@ _ROUND7_FRONT = [
     "ewma_daily_revenue",
     "ivf_probe_recall_sweep",
     "streaming_weighted_sample",
+    "pq_codebook_eval",
 ]
 _r7_missing = [n for n in _ROUND7_FRONT if n not in REGISTRY]
 if _r7_missing:

@@ -366,6 +366,7 @@ EMB_QUERIES = [
     "mmr_diversified_topk",  # greedy chain must survive exact-tie pools
     "embedding_centroid_drift",  # floored centroid division + zero-norm guard
     "ivf_probe_recall_sweep",    # cell-assignment ties + empty-candidate spine
+    "pq_codebook_eval",          # subvector argmin ties at envelope magnitudes
 ]
 
 

@@ -330,3 +330,36 @@ def test_ivf_probe_sweep_monotone(spark, sf_dir):
     total_max = sum(s[-1]["n_hits"] for s in by_q.values())
     assert total_max >= total_1
     assert total_max > 0
+
+
+def test_pq_codebook_matches_numpy(spark, sf_dir):
+    """Re-derive PQ assignment and distortion in numpy."""
+    import numpy as np
+    import pandas as pd
+
+    from basin_climbing_data_pipeline_spark.operators.similarity import (
+        MICRO,
+        PQ_CODES,
+        PQ_M,
+        PQ_SUBDIM,
+        pq_codebook_eval,
+    )
+
+    got = {r["subspace"]: r for r in pq_codebook_eval(spark, sf_dir).collect()}
+    assert sorted(got) == list(range(PQ_M))
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet").sort_values("vec_id")
+    micro = np.floor(
+        np.stack(emb["embedding"].to_numpy()).astype(np.float64) * MICRO + 0.5
+    ).astype(np.int64)
+    seeds = micro[emb["vec_id"].to_numpy() < PQ_CODES]
+    for m in range(PQ_M):
+        sub = micro[:, m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM]
+        cb = seeds[:, m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM]
+        d = ((sub[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+        codes = d.argmin(axis=1)  # numpy argmin takes first == lowest code_id
+        err = int(d[np.arange(len(sub)), codes].sum())
+        r = got[m]
+        assert r["n_vectors"] == len(sub)
+        assert r["n_codes_used"] == len(set(codes.tolist()))
+        assert r["total_sq_err"] == err
+        assert r["mean_sq_err"] == err // len(sub)
