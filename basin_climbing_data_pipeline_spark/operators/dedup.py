@@ -2068,3 +2068,74 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN per_doc p USING (doc_id)
 ORDER BY d.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# cross-source duplication matrix — where the near-dups come from
+# ---------------------------------------------------------------------------
+
+
+def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pair counts by unordered source pair: each verified
+    MinHash pair at the clustering threshold
+    (:data:`CLUSTER_JACCARD_MIN`, the same edges :func:`dedup_clusters`
+    consumes) is attributed to its two documents' sources — the corpus
+    diagnostic that separates "src A re-crawls itself" (diagonal) from
+    "src A mirrors src B" (off-diagonal), which decide different fixes
+    (crawl-frequency vs source-priority dedup).
+
+    Mean jaccard is the exact-integer mean of the pairs' 1e-6 fixed-point
+    values, so rows hash identically across engines.
+
+    Scale shape: rides the session-materialized verified-pairs table; the
+    two doc→source lookups are joins against the (doc_id, source)
+    projection — pair-count-sized, not corpus-sized; the rollup output is
+    |sources|² at worst."""
+    pairs = minhash_lsh_pairs(spark, sf_dir).filter(
+        F.col("jaccard") >= CLUSTER_JACCARD_MIN
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    sa = docs.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"))
+    sb = docs.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b"))
+    jm = F.floor(F.col("jaccard") * 1000000.0 + 0.5).cast("long")
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+            jm.alias("jm"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_pairs"), F.sum("jm").alias("sum_jm"))
+        .select(
+            "source_a",
+            "source_b",
+            "n_pairs",
+            (
+                F.floor(F.col("sum_jm").cast("double") / F.col("n_pairs") + 0.5)
+                / 1000000.0
+            ).alias("mean_jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+def cross_source_dup_matrix_sql() -> str:
+    return f"""
+WITH pairs AS ({minhash_lsh_pairs_sql()}),
+attributed AS (
+  SELECT least(da.source, db.source) AS source_a,
+         greatest(da.source, db.source) AS source_b,
+         CAST(floor(p.jaccard * 1000000.0 + 0.5) AS BIGINT) AS jm
+  FROM pairs p
+  JOIN documents da ON da.doc_id = p.doc_a
+  JOIN documents db ON db.doc_id = p.doc_b
+  WHERE p.jaccard >= {CLUSTER_JACCARD_MIN}
+)
+SELECT source_a, source_b, count(*) AS n_pairs,
+       floor(sum(jm)::double / count(*) + 0.5) / 1000000.0 AS mean_jaccard
+FROM attributed
+GROUP BY source_a, source_b
+ORDER BY source_a, source_b
+"""

@@ -552,6 +552,7 @@ register(
     st.streaming_weighted_sample_sql(),
 )
 register("pq_codebook_eval", sim.pq_codebook_eval, sim.pq_codebook_eval_sql())
+register("cross_source_dup_matrix", dd.cross_source_dup_matrix, dd.cross_source_dup_matrix_sql())
 
 
 # --- round-5 window rotation ----------------------------------------------
@@ -693,6 +694,7 @@ _ROUND7_FRONT = [
     "ivf_probe_recall_sweep",
     "streaming_weighted_sample",
     "pq_codebook_eval",
+    "cross_source_dup_matrix",
 ]
 _r7_missing = [n for n in _ROUND7_FRONT if n not in REGISTRY]
 if _r7_missing:

@@ -248,3 +248,24 @@ def test_soft_dedup_weights_mass_bounds(spark, sf_dir):
         else:
             assert r.mass_retained < 1.0
     assert sum(r.n_docs for r in rows) == len(docs)
+
+
+def test_cross_source_dup_matrix_reconciles_with_pairs(spark, sf_dir):
+    """Matrix totals must reconcile with the thresholded pair list, and
+    the unordered-pair canonicalization must hold."""
+    from basin_climbing_data_pipeline_spark.operators.dedup import (
+        CLUSTER_JACCARD_MIN,
+        cross_source_dup_matrix,
+        minhash_lsh_pairs,
+    )
+
+    rows = cross_source_dup_matrix(spark, sf_dir).collect()
+    n_edges = (
+        minhash_lsh_pairs(spark, sf_dir)
+        .filter(F.col("jaccard") >= CLUSTER_JACCARD_MIN)
+        .count()
+    )
+    assert sum(r["n_pairs"] for r in rows) == n_edges
+    for r in rows:
+        assert r["source_a"] <= r["source_b"]
+        assert CLUSTER_JACCARD_MIN <= r["mean_jaccard"] <= 1.0
