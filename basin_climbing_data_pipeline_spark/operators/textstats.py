@@ -1436,3 +1436,128 @@ SELECT source, n_docs, n_grams, n_novel_grams,
 FROM agg
 ORDER BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# interpolated bigram LM — the next rung of model-based quality scoring
+# ---------------------------------------------------------------------------
+
+BIGRAM_LAMBDA = 0.75  # dyadic interpolation weight (exact in IEEE doubles)
+
+
+def bigram_interp_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean log-probability under an interpolated bigram LM
+    fit on the corpus itself: ``p(w|prev) = 0.75·n(prev,w)/n(prev) +
+    0.25·n(w)/N`` (a document's first token backs off to the unigram
+    term alone).  The next rung above
+    :func:`unigram_logprob_quality` on the CCNet-style model-based
+    quality ladder — bigram context separates "rare words" from "rare
+    word ORDER", which is what machine-garbled text actually exhibits.
+
+    Exactness: counts are exact integers; each probability is one or two
+    correctly-rounded divisions combined with EXACT dyadic weights (0.75 /
+    0.25), so the double entering ``ln`` is identical across engines; per
+    -token ln p is micro-rounded to int64, per-doc sums are exact, and
+    the mean is rounded once (the ``unigram_logprob_quality``
+    discipline).
+
+    Scale shape: token sequence via one per-doc window (lag); unigram and
+    bigram count tables are vocab-/bigram-vocab-sized aggregations
+    broadcast back; one per-doc rollup.  Every join is keyed on token
+    identity — no corpus-sized shuffle beyond the tokenize itself."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.posexplode(F.expr("filter(split(trim(text), ' '), w -> w != '')")).alias(
+            "pos", "token"
+        ),
+    )
+    seq = toks.withColumn(
+        "prev", F.lag("token").over(Window.partitionBy("doc_id").orderBy("pos"))
+    )
+    uni = toks.groupBy("token").agg(F.count("*").alias("n_t"))
+    n_total = F.sum("n_t").over(Window.partitionBy())
+    uni = F.broadcast(uni.withColumn("n", n_total))
+    big = F.broadcast(
+        seq.filter(F.col("prev").isNotNull())
+        .groupBy("prev", "token")
+        .agg(F.count("*").alias("n_b"))
+    )
+    prev_uni = F.broadcast(
+        uni.select(F.col("token").alias("prev"), F.col("n_t").alias("n_prev"))
+    )
+    scored = (
+        seq.join(uni, "token")
+        .join(prev_uni, "prev", "left")
+        .join(big, ["prev", "token"], "left")
+    )
+    p_uni = F.col("n_t").cast("double") / F.col("n").cast("double")
+    p_big = F.col("n_b").cast("double") / F.col("n_prev").cast("double")
+    p = F.when(F.col("prev").isNull(), p_uni).otherwise(
+        BIGRAM_LAMBDA * p_big + (1.0 - BIGRAM_LAMBDA) * p_uni
+    )
+    lnp_micro = F.floor(F.log(p) * 1000000.0 + 0.5).cast("long")
+    per_doc = (
+        scored.withColumn("lnp_micro", lnp_micro)
+        .groupBy("doc_id", "source")
+        .agg(F.count("*").alias("n_tokens"), F.sum("lnp_micro").alias("_s"))
+        .withColumn(
+            "avg_micro",
+            F.floor(F.col("_s").cast("double") / F.col("n_tokens") + 0.5).cast("long"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        (F.col("avg_micro") / 1000000.0).alias("avg_logprob"),
+    ).orderBy("doc_id")
+
+
+def bigram_interp_logprob_sql() -> str:
+    lam = BIGRAM_LAMBDA
+    return f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         generate_subscripts(words, 1) - 1 AS pos,
+         unnest(words) AS token
+  FROM (SELECT doc_id, source,
+               list_filter(string_split(trim(text, ' '), ' '), w -> w != '') AS words
+        FROM documents)
+),
+seq AS (
+  SELECT doc_id, source, pos, token,
+         lag(token) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+  FROM toks
+),
+uni AS (SELECT token, count(*) AS n_t FROM toks GROUP BY token),
+big AS (
+  SELECT prev, token, count(*) AS n_b FROM seq WHERE prev IS NOT NULL
+  GROUP BY prev, token
+),
+scored AS (
+  SELECT s.doc_id, s.source,
+         CASE WHEN s.prev IS NULL
+              THEN u.n_t::double / (SELECT sum(n_t) FROM uni)::double
+              ELSE {lam} * (b.n_b::double / pu.n_t::double)
+                   + {1.0 - lam} * (u.n_t::double / (SELECT sum(n_t) FROM uni)::double)
+         END AS p
+  FROM seq s
+  JOIN uni u ON u.token = s.token
+  LEFT JOIN uni pu ON pu.token = s.prev
+  LEFT JOIN big b ON b.prev = s.prev AND b.token = s.token
+),
+per_doc AS (
+  SELECT doc_id, source, count(*) AS n_tokens,
+         floor(sum(CAST(floor(ln(p) * 1000000.0 + 0.5) AS BIGINT))::double
+               / count(*) + 0.5)::bigint AS avg_micro
+  FROM scored
+  GROUP BY doc_id, source
+)
+SELECT doc_id, source, n_tokens, avg_micro / 1000000.0 AS avg_logprob
+FROM per_doc
+ORDER BY doc_id
+"""

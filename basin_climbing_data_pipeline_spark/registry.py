@@ -553,6 +553,7 @@ register(
 )
 register("pq_codebook_eval", sim.pq_codebook_eval, sim.pq_codebook_eval_sql())
 register("cross_source_dup_matrix", dd.cross_source_dup_matrix, dd.cross_source_dup_matrix_sql())
+register("bigram_interp_logprob", ts.bigram_interp_logprob, ts.bigram_interp_logprob_sql())
 
 
 # --- round-5 window rotation ----------------------------------------------
@@ -695,6 +696,7 @@ _ROUND7_FRONT = [
     "streaming_weighted_sample",
     "pq_codebook_eval",
     "cross_source_dup_matrix",
+    "bigram_interp_logprob",
 ]
 _r7_missing = [n for n in _ROUND7_FRONT if n not in REGISTRY]
 if _r7_missing:

@@ -60,6 +60,7 @@ QUERIES = [
     "gram_novelty_by_source",   # first-occurrence min over fuzzed doc_id order
     "stratified_sample_alloc",   # integer Hamilton seats on tiny strata
     "weighted_reservoir_sample", # ln(u)/w keys incl. zero-weight exclusion
+    "bigram_interp_logprob",     # lag-chain bigrams on 1-token/empty docs
 ]
 
 

@@ -678,3 +678,50 @@ def test_weighted_reservoir_biases_toward_heavy_docs(spark, sf_dir):
         corpus_mean = sum(r["n_chars"] for r in docs) / len(docs)
         sample_mean = sum(r["weight"] for r in rows) / k
         assert sample_mean > corpus_mean
+
+
+def test_bigram_interp_matches_python(spark, sf_dir):
+    """Re-derive the interpolated bigram LM scoring in pure Python."""
+    import math
+
+    import pandas as pd
+
+    from basin_climbing_data_pipeline_spark.operators.textstats import (
+        BIGRAM_LAMBDA,
+        bigram_interp_logprob,
+    )
+
+    got = {r["doc_id"]: r for r in bigram_interp_logprob(spark, sf_dir).collect()}
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    toks = {
+        r.doc_id: [w for w in str(r.text).strip().split(" ") if w != ""]
+        for r in docs.itertuples()
+    }
+    uni: dict[str, int] = {}
+    big: dict[tuple[str, str], int] = {}
+    for words in toks.values():
+        for w in words:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(words, words[1:]):
+            big[(a, b)] = big.get((a, b), 0) + 1
+    n = sum(uni.values())
+    for doc_id, words in toks.items():
+        if not words:
+            assert doc_id not in got
+            continue
+        s = 0
+        for i, w in enumerate(words):
+            p_uni = uni[w] / float(n)
+            if i == 0:
+                p = p_uni
+            else:
+                prev = words[i - 1]
+                p = BIGRAM_LAMBDA * (big[(prev, w)] / float(uni[prev])) + (
+                    1.0 - BIGRAM_LAMBDA
+                ) * p_uni
+            s += math.floor(math.log(p) * 1000000.0 + 0.5)
+        want = math.floor(s / len(words) + 0.5) / 1000000.0
+        r = got[doc_id]
+        assert r["n_tokens"] == len(words)
+        assert r["avg_logprob"] == want, doc_id
+        assert r["avg_logprob"] <= 0.0
