@@ -51,6 +51,14 @@ Measured at replicas=4 (sf0.1 base, local[32]):
   0.9x, embedding_centroid_drift 1.1x — allocation work is strata-sized,
   the reservoir is one TakeOrdered, and the centroid shuffle is
   labels x 64 rows regardless of corpus size.
+- ewma_daily_revenue 0.8x, ivf_probe_recall_sweep 0.9x, pq_codebook_eval
+  1.2x, cross_source_dup_matrix 1.3x, streaming_weighted_sample 0.9x,
+  bigram_interp_logprob 1.1x (round-6 continuation, second batch) — the
+  EWMA window and IVF/PQ encode are scan-shaped with
+  fixed-size broadcast sides (calendar growth ≪ row growth; 16-centroid /
+  128-codeword tables); the dup matrix rides the ~linear LSH pair
+  build; the streaming fold's state is K rows regardless of stream
+  length; the bigram LM is two vocab-sized count tables broadcast back.
 """
 
 from __future__ import annotations
