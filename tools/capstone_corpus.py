@@ -1,0 +1,70 @@
+"""Build the combined-adversarial capstone corpus and print its path.
+
+Every table simultaneously adversarial: unicode/degenerate documents,
+tie-heavy boundary events, edge-value transactions (customer/orders/
+lineitem), exact-tie/zero-dot embeddings, grammar-hostile part names —
+assembled from the SAME builders the per-family pytest parametrizations
+use (tests/test_adversarial_corpus.py), so the capstone stays in sync
+with the families as they grow.
+
+Usage:
+    python tools/capstone_corpus.py [out_dir]      # build, print path
+    python tools/check.py $(python tools/capstone_corpus.py) [--bitwise]
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+from pathlib import Path
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SRC = "/root/testdata/sf0.001"
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+class _Factory:
+    """Minimal stand-in for pytest's tmp_path_factory."""
+
+    def __init__(self, base: Path):
+        self.base = base
+        self._n = 0
+
+    def mktemp(self, name: str) -> Path:
+        self._n += 1
+        p = self.base / f"{name}{self._n}"
+        p.mkdir(parents=True)
+        return p
+
+
+def build(out_dir: str | None = None) -> str:
+    out = Path(out_dir) if out_dir else Path(tempfile.mkdtemp(prefix="capstone_"))
+    out.mkdir(parents=True, exist_ok=True)
+    work = _Factory(out / "_parts")
+
+    import tests.test_adversarial_corpus as T
+
+    docs_dir = T.fuzz_dir.__wrapped__(work)
+    emb_dir = T.fuzz_emb_dir.__wrapped__(work)
+    txn_dir = T.fuzz_txn_dir.__wrapped__(work)
+    part_dir = T.fuzz_part_dir.__wrapped__(work)
+
+    for t in TABLES:
+        shutil.copy(f"{SRC}/{t}.parquet", out / f"{t}.parquet")
+    shutil.copy(f"{docs_dir}/documents.parquet", out / "documents.parquet")
+    shutil.copy(f"{emb_dir}/embeddings.parquet", out / "embeddings.parquet")
+    for t in ("customer", "orders", "lineitem"):
+        shutil.copy(f"{txn_dir}/{t}.parquet", out / f"{t}.parquet")
+    shutil.copy(f"{part_dir}/part.parquet", out / "part.parquet")
+    T._write_events(str(out), T._adversarial_events_rows())
+    shutil.rmtree(out / "_parts")
+    return str(out)
+
+
+if __name__ == "__main__":
+    print(build(sys.argv[1] if len(sys.argv) > 1 else None))
