@@ -272,10 +272,14 @@ dims AS (
 ),
 thumb AS (
   SELECT doc_id, w, h,
-         list_sum([
+         -- empty payload: the python decode stub substitutes a single
+         -- 0x00 byte (decode_image), so the thumbnail is all-zero; the
+         -- raw expression would instead hit `% 0` -> NULL (the capstone
+         -- combined-adversarial corpus caught exactly this)
+         CASE WHEN nb = 0 THEN 0 ELSE list_sum([
            {byte_at(pix)}
            FOR i IN range(0, {cells})
-         ])::bigint AS thumb_sum
+         ])::bigint END AS thumb_sum
   FROM dims
 )
 SELECT doc_id, w::int AS width, h::int AS height, thumb_sum,

@@ -1006,3 +1006,145 @@ SELECT revenue_category, day,
 FROM lagged
 ORDER BY revenue_category, day
 """
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint — Page's test via the prefix-minus-running-min identity
+# ---------------------------------------------------------------------------
+
+CUSUM_SLACK_PCT = 10   # allowance k = 10% of the category's mean daily cents
+CUSUM_THRESH_PCT = 50  # alarm h = 50% of the category's mean daily cents
+
+
+def cusum_revenue_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's CUSUM upward-drift detector over per-category daily revenue:
+    ``S_t = max(0, S_{t-1} + (x_t - mean - k))`` with allowance ``k`` and
+    alarm threshold ``h`` derived from the category's own mean daily
+    cents.  The clamped recursion LOOKS inherently sequential, but
+    ``S_t = P_t - min_{j<=t} P_j`` for the prefix sums ``P`` of the
+    centered increments — so the whole detector is TWO window passes
+    (cumsum, running min) over one shuffle on the category key, no UDF,
+    no recursion, exact int64 cents end to end.  This is the monitoring
+    op a revenue pipeline runs after :func:`ewma_daily_revenue` smooths:
+    EWMA shows the level, CUSUM calls the shift.
+
+    Output: one row per (category, day) with the CUSUM statistic and the
+    alarm flag; days before a category's first sale don't exist by
+    construction (dense calendar from first to last active day, zero-
+    filled — a zero-revenue day IS evidence of downward drift and must
+    feed the statistic).
+
+    Scale shape: identical to the EWMA plan — category-local dense
+    explode, one shuffle, two window functions riding the same sort."""
+    txn = build_transactions(spark, sf_dir)
+    daily = txn.groupBy(
+        F.col("revenue_category"), F.col("txn_date").alias("day")
+    ).agg(F.sum(to_cents(F.col("total_amount"))).alias("cents"))
+    bounds = daily.groupBy("revenue_category").agg(
+        F.min("day").alias("d0"),
+        F.max("day").alias("d1"),
+        F.sum("cents").alias("total_cents"),
+    )
+    calendar = bounds.select(
+        "revenue_category",
+        "total_cents",
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day"),
+    )
+    dense = calendar.join(daily, ["revenue_category", "day"], "left").select(
+        "revenue_category",
+        "day",
+        "total_cents",
+        F.coalesce(F.col("cents"), F.lit(0)).alias("cents"),
+    )
+    w = Window.partitionBy("revenue_category").orderBy("day")
+    n_days = F.count("*").over(
+        Window.partitionBy("revenue_category").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    )
+    # integer-exact per-day baseline and thresholds.  The baseline clamps
+    # at 0 (a net-refund category has no positive level to drift from) —
+    # also load-bearing for parity: Spark's `div` truncates negatives
+    # toward zero while DuckDB's `//` floors them, so the divisions must
+    # only ever see non-negative operands.
+    mean_cents = F.expr("greatest(total_cents, 0L) div n_days")
+    k = F.expr(f"(greatest(total_cents, 0L) div n_days) * {CUSUM_SLACK_PCT} div 100")
+    h = F.expr(f"(greatest(total_cents, 0L) div n_days) * {CUSUM_THRESH_PCT} div 100")
+    centered = dense.withColumn("n_days", n_days).select(
+        "revenue_category",
+        "day",
+        (F.col("cents") - mean_cents - k).alias("inc"),
+        h.alias("h"),
+    )
+    # S_t = P_t - min(0, min_{j<=t} P_j): the 0 floor seeds S_0 = max(0, inc_0).
+    # Two selects: a window expression cannot nest inside another window.
+    prefixed = centered.select(
+        "revenue_category",
+        "day",
+        "h",
+        F.sum("inc").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("p"),
+    )
+    staged = prefixed.select(
+        "revenue_category",
+        "day",
+        "h",
+        "p",
+        F.min(F.least(F.col("p"), F.lit(0)))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("m"),
+    )
+    return staged.select(
+        "revenue_category",
+        "day",
+        (F.col("p") - F.col("m")).alias("cusum_cents"),
+        ((F.col("p") - F.col("m")) > F.col("h")).alias("alarm"),
+    ).orderBy("revenue_category", "day")
+
+
+def cusum_revenue_drift_sql() -> str:
+    return f"""
+WITH txn AS ({transactions_sql()}),
+daily AS (
+  SELECT revenue_category, txn_date AS day,
+         sum({to_cents_sql('total_amount')}) AS cents
+  FROM txn GROUP BY 1, 2
+),
+bounds AS (
+  SELECT revenue_category, min(day) AS d0, max(day) AS d1,
+         sum(cents) AS total_cents
+  FROM daily GROUP BY 1
+),
+calendar AS (
+  SELECT revenue_category, total_cents,
+         unnest(generate_series(d0, d1, INTERVAL 1 DAY))::date AS day
+  FROM bounds
+),
+dense AS (
+  SELECT c.revenue_category, c.day, c.total_cents, coalesce(d.cents, 0) AS cents
+  FROM calendar c LEFT JOIN daily d USING (revenue_category, day)
+),
+centered AS (
+  SELECT revenue_category, day,
+         cents - (greatest(total_cents, 0) // n_days)
+               - ((greatest(total_cents, 0) // n_days) * {CUSUM_SLACK_PCT} // 100) AS inc,
+         (greatest(total_cents, 0) // n_days) * {CUSUM_THRESH_PCT} // 100 AS h
+  FROM (
+    SELECT *, count(*) OVER (PARTITION BY revenue_category) AS n_days FROM dense
+  )
+),
+prefixed AS (
+  SELECT revenue_category, day, h,
+         sum(inc) OVER (PARTITION BY revenue_category ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+  FROM centered
+),
+staged AS (
+  SELECT revenue_category, day, h, p,
+         min(least(p, 0)) OVER (PARTITION BY revenue_category ORDER BY day
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
+  FROM prefixed
+)
+SELECT revenue_category, day, p - m AS cusum_cents, (p - m) > h AS alarm
+FROM staged
+ORDER BY revenue_category, day
+"""

@@ -554,6 +554,7 @@ register(
 register("pq_codebook_eval", sim.pq_codebook_eval, sim.pq_codebook_eval_sql())
 register("cross_source_dup_matrix", dd.cross_source_dup_matrix, dd.cross_source_dup_matrix_sql())
 register("bigram_interp_logprob", ts.bigram_interp_logprob, ts.bigram_interp_logprob_sql())
+register("cusum_revenue_drift", txn.cusum_revenue_drift, txn.cusum_revenue_drift_sql())
 
 
 # --- round-5 window rotation ----------------------------------------------
@@ -697,6 +698,7 @@ _ROUND7_FRONT = [
     "pq_codebook_eval",
     "cross_source_dup_matrix",
     "bigram_interp_logprob",
+    "cusum_revenue_drift",
 ]
 _r7_missing = [n for n in _ROUND7_FRONT if n not in REGISTRY]
 if _r7_missing:

@@ -61,6 +61,7 @@ QUERIES = [
     "stratified_sample_alloc",   # integer Hamilton seats on tiny strata
     "weighted_reservoir_sample", # ln(u)/w keys incl. zero-weight exclusion
     "bigram_interp_logprob",     # lag-chain bigrams on 1-token/empty docs
+    "media_resize_features",     # empty-payload thumbnail (capstone catch)
 ]
 
 
@@ -296,6 +297,7 @@ TXN_QUERIES = [
     "revenue_by_month_category",
     "daily_revenue_locf",
     "ewma_daily_revenue",    # dyadic lag-chain over a fuzzed sparse calendar
+    "cusum_revenue_drift",   # negative-total baseline clamp + window identity
 ]
 
 
