@@ -1256,3 +1256,123 @@ SELECT n, sx, sy,
              * 1000000.0 + 0.5) / 1000000.0 AS pearson_r
 FROM m
 """
+
+
+def markov_holdout_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-sample eval of the Markov next-event model: users are split
+    by md5 parity (the repo's deterministic no-``rand()`` split), the
+    argmax transition is fit on the TRAIN half, and per-state accuracy is
+    measured on the TEST half — the "is yesterday's transition matrix
+    still predictive" number that turns :func:`markov_transitions` from a
+    descriptive table into a monitored model.  States unseen in training
+    surface with a NULL prediction and NULL accuracy (no silent zero).
+
+    Scale shape: the same single user-window shuffle as
+    :func:`markov_transitions` produces both halves' pairs in one pass;
+    everything downstream operates on the |event types|² matrix."""
+    from pyspark.sql import Window as W
+
+    from ..io import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+    )
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 2
+    )
+    pairs = (
+        ev.withColumn("next_event", F.lead("event_type").over(w))
+        .filter(F.col("next_event").isNotNull())
+        .select(
+            bucket.alias("bucket"),
+            F.col("event_type").alias("from_event"),
+            "next_event",
+        )
+    )
+    from ..io import tracked_persist
+
+    pairs = tracked_persist(pairs)  # one window pass feeds both halves
+    train = (
+        pairs.filter(F.col("bucket") == 0)
+        .groupBy("from_event", "next_event")
+        .agg(F.count("*").alias("n"))
+    )
+    rank_w = W.partitionBy("from_event").orderBy(F.desc("n"), F.asc("next_event"))
+    pred = (
+        train.withColumn("rn", F.row_number().over(rank_w))
+        .filter(F.col("rn") == 1)
+        .select("from_event", F.col("next_event").alias("predicted_next"))
+    )
+    test = (
+        pairs.filter(F.col("bucket") == 1)
+        .groupBy("from_event", "next_event")
+        .agg(F.count("*").alias("n"))
+    )
+    per_state = (
+        test.join(F.broadcast(pred), "from_event", "left")
+        .groupBy("from_event", "predicted_next")
+        .agg(
+            F.sum("n").alias("n_test_pairs"),
+            F.sum(
+                F.when(F.col("next_event") == F.col("predicted_next"), F.col("n")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("n_correct"),
+        )
+    )
+    return per_state.select(
+        "from_event",
+        "predicted_next",
+        "n_test_pairs",
+        "n_correct",
+        F.when(
+            F.col("predicted_next").isNotNull(),
+            ratio(F.col("n_correct"), F.col("n_test_pairs"), 6),
+        ).alias("accuracy"),
+    ).orderBy("from_event")
+
+
+def markov_holdout_accuracy_sql() -> str:
+    return f"""
+WITH seq AS (
+  SELECT ('0x' || substr(md5(user_id::varchar), 1, 8))::bigint % 2 AS bucket,
+         event_type AS from_event,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts::TIMESTAMP), event_id
+         ) AS next_event
+  FROM events
+),
+pairs AS (SELECT * FROM seq WHERE next_event IS NOT NULL),
+train AS (
+  SELECT from_event, next_event, count(*) AS n
+  FROM pairs WHERE bucket = 0 GROUP BY 1, 2
+),
+pred AS (
+  SELECT from_event, next_event AS predicted_next FROM (
+    SELECT from_event, next_event,
+           row_number() OVER (PARTITION BY from_event ORDER BY n DESC, next_event) AS rn
+    FROM train
+  ) WHERE rn = 1
+),
+test AS (
+  SELECT from_event, next_event, count(*) AS n
+  FROM pairs WHERE bucket = 1 GROUP BY 1, 2
+)
+SELECT t.from_event, p.predicted_next,
+       sum(t.n) AS n_test_pairs,
+       CAST(sum(CASE WHEN t.next_event = p.predicted_next THEN t.n ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       CASE WHEN p.predicted_next IS NOT NULL THEN
+         {ratio_sql("sum(CASE WHEN t.next_event = p.predicted_next THEN t.n ELSE 0 END)",
+                    "sum(t.n)", 6)}
+       END AS accuracy
+FROM test t LEFT JOIN pred p USING (from_event)
+GROUP BY t.from_event, p.predicted_next
+ORDER BY t.from_event
+"""

@@ -555,6 +555,7 @@ register("pq_codebook_eval", sim.pq_codebook_eval, sim.pq_codebook_eval_sql())
 register("cross_source_dup_matrix", dd.cross_source_dup_matrix, dd.cross_source_dup_matrix_sql())
 register("bigram_interp_logprob", ts.bigram_interp_logprob, ts.bigram_interp_logprob_sql())
 register("cusum_revenue_drift", txn.cusum_revenue_drift, txn.cusum_revenue_drift_sql())
+register("markov_holdout_accuracy", co.markov_holdout_accuracy, co.markov_holdout_accuracy_sql())
 
 
 # --- round-5 window rotation ----------------------------------------------
@@ -699,6 +700,7 @@ _ROUND7_FRONT = [
     "cross_source_dup_matrix",
     "bigram_interp_logprob",
     "cusum_revenue_drift",
+    "markov_holdout_accuracy",
 ]
 _r7_missing = [n for n in _ROUND7_FRONT if n not in REGISTRY]
 if _r7_missing:

@@ -181,6 +181,8 @@ EVENT_QUERIES = [
     "purchase_attribution",
     "markov_transitions",
     "visit_streaks",
+    "markov_holdout_accuracy",  # unseen-in-train states -> NULL prediction
+    "streaming_weighted_sample",  # ln(u)/w on half-cent and zero values
 ]
 
 
