@@ -59,7 +59,7 @@ Measured at replicas=4 (sf0.1 base, local[32]):
   128-codeword tables); the dup matrix rides the ~linear LSH pair
   build; the streaming fold's state is K rows regardless of stream
   length; the bigram LM is two vocab-sized count tables broadcast back.
-- cusum_revenue_drift 1.0x, markov_holdout_accuracy ~1x (round-6
+- cusum_revenue_drift 1.0x, markov_holdout_accuracy 0.9x (round-6
   continuation, third batch) — both are one corpus-keyed window shuffle
   plus matrix-/calendar-sized downstream work.
 """
