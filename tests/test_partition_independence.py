@@ -26,6 +26,13 @@ SENSITIVE = [
     "family_relationships",
     "kmeans_refine",
     "revenue_by_month_category",
+    # round-6 continuation additions with partition-sensitive shapes:
+    # global float-keyed top-K, exact micro centroid sums, prefix-sum
+    # windows, and min-per-gram first occurrence
+    "weighted_reservoir_sample",
+    "embedding_centroid_drift",
+    "cusum_revenue_drift",
+    "gram_novelty_by_source",
 ]
 
 
