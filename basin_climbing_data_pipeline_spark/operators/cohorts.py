@@ -1365,7 +1365,7 @@ test AS (
   FROM pairs WHERE bucket = 1 GROUP BY 1, 2
 )
 SELECT t.from_event, p.predicted_next,
-       sum(t.n) AS n_test_pairs,
+       CAST(sum(t.n) AS BIGINT) AS n_test_pairs,
        CAST(sum(CASE WHEN t.next_event = p.predicted_next THEN t.n ELSE 0 END) AS BIGINT)
          AS n_correct,
        CASE WHEN p.predicted_next IS NOT NULL THEN

@@ -994,8 +994,8 @@ based AS (
 ),
 alloc AS (
   SELECT source, n_docs,
-         base + (row_number() OVER (ORDER BY rem DESC, source)
-                 <= budget - sum(base) OVER ())::int AS quota
+         CAST(base + (row_number() OVER (ORDER BY rem DESC, source)
+                      <= budget - sum(base) OVER ())::int AS BIGINT) AS quota
   FROM based
 ),
 ranked AS (

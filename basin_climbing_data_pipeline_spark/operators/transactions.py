@@ -1144,7 +1144,8 @@ staged AS (
                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
   FROM prefixed
 )
-SELECT revenue_category, day, p - m AS cusum_cents, (p - m) > h AS alarm
+SELECT revenue_category, day, CAST(p - m AS BIGINT) AS cusum_cents,
+       (p - m) > h AS alarm
 FROM staged
 ORDER BY revenue_category, day
 """
