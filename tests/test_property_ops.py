@@ -1,0 +1,113 @@
+"""Property-based checks for the round-6-continuation operator math.
+
+These run the ORACLE-side SQL in DuckDB over hypothesis-generated inputs
+(milliseconds per example — no Spark session per case) and verify the
+defining mathematical properties.  The Spark side is pinned to the same
+SQL by the bitwise oracle harness, so a property proven here + a
+bitwise-green registry row covers both engines.
+"""
+
+from __future__ import annotations
+
+import duckdb
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from basin_climbing_data_pipeline_spark.operators.sampling import STRAT_BUDGET_DIV
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    counts=st.lists(st.integers(min_value=1, max_value=500), min_size=1, max_size=25)
+)
+def test_hamilton_allocation_properties(counts):
+    """Largest-remainder allocation: Σquota == budget exactly, each quota
+    within one seat of the exact proportional share, and never negative
+    or above the stratum size (when budget < total)."""
+    total = sum(counts)
+    budget = total // STRAT_BUDGET_DIV
+    con = duckdb.connect()
+    values = ", ".join(f"('s{i:02d}', {n})" for i, n in enumerate(counts))
+    rows = con.execute(
+        f"""
+WITH counts(source, n_docs) AS (VALUES {values}),
+totals AS (
+  SELECT sum(n_docs) AS total, sum(n_docs) // {STRAT_BUDGET_DIV} AS budget
+  FROM counts
+),
+based AS (
+  SELECT source, n_docs, budget,
+         (budget * n_docs) // total AS base,
+         (budget * n_docs) % total AS rem
+  FROM counts, totals
+)
+SELECT source, n_docs,
+       CAST(base + (row_number() OVER (ORDER BY rem DESC, source)
+                    <= budget - sum(base) OVER ())::int AS BIGINT) AS quota
+FROM based
+ORDER BY source
+"""
+    ).fetchall()
+    assert sum(r[2] for r in rows) == budget
+    for _src, n, quota in rows:
+        assert 0 <= quota <= n
+        exact = budget * n / total
+        assert abs(quota - exact) < 1.0
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    incs=st.lists(
+        st.integers(min_value=-(10**6), max_value=10**6), min_size=1, max_size=60
+    )
+)
+def test_cusum_window_identity(incs):
+    """S_t = P_t - min(0, min_{j<=t} P_j) equals the clamped recursion
+    S_t = max(0, S_{t-1} + inc_t) for ANY integer series."""
+    con = duckdb.connect()
+    values = ", ".join(f"({i}, {v})" for i, v in enumerate(incs))
+    rows = con.execute(
+        f"""
+WITH series(t, inc) AS (VALUES {values}),
+prefixed AS (
+  SELECT t, sum(inc) OVER (ORDER BY t
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+  FROM series
+)
+SELECT t, p - min(least(p, 0)) OVER (ORDER BY t
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+FROM prefixed ORDER BY t
+"""
+    ).fetchall()
+    s = 0
+    for (t, got), inc in zip(rows, incs):
+        s = max(0, s + inc)
+        assert got == s, t
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    weights=st.lists(
+        st.integers(min_value=1, max_value=10**6), min_size=1, max_size=40
+    ),
+    k=st.integers(min_value=1, max_value=10),
+)
+def test_aes_key_ordering_is_scale_invariant(weights, k):
+    """A-ES sanity: multiplying every weight by a constant shifts every
+    key by the same 1/c factor, so the SELECTION ORDER depends only on
+    relative weights (the property that makes the sample weight-
+    proportional rather than magnitude-dependent)."""
+    import hashlib
+    import math
+
+    def keys(ws, scale):
+        out = []
+        for i, w in enumerate(ws):
+            h = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+            u = (h + 0.5) / 4294967296.0
+            out.append((math.log(u) / (w * scale), i))
+        return sorted(out, reverse=True)
+
+    order_1 = [i for _key, i in keys(weights, 1)][:k]
+    order_c = [i for _key, i in keys(weights, 7)][:k]
+    assert order_1 == order_c
