@@ -1561,3 +1561,197 @@ SELECT doc_id, source, n_tokens, avg_micro / 1000000.0 AS avg_logprob
 FROM per_doc
 ORDER BY doc_id
 """
+
+
+
+# ---------------------------------------------------------------------------
+# in-engine linear probe — model fitting via exact normal equations
+# ---------------------------------------------------------------------------
+#
+# OLS regression of the composite quality score on its raw ingredients,
+# solved in CLOSED FORM: one aggregation pass collects the 4x4 moment
+# matrix as exact integer sums, Cramer's rule solves it in a 1-row
+# projection.  Because the score IS a linear function of the features,
+# the probe must recover the generating coefficients (0.3/0.4/0.3) to
+# fixed-point resolution — the verifiable sanity property an in-engine
+# trainer needs before you point it at real labels.
+#
+# Determinism: features and label are 1e-4 fixed point, so the scaled
+# integers are exact; moment sums accumulate as DECIMAL(38,0) (Spark) /
+# HUGEINT (DuckDB) — order-insensitive at any scale, no int64 overflow
+# at 100-TB row counts; every double that follows is derived from those
+# exact sums by the SAME textual expression in both engines (the Cramer
+# expansion below is GENERATED once and fed to F.expr and the SQL).
+
+_FEAT_SCALE = 10000  # the fixed-point grid of the ratio features
+
+
+def _det3(m: list[list[str]]) -> str:
+    """Symbolic 3x3 determinant (expansion fixed order — parity-safe)."""
+    return (
+        f"({m[0][0]}) * (({m[1][1]}) * ({m[2][2]}) - ({m[1][2]}) * ({m[2][1]}))"
+        f" - ({m[0][1]}) * (({m[1][0]}) * ({m[2][2]}) - ({m[1][2]}) * ({m[2][0]}))"
+        f" + ({m[0][2]}) * (({m[1][0]}) * ({m[2][1]}) - ({m[1][1]}) * ({m[2][0]}))"
+    )
+
+
+def _det4(m: list[list[str]]) -> str:
+    """Symbolic 4x4 determinant via first-row cofactors of :func:`_det3`."""
+    terms = []
+    for j in range(4):
+        minor = [[m[r][c] for c in range(4) if c != j] for r in range(1, 4)]
+        sign = "+" if j % 2 == 0 else "-"
+        terms.append(f"{sign} ({m[0][j]}) * ({_det3(minor)})")
+    return " ".join(terms).lstrip("+ ")
+
+
+def _probe_matrix() -> tuple[list[list[str]], list[str]]:
+    """Normal-equation entries as expressions over the moment-row columns
+    (mm_ij = Σ s_i·s_j in scaled-int units, mb_i = Σ s_i·t), rescaled to
+    feature units.  s_0 ≡ the intercept's pseudo-feature (scale 1)."""
+    sc = float(_FEAT_SCALE)
+
+    def entry(i: int, j: int) -> str:
+        div = (sc if i else 1.0) * (sc if j else 1.0)
+        return f"CAST(mm_{min(i, j)}{max(i, j)} AS DOUBLE) / {div!r}"
+
+    def rhs(i: int) -> str:
+        div = (sc if i else 1.0) * sc
+        return f"CAST(mb_{i} AS DOUBLE) / {div!r}"
+
+    a = [[entry(i, j) for j in range(4)] for i in range(4)]
+    b = [rhs(i) for i in range(4)]
+    return a, b
+
+
+def _probe_weight_exprs() -> dict[str, str]:
+    """Cramer-rule weight/diagnostic expressions shared by both engines."""
+    a, b = _probe_matrix()
+    det_a = _det4(a)
+    out = {"det_a": det_a}
+    for i in range(4):
+        m_i = [[b[r] if c == i else a[r][c] for c in range(4)] for r in range(4)]
+        out[f"det_{i}"] = _det4(m_i)
+    return out
+
+
+def linear_probe_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fit ``quality_score ~ stopword_ratio + unique_ratio +
+    length_saturation`` by exact ordinary least squares, entirely
+    in-engine: ONE scan aggregates the integer moment matrix, Cramer's
+    rule solves the 4x4 normal equations in a 1-row projection — no
+    iterations, no driver collect, no MLlib.  Output: recovered
+    coefficients (micro fixed-point), R², and the max absolute deviation
+    from the KNOWN generating coefficients (0.35-threshold composite,
+    :func:`quality_score_col`) — the self-grading "did the trainer
+    recover the rule" number.
+
+    Scale shape: the aggregation is a map-side-combined 1-row reduce of
+    15 decimal sums; everything after is scalar arithmetic on one row.
+    This is the distributed-OLS layout (moments, not row matrices, move
+    across the cluster) that works unchanged at any corpus size."""
+    stats = doc_stats(spark, sf_dir)
+    feats = stats.select(
+        F.floor(F.coalesce(F.col("stopword_ratio"), F.lit(0.0)) * _FEAT_SCALE + 0.5)
+        .cast("long")
+        .alias("s1"),
+        F.floor(F.coalesce(F.col("unique_ratio"), F.lit(0.0)) * _FEAT_SCALE + 0.5)
+        .cast("long")
+        .alias("s2"),
+        F.floor(F.least(F.col("n_words") / 100.0, F.lit(1.0)) * _FEAT_SCALE + 0.5)
+        .cast("long")
+        .alias("s3"),
+        F.floor(quality_score_col() * _FEAT_SCALE + 0.5).cast("long").alias("t"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    s = {0: F.lit(1).cast("long"), 1: F.col("s1"), 2: F.col("s2"), 3: F.col("s3")}
+    aggs = [F.count("*").alias("n_docs")]
+    for i in range(4):
+        for j in range(i, 4):
+            aggs.append(F.sum(dec(s[i] * s[j])).alias(f"mm_{i}{j}"))
+        aggs.append(F.sum(dec(s[i] * F.col("t"))).alias(f"mb_{i}"))
+    aggs.append(F.sum(dec(F.col("t") * F.col("t"))).alias("mtt"))
+    mom = feats.agg(*aggs)
+
+    exprs = _probe_weight_exprs()
+    solved = mom.select(
+        "n_docs",
+        "mb_0",
+        "mtt",
+        *[F.expr(e).alias(k) for k, e in exprs.items()],
+        *[F.expr(e).alias(f"b_{i}") for i, e in enumerate(_probe_matrix()[1])],
+    )
+    w = [F.col(f"det_{i}") / F.col("det_a") for i in range(4)]
+    # SSE = Σt² − wᵀ(Xᵀy); SST = Σt² − (Σt)²/n   (all in feature units)
+    yy = F.col("mtt").cast("double") / float(_FEAT_SCALE**2)
+    ysum = F.col("mb_0").cast("double") / float(_FEAT_SCALE)
+    sse = yy - sum(w[i] * F.col(f"b_{i}") for i in range(4))
+    sst = yy - ysum * ysum / F.col("n_docs").cast("double")
+    micro = lambda c: F.floor(c * 1000000.0 + 0.5) / 1000000.0  # noqa: E731
+    dev = F.greatest(
+        F.abs(w[1] - 0.3), F.abs(w[2] - 0.4), F.abs(w[3] - 0.3)
+    )
+    return solved.select(
+        "n_docs",
+        micro(w[0]).alias("w_intercept"),
+        micro(w[1]).alias("w_stopword"),
+        micro(w[2]).alias("w_unique"),
+        micro(w[3]).alias("w_length"),
+        micro(F.lit(1.0) - sse / sst).alias("r_squared"),
+        micro(dev).alias("max_coef_deviation"),
+    )
+
+
+def linear_probe_quality_sql() -> str:
+    exprs = _probe_weight_exprs()
+    _a, b = _probe_matrix()
+    mm_terms = []
+    names = {0: "1", 1: "s1", 2: "s2", 3: "s3"}
+    for i in range(4):
+        for j in range(i, 4):
+            mm_terms.append(f"sum(({names[i]}) * ({names[j]})) AS mm_{i}{j}")
+        mm_terms.append(f"sum(({names[i]}) * t) AS mb_{i}")
+    mm_terms.append("sum(t * t) AS mtt")
+    w = [f"(det_{i} / det_a)" for i in range(4)]
+    sse = f"(yy - ({' + '.join(f'{w[i]} * b_{i}' for i in range(4))}))"
+    micro = lambda e: f"floor(({e}) * 1000000.0 + 0.5) / 1000000.0"  # noqa: E731
+    dev = (
+        f"greatest(abs({w[1]} - 0.3), abs({w[2]} - 0.4), abs({w[3]} - 0.3))"
+    )
+    mm_joined = ",\n         ".join(mm_terms)
+    det_joined = ",\n         ".join(f"{e} AS {k}" for k, e in exprs.items())
+    b_joined = ",\n         ".join(f"{e} AS b_{i}" for i, e in enumerate(b))
+    return f"""
+WITH stats AS ({doc_stats_sql()}),
+feats AS (
+  SELECT CAST(floor(coalesce(stopword_ratio, 0.0) * {_FEAT_SCALE} + 0.5) AS BIGINT) AS s1,
+         CAST(floor(coalesce(unique_ratio, 0.0) * {_FEAT_SCALE} + 0.5) AS BIGINT) AS s2,
+         CAST(floor(least(n_words / 100.0, 1.0) * {_FEAT_SCALE} + 0.5) AS BIGINT) AS s3,
+         CAST(floor({quality_score_sql()} * {_FEAT_SCALE} + 0.5) AS BIGINT) AS t
+  FROM stats
+),
+mom AS (
+  SELECT count(*) AS n_docs,
+         {mm_joined}
+  FROM feats
+),
+solved AS (
+  SELECT n_docs, mb_0, mtt,
+         {det_joined},
+         {b_joined}
+  FROM mom
+)
+SELECT n_docs,
+       {micro(w[0])} AS w_intercept,
+       {micro(w[1])} AS w_stopword,
+       {micro(w[2])} AS w_unique,
+       {micro(w[3])} AS w_length,
+       {micro(f"1.0 - {sse} / (yy - ys * ys / n_docs::double)")} AS r_squared,
+       {micro(dev)} AS max_coef_deviation
+FROM (
+  SELECT *,
+         CAST(mtt AS DOUBLE) / {float(_FEAT_SCALE**2)!r} AS yy,
+         CAST(mb_0 AS DOUBLE) / {float(_FEAT_SCALE)!r} AS ys
+  FROM solved
+)
+"""

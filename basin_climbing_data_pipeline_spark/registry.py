@@ -556,6 +556,7 @@ register("cross_source_dup_matrix", dd.cross_source_dup_matrix, dd.cross_source_
 register("bigram_interp_logprob", ts.bigram_interp_logprob, ts.bigram_interp_logprob_sql())
 register("cusum_revenue_drift", txn.cusum_revenue_drift, txn.cusum_revenue_drift_sql())
 register("markov_holdout_accuracy", co.markov_holdout_accuracy, co.markov_holdout_accuracy_sql())
+register("linear_probe_quality", ts.linear_probe_quality, ts.linear_probe_quality_sql())
 
 
 # --- round-5 window rotation ----------------------------------------------
@@ -701,6 +702,7 @@ _ROUND7_FRONT = [
     "bigram_interp_logprob",
     "cusum_revenue_drift",
     "markov_holdout_accuracy",
+    "linear_probe_quality",
 ]
 _r7_missing = [n for n in _ROUND7_FRONT if n not in REGISTRY]
 if _r7_missing:

@@ -62,6 +62,7 @@ QUERIES = [
     "weighted_reservoir_sample", # ln(u)/w keys incl. zero-weight exclusion
     "bigram_interp_logprob",     # lag-chain bigrams on 1-token/empty docs
     "media_resize_features",     # empty-payload thumbnail (capstone catch)
+    "linear_probe_quality",      # Cramer solve on a degenerate tiny corpus
 ]
 
 

@@ -725,3 +725,52 @@ def test_bigram_interp_matches_python(spark, sf_dir):
         assert r["n_tokens"] == len(words)
         assert r["avg_logprob"] == want, doc_id
         assert r["avg_logprob"] <= 0.0
+
+
+def test_linear_probe_recovers_generating_rule(spark, sf_dir):
+    """The OLS probe must recover the quality score's known coefficients
+    (0.3 stopword / 0.4 unique / 0.3 length) to fixed-point resolution,
+    and match numpy's lstsq on the same scaled integers."""
+    import numpy as np
+    import pandas as pd
+
+    from basin_climbing_data_pipeline_spark.operators.textstats import (
+        _FEAT_SCALE,
+        linear_probe_quality,
+    )
+
+    r = linear_probe_quality(spark, sf_dir).collect()[0]
+    assert r["max_coef_deviation"] < 0.01, "coefficients recovered"
+    assert r["r_squared"] > 0.999
+    assert abs(r["w_stopword"] - 0.3) < 0.01
+    assert abs(r["w_unique"] - 0.4) < 0.01
+    assert abs(r["w_length"] - 0.3) < 0.01
+    # numpy differential on the identical scaled-integer features
+    import duckdb
+
+    from basin_climbing_data_pipeline_spark.operators.textstats import (
+        QUALITY_SPAM_MAX,  # noqa: F401  (import proves the module contract)
+        doc_stats_sql,
+        quality_score_sql,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    rows = con.execute(
+        f"""WITH stats AS ({doc_stats_sql()})
+SELECT CAST(floor(coalesce(stopword_ratio, 0.0) * {_FEAT_SCALE} + 0.5) AS BIGINT),
+       CAST(floor(coalesce(unique_ratio, 0.0) * {_FEAT_SCALE} + 0.5) AS BIGINT),
+       CAST(floor(least(n_words / 100.0, 1.0) * {_FEAT_SCALE} + 0.5) AS BIGINT),
+       CAST(floor({quality_score_sql()} * {_FEAT_SCALE} + 0.5) AS BIGINT)
+FROM stats"""
+    ).fetchall()
+    a = np.array(rows, dtype=float) / _FEAT_SCALE
+    x = np.hstack([np.ones((len(a), 1)), a[:, :3]])
+    y = a[:, 3]
+    w, *_ = np.linalg.lstsq(x, y, rcond=None)
+    assert abs(r["w_intercept"] - w[0]) < 1e-4
+    assert abs(r["w_stopword"] - w[1]) < 1e-4
+    assert abs(r["w_unique"] - w[2]) < 1e-4
+    assert abs(r["w_length"] - w[3]) < 1e-4
