@@ -703,6 +703,9 @@ _ROUND7_FRONT = [
     "cusum_revenue_drift",
     "markov_holdout_accuracy",
     "linear_probe_quality",
+    # oracle changed AFTER its round-6 driver row (empty-payload guard,
+    # the capstone catch) — re-verify
+    "media_resize_features",
 ]
 _r7_missing = [n for n in _ROUND7_FRONT if n not in REGISTRY]
 if _r7_missing:

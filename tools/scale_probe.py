@@ -62,6 +62,8 @@ Measured at replicas=4 (sf0.1 base, local[32]):
 - cusum_revenue_drift 1.0x, markov_holdout_accuracy 0.9x (round-6
   continuation, third batch) — both are one corpus-keyed window shuffle
   plus matrix-/calendar-sized downstream work.
+- linear_probe_quality 1.3x — one map-side-combined 15-sum aggregate;
+  everything after is a 1-row Cramer solve.
 """
 
 from __future__ import annotations
