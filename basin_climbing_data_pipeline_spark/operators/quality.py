@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..io import load_table
+
 
 def warehouse_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One row per constraint: (check_name, n_rows, n_violations, passed).
@@ -165,4 +167,139 @@ SELECT check_name,
        n_violations = 0 AS passed
 FROM checks
 ORDER BY check_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit — the governance gate before a dataset leaves the house
+# ---------------------------------------------------------------------------
+
+K_ANON_THRESHOLD = 5
+ACCTBAL_BAND = 1000  # quasi-identifier coarsening: balance band width
+
+
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity over the customer quasi-identifiers (nation, market
+    segment, account-balance band): group rows into equivalence classes
+    and report the class-size histogram with the k=:data:`K_ANON_THRESHOLD`
+    violation accounting — how many customers sit in classes small enough
+    to re-identify, the number a release gate checks before any derived
+    dataset ships.  Banding uses floor division so negative balances band
+    consistently in both engines (DuckDB ``//`` floors, so the Spark side
+    uses ``floor(x / w)`` rather than integer ``div``).
+
+    Scale shape: one groupBy on the QI tuple (map-side combined), then a
+    histogram over class sizes — the second aggregation's input is
+    |classes|, not |rows|."""
+    cust = load_table(spark, sf_dir, "customer")
+    classes = cust.groupBy(
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        F.floor(F.col("c_acctbal") / float(ACCTBAL_BAND)).cast("long").alias("bal_band"),
+    ).agg(F.count("*").alias("class_size"))
+    return (
+        classes.groupBy("class_size")
+        .agg(F.count("*").alias("n_classes"))
+        .select(
+            "class_size",
+            "n_classes",
+            (F.col("class_size") * F.col("n_classes")).alias("n_customers"),
+            (F.col("class_size") < K_ANON_THRESHOLD).alias("violates_k"),
+        )
+        .orderBy("class_size")
+    )
+
+
+def k_anonymity_audit_sql() -> str:
+    return f"""
+WITH classes AS (
+  SELECT c_nationkey AS nation, c_mktsegment AS segment,
+         CAST(floor(c_acctbal / {float(ACCTBAL_BAND)!r}) AS BIGINT) AS bal_band,
+         count(*) AS class_size
+  FROM customer
+  GROUP BY 1, 2, 3
+)
+SELECT class_size,
+       count(*) AS n_classes,
+       CAST(class_size * count(*) AS BIGINT) AS n_customers,
+       class_size < {K_ANON_THRESHOLD} AS violates_k
+FROM classes
+GROUP BY class_size
+ORDER BY class_size
+"""
+
+
+# ---------------------------------------------------------------------------
+# join-key skew audit — find the hot keys before the shuffle does
+# ---------------------------------------------------------------------------
+
+SKEW_TOP_K = 10
+
+
+def join_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew profile of the events stream's join key (``user_id``): the
+    :data:`SKEW_TOP_K` heaviest keys with each key's share of the table
+    and its ratio to the MEAN key load — the numbers that decide whether
+    a downstream join needs salting (:mod:`..operators.skew`), AQE
+    skew-split, or a broadcast instead.  Run this BEFORE the 100-TB
+    shuffle, not after it spills.
+
+    Exactness: shares and ratios are integer-derived fixed-point (counts
+    and the 1-row total are exact; one floored division each).
+
+    Scale shape: one groupBy on the key (map-side combined), a 1-row
+    total broadcast back, one top-k — the audit never moves more than
+    |distinct keys| rows."""
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    counts = ev.groupBy("user_id").agg(F.count("*").alias("n_rows"))
+    totals = counts.agg(
+        F.sum("n_rows").alias("total_rows"), F.count("*").alias("n_keys")
+    )
+    joined = counts.crossJoin(F.broadcast(totals))
+    share = F.floor(
+        F.col("n_rows").cast("double") / F.col("total_rows").cast("double") * 1000000.0
+        + 0.5
+    ) / 1000000.0
+    mean_ratio = F.floor(
+        F.col("n_rows").cast("double")
+        * F.col("n_keys").cast("double")
+        / F.col("total_rows").cast("double")
+        * 10000.0
+        + 0.5
+    ) / 10000.0
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("n_rows"), F.asc("user_id"))
+    top = (
+        joined.orderBy(F.desc("n_rows"), F.asc("user_id"))
+        .limit(SKEW_TOP_K)
+        .withColumn("rank", F.row_number().over(w))
+    )
+    return top.select(
+        "rank",
+        "user_id",
+        "n_rows",
+        share.alias("share"),
+        mean_ratio.alias("x_mean_load"),
+    ).orderBy("rank")
+
+
+def join_key_skew_audit_sql() -> str:
+    return f"""
+WITH counts AS (
+  SELECT user_id, count(*) AS n_rows FROM events GROUP BY user_id
+),
+totals AS (SELECT sum(n_rows) AS total_rows, count(*) AS n_keys FROM counts),
+ranked AS (
+  SELECT user_id, n_rows, total_rows, n_keys,
+         row_number() OVER (ORDER BY n_rows DESC, user_id) AS rank
+  FROM counts, totals
+)
+SELECT rank, user_id, n_rows,
+       floor(n_rows::double / total_rows::double * 1000000.0 + 0.5) / 1000000.0 AS share,
+       floor(n_rows::double * n_keys::double / total_rows::double * 10000.0 + 0.5)
+         / 10000.0 AS x_mean_load
+FROM ranked
+WHERE rank <= {SKEW_TOP_K}
+ORDER BY rank
 """

@@ -557,6 +557,8 @@ register("bigram_interp_logprob", ts.bigram_interp_logprob, ts.bigram_interp_log
 register("cusum_revenue_drift", txn.cusum_revenue_drift, txn.cusum_revenue_drift_sql())
 register("markov_holdout_accuracy", co.markov_holdout_accuracy, co.markov_holdout_accuracy_sql())
 register("linear_probe_quality", ts.linear_probe_quality, ts.linear_probe_quality_sql())
+register("k_anonymity_audit", qa.k_anonymity_audit, qa.k_anonymity_audit_sql())
+register("join_key_skew_audit", qa.join_key_skew_audit, qa.join_key_skew_audit_sql())
 
 
 # --- round-5 window rotation ----------------------------------------------
@@ -703,6 +705,8 @@ _ROUND7_FRONT = [
     "cusum_revenue_drift",
     "markov_holdout_accuracy",
     "linear_probe_quality",
+    "k_anonymity_audit",
+    "join_key_skew_audit",
     # oracle changed AFTER its round-6 driver row (empty-payload guard,
     # the capstone catch) — re-verify
     "media_resize_features",

@@ -184,6 +184,7 @@ EVENT_QUERIES = [
     "visit_streaks",
     "markov_holdout_accuracy",  # unseen-in-train states -> NULL prediction
     "streaming_weighted_sample",  # ln(u)/w on half-cent and zero values
+    "join_key_skew_audit",        # tie-heavy key counts + rank tie-breaks
 ]
 
 

@@ -774,3 +774,54 @@ FROM stats"""
     assert abs(r["w_stopword"] - w[1]) < 1e-4
     assert abs(r["w_unique"] - w[2]) < 1e-4
     assert abs(r["w_length"] - w[3]) < 1e-4
+
+
+def test_k_anonymity_accounting(spark, sf_dir):
+    """Histogram reconciles with the table; negative balances band by
+    FLOOR on both engines (the Spark-div-vs-DuckDB-// trap)."""
+    import duckdb
+
+    from basin_climbing_data_pipeline_spark.operators.quality import (
+        ACCTBAL_BAND,
+        K_ANON_THRESHOLD,
+        k_anonymity_audit,
+        k_anonymity_audit_sql,
+    )
+
+    rows = k_anonymity_audit(spark, sf_dir).collect()
+    n_total = load_table(spark, sf_dir, "customer").count()
+    assert sum(r["n_customers"] for r in rows) == n_total
+    for r in rows:
+        assert r["n_customers"] == r["class_size"] * r["n_classes"]
+        assert r["violates_k"] == (r["class_size"] < K_ANON_THRESHOLD)
+    # floor-banding parity on negative balances, tiny synthetic table
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW customer AS SELECT * FROM (VALUES "
+        "(1, 'a', 1, -1500.0, 's'), (2, 'b', 1, -0.01, 's'), "
+        "(3, 'c', 1, 0.0, 's'), (4, 'd', 1, 999.99, 's')"
+        ") t(c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment)"
+    )
+    got = con.execute(k_anonymity_audit_sql()).fetchall()
+    import pandas as pd
+
+    sdf = spark.createDataFrame(
+        [(1, "a", 1, -1500.0, "s"), (2, "b", 1, -0.01, "s"),
+         (3, "c", 1, 0.0, "s"), (4, "d", 1, 999.99, "s")],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string",
+    )
+    from pyspark.sql import functions as SF
+
+    classes = sdf.groupBy(
+        "c_nationkey", "c_mktsegment",
+        SF.floor(SF.col("c_acctbal") / float(ACCTBAL_BAND)).cast("long").alias("b"),
+    ).count()
+    spark_hist = sorted(
+        (r["count"],) for r in classes.collect()
+    )
+    duck_hist = sorted((r[0],) * 0 + (r[0],) for r in got for _ in range(r[1]))
+    # -1500 -> band -2, -0.01 -> band -1, 0.0 and 999.99 -> band 0
+    bands = {r["b"] for r in classes.collect()}
+    assert bands == {-2, -1, 0}
+    assert sum(c for (c,) in spark_hist) == 4
+    assert sum(r[0] * r[1] for r in got) == 4
