@@ -64,6 +64,8 @@ Measured at replicas=4 (sf0.1 base, local[32]):
   plus matrix-/calendar-sized downstream work.
 - linear_probe_quality 1.3x — one map-side-combined 15-sum aggregate;
   everything after is a 1-row Cramer solve.
+- k_anonymity_audit 0.8x, join_key_skew_audit 1.0x — one keyed groupBy
+  each; downstream work is |classes| / |distinct keys|, not rows.
 """
 
 from __future__ import annotations
