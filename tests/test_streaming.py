@@ -311,3 +311,21 @@ def test_streaming_weighted_sample_fold_equals_batch(spark, sf_dir, tmp_path):
         (e, w, k) for k, e, w in want
     ]
     assert [r["rank"] for r in got] == list(range(1, len(want) + 1))
+
+
+def test_streaming_weighted_sample_empty_mass(spark, sf_dir, tmp_path):
+    """A stream whose every event has non-positive value carries no
+    sampling mass: the fold must return an EMPTY frame with the contract
+    schema, not crash on the empty-state path."""
+    import pandas as pd
+
+    from basin_climbing_data_pipeline_spark.streaming.events_stream import (
+        streaming_weighted_sample,
+    )
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet").head(50).copy()
+    ev["value"] = 0.0
+    ev.to_parquet(tmp_path / "events.parquet")
+    out = streaming_weighted_sample(spark, str(tmp_path))
+    assert out.columns == ["rank", "event_id", "weight", "sel_key"]
+    assert out.count() == 0
