@@ -263,8 +263,14 @@ def bootstrap_spend_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rep_mean_cents"
         ),
     )
+    # Drop zero-mass replicates (rep_mean_cents NULL) BEFORE ranking: they
+    # carry no information, and Spark sorts NULLs first in ASC while DuckDB
+    # sorts them last — pinning the filter keeps the rank picks identical
+    # cross-engine on corpora where sw = 0 is reachable.
     w_rank = Window.orderBy("rep_mean_cents", "b")
-    ranked = rep_means.withColumn("rk", F.row_number().over(w_rank))
+    ranked = rep_means.where(F.col("rep_mean_cents").isNotNull()).withColumn(
+        "rk", F.row_number().over(w_rank)
+    )
     ci = ranked.agg(
         F.max(F.when(F.col("rk") == CI_LO_RANK, F.col("rep_mean_cents"))).alias(
             "ci_lo_cents"
@@ -317,9 +323,12 @@ rep_means AS (
   FROM per_rep
 ),
 ranked AS (
+  -- zero-mass replicates dropped before ranking (mirrors the Spark side;
+  -- Spark and DuckDB disagree on NULL sort position)
   SELECT rep_mean_cents,
          row_number() OVER (ORDER BY rep_mean_cents, b) AS rk
   FROM rep_means
+  WHERE rep_mean_cents IS NOT NULL
 ),
 ci AS (
   SELECT max(CASE WHEN rk = {CI_LO_RANK} THEN rep_mean_cents END) AS ci_lo_cents,

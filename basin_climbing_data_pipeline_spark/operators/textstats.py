@@ -1681,7 +1681,12 @@ def linear_probe_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.expr(e).alias(k) for k, e in exprs.items()],
         *[F.expr(e).alias(f"b_{i}") for i, e in enumerate(_probe_matrix()[1])],
     )
-    w = [F.col(f"det_{i}") / F.col("det_a") for i in range(4)]
+    # Degenerate-fit guard (same 0/0 class as zipf_slope): a zero-variance
+    # feature makes det_a = 0 and a constant target makes sst = 0; Spark
+    # doubles would emit Inf/NaN where DuckDB emits NULL, so BOTH engines
+    # pin the degenerate cases to NULL explicitly.
+    nz = F.col("det_a") != F.lit(0)
+    w = [F.when(nz, F.col(f"det_{i}") / F.col("det_a")) for i in range(4)]
     # SSE = Σt² − wᵀ(Xᵀy); SST = Σt² − (Σt)²/n   (all in feature units)
     yy = F.col("mtt").cast("double") / float(_FEAT_SCALE**2)
     ysum = F.col("mb_0").cast("double") / float(_FEAT_SCALE)
@@ -1697,7 +1702,9 @@ def linear_probe_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         micro(w[1]).alias("w_stopword"),
         micro(w[2]).alias("w_unique"),
         micro(w[3]).alias("w_length"),
-        micro(F.lit(1.0) - sse / sst).alias("r_squared"),
+        micro(
+            F.when(nz & (sst != F.lit(0.0)), F.lit(1.0) - sse / sst)
+        ).alias("r_squared"),
         micro(dev).alias("max_coef_deviation"),
     )
 
@@ -1712,7 +1719,9 @@ def linear_probe_quality_sql() -> str:
             mm_terms.append(f"sum(({names[i]}) * ({names[j]})) AS mm_{i}{j}")
         mm_terms.append(f"sum(({names[i]}) * t) AS mb_{i}")
     mm_terms.append("sum(t * t) AS mtt")
-    w = [f"(det_{i} / det_a)" for i in range(4)]
+    # Degenerate-fit guard mirrored from the Spark side: det_a = 0 or
+    # sst = 0 must yield NULL in BOTH engines, not Inf/NaN in one.
+    w = [f"(CASE WHEN det_a <> 0 THEN det_{i} / det_a END)" for i in range(4)]
     sse = f"(yy - ({' + '.join(f'{w[i]} * b_{i}' for i in range(4))}))"
     micro = lambda e: f"floor(({e}) * 1000000.0 + 0.5) / 1000000.0"  # noqa: E731
     dev = (
@@ -1746,7 +1755,7 @@ SELECT n_docs,
        {micro(w[1])} AS w_stopword,
        {micro(w[2])} AS w_unique,
        {micro(w[3])} AS w_length,
-       {micro(f"1.0 - {sse} / (yy - ys * ys / n_docs::double)")} AS r_squared,
+       {micro(f"CASE WHEN det_a <> 0 AND (yy - ys * ys / n_docs::double) <> 0 THEN 1.0 - {sse} / (yy - ys * ys / n_docs::double) END")} AS r_squared,
        {micro(dev)} AS max_coef_deviation
 FROM (
   SELECT *,

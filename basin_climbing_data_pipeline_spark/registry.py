@@ -670,14 +670,25 @@ _ROUND6_WINDOW = [
     "revenue_actual_plus_projected",
     "membership_conversion_asof",
 ]
-# STAGED for round 7 (informational — flip by building a _ROUND7_WINDOW the
-# same way): lead with this round's additions (source_priority_dedup,
-# membership_scd2, data_questions — never driver-checked), then the 17 round-3-green
-# entries named in the freshness-rotation comment inside _ROUND6_WINDOW,
-# then anything round 6 touches after its driver run; fill the remaining
-# ~31 slots with the oldest driver-green rows at that point (the round-4
-# block).
-_ROUND7_FRONT = [
+# --- round-7 window rotation ----------------------------------------------
+# The full, explicit 50-slot round-7 window (CORRECTNESS_r06 landed 50/50
+# green, so every entry that existed at round-5 close is driver-verified-
+# ever).  Composition, in priority order:
+#   * 27 front slots — the 25 round-6 additions (never driver-checked)
+#     plus two re-verifies: ann_recall_eval (its candidate block was
+#     refactored into the shared _lsh_query_candidates helper after its
+#     round-5 row) and media_resize_features (its oracle gained an
+#     empty-payload guard after its round-6 row);
+#   * 17 freshness slots — the round-3-green entries named in the
+#     rotation comment inside _ROUND6_WINDOW, untouched since, whose
+#     newest driver row is now four rounds old;
+#   * 6 fill slots — the oldest still-round-4 rows, taken in their
+#     CORRECTNESS_r04.json verification order (lead_timelines,
+#     rsvp_party_attendees, link_refunds, regex_key_enrichment,
+#     membership_flow, at_risk_report).
+# A green CORRECTNESS_r07 on this window makes all 181 registry entries
+# driver-verified-ever.
+_ROUND7_WINDOW = [
     "source_priority_dedup",
     "membership_scd2",
     "data_questions",
@@ -710,10 +721,33 @@ _ROUND7_FRONT = [
     # oracle changed AFTER its round-6 driver row (empty-payload guard,
     # the capstone catch) — re-verify
     "media_resize_features",
+    # --- freshness rotation (17): last driver row is round 3, code
+    # untouched since — the oldest green rows in the registry.
+    "checkins_membership_coverage",
+    "visits_before_first_membership",
+    "duplicate_emails",
+    "fuzzy_email_matches",
+    "identifiers_build",
+    "parent_contact_enrichment",
+    "customers_with_youth",
+    "purchasers_never_checked_in",
+    "conversion_cohorts",
+    "top_spenders",
+    "customer_mode_category",
+    "refund_distribution",
+    "family_day_pass_groups",
+    "members_minus_active_owners",
+    "parent_child_covisits",
+    "same_purchase_pairs",
+    "quality_buckets",
+    # --- fill (6): oldest round-4 rows, in CORRECTNESS_r04.json order.
+    "lead_timelines",
+    "rsvp_party_attendees",
+    "link_refunds",
+    "regex_key_enrichment",
+    "membership_flow",
+    "at_risk_report",
 ]
-_r7_missing = [n for n in _ROUND7_FRONT if n not in REGISTRY]
-if _r7_missing:
-    raise ValueError(f"round-7 staged names not in registry: {_r7_missing}")
 
 # hard failures, not asserts: a python -O run must not silently rotate the
 # driver's verification window onto the wrong entries.
@@ -724,8 +758,15 @@ if len(set(_ROUND6_WINDOW)) != len(_ROUND6_WINDOW):
 _missing = [n for n in _ROUND6_WINDOW if n not in REGISTRY]
 if _missing:
     raise ValueError(f"round-6 window names not in registry: {_missing}")
-_rest = [n for n in REGISTRY if n not in set(_ROUND6_WINDOW)]
-_reordered = {n: REGISTRY[n] for n in _ROUND6_WINDOW + _rest}
+if len(_ROUND7_WINDOW) != 50:
+    raise ValueError(f"round-7 window must fill exactly 50 slots, got {len(_ROUND7_WINDOW)}")
+if len(set(_ROUND7_WINDOW)) != len(_ROUND7_WINDOW):
+    raise ValueError("round-7 window contains duplicate entries")
+_r7_missing = [n for n in _ROUND7_WINDOW if n not in REGISTRY]
+if _r7_missing:
+    raise ValueError(f"round-7 window names not in registry: {_r7_missing}")
+_rest = [n for n in REGISTRY if n not in set(_ROUND7_WINDOW)]
+_reordered = {n: REGISTRY[n] for n in _ROUND7_WINDOW + _rest}
 REGISTRY.clear()
 REGISTRY.update(_reordered)
 

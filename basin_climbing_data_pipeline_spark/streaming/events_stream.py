@@ -61,6 +61,21 @@ class _stream_partitions:
         return False
 
 
+def _await_finished(q, timeout: int = 300) -> None:
+    """Drain an availableNow query; FAIL LOUD on timeout.
+
+    ``awaitTermination(timeout=...)`` returns False while the query is
+    still running — ignoring that and reading the sink would return a
+    partial, wrong-but-plausible result (worst failure mode for a
+    value-hashed oracle entry).  Every foreachBatch/memory-sink helper in
+    this package must come through here."""
+    if not q.awaitTermination(timeout=timeout):
+        q.stop()
+        raise RuntimeError(
+            f"streaming query {q.name or q.id} still running after {timeout}s"
+        )
+
+
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events parquet, ts normalized to TIMESTAMP.
 
@@ -113,7 +128,7 @@ def windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .queryName(sink)
             .start()
         )
-        q.awaitTermination(timeout=300)
+        _await_finished(q)
     # detach from the memory sink (checkpoint + drop view) so per-call sink
     # tables don't accumulate in driver memory across a registry session
     result = spark.table(sink).localCheckpoint()
@@ -153,7 +168,7 @@ def sliding_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .queryName(sink)
             .start()
         )
-        q.awaitTermination(timeout=300)
+        _await_finished(q)
     # detach from the memory sink (checkpoint + drop view) so per-call sink
     # tables don't accumulate in driver memory across a registry session
     result = spark.table(sink).localCheckpoint()
@@ -244,7 +259,7 @@ def streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .queryName(sink)
             .start()
         )
-        q.awaitTermination(timeout=300)
+        _await_finished(q)
     result = spark.table(sink).localCheckpoint()
     spark.catalog.dropTempView(sink)
     return result.orderBy("event_type")
@@ -312,7 +327,7 @@ def streaming_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .queryName(sink)
             .start()
         )
-        q.awaitTermination(timeout=300)
+        _await_finished(q)
     result = spark.table(sink).localCheckpoint()
     spark.catalog.dropTempView(sink)
     return result.orderBy("user_id", "view_event_id", "purchase_event_id")
@@ -381,7 +396,7 @@ def streaming_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
             .queryName(sink)
             .start()
         )
-        q.awaitTermination(timeout=300)
+        _await_finished(q)
     result = spark.table(sink).localCheckpoint()
     spark.catalog.dropTempView(sink)
     return result.orderBy("window_start_us", "segment")
@@ -473,7 +488,7 @@ def streaming_weighted_sample(
 
     with _stream_partitions(spark):
         q = keyed.writeStream.trigger(availableNow=True).foreachBatch(fold).start()
-        q.awaitTermination(timeout=300)
+        _await_finished(q)
     from pyspark.sql import Window
 
     w = Window.orderBy(F.desc("key_nano"), F.asc("event_id"))

@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from ..io import normalize_event_ts
 from ..operators.incremental import replace_bounded_window_merge
-from .events_stream import _stream_partitions
+from .events_stream import _await_finished, _stream_partitions
 
 
 def merge_stream(
@@ -107,7 +107,7 @@ def merge_stream(
             .queryName(sink_name)
             .start()
         )
-        q.awaitTermination(timeout=300)
+        _await_finished(q)
     if not versions:
         return spark.createDataFrame([], stream.schema)
     return spark.read.parquet(versions[-1])
@@ -227,7 +227,7 @@ def merge_stream_delta(
             .queryName(sink_name)
             .start()
         )
-        q.awaitTermination(timeout=300)
+        _await_finished(q)
     if not DeltaTable.isDeltaTable(spark, target_path):
         return spark.createDataFrame([], stream.schema)
     return spark.read.format("delta").load(target_path)

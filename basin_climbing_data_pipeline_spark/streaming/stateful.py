@@ -82,7 +82,7 @@ def streaming_sessions(spark: SparkSession, sf_dir: str, sink_name: str) -> Data
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    from .events_stream import _stream_partitions
+    from .events_stream import _await_finished, _stream_partitions
 
     with _stream_partitions(spark):
         q = (
@@ -92,7 +92,7 @@ def streaming_sessions(spark: SparkSession, sf_dir: str, sink_name: str) -> Data
             .queryName(sink_name)
             .start()
         )
-        q.awaitTermination(timeout=300)
+        _await_finished(q)
     # detach the result from the memory sink so the per-call sink table
     # doesn't accumulate in driver memory for the rest of the session:
     # checkpoint (blocks are GC-cleaned with the DataFrame) then drop the view

@@ -712,3 +712,82 @@ def test_zipf_slope_single_distinct_token_is_null_on_both_engines(
     row = registry.REGISTRY["zipf_slope"][0](spark, single_token_dir).collect()[0]
     assert row["n_tokens"] == 1
     assert row["zipf_slope"] is None and row["ln_intercept"] is None
+
+
+def test_linear_probe_degenerate_fit_is_null_on_both_engines(
+    spark, single_token_dir
+):
+    """Identical documents → zero feature variance → singular normal
+    equations (det_a = 0).  Without the explicit guard Spark emits
+    Inf/NaN doubles where DuckDB emits NULL; both must pin to NULL."""
+    _assert_oracle_parity(spark, single_token_dir, "linear_probe_quality")
+    row = registry.REGISTRY["linear_probe_quality"][0](
+        spark, single_token_dir
+    ).collect()[0]
+    assert row["w_stopword"] is None
+    assert row["r_squared"] is None
+    assert row["max_coef_deviation"] is None
+
+
+@pytest.fixture(scope="module")
+def single_customer_txn_dir(tmp_path_factory):
+    """One customer, one transaction: with Poisson(1) replicate weights,
+    ~37% of bootstrap replicates draw weight 0 → sw = 0 → NULL replicate
+    mean.  Exercises the NULL-ordering divergence (Spark sorts NULLs
+    first ASC, DuckDB last) that the pre-rank filter pins."""
+    import datetime as dt
+
+    import duckdb as _dd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("single_cust_txn")
+    src = "/root/testdata/sf0.001"
+    for t in ("region nation customer supplier part documents embeddings "
+              "events").split():
+        shutil.copy(f"{src}/{t}.parquet", d / f"{t}.parquet")
+    con = _dd.connect()
+    pk = con.execute(
+        f"SELECT p_partkey FROM read_parquet('{src}/part.parquet') LIMIT 1"
+    ).fetchone()[0]
+    ck = con.execute(
+        f"SELECT c_custkey FROM read_parquet('{src}/customer.parquet') LIMIT 1"
+    ).fetchone()[0]
+    li_schema = pq.read_schema(f"{src}/lineitem.parquet")
+    o_schema = pq.read_schema(f"{src}/orders.parquet")
+    orders = [(9001, ck, "O", 100.0,
+               dt.datetime.combine(dt.date(2001, 6, 10), dt.time()), "3-MEDIUM")]
+    li = [(9001, pk, 1, 1, 1.0, 123.45, 0.0, 0.0, "N", "O",
+           dt.datetime.combine(dt.date(2001, 6, 15), dt.time()))]
+    pq.write_table(
+        pa.table({f.name: pa.array([r[i] for r in li], f.type)
+                  for i, f in enumerate(li_schema)}),
+        f"{d}/lineitem.parquet",
+    )
+    pq.write_table(
+        pa.table({f.name: pa.array([r[i] for r in orders], f.type)
+                  for i, f in enumerate(o_schema)}),
+        f"{d}/orders.parquet",
+    )
+    return str(d), ck
+
+
+def test_bootstrap_ci_zero_mass_replicates_agree_cross_engine(
+    spark, single_customer_txn_dir
+):
+    import hashlib
+
+    from basin_climbing_data_pipeline_spark.operators.experiments import (
+        B_REPLICATES,
+        POISSON1_CDF_MICRO,
+    )
+
+    d, ck = single_customer_txn_dir
+    zero_reps = [
+        b
+        for b in range(B_REPLICATES)
+        if int(hashlib.md5(f"{ck}:{b}".encode()).hexdigest()[:8], 16) % 1_000_000
+        < POISSON1_CDF_MICRO[0]
+    ]
+    assert zero_reps, "fixture must reach the zero-mass (sw=0) replicate edge"
+    _assert_oracle_parity(spark, d, "bootstrap_spend_ci")

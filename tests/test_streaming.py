@@ -329,3 +329,42 @@ def test_streaming_weighted_sample_empty_mass(spark, sf_dir, tmp_path):
     out = streaming_weighted_sample(spark, str(tmp_path))
     assert out.columns == ["rank", "event_id", "weight", "sel_key"]
     assert out.count() == 0
+
+
+def test_await_finished_fails_loud_on_timeout():
+    """A still-running availableNow query must raise, not silently hand a
+    partial sink table to a value-hashed oracle entry — and the hung query
+    must be stopped so it doesn't leak into later queries on the session."""
+    import pytest
+
+    class FakeQuery:
+        name = "fake_sink"
+        id = "deadbeef"
+
+        def __init__(self):
+            self.stopped = False
+
+        def awaitTermination(self, timeout):
+            return False
+
+        def stop(self):
+            self.stopped = True
+
+    q = FakeQuery()
+    with pytest.raises(RuntimeError, match="still running"):
+        st._await_finished(q, timeout=1)
+    assert q.stopped
+
+
+def test_await_finished_passes_through_on_drain():
+    class FakeQuery:
+        name = "fake_sink"
+        id = "deadbeef"
+
+        def awaitTermination(self, timeout):
+            return True
+
+        def stop(self):  # pragma: no cover - must not be called
+            raise AssertionError("stop() on a drained query")
+
+    st._await_finished(FakeQuery(), timeout=1)
