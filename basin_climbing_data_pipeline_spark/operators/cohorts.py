@@ -892,10 +892,11 @@ def spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the per-customer rollup shuffles once on customer_id;
     ntile then needs a global row order, which Spark executes as a
     single-partition window — fine over the ALREADY-AGGREGATED rows (one
-    per customer) at this corpus, but the honest 1e9-customer form
-    derives the 9 cut points from a quantile sketch (histogram_quantiles'
-    machinery) and assigns deciles by range comparison, map-side.  Exact
-    ntile is kept here because it is the oracle-checkable definition."""
+    per customer) at this corpus, but a scale-killer at 1e9 customers.
+    This function is therefore NOT the default API: callers go through
+    :func:`customer_spend_deciles`, whose default is the sketch-cut path
+    and which requires ``exact=True`` to opt in to this definition.  Exact
+    ntile is kept as the oracle-checkable definition."""
     from .transactions import build_transactions
 
     txn = build_transactions(spark, sf_dir)
@@ -904,6 +905,12 @@ def spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.orderBy(F.desc("spend_cents"), "customer_id")
     tiled = per_cust.withColumn("decile", F.ntile(N_SPEND_DECILES).over(w))
+    return _decile_rollup(tiled)
+
+
+def _decile_rollup(tiled: DataFrame) -> DataFrame:
+    """Whale-curve rollup over (customer_id, spend_cents, decile) rows —
+    shared by the exact-ntile and sketch-cut decile paths."""
     rolled = tiled.groupBy("decile").agg(
         F.count("*").alias("n_customers"),
         (F.max("spend_cents") / 100.0).alias("max_spend"),
@@ -930,6 +937,49 @@ def spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+def customer_spend_deciles(
+    spark: SparkSession, sf_dir: str, *, exact: bool = False
+) -> DataFrame:
+    """THE decile API: whale-curve table (decile 1 = top spenders) with the
+    scale-safe sketch path as the DEFAULT.
+
+    ``exact=False`` (default) derives the 9 cut points from the log-bucket
+    histogram sketch (:func:`sketches.sketch_decile_cuts` — one groupBy
+    onto ≤ ~160 buckets, window math over that tiny table, then a 9-row
+    broadcast and a map-side comparison; nothing ever needs a global row
+    order).  ``exact=True`` is the oracle-checkable ntile definition
+    (:func:`spend_deciles`), which puts one row per customer through a
+    single-partition window — fine at audit scale, a scale-killer at 1e9
+    customers, which is why a 100-TB caller has to OPT IN to it.
+
+    The two paths differ only where ties straddle a sketch cut point
+    (a value-based cut cannot split equal values the way a row-count tile
+    does); ``sketch_decile_assignment`` measures that disagreement
+    per-decile, and ``tests/test_scale_paths.py`` pins the bound."""
+    if exact:
+        return spend_deciles(spark, sf_dir)
+    from .sketches import sketch_decile_cuts
+    from .transactions import build_transactions
+
+    txn = build_transactions(spark, sf_dir)
+    per_cust = txn.groupBy("customer_id").agg(
+        F.sum(to_cents(F.col("total_amount"))).alias("spend_cents")
+    )
+    cuts = sketch_decile_cuts(per_cust.select(F.col("spend_cents").alias("cents")))
+    # decile 1 = top spenders (spend above every cut), matching the exact
+    # path's DESC ntile convention: 1 + |cuts >= spend|
+    tiled = (
+        per_cust.join(F.broadcast(cuts))
+        .groupBy("customer_id", "spend_cents")
+        .agg(
+            (1 + F.sum((F.col("spend_cents") <= F.col("cut")).cast("int")))
+            .cast("int")
+            .alias("decile")
+        )
+    )
+    return _decile_rollup(tiled)
 
 
 def spend_deciles_sql() -> str:

@@ -548,32 +548,15 @@ ORDER BY c.q
 DECILE_QS = tuple(i / 10.0 for i in range(1, 10))
 
 
-def sketch_decile_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The 1e9-customer form of ``spend_deciles``, with its accuracy
-    measured: derive the 9 decile cut points from the log-bucket histogram
-    sketch (no global row order anywhere on the sketch path), assign each
-    customer a decile by comparing spend against the broadcast cut points
-    (map-side), and report per-exact-decile how often the sketch
-    assignment agrees with exact ``ntile``.  This converts the documented
-    single-partition-window caveat on ``spend_deciles`` into a measured
-    design answer.
-
-    Scale shape, sketch path only: one groupBy to per-customer cents, one
-    groupBy onto ≤ ~160 histogram buckets, window math over that tiny
-    table, then a broadcast of 9 cut-point rows and a map-side
-    comparison.  The exact ntile side exists solely as the eval's ground
-    truth.  Ties straddling a cut point are the irreducible disagreement
-    (a value-based cut cannot split equal values the way a row-count tile
-    does) — that is precisely what the agreement rate quantifies."""
+def sketch_decile_cuts(per_cust: DataFrame) -> DataFrame:
+    """9 decile cut points over a ``cents`` column, derived from the
+    log-bucket histogram sketch — the scale path: no global row order
+    anywhere, only a groupBy onto ≤ ~160 buckets plus window math over
+    that tiny table.  Shared by :func:`sketch_decile_assignment` (the
+    accuracy eval) and :func:`cohorts.customer_spend_deciles` (the
+    default decile API)."""
     from pyspark.sql import Window
 
-    from ..functions.money import to_cents
-    from .transactions import build_transactions
-
-    txn = build_transactions(spark, sf_dir)
-    per_cust = txn.groupBy("customer_id").agg(
-        F.sum(to_cents(F.col("total_amount"))).alias("cents")
-    )
     # sign-aware symmetric log bucket: lifetime spend can be NEGATIVE (net
     # refunds), where a plain log10 bucket is undefined (and DuckDB raises
     # where Spark nulls).  b >= 0 covers [10^(b/16)-1, 10^((b+1)/16)-1);
@@ -609,9 +592,38 @@ def sketch_decile_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         -(F.pow(F.lit(10.0), m / sb) - 1.0)
     )
     est = lo + (F.col("target") - (F.col("cum") - F.col("cnt"))) / F.col("cnt") * (hi - lo)
-    cuts = containing.select(
+    return containing.select(
         (F.floor(est * 1000000.0 + 0.5) / 1000000.0).alias("cut")
     )
+
+
+def sketch_decile_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 1e9-customer form of ``spend_deciles``, with its accuracy
+    measured: derive the 9 decile cut points from the log-bucket histogram
+    sketch (no global row order anywhere on the sketch path), assign each
+    customer a decile by comparing spend against the broadcast cut points
+    (map-side), and report per-exact-decile how often the sketch
+    assignment agrees with exact ``ntile``.  This converts the documented
+    single-partition-window caveat on ``spend_deciles`` into a measured
+    design answer.
+
+    Scale shape, sketch path only: one groupBy to per-customer cents, one
+    groupBy onto ≤ ~160 histogram buckets, window math over that tiny
+    table, then a broadcast of 9 cut-point rows and a map-side
+    comparison.  The exact ntile side exists solely as the eval's ground
+    truth.  Ties straddling a cut point are the irreducible disagreement
+    (a value-based cut cannot split equal values the way a row-count tile
+    does) — that is precisely what the agreement rate quantifies."""
+    from pyspark.sql import Window
+
+    from ..functions.money import to_cents
+    from .transactions import build_transactions
+
+    txn = build_transactions(spark, sf_dir)
+    per_cust = txn.groupBy("customer_id").agg(
+        F.sum(to_cents(F.col("total_amount"))).alias("cents")
+    )
+    cuts = sketch_decile_cuts(per_cust)
     assigned = per_cust.join(F.broadcast(cuts)).groupBy("customer_id", "cents").agg(
         (1 + F.sum((F.col("cents") > F.col("cut")).cast("int"))).alias("decile_sketch")
     )

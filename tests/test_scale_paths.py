@@ -244,3 +244,43 @@ def test_star_contraction_matches_onehop_on_random_graphs(spark):
             for r in dd.propagate_min_labels_onehop(edges).collect()
         }
         assert star == onehop, f"trial {trial}: star vs one-hop diverged"
+
+
+def test_customer_spend_deciles_sketch_default_agrees_with_exact(spark, sf_dir):
+    """The shared decile entry point: the DEFAULT (sketch-cut) path and the
+    exact-ntile opt-in must agree within the sketch's measured error —
+    sketch_decile_assignment's accuracy columns bound per-customer
+    disagreement, so per-decile rollup counts can differ by at most the
+    total number of disagreeing customers and offsets stay within one
+    decile."""
+    from basin_climbing_data_pipeline_spark.operators.cohorts import (
+        customer_spend_deciles,
+    )
+    from basin_climbing_data_pipeline_spark.operators.sketches import (
+        sketch_decile_assignment,
+    )
+
+    exact = {r["decile"]: r.asDict() for r in
+             customer_spend_deciles(spark, sf_dir, exact=True).collect()}
+    sketch = {r["decile"]: r.asDict() for r in
+              customer_spend_deciles(spark, sf_dir).collect()}
+    acc = sketch_decile_assignment(spark, sf_dir).collect()
+
+    n_total = sum(r["n_customers"] for r in acc)
+    n_disagree = sum(r["n_customers"] - r["n_agree"] for r in acc)
+    # the documented error bound: every sketch decile is within one of
+    # exact, and disagreement is the boundary residue only — each of the
+    # 9 cuts can shift a couple of ranks from in-bucket interpolation
+    # (dominant at tiny n) or tie-straddle (the 1e9-row residue, <5%)
+    assert max(r["max_offset"] for r in acc) <= 1
+    assert n_disagree <= max(2 * 9, 0.05 * n_total)
+
+    assert set(exact) == set(sketch) == set(range(1, 11))
+    assert sum(v["n_customers"] for v in exact.values()) == sum(
+        v["n_customers"] for v in sketch.values()
+    )
+    for d in range(1, 11):
+        # a decile's size can shift only by customers that disagree
+        assert abs(exact[d]["n_customers"] - sketch[d]["n_customers"]) <= n_disagree
+        # shares of revenue track within the disagreement mass
+        assert abs(exact[d]["pct_of_revenue"] - sketch[d]["pct_of_revenue"]) <= 5.0
