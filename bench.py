@@ -158,6 +158,9 @@ def main() -> None:
         timings[name] = round(dt, 3)
         total += dt if dt == dt else 0.0
 
+    # NaN is not valid JSON (json.dumps emits a literal `NaN` that strict
+    # parsers reject) — a failed query must not also break the record
+    timings = {k: (v if v == v else None) for k, v in timings.items()}
     payload = {
         "metric": "total_query_wall_sec",
         "value": round(total, 3),
@@ -167,14 +170,40 @@ def main() -> None:
         "warehouse_load_per_table": load_per_table,
         "sf": sf,
     }
-    # the driver keeps only a 2 KB tail of stdout, which truncates the HEAD
-    # of the per-query map (losing exactly the expensive early queries that
-    # round-over-round comparison needs) — so the full record also lands on
-    # disk, where it survives the round intact.
+    # The full 181-query record lands on disk, where it survives the round
+    # intact (this is what round-over-round diffs read).
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
     with open(full_path, "w") as f:
         json.dump(payload, f, indent=1, sort_keys=True)
-    print(json.dumps(payload))
+    # The driver keeps only a ~2 KB tail of stdout and parses the last line
+    # as JSON; the full per-query map is ~6 KB, so printing it yields a
+    # truncated fragment and a null `parsed`.  Print instead ONE compact
+    # line that always fits: headline = the slowest queries (the ones
+    # round-over-round comparison cares about), plus the totals and a
+    # pointer at the on-disk full record.
+    failed = sorted(k for k, v in timings.items() if v is None)
+    slowest = sorted(
+        ((k, v) for k, v in timings.items() if v is not None),
+        key=lambda kv: (-kv[1], kv[0]),
+    )
+    line = {
+        "metric": "total_query_wall_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {},
+        "n_queries": len(timings),
+        "n_failed": len(failed),
+        "warehouse_load_sec": load_sec,
+        "full_record": "BENCH_FULL.json",
+        "sf": sf,
+    }
+    for k, v in slowest:
+        line["queries"][k] = v
+        if len(json.dumps(line)) > 1900:
+            del line["queries"][k]
+            break
+    line["queries_shown"] = len(line["queries"])
+    print(json.dumps(line, allow_nan=False))
 
 
 if __name__ == "__main__":
