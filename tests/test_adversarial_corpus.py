@@ -791,3 +791,67 @@ def test_bootstrap_ci_zero_mass_replicates_agree_cross_engine(
     ]
     assert zero_reps, "fixture must reach the zero-mass (sw=0) replicate edge"
     _assert_oracle_parity(spark, d, "bootstrap_spend_ci")
+
+
+@pytest.fixture(scope="module")
+def weight_sweep_dir(tmp_path_factory):
+    """Documents whose weights (n_chars) sweep 13 decades, with ≥60 docs
+    at w = 10^12 so the nano fixed point PROVABLY collides inside the
+    top-K (ln(u)/1e12 · 1e9 rounds to 0) — the reservoir must fall to the
+    doc_id tie-break identically in both engines."""
+    import random
+
+    d = tmp_path_factory.mktemp("weight_sweep")
+    src = "/root/testdata/sf0.001"
+    for t in ("region nation customer supplier part orders lineitem events "
+              "embeddings").split():
+        shutil.copy(f"{src}/{t}.parquet", d / f"{t}.parquet")
+    rng = random.Random(20260815)
+    rows = []
+    doc_id = 0
+    for decade in range(13):           # 10^0 .. 10^12
+        for _ in range(10):
+            w = 10**decade + (rng.randrange(10**decade) if decade else 0)
+            rows.append({"doc_id": doc_id, "text": "w" * min(w, 40),
+                         "lang": "en", "source": "web", "n_chars": w})
+            doc_id += 1
+    for _ in range(60):                # exact-collision block
+        rows.append({"doc_id": doc_id, "text": "x", "lang": "en",
+                     "source": "web", "n_chars": 10**12})
+        doc_id += 1
+    pd.DataFrame(rows).to_parquet(d / "documents.parquet")
+    return str(d)
+
+
+def test_weighted_reservoir_rank_order_agrees_across_12_orders(
+    spark, weight_sweep_dir
+):
+    import hashlib
+    import math
+
+    from basin_climbing_data_pipeline_spark.operators.sampling import RESERVOIR_K
+
+    _assert_oracle_parity(spark, weight_sweep_dir, "weighted_reservoir_sample")
+    # prove the corpus actually exercises the collision regime: the top-K
+    # must contain tied key_nano values (huge weights collapsing to 0)
+    rows = registry.REGISTRY["weighted_reservoir_sample"][0](
+        spark, weight_sweep_dir
+    ).collect()
+    assert len(rows) == RESERVOIR_K
+    keys = [round(r["sel_key"] * 1e9) for r in rows]
+    assert len(set(keys)) < len(keys), "no key collisions — corpus too tame"
+    # ranks must equal the independent libm computation (key DESC, doc_id)
+    def py_key(i, w):
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+        u = (h + 0.5) / 4294967296.0
+        return math.floor(math.log(u) / w * 1e9 + 0.5)
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{weight_sweep_dir}/documents.parquet").to_pylist()
+    want = sorted(
+        ((py_key(r["doc_id"], r["n_chars"]), r["doc_id"]) for r in t),
+        key=lambda kv: (-kv[0], kv[1]),
+    )[:RESERVOIR_K]
+    got = [(round(r["sel_key"] * 1e9), r["doc_id"]) for r in rows]
+    assert got == want

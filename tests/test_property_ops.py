@@ -111,3 +111,52 @@ def test_aes_key_ordering_is_scale_invariant(weights, k):
     order_1 = [i for _key, i in keys(weights, 1)][:k]
     order_c = [i for _key, i in keys(weights, 7)][:k]
     assert order_1 == order_c
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    weights=st.lists(
+        # ≥12 orders of magnitude: w=1 against w=10^12 stresses the nano
+        # fixed point (ln(u)/1e12 · 1e9 rounds to 0 — a collision regime)
+        st.integers(min_value=1, max_value=10**12),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_aes_fixed_point_key_matches_oracle_engine_across_weight_scales(weights):
+    """The exact nano fixed-point key the engines rank on —
+    floor(ln((h+0.5)/2^32)/w · 1e9 + 0.5) — computed by DuckDB (the
+    oracle engine) must match an independent libm computation for every
+    weight scale, and the (key DESC, doc_id) rank order derived from it
+    must match row-for-row.  Collisions (huge weights collapsing to
+    key = 0) are allowed — they must simply collide IDENTICALLY and fall
+    to the doc_id tie-break."""
+    import hashlib
+    import math
+
+    values = ", ".join(f"({i}, {w}::bigint)" for i, w in enumerate(weights))
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        WITH docs(doc_id, w) AS (VALUES {values})
+        SELECT doc_id,
+               CAST(floor(
+                 ln((('0x' || substr(md5(doc_id::varchar), 1, 8))::bigint::double + 0.5)
+                    / 4294967296.0) / w::double * 1000000000.0 + 0.5) AS BIGINT)
+               AS key_nano
+        FROM docs
+        ORDER BY key_nano DESC, doc_id
+        """
+    ).fetchall()
+
+    def py_key(i, w):
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+        u = (h + 0.5) / 4294967296.0
+        return math.floor(math.log(u) / w * 1e9 + 0.5)
+
+    want = sorted(
+        ((py_key(i, w), i) for i, w in enumerate(weights)),
+        key=lambda t: (-t[0], t[1]),
+    )
+    got = [(k, i) for i, k in rows]
+    assert got == [(k, i) for k, i in want]
