@@ -841,3 +841,177 @@ FROM terms
 GROUP BY revenue_category
 ORDER BY revenue_category
 """
+
+
+# ---------------------------------------------------------------------------
+# windowed value-drift PSI — the sliding sibling of spend_drift_psi
+# ---------------------------------------------------------------------------
+
+DRIFT_WINDOW_US = 6 * 3600 * 1_000_000  # tumbling 6h, epoch-aligned
+
+
+def _value_bucket() -> F.Column:
+    """Sign-aware log bucket over the event ``value`` at micro fixed-point —
+    the same data-independent bounds as ``sketch_decile_cuts``, so any two
+    windows' histograms are comparable without a re-bucketing pass."""
+    vm = F.floor(F.col("value") * 1000000.0 + 0.5).cast("long")
+    return (
+        F.when(vm >= 0, F.floor(F.log10(vm + 1) * HIST_SUBBUCKETS))
+        .otherwise(-1 - F.floor(F.log10(-vm + 1) * HIST_SUBBUCKETS))
+        .cast("long")
+    )
+
+
+def value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed drift monitor: per event type, the PSI between the value
+    distribution of each 6-hour tumbling window and the PREVIOUS window —
+    the time-resolved sibling of :func:`spend_drift_psi` (fixed
+    baseline/current split) and the engine form of the reference's
+    recency-drift segmentation (dashboard/dashboard.py:800-829, which
+    re-buckets day-pass buyers by how their activity recency shifted).
+    A training pipeline runs exactly this per source/feature to catch a
+    mixture shift WITHIN a delivery, not just across deliveries.
+
+    Window pairing uses the union-shift trick, not a self-join: each
+    (window, type, bucket) count contributes once as "current" at its
+    own window and once as "previous" at window + 6h, and a second
+    groupBy folds the pair.  Shares are Laplace-smoothed over the pair's
+    union bucket set; each bucket term is nano-rounded to int64 BEFORE
+    the sum (summation-order immune).  Only windows where BOTH sides
+    have events emit a row — PSI against an empty window is undefined,
+    not infinite.
+
+    Scale shape: ONE data-volume shuffle (groupBy onto window × type ×
+    ~160 buckets); everything after runs on that bounded aggregate.  The
+    streaming sibling (:func:`streaming.events_stream.
+    streaming_value_drift_psi`) maintains the same histogram with a
+    watermarked stateful aggregation and shares this post-process."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = (
+        ev.select(
+            (F.floor(F.unix_micros("ts") / DRIFT_WINDOW_US) * DRIFT_WINDOW_US)
+            .cast("long")
+            .alias("w"),
+            "event_type",
+            _value_bucket().alias("bucket"),
+        )
+        .groupBy("w", "event_type", "bucket")
+        .agg(F.count("*").alias("n"))
+    )
+    return _drift_psi_over_window_counts(counts)
+
+
+def _drift_psi_over_window_counts(counts: DataFrame) -> DataFrame:
+    """PSI of consecutive windows from (w, event_type, bucket, n) counts —
+    shared by the batch scan and the streaming sibling's sink table."""
+    from pyspark.sql import Window
+
+    # explode each count into its two pair contributions ON the aggregated
+    # frame — a unionByName of two selects over `counts` would duplicate the
+    # whole pre-aggregation subtree (two scans + two data-volume shuffles in
+    # the physical plan); the explode keeps ONE scan and one big shuffle,
+    # with everything after running on windows × types × ~160 buckets
+    zero = F.lit(0).cast("long")
+    contrib = counts.select(
+        "event_type",
+        "bucket",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("w").alias("window_start_us"),
+                    F.col("n").alias("n_curr"),
+                    zero.alias("n_prev"),
+                ),
+                F.struct(
+                    (F.col("w") + DRIFT_WINDOW_US).alias("window_start_us"),
+                    zero.alias("n_curr"),
+                    F.col("n").alias("n_prev"),
+                ),
+            )
+        ).alias("c"),
+    ).select("event_type", "bucket", "c.window_start_us", "c.n_curr", "c.n_prev")
+    paired = contrib.groupBy("event_type", "window_start_us", "bucket").agg(
+        F.sum("n_curr").alias("n_q"), F.sum("n_prev").alias("n_p")
+    )
+    wc = Window.partitionBy("event_type", "window_start_us")
+    enriched = paired.select(
+        "event_type",
+        "window_start_us",
+        "n_p",
+        "n_q",
+        F.sum("n_p").over(wc).alias("np_tot"),
+        F.sum("n_q").over(wc).alias("nq_tot"),
+        F.count("*").over(wc).alias("n_buckets"),
+    ).filter((F.col("np_tot") > 0) & (F.col("nq_tot") > 0))
+    p = (F.col("n_p") + 1).cast("double") / (F.col("np_tot") + F.col("n_buckets"))
+    q = (F.col("n_q") + 1).cast("double") / (F.col("nq_tot") + F.col("n_buckets"))
+    term_nano = F.floor((p - q) * F.log(p / q) * 1000000000.0 + 0.5).cast("long")
+    return (
+        enriched.withColumn("term_nano", term_nano)
+        .groupBy("event_type", "window_start_us")
+        .agg(
+            F.max("np_tot").alias("n_prev_window"),
+            F.max("nq_tot").alias("n_curr_window"),
+            F.max("n_buckets").alias("n_buckets"),
+            (F.sum("term_nano") / 1000000000.0).alias("psi"),
+        )
+        .orderBy("event_type", "window_start_us")
+    )
+
+
+def value_drift_psi_sql() -> str:
+    return f"""
+WITH bucketed AS (
+  SELECT (epoch_us(ts::TIMESTAMP) // {DRIFT_WINDOW_US}) * {DRIFT_WINDOW_US} AS w,
+         event_type,
+         CASE WHEN CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) >= 0
+              THEN floor(log10(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) + 1)
+                         * {HIST_SUBBUCKETS})
+              ELSE -1 - floor(log10(-CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) + 1)
+                              * {HIST_SUBBUCKETS})
+         END::bigint AS bucket
+  FROM events
+),
+counts AS (
+  SELECT w, event_type, bucket, count(*) AS n
+  FROM bucketed GROUP BY 1, 2, 3
+),
+paired AS (
+  SELECT event_type, window_start_us, bucket,
+         sum(n_curr) AS n_q, sum(n_prev) AS n_p
+  FROM (
+    SELECT event_type, w AS window_start_us, bucket, n AS n_curr, 0::bigint AS n_prev
+    FROM counts
+    UNION ALL
+    SELECT event_type, w + {DRIFT_WINDOW_US} AS window_start_us, bucket,
+           0::bigint AS n_curr, n AS n_prev
+    FROM counts
+  )
+  GROUP BY 1, 2, 3
+),
+enriched AS (
+  SELECT event_type, window_start_us, n_p, n_q,
+         sum(n_p) OVER (PARTITION BY event_type, window_start_us) AS np_tot,
+         sum(n_q) OVER (PARTITION BY event_type, window_start_us) AS nq_tot,
+         count(*) OVER (PARTITION BY event_type, window_start_us) AS n_buckets
+  FROM paired
+),
+terms AS (
+  SELECT event_type, window_start_us, np_tot, nq_tot, n_buckets,
+         floor(((n_p + 1)::double / (np_tot + n_buckets)
+                - (n_q + 1)::double / (nq_tot + n_buckets))
+               * ln(((n_p + 1)::double / (np_tot + n_buckets))
+                    / ((n_q + 1)::double / (nq_tot + n_buckets)))
+               * 1000000000.0 + 0.5)::bigint AS term_nano
+  FROM enriched
+  WHERE np_tot > 0 AND nq_tot > 0
+)
+SELECT event_type, window_start_us,
+       CAST(max(np_tot) AS BIGINT) AS n_prev_window,
+       CAST(max(nq_tot) AS BIGINT) AS n_curr_window,
+       max(n_buckets) AS n_buckets,
+       sum(term_nano) / 1000000000.0 AS psi
+FROM terms
+GROUP BY event_type, window_start_us
+ORDER BY event_type, window_start_us
+"""

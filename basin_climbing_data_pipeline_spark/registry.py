@@ -559,6 +559,13 @@ register("markov_holdout_accuracy", co.markov_holdout_accuracy, co.markov_holdou
 register("linear_probe_quality", ts.linear_probe_quality, ts.linear_probe_quality_sql())
 register("k_anonymity_audit", qa.k_anonymity_audit, qa.k_anonymity_audit_sql())
 register("join_key_skew_audit", qa.join_key_skew_audit, qa.join_key_skew_audit_sql())
+# round-7 additions: windowed drift family (batch + streaming sibling)
+register("value_drift_psi", sketch.value_drift_psi, sketch.value_drift_psi_sql())
+register(
+    "streaming_value_drift_psi",
+    st.streaming_value_drift_psi,
+    st.streaming_value_drift_psi_sql(),
+)
 
 
 # --- round-5 window rotation ----------------------------------------------

@@ -530,3 +530,60 @@ FROM ranked
 WHERE rank <= {STREAM_RESERVOIR_K}
 ORDER BY rank
 """
+
+
+def streaming_value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked windowed drift: the streaming sibling of
+    ``sketches.value_drift_psi``.  The stateful stage maintains the 6-hour
+    windowed value histogram per event type — bounded state of windows ×
+    types × ~160 sign-aware log buckets, with the 1-hour watermark
+    evicting closed windows; the consecutive-window PSI scoring is the
+    shared bounded post-process over the sink table (drift needs the
+    PREVIOUS window's finished histogram, so it runs per trigger over the
+    tiny aggregate, not inside the stateful operator).
+
+    Same availableNow → memory-sink execution shape as the other stream
+    entries, so the result is batch-comparable and oracle-checkable."""
+    from ..operators.sketches import (
+        DRIFT_WINDOW_US,
+        _drift_psi_over_window_counts,
+        _value_bucket,
+    )
+
+    assert DRIFT_WINDOW_US == WINDOW_US  # one 6h window grid across the repo
+    stream = stream_events(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = (
+        stream.groupBy(
+            F.window("ts", f"{WINDOW_HOURS} hours").alias("wd"),
+            F.col("event_type"),
+            _value_bucket().alias("bucket"),
+        )
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.unix_micros(F.col("wd.start")).alias("w"),
+            "event_type",
+            "bucket",
+            "n",
+        )
+    )
+    sink = f"stream_psi_{uuid.uuid4().hex[:8]}"
+    with _stream_partitions(spark):
+        q = (
+            agg.writeStream.trigger(availableNow=True)
+            .outputMode("complete")
+            .format("memory")
+            .queryName(sink)
+            .start()
+        )
+        _await_finished(q)
+    counts = spark.table(sink).localCheckpoint()
+    spark.catalog.dropTempView(sink)
+    return _drift_psi_over_window_counts(counts)
+
+
+def streaming_value_drift_psi_sql() -> str:
+    """Oracle: identical to the batch form — Spark tumbling windows are
+    epoch-aligned, so the streamed histogram equals the batch bucketing."""
+    from ..operators.sketches import value_drift_psi_sql
+
+    return value_drift_psi_sql()

@@ -185,6 +185,8 @@ EVENT_QUERIES = [
     "markov_holdout_accuracy",  # unseen-in-train states -> NULL prediction
     "streaming_weighted_sample",  # ln(u)/w on half-cent and zero values
     "join_key_skew_audit",        # tie-heavy key counts + rank tie-breaks
+    "value_drift_psi",            # window-pair PSI on ties/zero/huge values
+    "streaming_value_drift_psi",  # same via the watermarked stateful path
 ]
 
 

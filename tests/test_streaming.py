@@ -368,3 +368,60 @@ def test_await_finished_passes_through_on_drain():
             raise AssertionError("stop() on a drained query")
 
     st._await_finished(FakeQuery(), timeout=1)
+
+
+def test_streaming_value_drift_psi_matches_batch(spark, sf_dir):
+    """Differential: the watermarked streaming histogram feeds the same
+    PSI post-process as the batch scan, so over a static prefix the two
+    forms must agree row-for-row (tumbling windows are epoch-aligned in
+    both)."""
+    from basin_climbing_data_pipeline_spark.operators.sketches import (
+        value_drift_psi,
+    )
+
+    batch = sorted(map(tuple, value_drift_psi(spark, sf_dir).collect()))
+    streamed = sorted(
+        map(tuple, st.streaming_value_drift_psi(spark, sf_dir).collect())
+    )
+    assert batch == streamed
+    assert batch, "corpus must produce at least one window pair"
+
+
+def test_streaming_value_drift_psi_watermark_on_growing_prefix(spark, tmp_path):
+    """Streaming semantics beyond the batch differential: feed the events
+    in two file drops (second drop = a later window) and run the stream
+    over the growing directory with availableNow — the drift row for the
+    new window-pair must appear and match the batch form over the full
+    data."""
+    import shutil as _sh
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from basin_climbing_data_pipeline_spark.operators.sketches import (
+        value_drift_psi,
+    )
+
+    src = "/root/testdata/sf0.001"
+    d = tmp_path / "grow"
+    d.mkdir()
+    for t in ("region nation customer supplier part orders lineitem documents "
+              "embeddings").split():
+        _sh.copy(f"{src}/{t}.parquet", d / f"{t}.parquet")
+    ev = pq.read_table(f"{src}/events.parquet")
+    # first drop: all but the last 6h window of events; the "events.parquet"
+    # glob the stream reads matches both file names below
+    import datetime as dt
+
+    ts = ev.column("ts").to_pylist()
+    cut = max(ts) - (max(ts) - min(ts)) // 8
+    first = ev.filter(pa.compute.less(ev.column("ts"), pa.scalar(cut, type=ev.schema.field("ts").type)))
+    pq.write_table(first, d / "events.parquet")
+    got_first = st.streaming_value_drift_psi(spark, str(d))
+    n_first = got_first.count()
+    # second drop: the full table replaces the prefix file
+    pq.write_table(ev, d / "events.parquet")
+    got_full = sorted(map(tuple, st.streaming_value_drift_psi(spark, str(d)).collect()))
+    want_full = sorted(map(tuple, value_drift_psi(spark, str(d)).collect()))
+    assert got_full == want_full
+    assert len(got_full) >= n_first
