@@ -930,3 +930,190 @@ SELECT * FROM (
 )
 ORDER BY customer_id, question_type
 """
+
+
+# ---------------------------------------------------------------------------
+# Fellegi–Sunter probabilistic record linkage — the pattern table
+# ---------------------------------------------------------------------------
+
+FS_M = 0.95          # per-field P(agree | same entity) — documented convention
+FS_WINDOW = 8        # sorted-neighborhood width inside the last-name block
+FS_FIELDS = ("nation", "segment", "phone_e164", "email_domain")
+
+
+def record_linkage_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi–Sunter record-linkage scoring as the CONTINGENCY TABLE: for
+    every candidate customer pair, classify each comparison field as
+    agree/disagree/missing, and report one row per agreement PATTERN with
+    its pair count and log-likelihood-ratio score — the probabilistic
+    generalization of the reference's tiered fuzzy matcher
+    (customer_matching.py's exact-email / fuzzy-email / name+phone tiers
+    are each ONE cell of this table).
+
+    u-probabilities (P(agree | random pair)) are estimated from the data
+    itself per field: u = Σ_v (n_v)² / N² over the non-null value counts —
+    the standard frequency estimate, two tiny aggregations.
+    m-probabilities are the fixed documented convention (0.95).  Field
+    weights ln(m/u) / ln((1-m)/(1-u)) are nano-fixed-pointed BEFORE the
+    per-pair sum, so pattern scores are exact integers cross-engine;
+    missing fields contribute weight 0 (the F-S neutral-missing rule).
+    Degenerate u (0 or 1: a field with no values or one value) pins that
+    side's weight to 0 on both engines instead of ±Inf.
+
+    Scale shape: candidates ride the sorted-neighborhood generator inside
+    the last-name block (O(N·w), the fuzzy_email_matches discipline — no
+    quadratic block interior); the 1-row weights frame reaches the pair
+    stage by broadcast crossJoin (the repo's bounded stats-feed pattern);
+    the output is ≤ 3^4 pattern rows regardless of corpus size."""
+    from pyspark.sql import Window
+
+    cust = build_customers(spark, sf_dir).select(
+        "customer_id", "last_name", "first_name", *FS_FIELDS
+    )
+    # u estimate per field: Σ n_v² / N² over non-null values
+    longf = cust.select(
+        F.expr(
+            "stack(4, 'nation', nation, 'segment', segment, "
+            "'phone_e164', phone_e164, 'email_domain', email_domain) "
+            "as (field, value)"
+        )
+    ).where(F.col("value").isNotNull())
+    vc = longf.groupBy("field", "value").agg(F.count("*").alias("n"))
+    stats = vc.groupBy("field").agg(
+        F.sum(F.col("n") * F.col("n")).alias("n2"),
+        F.sum("n").alias("nt"),
+    )
+    u = F.col("n2").cast("double") / (F.col("nt").cast("double") * F.col("nt").cast("double"))
+    nano = lambda c: F.floor(c * 1000000000.0 + 0.5).cast("long")  # noqa: E731
+    zero = F.lit(0).cast("long")
+    weights = stats.select(
+        "field",
+        F.when((u > 0) & (u < 1), nano(F.log(F.lit(FS_M) / u))).otherwise(zero).alias("wa"),
+        F.when((u > 0) & (u < 1), nano(F.log(F.lit(1.0 - FS_M) / (1.0 - u))))
+        .otherwise(zero)
+        .alias("wd"),
+    )
+    # 4 rows -> 1 row so the pair stage gets ONE broadcast stats feed
+    one = weights.agg(
+        *[
+            F.max(F.when(F.col("field") == f, F.col(c))).alias(f"{c}_{f}")
+            for f in FS_FIELDS
+            for c in ("wa", "wd")
+        ]
+    )
+
+    w = Window.partitionBy("last_name").orderBy("first_name", "customer_id")
+    ranked = cust.withColumn("rank", F.row_number().over(w))
+    probes = ranked.withColumn(
+        "probe_rank",
+        F.explode(F.array(*[F.col("rank") + k for k in range(1, FS_WINDOW + 1)])),
+    )
+    a, b = probes.alias("a"), ranked.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.last_name") == F.col("b.last_name"))
+        & (F.col("b.rank") == F.col("a.probe_rank")),
+    ).join(F.broadcast(one))
+
+    def fchar(f: str) -> F.Column:
+        av, bv = F.col(f"a.{f}"), F.col(f"b.{f}")
+        return (
+            F.when(av.isNull() | bv.isNull(), F.lit("n"))
+            .when(av == bv, F.lit("a"))
+            .otherwise(F.lit("d"))
+        )
+
+    def fweight(f: str) -> F.Column:
+        av, bv = F.col(f"a.{f}"), F.col(f"b.{f}")
+        return (
+            F.when(av.isNull() | bv.isNull(), zero)
+            .when(av == bv, F.col(f"wa_{f}"))
+            .otherwise(F.col(f"wd_{f}"))
+        )
+
+    pattern = F.concat(*[fchar(f) for f in FS_FIELDS])
+    score_nano = sum(fweight(f) for f in FS_FIELDS)
+    return (
+        pairs.select(pattern.alias("pattern"), score_nano.alias("s"))
+        .groupBy("pattern")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            (F.max("s") / 1000000000.0).alias("llr_score"),
+        )
+        .orderBy("pattern")
+    )
+
+
+def record_linkage_patterns_sql() -> str:
+    fields = FS_FIELDS
+    char_exprs = []
+    weight_exprs = []
+    for f in fields:
+        char_exprs.append(
+            f"CASE WHEN a.{f} IS NULL OR b.{f} IS NULL THEN 'n' "
+            f"WHEN a.{f} = b.{f} THEN 'a' ELSE 'd' END"
+        )
+        weight_exprs.append(
+            f"CASE WHEN a.{f} IS NULL OR b.{f} IS NULL THEN 0::bigint "
+            f"WHEN a.{f} = b.{f} THEN w.wa_{f} ELSE w.wd_{f} END"
+        )
+    pattern = " || ".join(char_exprs)
+    score = " + ".join(f"({e})" for e in weight_exprs)
+    piv = ",\n         ".join(
+        f"max(CASE WHEN field = '{f}' THEN {c} END) AS {c}_{f}"
+        for f in fields
+        for c in ("wa", "wd")
+    )
+    return f"""
+WITH cust AS ({customers_sql()}),
+longf AS (
+  SELECT 'nation' AS field, nation AS value FROM cust
+  UNION ALL SELECT 'segment', segment FROM cust
+  UNION ALL SELECT 'phone_e164', phone_e164 FROM cust
+  UNION ALL SELECT 'email_domain', email_domain FROM cust
+),
+vc AS (
+  SELECT field, value, count(*) AS n FROM longf
+  WHERE value IS NOT NULL GROUP BY 1, 2
+),
+stats AS (
+  SELECT field, sum(n * n) AS n2, sum(n) AS nt FROM vc GROUP BY field
+),
+wts AS (
+  SELECT field,
+         CASE WHEN n2::double / (nt::double * nt::double) > 0
+               AND n2::double / (nt::double * nt::double) < 1
+              THEN CAST(floor(ln({FS_M} / (n2::double / (nt::double * nt::double)))
+                              * 1000000000.0 + 0.5) AS BIGINT)
+              ELSE 0::bigint END AS wa,
+         CASE WHEN n2::double / (nt::double * nt::double) > 0
+               AND n2::double / (nt::double * nt::double) < 1
+              THEN CAST(floor(ln({1.0 - FS_M} / (1.0 - n2::double / (nt::double * nt::double)))
+                              * 1000000000.0 + 0.5) AS BIGINT)
+              ELSE 0::bigint END AS wd
+  FROM stats
+),
+one AS (
+  SELECT {piv}
+  FROM wts
+),
+ranked AS (
+  SELECT customer_id, last_name, first_name,
+         nation, segment, phone_e164, email_domain,
+         row_number() OVER (PARTITION BY last_name
+                            ORDER BY first_name, customer_id) AS rank
+  FROM cust
+),
+pairs AS (
+  SELECT {pattern} AS pattern, {score} AS s
+  FROM ranked a
+  JOIN ranked b
+    ON a.last_name = b.last_name
+   AND b.rank - a.rank BETWEEN 1 AND {FS_WINDOW}
+  CROSS JOIN one w
+)
+SELECT pattern, count(*) AS n_pairs, max(s) / 1000000000.0 AS llr_score
+FROM pairs
+GROUP BY pattern
+ORDER BY pattern
+"""

@@ -2145,3 +2145,118 @@ WHERE rn = 1
 GROUP BY m
 ORDER BY subspace
 """
+
+
+# ---------------------------------------------------------------------------
+# embedding dispersion — mean pairwise cosine WITHOUT materializing pairs
+# ---------------------------------------------------------------------------
+
+
+def embedding_dispersion_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding diversity: the MEAN PAIRWISE COSINE of every
+    vector pair inside the label, computed in ONE scan via the centroid
+    identity — for unit vectors, Σᵢ≠ⱼ ûᵢ·ûⱼ = ‖Σû‖² − Σᵢ‖ûᵢ‖², so the
+    n²/2 pair dots collapse to 64 per-dimension sums.  This is the
+    mode-collapse / diversity monitor a training-data pipeline runs per
+    source or per synthetic-data batch: mean pairwise cosine near 1 means
+    the slice collapsed onto one direction; the companion
+    ``centroid_norm`` (‖mean û‖, 0 = isotropic, 1 = identical) is the
+    same statistic through the other lens.
+
+    Exactness: unit vectors are quantized to micro ints
+    (floor(x/‖x‖·1e6 + 0.5)), so the identity is evaluated EXACTLY for
+    the quantized vectors — per-(label, dim) component sums and
+    squared-norm sums are integer (decimal(38) against the 1e9-row
+    overflow), and the single double division at the end is
+    micro-rounded.  No float accumulates across rows, so any partitioning
+    and any engine agree bit-for-bit.
+
+    Scale shape: one posexplode + groupBy(label, dim) with map-side
+    combine — labels × 64 rows out of the shuffle regardless of corpus
+    size; everything after is labels-sized.  Compare
+    ``semantic_dedup``/``simhash_near_pairs``, which need candidate pairs
+    because they ask WHICH pairs are close; this asks only HOW close the
+    slice is on average, which is why it gets to skip the pair stage
+    entirely."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    nrm = F.sqrt(_dot64(F.col("embedding"), F.col("embedding")))
+    base = emb.select("label", "embedding", nrm.alias("nrm")).where(F.col("nrm") > 0)
+    unit = base.select(
+        "label",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") / F.col("nrm") * MICRO + 0.5).cast(
+                "long"
+            ),
+        ).alias("u"),
+    )
+    per_dim = (
+        unit.select("label", F.posexplode("u").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(
+            F.sum("v").alias("s"),
+            F.sum((F.col("v") * F.col("v")).cast("decimal(38,0)")).alias("qq"),
+            F.count("*").alias("n"),
+        )
+    )
+    lab = per_dim.groupBy("label").agg(
+        F.sum(F.col("s").cast("decimal(38,0)") * F.col("s").cast("decimal(38,0)")).alias(
+            "s2"
+        ),
+        F.sum("qq").alias("qsum"),
+        F.max("n").alias("n_vecs"),
+    )
+    micro = lambda c: F.floor(c * 1000000.0 + 0.5) / 1000000.0  # noqa: E731
+    n_d = F.col("n_vecs").cast("double")
+    mpc = F.when(
+        F.col("n_vecs") > 1,
+        (F.col("s2") - F.col("qsum")).cast("double")
+        / (n_d * (n_d - 1.0) * 1.0e12),
+    )
+    cnorm = F.sqrt(F.col("s2").cast("double")) / (n_d * 1.0e6)
+    return lab.select(
+        "label",
+        "n_vecs",
+        micro(mpc).alias("mean_pairwise_cosine"),
+        micro(cnorm).alias("centroid_norm"),
+    ).orderBy("label")
+
+
+def embedding_dispersion_by_label_sql() -> str:
+    nrm = _dot_sql("embedding", "embedding")
+    return f"""
+WITH base AS (
+  SELECT label, embedding, sqrt({nrm}) AS nrm
+  FROM embeddings
+),
+unitv AS (
+  SELECT label,
+         list_transform(embedding,
+                        x -> CAST(floor(x::double / nrm * {MICRO} + 0.5) AS BIGINT)) AS u
+  FROM base WHERE nrm > 0
+),
+per_dim AS (
+  SELECT label, t.i AS dim,
+         sum(u[t.i]) AS s,
+         sum((u[t.i] * u[t.i])::hugeint) AS qq,
+         count(*) AS n
+  FROM unitv, unnest(range(1, {DIM + 1})) t(i)
+  GROUP BY label, t.i
+),
+lab AS (
+  SELECT label,
+         sum(s::hugeint * s::hugeint) AS s2,
+         sum(qq) AS qsum,
+         max(n) AS n_vecs
+  FROM per_dim GROUP BY label
+)
+SELECT label, n_vecs,
+       floor(CASE WHEN n_vecs > 1
+                  THEN (s2 - qsum)::double
+                       / (n_vecs::double * (n_vecs::double - 1.0) * 1.0e12)
+             END * 1000000.0 + 0.5) / 1000000.0 AS mean_pairwise_cosine,
+       floor(sqrt(s2::double) / (n_vecs::double * 1.0e6) * 1000000.0 + 0.5)
+         / 1000000.0 AS centroid_norm
+FROM lab
+ORDER BY label
+"""

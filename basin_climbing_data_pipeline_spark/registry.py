@@ -559,7 +559,18 @@ register("markov_holdout_accuracy", co.markov_holdout_accuracy, co.markov_holdou
 register("linear_probe_quality", ts.linear_probe_quality, ts.linear_probe_quality_sql())
 register("k_anonymity_audit", qa.k_anonymity_audit, qa.k_anonymity_audit_sql())
 register("join_key_skew_audit", qa.join_key_skew_audit, qa.join_key_skew_audit_sql())
-# round-7 additions: windowed drift family (batch + streaming sibling)
+# round-7 additions: windowed drift family (batch + streaming sibling),
+# pair-free embedding dispersion, Fellegi-Sunter linkage pattern table
+register(
+    "record_linkage_patterns",
+    cu.record_linkage_patterns,
+    cu.record_linkage_patterns_sql(),
+)
+register(
+    "embedding_dispersion_by_label",
+    sim.embedding_dispersion_by_label,
+    sim.embedding_dispersion_by_label_sql(),
+)
 register("value_drift_psi", sketch.value_drift_psi, sketch.value_drift_psi_sql())
 register(
     "streaming_value_drift_psi",

@@ -376,6 +376,7 @@ EMB_QUERIES = [
     "embedding_centroid_drift",  # floored centroid division + zero-norm guard
     "ivf_probe_recall_sweep",    # cell-assignment ties + empty-candidate spine
     "pq_codebook_eval",          # subvector argmin ties at envelope magnitudes
+    "embedding_dispersion_by_label",  # centroid identity on identical/antipodal vecs
 ]
 
 
@@ -857,3 +858,56 @@ def test_weighted_reservoir_rank_order_agrees_across_12_orders(
     )[:RESERVOIR_K]
     got = [(round(r["sel_key"] * 1e9), r["doc_id"]) for r in rows]
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# adversarial CUSTOMER corpus: random sparse custkeys up to 1e12 stress every
+# %-derived synthetic contact field (k%2/4/5/7/13/40 branches, lpad widths,
+# parent pointers to absent keys) and the linkage blocker's rank windows
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def fuzz_cust_dir(tmp_path_factory):
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("fuzz_cust")
+    src = "/root/testdata/sf0.001"
+    for t in ("region nation supplier part orders lineitem events documents "
+              "embeddings").split():
+        shutil.copy(f"{src}/{t}.parquet", d / f"{t}.parquet")
+    rng = random.Random(7171)
+    schema = pq.read_schema(f"{src}/customer.parquet")
+    nk = [r[0] for r in duckdb.connect().execute(
+        f"SELECT n_nationkey FROM read_parquet('{src}/nation.parquet')").fetchall()]
+    keys = sorted({rng.randrange(0, 10**12) for _ in range(200)} | {0, 1, 7, 13, 91})
+    rows = {
+        "c_custkey": keys,
+        "c_name": [f"Customer#{k}" for k in keys],
+        "c_nationkey": [rng.choice(nk) for _ in keys],
+        "c_acctbal": [round(rng.uniform(-999.99, 9999.99), 2) for _ in keys],
+        "c_mktsegment": [rng.choice(["BUILDING", "AUTOMOBILE", "MACHINERY",
+                                     "HOUSEHOLD", "FURNITURE"]) for _ in keys],
+    }
+    pq.write_table(
+        pa.table({f.name: pa.array(rows[f.name], f.type) for f in schema}),
+        f"{d}/customer.parquet",
+    )
+    return str(d)
+
+
+CUST_QUERIES = [
+    "customers_build",          # every %-derived branch at sparse huge keys
+    "identifiers_build",
+    "duplicate_emails",
+    "fuzzy_email_matches",      # sorted-neighborhood at fuzzed rank layout
+    "record_linkage_patterns",  # F-S weights + pattern table on fuzzed blocks
+]
+
+
+@pytest.mark.parametrize("name", CUST_QUERIES)
+def test_adversarial_customer_oracle_parity(spark, fuzz_cust_dir, name):
+    _assert_oracle_parity(spark, fuzz_cust_dir, name)

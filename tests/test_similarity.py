@@ -363,3 +363,54 @@ def test_pq_codebook_matches_numpy(spark, sf_dir):
         assert r["n_codes_used"] == len(set(codes.tolist()))
         assert r["total_sq_err"] == err
         assert r["mean_sq_err"] == err // len(sub)
+
+
+def test_embedding_dispersion_matches_bruteforce_pairwise_mean(spark, sf_dir):
+    """The centroid identity (‖Σû‖² − Σ‖ûᵢ‖²) / (n(n−1)) must equal the
+    O(n²) brute-force mean pairwise cosine of the SAME quantized unit
+    vectors — exactly, since both sides are integer until one division."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from basin_climbing_data_pipeline_spark.operators.similarity import (
+        MICRO,
+        embedding_dispersion_by_label,
+    )
+
+    got = {
+        r["label"]: r.asDict()
+        for r in embedding_dispersion_by_label(spark, sf_dir).collect()
+    }
+
+    rows = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pylist()
+    by_label: dict[int, list[list[int]]] = {}
+    for r in rows:
+        v = [float(x) for x in r["embedding"]]
+        # mirror the engine fold order: strict left fold, not fsum
+        nrm = math.sqrt(_left_fold_dot(v, v))
+        if nrm <= 0:
+            continue
+        u = [math.floor(x / nrm * MICRO + 0.5) for x in v]
+        by_label.setdefault(r["label"], []).append(u)
+
+    for label, units in by_label.items():
+        n = len(units)
+        assert got[label]["n_vecs"] == n
+        if n < 2:
+            assert got[label]["mean_pairwise_cosine"] is None
+            continue
+        total = 0
+        for i in range(n):
+            for j in range(i + 1, n):
+                total += sum(a * b for a, b in zip(units[i], units[j]))
+        want = (2 * total) / (n * (n - 1) * 1.0e12)
+        want = math.floor(want * 1000000.0 + 0.5) / 1000000.0
+        assert got[label]["mean_pairwise_cosine"] == want, label
+
+
+def _left_fold_dot(a, b):
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + x * y
+    return acc
