@@ -90,12 +90,11 @@ FROM base
 """
 
 
-def language_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Marker-word language ID: score = marker hits per language, detected =
-    argmax with lexicographic tie-break; output the labeled × detected
-    confusion matrix."""
-    docs = load_table(spark, sf_dir, "documents")
-    words = F.expr("split(trim(text), ' ')")
+def _lang_detected(docs: DataFrame, extra_cols: list[str]) -> DataFrame:
+    """(extra_cols..., labeled_lang, detected_lang) — marker-word language
+    ID: score = marker hits per language, detected = argmax with
+    lexicographic tie-break.  Shared by the confusion matrix and the
+    kappa eval."""
     scores = [
         F.size(
             F.expr(
@@ -106,7 +105,7 @@ def language_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias(f"score_{lang}")
         for lang, markers in LANG_MARKERS.items()
     ]
-    scored = docs.select("doc_id", F.col("lang").alias("labeled_lang"), *scores)
+    scored = docs.select(*extra_cols, F.col("lang").alias("labeled_lang"), *scores)
     # argmax with deterministic tie-break: greatest score wins, ties -> first
     # language in sorted order
     detected = None
@@ -118,8 +117,18 @@ def language_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:
             detected = F.when(s > best, lang).otherwise(detected)
             best = F.when(s > best, s).otherwise(best)
+    return scored.withColumn("detected_lang", detected).drop(
+        *[f"score_{lang}" for lang in LANG_MARKERS]
+    )
+
+
+def language_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID: score = marker hits per language, detected =
+    argmax with lexicographic tie-break; output the labeled × detected
+    confusion matrix."""
+    docs = load_table(spark, sf_dir, "documents")
     return (
-        scored.withColumn("detected_lang", detected)
+        _lang_detected(docs, ["doc_id"])
         .groupBy("labeled_lang", "detected_lang")
         .agg(F.count("*").alias("n_docs"))
         .orderBy("labeled_lang", "detected_lang")
@@ -1763,4 +1772,121 @@ FROM (
          CAST(mb_0 AS DOUBLE) / {float(_FEAT_SCALE)!r} AS ys
   FROM solved
 )
+"""
+
+
+def lang_id_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa of the marker-word language ID against the labeled
+    language, PER SOURCE — the chance-corrected agreement the raw accuracy
+    (``language_id_confusion`` diagonal) overstates whenever one language
+    dominates a source.  This is the classifier-vs-label eval a training
+    pipeline runs before trusting a heuristic filter to route documents.
+
+    All-integer identity: with n docs, a = agreeing docs, and per-class
+    marginals nl_c (labeled) / np_c (predicted),
+
+        kappa = (a·n − Σ_c nl_c·np_c) / (n² − Σ_c nl_c·np_c)
+
+    — exact int64/decimal until ONE micro-rounded division (pe = 1, i.e.
+    a single class on both sides, pins kappa to NULL on both engines).
+
+    Scale shape: one groupBy onto (source, labeled, detected) — bounded at
+    sources × langs² — then marginal sums and the kappa identity over that
+    tiny frame."""
+    docs = load_table(spark, sf_dir, "documents")
+    cm = (
+        _lang_detected(docs, ["source"])
+        .groupBy("source", "labeled_lang", "detected_lang")
+        .agg(F.count("*").alias("n"))
+    )
+    nl = cm.groupBy("source", F.col("labeled_lang").alias("cls")).agg(
+        F.sum("n").alias("nl")
+    )
+    np_ = cm.groupBy("source", F.col("detected_lang").alias("cls")).agg(
+        F.sum("n").alias("np")
+    )
+    # full outer on the class marginals: a class can appear only as a label
+    # or only as a prediction; the absent side contributes 0 to Σ nl·np
+    marg = nl.join(np_, ["source", "cls"], "full").select(
+        "source",
+        F.coalesce(F.col("nl"), F.lit(0)).cast("decimal(38,0)").alias("nl"),
+        F.coalesce(F.col("np"), F.lit(0)).cast("decimal(38,0)").alias("np"),
+    )
+    chance = marg.groupBy("source").agg(F.sum(F.col("nl") * F.col("np")).alias("sum_nlnp"))
+    totals = cm.groupBy("source").agg(
+        F.sum("n").alias("n_docs"),
+        F.sum(
+            F.when(F.col("labeled_lang") == F.col("detected_lang"), F.col("n")).otherwise(
+                F.lit(0)
+            )
+        ).alias("agree"),
+    )
+    micro = lambda c: F.floor(c * 1000000.0 + 0.5) / 1000000.0  # noqa: E731
+    j = totals.join(chance, "source")
+    n_dec = F.col("n_docs").cast("decimal(38,0)")
+    num = F.col("agree").cast("decimal(38,0)") * n_dec - F.col("sum_nlnp")
+    den = n_dec * n_dec - F.col("sum_nlnp")
+    return j.select(
+        "source",
+        "n_docs",
+        micro(F.col("agree").cast("double") / F.col("n_docs").cast("double")).alias(
+            "agree_rate"
+        ),
+        micro(
+            F.when(den != 0, num.cast("double") / den.cast("double"))
+        ).alias("kappa"),
+    ).orderBy("source")
+
+
+def lang_id_kappa_sql() -> str:
+    score_cols = ",\n         ".join(
+        "len(list_filter(words, w -> "
+        + " OR ".join(f"w = '{m}'" for m in markers)
+        + f")) AS score_{lang}"
+        for lang, markers in LANG_MARKERS.items()
+    )
+    langs = sorted(LANG_MARKERS)
+    detect = f"'{langs[0]}'"
+    best = f"score_{langs[0]}"
+    for lang in langs[1:]:
+        detect = f"CASE WHEN score_{lang} > {best} THEN '{lang}' ELSE {detect} END"
+        best = f"greatest({best}, score_{lang})"
+    return f"""
+WITH words_cte AS (
+  SELECT source, lang AS labeled_lang,
+         string_split(trim(text, ' '), ' ') AS words
+  FROM documents
+),
+scored AS (
+  SELECT source, labeled_lang,
+         {score_cols}
+  FROM words_cte
+),
+cm AS (
+  SELECT source, labeled_lang, {detect} AS detected_lang, count(*) AS n
+  FROM scored GROUP BY 1, 2, 3
+),
+nl AS (SELECT source, labeled_lang AS cls, sum(n) AS nl FROM cm GROUP BY 1, 2),
+np AS (SELECT source, detected_lang AS cls, sum(n) AS np FROM cm GROUP BY 1, 2),
+marg AS (
+  SELECT coalesce(nl.source, np.source) AS source,
+         coalesce(nl.nl, 0)::hugeint AS nl,
+         coalesce(np.np, 0)::hugeint AS np
+  FROM nl FULL JOIN np ON nl.source = np.source AND nl.cls = np.cls
+),
+chance AS (SELECT source, sum(nl * np) AS sum_nlnp FROM marg GROUP BY source),
+totals AS (
+  SELECT source, sum(n) AS n_docs,
+         sum(CASE WHEN labeled_lang = detected_lang THEN n ELSE 0 END) AS agree
+  FROM cm GROUP BY source
+)
+SELECT t.source, t.n_docs,
+       floor(t.agree::double / t.n_docs::double * 1000000.0 + 0.5) / 1000000.0
+         AS agree_rate,
+       floor(CASE WHEN (t.n_docs::hugeint * t.n_docs::hugeint - c.sum_nlnp) != 0
+                  THEN (t.agree::hugeint * t.n_docs::hugeint - c.sum_nlnp)::double
+                       / (t.n_docs::hugeint * t.n_docs::hugeint - c.sum_nlnp)::double
+             END * 1000000.0 + 0.5) / 1000000.0 AS kappa
+FROM totals t JOIN chance c USING (source)
+ORDER BY t.source
 """

@@ -566,6 +566,7 @@ register(
     cu.record_linkage_patterns,
     cu.record_linkage_patterns_sql(),
 )
+register("lang_id_kappa", ts.lang_id_kappa, ts.lang_id_kappa_sql())
 register(
     "embedding_dispersion_by_label",
     sim.embedding_dispersion_by_label,

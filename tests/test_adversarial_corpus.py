@@ -63,6 +63,7 @@ QUERIES = [
     "bigram_interp_logprob",     # lag-chain bigrams on 1-token/empty docs
     "media_resize_features",     # empty-payload thumbnail (capstone catch)
     "linear_probe_quality",      # Cramer solve on a degenerate tiny corpus
+    "lang_id_kappa",             # chance-corrected agreement incl. 'xx' labels
 ]
 
 
