@@ -39,25 +39,63 @@ CMS_DEPTH = 4  # d independent hash rows
 CMS_WIDTH = 64  # w buckets per row
 
 
+def _hll_register_rows(df: DataFrame, group_cols: list[F.Column], elem_col: str) -> DataFrame:
+    """(group_cols..., bucket, rho) pre-aggregation rows for the
+    deterministic md5 HLL.
+
+    rho = leading zeros in the 48-bit tail + 1, CAPPED at RHO_BITS so the
+    scaled register weight 2^(RHO_BITS - rho) stays a positive integer
+    (tail = 0 would be rho = 49 in textbook HLL; bin(0) = '0' has length 1,
+    so the formula below yields the cap 48 — a 2^-48-probability bias,
+    traded for exact int64 register sums).  bit_length(v) == length(bin(v)).
+    Shared by the batch register builder and the streaming stateful
+    aggregation — MAX over these rows is streaming-legal, unlike
+    approx_count_distinct's opaque HLL, and gives a DuckDB-mirrorable
+    estimate."""
+    h = F.md5(F.col(elem_col).cast("string"))
+    bucket = F.conv(F.substring(h, 1, 2), 16, 10).cast("long")
+    tail = F.conv(F.substring(h, 3, 12), 16, 10).cast("long")  # 48-bit
+    rho = F.lit(HLL_RHO_BITS) - F.length(F.expr("bin(_tail)")) + 1
+    return (
+        df.select(*group_cols, bucket.alias("bucket"), tail.alias("_tail"))
+        .withColumn("rho", rho)
+        .drop("_tail")
+    )
+
+
 def _hll_registers(elems: DataFrame, group_col: str, elem_col: str) -> DataFrame:
     """(group, bucket, max_rho): the HLL register table.  One groupBy
     shuffle on (group, bucket) — at any scale the output is ≤ m rows per
     group, and MAX is algebraic so map-side partials do the heavy lifting."""
-    h = F.md5(F.col(elem_col).cast("string"))
-    bucket = F.conv(F.substring(h, 1, 2), 16, 10).cast("long")
-    tail = F.conv(F.substring(h, 3, 12), 16, 10).cast("long")  # 48-bit
-    # rho = leading zeros in the 48-bit tail + 1, CAPPED at RHO_BITS so the
-    # scaled register weight 2^(RHO_BITS - rho) stays a positive integer
-    # (tail = 0 would be rho = 49 in textbook HLL; bin(0) = '0' has length 1,
-    # so the formula below yields the cap 48 — a 2^-48-probability bias,
-    # traded for exact int64 register sums).  bit_length(v) == length(bin(v)).
-    rho = F.lit(HLL_RHO_BITS) - F.length(F.expr("bin(_tail)")) + 1
-    return (
-        elems.select(F.col(group_col).alias("grp"), bucket.alias("bucket"), tail.alias("_tail"))
-        .withColumn("rho", rho)
-        .groupBy("grp", "bucket")
-        .agg(F.max("rho").alias("max_rho"))
+    rows = _hll_register_rows(elems, [F.col(group_col).alias("grp")], elem_col)
+    return rows.groupBy("grp", "bucket").agg(F.max("rho").alias("max_rho"))
+
+
+def _hll_scaled_registers(regs: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Σ 2^(RHO_BITS - M_j) over present buckets (exact int64) + present
+    count, per group — the two numbers the estimator needs."""
+    return regs.groupBy(*group_cols).agg(
+        F.sum(
+            F.expr(f"shiftleft(1L, {HLL_RHO_BITS} - cast(max_rho as int))")
+        ).alias("s_present"),
+        F.count("*").alias("n_present"),
     )
+
+
+def _hll_estimate_col() -> F.Column:
+    """Full Flajolet estimator over (s_present, n_present) columns: raw
+    alpha·m²/Σ2^(-M_j), switched to linear counting m·ln(m/V) in the small
+    range (raw ≤ 2.5m, V > 0)."""
+    denom_unit = float(2**HLL_RHO_BITS)
+    raw = (
+        F.lit(HLL_ALPHA * HLL_BUCKETS * HLL_BUCKETS)
+        / ((F.col("s_present") + (F.lit(HLL_BUCKETS) - F.col("n_present")) * F.lit(2**HLL_RHO_BITS)) / F.lit(denom_unit))
+    )
+    empty = F.lit(HLL_BUCKETS) - F.col("n_present")
+    return F.when(
+        (raw <= F.lit(2.5 * HLL_BUCKETS)) & (empty > 0),
+        F.lit(float(HLL_BUCKETS)) * F.log(F.lit(float(HLL_BUCKETS)) / empty),
+    ).otherwise(raw)
 
 
 def hll_distinct_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -75,24 +113,8 @@ def hll_distinct_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     this beats exact distinct at 100 TB."""
     events = load_table(spark, sf_dir, "events")
     regs = _hll_registers(events, "event_type", "user_id")
-    # Σ 2^(RHO_BITS - M_j) over present buckets, exact int64; empty buckets
-    # contribute 2^RHO_BITS each
-    scaled = regs.groupBy("grp").agg(
-        F.sum(
-            F.expr(f"shiftleft(1L, {HLL_RHO_BITS} - cast(max_rho as int))")
-        ).alias("s_present"),
-        F.count("*").alias("n_present"),
-    )
-    denom_unit = float(2**HLL_RHO_BITS)
-    raw = (
-        F.lit(HLL_ALPHA * HLL_BUCKETS * HLL_BUCKETS)
-        / ((F.col("s_present") + (F.lit(HLL_BUCKETS) - F.col("n_present")) * F.lit(2**HLL_RHO_BITS)) / F.lit(denom_unit))
-    )
-    empty = F.lit(HLL_BUCKETS) - F.col("n_present")
-    est = F.when(
-        (raw <= F.lit(2.5 * HLL_BUCKETS)) & (empty > 0),
-        F.lit(float(HLL_BUCKETS)) * F.log(F.lit(float(HLL_BUCKETS)) / empty),
-    ).otherwise(raw)
+    scaled = _hll_scaled_registers(regs, ["grp"])
+    est = _hll_estimate_col()
     exact = events.groupBy(F.col("event_type").alias("grp")).agg(
         F.countDistinct("user_id").alias("n_exact")
     )

@@ -568,6 +568,11 @@ register(
 )
 register("lang_id_kappa", ts.lang_id_kappa, ts.lang_id_kappa_sql())
 register(
+    "streaming_window_distinct_users",
+    st.streaming_window_distinct_users,
+    st.streaming_window_distinct_users_sql(),
+)
+register(
     "embedding_dispersion_by_label",
     sim.embedding_dispersion_by_label,
     sim.embedding_dispersion_by_label_sql(),

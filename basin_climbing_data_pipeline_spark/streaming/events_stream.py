@@ -587,3 +587,137 @@ def streaming_value_drift_psi_sql() -> str:
     from ..operators.sketches import value_drift_psi_sql
 
     return value_drift_psi_sql()
+
+
+def streaming_window_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per 6h window × event type on a STREAM — the query
+    the windowed-counts oracle gate documented as out of reach
+    (``windowed_event_counts_sql``: streaming aggregation only supports
+    ``approx_count_distinct``, whose opaque HLL no oracle can mirror).
+    The repo's own deterministic md5 HLL closes that gap: the stateful
+    stage maintains MAX(rho) per (window, type, bucket) — a streaming-
+    legal algebraic aggregate with windows × types × ≤256 rows of state —
+    and the Flajolet estimate is a bounded post-process over the sink.
+    The exact distinct count (computed batch-side over the same prefix,
+    the eval discipline of ``hll_distinct_eval``) rides along with the
+    measured relative error.
+
+    At production scale this is the continuously-updating distinct-users
+    dashboard tile: register state merges with MAX across triggers and
+    across a 1000-executor shuffle identically — the determinism that
+    makes the estimate reproducible run-to-run."""
+    from ..io import load_table
+    from ..operators.sketches import (
+        HLL_BUCKETS,
+        _hll_estimate_col,
+        _hll_register_rows,
+        _hll_scaled_registers,
+    )
+
+    stream = stream_events(spark, sf_dir).withWatermark("ts", "1 hour")
+    rows = _hll_register_rows(
+        stream,
+        [F.window("ts", f"{WINDOW_HOURS} hours").alias("wd"), F.col("event_type")],
+        "user_id",
+    )
+    regs = rows.groupBy("wd", "event_type", "bucket").agg(
+        F.max("rho").alias("max_rho")
+    )
+    sink = f"stream_hll_{uuid.uuid4().hex[:8]}"
+    with _stream_partitions(spark):
+        q = (
+            regs.writeStream.trigger(availableNow=True)
+            .outputMode("complete")
+            .format("memory")
+            .queryName(sink)
+            .start()
+        )
+        _await_finished(q)
+    reg_rows = spark.table(sink).localCheckpoint()
+    spark.catalog.dropTempView(sink)
+    scaled = _hll_scaled_registers(
+        reg_rows.select(
+            F.unix_micros(F.col("wd.start")).alias("window_start_us"),
+            "event_type",
+            "max_rho",
+        ),
+        ["window_start_us", "event_type"],
+    )
+    est = _hll_estimate_col()
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            (F.floor(F.unix_micros("ts") / WINDOW_US) * WINDOW_US)
+            .cast("long")
+            .alias("window_start_us"),
+            "event_type",
+        )
+        .agg(F.countDistinct("user_id").alias("n_exact"))
+    )
+    return (
+        scaled.join(exact, ["window_start_us", "event_type"])
+        .select(
+            "window_start_us",
+            "event_type",
+            "n_exact",
+            (F.floor(est * 1000000.0 + 0.5) / 1000000.0).alias("hll_estimate"),
+            (
+                F.floor(
+                    F.abs(est - F.col("n_exact")) / F.col("n_exact") * 1000000.0 + 0.5
+                )
+                / 1000000.0
+            ).alias("rel_error"),
+        )
+        .orderBy("window_start_us", "event_type")
+    )
+
+
+def streaming_window_distinct_users_sql() -> str:
+    from ..operators.sketches import HLL_ALPHA, HLL_BUCKETS, HLL_RHO_BITS
+
+    rb = HLL_RHO_BITS
+    return f"""
+WITH elems AS (
+  SELECT (epoch_us(ts::TIMESTAMP) // {WINDOW_US}) * {WINDOW_US} AS window_start_us,
+         event_type,
+         ('0x' || substr(md5(user_id::varchar), 1, 2))::bigint AS bucket,
+         ('0x' || substr(md5(user_id::varchar), 3, 12))::bigint AS tail
+  FROM events
+),
+regs AS (
+  SELECT window_start_us, event_type, bucket,
+         max({rb} - length(bin(tail)) + 1) AS max_rho
+  FROM elems GROUP BY 1, 2, 3
+),
+scaled AS (
+  SELECT window_start_us, event_type,
+         sum((1::bigint << ({rb} - max_rho))::bigint)::bigint AS s_present,
+         count(*) AS n_present
+  FROM regs GROUP BY 1, 2
+),
+exact AS (
+  SELECT (epoch_us(ts::TIMESTAMP) // {WINDOW_US}) * {WINDOW_US} AS window_start_us,
+         event_type, count(DISTINCT user_id) AS n_exact
+  FROM events GROUP BY 1, 2
+),
+raw_est AS (
+  SELECT s.window_start_us, s.event_type, e.n_exact,
+         ({HLL_BUCKETS} - s.n_present) AS empty,
+         {HLL_ALPHA * HLL_BUCKETS * HLL_BUCKETS} /
+           ((s.s_present + ({HLL_BUCKETS} - s.n_present) * {2**HLL_RHO_BITS}::bigint)
+              / {float(2**HLL_RHO_BITS)}) AS raw
+  FROM scaled s JOIN exact e USING (window_start_us, event_type)
+),
+est AS (
+  SELECT window_start_us, event_type, n_exact,
+         CASE WHEN raw <= {2.5 * HLL_BUCKETS} AND empty > 0
+              THEN {float(HLL_BUCKETS)} * ln({float(HLL_BUCKETS)} / empty)
+              ELSE raw END AS raw
+  FROM raw_est
+)
+SELECT window_start_us, event_type, n_exact,
+       floor(raw * 1000000.0 + 0.5) / 1000000.0 AS hll_estimate,
+       floor(abs(raw - n_exact) / n_exact * 1000000.0 + 0.5) / 1000000.0 AS rel_error
+FROM est
+ORDER BY window_start_us, event_type
+"""

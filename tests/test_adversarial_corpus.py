@@ -188,6 +188,7 @@ EVENT_QUERIES = [
     "join_key_skew_audit",        # tie-heavy key counts + rank tie-breaks
     "value_drift_psi",            # window-pair PSI on ties/zero/huge values
     "streaming_value_drift_psi",  # same via the watermarked stateful path
+    "streaming_window_distinct_users",  # md5-HLL registers via stateful MAX
 ]
 
 
