@@ -692,3 +692,97 @@ SELECT customer_id, len AS longest_streak_days, streak_start, streak_end
 FROM best WHERE rn = 1
 ORDER BY customer_id
 """
+
+
+def interevent_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goh-Barabási burstiness of per-user inter-event times, per event
+    type: B = (σ − μ)/(σ + μ) over the gap distribution — B → −1 is a
+    metronome (scheduled scraper), B ≈ 0 Poisson (organic), B → 1 heavy
+    bursts (bot storms, retransmission floods).  A training-data pipeline
+    runs this per source/type to flag machine-generated interaction
+    streams before they poison behavioral mixtures; the reference's
+    closest surface is its visit-recency segmentation
+    (dashboard/dashboard.py:800-829), which buckets the SAME gap variable
+    one moment at a time.
+
+    Exactness: gaps are exact int64 microseconds from one lag window
+    (ties pinned by event_id); Σgap and Σgap² accumulate in decimal(38)
+    (1e9 events × (30d)² stays inside), so μ and σ come from exact
+    integer moments and the engines agree bit-for-bit after the single
+    micro-rounded projection.  σ + μ = 0 (a type whose every gap is 0)
+    pins B to NULL on both engines.
+
+    Scale shape: ONE shuffle — the (user_id, event_type) lag window —
+    then a groupBy onto |event types| rows of exact moments.  Nothing
+    after the window touches event volume."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", F.unix_micros("ts").alias("ts_us")
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts_us", "event_id")
+    gaps = ev.withColumn("gap_us", F.col("ts_us") - F.lag("ts_us").over(w)).where(
+        F.col("gap_us").isNotNull()
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    mom = gaps.groupBy("event_type").agg(
+        F.count("*").alias("n_gaps"),
+        F.sum(dec(F.col("gap_us"))).alias("s"),
+        F.sum(dec(F.col("gap_us")) * dec(F.col("gap_us"))).alias("s2"),
+    )
+    micro = lambda c: F.floor(c * 1000000.0 + 0.5) / 1000000.0  # noqa: E731
+    n = F.col("n_gaps").cast("decimal(38,0)")
+    # population variance from exact moments: (n·Σx² − (Σx)²) / n²
+    var_num = n * F.col("s2") - F.col("s") * F.col("s")
+    mean_us = F.col("s").cast("double") / F.col("n_gaps").cast("double")
+    sd_us = F.sqrt(
+        var_num.cast("double")
+        / (F.col("n_gaps").cast("double") * F.col("n_gaps").cast("double"))
+    )
+    b = F.when(
+        (sd_us + mean_us) != 0.0, (sd_us - mean_us) / (sd_us + mean_us)
+    )
+    return mom.select(
+        "event_type",
+        "n_gaps",
+        micro(mean_us / 1000000.0).alias("mean_gap_sec"),
+        micro(sd_us / 1000000.0).alias("sd_gap_sec"),
+        micro(b).alias("burstiness"),
+    ).orderBy("event_type")
+
+
+def interevent_burstiness_sql() -> str:
+    return """
+WITH ev AS (
+  SELECT user_id, event_type, event_id, epoch_us(ts::TIMESTAMP) AS ts_us
+  FROM events
+),
+gaps AS (
+  SELECT event_type,
+         ts_us - lag(ts_us) OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts_us, event_id) AS gap_us
+  FROM ev
+),
+mom AS (
+  SELECT event_type, count(*) AS n_gaps,
+         sum(gap_us::hugeint) AS s,
+         sum(gap_us::hugeint * gap_us::hugeint) AS s2
+  FROM gaps WHERE gap_us IS NOT NULL
+  GROUP BY event_type
+),
+stats AS (
+  SELECT event_type, n_gaps,
+         s::double / n_gaps::double AS mean_us,
+         sqrt((n_gaps::hugeint * s2 - s * s)::double
+              / (n_gaps::double * n_gaps::double)) AS sd_us
+  FROM mom
+)
+SELECT event_type, n_gaps,
+       floor(mean_us / 1000000.0 * 1000000.0 + 0.5) / 1000000.0 AS mean_gap_sec,
+       floor(sd_us / 1000000.0 * 1000000.0 + 0.5) / 1000000.0 AS sd_gap_sec,
+       floor(CASE WHEN (sd_us + mean_us) != 0.0
+                  THEN (sd_us - mean_us) / (sd_us + mean_us)
+             END * 1000000.0 + 0.5) / 1000000.0 AS burstiness
+FROM stats
+ORDER BY event_type
+"""

@@ -572,6 +572,7 @@ register(
     st.streaming_window_distinct_users,
     st.streaming_window_distinct_users_sql(),
 )
+register("interevent_burstiness", ev.interevent_burstiness, ev.interevent_burstiness_sql())
 register(
     "embedding_dispersion_by_label",
     sim.embedding_dispersion_by_label,

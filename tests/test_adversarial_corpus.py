@@ -189,6 +189,7 @@ EVENT_QUERIES = [
     "value_drift_psi",            # window-pair PSI on ties/zero/huge values
     "streaming_value_drift_psi",  # same via the watermarked stateful path
     "streaming_window_distinct_users",  # md5-HLL registers via stateful MAX
+    "interevent_burstiness",      # zero gaps at identical-ts bursts + tie-break
 ]
 
 
