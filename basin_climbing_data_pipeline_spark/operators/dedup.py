@@ -2139,3 +2139,129 @@ FROM attributed
 GROUP BY source_a, source_b
 ORDER BY source_a, source_b
 """
+
+
+# ---------------------------------------------------------------------------
+# cluster-safe split — near-dups never straddle train/val/test
+# ---------------------------------------------------------------------------
+
+SPLIT_VAL_LO = 80   # md5(cluster) buckets: [0,80) train, [80,90) val, [90,100) test
+SPLIT_TEST_LO = 90
+
+
+def cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe split assignment: hash the dedup CLUSTER, not the
+    document — every near-duplicate group lands wholly inside one of
+    train/val/test, so eval can never score a paraphrase of a training
+    doc.  ``train_test_split`` hashes doc_id and is exactly the splitter
+    that LEAKS near-dups across the boundary; this is the corrected form
+    every serious LLM data pipeline ships (the dedup-then-split
+    discipline), built from the same LSH pair → star-contraction cluster
+    machinery as :func:`dedup_clusters` (singletons cluster as
+    themselves).
+
+    Output: one row per split with document/cluster counts, the largest
+    cluster routed there, and the AUDIT COLUMN ``cross_split_pairs`` —
+    the number of LSH near-dup pairs whose endpoints landed in different
+    splits, zero BY CONSTRUCTION (hashing the shared cluster id); the
+    column exists so the invariant is measured, not assumed.
+
+    Scale shape: clusters ride the star-contraction labels (log-diameter
+    rounds); the split is a map-side md5 over the label; the audit joins
+    the bounded pair set against the assignment twice on doc_id."""
+    from .sampling import _md5_bucket
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    pairs = minhash_lsh_pairs(spark, sf_dir).filter(
+        F.col("jaccard") >= CLUSTER_JACCARD_MIN
+    )
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).union(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    labels = propagate_min_labels(edges)  # (node, label) for clustered docs
+    assigned = docs.join(labels, docs.doc_id == labels.node, "left").select(
+        "doc_id", F.coalesce(F.col("label"), F.col("doc_id")).alias("cluster_id")
+    )
+    b = _md5_bucket(F.col("cluster_id"))
+    split = (
+        F.when(b < SPLIT_VAL_LO, "train")
+        .when(b < SPLIT_TEST_LO, "val")
+        .otherwise("test")
+    )
+    assigned = assigned.withColumn("split", split)
+    csize = assigned.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    per_split = (
+        assigned.join(csize, "cluster_id")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("cluster_id").alias("n_clusters"),
+            F.max("cluster_size").alias("max_cluster_size"),
+        )
+    )
+    a = assigned.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a"))
+    bb = assigned.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b"))
+    audit = (
+        pairs.join(a, "doc_a")
+        .join(bb, "doc_b")
+        .groupBy(F.col("split_a").alias("split"))
+        .agg(
+            F.sum((F.col("split_a") != F.col("split_b")).cast("long")).alias(
+                "cross_split_pairs"
+            )
+        )
+    )
+    return (
+        per_split.join(audit, "split", "left")
+        .select(
+            "split",
+            "n_docs",
+            "n_clusters",
+            "max_cluster_size",
+            F.coalesce(F.col("cross_split_pairs"), F.lit(0)).alias("cross_split_pairs"),
+        )
+        .orderBy("split")
+    )
+
+
+def cluster_safe_split_sql() -> str:
+    from .sampling import _md5_bucket_sql
+
+    b = _md5_bucket_sql("cluster_id")
+    return f"""
+WITH RECURSIVE {_clusters_cte_sql()},
+assigned AS (
+  SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN labels l ON d.doc_id = l.node
+),
+split_assigned AS (
+  SELECT doc_id, cluster_id,
+         CASE WHEN {b} < {SPLIT_VAL_LO} THEN 'train'
+              WHEN {b} < {SPLIT_TEST_LO} THEN 'val'
+              ELSE 'test' END AS split
+  FROM assigned
+),
+csize AS (
+  SELECT cluster_id, count(*) AS cluster_size FROM split_assigned GROUP BY cluster_id
+),
+per_split AS (
+  SELECT split, count(*) AS n_docs,
+         count(DISTINCT s.cluster_id) AS n_clusters,
+         max(cluster_size) AS max_cluster_size
+  FROM split_assigned s JOIN csize USING (cluster_id)
+  GROUP BY split
+),
+audit AS (
+  SELECT sa.split AS split,
+         sum(CASE WHEN sa.split != sb.split THEN 1 ELSE 0 END) AS cross_split_pairs
+  FROM pairs p
+  JOIN split_assigned sa ON p.doc_a = sa.doc_id
+  JOIN split_assigned sb ON p.doc_b = sb.doc_id
+  WHERE p.jaccard >= {CLUSTER_JACCARD_MIN}
+  GROUP BY sa.split
+)
+SELECT split, n_docs, n_clusters, max_cluster_size,
+       coalesce(a.cross_split_pairs, 0) AS cross_split_pairs
+FROM per_split LEFT JOIN audit a USING (split)
+ORDER BY split
+"""

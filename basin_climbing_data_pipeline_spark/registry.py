@@ -573,6 +573,7 @@ register(
     st.streaming_window_distinct_users_sql(),
 )
 register("interevent_burstiness", ev.interevent_burstiness, ev.interevent_burstiness_sql())
+register("cluster_safe_split", dd.cluster_safe_split, dd.cluster_safe_split_sql())
 register(
     "embedding_dispersion_by_label",
     sim.embedding_dispersion_by_label,

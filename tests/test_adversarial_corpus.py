@@ -64,6 +64,7 @@ QUERIES = [
     "media_resize_features",     # empty-payload thumbnail (capstone catch)
     "linear_probe_quality",      # Cramer solve on a degenerate tiny corpus
     "lang_id_kappa",             # chance-corrected agreement incl. 'xx' labels
+    "cluster_safe_split",        # cluster-hash split over degenerate dup graphs
 ]
 
 
