@@ -344,3 +344,133 @@ SELECT n_customers, {B_REPLICATES} AS b_replicates, mean_cents,
        ci_lo_cents, ci_hi_cents
 FROM point CROSS JOIN ci
 """
+
+
+# ---------------------------------------------------------------------------
+# Weight-of-Evidence / Information-Value feature screening
+# ---------------------------------------------------------------------------
+
+WOE_LABEL_CATEGORY = "New Membership"   # converted = bought a membership
+
+
+def woe_iv_by_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-Evidence encoding + Information Value per categorical
+    feature — the standard feature-screening table (credit-scoring
+    lineage) a pipeline computes before trusting a categorical column in
+    a model mixture: WOE_c = ln((pos_c/pos)/(neg_c/neg)) per category,
+    IV = Σ (pos_c/pos − neg_c/neg)·WOE_c per feature (rule of thumb:
+    <0.02 useless, >0.3 strong).  Label: the customer converted (has a
+    WOE_LABEL_CATEGORY transaction); features: segment and nation,
+    long-formatted so ONE aggregation covers any feature list.
+
+    Laplace (+1) smoothing keeps empty cells finite, mirroring
+    spend_drift_psi's share discipline; each WOE and IV term is
+    nano-rounded from exact integer counts, so the per-feature IV sum is
+    summation-order immune.
+
+    Scale shape: one semi-join-shaped label rollup on customer_id, one
+    groupBy onto (feature, category, label) — bounded by the category
+    vocabulary — then window math over that tiny frame."""
+    from pyspark.sql import Window
+
+    from .customers import build_customers
+    from .transactions import build_transactions
+
+    cust = build_customers(spark, sf_dir).select("customer_id", "segment", "nation")
+    txn = build_transactions(spark, sf_dir)
+    converted = (
+        txn.where(F.col("revenue_category") == WOE_LABEL_CATEGORY)
+        .select("customer_id")
+        .distinct()
+        .withColumn("pos", F.lit(1))
+    )
+    labeled = cust.join(converted, "customer_id", "left").select(
+        "segment", "nation", F.coalesce(F.col("pos"), F.lit(0)).alias("pos")
+    )
+    longf = labeled.select(
+        F.expr("stack(2, 'segment', segment, 'nation', nation) as (feature, category)"),
+        "pos",
+    )
+    counts = longf.groupBy("feature", "category").agg(
+        F.sum("pos").alias("n_pos"),
+        F.sum(1 - F.col("pos")).alias("n_neg"),
+    )
+    wf = Window.partitionBy("feature")
+    enriched = counts.select(
+        "feature",
+        "category",
+        "n_pos",
+        "n_neg",
+        F.sum("n_pos").over(wf).alias("pos_tot"),
+        F.sum("n_neg").over(wf).alias("neg_tot"),
+        F.count("*").over(wf).alias("n_cats"),
+    )
+    p = (F.col("n_pos") + 1).cast("double") / (F.col("pos_tot") + F.col("n_cats"))
+    q = (F.col("n_neg") + 1).cast("double") / (F.col("neg_tot") + F.col("n_cats"))
+    woe_nano = F.floor(F.log(p / q) * 1000000000.0 + 0.5).cast("long")
+    iv_nano = F.floor((p - q) * F.log(p / q) * 1000000000.0 + 0.5).cast("long")
+    scored = enriched.select(
+        "feature", "category", "n_pos", "n_neg",
+        woe_nano.alias("woe_nano"), iv_nano.alias("iv_nano"),
+    )
+    wiv = Window.partitionBy("feature")
+    return scored.select(
+        "feature",
+        "category",
+        "n_pos",
+        "n_neg",
+        (F.col("woe_nano") / 1000000000.0).alias("woe"),
+        (F.sum("iv_nano").over(wiv) / 1000000000.0).alias("feature_iv"),
+    ).orderBy("feature", "category")
+
+
+def woe_iv_by_feature_sql() -> str:
+    from .customers import customers_sql
+    from .transactions import transactions_sql
+
+    return f"""
+WITH cust AS ({customers_sql()}),
+txn AS ({transactions_sql()}),
+converted AS (
+  SELECT DISTINCT customer_id FROM txn
+  WHERE revenue_category = '{WOE_LABEL_CATEGORY}'
+),
+labeled AS (
+  SELECT c.segment, c.nation,
+         CASE WHEN v.customer_id IS NULL THEN 0 ELSE 1 END AS pos
+  FROM cust c LEFT JOIN converted v USING (customer_id)
+),
+longf AS (
+  SELECT 'segment' AS feature, segment AS category, pos FROM labeled
+  UNION ALL
+  SELECT 'nation', nation, pos FROM labeled
+),
+counts AS (
+  SELECT feature, category, sum(pos) AS n_pos, sum(1 - pos) AS n_neg
+  FROM longf GROUP BY 1, 2
+),
+enriched AS (
+  SELECT feature, category, n_pos, n_neg,
+         sum(n_pos) OVER (PARTITION BY feature) AS pos_tot,
+         sum(n_neg) OVER (PARTITION BY feature) AS neg_tot,
+         count(*) OVER (PARTITION BY feature) AS n_cats
+  FROM counts
+),
+scored AS (
+  SELECT feature, category, n_pos, n_neg,
+         CAST(floor(ln(((n_pos + 1)::double / (pos_tot + n_cats))
+                       / ((n_neg + 1)::double / (neg_tot + n_cats)))
+                    * 1000000000.0 + 0.5) AS BIGINT) AS woe_nano,
+         CAST(floor(((n_pos + 1)::double / (pos_tot + n_cats)
+                     - (n_neg + 1)::double / (neg_tot + n_cats))
+                    * ln(((n_pos + 1)::double / (pos_tot + n_cats))
+                         / ((n_neg + 1)::double / (neg_tot + n_cats)))
+                    * 1000000000.0 + 0.5) AS BIGINT) AS iv_nano
+  FROM enriched
+)
+SELECT feature, category, n_pos, n_neg,
+       woe_nano / 1000000000.0 AS woe,
+       sum(iv_nano) OVER (PARTITION BY feature) / 1000000000.0 AS feature_iv
+FROM scored
+ORDER BY feature, category
+"""

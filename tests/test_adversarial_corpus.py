@@ -308,6 +308,7 @@ TXN_QUERIES = [
     "daily_revenue_locf",
     "ewma_daily_revenue",    # dyadic lag-chain over a fuzzed sparse calendar
     "cusum_revenue_drift",   # negative-total baseline clamp + window identity
+    "woe_iv_by_feature",     # Laplace WOE on fuzzed conversion labels
 ]
 
 
@@ -909,6 +910,7 @@ CUST_QUERIES = [
     "duplicate_emails",
     "fuzzy_email_matches",      # sorted-neighborhood at fuzzed rank layout
     "record_linkage_patterns",  # F-S weights + pattern table on fuzzed blocks
+    "woe_iv_by_feature",        # per-category counts at sparse huge keys
 ]
 
 
