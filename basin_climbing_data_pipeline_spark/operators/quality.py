@@ -303,3 +303,76 @@ FROM ranked
 WHERE rank <= {SKEW_TOP_K}
 ORDER BY rank
 """
+
+
+L_DIVERSITY_THRESHOLD = 3  # each QI class must see >= L distinct sensitive values
+
+
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity over the same quasi-identifier classes as
+    :func:`k_anonymity_audit`, with the market segment as the SENSITIVE
+    attribute: a class can be k-anonymous yet still leak (everyone in it
+    shares one segment → membership reveals the value), so the release
+    gate checks BOTH.  Reports, per distinct-sensitive-count l, how many
+    classes and customers sit there and whether that l violates the
+    threshold — plus each l-band's worst (largest) homogeneous exposure.
+
+    QI here is (nation, balance band) — segment moves from the QI tuple
+    to the sensitive slot, the standard complementary cut of the same
+    columns.
+
+    Scale shape: one groupBy on (QI, sensitive) — map-side combined —
+    then one groupBy onto the class set, then a histogram over
+    |distinct-sensitive| values.  Row volume never survives the first
+    aggregation."""
+    cust = load_table(spark, sf_dir, "customer")
+    per_sens = cust.groupBy(
+        F.col("c_nationkey").alias("nation"),
+        F.floor(F.col("c_acctbal") / float(ACCTBAL_BAND)).cast("long").alias("bal_band"),
+        F.col("c_mktsegment").alias("sensitive"),
+    ).agg(F.count("*").alias("n"))
+    classes = per_sens.groupBy("nation", "bal_band").agg(
+        F.count("*").alias("l_distinct"),
+        F.sum("n").alias("class_size"),
+    )
+    return (
+        classes.groupBy("l_distinct")
+        .agg(
+            F.count("*").alias("n_classes"),
+            F.sum("class_size").alias("n_customers"),
+            F.max("class_size").alias("max_class_size"),
+        )
+        .select(
+            "l_distinct",
+            "n_classes",
+            "n_customers",
+            "max_class_size",
+            (F.col("l_distinct") < L_DIVERSITY_THRESHOLD).alias("violates_l"),
+        )
+        .orderBy("l_distinct")
+    )
+
+
+def l_diversity_audit_sql() -> str:
+    return f"""
+WITH per_sens AS (
+  SELECT c_nationkey AS nation,
+         CAST(floor(c_acctbal / {float(ACCTBAL_BAND)!r}) AS BIGINT) AS bal_band,
+         c_mktsegment AS sensitive,
+         count(*) AS n
+  FROM customer
+  GROUP BY 1, 2, 3
+),
+classes AS (
+  SELECT nation, bal_band, count(*) AS l_distinct, sum(n) AS class_size
+  FROM per_sens GROUP BY 1, 2
+)
+SELECT l_distinct,
+       count(*) AS n_classes,
+       CAST(sum(class_size) AS BIGINT) AS n_customers,
+       CAST(max(class_size) AS BIGINT) AS max_class_size,
+       l_distinct < {L_DIVERSITY_THRESHOLD} AS violates_l
+FROM classes
+GROUP BY l_distinct
+ORDER BY l_distinct
+"""
