@@ -186,3 +186,212 @@ FROM ranked
 WHERE rank <= {BM25_TOP_K}
 ORDER BY query_id, rank
 """
+
+
+# ---------------------------------------------------------------------------
+# hybrid retrieval — reciprocal-rank fusion of dense + lexical rankings
+# ---------------------------------------------------------------------------
+
+RRF_K = 60          # the standard RRF damping constant
+RRF_CAND = 20       # per-ranker candidate depth fed into the fusion
+RRF_TOP_K = 10      # fused results per query
+RRF_NANO = 1_000_000_000
+MAX_TOKEN_DF = 5000  # lexical inverted-index df prune (no-op at test scale;
+#                      drops stop-token join blowup at 1e9 docs — the
+#                      _pruned_shingles discipline, Jaccard defined over the
+#                      pruned token space on both sides)
+
+
+def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-by-example HYBRID retrieval: for each query document
+    (doc_id < 10, the aligned vec_id query convention), fuse the DENSE
+    ranking (embedding cosine) with the LEXICAL ranking (word-set
+    Jaccard via inverted index) by reciprocal-rank fusion —
+    RRF(d) = Σ_r 1/(K + rank_r(d)) — the standard hybrid-search
+    combiner (Cormack et al.), and the retrieval shape every RAG-style
+    data pipeline ships: lexical catches exact terms, dense catches
+    paraphrase, RRF needs no score calibration because it only consumes
+    RANKS.
+
+    Exactness: each contribution is the INTEGER floor division
+    1e9 // (K + rank), so fused scores are exact int64 sums — no float
+    reciprocals to disagree on; per-ranker ranks come from micro-fixed
+    cosine / Jaccard with doc_id tie-breaks.  A doc ranked by only one
+    side contributes only that side (the standard top-M candidate-union
+    semantics).
+
+    Scale shape: the dense side is the bounded-query broadcast plan of
+    ``cosine_topk`` (swap in the IVF/LSH candidate generator siblings at
+    1e9 rows); the lexical side is a df-pruned inverted-index join
+    (≤ |queries|·df rows); fusion is a full outer join over two
+    ≤ queries×RRF_CAND frames."""
+    from pyspark.sql import Window
+
+    from .similarity import N_QUERIES, _cosine, _dot64
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    with_norm = emb.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(_dot64(F.col("embedding"), F.col("embedding"))).alias("norm"),
+    )
+    q = with_norm.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    c = with_norm.select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("norm").alias("c_norm"),
+    )
+    cos = _cosine(_dot64(F.col("q_emb"), F.col("c_emb")), F.col("q_norm"), F.col("c_norm"))
+    wd = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("doc_id"))
+    dense = (
+        c.join(F.broadcast(q), F.col("doc_id") != F.col("query_id"))
+        .withColumn("cosine", cos)
+        .withColumn("rank_dense", F.row_number().over(wd))
+        .filter(F.col("rank_dense") <= RRF_CAND)
+        .select("query_id", "doc_id", "rank_dense")
+    )
+
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split(F.trim(F.col("text")), " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    df_counts = toks.groupBy("tok").agg(F.count("*").alias("df"))
+    pruned = toks.join(
+        df_counts.filter(F.col("df") <= MAX_TOKEN_DF).select("tok"), "tok"
+    )
+    sizes = pruned.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
+    qt = pruned.filter(F.col("doc_id") < N_QUERIES).select(
+        F.col("doc_id").alias("query_id"), "tok"
+    )
+    inter = (
+        qt.join(pruned, "tok")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.count("*").alias("common"))
+    )
+    sq = sizes.select(F.col("doc_id").alias("query_id"), F.col("n_tok").alias("n_q"))
+    sd = sizes.select("doc_id", F.col("n_tok").alias("n_d"))
+    jac = (
+        F.floor(
+            F.col("common")
+            / (F.col("n_q") + F.col("n_d") - F.col("common"))
+            * 1000000.0
+            + 0.5
+        )
+        / 1000000.0
+    )
+    wl = Window.partitionBy("query_id").orderBy(F.desc("jaccard"), F.asc("doc_id"))
+    lex = (
+        inter.join(sq, "query_id")
+        .join(sd, "doc_id")
+        .withColumn("jaccard", jac)
+        .withColumn("rank_lex", F.row_number().over(wl))
+        .filter(F.col("rank_lex") <= RRF_CAND)
+        .select("query_id", "doc_id", "rank_lex")
+    )
+
+    fused = dense.join(lex, ["query_id", "doc_id"], "full")
+    contrib = lambda r: F.coalesce(  # noqa: E731
+        F.expr(f"{RRF_NANO} div ({RRF_K} + {r})"), F.lit(0)
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.desc("rrf_nano"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rrf_nano", contrib("rank_dense") + contrib("rank_lex"))
+        .withColumn("fused_rank", F.row_number().over(wf))
+        .filter(F.col("fused_rank") <= RRF_TOP_K)
+        .select(
+            "query_id",
+            "fused_rank",
+            "doc_id",
+            "rank_dense",
+            "rank_lex",
+            (F.col("rrf_nano") / float(RRF_NANO)).alias("rrf_score"),
+        )
+        .orderBy("query_id", "fused_rank")
+    )
+
+
+def hybrid_rrf_retrieval_sql() -> str:
+    from .similarity import COSINE_SCALE, N_QUERIES, _dot_sql
+
+    dot = _dot_sql("q.q_emb", "c.c_emb")
+    return f"""
+WITH norms AS (
+  SELECT vec_id, embedding,
+         sqrt({_dot_sql('embedding', 'embedding')}) AS norm
+  FROM embeddings
+),
+dense_pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+         floor({dot} / (q.q_norm * c.c_norm) * {COSINE_SCALE} + 0.5)
+           / {COSINE_SCALE} AS cosine
+  FROM (SELECT vec_id, embedding AS q_emb, norm AS q_norm FROM norms
+        WHERE vec_id < {N_QUERIES}) q
+  JOIN (SELECT vec_id, embedding AS c_emb, norm AS c_norm FROM norms) c
+    ON c.vec_id != q.vec_id
+),
+dense AS (
+  SELECT query_id, doc_id, rank_dense FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, doc_id) AS rank_dense
+    FROM dense_pairs
+  ) WHERE rank_dense <= {RRF_CAND}
+),
+toks AS (
+  SELECT DISTINCT doc_id, tok
+  FROM (SELECT doc_id, unnest(string_split(trim(text, ' '), ' ')) AS tok
+        FROM documents)
+  WHERE tok != ''
+),
+pruned AS (
+  SELECT t.doc_id, t.tok FROM toks t
+  JOIN (SELECT tok FROM toks GROUP BY tok HAVING count(*) <= {MAX_TOKEN_DF}) d
+    USING (tok)
+),
+sizes AS (SELECT doc_id, count(*) AS n_tok FROM pruned GROUP BY doc_id),
+inter AS (
+  SELECT q.doc_id AS query_id, d.doc_id, count(*) AS common
+  FROM pruned q JOIN pruned d USING (tok)
+  WHERE q.doc_id < {N_QUERIES} AND d.doc_id != q.doc_id
+  GROUP BY 1, 2
+),
+lex AS (
+  SELECT query_id, doc_id, rank_lex FROM (
+    SELECT i.query_id, i.doc_id,
+           row_number() OVER (
+             PARTITION BY i.query_id
+             ORDER BY floor(i.common
+                            / (sq.n_tok + sd.n_tok - i.common)::double
+                            * 1000000.0 + 0.5) / 1000000.0 DESC,
+                      i.doc_id) AS rank_lex
+    FROM inter i
+    JOIN sizes sq ON sq.doc_id = i.query_id
+    JOIN sizes sd ON sd.doc_id = i.doc_id
+  ) WHERE rank_lex <= {RRF_CAND}
+),
+fused AS (
+  SELECT coalesce(d.query_id, l.query_id) AS query_id,
+         coalesce(d.doc_id, l.doc_id) AS doc_id,
+         d.rank_dense, l.rank_lex,
+         coalesce({RRF_NANO} // ({RRF_K} + d.rank_dense), 0)
+           + coalesce({RRF_NANO} // ({RRF_K} + l.rank_lex), 0) AS rrf_nano
+  FROM dense d FULL JOIN lex l
+    ON d.query_id = l.query_id AND d.doc_id = l.doc_id
+)
+SELECT query_id, fused_rank, doc_id, rank_dense, rank_lex,
+       rrf_nano / {float(RRF_NANO)!r} AS rrf_score
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY rrf_nano DESC, doc_id) AS fused_rank
+  FROM fused
+)
+WHERE fused_rank <= {RRF_TOP_K}
+ORDER BY query_id, fused_rank
+"""

@@ -576,6 +576,7 @@ register("interevent_burstiness", ev.interevent_burstiness, ev.interevent_bursti
 register("cluster_safe_split", dd.cluster_safe_split, dd.cluster_safe_split_sql())
 register("woe_iv_by_feature", ex.woe_iv_by_feature, ex.woe_iv_by_feature_sql())
 register("l_diversity_audit", qa.l_diversity_audit, qa.l_diversity_audit_sql())
+register("hybrid_rrf_retrieval", rt.hybrid_rrf_retrieval, rt.hybrid_rrf_retrieval_sql())
 register(
     "embedding_dispersion_by_label",
     sim.embedding_dispersion_by_label,

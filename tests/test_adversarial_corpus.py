@@ -382,6 +382,7 @@ EMB_QUERIES = [
     "ivf_probe_recall_sweep",    # cell-assignment ties + empty-candidate spine
     "pq_codebook_eval",          # subvector argmin ties at envelope magnitudes
     "embedding_dispersion_by_label",  # centroid identity on identical/antipodal vecs
+    "hybrid_rrf_retrieval",      # RRF over exact-tie cosine + degenerate lexical ranks
 ]
 
 
