@@ -370,3 +370,111 @@ JOIN degree db ON db.src = n.b
 ORDER BY n.common_neighbors DESC, neighbor_jaccard DESC, n.a, n.b
 LIMIT {RECS_TOP_K}
 """
+
+
+LPA_ITERS = 3
+
+
+def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation over the
+    strong-tie co-presence graph: every node starts as its own label, and
+    each of :data:`LPA_ITERS` rounds re-labels every node with its
+    neighbors' MOST FREQUENT label (ties → smallest label — the
+    deterministic pin the textbook random tie-break lacks; isolated
+    update order is a non-issue because rounds are fully synchronous).
+    LPA finds densely-knit groups that connected components (one big
+    blob) and triangles (local only) both miss — the "friend circles"
+    readout of the reference's interaction table.
+
+    Output: one row per surviving community with member count and the
+    canonical (min) member, plus each community's internal-edge count —
+    the density evidence.  Deterministic by construction, so the oracle
+    unrolls the same three rounds in SQL.
+
+    Scale shape: each round is one equi-join (labels ⋈ edges) + one
+    groupBy(node, label) + one argmax window over that bounded frame —
+    the Pregel step as relational algebra; ``localCheckpoint`` flattens
+    lineage per round exactly like PageRank above."""
+    from pyspark.sql import Window
+
+    edges = _edges(spark, sf_dir)
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for _ in range(LPA_ITERS):
+        nbr = edges.join(
+            labels.withColumnRenamed("node", "dst"), "dst"
+        ).select(F.col("src").alias("node"), "label")
+        counts = nbr.groupBy("node", "label").agg(F.count("*").alias("n"))
+        w = Window.partitionBy("node").orderBy(F.desc("n"), F.asc("label"))
+        labels = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+            .localCheckpoint()
+        )
+    sizes = labels.groupBy("label").agg(
+        F.count("*").alias("n_members"), F.min("node").alias("canonical_member")
+    )
+    la = labels.select(F.col("node").alias("src"), F.col("label").alias("l_src"))
+    lb = labels.select(F.col("node").alias("dst"), F.col("label").alias("l_dst"))
+    internal = (
+        edges.join(la, "src")
+        .join(lb, "dst")
+        .filter((F.col("l_src") == F.col("l_dst")) & (F.col("src") < F.col("dst")))
+        .groupBy(F.col("l_src").alias("label"))
+        .agg(F.count("*").alias("internal_edges"))
+    )
+    return (
+        sizes.join(internal, "label", "left")
+        .select(
+            F.col("label").alias("community_id"),
+            "n_members",
+            "canonical_member",
+            F.coalesce(F.col("internal_edges"), F.lit(0)).alias("internal_edges"),
+        )
+        .orderBy("community_id")
+    )
+
+
+def label_propagation_communities_sql() -> str:
+    from .events import proximity_connections_sql
+
+    rnd = """
+lab{n} AS (
+  SELECT node, label FROM (
+    SELECT e.src AS node, p.label, count(*) AS n,
+           row_number() OVER (PARTITION BY e.src
+                              ORDER BY count(*) DESC, p.label) AS rn
+    FROM edges e JOIN lab{p} p ON e.dst = p.node
+    GROUP BY e.src, p.label
+  ) WHERE rn = 1
+)"""
+    rounds = ",".join(rnd.format(n=i + 1, p=i) for i in range(LPA_ITERS))
+    return f"""
+WITH prox AS MATERIALIZED ({proximity_connections_sql()}),
+pairs AS MATERIALIZED (SELECT customer_id_1 AS a, customer_id_2 AS b FROM prox
+          WHERE {_STRONG_TIE_SQL}),
+edges AS MATERIALIZED (
+  SELECT a AS src, b AS dst FROM pairs
+  UNION ALL
+  SELECT b AS src, a AS dst FROM pairs
+),
+lab0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+{rounds},
+sizes AS (
+  SELECT label, count(*) AS n_members, min(node) AS canonical_member
+  FROM lab{LPA_ITERS} GROUP BY label
+),
+internal AS (
+  SELECT la.label, count(*) AS internal_edges
+  FROM edges e
+  JOIN lab{LPA_ITERS} la ON e.src = la.node
+  JOIN lab{LPA_ITERS} lb ON e.dst = lb.node
+  WHERE la.label = lb.label AND e.src < e.dst
+  GROUP BY la.label
+)
+SELECT s.label AS community_id, s.n_members, s.canonical_member,
+       coalesce(i.internal_edges, 0) AS internal_edges
+FROM sizes s LEFT JOIN internal i USING (label)
+ORDER BY community_id
+"""

@@ -578,6 +578,11 @@ register("woe_iv_by_feature", ex.woe_iv_by_feature, ex.woe_iv_by_feature_sql())
 register("l_diversity_audit", qa.l_diversity_audit, qa.l_diversity_audit_sql())
 register("hybrid_rrf_retrieval", rt.hybrid_rrf_retrieval, rt.hybrid_rrf_retrieval_sql())
 register(
+    "label_propagation_communities",
+    gr.label_propagation_communities,
+    gr.label_propagation_communities_sql(),
+)
+register(
     "embedding_dispersion_by_label",
     sim.embedding_dispersion_by_label,
     sim.embedding_dispersion_by_label_sql(),
