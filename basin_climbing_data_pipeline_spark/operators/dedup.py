@@ -2265,3 +2265,106 @@ SELECT split, n_docs, n_clusters, max_cluster_size,
 FROM per_split LEFT JOIN audit a USING (split)
 ORDER BY split
 """
+
+
+def quality_dup_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-family measurement: per fixed-width quality-score bucket
+    (floor(score·10), no global sort needed — the score is already
+    0-bounded), the share of documents that sit in a near-dup cluster and
+    that share's LIFT over the corpus-wide duplication rate.  This is the
+    "is low quality where the duplication lives" readout a filtering
+    pipeline uses to decide whether dedup and quality gates are redundant
+    or complementary — the quality × dedup join neither family answers
+    alone.
+
+    Exactness: bucket from the micro-rounded composite score
+    (:func:`textstats.quality_score_col` discipline), counts exact;
+    dup_rate and lift are single micro-rounded divisions with the
+    zero-denominator (no clustered docs anywhere) pinned NULL on both
+    engines.
+
+    Scale shape: cluster labels ride the star-contraction build; the
+    join to quality is doc-keyed; the rollup is ≤ 11 buckets."""
+    from .textstats import doc_stats, doc_stats_sql, quality_score_col  # noqa: F401
+
+    stats = doc_stats(spark, sf_dir)
+    scored = stats.select(
+        "doc_id",
+        F.floor(
+            F.least(F.greatest(quality_score_col(), F.lit(0.0)), F.lit(1.0)) * 10.0
+        )
+        .cast("long")
+        .alias("q_bucket"),
+    )
+    pairs = minhash_lsh_pairs(spark, sf_dir).filter(
+        F.col("jaccard") >= CLUSTER_JACCARD_MIN
+    )
+    clustered = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    joined = scored.join(clustered, "doc_id", "left").select(
+        "q_bucket", F.coalesce(F.col("is_dup"), F.lit(0)).alias("is_dup")
+    )
+    per_bucket = joined.groupBy("q_bucket").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("is_dup").alias("n_dup"),
+    )
+    from pyspark.sql import Window
+
+    wall = Window.partitionBy()
+    tot_docs = F.sum("n_docs").over(wall)
+    tot_dup = F.sum("n_dup").over(wall)
+    micro = lambda c: F.floor(c * 1000000.0 + 0.5) / 1000000.0  # noqa: E731
+    dup_rate = F.col("n_dup").cast("double") / F.col("n_docs").cast("double")
+    corpus_rate = tot_dup.cast("double") / tot_docs.cast("double")
+    return per_bucket.select(
+        "q_bucket",
+        "n_docs",
+        "n_dup",
+        micro(dup_rate).alias("dup_rate"),
+        micro(
+            F.when(tot_dup > 0, dup_rate / corpus_rate)
+        ).alias("lift"),
+    ).orderBy("q_bucket")
+
+
+def quality_dup_lift_sql() -> str:
+    from .textstats import doc_stats_sql, quality_score_sql
+
+    return f"""
+WITH stats AS ({doc_stats_sql()}),
+scored AS (
+  SELECT doc_id,
+         CAST(floor(least(greatest({quality_score_sql()}, 0.0), 1.0) * 10.0)
+              AS BIGINT) AS q_bucket
+  FROM stats
+),
+pairs AS ({minhash_lsh_pairs_sql()}),
+clustered AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_a AS doc_id FROM pairs WHERE jaccard >= {CLUSTER_JACCARD_MIN}
+    UNION ALL
+    SELECT doc_b FROM pairs WHERE jaccard >= {CLUSTER_JACCARD_MIN}
+  )
+),
+joined AS (
+  SELECT s.q_bucket, CASE WHEN c.doc_id IS NULL THEN 0 ELSE 1 END AS is_dup
+  FROM scored s LEFT JOIN clustered c USING (doc_id)
+),
+per_bucket AS (
+  SELECT q_bucket, count(*) AS n_docs, sum(is_dup) AS n_dup
+  FROM joined GROUP BY q_bucket
+)
+SELECT q_bucket, n_docs, CAST(n_dup AS BIGINT) AS n_dup,
+       floor(n_dup::double / n_docs::double * 1000000.0 + 0.5) / 1000000.0
+         AS dup_rate,
+       floor(CASE WHEN sum(n_dup) OVER () > 0
+                  THEN (n_dup::double / n_docs::double)
+                       / (sum(n_dup) OVER ()::double / sum(n_docs) OVER ()::double)
+             END * 1000000.0 + 0.5) / 1000000.0 AS lift
+FROM per_bucket
+ORDER BY q_bucket
+"""

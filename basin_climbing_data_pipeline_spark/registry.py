@@ -582,6 +582,7 @@ register(
     gr.label_propagation_communities,
     gr.label_propagation_communities_sql(),
 )
+register("quality_dup_lift", dd.quality_dup_lift, dd.quality_dup_lift_sql())
 register(
     "embedding_dispersion_by_label",
     sim.embedding_dispersion_by_label,

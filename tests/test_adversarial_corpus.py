@@ -65,6 +65,7 @@ QUERIES = [
     "linear_probe_quality",      # Cramer solve on a degenerate tiny corpus
     "lang_id_kappa",             # chance-corrected agreement incl. 'xx' labels
     "cluster_safe_split",        # cluster-hash split over degenerate dup graphs
+    "quality_dup_lift",          # quality-bucket x dup-membership on extremes
 ]
 
 
