@@ -784,6 +784,53 @@ _ROUND7_WINDOW = [
     "at_risk_report",
 ]
 
+# STAGED for round 8 (informational — flip by building a _ROUND8_WINDOW the
+# same way once CORRECTNESS_r07 lands): lead with the 13 round-7 additions
+# (never driver-checked), then the re-verifies whose code was touched after
+# their last driver row and that sit OUTSIDE the round-7 window — the
+# shared-helper refactors (language_id_confusion's argmax → _lang_detected;
+# hll_distinct_eval's estimator → _hll_scaled_registers/_hll_estimate_col;
+# spend_deciles/sketch_decile_assignment's cut derivation →
+# sketch_decile_cuts) and the eight streaming entries that now drain
+# through _await_finished (a failure-path-only change, re-verified as cheap
+# insurance).  Fill the remaining slots with the oldest driver-green rows
+# at that point (the round-4 block, CORRECTNESS_r04.json order).
+_ROUND8_FRONT = [
+    # round-7 additions (13, never driver-checked)
+    "value_drift_psi",
+    "streaming_value_drift_psi",
+    "embedding_dispersion_by_label",
+    "record_linkage_patterns",
+    "lang_id_kappa",
+    "streaming_window_distinct_users",
+    "interevent_burstiness",
+    "cluster_safe_split",
+    "woe_iv_by_feature",
+    "l_diversity_audit",
+    "hybrid_rrf_retrieval",
+    "label_propagation_communities",
+    "quality_dup_lift",
+    # shared-helper refactors after last driver row (4)
+    "language_id_confusion",
+    "hll_distinct_eval",
+    "spend_deciles",
+    "sketch_decile_assignment",
+    # _await_finished drain-path touch, outside the round-7 window (8)
+    "streaming_windowed_counts",
+    "streaming_sliding_counts",
+    "streaming_dedup_counts",
+    "streaming_sessions",
+    "streaming_attribution_join",
+    "streaming_static_enrichment",
+    "native_session_windows",
+    "changeset_merge",
+]
+_r8_missing = [n for n in _ROUND8_FRONT if n not in REGISTRY]
+if _r8_missing:
+    raise ValueError(f"round-8 staged names not in registry: {_r8_missing}")
+if len(set(_ROUND8_FRONT)) != len(_ROUND8_FRONT):
+    raise ValueError("round-8 staged list contains duplicates")
+
 # hard failures, not asserts: a python -O run must not silently rotate the
 # driver's verification window onto the wrong entries.
 if len(_ROUND6_WINDOW) != 50:
