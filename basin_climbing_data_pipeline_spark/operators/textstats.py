@@ -1890,3 +1890,187 @@ SELECT t.source, t.n_docs,
 FROM totals t JOIN chance c USING (source)
 ORDER BY t.source
 """
+
+
+CONFORMAL_CALIB_PCT = 50   # md5 doc split: buckets [0,50) calibrate, rest test
+CONFORMAL_ALPHA_PCT = 90   # target coverage of the conformal interval
+
+
+def probe_conformal_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal calibration of the OLS quality probe: fit the
+    :func:`linear_probe_quality` model on the md5-calibration half, take
+    q̂ = the ⌈(n+1)·0.9⌉-th smallest calibration |residual| (the
+    distribution-free split-conformal quantile), and report the MEASURED
+    coverage of |residual| ≤ q̂ on the held-out half — the "is my model's
+    uncertainty honest" audit, which finite-sample-guarantees ≥ 90%
+    coverage no matter how wrong the linear model is.  This is the eval a
+    pipeline runs before trusting any learned quality filter's
+    confidence.
+
+    Determinism and scale: the fit is the same 1-row exact-decimal moment
+    reduce as the probe (calibration rows selected by conditional
+    aggregation — ONE scan); residuals are scored through a broadcast
+    1-row weights feed; q̂ comes from a basis-point histogram
+    (floor(|r|·1e4) — ≤ ~2·10⁴ buckets through the cum-sum window at ANY
+    corpus size, the sketch_decile discipline) taking the bucket UPPER
+    edge, so the reported coverage is conservatively ≥ the rank
+    definition's.  Degenerate calibration fits (det_a = 0) propagate
+    NULL through q̂ and coverage on both engines."""
+    from pyspark.sql import Window
+
+    from .sampling import _md5_bucket
+
+    stats = doc_stats(spark, sf_dir)
+    feats = stats.select(
+        "doc_id",
+        (_md5_bucket(F.col("doc_id")) < CONFORMAL_CALIB_PCT).alias("is_calib"),
+        F.floor(F.coalesce(F.col("stopword_ratio"), F.lit(0.0)) * _FEAT_SCALE + 0.5)
+        .cast("long")
+        .alias("s1"),
+        F.floor(F.coalesce(F.col("unique_ratio"), F.lit(0.0)) * _FEAT_SCALE + 0.5)
+        .cast("long")
+        .alias("s2"),
+        F.floor(F.least(F.col("n_words") / 100.0, F.lit(1.0)) * _FEAT_SCALE + 0.5)
+        .cast("long")
+        .alias("s3"),
+        F.floor(quality_score_col() * _FEAT_SCALE + 0.5).cast("long").alias("t"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    s = {0: F.lit(1).cast("long"), 1: F.col("s1"), 2: F.col("s2"), 3: F.col("s3")}
+    cal = lambda c: F.sum(F.when(F.col("is_calib"), dec(c)).otherwise(F.lit(0).cast("decimal(38,0)")))  # noqa: E731
+    aggs = [F.sum(F.col("is_calib").cast("long")).alias("n_docs")]
+    for i in range(4):
+        for j in range(i, 4):
+            aggs.append(cal(s[i] * s[j]).alias(f"mm_{i}{j}"))
+        aggs.append(cal(s[i] * F.col("t")).alias(f"mb_{i}"))
+    mom = feats.agg(*aggs)
+    exprs = _probe_weight_exprs()
+    solved = mom.select(
+        F.col("n_docs").alias("n_calib"),
+        *[F.expr(e).alias(k) for k, e in exprs.items()],
+    )
+    nz = F.col("det_a") != 0
+    weights = solved.select(
+        "n_calib",
+        *[F.when(nz, F.col(f"det_{i}") / F.col("det_a")).alias(f"w_{i}") for i in range(4)],
+    )
+    sc = float(_FEAT_SCALE)
+    pred = (
+        F.col("w_0")
+        + F.col("w_1") * (F.col("s1") / sc)
+        + F.col("w_2") * (F.col("s2") / sc)
+        + F.col("w_3") * (F.col("s3") / sc)
+    )
+    resid_bps = F.floor(F.abs(F.col("t") / sc - pred) * 10000.0).cast("long")
+    scored = feats.join(F.broadcast(weights)).select(
+        "is_calib", resid_bps.alias("r_bps"), "n_calib"
+    )
+    hist = (
+        scored.filter(F.col("is_calib") & F.col("r_bps").isNotNull())
+        .groupBy("r_bps", "n_calib")
+        .agg(F.count("*").alias("cnt"))
+    )
+    wb = Window.partitionBy("n_calib").orderBy("r_bps")
+    target = F.ceil((F.col("n_calib") + 1) * CONFORMAL_ALPHA_PCT / 100.0)
+    qhat_frame = (
+        hist.withColumn("cum", F.sum("cnt").over(wb))
+        .filter(F.col("cum") >= target)
+        .groupBy("n_calib")
+        .agg(((F.min("r_bps") + 1) / 10000.0).alias("q_hat"))
+    )
+    covered = scored.filter(~F.col("is_calib")).join(
+        F.broadcast(qhat_frame.select("q_hat"))
+    ).agg(
+        F.max("n_calib").alias("n_calib"),
+        F.count("*").alias("n_test"),
+        F.max("q_hat").alias("q_hat"),
+        F.sum(
+            ((F.col("r_bps") / 10000.0) <= F.col("q_hat")).cast("long")
+        ).alias("n_covered"),
+    )
+    micro = lambda c: F.floor(c * 1000000.0 + 0.5) / 1000000.0  # noqa: E731
+    return covered.select(
+        "n_calib",
+        "n_test",
+        F.lit(CONFORMAL_ALPHA_PCT).alias("target_pct"),
+        micro(F.col("q_hat")).alias("q_hat"),
+        micro(F.col("n_covered").cast("double") / F.col("n_test").cast("double")).alias(
+            "coverage"
+        ),
+    )
+
+
+def probe_conformal_calibration_sql() -> str:
+    from .sampling import _md5_bucket_sql
+
+    exprs = _probe_weight_exprs()
+    sc = float(_FEAT_SCALE)
+    names = {0: "1", 1: "s1", 2: "s2", 3: "s3"}
+    mm_terms = []
+    for i in range(4):
+        for j in range(i, 4):
+            mm_terms.append(
+                f"sum(CASE WHEN is_calib THEN ({names[i]}) * ({names[j]}) ELSE 0 END) AS mm_{i}{j}"
+            )
+        mm_terms.append(
+            f"sum(CASE WHEN is_calib THEN ({names[i]}) * t ELSE 0 END) AS mb_{i}"
+        )
+    mm_joined = ",\n         ".join(mm_terms)
+    det_joined = ",\n         ".join(f"{e} AS {k}" for k, e in exprs.items())
+    w = {
+        i: f"(CASE WHEN det_a <> 0 THEN det_{i} / det_a END)" for i in range(4)
+    }
+    pred = (
+        f"({w[0]} + {w[1]} * (s1 / {sc!r}) + {w[2]} * (s2 / {sc!r})"
+        f" + {w[3]} * (s3 / {sc!r}))"
+    )
+    return f"""
+WITH stats AS ({doc_stats_sql()}),
+feats AS (
+  SELECT doc_id,
+         {_md5_bucket_sql('doc_id')} < {CONFORMAL_CALIB_PCT} AS is_calib,
+         CAST(floor(coalesce(stopword_ratio, 0.0) * {_FEAT_SCALE} + 0.5) AS BIGINT) AS s1,
+         CAST(floor(coalesce(unique_ratio, 0.0) * {_FEAT_SCALE} + 0.5) AS BIGINT) AS s2,
+         CAST(floor(least(n_words / 100.0, 1.0) * {_FEAT_SCALE} + 0.5) AS BIGINT) AS s3,
+         CAST(floor({quality_score_sql()} * {_FEAT_SCALE} + 0.5) AS BIGINT) AS t
+  FROM stats
+),
+mom AS (
+  SELECT sum(CASE WHEN is_calib THEN 1 ELSE 0 END) AS n_calib,
+         {mm_joined}
+  FROM feats
+),
+solved AS (
+  SELECT n_calib,
+         {det_joined}
+  FROM mom
+),
+scored AS (
+  SELECT f.is_calib, s.n_calib,
+         CAST(floor(abs(f.t / {sc!r} - {pred}) * 10000.0) AS BIGINT) AS r_bps
+  FROM feats f CROSS JOIN solved s
+),
+hist AS (
+  SELECT r_bps, n_calib, count(*) AS cnt
+  FROM scored WHERE is_calib AND r_bps IS NOT NULL
+  GROUP BY r_bps, n_calib
+),
+qhat AS (
+  SELECT n_calib, (min(r_bps) + 1) / 10000.0 AS q_hat
+  FROM (
+    SELECT r_bps, n_calib,
+           sum(cnt) OVER (PARTITION BY n_calib ORDER BY r_bps) AS cum
+    FROM hist
+  )
+  WHERE cum >= ceil((n_calib + 1) * {CONFORMAL_ALPHA_PCT} / 100.0)
+  GROUP BY n_calib
+)
+SELECT max(s.n_calib)::bigint AS n_calib,
+       count(*) AS n_test,
+       {CONFORMAL_ALPHA_PCT} AS target_pct,
+       floor(max(q.q_hat) * 1000000.0 + 0.5) / 1000000.0 AS q_hat,
+       floor(sum(((s.r_bps / 10000.0) <= q.q_hat)::bigint)::double
+             / count(*)::double * 1000000.0 + 0.5) / 1000000.0 AS coverage
+FROM scored s CROSS JOIN qhat q
+WHERE NOT s.is_calib
+"""

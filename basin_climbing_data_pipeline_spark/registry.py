@@ -584,6 +584,11 @@ register(
 )
 register("quality_dup_lift", dd.quality_dup_lift, dd.quality_dup_lift_sql())
 register(
+    "probe_conformal_calibration",
+    ts.probe_conformal_calibration,
+    ts.probe_conformal_calibration_sql(),
+)
+register(
     "embedding_dispersion_by_label",
     sim.embedding_dispersion_by_label,
     sim.embedding_dispersion_by_label_sql(),

@@ -66,6 +66,7 @@ QUERIES = [
     "lang_id_kappa",             # chance-corrected agreement incl. 'xx' labels
     "cluster_safe_split",        # cluster-hash split over degenerate dup graphs
     "quality_dup_lift",          # quality-bucket x dup-membership on extremes
+    "probe_conformal_calibration",  # conformal q-hat on a degenerate tiny fit
 ]
 
 
