@@ -722,3 +722,116 @@ def scd2_apply_snapshot(
     return closed.select(key_col, state_col, "effective_from", "effective_to").unionByName(
         kept_current
     ).unionByName(opened)
+
+
+def membership_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve for membership tenure with RIGHT
+    CENSORING: ended memberships (status END) are churn events at their
+    duration; still-active ones (ACT) are censored at their scheduled
+    end — the estimator churn analytics is built on, and the reference's
+    membership-lifecycle dashboards approximate with naive retention
+    ratios (which are biased exactly because they ignore censoring).
+
+    S(t) = Π_{tᵢ ≤ t} (1 − dᵢ/nᵢ) over event times, computed in the log
+    domain with per-step nano fixed-point (each ln((n−d)/n) term is
+    floored to int64 BEFORE the cumulative sum, so the product is
+    summation-order immune); the d = n extinction step pins S to exactly
+    0 from there on in both engines rather than feeding ln(0).
+
+    Scale shape: one groupBy onto distinct durations (bounded by the
+    tenure-day vocabulary, not membership volume), then window math over
+    that tiny ordered frame — the risk set nᵢ is total minus a
+    cumulative sum, never a per-row rescan."""
+    from pyspark.sql import Window
+
+    m = build_memberships_2024(spark, sf_dir)
+    rows = m.select(
+        F.datediff(F.col("end_date"), F.col("start_date")).alias("duration_days"),
+        (F.col("status") == "END").cast("long").alias("ev"),
+    )
+    per = rows.groupBy("duration_days").agg(
+        F.sum("ev").alias("n_events"),
+        F.sum(1 - F.col("ev")).alias("n_censored"),
+    )
+    w = Window.orderBy("duration_days")
+    prev = Window.orderBy("duration_days").rowsBetween(Window.unboundedPreceding, -1)
+    total = F.sum(F.col("n_events") + F.col("n_censored")).over(Window.partitionBy())
+    n_risk = total - F.coalesce(
+        F.sum(F.col("n_events") + F.col("n_censored")).over(prev), F.lit(0)
+    )
+    stepped = per.select(
+        "duration_days",
+        "n_events",
+        "n_censored",
+        n_risk.alias("n_risk"),
+    )
+    extinct = F.col("n_events") >= F.col("n_risk")
+    term_nano = F.when(extinct, F.lit(0)).otherwise(
+        F.floor(
+            F.log(
+                (F.col("n_risk") - F.col("n_events")).cast("double")
+                / F.col("n_risk").cast("double")
+            )
+            * 1000000000.0
+            + 0.5
+        ).cast("long")
+    )
+    cum = stepped.select(
+        "duration_days",
+        "n_risk",
+        "n_events",
+        "n_censored",
+        F.sum(term_nano).over(w).alias("cum_nano"),
+        F.max(extinct.cast("int")).over(w).alias("hit_zero"),
+    )
+    survival = F.when(F.col("hit_zero") == 1, F.lit(0.0)).otherwise(
+        F.floor(F.exp(F.col("cum_nano") / 1000000000.0) * 1000000.0 + 0.5) / 1000000.0
+    )
+    return (
+        cum.filter(F.col("n_events") > 0)
+        .select("duration_days", "n_risk", "n_events", "n_censored", survival.alias("survival"))
+        .orderBy("duration_days")
+    )
+
+
+def membership_survival_km_sql() -> str:
+    return f"""
+WITH m AS ({memberships_2024_sql()}),
+rows_ AS (
+  SELECT (end_date - start_date) AS duration_days,
+         (status = 'END')::bigint AS ev
+  FROM m
+),
+per AS (
+  SELECT duration_days, sum(ev) AS n_events, sum(1 - ev) AS n_censored
+  FROM rows_ GROUP BY duration_days
+),
+stepped AS (
+  SELECT duration_days, n_events, n_censored,
+         sum(n_events + n_censored) OVER ()
+           - coalesce(sum(n_events + n_censored)
+                      OVER (ORDER BY duration_days
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS n_risk
+  FROM per
+),
+cum AS (
+  SELECT duration_days, n_risk, n_events, n_censored,
+         sum(CASE WHEN n_events >= n_risk THEN 0
+                  ELSE CAST(floor(ln((n_risk - n_events)::double / n_risk::double)
+                                  * 1000000000.0 + 0.5) AS BIGINT) END)
+           OVER (ORDER BY duration_days) AS cum_nano,
+         max((n_events >= n_risk)::int) OVER (ORDER BY duration_days) AS hit_zero
+  FROM stepped
+)
+SELECT duration_days,
+       CAST(n_risk AS BIGINT) AS n_risk,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(n_censored AS BIGINT) AS n_censored,
+       CASE WHEN hit_zero = 1 THEN 0.0
+            ELSE floor(exp(cum_nano / 1000000000.0) * 1000000.0 + 0.5) / 1000000.0
+       END AS survival
+FROM cum
+WHERE n_events > 0
+ORDER BY duration_days
+"""

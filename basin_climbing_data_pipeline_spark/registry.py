@@ -589,6 +589,11 @@ register(
     ts.probe_conformal_calibration_sql(),
 )
 register(
+    "membership_survival_km",
+    mem.membership_survival_km,
+    mem.membership_survival_km_sql(),
+)
+register(
     "embedding_dispersion_by_label",
     sim.embedding_dispersion_by_label,
     sim.embedding_dispersion_by_label_sql(),

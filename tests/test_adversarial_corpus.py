@@ -505,6 +505,7 @@ MEM_QUERIES = [
     "membership_conversion_asof",   # J6 as-of
     "checkins_membership_coverage", # J7 point-in-period
     "membership_flow",
+    "membership_survival_km",       # KM risk sets on fuzzed duration ties
 ]
 
 

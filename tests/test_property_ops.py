@@ -160,3 +160,52 @@ def test_aes_fixed_point_key_matches_oracle_engine_across_weight_scales(weights)
     )
     got = [(k, i) for i, k in rows]
     assert got == [(k, i) for k, i in want]
+
+
+def test_kaplan_meier_matches_reference_product(spark=None):
+    """KM in the log domain (nano-fixed terms) must reproduce the textbook
+    product-limit estimate: build the same table in pure Python over the
+    oracle engine's inputs and compare survival values and risk sets."""
+    import math
+
+    con = duckdb.connect()
+    for t in ("region nation customer supplier part orders lineitem events "
+              "documents embeddings").split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('/root/testdata/sf0.001/{t}.parquet')"
+        )
+    from basin_climbing_data_pipeline_spark.operators.memberships import (
+        membership_survival_km_sql,
+        memberships_2024_sql,
+    )
+
+    got = con.execute(membership_survival_km_sql()).fetchall()
+    raw = con.execute(
+        f"WITH m AS ({memberships_2024_sql()}) "
+        "SELECT (end_date - start_date) AS dur, (status = 'END') AS ev FROM m"
+    ).fetchall()
+    from collections import defaultdict
+
+    d_by, c_by = defaultdict(int), defaultdict(int)
+    for dur, ev in raw:
+        (d_by if ev else c_by)[dur] += 1
+    times = sorted(set(d_by) | set(c_by))
+    n = len(raw)
+    surv, out = 1.0, {}
+    cum_nano = 0
+    for t in times:
+        d, c = d_by.get(t, 0), c_by.get(t, 0)
+        if d > 0:
+            if d >= n:
+                out[t] = (n, d, c, 0.0)
+            else:
+                cum_nano += math.floor(math.log((n - d) / n) * 1e9 + 0.5)
+                s = math.floor(math.exp(cum_nano / 1e9) * 1e6 + 0.5) / 1e6
+                out[t] = (n, d, c, s)
+        n -= d + c
+    want = [(t, *out[t]) for t in sorted(out)]
+    assert [tuple(r) for r in got] == want
+    # survival is non-increasing
+    ss = [r[4] for r in got]
+    assert all(a >= b for a, b in zip(ss, ss[1:]))
