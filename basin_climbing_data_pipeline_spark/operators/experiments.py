@@ -474,3 +474,162 @@ SELECT feature, category, n_pos, n_neg,
 FROM scored
 ORDER BY feature, category
 """
+
+
+# ---------------------------------------------------------------------------
+# CUPED variance reduction for the A/B readout
+# ---------------------------------------------------------------------------
+
+CUPED_POST_DAYS = 30  # metric window after experiment entry
+
+
+def cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED-adjusted experiment readout: use each customer's PRE-entry
+    spend as the control covariate, θ = cov(X,Y)/var(X) pooled across
+    groups, and report per group the raw vs adjusted metric variance and
+    the variance-reduction percentage — the standard trick that makes
+    the same experiment decide in a fraction of the traffic.  The
+    reference's experiment log stops at counts; this is the readout a
+    modern experimentation stack actually ships.
+
+    Exactness: EVERYTHING derives from the exact integer moment set
+    {n, ΣX, ΣY, ΣXY, ΣX², ΣY²} per group (decimal(38) sums of cents
+    products).  var(Y_adj) is expanded ALGEBRAICALLY as
+    var(Y) − 2θ·cov(X,Y) + θ²·var(X) — never a per-row adjusted-value
+    sum, whose float accumulation order would differ across partitions.
+    Degenerate var(X) = 0 pins θ and the adjusted columns to NULL on
+    both engines.
+
+    Scale shape: two customer-keyed conditional rollups (pre/post spend)
+    joined to entries, then ONE moment aggregation per group; the θ
+    combine runs over the 2-row group frame."""
+    from pyspark.sql import Window
+
+    from ..functions.money import to_cents
+    from .transactions import build_transactions
+
+    entries = experiment_entries(spark, sf_dir).select(
+        "customer_id", "ab_group", "entry_date"
+    )
+    txn = build_transactions(spark, sf_dir).select(
+        "customer_id", "txn_date", to_cents(F.col("total_amount")).alias("cents")
+    )
+    j = entries.join(txn, "customer_id", "left")
+    per_cust = j.groupBy("customer_id", "ab_group").agg(
+        F.sum(
+            F.when(F.col("txn_date") < F.col("entry_date"), F.col("cents")).otherwise(0)
+        ).alias("x"),
+        F.sum(
+            F.when(
+                (F.col("txn_date") >= F.col("entry_date"))
+                & (
+                    F.col("txn_date")
+                    <= F.date_add(F.col("entry_date"), CUPED_POST_DAYS)
+                ),
+                F.col("cents"),
+            ).otherwise(0)
+        ).alias("y"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    mom = per_cust.groupBy("ab_group").agg(
+        F.count("*").alias("n"),
+        F.sum(dec(F.col("x"))).alias("sx"),
+        F.sum(dec(F.col("y"))).alias("sy"),
+        F.sum(dec(F.col("x")) * dec(F.col("y"))).alias("sxy"),
+        F.sum(dec(F.col("x")) * dec(F.col("x"))).alias("sxx"),
+        F.sum(dec(F.col("y")) * dec(F.col("y"))).alias("syy"),
+    )
+    wall = Window.partitionBy()
+    pooled = mom.select(
+        "*",
+        F.sum("n").over(wall).alias("pn"),
+        F.sum("sx").over(wall).alias("psx"),
+        F.sum("sy").over(wall).alias("psy"),
+        F.sum("sxy").over(wall).alias("psxy"),
+        F.sum("sxx").over(wall).alias("psxx"),
+    )
+    # pooled θ = (nΣXY − ΣXΣY) / (nΣX² − (ΣX)²), exact decimal numerators
+    th_num = F.col("pn") * F.col("psxy") - F.col("psx") * F.col("psy")
+    th_den = F.col("pn") * F.col("psxx") - F.col("psx") * F.col("psx")
+    theta = F.when(th_den != 0, th_num.cast("double") / th_den.cast("double"))
+    nd = F.col("n").cast("double")
+    var_y = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double") / (
+        nd * nd
+    )
+    cov_xy = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double") / (
+        nd * nd
+    )
+    var_x = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double") / (
+        nd * nd
+    )
+    var_adj = var_y - 2.0 * theta * cov_xy + theta * theta * var_x
+    micro = lambda c: F.floor(c * 1000000.0 + 0.5) / 1000000.0  # noqa: E731
+    return pooled.select(
+        "ab_group",
+        "n",
+        micro(F.col("sy").cast("double") / nd / 100.0).alias("mean_post_spend"),
+        micro(theta).alias("theta"),
+        micro(var_y / 10000.0).alias("var_raw"),
+        micro(var_adj / 10000.0).alias("var_cuped"),
+        micro(
+            F.when(var_y > 0, (var_y - var_adj) / var_y * 100.0)
+        ).alias("var_reduction_pct"),
+    ).orderBy("ab_group")
+
+
+def cuped_variance_reduction_sql() -> str:
+    from ..functions.money import to_cents_sql
+    from .transactions import transactions_sql
+
+    d = CUPED_POST_DAYS
+    return f"""
+WITH entries AS ({experiment_entries_sql()}),
+txn AS ({transactions_sql()}),
+per_cust AS (
+  SELECT e.customer_id, e.ab_group,
+         sum(CASE WHEN t.txn_date < e.entry_date
+                  THEN {to_cents_sql('t.total_amount')} ELSE 0 END) AS x,
+         sum(CASE WHEN t.txn_date >= e.entry_date
+                   AND t.txn_date <= e.entry_date + {d}
+                  THEN {to_cents_sql('t.total_amount')} ELSE 0 END) AS y
+  FROM entries e LEFT JOIN txn t USING (customer_id)
+  GROUP BY e.customer_id, e.ab_group
+),
+mom AS (
+  SELECT ab_group, count(*) AS n,
+         sum(x::hugeint) AS sx, sum(y::hugeint) AS sy,
+         sum(x::hugeint * y::hugeint) AS sxy,
+         sum(x::hugeint * x::hugeint) AS sxx,
+         sum(y::hugeint * y::hugeint) AS syy
+  FROM per_cust GROUP BY ab_group
+),
+pooled AS (
+  SELECT *,
+         sum(n) OVER () AS pn, sum(sx) OVER () AS psx, sum(sy) OVER () AS psy,
+         sum(sxy) OVER () AS psxy, sum(sxx) OVER () AS psxx
+  FROM mom
+),
+calc AS (
+  SELECT ab_group, n,
+         sy::double / n::double / 100.0 AS mean_post,
+         CASE WHEN (pn * psxx - psx * psx) != 0
+              THEN (pn * psxy - psx * psy)::double
+                   / (pn * psxx - psx * psx)::double END AS theta,
+         (n * syy - sy * sy)::double / (n::double * n::double) AS var_y,
+         (n * sxy - sx * sy)::double / (n::double * n::double) AS cov_xy,
+         (n * sxx - sx * sx)::double / (n::double * n::double) AS var_x
+  FROM pooled
+)
+SELECT ab_group, n,
+       floor(mean_post * 1000000.0 + 0.5) / 1000000.0 AS mean_post_spend,
+       floor(theta * 1000000.0 + 0.5) / 1000000.0 AS theta,
+       floor(var_y / 10000.0 * 1000000.0 + 0.5) / 1000000.0 AS var_raw,
+       floor((var_y - 2.0 * theta * cov_xy + theta * theta * var_x) / 10000.0
+             * 1000000.0 + 0.5) / 1000000.0 AS var_cuped,
+       floor(CASE WHEN var_y > 0
+                  THEN (var_y - (var_y - 2.0 * theta * cov_xy
+                                 + theta * theta * var_x)) / var_y * 100.0
+             END * 1000000.0 + 0.5) / 1000000.0 AS var_reduction_pct
+FROM calc
+ORDER BY ab_group
+"""

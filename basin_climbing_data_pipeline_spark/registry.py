@@ -594,6 +594,11 @@ register(
     mem.membership_survival_km_sql(),
 )
 register(
+    "cuped_variance_reduction",
+    ex.cuped_variance_reduction,
+    ex.cuped_variance_reduction_sql(),
+)
+register(
     "embedding_dispersion_by_label",
     sim.embedding_dispersion_by_label,
     sim.embedding_dispersion_by_label_sql(),
@@ -795,7 +800,7 @@ _ROUND7_WINDOW = [
 ]
 
 # STAGED for round 8 (informational — flip by building a _ROUND8_WINDOW the
-# same way once CORRECTNESS_r07 lands): lead with the 13 round-7 additions
+# same way once CORRECTNESS_r07 lands): lead with the 16 round-7 additions
 # (never driver-checked), then the re-verifies whose code was touched after
 # their last driver row and that sit OUTSIDE the round-7 window — the
 # shared-helper refactors (language_id_confusion's argmax → _lang_detected;
@@ -806,7 +811,7 @@ _ROUND7_WINDOW = [
 # insurance).  Fill the remaining slots with the oldest driver-green rows
 # at that point (the round-4 block, CORRECTNESS_r04.json order).
 _ROUND8_FRONT = [
-    # round-7 additions (13, never driver-checked)
+    # round-7 additions (16, never driver-checked)
     "value_drift_psi",
     "streaming_value_drift_psi",
     "embedding_dispersion_by_label",
@@ -820,6 +825,9 @@ _ROUND8_FRONT = [
     "hybrid_rrf_retrieval",
     "label_propagation_communities",
     "quality_dup_lift",
+    "probe_conformal_calibration",
+    "membership_survival_km",
+    "cuped_variance_reduction",
     # shared-helper refactors after last driver row (4)
     "language_id_confusion",
     "hll_distinct_eval",
