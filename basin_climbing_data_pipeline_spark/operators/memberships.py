@@ -835,3 +835,125 @@ FROM cum
 WHERE n_events > 0
 ORDER BY duration_days
 """
+
+
+LOGRANK_GROUP = "monthly"  # group 1 of the two-sample log-rank comparison
+
+
+def survival_logrank_by_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample log-rank test: does the ``monthly`` cohort churn on a
+    different survival curve than everyone else?  The hypothesis test
+    that belongs next to :func:`membership_survival_km` — eyeballing two
+    KM curves (what the reference's retention dashboards amount to) has
+    no error control; the log-rank statistic does.
+
+    Per event time t: O₁ₜ = observed group-1 events, E₁ₜ = dₜ·n₁ₜ/nₜ,
+    Vₜ = dₜ·(n₁ₜ/nₜ)(1−n₁ₜ/nₜ)(nₜ−dₜ)/(nₜ−1); Z = Σ(O−E)/√ΣV.
+    Every per-time term is a rational of exact integer risk/event counts,
+    nano-floored BEFORE the sum (order-immune), one sqrt at the end;
+    ΣV = 0 (no comparable event times) pins Z to NULL on both engines.
+
+    Scale shape: one groupBy onto (duration, group) counts — bounded by
+    the tenure vocabulary — then cumulative-sum risk sets and the
+    statistic over that tiny frame."""
+    from pyspark.sql import Window
+
+    m = build_memberships_2024(spark, sf_dir)
+    rows = m.select(
+        F.datediff(F.col("end_date"), F.col("start_date")).alias("dur"),
+        (F.col("status") == "END").cast("long").alias("ev"),
+        (F.col("frequency") == LOGRANK_GROUP).cast("long").alias("g1"),
+    )
+    per = rows.groupBy("dur").agg(
+        F.sum("ev").alias("d"),
+        F.sum(F.col("ev") * F.col("g1")).alias("d1"),
+        F.count("*").alias("leave"),
+        F.sum("g1").alias("leave1"),
+    )
+    prev = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
+    wall = Window.partitionBy()
+    n_t = F.sum("leave").over(wall) - F.coalesce(F.sum("leave").over(prev), F.lit(0))
+    n1_t = F.sum("leave1").over(wall) - F.coalesce(F.sum("leave1").over(prev), F.lit(0))
+    stepped = per.select("dur", "d", "d1", n_t.alias("n"), n1_t.alias("n1"))
+    nd = F.col("n").cast("double")
+    n1d = F.col("n1").cast("double")
+    dd = F.col("d").cast("double")
+    e1 = dd * n1d / nd
+    v = F.when(
+        F.col("n") > 1,
+        dd * (n1d / nd) * (1.0 - n1d / nd) * (nd - dd) / (nd - 1.0),
+    ).otherwise(F.lit(0.0))
+    nano = lambda c: F.floor(c * 1000000000.0 + 0.5).cast("long")  # noqa: E731
+    terms = stepped.filter(F.col("d") > 0).select(
+        F.col("d1").alias("o1"),
+        nano(e1).alias("e1_nano"),
+        nano(v).alias("v_nano"),
+        "n1",
+        (F.col("n") - F.col("n1")).alias("n_rest"),
+    )
+    agg = terms.agg(
+        F.max("n1").alias("n_group1_at_risk"),
+        F.max("n_rest").alias("n_rest_at_risk"),
+        F.sum("o1").alias("observed1"),
+        (F.sum("e1_nano") / 1000000000.0).alias("expected1"),
+        F.sum("v_nano").alias("v_sum_nano"),
+    )
+    micro = lambda c: F.floor(c * 1000000.0 + 0.5) / 1000000.0  # noqa: E731
+    z = (F.col("observed1").cast("double") - F.col("expected1")) / F.sqrt(
+        F.col("v_sum_nano").cast("double") / 1000000000.0
+    )
+    return agg.select(
+        "n_group1_at_risk",
+        "n_rest_at_risk",
+        "observed1",
+        micro(F.col("expected1")).alias("expected1"),
+        micro(F.when(F.col("v_sum_nano") > 0, z)).alias("logrank_z"),
+    )
+
+
+def survival_logrank_by_frequency_sql() -> str:
+    return f"""
+WITH m AS ({memberships_2024_sql()}),
+rows_ AS (
+  SELECT (end_date - start_date) AS dur,
+         (status = 'END')::bigint AS ev,
+         (frequency = '{LOGRANK_GROUP}')::bigint AS g1
+  FROM m
+),
+per AS (
+  SELECT dur, sum(ev) AS d, sum(ev * g1) AS d1,
+         count(*) AS leave_, sum(g1) AS leave1
+  FROM rows_ GROUP BY dur
+),
+stepped AS (
+  SELECT dur, d, d1,
+         sum(leave_) OVER ()
+           - coalesce(sum(leave_) OVER (ORDER BY dur
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n,
+         sum(leave1) OVER ()
+           - coalesce(sum(leave1) OVER (ORDER BY dur
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n1
+  FROM per
+),
+terms AS (
+  SELECT d1 AS o1, n1, (n - n1) AS n_rest,
+         CAST(floor(d::double * n1::double / n::double
+                    * 1000000000.0 + 0.5) AS BIGINT) AS e1_nano,
+         CAST(floor(CASE WHEN n > 1
+                         THEN d::double * (n1::double / n::double)
+                              * (1.0 - n1::double / n::double)
+                              * (n::double - d::double) / (n::double - 1.0)
+                         ELSE 0.0 END * 1000000000.0 + 0.5) AS BIGINT) AS v_nano
+  FROM stepped WHERE d > 0
+)
+SELECT max(n1)::bigint AS n_group1_at_risk,
+       max(n_rest)::bigint AS n_rest_at_risk,
+       CAST(sum(o1) AS BIGINT) AS observed1,
+       floor(sum(e1_nano) / 1000000000.0 * 1000000.0 + 0.5) / 1000000.0
+         AS expected1,
+       floor(CASE WHEN sum(v_nano) > 0
+                  THEN (sum(o1)::double - sum(e1_nano) / 1000000000.0)
+                       / sqrt(sum(v_nano)::double / 1000000000.0)
+             END * 1000000.0 + 0.5) / 1000000.0 AS logrank_z
+FROM terms
+"""

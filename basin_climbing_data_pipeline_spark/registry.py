@@ -599,6 +599,11 @@ register(
     ex.cuped_variance_reduction_sql(),
 )
 register(
+    "survival_logrank_by_frequency",
+    mem.survival_logrank_by_frequency,
+    mem.survival_logrank_by_frequency_sql(),
+)
+register(
     "embedding_dispersion_by_label",
     sim.embedding_dispersion_by_label,
     sim.embedding_dispersion_by_label_sql(),
@@ -800,7 +805,7 @@ _ROUND7_WINDOW = [
 ]
 
 # STAGED for round 8 (informational — flip by building a _ROUND8_WINDOW the
-# same way once CORRECTNESS_r07 lands): lead with the 16 round-7 additions
+# same way once CORRECTNESS_r07 lands): lead with the 17 round-7 additions
 # (never driver-checked), then the re-verifies whose code was touched after
 # their last driver row and that sit OUTSIDE the round-7 window — the
 # shared-helper refactors (language_id_confusion's argmax → _lang_detected;
@@ -811,7 +816,7 @@ _ROUND7_WINDOW = [
 # insurance).  Fill the remaining slots with the oldest driver-green rows
 # at that point (the round-4 block, CORRECTNESS_r04.json order).
 _ROUND8_FRONT = [
-    # round-7 additions (16, never driver-checked)
+    # round-7 additions (17, never driver-checked)
     "value_drift_psi",
     "streaming_value_drift_psi",
     "embedding_dispersion_by_label",
@@ -828,6 +833,7 @@ _ROUND8_FRONT = [
     "probe_conformal_calibration",
     "membership_survival_km",
     "cuped_variance_reduction",
+    "survival_logrank_by_frequency",
     # shared-helper refactors after last driver row (4)
     "language_id_confusion",
     "hll_distinct_eval",

@@ -506,6 +506,7 @@ MEM_QUERIES = [
     "checkins_membership_coverage", # J7 point-in-period
     "membership_flow",
     "membership_survival_km",       # KM risk sets on fuzzed duration ties
+    "survival_logrank_by_frequency",  # log-rank terms on fuzzed risk sets
 ]
 
 
