@@ -1426,3 +1426,181 @@ FROM test t LEFT JOIN pred p USING (from_event)
 GROUP BY t.from_event, p.predicted_next
 ORDER BY t.from_event
 """
+
+
+# ---------------------------------------------------------------------------
+# absorbing Markov chain — purchase-absorption probabilities + expected steps
+# ---------------------------------------------------------------------------
+
+MARKOV_ABSORB = "purchase"
+MARKOV_TRANSIENT = ("click", "error", "signup", "view")  # fixed sorted order
+
+
+def markov_absorption_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Absorbing-chain analysis of the event stream: from each transient
+    state, the probability the user's chain reaches ``purchase`` before
+    it ENDS, and the expected number of steps to absorption — the
+    fundamental-matrix readout b = (I−Q)⁻¹·r, t = (I−Q)⁻¹·1 that turns
+    the raw transition matrix (``markov_transitions``) into the numbers a
+    funnel owner actually wants.  The 4×4 inversion runs IN-ENGINE via
+    Cramer's rule (the ``linear_probe_quality`` discipline — symbolic
+    determinants over a 1-row frame), so no driver-side linear algebra
+    and no MLlib.
+
+    Chain semantics: per user, time-ordered events; a transition into
+    ``purchase`` absorbs; a user's last event absorbs into END; rows out
+    of ``purchase`` are excluded (each chain is the pre-purchase
+    segment).  Unobserved states get identity rows (b = 0, t = 1 — the
+    correct degenerate).  q entries are exact count ratios; the only
+    floats are the final Cramer quotients, micro-rounded; det(I−Q) = 0
+    (a closed transient loop) pins the outputs NULL on both engines.
+
+    Scale shape: one user-window lag pass (the markov_transitions
+    shuffle), a conditional aggregation onto ONE row of 4×6 counts, and
+    scalar determinant arithmetic on that row."""
+    from pyspark.sql import Window as W
+
+    from ..io import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("ts_us"), "event_id"
+    )
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    pairs = (
+        ev.withColumn("next_event", F.lead("event_type").over(w))
+        .filter(F.col("event_type") != MARKOV_ABSORB)
+        .select(
+            F.col("event_type").alias("s"),
+            F.coalesce(F.col("next_event"), F.lit("__end__")).alias("t"),
+        )
+    )
+    states = list(MARKOV_TRANSIENT)
+    aggs = []
+    for i, si in enumerate(states):
+        for j, sj in enumerate(states):
+            aggs.append(
+                F.sum(((F.col("s") == si) & (F.col("t") == sj)).cast("long")).alias(
+                    f"c_{i}{j}"
+                )
+            )
+        aggs.append(
+            F.sum(((F.col("s") == si) & (F.col("t") == MARKOV_ABSORB)).cast("long")).alias(
+                f"cp_{i}"
+            )
+        )
+        aggs.append(F.sum((F.col("s") == si).cast("long")).alias(f"n_{i}"))
+    one = pairs.agg(*aggs)
+
+    q = lambda i, j: (  # noqa: E731
+        f"(CASE WHEN n_{i} > 0 THEN c_{i}{j}"
+        f"::double / n_{i}::double ELSE 0.0 END)"
+    )
+    a = [
+        [f"({'1.0' if i == j else '0.0'} - {q(i, j)})" for j in range(4)]
+        for i in range(4)
+    ]
+    r = [
+        f"(CASE WHEN n_{i} > 0 THEN cp_{i}::double / n_{i}::double ELSE 0.0 END)"
+        for i in range(4)
+    ]
+    from .textstats import _det4
+
+    det_a = _det4(a)
+    sel = [F.expr(det_a).alias("det_a")]
+    for i in range(4):
+        mb = [[r[rr] if c == i else a[rr][c] for c in range(4)] for rr in range(4)]
+        mt = [["1.0" if c == i else a[rr][c] for c in range(4)] for rr in range(4)]
+        sel.append(F.expr(_det4(mb)).alias(f"db_{i}"))
+        sel.append(F.expr(_det4(mt)).alias(f"dt_{i}"))
+    for i in range(4):
+        sel.append(F.col(f"n_{i}"))
+    solved = one.select(*sel)
+    micro = lambda c: F.floor(c * 1000000.0 + 0.5) / 1000000.0  # noqa: E731
+    nz = F.col("det_a") != 0.0
+    rows = []
+    for i, s in enumerate(states):
+        rows.append(
+            F.struct(
+                F.lit(s).alias("state"),
+                F.col(f"n_{i}").alias("n_out"),
+                micro(F.when(nz, F.col(f"db_{i}") / F.col("det_a"))).alias(
+                    "p_absorb_purchase"
+                ),
+                micro(F.when(nz, F.col(f"dt_{i}") / F.col("det_a"))).alias(
+                    "expected_steps"
+                ),
+            )
+        )
+    return (
+        solved.select(F.explode(F.array(*rows)).alias("x"))
+        .select("x.state", "x.n_out", "x.p_absorb_purchase", "x.expected_steps")
+        .orderBy("state")
+    )
+
+
+def markov_absorption_probs_sql() -> str:
+    from .textstats import _det4
+
+    states = list(MARKOV_TRANSIENT)
+    cnt_cols = []
+    for i, si in enumerate(states):
+        for j, sj in enumerate(states):
+            cnt_cols.append(f"sum((s = '{si}' AND t = '{sj}')::bigint) AS c_{i}{j}")
+        cnt_cols.append(
+            f"sum((s = '{si}' AND t = '{MARKOV_ABSORB}')::bigint) AS cp_{i}"
+        )
+        cnt_cols.append(f"sum((s = '{si}')::bigint) AS n_{i}")
+    q = lambda i, j: (  # noqa: E731
+        f"(CASE WHEN n_{i} > 0 THEN c_{i}{j}::double / n_{i}::double ELSE 0.0 END)"
+    )
+    a = [
+        [f"({'1.0' if i == j else '0.0'} - {q(i, j)})" for j in range(4)]
+        for i in range(4)
+    ]
+    r = [
+        f"(CASE WHEN n_{i} > 0 THEN cp_{i}::double / n_{i}::double ELSE 0.0 END)"
+        for i in range(4)
+    ]
+    det_cols = [f"{_det4(a)} AS det_a"]
+    for i in range(4):
+        mb = [[r[rr] if c == i else a[rr][c] for c in range(4)] for rr in range(4)]
+        mt = [["1.0" if c == i else a[rr][c] for c in range(4)] for rr in range(4)]
+        det_cols.append(f"{_det4(mb)} AS db_{i}")
+        det_cols.append(f"{_det4(mt)} AS dt_{i}")
+    det_joined = ",\n         ".join(det_cols)
+    cnt_joined = ",\n         ".join(cnt_cols)
+    out_rows = "\n  UNION ALL\n".join(
+        f"""  SELECT '{s}' AS state, n_{i} AS n_out,
+         floor(CASE WHEN det_a != 0.0 THEN db_{i} / det_a END
+               * 1000000.0 + 0.5) / 1000000.0 AS p_absorb_purchase,
+         floor(CASE WHEN det_a != 0.0 THEN dt_{i} / det_a END
+               * 1000000.0 + 0.5) / 1000000.0 AS expected_steps
+  FROM solved"""
+        for i, s in enumerate(states)
+    )
+    return f"""
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts::TIMESTAMP) AS ts_us, event_id
+  FROM events
+),
+pairs AS (
+  SELECT event_type AS s,
+         coalesce(lead(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts_us, event_id),
+                  '__end__') AS t
+  FROM ev
+),
+one AS (
+  SELECT {cnt_joined}
+  FROM pairs WHERE s != '{MARKOV_ABSORB}'
+),
+solved AS (
+  SELECT *,
+         {det_joined}
+  FROM one
+)
+SELECT * FROM (
+{out_rows}
+)
+ORDER BY state
+"""

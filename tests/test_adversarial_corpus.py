@@ -193,6 +193,7 @@ EVENT_QUERIES = [
     "streaming_value_drift_psi",  # same via the watermarked stateful path
     "streaming_window_distinct_users",  # md5-HLL registers via stateful MAX
     "interevent_burstiness",      # zero gaps at identical-ts bursts + tie-break
+    "markov_absorption_probs",    # Cramer inversion on degenerate tiny chains
 ]
 
 
