@@ -1149,3 +1149,114 @@ SELECT revenue_category, day, CAST(p - m AS BIGINT) AS cusum_cents,
 FROM staged
 ORDER BY revenue_category, day
 """
+
+
+def theilsen_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend of daily net revenue: the MEDIAN of all
+    pairwise day-slopes, side by side with the OLS slope — the
+    standard robust/fragile pair (one blowout day drags OLS; Theil-Sen
+    shrugs at up to 29% contamination).  A revenue pipeline alarms on the
+    GAP between the two: OLS ≫ Theil-Sen means the "trend" is a few
+    outlier days, not a trend.
+
+    Exactness: slopes are exact integer-cents differences over integer
+    day gaps, compared as micro-fixed doubles with an (i, j) tie-break;
+    the median is the deterministic lower-median rank pick.  OLS comes
+    from the exact decimal moment identity (nΣxy − ΣxΣy)/(nΣx² − (Σx)²).
+
+    Scale shape: the pair frame is CALENDAR-bounded — days², not rows²
+    (a year is ~66k pairs whether the table has 1e6 or 1e12 rows), built
+    AFTER the one groupBy to daily totals; the rank pick is a window
+    over that bounded frame."""
+    from pyspark.sql import Window
+
+    from ..functions.money import to_cents
+
+    txn = build_transactions(spark, sf_dir)
+    daily = txn.groupBy("txn_date").agg(
+        F.sum(to_cents(F.col("total_amount"))).alias("cents")
+    )
+    d = daily.select(
+        F.datediff(F.col("txn_date"), F.lit("1992-01-01").cast("date")).alias("x"),
+        "cents",
+    )
+    a, b = d.alias("a"), d.alias("b")
+    pairs = a.join(b, F.col("a.x") < F.col("b.x")).select(
+        F.col("a.x").alias("xi"),
+        F.col("b.x").alias("xj"),
+        (
+            (F.col("b.cents") - F.col("a.cents")).cast("double")
+            / (F.col("b.x") - F.col("a.x")).cast("double")
+        ).alias("slope"),
+    )
+    w = Window.orderBy("slope", "xi", "xj")
+    ranked = pairs.select(
+        "slope",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("n_pairs"),
+    )
+    med = ranked.filter(
+        F.col("rn") == F.expr("(n_pairs + 1) div 2")
+    ).select(F.col("slope").alias("ts_slope"), "n_pairs")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    mom = d.agg(
+        F.count("*").alias("n_days"),
+        F.sum(dec(F.col("x"))).alias("sx"),
+        F.sum(dec(F.col("cents"))).alias("sy"),
+        F.sum(dec(F.col("x")) * dec(F.col("cents"))).alias("sxy"),
+        F.sum(dec(F.col("x")) * dec(F.col("x"))).alias("sxx"),
+    )
+    n = F.col("n_days").cast("decimal(38,0)")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    micro = lambda c: F.floor(c * 1000000.0 + 0.5) / 1000000.0  # noqa: E731
+    ols = F.when(den != 0, num.cast("double") / den.cast("double"))
+    return mom.join(F.broadcast(med)).select(
+        "n_days",
+        "n_pairs",
+        micro(ols / 100.0).alias("ols_slope_per_day"),
+        micro(F.col("ts_slope") / 100.0).alias("theilsen_slope_per_day"),
+    )
+
+
+def theilsen_revenue_trend_sql() -> str:
+    from ..functions.money import to_cents_sql
+
+    return f"""
+WITH txn AS ({transactions_sql()}),
+daily AS (
+  SELECT txn_date, sum({to_cents_sql('total_amount')}) AS cents
+  FROM txn GROUP BY txn_date
+),
+d AS (
+  SELECT (txn_date - DATE '1992-01-01') AS x, cents FROM daily
+),
+pairs AS (
+  SELECT a.x AS xi, b.x AS xj,
+         (b.cents - a.cents)::double / (b.x - a.x)::double AS slope
+  FROM d a JOIN d b ON a.x < b.x
+),
+ranked AS (
+  SELECT slope, row_number() OVER (ORDER BY slope, xi, xj) AS rn,
+         count(*) OVER () AS n_pairs
+  FROM pairs
+),
+med AS (
+  SELECT slope AS ts_slope, n_pairs FROM ranked WHERE rn = (n_pairs + 1) // 2
+),
+mom AS (
+  SELECT count(*) AS n_days,
+         sum(x::hugeint) AS sx, sum(cents::hugeint) AS sy,
+         sum(x::hugeint * cents::hugeint) AS sxy,
+         sum(x::hugeint * x::hugeint) AS sxx
+  FROM d
+)
+SELECT n_days, med.n_pairs AS n_pairs,
+       floor(CASE WHEN (n_days::hugeint * sxx - sx * sx) != 0
+                  THEN (n_days::hugeint * sxy - sx * sy)::double
+                       / (n_days::hugeint * sxx - sx * sx)::double
+             END / 100.0 * 1000000.0 + 0.5) / 1000000.0 AS ols_slope_per_day,
+       floor(med.ts_slope / 100.0 * 1000000.0 + 0.5) / 1000000.0
+         AS theilsen_slope_per_day
+FROM mom CROSS JOIN med
+"""

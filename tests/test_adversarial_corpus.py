@@ -312,6 +312,7 @@ TXN_QUERIES = [
     "ewma_daily_revenue",    # dyadic lag-chain over a fuzzed sparse calendar
     "cusum_revenue_drift",   # negative-total baseline clamp + window identity
     "woe_iv_by_feature",     # Laplace WOE on fuzzed conversion labels
+    "theilsen_revenue_trend", # pairwise-slope median on edge-value days
 ]
 
 
