@@ -1570,7 +1570,7 @@ def markov_absorption_probs_sql() -> str:
     det_joined = ",\n         ".join(det_cols)
     cnt_joined = ",\n         ".join(cnt_cols)
     out_rows = "\n  UNION ALL\n".join(
-        f"""  SELECT '{s}' AS state, n_{i} AS n_out,
+        f"""  SELECT '{s}' AS state, CAST(n_{i} AS BIGINT) AS n_out,
          floor(CASE WHEN det_a != 0.0 THEN db_{i} / det_a END
                * 1000000.0 + 0.5) / 1000000.0 AS p_absorb_purchase,
          floor(CASE WHEN det_a != 0.0 THEN dt_{i} / det_a END

@@ -2261,7 +2261,7 @@ audit AS (
   GROUP BY sa.split
 )
 SELECT split, n_docs, n_clusters, max_cluster_size,
-       coalesce(a.cross_split_pairs, 0) AS cross_split_pairs
+       CAST(coalesce(a.cross_split_pairs, 0) AS BIGINT) AS cross_split_pairs
 FROM per_split LEFT JOIN audit a USING (split)
 ORDER BY split
 """

@@ -468,7 +468,8 @@ scored AS (
                     * 1000000000.0 + 0.5) AS BIGINT) AS iv_nano
   FROM enriched
 )
-SELECT feature, category, n_pos, n_neg,
+SELECT feature, category,
+       CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
        woe_nano / 1000000000.0 AS woe,
        sum(iv_nano) OVER (PARTITION BY feature) / 1000000000.0 AS feature_iv
 FROM scored

@@ -788,7 +788,7 @@ per_doc AS (
 ),
 scored AS (
   SELECT d.doc_id, d.source, d.lang,
-         coalesce(p.n_feats, 0) AS n_feats,
+         CAST(coalesce(p.n_feats, 0) AS BIGINT) AS n_feats,
          coalesce(p.lnw_micro, 0) AS lnw_micro,
          coalesce(p.lnw_micro, 0)
            + floor(-ln(-ln({u_sql})) * 1000000.0 + 0.5)::bigint AS sel_key

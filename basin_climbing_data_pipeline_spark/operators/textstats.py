@@ -1880,7 +1880,7 @@ totals AS (
          sum(CASE WHEN labeled_lang = detected_lang THEN n ELSE 0 END) AS agree
   FROM cm GROUP BY source
 )
-SELECT t.source, t.n_docs,
+SELECT t.source, CAST(t.n_docs AS BIGINT) AS n_docs,
        floor(t.agree::double / t.n_docs::double * 1000000.0 + 0.5) / 1000000.0
          AS agree_rate,
        floor(CASE WHEN (t.n_docs::hugeint * t.n_docs::hugeint - c.sum_nlnp) != 0
