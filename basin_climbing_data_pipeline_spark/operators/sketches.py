@@ -1037,3 +1037,150 @@ FROM terms
 GROUP BY event_type, window_start_us
 ORDER BY event_type, window_start_us
 """
+
+
+def sliding_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window distinct users from MERGED tumbling sketches — the
+    property that makes HLL the scale answer: registers union with a
+    plain MAX, so the 12h-window/6h-slide distinct count is two tumbling
+    6h register sets folded together, with NO second scan of the events
+    and NO per-window re-count (exact distinct cannot do this: distinct
+    sets don't merge, sketches do).  At 100 TB this is the difference
+    between one register table reused for every window arithmetic the
+    dashboard wants, and a full shuffle per window definition.
+
+    Pipeline: one scan → 6h-tumbling (window, type, bucket, max_rho)
+    registers; each tumbling register contributes to the two sliding
+    windows that contain it (the value_drift_psi explode-shift trick,
+    applied to the bounded register table); MAX-merge per sliding
+    window; Flajolet estimate; exact side computed only as the eval.
+    The estimate is bit-identical to sketching the sliding windows
+    directly — a pytest pins that identity.
+
+    Output: per (sliding window, event type): exact distinct, merged-HLL
+    estimate, relative error."""
+    from ..io import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    win_us = 6 * 3600 * 1_000_000
+    tumb = (
+        _hll_register_rows(
+            events,
+            [
+                (F.floor(F.unix_micros("ts") / win_us) * win_us)
+                .cast("long")
+                .alias("w"),
+                F.col("event_type"),
+            ],
+            "user_id",
+        )
+        .groupBy("w", "event_type", "bucket")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+    # each 6h register row lands in the two 12h sliding windows containing
+    # it: the one starting at w and the one starting at w - 6h
+    zero = F.lit(0).cast("long")
+    contrib = tumb.select(
+        "event_type",
+        "bucket",
+        "max_rho",
+        F.explode(
+            F.array(F.col("w"), (F.col("w") - win_us).cast("long"))
+        ).alias("window_start_us"),
+    )
+    merged = contrib.groupBy("window_start_us", "event_type", "bucket").agg(
+        F.max("max_rho").alias("max_rho")
+    )
+    scaled = _hll_scaled_registers(merged, ["window_start_us", "event_type"])
+    est = _hll_estimate_col()
+    exact = events.select(
+        "user_id",
+        "event_type",
+        F.explode(
+            F.array(
+                (F.floor(F.unix_micros("ts") / win_us) * win_us).cast("long"),
+                (F.floor(F.unix_micros("ts") / win_us) * win_us - win_us).cast("long"),
+            )
+        ).alias("window_start_us"),
+    ).groupBy("window_start_us", "event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return (
+        scaled.join(exact, ["window_start_us", "event_type"])
+        .select(
+            "window_start_us",
+            "event_type",
+            "n_exact",
+            (F.floor(est * 1000000.0 + 0.5) / 1000000.0).alias("hll_estimate"),
+            (
+                F.floor(
+                    F.abs(est - F.col("n_exact")) / F.col("n_exact") * 1000000.0 + 0.5
+                )
+                / 1000000.0
+            ).alias("rel_error"),
+        )
+        .orderBy("window_start_us", "event_type")
+    )
+
+
+def sliding_distinct_users_hll_sql() -> str:
+    rb = HLL_RHO_BITS
+    win_us = 6 * 3600 * 1_000_000
+    return f"""
+WITH elems AS (
+  SELECT (epoch_us(ts::TIMESTAMP) // {win_us}) * {win_us} AS w,
+         event_type, user_id,
+         ('0x' || substr(md5(user_id::varchar), 1, 2))::bigint AS bucket,
+         ('0x' || substr(md5(user_id::varchar), 3, 12))::bigint AS tail
+  FROM events
+),
+tumb AS (
+  SELECT w, event_type, bucket,
+         max({rb} - length(bin(tail)) + 1) AS max_rho
+  FROM elems GROUP BY 1, 2, 3
+),
+contrib AS (
+  SELECT event_type, bucket, max_rho, w AS window_start_us FROM tumb
+  UNION ALL
+  SELECT event_type, bucket, max_rho, w - {win_us} FROM tumb
+),
+merged AS (
+  SELECT window_start_us, event_type, bucket, max(max_rho) AS max_rho
+  FROM contrib GROUP BY 1, 2, 3
+),
+scaled AS (
+  SELECT window_start_us, event_type,
+         sum((1::bigint << ({rb} - max_rho))::bigint)::bigint AS s_present,
+         count(*) AS n_present
+  FROM merged GROUP BY 1, 2
+),
+exact AS (
+  SELECT window_start_us, event_type, count(DISTINCT user_id) AS n_exact
+  FROM (
+    SELECT user_id, event_type, w AS window_start_us FROM elems
+    UNION ALL
+    SELECT user_id, event_type, w - {win_us} FROM elems
+  )
+  GROUP BY 1, 2
+),
+raw_est AS (
+  SELECT s.window_start_us, s.event_type, e.n_exact,
+         ({HLL_BUCKETS} - s.n_present) AS empty,
+         {HLL_ALPHA * HLL_BUCKETS * HLL_BUCKETS} /
+           ((s.s_present + ({HLL_BUCKETS} - s.n_present) * {2**HLL_RHO_BITS}::bigint)
+              / {float(2**HLL_RHO_BITS)}) AS raw
+  FROM scaled s JOIN exact e USING (window_start_us, event_type)
+),
+est AS (
+  SELECT window_start_us, event_type, n_exact,
+         CASE WHEN raw <= {2.5 * HLL_BUCKETS} AND empty > 0
+              THEN {float(HLL_BUCKETS)} * ln({float(HLL_BUCKETS)} / empty)
+              ELSE raw END AS raw
+  FROM raw_est
+)
+SELECT window_start_us, event_type, n_exact,
+       floor(raw * 1000000.0 + 0.5) / 1000000.0 AS hll_estimate,
+       floor(abs(raw - n_exact) / n_exact * 1000000.0 + 0.5) / 1000000.0 AS rel_error
+FROM est
+ORDER BY window_start_us, event_type
+"""

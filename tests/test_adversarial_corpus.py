@@ -194,6 +194,7 @@ EVENT_QUERIES = [
     "streaming_window_distinct_users",  # md5-HLL registers via stateful MAX
     "interevent_burstiness",      # zero gaps at identical-ts bursts + tie-break
     "markov_absorption_probs",    # Cramer inversion on degenerate tiny chains
+    "sliding_distinct_users_hll", # register MAX-merge on boundary-tie windows
 ]
 
 
