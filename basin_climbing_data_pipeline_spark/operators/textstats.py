@@ -2074,3 +2074,103 @@ SELECT max(s.n_calib)::bigint AS n_calib,
 FROM scored s CROSS JOIN qhat q
 WHERE NOT s.is_calib
 """
+
+
+def eb_shrunk_source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes (beta-binomial) shrinkage of per-source quality
+    pass rates: a source with 40 documents and a lucky 80% pass rate
+    should NOT outrank a 40k-document source at 72% — method-of-moments
+    α, β from the cross-source rate distribution pull small-sample rates
+    toward the corpus mean in proportion to their evidence, which is how
+    a mixture planner should weigh per-source quality (raw small-n rates
+    are exactly the thing ``temperature_mixture_weights`` must not trust).
+
+    Determinism: per-source rates are micro fixed-point integers
+    (floor(k·1e6/n)), so the across-source mean/variance moments are
+    exact integer sums — no float accumulates across rows in either
+    engine; α, β and the shrunk rates are single micro-rounded
+    expressions, with the degenerate prior (zero between-source variance,
+    or v ≥ m(1−m) — prior weaker than one pseudo-count) pinning the
+    shrunk column to NULL on both engines.
+
+    Scale shape: one groupBy to (source, n, k) — bounded by |sources| —
+    then window moments over that tiny frame."""
+    from pyspark.sql import Window
+
+    stats = doc_stats(spark, sf_dir)
+    per_source = stats.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum((quality_score_col() >= QUALITY_GOOD_MIN).cast("long")).alias("n_pass"),
+    )
+    r_micro = F.floor(F.col("n_pass") * 1000000 / F.col("n_docs")).cast("long")
+    wall = Window.partitionBy()
+    withr = per_source.withColumn("r_micro", r_micro).select(
+        "*",
+        F.count("*").over(wall).alias("g"),
+        F.sum("r_micro").over(wall).alias("sr"),
+        F.sum(F.col("r_micro") * F.col("r_micro")).over(wall).alias("srr"),
+    )
+    g = F.col("g").cast("double")
+    m = F.col("sr").cast("double") / g / 1.0e6
+    # population variance of the micro rates, rescaled to rate units
+    v = (
+        (F.col("srr").cast("double") - F.col("sr").cast("double") * F.col("sr").cast("double") / g)
+        / g
+        / 1.0e12
+    )
+    ab = F.when((v > 0) & (v < m * (1.0 - m)), m * (1.0 - m) / v - 1.0)
+    alpha = m * ab
+    beta = (1.0 - m) * ab
+    shrunk = (F.col("n_pass").cast("double") + alpha) / (
+        F.col("n_docs").cast("double") + ab
+    )
+    micro = lambda c: F.floor(c * 1000000.0 + 0.5) / 1000000.0  # noqa: E731
+    return withr.select(
+        "source",
+        "n_docs",
+        "n_pass",
+        (F.col("r_micro") / 1000000.0).alias("raw_rate"),
+        micro(alpha).alias("prior_alpha"),
+        micro(beta).alias("prior_beta"),
+        micro(shrunk).alias("shrunk_rate"),
+    ).orderBy("source")
+
+
+def eb_shrunk_source_quality_sql() -> str:
+    return f"""
+WITH stats AS ({doc_stats_sql()}),
+per_source AS (
+  SELECT source, count(*) AS n_docs,
+         sum(({quality_score_sql()} >= {QUALITY_GOOD_MIN})::bigint) AS n_pass
+  FROM stats GROUP BY source
+),
+withr AS (
+  SELECT *,
+         CAST(floor(n_pass * 1000000 / n_docs) AS BIGINT) AS r_micro,
+         count(*) OVER () AS g,
+         sum(CAST(floor(n_pass * 1000000 / n_docs) AS BIGINT)) OVER () AS sr,
+         sum(CAST(floor(n_pass * 1000000 / n_docs) AS BIGINT)
+             * CAST(floor(n_pass * 1000000 / n_docs) AS BIGINT)) OVER () AS srr
+  FROM per_source
+),
+calc AS (
+  SELECT *,
+         sr::double / g::double / 1.0e6 AS m,
+         (srr::double - sr::double * sr::double / g::double) / g::double / 1.0e12 AS v
+  FROM withr
+)
+SELECT source, n_docs, CAST(n_pass AS BIGINT) AS n_pass,
+       r_micro / 1000000.0 AS raw_rate,
+       floor(CASE WHEN v > 0 AND v < m * (1.0 - m)
+                  THEN m * (m * (1.0 - m) / v - 1.0) END
+             * 1000000.0 + 0.5) / 1000000.0 AS prior_alpha,
+       floor(CASE WHEN v > 0 AND v < m * (1.0 - m)
+                  THEN (1.0 - m) * (m * (1.0 - m) / v - 1.0) END
+             * 1000000.0 + 0.5) / 1000000.0 AS prior_beta,
+       floor(CASE WHEN v > 0 AND v < m * (1.0 - m)
+                  THEN (n_pass::double + m * (m * (1.0 - m) / v - 1.0))
+                       / (n_docs::double + (m * (1.0 - m) / v - 1.0))
+             END * 1000000.0 + 0.5) / 1000000.0 AS shrunk_rate
+FROM calc
+ORDER BY source
+"""

@@ -619,6 +619,11 @@ register(
     sketch.sliding_distinct_users_hll_sql(),
 )
 register(
+    "eb_shrunk_source_quality",
+    ts.eb_shrunk_source_quality,
+    ts.eb_shrunk_source_quality_sql(),
+)
+register(
     "embedding_dispersion_by_label",
     sim.embedding_dispersion_by_label,
     sim.embedding_dispersion_by_label_sql(),
@@ -820,7 +825,7 @@ _ROUND7_WINDOW = [
 ]
 
 # STAGED for round 8 (informational — flip by building a _ROUND8_WINDOW the
-# same way once CORRECTNESS_r07 lands): lead with the 20 round-7 additions
+# same way once CORRECTNESS_r07 lands): lead with the 21 round-7 additions
 # (never driver-checked), then the re-verifies whose code was touched after
 # their last driver row and that sit OUTSIDE the round-7 window — the
 # shared-helper refactors (language_id_confusion's argmax → _lang_detected;
@@ -831,7 +836,7 @@ _ROUND7_WINDOW = [
 # insurance).  Fill the remaining slots with the oldest driver-green rows
 # at that point (the round-4 block, CORRECTNESS_r04.json order).
 _ROUND8_FRONT = [
-    # round-7 additions (20, never driver-checked)
+    # round-7 additions (21, never driver-checked)
     "value_drift_psi",
     "streaming_value_drift_psi",
     "embedding_dispersion_by_label",
@@ -852,6 +857,7 @@ _ROUND8_FRONT = [
     "markov_absorption_probs",
     "theilsen_revenue_trend",
     "sliding_distinct_users_hll",
+    "eb_shrunk_source_quality",
     # shared-helper refactors after last driver row (4)
     "language_id_confusion",
     "hll_distinct_eval",

@@ -67,6 +67,7 @@ QUERIES = [
     "cluster_safe_split",        # cluster-hash split over degenerate dup graphs
     "quality_dup_lift",          # quality-bucket x dup-membership on extremes
     "probe_conformal_calibration",  # conformal q-hat on a degenerate tiny fit
+    "eb_shrunk_source_quality",  # beta-binomial MoM on degenerate variance
 ]
 
 
