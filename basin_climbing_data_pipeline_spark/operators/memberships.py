@@ -957,3 +957,127 @@ SELECT max(n1)::bigint AS n_group1_at_risk,
              END * 1000000.0 + 0.5) / 1000000.0 AS logrank_z
 FROM terms
 """
+
+
+def membership_attrition_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New vs ended memberships per month with the net — the reference's
+    attrition chart (dashboard/dashboard.py:1201-1266: two groupbys on
+    period-truncated start/end dates, outer-merged and zero-filled),
+    re-expressed as ONE aggregation via the contribution-union trick:
+    each membership emits a (+1 new) row at its start month and a
+    (+1 ended) row at its end month, and the outer-merge/fillna semantics
+    fall out of the single groupBy for free.
+
+    Scale shape: one union of two projections of the same scan, one
+    groupBy onto the month spine — bounded by calendar months."""
+    m = build_memberships_2024(spark, sf_dir)
+    zero = F.lit(0).cast("long")
+    contrib = m.select(
+        F.date_trunc("month", F.col("start_date")).cast("date").alias("month"),
+        F.lit(1).cast("long").alias("new_count"),
+        zero.alias("ended_count"),
+    ).unionByName(
+        m.select(
+            F.date_trunc("month", F.col("end_date")).cast("date").alias("month"),
+            zero.alias("new_count"),
+            F.lit(1).cast("long").alias("ended_count"),
+        )
+    )
+    return (
+        contrib.groupBy("month")
+        .agg(
+            F.sum("new_count").alias("new_count"),
+            F.sum("ended_count").alias("ended_count"),
+        )
+        .select(
+            "month",
+            "new_count",
+            "ended_count",
+            (F.col("new_count") - F.col("ended_count")).alias("net"),
+        )
+        .orderBy("month")
+    )
+
+
+def membership_attrition_monthly_sql() -> str:
+    return f"""
+WITH m AS ({memberships_2024_sql()}),
+contrib AS (
+  SELECT date_trunc('month', start_date)::date AS month,
+         1::bigint AS new_count, 0::bigint AS ended_count
+  FROM m
+  UNION ALL
+  SELECT date_trunc('month', end_date)::date, 0::bigint, 1::bigint FROM m
+)
+SELECT month,
+       CAST(sum(new_count) AS BIGINT) AS new_count,
+       CAST(sum(ended_count) AS BIGINT) AS ended_count,
+       CAST(sum(new_count) - sum(ended_count) AS BIGINT) AS net
+FROM contrib
+GROUP BY month
+ORDER BY month
+"""
+
+
+def active_memberships_new_vs_existing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly active memberships split NEW (started that month) vs
+    EXISTING — the reference's new-vs-existing stacked chart
+    (dashboard/dashboard.py:1280-1392, a per-period Python loop over the
+    memberships frame), as an interval month-explode: each membership
+    emits one row per calendar month its [start, end] span touches
+    (sequence + explode over month-truncated bounds — months per
+    membership are bounded by tenure, so the explode is volume × tenure
+    months, never a spine join), tagged new exactly in its start month.
+
+    Scale shape: one projection + explode, one groupBy onto the month
+    spine."""
+    m = build_memberships_2024(spark, sf_dir)
+    months = F.explode(
+        F.sequence(
+            F.date_trunc("month", F.col("start_date")).cast("date"),
+            F.date_trunc("month", F.col("end_date")).cast("date"),
+            F.expr("interval 1 month"),
+        )
+    )
+    tagged = m.select(
+        months.alias("month"),
+        F.date_trunc("month", F.col("start_date")).cast("date").alias("start_month"),
+    )
+    return (
+        tagged.groupBy("month")
+        .agg(
+            F.sum((F.col("month") == F.col("start_month")).cast("long")).alias(
+                "new_active"
+            ),
+            F.sum((F.col("month") != F.col("start_month")).cast("long")).alias(
+                "existing_active"
+            ),
+        )
+        .select(
+            "month",
+            "new_active",
+            "existing_active",
+            (F.col("new_active") + F.col("existing_active")).alias("total_active"),
+        )
+        .orderBy("month")
+    )
+
+
+def active_memberships_new_vs_existing_sql() -> str:
+    return f"""
+WITH m AS ({memberships_2024_sql()}),
+tagged AS (
+  SELECT unnest(generate_series(date_trunc('month', start_date),
+                                date_trunc('month', end_date),
+                                INTERVAL 1 MONTH))::date AS month,
+         date_trunc('month', start_date)::date AS start_month
+  FROM m
+)
+SELECT month,
+       CAST(sum((month = start_month)::bigint) AS BIGINT) AS new_active,
+       CAST(sum((month != start_month)::bigint) AS BIGINT) AS existing_active,
+       CAST(count(*) AS BIGINT) AS total_active
+FROM tagged
+GROUP BY month
+ORDER BY month
+"""

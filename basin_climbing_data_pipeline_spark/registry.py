@@ -624,6 +624,16 @@ register(
     ts.eb_shrunk_source_quality_sql(),
 )
 register(
+    "membership_attrition_monthly",
+    mem.membership_attrition_monthly,
+    mem.membership_attrition_monthly_sql(),
+)
+register(
+    "active_memberships_new_vs_existing",
+    mem.active_memberships_new_vs_existing,
+    mem.active_memberships_new_vs_existing_sql(),
+)
+register(
     "embedding_dispersion_by_label",
     sim.embedding_dispersion_by_label,
     sim.embedding_dispersion_by_label_sql(),
@@ -825,7 +835,7 @@ _ROUND7_WINDOW = [
 ]
 
 # STAGED for round 8 (informational — flip by building a _ROUND8_WINDOW the
-# same way once CORRECTNESS_r07 lands): lead with the 21 round-7 additions
+# same way once CORRECTNESS_r07 lands): lead with the 23 round-7 additions
 # (never driver-checked), then the re-verifies whose code was touched after
 # their last driver row and that sit OUTSIDE the round-7 window — the
 # shared-helper refactors (language_id_confusion's argmax → _lang_detected;
@@ -836,7 +846,7 @@ _ROUND7_WINDOW = [
 # insurance).  Fill the remaining slots with the oldest driver-green rows
 # at that point (the round-4 block, CORRECTNESS_r04.json order).
 _ROUND8_FRONT = [
-    # round-7 additions (21, never driver-checked)
+    # round-7 additions (23, never driver-checked)
     "value_drift_psi",
     "streaming_value_drift_psi",
     "embedding_dispersion_by_label",
@@ -858,6 +868,8 @@ _ROUND8_FRONT = [
     "theilsen_revenue_trend",
     "sliding_distinct_users_hll",
     "eb_shrunk_source_quality",
+    "membership_attrition_monthly",
+    "active_memberships_new_vs_existing",
     # shared-helper refactors after last driver row (4)
     "language_id_confusion",
     "hll_distinct_eval",

@@ -511,6 +511,8 @@ MEM_QUERIES = [
     "membership_flow",
     "membership_survival_km",       # KM risk sets on fuzzed duration ties
     "survival_logrank_by_frequency",  # log-rank terms on fuzzed risk sets
+    "membership_attrition_monthly",   # contribution-union on fuzzed lifecycles
+    "active_memberships_new_vs_existing",  # month explode on fuzzed spans
 ]
 
 
