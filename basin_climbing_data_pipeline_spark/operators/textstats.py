@@ -2076,6 +2076,12 @@ WHERE NOT s.is_calib
 """
 
 
+EB_PASS_MIN = 0.4  # the shrinkage gate: strictly above the corpus spam floor
+# (QUALITY_SPAM_MAX 0.35) and below the good line (QUALITY_GOOD_MIN 0.5, which
+# the synthetic composite never reaches — a gate nothing passes makes every
+# rate 0 and the prior degenerate by construction)
+
+
 def eb_shrunk_source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Empirical-Bayes (beta-binomial) shrinkage of per-source quality
     pass rates: a source with 40 documents and a lucky 80% pass rate
@@ -2100,7 +2106,7 @@ def eb_shrunk_source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = doc_stats(spark, sf_dir)
     per_source = stats.groupBy("source").agg(
         F.count("*").alias("n_docs"),
-        F.sum((quality_score_col() >= QUALITY_GOOD_MIN).cast("long")).alias("n_pass"),
+        F.sum((quality_score_col() >= EB_PASS_MIN).cast("long")).alias("n_pass"),
     )
     r_micro = F.floor(F.col("n_pass") * 1000000 / F.col("n_docs")).cast("long")
     wall = Window.partitionBy()
@@ -2141,7 +2147,7 @@ def eb_shrunk_source_quality_sql() -> str:
 WITH stats AS ({doc_stats_sql()}),
 per_source AS (
   SELECT source, count(*) AS n_docs,
-         sum(({quality_score_sql()} >= {QUALITY_GOOD_MIN})::bigint) AS n_pass
+         sum(({quality_score_sql()} >= {EB_PASS_MIN})::bigint) AS n_pass
   FROM stats GROUP BY source
 ),
 withr AS (
