@@ -834,17 +834,24 @@ _ROUND7_WINDOW = [
     "at_risk_report",
 ]
 
-# STAGED for round 8 (informational — flip by building a _ROUND8_WINDOW the
-# same way once CORRECTNESS_r07 lands): lead with the 23 round-7 additions
-# (never driver-checked), then the re-verifies whose code was touched after
-# their last driver row and that sit OUTSIDE the round-7 window — the
-# shared-helper refactors (language_id_confusion's argmax → _lang_detected;
-# hll_distinct_eval's estimator → _hll_scaled_registers/_hll_estimate_col;
-# spend_deciles/sketch_decile_assignment's cut derivation →
-# sketch_decile_cuts) and the eight streaming entries that now drain
-# through _await_finished (a failure-path-only change, re-verified as cheap
-# insurance).  Fill the remaining slots with the oldest driver-green rows
-# at that point (the round-4 block, CORRECTNESS_r04.json order).
+# ROUND 8's verification window (CORRECTNESS_r07 landed 50/50 green on the
+# round-7 window above, making all 181 pre-round-7 entries driver-verified-
+# ever).  Composition, in priority order:
+#   * 35 front slots (_ROUND8_FRONT) — the 23 round-7 additions (never
+#     driver-checked), then the re-verifies whose code was touched after
+#     their last driver row and that sat OUTSIDE the round-7 window: the
+#     shared-helper refactors (language_id_confusion's argmax →
+#     _lang_detected; hll_distinct_eval's estimator →
+#     _hll_scaled_registers/_hll_estimate_col; spend_deciles /
+#     sketch_decile_assignment's cut derivation → sketch_decile_cuts) and
+#     the eight streaming entries that now drain through _await_finished
+#     (a failure-path-only change, re-verified as cheap insurance);
+#   * 15 fill slots (_ROUND8_FILL) — the oldest driver-green rows in the
+#     registry: every non-front entry's newest driver row is round 4 or
+#     later, so these are the first 15 round-4-green entries in their
+#     CORRECTNESS_r04.json verification order.
+# A green CORRECTNESS_r08 on this window makes ALL 204 registry entries
+# driver-verified-ever.
 _ROUND8_FRONT = [
     # round-7 additions (23, never driver-checked)
     "value_drift_psi",
@@ -885,11 +892,34 @@ _ROUND8_FRONT = [
     "native_session_windows",
     "changeset_merge",
 ]
-_r8_missing = [n for n in _ROUND8_FRONT if n not in REGISTRY]
+# Fill slots: oldest driver-green rows.  Every non-front registry entry's
+# newest CORRECTNESS row is round 4+; the 15 oldest are these round-4 rows,
+# listed in CORRECTNESS_r04.json verification order.
+_ROUND8_FILL = [
+    "salted_user_spend",
+    "experiment_entries",
+    "pass_transfer_name_links",
+    "timeline_json_parse",
+    "train_test_split",
+    "mixture_sample_summary",
+    "period_snapshots",
+    "checkin_sessions",
+    "transactions_build",
+    "day_pass_counts_by_month",
+    "suspicious_price_bands",
+    "revenue_by_source",
+    "accounting_groups",
+    "revenue_by_region",
+    "dedup_transactions",
+]
+_ROUND8_WINDOW = _ROUND8_FRONT + _ROUND8_FILL
+if len(_ROUND8_WINDOW) != 50:
+    raise ValueError(f"round-8 window must fill exactly 50 slots, got {len(_ROUND8_WINDOW)}")
+if len(set(_ROUND8_WINDOW)) != len(_ROUND8_WINDOW):
+    raise ValueError("round-8 window contains duplicate entries")
+_r8_missing = [n for n in _ROUND8_WINDOW if n not in REGISTRY]
 if _r8_missing:
-    raise ValueError(f"round-8 staged names not in registry: {_r8_missing}")
-if len(set(_ROUND8_FRONT)) != len(_ROUND8_FRONT):
-    raise ValueError("round-8 staged list contains duplicates")
+    raise ValueError(f"round-8 window names not in registry: {_r8_missing}")
 
 # hard failures, not asserts: a python -O run must not silently rotate the
 # driver's verification window onto the wrong entries.
@@ -907,8 +937,8 @@ if len(set(_ROUND7_WINDOW)) != len(_ROUND7_WINDOW):
 _r7_missing = [n for n in _ROUND7_WINDOW if n not in REGISTRY]
 if _r7_missing:
     raise ValueError(f"round-7 window names not in registry: {_r7_missing}")
-_rest = [n for n in REGISTRY if n not in set(_ROUND7_WINDOW)]
-_reordered = {n: REGISTRY[n] for n in _ROUND7_WINDOW + _rest}
+_rest = [n for n in REGISTRY if n not in set(_ROUND8_WINDOW)]
+_reordered = {n: REGISTRY[n] for n in _ROUND8_WINDOW + _rest}
 REGISTRY.clear()
 REGISTRY.update(_reordered)
 

@@ -16,10 +16,10 @@ from basin_climbing_data_pipeline_spark import registry
 
 
 def test_window_order_is_the_declared_rotation():
-    """The first 50 entries must be exactly _ROUND7_WINDOW, in order —
+    """The first 50 entries must be exactly _ROUND8_WINDOW, in order —
     the round's verification plan IS the registration order."""
     names = list(registry.REGISTRY)
-    assert names[:50] == registry._ROUND7_WINDOW
+    assert names[:50] == registry._ROUND8_WINDOW
 
 
 def test_every_query_has_an_oracle_or_documented_rows_only():
