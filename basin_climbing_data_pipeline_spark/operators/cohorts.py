@@ -957,7 +957,15 @@ def customer_spend_deciles(
     The two paths differ only where ties straddle a sketch cut point
     (a value-based cut cannot split equal values the way a row-count tile
     does); ``sketch_decile_assignment`` measures that disagreement
-    per-decile, and ``tests/test_scale_paths.py`` pins the bound."""
+    per-decile, and ``tests/test_scale_paths.py`` pins the bound.
+
+    Output-shape caveat: on a concentrated spend distribution the sketch
+    cuts can be equal/duplicated, making some decile numbers unreachable
+    by the ``1 + |cuts >= spend|`` assignment — the default path may then
+    emit FEWER than 10 rows, whereas ``exact=True``'s ntile always emits
+    10.  Downstream consumers must key on the ``decile`` column, not on a
+    fixed 10-row shape (``test_scale_paths`` pins 1..10 only for the
+    current corpus)."""
     if exact:
         return spend_deciles(spark, sf_dir)
     from .sketches import sketch_decile_cuts

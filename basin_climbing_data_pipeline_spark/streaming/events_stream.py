@@ -535,12 +535,17 @@ ORDER BY rank
 def streaming_value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked windowed drift: the streaming sibling of
     ``sketches.value_drift_psi``.  The stateful stage maintains the 6-hour
-    windowed value histogram per event type — bounded state of windows ×
-    types × ~160 sign-aware log buckets, with the 1-hour watermark
-    evicting closed windows; the consecutive-window PSI scoring is the
+    windowed value histogram per event type — windows × types × ~160
+    sign-aware log buckets; the consecutive-window PSI scoring is the
     shared bounded post-process over the sink table (drift needs the
     PREVIOUS window's finished histogram, so it runs per trigger over the
     tiny aggregate, not inside the stateful operator).
+
+    State-bound caveat: this eval shape runs ``outputMode('complete')``,
+    where Spark never evicts aggregation state — here state is bounded
+    only because the availableNow input is finite.  A true continuous
+    deployment would switch to update/append mode with a real sink so the
+    1-hour watermark actually evicts closed windows.
 
     Same availableNow → memory-sink execution shape as the other stream
     entries, so the result is batch-comparable and oracle-checkable."""
@@ -605,10 +610,12 @@ def streaming_window_distinct_users(spark: SparkSession, sf_dir: str) -> DataFra
     At production scale this is the continuously-updating distinct-users
     dashboard tile: register state merges with MAX across triggers and
     across a 1000-executor shuffle identically — the determinism that
-    makes the estimate reproducible run-to-run."""
+    makes the estimate reproducible run-to-run.  Like the PSI sibling
+    above, the eval shape runs in complete mode over a finite availableNow
+    input, which is what bounds state here; a continuous deployment would
+    use update/append with a real sink so the watermark evicts windows."""
     from ..io import load_table
     from ..operators.sketches import (
-        HLL_BUCKETS,
         _hll_estimate_col,
         _hll_register_rows,
         _hll_scaled_registers,

@@ -28,7 +28,7 @@ def run_query(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
-def main() -> None:
+def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else 0.0
@@ -170,17 +170,40 @@ def main() -> None:
         "warehouse_load_per_table": load_per_table,
         "sf": sf,
     }
-    # The full 181-query record lands on disk, where it survives the round
-    # intact (this is what round-over-round diffs read).
-    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
+    # The full per-query record lands on disk, where it survives the round
+    # intact (this is what round-over-round diffs read).  Overridable so
+    # the exit-code meta-test can run main() without clobbering the
+    # committed artifact.
+    full_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_FULL",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"),
+    )
     with open(full_path, "w") as f:
         json.dump(payload, f, indent=1, sort_keys=True)
-    # The driver keeps only a ~2 KB tail of stdout and parses the last line
-    # as JSON; the full per-query map is ~6 KB, so printing it yields a
-    # truncated fragment and a null `parsed`.  Print instead ONE compact
-    # line that always fits: headline = the slowest queries (the ones
-    # round-over-round comparison cares about), plus the totals and a
-    # pointer at the on-disk full record.
+    line = compact_line(timings, total, load_sec, sf)
+    print(json.dumps(line, allow_nan=False))
+    # a red bench must be a red exit code — a `bench.py | tee`-style gate
+    # without pipefail once landed a failing run as green (round-7 lesson)
+    return 1 if line["n_failed"] else 0
+
+
+def compact_line(
+    timings: dict[str, float | None],
+    total: float,
+    load_sec: float,
+    sf: float,
+    budget: int = 1900,
+) -> dict:
+    """The single stdout record: the driver keeps only a ~2 KB tail of
+    stdout and parses the last line as JSON; the full per-query map is
+    several KB, so printing it yields a truncated fragment and a null
+    `parsed`.  Build instead ONE compact line that always fits: headline =
+    the slowest queries (the ones round-over-round comparison cares
+    about), plus the totals and a pointer at the on-disk full record.  The
+    number of shown queries adapts to the byte budget — no static cap —
+    and `queries_shown` participates in the byte check (3-digit
+    placeholder) so the printed line can never exceed the checked budget
+    at any registry size."""
     failed = sorted(k for k, v in timings.items() if v is None)
     slowest = sorted(
         ((k, v) for k, v in timings.items() if v is not None),
@@ -196,15 +219,18 @@ def main() -> None:
         "warehouse_load_sec": load_sec,
         "full_record": "BENCH_FULL.json",
         "sf": sf,
+        "queries_shown": 999,
     }
     for k, v in slowest:
         line["queries"][k] = v
-        if len(json.dumps(line)) > 1900:
+        if len(json.dumps(line)) > budget:
             del line["queries"][k]
             break
     line["queries_shown"] = len(line["queries"])
-    print(json.dumps(line, allow_nan=False))
+    if len(json.dumps(line)) > budget:
+        raise AssertionError("compact bench line exceeds its byte budget")
+    return line
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())
