@@ -1,0 +1,416 @@
+"""Independent math validation for the pre-round-7 statistical operators.
+
+Backward extension of tests/test_round7_math.py (the round-7 judge order):
+engine parity (Spark == DuckDB) is proven by the oracle harness, so the
+remaining failure mode is BOTH engines agreeing on the wrong math — the
+exact bug class the EB-shrinkage gate incident demonstrated.  Each test
+recomputes the statistic from raw inputs in pure Python/numpy and compares
+against the oracle engine's output at sf0.001 (milliseconds per case, no
+Spark session).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import hashlib
+import math
+
+import duckdb
+import pytest
+
+SF = "/root/testdata/sf0.001"
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    return c
+
+
+def _ratio(num: float, den: float, digits: int) -> float:
+    scale = float(10**digits)
+    return math.floor(num / den * scale + 0.5) / scale
+
+
+def _micro(x: float) -> float:
+    return math.floor(x * 1_000_000.0 + 0.5) / 1_000_000.0
+
+
+def test_visit_spend_correlation_matches_pure_python(con):
+    from basin_climbing_data_pipeline_spark.operators.cohorts import (
+        visit_spend_correlation_sql,
+    )
+    from basin_climbing_data_pipeline_spark.operators.customers import customers_sql
+    from basin_climbing_data_pipeline_spark.operators.events import checkins_sql
+    from basin_climbing_data_pipeline_spark.operators.transactions import (
+        transactions_sql,
+    )
+
+    got = con.execute(visit_spend_correlation_sql()).fetchone()
+    raw = con.execute(
+        f"""WITH cust AS ({customers_sql()}), ck AS ({checkins_sql()}),
+        txn AS ({transactions_sql()}),
+        visits AS (SELECT customer_id, count(*) AS x FROM ck GROUP BY 1),
+        spend AS (SELECT customer_id,
+                         sum(CAST(floor(total_amount * 100.0 + 0.5) AS BIGINT)) AS y
+                  FROM txn GROUP BY 1)
+        SELECT coalesce(v.x, 0)::bigint, coalesce(s.y, 0)::bigint
+        FROM cust c LEFT JOIN visits v USING (customer_id)
+        LEFT JOIN spend s USING (customer_id)"""
+    ).fetchall()
+    n = len(raw)
+    sx = sum(x for x, _ in raw)
+    sy = sum(y for _, y in raw)
+    sxy = sum(x * y for x, y in raw)  # exact int — mirrors the DECIMAL(38) sums
+    sxx = sum(x * x for x, _ in raw)
+    syy = sum(y * y for _, y in raw)
+    fn = float(n)
+    cov = sxy / fn - (sx / fn) * (sy / fn)
+    vx = sxx / fn - (sx / fn) * (sx / fn)
+    vy = syy / fn - (sy / fn) * (sy / fn)
+    r = cov / math.sqrt(vx * vy)
+    assert got[0] == n and got[1] == sx and got[2] == sy
+    assert got[3] == _micro(r)
+    # sanity on the statistic itself: a correlation, not a degenerate echo
+    assert -1.0 <= got[3] <= 1.0 and abs(got[3]) > 0
+
+
+def test_ztest_matches_pure_python(con):
+    from basin_climbing_data_pipeline_spark.operators.experiments import (
+        ZTEST_CONVERSION_DAYS,
+        experiment_conversion_ztest_sql,
+        experiment_entries_sql,
+    )
+    from basin_climbing_data_pipeline_spark.operators.memberships import (
+        memberships_2024_sql,
+    )
+
+    got = {r[0]: r for r in con.execute(experiment_conversion_ztest_sql()).fetchall()}
+    entries = con.execute(
+        f"SELECT experiment_id, ab_group, customer_id, entry_date "
+        f"FROM ({experiment_entries_sql()})"
+    ).fetchall()
+    first_m = dict(
+        con.execute(
+            f"SELECT owner_id, min(start_date) FROM ({memberships_2024_sql()}) "
+            f"GROUP BY owner_id"
+        ).fetchall()
+    )
+    stats: dict[str, dict[str, list[int]]] = {}
+    for exp, grp, cid, entry_date in entries:
+        ms = first_m.get(cid)
+        conv = int(
+            ms is not None
+            and entry_date <= ms <= entry_date + dt.timedelta(days=ZTEST_CONVERSION_DAYS)
+        )
+        stats.setdefault(exp, {"A": [], "B": []})[grp].append(conv)
+    assert set(stats) == set(got)
+    for exp, g in stats.items():
+        n_a, n_b = len(g["A"]), len(g["B"])
+        c_a, c_b = sum(g["A"]), sum(g["B"])
+        row = got[exp]
+        assert (row[1], row[2], row[3], row[4]) == (n_a, c_a, n_b, c_b)
+        assert row[5] == (_ratio(c_a, n_a, 4) if n_a else None)
+        assert row[6] == (_ratio(c_b, n_b, 4) if n_b else None)
+        if n_a and n_b and 0 < c_a + c_b < n_a + n_b:
+            pool = (c_a + c_b) / (n_a + n_b)
+            z = (c_a / n_a - c_b / n_b) / math.sqrt(
+                pool * (1.0 - pool) * (1.0 / n_a + 1.0 / n_b)
+            )
+            assert row[7] == _micro(z)
+        else:
+            assert row[7] is None
+
+
+def test_bootstrap_ci_matches_pure_python(con):
+    from basin_climbing_data_pipeline_spark.operators.experiments import (
+        B_REPLICATES,
+        CI_HI_RANK,
+        CI_LO_RANK,
+        POISSON1_CDF_MICRO,
+        bootstrap_spend_ci_sql,
+    )
+    from basin_climbing_data_pipeline_spark.operators.transactions import (
+        transactions_sql,
+    )
+
+    got = con.execute(bootstrap_spend_ci_sql()).fetchone()
+    spend = con.execute(
+        f"""WITH txn AS ({transactions_sql()})
+        SELECT customer_id::varchar,
+               sum(CAST(floor(total_amount * 100.0 + 0.5) AS BIGINT))
+        FROM txn GROUP BY customer_id"""
+    ).fetchall()
+
+    def weight(cid: str, b: int) -> int:
+        u = int(hashlib.md5(f"{cid}:{b}".encode()).hexdigest()[:8], 16) % 1_000_000
+        for k, t in enumerate(POISSON1_CDF_MICRO):
+            if u < t:
+                return k
+        return 6
+
+    means = []
+    for b in range(B_REPLICATES):
+        sw_cents = sw = 0
+        for cid, cents in spend:
+            w = weight(cid, b)
+            sw_cents += w * cents
+            sw += w
+        if sw > 0:
+            means.append((_ratio(sw_cents, sw, 2), b))
+    means.sort()
+    n = len(spend)
+    point = _ratio(sum(c for _, c in spend), n, 2)
+    assert got[0] == n and got[1] == B_REPLICATES and got[2] == point
+    assert got[3] == means[CI_LO_RANK - 1][0]
+    assert got[4] == means[CI_HI_RANK - 1][0]
+    # the CI must bracket a real spread, not collapse to a point
+    assert got[3] < got[4]
+
+
+def test_linear_probe_matches_numpy_ols(con):
+    numpy = pytest.importorskip("numpy")
+    from basin_climbing_data_pipeline_spark.operators.textstats import (
+        _FEAT_SCALE,
+        doc_stats_sql,
+        linear_probe_quality_sql,
+        quality_score_sql,
+    )
+
+    got = con.execute(linear_probe_quality_sql()).fetchone()
+    feats = con.execute(
+        f"""WITH stats AS ({doc_stats_sql()})
+        SELECT CAST(floor(coalesce(stopword_ratio, 0.0) * {_FEAT_SCALE} + 0.5) AS BIGINT),
+               CAST(floor(coalesce(unique_ratio, 0.0) * {_FEAT_SCALE} + 0.5) AS BIGINT),
+               CAST(floor(least(n_words / 100.0, 1.0) * {_FEAT_SCALE} + 0.5) AS BIGINT),
+               CAST(floor({quality_score_sql()} * {_FEAT_SCALE} + 0.5) AS BIGINT)
+        FROM stats"""
+    ).fetchall()
+    x = numpy.array(
+        [[1.0, s1 / _FEAT_SCALE, s2 / _FEAT_SCALE, s3 / _FEAT_SCALE]
+         for s1, s2, s3, _t in feats]
+    )
+    y = numpy.array([t / _FEAT_SCALE for *_s, t in feats])
+    w = numpy.linalg.solve(x.T @ x, x.T @ y)  # independent solver vs Cramer
+    assert got[0] == len(feats)
+    for i, name in enumerate(("w_intercept", "w_stopword", "w_unique", "w_length")):
+        assert abs(got[1 + i] - w[i]) < 2e-6, name
+    resid = y - x @ w
+    sst = float(((y - y.mean()) ** 2).sum())
+    r2 = 1.0 - float((resid**2).sum()) / sst
+    assert abs(got[5] - r2) < 2e-6
+    dev = max(abs(w[1] - 0.3), abs(w[2] - 0.4), abs(w[3] - 0.3))
+    assert abs(got[6] - dev) < 2e-6
+    # the probe must actually recover the generating rule on this corpus
+    assert got[5] > 0.5 and got[6] < 0.2
+
+
+def _log_bucket(v: int, subbuckets: int) -> int:
+    if v >= 0:
+        return math.floor(math.log10(v + 1) * subbuckets)
+    return -1 - math.floor(math.log10(-v + 1) * subbuckets)
+
+
+def _psi_from_counts(n_p: dict[int, int], n_q: dict[int, int]) -> tuple[int, int, int, float]:
+    buckets = sorted(set(n_p) | set(n_q))
+    np_tot = sum(n_p.values())
+    nq_tot = sum(n_q.values())
+    k = len(buckets)
+    term_nano = 0
+    for b in buckets:
+        p = (n_p.get(b, 0) + 1) / (np_tot + k)
+        q = (n_q.get(b, 0) + 1) / (nq_tot + k)
+        term_nano += math.floor((p - q) * math.log(p / q) * 1e9 + 0.5)
+    return np_tot, nq_tot, k, term_nano / 1e9
+
+
+def test_spend_drift_psi_matches_pure_python(con):
+    from basin_climbing_data_pipeline_spark.operators.sketches import (
+        HIST_SUBBUCKETS,
+        PSI_SPLIT_DATE,
+        spend_drift_psi_sql,
+    )
+    from basin_climbing_data_pipeline_spark.operators.transactions import (
+        transactions_sql,
+    )
+
+    got = {r[0]: r for r in con.execute(spend_drift_psi_sql()).fetchall()}
+    raw = con.execute(
+        f"""WITH txn AS ({transactions_sql()})
+        SELECT revenue_category,
+               CAST(floor(total_amount * 100.0 + 0.5) AS BIGINT),
+               (txn_date < DATE '{PSI_SPLIT_DATE}')
+        FROM txn"""
+    ).fetchall()
+    per_cat: dict[str, tuple[dict[int, int], dict[int, int]]] = {}
+    for cat, cents, is_base in raw:
+        p, q = per_cat.setdefault(cat, ({}, {}))
+        side = p if is_base else q
+        b = _log_bucket(cents, HIST_SUBBUCKETS)
+        side[b] = side.get(b, 0) + 1
+    assert set(per_cat) == set(got)
+    for cat, (p, q) in per_cat.items():
+        # the union bucket set comes from the per-(cat,bucket) groupBy:
+        # every bucket seen on EITHER side exists in the counts table
+        np_tot, nq_tot, k, psi = _psi_from_counts(p, q)
+        row = got[cat]
+        assert (row[1], row[2], row[3]) == (np_tot, nq_tot, k), cat
+        assert row[4] == pytest.approx(psi, abs=1e-12), cat
+        assert row[4] >= 0  # PSI is nonnegative by construction
+
+
+def test_value_drift_psi_matches_pure_python(con):
+    from basin_climbing_data_pipeline_spark.operators.sketches import (
+        DRIFT_WINDOW_US,
+        HIST_SUBBUCKETS,
+        value_drift_psi_sql,
+    )
+
+    got = {(r[0], r[1]): r for r in con.execute(value_drift_psi_sql()).fetchall()}
+    raw = con.execute(
+        "SELECT event_type, epoch_us(ts::TIMESTAMP), "
+        "CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) FROM events"
+    ).fetchall()
+    counts: dict[tuple[str, int], dict[int, int]] = {}
+    for et, us, vm in raw:
+        w = (us // DRIFT_WINDOW_US) * DRIFT_WINDOW_US
+        h = counts.setdefault((et, w), {})
+        b = _log_bucket(vm, HIST_SUBBUCKETS)
+        h[b] = h.get(b, 0) + 1
+    expect = {}
+    for (et, w), curr in counts.items():
+        prev = counts.get((et, w - DRIFT_WINDOW_US))
+        if prev:
+            np_tot, nq_tot, k, psi = _psi_from_counts(prev, curr)
+            expect[(et, w)] = (np_tot, nq_tot, k, psi)
+    assert set(expect) == set(got)
+    for key, (np_tot, nq_tot, k, psi) in expect.items():
+        row = got[key]
+        assert (row[2], row[3], row[4]) == (np_tot, nq_tot, k), key
+        assert row[5] == pytest.approx(psi, abs=1e-12), key
+
+
+def _monthly_cents(con) -> dict[tuple[str, dt.date], int]:
+    from basin_climbing_data_pipeline_spark.operators.transactions import (
+        transactions_sql,
+    )
+
+    return {
+        (cat, m): cents
+        for cat, m, cents in con.execute(
+            f"""WITH txn AS ({transactions_sql()})
+            SELECT revenue_category, date_trunc('month', txn_date)::date,
+                   sum(CAST(floor(total_amount * 100.0 + 0.5) AS BIGINT))
+            FROM txn GROUP BY 1, 2"""
+        ).fetchall()
+    }
+
+
+def test_seasonal_naive_mape_matches_pure_python(con):
+    from basin_climbing_data_pipeline_spark.operators.transactions import (
+        seasonal_naive_forecast_eval_sql,
+    )
+
+    got = {r[0]: r for r in con.execute(seasonal_naive_forecast_eval_sql()).fetchall()}
+    monthly = _monthly_cents(con)
+    apes: dict[str, list[int]] = {}
+    for (cat, m), cents in monthly.items():
+        pred = monthly.get((cat, dt.date(m.year - 1, m.month, 1)))
+        if pred is not None and cents != 0:
+            apes.setdefault(cat, []).append(
+                math.floor(abs(cents - pred) / abs(cents) * 1e6 + 0.5)
+            )
+    assert set(apes) == set(got)
+    for cat, xs in apes.items():
+        row = got[cat]
+        assert row[1] == len(xs)
+        assert row[2] == math.floor(sum(xs) / len(xs) + 0.5) / 1e6
+        assert row[3] == max(xs) / 1e6
+
+
+def _daily_dense(con) -> dict[str, list[tuple[dt.date, int]]]:
+    """Zero-filled per-category daily cents from first to last active day."""
+    from basin_climbing_data_pipeline_spark.operators.transactions import (
+        transactions_sql,
+    )
+
+    daily: dict[str, dict[dt.date, int]] = {}
+    for cat, day, cents in con.execute(
+        f"""WITH txn AS ({transactions_sql()})
+        SELECT revenue_category, txn_date,
+               sum(CAST(floor(total_amount * 100.0 + 0.5) AS BIGINT))
+        FROM txn GROUP BY 1, 2"""
+    ).fetchall():
+        daily.setdefault(cat, {})[day] = cents
+    dense = {}
+    for cat, days in daily.items():
+        d, d1 = min(days), max(days)
+        seq = []
+        while d <= d1:
+            seq.append((d, days.get(d, 0)))
+            d += dt.timedelta(days=1)
+        dense[cat] = seq
+    return dense
+
+
+def test_ewma_matches_pure_python(con):
+    from basin_climbing_data_pipeline_spark.operators.transactions import (
+        EWMA_WINDOW,
+        ewma_daily_revenue_sql,
+    )
+
+    got = {
+        (r[0], r[1]): (r[2], r[3])
+        for r in con.execute(ewma_daily_revenue_sql()).fetchall()
+    }
+    dense = _daily_dense(con)
+    n_rows = 0
+    for cat, seq in dense.items():
+        for i, (day, cents) in enumerate(seq):
+            num = den = 0.0
+            for k in range(min(EWMA_WINDOW, i + 1)):
+                num += seq[i - k][1] * 0.5**k
+                den += 0.5**k
+            want = math.floor(num / den + 0.5) / 100.0
+            level, ewma = got[(cat, day)]
+            assert level == cents / 100.0, (cat, day)
+            assert ewma == want, (cat, day)
+            n_rows += 1
+    assert n_rows == len(got)
+
+
+def test_cusum_matches_pure_python(con):
+    from basin_climbing_data_pipeline_spark.operators.transactions import (
+        CUSUM_SLACK_PCT,
+        CUSUM_THRESH_PCT,
+        cusum_revenue_drift_sql,
+    )
+
+    got = {
+        (r[0], r[1]): (r[2], r[3])
+        for r in con.execute(cusum_revenue_drift_sql()).fetchall()
+    }
+    dense = _daily_dense(con)
+    n_rows = n_alarms = 0
+    for cat, seq in dense.items():
+        total = sum(c for _, c in seq)
+        n_days = len(seq)
+        mean = max(total, 0) // n_days
+        k = mean * CUSUM_SLACK_PCT // 100
+        h = mean * CUSUM_THRESH_PCT // 100
+        s = 0  # the recursion itself — independent of the prefix-min identity
+        for day, cents in seq:
+            s = max(0, s + (cents - mean - k))
+            cusum, alarm = got[(cat, day)]
+            assert cusum == s, (cat, day)
+            assert alarm == (s > h), (cat, day)
+            n_rows += 1
+            n_alarms += alarm
+    assert n_rows == len(got)
