@@ -481,17 +481,28 @@ ORDER BY feature, category
 # CUPED variance reduction for the A/B readout
 # ---------------------------------------------------------------------------
 
-CUPED_POST_DAYS = 30  # metric window after experiment entry
+# Calendar split inside the transaction range: spend before the split is the
+# pre-experiment covariate X, spend on/after it is the experiment metric Y.
+# The flag-entry experiment's 2024 entry dates sit entirely AFTER the last
+# transaction (2001) on the driver corpus, so an entry-anchored post window
+# is structurally empty there — every moment degenerates to zero and the
+# readout hash-matches NULL-for-NULL (the EB-gate failure class, caught by
+# the round-8 degenerate-output audit).  The calendar split exercises the
+# identical estimator on real variance.
+CUPED_SPLIT_DATE = "1998-07-01"
 
 
 def cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUPED-adjusted experiment readout: use each customer's PRE-entry
-    spend as the control covariate, θ = cov(X,Y)/var(X) pooled across
-    groups, and report per group the raw vs adjusted metric variance and
-    the variance-reduction percentage — the standard trick that makes
-    the same experiment decide in a fraction of the traffic.  The
-    reference's experiment log stops at counts; this is the readout a
-    modern experimentation stack actually ships.
+    """CUPED-adjusted experiment readout over the transacting population:
+    each customer's pre-split spend is the control covariate, the A/B
+    arms come from the repo's deterministic md5 assignment
+    (:func:`sampling._md5_bucket` — the same discipline the flags engine
+    uses), θ = cov(X,Y)/var(X) pooled across groups, and the output is
+    per group the raw vs adjusted metric variance and the variance-
+    reduction percentage — the standard trick that makes the same
+    experiment decide in a fraction of the traffic.  The reference's
+    experiment log stops at counts; this is the readout a modern
+    experimentation stack actually ships.
 
     Exactness: EVERYTHING derives from the exact integer moment set
     {n, ΣX, ΣY, ΣXY, ΣX², ΣY²} per group (decimal(38) sums of cents
@@ -501,35 +512,28 @@ def cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
     Degenerate var(X) = 0 pins θ and the adjusted columns to NULL on
     both engines.
 
-    Scale shape: two customer-keyed conditional rollups (pre/post spend)
-    joined to entries, then ONE moment aggregation per group; the θ
-    combine runs over the 2-row group frame."""
+    Scale shape: one customer-keyed conditional rollup (pre/post spend),
+    then ONE moment aggregation per group; the θ combine runs over the
+    2-row group frame."""
     from pyspark.sql import Window
 
     from ..functions.money import to_cents
+    from .sampling import _md5_bucket
     from .transactions import build_transactions
 
-    entries = experiment_entries(spark, sf_dir).select(
-        "customer_id", "ab_group", "entry_date"
-    )
     txn = build_transactions(spark, sf_dir).select(
         "customer_id", "txn_date", to_cents(F.col("total_amount")).alias("cents")
     )
-    j = entries.join(txn, "customer_id", "left")
-    per_cust = j.groupBy("customer_id", "ab_group").agg(
-        F.sum(
-            F.when(F.col("txn_date") < F.col("entry_date"), F.col("cents")).otherwise(0)
-        ).alias("x"),
-        F.sum(
-            F.when(
-                (F.col("txn_date") >= F.col("entry_date"))
-                & (
-                    F.col("txn_date")
-                    <= F.date_add(F.col("entry_date"), CUPED_POST_DAYS)
-                ),
-                F.col("cents"),
-            ).otherwise(0)
-        ).alias("y"),
+    split = F.lit(CUPED_SPLIT_DATE).cast("date")
+    per_cust = txn.groupBy("customer_id").agg(
+        F.sum(F.when(F.col("txn_date") < split, F.col("cents")).otherwise(0)).alias("x"),
+        F.sum(F.when(F.col("txn_date") >= split, F.col("cents")).otherwise(0)).alias("y"),
+    ).select(
+        F.when(_md5_bucket(F.col("customer_id"), 2) == 0, "A")
+        .otherwise("B")
+        .alias("ab_group"),
+        "x",
+        "y",
     )
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     mom = per_cust.groupBy("ab_group").agg(
@@ -564,7 +568,14 @@ def cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
         nd * nd
     )
     var_adj = var_y - 2.0 * theta * cov_xy + theta * theta * var_x
-    micro = lambda c: F.floor(c * 1000000.0 + 0.5) / 1000000.0  # noqa: E731
+    # Overflow-guarded micro rounding: Spark's floor(double) returns LONG,
+    # so x*1e6 past 2^63 clamps to int64 max while DuckDB's floor stays in
+    # double (adversarial edge-value amounts push var to ~1e17 dollars²).
+    # Past the guard the raw double is already cross-engine-identical
+    # (exact-int casts + identical double ops), so it passes through.
+    micro = lambda c: F.when(  # noqa: E731
+        F.abs(c) < 1e12, F.floor(c * 1000000.0 + 0.5) / 1000000.0
+    ).otherwise(c)
     return pooled.select(
         "ab_group",
         "n",
@@ -578,23 +589,31 @@ def cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("ab_group")
 
 
+def _micro_safe_sql(expr: str) -> str:
+    """Oracle mirror of the overflow-guarded micro rounding above."""
+    return (
+        f"CASE WHEN abs({expr}) < 1000000000000.0 "
+        f"THEN floor(({expr}) * 1000000.0 + 0.5) / 1000000.0 "
+        f"ELSE ({expr}) END"
+    )
+
+
 def cuped_variance_reduction_sql() -> str:
     from ..functions.money import to_cents_sql
+    from .sampling import _md5_bucket_sql
     from .transactions import transactions_sql
 
-    d = CUPED_POST_DAYS
+    _cuped_bucket_sql = _md5_bucket_sql("customer_id", 2)
     return f"""
-WITH entries AS ({experiment_entries_sql()}),
-txn AS ({transactions_sql()}),
+WITH txn AS ({transactions_sql()}),
 per_cust AS (
-  SELECT e.customer_id, e.ab_group,
-         sum(CASE WHEN t.txn_date < e.entry_date
-                  THEN {to_cents_sql('t.total_amount')} ELSE 0 END) AS x,
-         sum(CASE WHEN t.txn_date >= e.entry_date
-                   AND t.txn_date <= e.entry_date + {d}
-                  THEN {to_cents_sql('t.total_amount')} ELSE 0 END) AS y
-  FROM entries e LEFT JOIN txn t USING (customer_id)
-  GROUP BY e.customer_id, e.ab_group
+  SELECT CASE WHEN {_cuped_bucket_sql} = 0 THEN 'A' ELSE 'B' END AS ab_group,
+         sum(CASE WHEN txn_date < DATE '{CUPED_SPLIT_DATE}'
+                  THEN {to_cents_sql('total_amount')} ELSE 0 END) AS x,
+         sum(CASE WHEN txn_date >= DATE '{CUPED_SPLIT_DATE}'
+                  THEN {to_cents_sql('total_amount')} ELSE 0 END) AS y
+  FROM txn
+  GROUP BY customer_id
 ),
 mom AS (
   SELECT ab_group, count(*) AS n,
@@ -622,15 +641,14 @@ calc AS (
   FROM pooled
 )
 SELECT ab_group, n,
-       floor(mean_post * 1000000.0 + 0.5) / 1000000.0 AS mean_post_spend,
-       floor(theta * 1000000.0 + 0.5) / 1000000.0 AS theta,
-       floor(var_y / 10000.0 * 1000000.0 + 0.5) / 1000000.0 AS var_raw,
-       floor((var_y - 2.0 * theta * cov_xy + theta * theta * var_x) / 10000.0
-             * 1000000.0 + 0.5) / 1000000.0 AS var_cuped,
-       floor(CASE WHEN var_y > 0
+       {_micro_safe_sql('mean_post')} AS mean_post_spend,
+       {_micro_safe_sql('theta')} AS theta,
+       {_micro_safe_sql('var_y / 10000.0')} AS var_raw,
+       {_micro_safe_sql('(var_y - 2.0 * theta * cov_xy + theta * theta * var_x) / 10000.0')} AS var_cuped,
+       {_micro_safe_sql('''CASE WHEN var_y > 0
                   THEN (var_y - (var_y - 2.0 * theta * cov_xy
                                  + theta * theta * var_x)) / var_y * 100.0
-             END * 1000000.0 + 0.5) / 1000000.0 AS var_reduction_pct
+             END''')} AS var_reduction_pct
 FROM calc
 ORDER BY ab_group
 """

@@ -43,6 +43,11 @@ def _micro(x: float) -> float:
     return math.floor(x * 1_000_000.0 + 0.5) / 1_000_000.0
 
 
+def _micro_safe(x: float) -> float:
+    """Mirror of the overflow-guarded micro (experiments._micro_safe_sql)."""
+    return _micro(x) if abs(x) < 1e12 else x
+
+
 def test_visit_spend_correlation_matches_pure_python(con):
     from basin_climbing_data_pipeline_spark.operators.cohorts import (
         visit_spend_correlation_sql,
@@ -210,6 +215,64 @@ def test_linear_probe_matches_numpy_ols(con):
     assert abs(got[6] - dev) < 2e-6
     # the probe must actually recover the generating rule on this corpus
     assert got[5] > 0.5 and got[6] < 0.2
+
+
+def test_cuped_matches_pure_python(con):
+    """Full recomputation of the (round-8 recut) CUPED readout: md5 A/B
+    arms over the transacting population, calendar-split covariate/metric,
+    pooled theta, algebraic adjusted variance."""
+    from basin_climbing_data_pipeline_spark.operators.experiments import (
+        CUPED_SPLIT_DATE,
+        cuped_variance_reduction_sql,
+    )
+    from basin_climbing_data_pipeline_spark.operators.transactions import (
+        transactions_sql,
+    )
+
+    got = {r[0]: r for r in con.execute(cuped_variance_reduction_sql()).fetchall()}
+    raw = con.execute(
+        f"""WITH txn AS ({transactions_sql()})
+        SELECT customer_id::varchar,
+               sum(CASE WHEN txn_date < DATE '{CUPED_SPLIT_DATE}'
+                        THEN CAST(floor(total_amount * 100.0 + 0.5) AS BIGINT)
+                        ELSE 0 END),
+               sum(CASE WHEN txn_date >= DATE '{CUPED_SPLIT_DATE}'
+                        THEN CAST(floor(total_amount * 100.0 + 0.5) AS BIGINT)
+                        ELSE 0 END)
+        FROM txn GROUP BY customer_id"""
+    ).fetchall()
+    groups: dict[str, list[tuple[int, int]]] = {"A": [], "B": []}
+    for cid, x, y in raw:
+        b = int(hashlib.md5(cid.encode()).hexdigest()[:8], 16) % 2
+        groups["A" if b == 0 else "B"].append((x, y))
+    pn = len(raw)
+    psx = sum(x for _, xs in groups.items() for x, _ in xs)
+    psy = sum(y for _, xs in groups.items() for _, y in xs)
+    psxy = sum(x * y for _, xs in groups.items() for x, y in xs)
+    psxx = sum(x * x for _, xs in groups.items() for x, _ in xs)
+    th_den = pn * psxx - psx * psx
+    # mirror the engines' cast-to-double-then-divide (an exact-int python
+    # division would round differently past 2^53)
+    theta = float(pn * psxy - psx * psy) / float(th_den) if th_den else None
+    for g, xs in groups.items():
+        n = len(xs)
+        sx, sy = sum(x for x, _ in xs), sum(y for _, y in xs)
+        sxy = sum(x * y for x, y in xs)
+        sxx, syy = sum(x * x for x, _ in xs), sum(y * y for _, y in xs)
+        nd = float(n)
+        var_y = float(n * syy - sy * sy) / (nd * nd)
+        cov = float(n * sxy - sx * sy) / (nd * nd)
+        var_x = float(n * sxx - sx * sx) / (nd * nd)
+        var_adj = var_y - 2.0 * theta * cov + theta * theta * var_x
+        row = got[g]
+        assert row[1] == n
+        assert row[2] == _micro_safe(float(sy) / nd / 100.0)
+        assert row[3] == _micro_safe(theta)
+        assert row[4] == _micro_safe(var_y / 10000.0)
+        assert row[5] == _micro_safe(var_adj / 10000.0)
+        assert row[6] == _micro_safe((var_y - var_adj) / var_y * 100.0)
+        # the recut readout must be non-degenerate on the driver corpus
+        assert row[4] > 0 and row[6] is not None
 
 
 def _log_bucket(v: int, subbuckets: int) -> int:
