@@ -786,3 +786,36 @@ SELECT event_type, n_gaps,
 FROM stats
 ORDER BY event_type
 """
+
+
+FITNESS_ENTRY_METHOD = "EVE"  # event-entry checkins = class attendance
+
+
+def fitness_class_attendance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly fitness-class attendance — the reference's 'Fitness Class
+    Attendance' bars (dashboard/dashboard.py:1674-1716: keyword-filtered
+    fitness events, reservations summed per period).  The engine analog
+    counts event-entry checkins (entry_method EVE — the Capitan event
+    entry code) per month: one filter + one bounded groupBy."""
+    ck = build_checkins(spark, sf_dir)
+    return (
+        ck.filter(F.col("entry_method") == FITNESS_ENTRY_METHOD)
+        .groupBy(F.trunc("checkin_date", "month").alias("month"))
+        .agg(
+            F.count("*").alias("attendance"),
+            F.countDistinct("customer_id").alias("unique_attendees"),
+        )
+        .orderBy("month")
+    )
+
+
+def fitness_class_attendance_sql() -> str:
+    return f"""
+WITH ck AS ({checkins_sql()})
+SELECT date_trunc('month', checkin_date)::date AS month,
+       count(*) AS attendance,
+       count(DISTINCT customer_id) AS unique_attendees
+FROM ck WHERE entry_method = '{FITNESS_ENTRY_METHOD}'
+GROUP BY 1
+ORDER BY month
+"""

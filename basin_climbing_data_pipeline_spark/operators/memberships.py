@@ -1081,3 +1081,230 @@ FROM tagged
 GROUP BY month
 ORDER BY month
 """
+
+
+# ---------------------------------------------------------------------------
+# youth-teams daily active by team type (reference dashboard.py:1402-1537)
+# ---------------------------------------------------------------------------
+
+# Ordered first-match-wins keyword map over the membership display name —
+# the reference categorizes youth teams by name substrings ('recreation'/
+# 'rec team', 'development'/'dev team', 'competitive'/'comp team',
+# dashboard.py:1420-1427); the engine's synthetic name vocabulary maps its
+# three tenure tiers onto the same three team types.
+YOUTH_TEAM_KEYWORDS: tuple[tuple[str, str], ...] = (
+    ("2-week", "Recreation"),
+    ("monthly", "Development"),
+    ("annual", "Competitive"),
+)
+
+
+def youth_teams_daily_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active youth-team memberships by team type — the reference's
+    stacked Youth Teams timeline (dashboard/dashboard.py:1402-1537: a
+    per-day Python loop over name-categorized ACT memberships), composed
+    from two driver-green operators: the ordered keyword categorization
+    (§2.8) over the membership name and the W7 interval day-explode of
+    ``daily_active_timeline``.  Non-team names and non-ACT rows drop out
+    exactly as the reference's ``continue`` branches do.
+
+    Scale shape: one projection + bounded day-explode (tenure days per
+    membership), one groupBy onto the day × 3-team spine."""
+    m = build_memberships_2024(spark, sf_dir).filter(F.col("status") == "ACT")
+    name_lower = F.lower(F.col("name"))
+    team = None
+    for kw, t in YOUTH_TEAM_KEYWORDS:
+        cond = name_lower.contains(kw)
+        team = F.when(cond, t) if team is None else team.when(cond, t)
+    tagged = m.select(team.alias("team_type"), "start_date", "end_date").filter(
+        F.col("team_type").isNotNull()
+    )
+    return (
+        tagged.select(
+            "team_type",
+            F.explode(F.sequence("start_date", "end_date")).alias("day"),
+        )
+        .groupBy("day", "team_type")
+        .agg(F.count("*").alias("active_members"))
+        .orderBy("day", "team_type")
+    )
+
+
+def youth_teams_daily_active_sql() -> str:
+    cases = " ".join(
+        f"WHEN lower(name) LIKE '%{kw}%' THEN '{t}'"
+        for kw, t in YOUTH_TEAM_KEYWORDS
+    )
+    return f"""
+WITH m AS ({memberships_2024_sql()}),
+tagged AS (
+  SELECT CASE {cases} END AS team_type, start_date, end_date
+  FROM m WHERE status = 'ACT'
+),
+days AS (
+  SELECT team_type,
+         unnest(generate_series(start_date, end_date, INTERVAL 1 DAY))::date AS day
+  FROM tagged WHERE team_type IS NOT NULL
+)
+SELECT day, team_type, count(*) AS active_members
+FROM days
+GROUP BY day, team_type
+ORDER BY day, team_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# intro-offer conversion (reference 90-for-90, dashboard.py:2019-2199)
+# ---------------------------------------------------------------------------
+
+INTRO_FREQUENCY = "bi_weekly"  # the "2-Week Pass" intro product
+
+
+def _intro_conversion_tagged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each intro-pass membership row tagged Converted/Not Converted:
+    converted = the same owner has a NON-intro membership starting
+    strictly after this row's start (the reference's per-row pandas scan,
+    dashboard.py:2053-2067, as one aggregate + broadcastable join)."""
+    m = build_memberships_2024(spark, sf_dir)
+    intro = m.filter(F.col("frequency") == INTRO_FREQUENCY).select(
+        "owner_id", "start_date"
+    )
+    last_reg = (
+        m.filter(F.col("frequency") != INTRO_FREQUENCY)
+        .groupBy("owner_id")
+        .agg(F.max("start_date").alias("last_reg_start"))
+    )
+    return intro.join(last_reg, "owner_id", "left").select(
+        "owner_id",
+        "start_date",
+        F.when(
+            F.col("last_reg_start") > F.col("start_date"), "Converted"
+        )
+        .otherwise("Not Converted")
+        .alias("conversion_status"),
+    )
+
+
+_INTRO_TAGGED_SQL_BODY = """
+intro AS (
+  SELECT owner_id, start_date FROM m WHERE frequency = '{intro}'
+),
+last_reg AS (
+  SELECT owner_id, max(start_date) AS last_reg_start
+  FROM m WHERE frequency != '{intro}' GROUP BY owner_id
+),
+tagged AS (
+  SELECT i.owner_id, i.start_date,
+         CASE WHEN r.last_reg_start > i.start_date THEN 'Converted'
+              ELSE 'Not Converted' END AS conversion_status
+  FROM intro i LEFT JOIN last_reg r USING (owner_id)
+)"""
+
+
+def intro_offer_conversion_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intro-pass purchase volume by start week, split by conversion
+    status — the reference's '90 for 90 Purchase Volume by Week' stacked
+    chart (dashboard/dashboard.py:2019-2106) over the engine's 2-Week
+    Pass intro product.  Conversion per ROW (a pass bought again after a
+    regular membership still counts its own status), matching the
+    reference's apply-per-row semantics.
+
+    Scale shape: one membership-keyed aggregate (the regular-membership
+    max-start), one join, one groupBy onto the week × 2-status spine."""
+    tagged = _intro_conversion_tagged(spark, sf_dir)
+    return (
+        tagged.select(
+            F.date_trunc("week", F.col("start_date")).cast("date").alias("week"),
+            "conversion_status",
+        )
+        .groupBy("week", "conversion_status")
+        .agg(F.count("*").alias("n_memberships"))
+        .orderBy("week", "conversion_status")
+    )
+
+
+def intro_offer_conversion_timeline_sql() -> str:
+    body = _INTRO_TAGGED_SQL_BODY.format(intro=INTRO_FREQUENCY)
+    return f"""
+WITH m AS ({memberships_2024_sql()}),{body}
+SELECT date_trunc('week', start_date)::date AS week, conversion_status,
+       count(*) AS n_memberships
+FROM tagged
+GROUP BY week, conversion_status
+ORDER BY week, conversion_status
+"""
+
+
+def intro_offer_conversion_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unique-owner conversion summary for the intro pass — the
+    reference's '90 for 90 Conversion Summary' (dashboard/dashboard.py:
+    2108-2199: per-person earliest intro start, converted if a regular
+    membership starts after it).  One row per status plus the conversion
+    rate (fixed-point, shared ratio discipline) repeated on both rows the
+    way the reference titles the chart with it.
+
+    Scale shape: two owner-keyed aggregates and a 2-row rollup."""
+    from pyspark.sql import Window
+
+    from ..functions.money import ratio
+
+    m = build_memberships_2024(spark, sf_dir)
+    first_intro = (
+        m.filter(F.col("frequency") == INTRO_FREQUENCY)
+        .groupBy("owner_id")
+        .agg(F.min("start_date").alias("first_intro_start"))
+    )
+    last_reg = (
+        m.filter(F.col("frequency") != INTRO_FREQUENCY)
+        .groupBy("owner_id")
+        .agg(F.max("start_date").alias("last_reg_start"))
+    )
+    per_owner = first_intro.join(last_reg, "owner_id", "left").select(
+        F.when(
+            F.col("last_reg_start") > F.col("first_intro_start"), "Converted"
+        )
+        .otherwise("Not Converted")
+        .alias("status")
+    )
+    counts = per_owner.groupBy("status").agg(F.count("*").alias("n_owners"))
+    total = Window.partitionBy()
+    return counts.select(
+        "status",
+        "n_owners",
+        ratio(
+            F.sum(F.when(F.col("status") == "Converted", F.col("n_owners")).otherwise(0))
+            .over(total)
+            .cast("double")
+            * 100.0,
+            F.sum("n_owners").over(total).cast("double"),
+            2,
+        ).alias("conversion_rate_pct"),
+    ).orderBy("status")
+
+
+def intro_offer_conversion_summary_sql() -> str:
+    from ..functions.money import ratio_sql
+
+    return f"""
+WITH m AS ({memberships_2024_sql()}),
+first_intro AS (
+  SELECT owner_id, min(start_date) AS first_intro_start
+  FROM m WHERE frequency = '{INTRO_FREQUENCY}' GROUP BY owner_id
+),
+last_reg AS (
+  SELECT owner_id, max(start_date) AS last_reg_start
+  FROM m WHERE frequency != '{INTRO_FREQUENCY}' GROUP BY owner_id
+),
+per_owner AS (
+  SELECT CASE WHEN r.last_reg_start > f.first_intro_start THEN 'Converted'
+              ELSE 'Not Converted' END AS status
+  FROM first_intro f LEFT JOIN last_reg r USING (owner_id)
+),
+counts AS (
+  SELECT status, count(*) AS n_owners FROM per_owner GROUP BY status
+)
+SELECT status, n_owners,
+       {ratio_sql("sum(CASE WHEN status = 'Converted' THEN n_owners ELSE 0 END) OVER ()::double * 100.0", 'sum(n_owners) OVER ()::double', 2)} AS conversion_rate_pct
+FROM counts
+ORDER BY status
+"""

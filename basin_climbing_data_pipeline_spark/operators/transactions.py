@@ -1260,3 +1260,164 @@ SELECT n_days, med.n_pairs AS n_pairs,
          AS theilsen_slope_per_day
 FROM mom CROSS JOIN med
 """
+
+
+# ---------------------------------------------------------------------------
+# sub-category dashboard charts (reference dashboard.py:1539-1716,1867-2016)
+# ---------------------------------------------------------------------------
+
+# Engine analogs of the reference's sub-category chart filters: the synthetic
+# corpus has no literal 'birthday'/'camps' rows, so the charts run over the
+# engine's own sub-category vocabulary (config.SUB_CATEGORY_KEYWORDS) with
+# the mapping documented per query.
+BIRTHDAY_SUBCATEGORY = "youth"   # kids-party analog of sub_category='birthday'
+CAMP_SUBCATEGORY = "winter"      # seasonal-camp analog of sub_category='camps'
+FITNESS_CATEGORY = "Programming"  # classes analog of fitness_amount > 0
+
+
+def birthday_party_participants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly transaction counts for the kids-party sub-category, split
+    by payment channel — the reference's 'Birthday Party Participants'
+    clustered columns (dashboard/dashboard.py:1539-1594: monthly counts of
+    sub_category='birthday' split by sub_category_detail initial/second
+    payment; the engine's payment-split axis is the data_source channel).
+
+    Scale shape: one filter + groupBy onto the month × channel spine."""
+    txn = build_transactions(spark, sf_dir)
+    return (
+        txn.filter(F.col("sub_category") == BIRTHDAY_SUBCATEGORY)
+        .groupBy(
+            F.trunc("txn_date", "month").alias("month"),
+            F.col("data_source").alias("payment_channel"),
+        )
+        .agg(F.count("*").alias("n_transactions"))
+        .orderBy("month", "payment_channel")
+    )
+
+
+def birthday_party_participants_sql() -> str:
+    return f"""
+WITH txn AS ({transactions_sql()})
+SELECT date_trunc('month', txn_date)::date AS month,
+       data_source AS payment_channel,
+       count(*) AS n_transactions
+FROM txn WHERE sub_category = '{BIRTHDAY_SUBCATEGORY}'
+GROUP BY 1, 2
+ORDER BY month, payment_channel
+"""
+
+
+def birthday_party_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly net revenue for the kids-party sub-category — the
+    reference's 'Birthday Party Revenue' line (dashboard/dashboard.py:
+    1596-1631).  Integer-cents sum, one filter + month groupBy."""
+    txn = build_transactions(spark, sf_dir)
+    return (
+        txn.filter(F.col("sub_category") == BIRTHDAY_SUBCATEGORY)
+        .groupBy(F.trunc("txn_date", "month").alias("month"))
+        .agg((F.sum(to_cents(F.col("total_amount"))) / 100.0).alias("net_revenue"))
+        .orderBy("month")
+    )
+
+
+def birthday_party_revenue_sql() -> str:
+    return f"""
+WITH txn AS ({transactions_sql()})
+SELECT date_trunc('month', txn_date)::date AS month,
+       sum({to_cents_sql('total_amount')}) / 100.0 AS net_revenue
+FROM txn WHERE sub_category = '{BIRTHDAY_SUBCATEGORY}'
+GROUP BY 1
+ORDER BY month
+"""
+
+
+def fitness_revenue_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly net revenue for the fitness/classes category — the
+    reference's 'Fitness Revenue' bars (dashboard/dashboard.py:1633-1672:
+    monthly sum of fitness_amount > 0 rows; the engine's classes bucket
+    is the Programming revenue category).  Integer-cents sum."""
+    txn = build_transactions(spark, sf_dir)
+    return (
+        txn.filter(F.col("revenue_category") == FITNESS_CATEGORY)
+        .groupBy(F.trunc("txn_date", "month").alias("month"))
+        .agg(
+            (F.sum(to_cents(F.col("total_amount"))) / 100.0).alias("fitness_revenue"),
+            F.count("*").alias("n_transactions"),
+        )
+        .orderBy("month")
+    )
+
+
+def fitness_revenue_monthly_sql() -> str:
+    return f"""
+WITH txn AS ({transactions_sql()})
+SELECT date_trunc('month', txn_date)::date AS month,
+       sum({to_cents_sql('total_amount')}) / 100.0 AS fitness_revenue,
+       count(*) AS n_transactions
+FROM txn WHERE revenue_category = '{FITNESS_CATEGORY}'
+GROUP BY 1
+ORDER BY month
+"""
+
+
+def camp_session_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Camp purchases by session label × purchase month — the reference's
+    stacked 'Camp Session Purchases' chart (dashboard/dashboard.py:
+    1867-1973: sub_category='camps' rows, session label cleaned by regex
+    from sub_category_detail/Description, grouped by label × period).
+    The engine analog strips the seasonal prefix and the trailing
+    all-caps type token from the description the same way the reference
+    strips 'Summer Camp ' and the 'Capitan reservation #...' pattern.
+
+    Scale shape: one filter + two regex projections + a groupBy bounded
+    by the part-name vocabulary × months."""
+    txn = build_transactions(spark, sf_dir)
+    label = F.regexp_replace(
+        F.regexp_replace(F.col("description"), r"^cold ", ""), r" [A-Z]+$", ""
+    )
+    return (
+        txn.filter(F.col("sub_category") == CAMP_SUBCATEGORY)
+        .select(
+            label.alias("session_label"),
+            F.trunc("txn_date", "month").alias("purchase_month"),
+        )
+        .groupBy("session_label", "purchase_month")
+        .agg(F.count("*").alias("n_purchases"))
+        .orderBy("session_label", "purchase_month")
+    )
+
+
+def camp_session_purchases_sql() -> str:
+    return f"""
+WITH txn AS ({transactions_sql()})
+SELECT regexp_replace(regexp_replace(description, '^cold ', ''), ' [A-Z]+$', '')
+         AS session_label,
+       date_trunc('month', txn_date)::date AS purchase_month,
+       count(*) AS n_purchases
+FROM txn WHERE sub_category = '{CAMP_SUBCATEGORY}'
+GROUP BY 1, 2
+ORDER BY session_label, purchase_month
+"""
+
+
+def camp_revenue_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly net revenue for the camp sub-category — the reference's
+    'Camp Revenue' line (dashboard/dashboard.py:1975-2016)."""
+    txn = build_transactions(spark, sf_dir)
+    return (
+        txn.filter(F.col("sub_category") == CAMP_SUBCATEGORY)
+        .groupBy(F.trunc("txn_date", "month").alias("month"))
+        .agg((F.sum(to_cents(F.col("total_amount"))) / 100.0).alias("net_revenue"))
+        .orderBy("month")
+    )
+
+
+def camp_revenue_monthly_sql() -> str:
+    return f"""
+WITH txn AS ({transactions_sql()})
+SELECT date_trunc('month', txn_date)::date AS month,
+       sum({to_cents_sql('total_amount')}) / 100.0 AS net_revenue
+FROM txn WHERE sub_category = '{CAMP_SUBCATEGORY}'
+GROUP BY 1
+ORDER BY month
+"""

@@ -645,6 +645,59 @@ register(
     st.streaming_value_drift_psi_sql(),
 )
 
+# --- round-8 additions (registered AFTER the 50-slot window fills; their
+# driver rows land in round 9) — the remaining reference dashboard charts
+# queryized (VERDICT r7 item 5; reference dashboard/dashboard.py:1402-2199),
+# each a composition of driver-green operators.  Marketing CPA
+# (dashboard.py:1729) is the one chart NOT queryized: it reads the Facebook
+# Ads spend table, a source family with no engine sibling fixture — scoping
+# decision recorded in SURVEY §2.9 and README.
+register(
+    "youth_teams_daily_active",
+    mem.youth_teams_daily_active,
+    mem.youth_teams_daily_active_sql(),
+)
+register(
+    "intro_offer_conversion_timeline",
+    mem.intro_offer_conversion_timeline,
+    mem.intro_offer_conversion_timeline_sql(),
+)
+register(
+    "intro_offer_conversion_summary",
+    mem.intro_offer_conversion_summary,
+    mem.intro_offer_conversion_summary_sql(),
+)
+register(
+    "birthday_party_participants",
+    txn.birthday_party_participants,
+    txn.birthday_party_participants_sql(),
+)
+register(
+    "birthday_party_revenue",
+    txn.birthday_party_revenue,
+    txn.birthday_party_revenue_sql(),
+)
+register(
+    "fitness_revenue_monthly",
+    txn.fitness_revenue_monthly,
+    txn.fitness_revenue_monthly_sql(),
+)
+register(
+    "fitness_class_attendance",
+    ev.fitness_class_attendance,
+    ev.fitness_class_attendance_sql(),
+)
+register(
+    "camp_session_purchases",
+    txn.camp_session_purchases,
+    txn.camp_session_purchases_sql(),
+)
+register(
+    "camp_revenue_monthly",
+    txn.camp_revenue_monthly,
+    txn.camp_revenue_monthly_sql(),
+)
+
 
 # --- round-5 window rotation ----------------------------------------------
 # The driver verifies the FIRST 50 registry entries per round.  Round 5's
