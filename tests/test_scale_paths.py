@@ -284,3 +284,35 @@ def test_customer_spend_deciles_sketch_default_agrees_with_exact(spark, sf_dir):
         assert abs(exact[d]["n_customers"] - sketch[d]["n_customers"]) <= n_disagree
         # shares of revenue track within the disagreement mass
         assert abs(exact[d]["pct_of_revenue"] - sketch[d]["pct_of_revenue"]) <= 5.0
+
+
+def test_theilsen_bucketed_equals_exact(spark, sf_dir):
+    """The range-partitioned Theil-Sen (theilsen_trend_bucketed) is the
+    EXACT median computed without the exact form's single-partition rank:
+    the sign-aware log bucket is monotone in slope, so bucket order +
+    within-bucket order IS the global order.  Approximation error bound:
+    zero — equality, both engines."""
+    import duckdb
+
+    from basin_climbing_data_pipeline_spark.operators.transactions import (
+        theilsen_revenue_trend,
+        theilsen_revenue_trend_sql,
+        theilsen_trend_bucketed,
+        theilsen_trend_bucketed_sql,
+    )
+
+    exact = theilsen_revenue_trend(spark, sf_dir).collect()[0]
+    bucketed = theilsen_trend_bucketed(spark, sf_dir).collect()[0]
+    assert tuple(exact) == tuple(bucketed)
+
+    con = duckdb.connect()
+    for t in ("orders", "lineitem", "customer", "part", "nation", "region",
+              "supplier"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    assert (
+        con.execute(theilsen_revenue_trend_sql()).fetchall()
+        == con.execute(theilsen_trend_bucketed_sql()).fetchall()
+    )
