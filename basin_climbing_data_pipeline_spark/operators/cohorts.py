@@ -1612,3 +1612,156 @@ SELECT * FROM (
 )
 ORDER BY state
 """
+
+
+# ---------------------------------------------------------------------------
+# robust location: trimmed + winsorized mean spend
+# ---------------------------------------------------------------------------
+
+TRIM_PCT = 10  # trimmed/winsorized fraction per side
+
+
+def trimmed_winsorized_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-customer spend location: the 10%-trimmed and
+    10%-winsorized means beside the raw mean — the outlier-honest
+    "typical customer value" numbers (one whale moves the mean by
+    dollars; it moves the trimmed mean not at all, and the winsorized
+    mean by a bounded clamp).  Companion to :func:`spend_deciles`'
+    whale-curve view and the Theil-Sen/OLS robust-fragile pairing.
+
+    Exact with NO global row sort: per-distinct-value counts get global
+    rank offsets from the bucketed-prefix discipline (bounded log-bucket
+    offsets + bucket-partitioned windows, as ``mann_whitney_spend_utest``
+    / ``theilsen_trend_bucketed``).  Each value's contribution to the
+    trimmed sum is its rank-interval overlap with [k+1, n−k] — ties at
+    the cut are split by RANK, exactly as a sorted-array trim would.
+    Winsorized = trimmed + k·(rank-(k+1) value) + k·(rank-(n−k) value).
+    All sums exact int64/decimal; the three divisions are the shared
+    fixed-point ratio.
+
+    Scale shape: one customer rollup, one shuffle onto distinct values,
+    bounded-bucket windows, one scalar aggregate."""
+    from pyspark.sql import Window
+
+    from ..functions.money import ratio, to_cents
+    from .sketches import HIST_SUBBUCKETS
+    from .transactions import build_transactions
+
+    txn = build_transactions(spark, sf_dir)
+    per_cust = txn.groupBy("customer_id").agg(
+        F.sum(to_cents(F.col("total_amount"))).alias("cents")
+    )
+    per_val = per_cust.groupBy("cents").agg(F.count("*").alias("cnt"))
+    vm = F.col("cents")
+    bucket = (
+        F.when(vm >= 0, F.floor(F.log10(vm + 1) * HIST_SUBBUCKETS))
+        .otherwise(-1 - F.floor(F.log10(-vm + 1) * HIST_SUBBUCKETS))
+        .cast("long")
+    )
+    bucketed = per_val.select("cents", "cnt", bucket.alias("bkt"))
+    bkt_counts = bucketed.groupBy("bkt").agg(F.sum("cnt").alias("bkt_cnt"))
+    wb = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = bkt_counts.select(
+        "bkt", F.coalesce(F.sum("bkt_cnt").over(wb), F.lit(0)).alias("bkt_before")
+    )
+    win = (
+        Window.partitionBy("bkt")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = (
+        bucketed.join(F.broadcast(offsets), "bkt")
+        .withColumn("in_bkt_before", F.coalesce(F.sum("cnt").over(win), F.lit(0)))
+        .select(
+            "cents",
+            "cnt",
+            (F.col("bkt_before") + F.col("in_bkt_before")).alias("before"),
+        )
+    )
+    totals = per_cust.agg(
+        F.count("*").alias("n"), F.sum("cents").alias("sum_cents")
+    ).select("*", F.expr(f"n * {TRIM_PCT} div 100").alias("k"))
+    j = ranked.join(F.broadcast(totals))
+    lo_rank, hi_rank = F.col("before") + 1, F.col("before") + F.col("cnt")
+    keep_lo = F.greatest(lo_rank, F.col("k") + 1)
+    keep_hi = F.least(hi_rank, F.col("n") - F.col("k"))
+    ov = F.greatest(keep_hi - keep_lo + 1, F.lit(0))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    m = j.groupBy("n", "sum_cents", "k").agg(
+        F.sum(dec(F.col("cents") * ov)).alias("trimmed_sum"),
+        F.sum(ov).alias("trimmed_n"),
+        F.min(F.when(hi_rank >= F.col("k") + 1, F.col("cents"))).alias("lo_cut"),
+        F.min(F.when(hi_rank >= F.col("n") - F.col("k"), F.col("cents"))).alias(
+            "hi_cut"
+        ),
+    )
+    wins_sum = (
+        F.col("trimmed_sum").cast("double")
+        + F.col("k").cast("double") * (F.col("lo_cut") + F.col("hi_cut")).cast("double")
+    )
+    return m.select(
+        "n",
+        F.col("k").alias("k_trimmed_each_side"),
+        ratio(F.col("sum_cents").cast("double"), F.col("n").cast("double"), 2).alias(
+            "mean_cents"
+        ),
+        F.when(
+            F.col("trimmed_n") > 0,
+            ratio(
+                F.col("trimmed_sum").cast("double"),
+                F.col("trimmed_n").cast("double"),
+                2,
+            ),
+        ).alias("trimmed_mean_cents"),
+        ratio(wins_sum, F.col("n").cast("double"), 2).alias("winsorized_mean_cents"),
+        F.col("lo_cut").alias("lo_cut_cents"),
+        F.col("hi_cut").alias("hi_cut_cents"),
+    )
+
+
+def trimmed_winsorized_spend_sql() -> str:
+    from ..functions.money import ratio_sql, to_cents_sql
+    from .transactions import transactions_sql
+
+    return f"""
+WITH txn AS ({transactions_sql()}),
+per_cust AS (
+  SELECT customer_id, sum({to_cents_sql('total_amount')}) AS cents
+  FROM txn GROUP BY customer_id
+),
+per_val AS (
+  SELECT cents, count(*) AS cnt FROM per_cust GROUP BY cents
+),
+ranked AS (
+  SELECT cents, cnt,
+         coalesce(sum(cnt) OVER (ORDER BY cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+  FROM per_val
+),
+totals AS (
+  SELECT count(*) AS n, sum(cents) AS sum_cents,
+         count(*) * {TRIM_PCT} // 100 AS k
+  FROM per_cust
+),
+m AS (
+  SELECT n, sum_cents, k,
+         sum((cents * greatest(least(before + cnt, n - k)
+                               - greatest(before + 1, k + 1) + 1, 0))::hugeint)
+           AS trimmed_sum,
+         CAST(sum(greatest(least(before + cnt, n - k)
+                  - greatest(before + 1, k + 1) + 1, 0)) AS BIGINT) AS trimmed_n,
+         min(CASE WHEN before + cnt >= k + 1 THEN cents END) AS lo_cut,
+         min(CASE WHEN before + cnt >= n - k THEN cents END) AS hi_cut
+  FROM ranked CROSS JOIN totals
+  GROUP BY n, sum_cents, k
+)
+SELECT n, k AS k_trimmed_each_side,
+       {ratio_sql('sum_cents::double', 'n::double', 2)} AS mean_cents,
+       CASE WHEN trimmed_n > 0
+            THEN {ratio_sql('trimmed_sum::double', 'trimmed_n::double', 2)}
+       END AS trimmed_mean_cents,
+       {ratio_sql('trimmed_sum::double + k::double * (lo_cut + hi_cut)::double', 'n::double', 2)} AS winsorized_mean_cents,
+       lo_cut AS lo_cut_cents,
+       hi_cut AS hi_cut_cents
+FROM m
+"""

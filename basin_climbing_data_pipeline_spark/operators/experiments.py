@@ -652,3 +652,342 @@ SELECT ab_group, n,
 FROM calc
 ORDER BY ab_group
 """
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U — the rank-based A/B companion to the z-test and CUPED
+# ---------------------------------------------------------------------------
+
+
+def mann_whitney_spend_utest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U over per-customer net spend between the md5 A/B
+    arms (the same experiment frame as :func:`cuped_variance_reduction`):
+    the distribution-free test a spend metric actually needs — cents are
+    heavy-tailed, so the t/z on means is dominated by whales while U asks
+    "does one arm stochastically spend more".  Reports the exact U (in
+    2× integer units — average tie ranks are half-integers), the
+    tie-corrected normal z, and the rank-biserial effect size.
+
+    Distributed ranking discipline: NO global row sort.  Values collapse
+    to a per-distinct-value count frame; each value's global rank offset
+    decomposes as bucket offset (cumulative over the ~320-row monotone
+    log-bucket table) + within-bucket offset (window PARTITIONED by
+    bucket) — the ``theilsen_trend_bucketed`` trick generalized from one
+    rank pick to full prefix sums.  2R_A = Σ_v nA_v·(2·before_v + cnt_v
+    + 1) is then a plain map-side sum; everything stays exact int64
+    until the single z division.
+
+    Tie correction: σ²_U = nA·nB/12 · ((n+1) − Σ(t³−t)/(n(n−1)));
+    degenerate cases (an empty arm, all values tied) pin z to NULL on
+    both engines."""
+    from ..functions.money import ratio, to_cents
+    from .sampling import _md5_bucket
+    from .sketches import HIST_SUBBUCKETS
+    from .transactions import build_transactions
+
+    txn = build_transactions(spark, sf_dir)
+    per_cust = txn.groupBy("customer_id").agg(
+        F.sum(to_cents(F.col("total_amount"))).alias("cents")
+    )
+    arms = per_cust.select(
+        F.col("cents"),
+        (_md5_bucket(F.col("customer_id"), 2) == 0).cast("long").alias("is_a"),
+    )
+    per_val = arms.groupBy("cents").agg(
+        F.count("*").alias("cnt"), F.sum("is_a").alias("n_a_v")
+    )
+    vm = F.col("cents")
+    bucket = (
+        F.when(vm >= 0, F.floor(F.log10(vm + 1) * HIST_SUBBUCKETS))
+        .otherwise(-1 - F.floor(F.log10(-vm + 1) * HIST_SUBBUCKETS))
+        .cast("long")
+    )
+    bucketed = per_val.select("cents", "cnt", "n_a_v", bucket.alias("bkt"))
+    # bucket offsets over the BOUNDED bucket table
+    bkt_counts = bucketed.groupBy("bkt").agg(F.sum("cnt").alias("bkt_cnt"))
+    wb = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = bkt_counts.select(
+        "bkt", F.coalesce(F.sum("bkt_cnt").over(wb), F.lit(0)).alias("bkt_before")
+    )
+    # within-bucket prefix, PARTITIONED by bucket — never a global sort
+    win = (
+        Window.partitionBy("bkt")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = (
+        bucketed.join(F.broadcast(offsets), "bkt")
+        .withColumn("in_bkt_before", F.coalesce(F.sum("cnt").over(win), F.lit(0)))
+        .select(
+            "cents",
+            "cnt",
+            "n_a_v",
+            (F.col("bkt_before") + F.col("in_bkt_before")).alias("before"),
+        )
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    m = ranked.agg(
+        F.sum("cnt").alias("n"),
+        F.sum("n_a_v").alias("n_a"),
+        F.sum(dec(F.col("n_a_v") * (2 * F.col("before") + F.col("cnt") + 1)))
+        .alias("r2_a"),
+        F.sum(dec(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")))
+        .alias("ties"),
+    )
+    n, na = F.col("n"), F.col("n_a")
+    nb = n - na
+    u2 = F.col("r2_a").cast("double") - (na * (na + 1)).cast("double")
+    mu2 = (na * nb).cast("double")  # 2·μ_U
+    var_u = (
+        (na * nb).cast("double")
+        / 12.0
+        * (
+            (n + 1).cast("double")
+            - F.col("ties").cast("double") / (n * (n - 1)).cast("double")
+        )
+    )
+    z = (u2 - mu2) / (2.0 * F.sqrt(var_u))
+    ok = (na > 0) & (nb > 0) & (F.col("ties").cast("double") < (n * (n * n - 1)).cast("double"))
+    micro = lambda c: F.floor(c * 1000000.0 + 0.5) / 1000000.0  # noqa: E731
+    return m.select(
+        n.alias("n"),
+        na.alias("n_a"),
+        nb.alias("n_b"),
+        (u2 / 2.0).alias("u_a"),
+        F.when(ok, micro(z)).alias("z_score"),
+        F.when(
+            (na > 0) & (nb > 0), ratio(u2 - mu2, mu2, 4)
+        ).alias("rank_biserial"),
+    )
+
+
+def mann_whitney_spend_utest_sql() -> str:
+    from ..functions.money import ratio_sql, to_cents_sql
+    from .sampling import _md5_bucket_sql
+    from .transactions import transactions_sql
+
+    return f"""
+WITH txn AS ({transactions_sql()}),
+per_cust AS (
+  SELECT customer_id, sum({to_cents_sql('total_amount')}) AS cents
+  FROM txn GROUP BY customer_id
+),
+arms AS (
+  SELECT cents, ({_md5_bucket_sql('customer_id', 2)} = 0)::bigint AS is_a
+  FROM per_cust
+),
+per_val AS (
+  SELECT cents, count(*) AS cnt, sum(is_a) AS n_a_v
+  FROM arms GROUP BY cents
+),
+ranked AS (
+  SELECT cents, cnt, n_a_v,
+         coalesce(sum(cnt) OVER (ORDER BY cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+  FROM per_val
+),
+m AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS n,
+         CAST(sum(n_a_v) AS BIGINT) AS n_a,
+         sum((n_a_v * (2 * before + cnt + 1))::hugeint) AS r2_a,
+         sum((cnt * cnt * cnt - cnt)::hugeint) AS ties
+  FROM ranked
+)
+SELECT n, n_a, (n - n_a) AS n_b,
+       (r2_a::double - (n_a * (n_a + 1))::double) / 2.0 AS u_a,
+       CASE WHEN n_a > 0 AND n - n_a > 0
+                 AND ties::double < (n::hugeint * (n::hugeint * n - 1))::double
+            THEN floor((r2_a::double - (n_a * (n_a + 1))::double
+                        - (n_a * (n - n_a))::double)
+                 / (2.0 * sqrt((n_a * (n - n_a))::double / 12.0
+                    * ((n + 1)::double
+                       - ties::double / (n::hugeint * (n - 1))::double)))
+                 * 1000000.0 + 0.5) / 1000000.0 END AS z_score,
+       CASE WHEN n_a > 0 AND n - n_a > 0
+            THEN {ratio_sql("r2_a::double - (n_a * (n_a + 1))::double - (n_a * (n - n_a))::double", "(n_a * (n - n_a))::double", 4)}
+       END AS rank_biserial
+FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
+# Benjamini-Hochberg FDR over the per-category test family
+# ---------------------------------------------------------------------------
+
+# Two-sided normal p-values on a quantized |z| grid (step 0.01, cap 5.00).
+# Both engines read the SAME literals (generated once here), so the
+# quantization is part of the operator's contract, not an approximation
+# one engine makes and the other doesn't: p = erfc(|z|/sqrt(2)), micro-
+# rounded.  No engine evaluates erf — neither Spark SQL nor DuckDB has it.
+P_GRID_STEP = 0.01
+P_GRID_MAX_IDX = 500
+P_TWO_SIDED_MICRO: tuple[int, ...] = tuple(
+    int(_math.floor(_math.erfc((k * P_GRID_STEP) / _math.sqrt(2.0)) * 1_000_000 + 0.5))
+    for k in range(P_GRID_MAX_IDX + 1)
+)
+BH_ALPHA_PCT = 10  # target FDR
+
+
+def bh_fdr_category_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR control over the per-category refund-rate
+    test family: each revenue category is one hypothesis (two-proportion
+    z-test of refund share between the md5 A/B arms — under the null
+    assignment is independent of refunds, so this doubles as an A/A
+    sanity family), p-values come from the shared quantized normal grid,
+    and BH's step-up rule marks which hypotheses survive at FDR
+    ``BH_ALPHA_PCT``% — the multiple-testing discipline a dashboard of
+    seven simultaneous "is this category different" tests needs before
+    anyone acts on one red cell.
+
+    Step-up without a second pass: hypothesis i (p ascending) is
+    rejected iff ANY j >= i has p_j <= j/m·α — i.e. iff the RUNNING MAX
+    from the top of (p_j <= threshold_j) seen at or after i is true; one
+    window over the m-row frame.
+
+    Scale shape: everything after the one conditional aggregation to
+    (category × 4 counts) runs on the ~7-row hypothesis frame."""
+    from .sampling import _md5_bucket
+    from .transactions import build_transactions
+
+    txn = build_transactions(spark, sf_dir)
+    arms = txn.select(
+        "revenue_category",
+        (_md5_bucket(F.col("customer_id"), 2) == 0).alias("arm_a"),
+        F.col("is_refund").cast("long").alias("ref"),
+    )
+    agg = arms.groupBy("revenue_category").agg(
+        F.sum(F.col("arm_a").cast("long")).alias("n_a"),
+        F.sum(F.when(F.col("arm_a"), F.col("ref")).otherwise(0)).alias("ref_a"),
+        F.sum((~F.col("arm_a")).cast("long")).alias("n_b"),
+        F.sum(F.when(~F.col("arm_a"), F.col("ref")).otherwise(0)).alias("ref_b"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    pool = (F.col("ref_a") + F.col("ref_b")) / (na + nb)
+    z = (F.col("ref_a") / na - F.col("ref_b") / nb) / F.sqrt(
+        pool * (1.0 - pool) * (1.0 / na + 1.0 / nb)
+    )
+    z_ok = (
+        (F.col("n_a") > 0)
+        & (F.col("n_b") > 0)
+        & (F.col("ref_a") + F.col("ref_b") > 0)
+        & (F.col("ref_a") + F.col("ref_b") < F.col("n_a") + F.col("n_b"))
+    )
+    micro = lambda c: F.floor(c * 1000000.0 + 0.5) / 1000000.0  # noqa: E731
+    p_arr = F.array(*[F.lit(p / 1_000_000.0) for p in P_TWO_SIDED_MICRO])
+    zq = F.least(
+        F.floor(F.abs(F.col("z_score")) * 100.0).cast("int"),
+        F.lit(P_GRID_MAX_IDX),
+    )
+    scored = agg.select(
+        "revenue_category",
+        "n_a",
+        "ref_a",
+        "n_b",
+        "ref_b",
+        F.when(z_ok, micro(z)).alias("z_score"),
+    ).withColumn(
+        "p_value",
+        F.when(F.col("z_score").isNotNull(), F.element_at(p_arr, zq + 1)),
+    )
+    # NULL-z hypotheses are untestable — excluded from the family BEFORE
+    # ranking (Spark and DuckDB disagree on NULL sort position)
+    tested = scored.filter(F.col("p_value").isNotNull())
+    wr = Window.orderBy("p_value", "revenue_category")
+    m_tot = Window.partitionBy()
+    ranked = tested.select(
+        "*",
+        F.row_number().over(wr).alias("p_rank"),
+        F.count("*").over(m_tot).alias("m"),
+    )
+    thresh = (
+        F.col("p_rank").cast("double")
+        / F.col("m").cast("double")
+        * (BH_ALPHA_PCT / 100.0)
+    )
+    stepped = ranked.withColumn("bh_threshold", micro(thresh)).withColumn(
+        "passes", F.col("p_value") <= F.col("bh_threshold")
+    )
+    # running ANY from the largest p down = step-up
+    wdown = (
+        Window.orderBy(F.col("p_rank").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        stepped.withColumn(
+            "rejected", F.max(F.col("passes").cast("long")).over(wdown) == 1
+        )
+        .select(
+            "revenue_category",
+            "n_a",
+            "ref_a",
+            "n_b",
+            "ref_b",
+            "z_score",
+            "p_value",
+            "p_rank",
+            "bh_threshold",
+            "rejected",
+        )
+        .orderBy("p_rank")
+    )
+
+
+def bh_fdr_category_tests_sql() -> str:
+    from .sampling import _md5_bucket_sql
+    from .transactions import transactions_sql
+
+    p_list = ", ".join(str(p / 1_000_000.0) for p in P_TWO_SIDED_MICRO)
+    return f"""
+WITH txn AS ({transactions_sql()}),
+arms AS (
+  SELECT revenue_category,
+         ({_md5_bucket_sql('customer_id', 2)} = 0) AS arm_a,
+         is_refund::bigint AS ref
+  FROM txn
+),
+agg AS (
+  SELECT revenue_category,
+         CAST(sum(arm_a::bigint) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN arm_a THEN ref ELSE 0 END) AS BIGINT) AS ref_a,
+         CAST(sum((NOT arm_a)::bigint) AS BIGINT) AS n_b,
+         CAST(sum(CASE WHEN NOT arm_a THEN ref ELSE 0 END) AS BIGINT) AS ref_b
+  FROM arms GROUP BY revenue_category
+),
+scored AS (
+  SELECT revenue_category, n_a, ref_a, n_b, ref_b,
+         CASE WHEN n_a > 0 AND n_b > 0 AND ref_a + ref_b > 0
+                   AND ref_a + ref_b < n_a + n_b
+              THEN floor((ref_a / n_a::double - ref_b / n_b::double)
+                   / sqrt(((ref_a + ref_b) / (n_a::double + n_b::double))
+                          * (1.0 - (ref_a + ref_b) / (n_a::double + n_b::double))
+                          * (1.0 / n_a::double + 1.0 / n_b::double))
+                   * 1000000.0 + 0.5) / 1000000.0 END AS z_score
+  FROM agg
+),
+withp AS (
+  SELECT *,
+         CASE WHEN z_score IS NOT NULL
+              THEN list_extract([{p_list}],
+                     least(floor(abs(z_score) * 100.0)::int, {P_GRID_MAX_IDX}) + 1)
+         END AS p_value
+  FROM scored
+),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY p_value, revenue_category) AS p_rank,
+         count(*) OVER () AS m
+  FROM withp WHERE p_value IS NOT NULL
+),
+stepped AS (
+  SELECT *,
+         floor(p_rank::double / m::double * {BH_ALPHA_PCT / 100.0}
+               * 1000000.0 + 0.5) / 1000000.0 AS bh_threshold
+  FROM ranked
+)
+SELECT revenue_category, n_a, ref_a, n_b, ref_b, z_score, p_value, p_rank,
+       bh_threshold,
+       max((p_value <= bh_threshold)::bigint)
+         OVER (ORDER BY p_rank DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1 AS rejected
+FROM stepped
+ORDER BY p_rank
+"""

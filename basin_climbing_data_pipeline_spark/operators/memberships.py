@@ -1308,3 +1308,99 @@ SELECT status, n_owners,
 FROM counts
 ORDER BY status
 """
+
+
+def churn_hazard_by_tenure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete-time churn hazard + Nelson-Aalen cumulative hazard over
+    membership tenure: per observed tenure day t, the at-risk count,
+    ended-that-day count, hazard h(t) = d_t/n_t, and the running
+    Nelson-Aalen H(t) = Σ h — the instantaneous-risk view that
+    complements :func:`membership_survival_km`'s product-limit curve
+    (KM answers "what fraction survives to t"; the hazard answers
+    "WHEN is churn risk concentrated", the number a retention team
+    can act on).  Right-censoring as in KM: ACT rows leave the risk
+    set at their censored tenure without contributing an event.
+
+    Exactness: risk sets come from one cumulative count over the
+    tenure-vocabulary frame (bounded by the duration config — ≤ ~30
+    distinct values at any corpus size); h is the shared fixed-point
+    ratio; H accumulates nano-floored int64 terms (order-immune).
+
+    Scale shape: one groupBy onto the tenure vocabulary, two windows
+    over that bounded frame."""
+    from pyspark.sql import Window
+
+    from ..functions.money import ratio
+
+    m = build_memberships_2024(spark, sf_dir).select(
+        F.datediff(F.col("end_date"), F.col("start_date")).alias("t"),
+        (F.col("status") == "END").cast("long").alias("ev"),
+    )
+    per_t = m.groupBy("t").agg(
+        F.count("*").alias("leaving"), F.sum("ev").alias("d")
+    )
+    w = Window.orderBy("t")
+    before = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    total = Window.partitionBy()
+    risk = per_t.select(
+        "t",
+        "d",
+        (
+            F.sum("leaving").over(total)
+            - F.coalesce(F.sum("leaving").over(before), F.lit(0))
+        ).alias("n_risk"),
+    )
+    h_nano = F.floor(
+        F.col("d").cast("double") / F.col("n_risk").cast("double") * 1000000000.0
+        + 0.5
+    ).cast("long")
+    return (
+        risk.withColumn("h_nano", h_nano)
+        .select(
+            F.col("t").alias("tenure_days"),
+            "n_risk",
+            F.col("d").alias("n_churned"),
+            ratio(F.col("d").cast("double"), F.col("n_risk").cast("double"), 6).alias(
+                "hazard"
+            ),
+            (
+                F.sum("h_nano").over(w.rowsBetween(Window.unboundedPreceding, 0))
+                / 1000000000.0
+            ).alias("cum_hazard"),
+        )
+        .orderBy("tenure_days")
+    )
+
+
+def churn_hazard_by_tenure_sql() -> str:
+    from ..functions.money import ratio_sql
+
+    return f"""
+WITH m AS ({memberships_2024_sql()}),
+durs AS (
+  SELECT (end_date - start_date) AS t, (status = 'END')::bigint AS ev FROM m
+),
+per_t AS (
+  SELECT t, count(*) AS leaving, sum(ev) AS d FROM durs GROUP BY t
+),
+risk AS (
+  SELECT t, d,
+         sum(leaving) OVER () -
+         coalesce(sum(leaving) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+  FROM per_t
+),
+terms AS (
+  SELECT t, d, n_risk,
+         floor(d::double / n_risk::double * 1000000000.0 + 0.5)::bigint AS h_nano
+  FROM risk
+)
+SELECT t AS tenure_days, CAST(n_risk AS BIGINT) AS n_risk,
+       CAST(d AS BIGINT) AS n_churned,
+       {ratio_sql('d::double', 'n_risk::double', 6)} AS hazard,
+       sum(h_nano) OVER (ORDER BY t
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 1000000000.0
+         AS cum_hazard
+FROM terms
+ORDER BY tenure_days
+"""

@@ -376,3 +376,104 @@ FROM classes
 GROUP BY l_distinct
 ORDER BY l_distinct
 """
+
+
+# ---------------------------------------------------------------------------
+# column-level table profiling
+# ---------------------------------------------------------------------------
+
+# the profiled column set is part of the operator's contract (a profiler
+# that silently follows schema drift hides the drift it should surface)
+PROFILE_COLUMNS: tuple[str, ...] = (
+    "transaction_id",
+    "customer_id",
+    "description",
+    "total_amount",
+    "txn_date",
+    "revenue_category",
+    "sub_category",
+    "data_source",
+)
+
+
+def column_profile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level profile of the combined transactions table: one row
+    per column with row count, null count, fixed-point null rate, and
+    exact distinct count — the first query any pipeline runs against a
+    new delivery, and the per-column companion to the row-level
+    :func:`warehouse_constraint_audit`.  The reference eyeballs the same
+    facts via ad-hoc pandas ``info()``/``nunique()`` during ingest
+    debugging; this is the queryized, oracle-checked form.
+
+    Long-format output is built from ONE aggregation pass (2 aggregates
+    per column, map-side combined) exploded driver-free into rows — not
+    an UNPIVOT (DuckDB drops NULL cells by default; the explode sidesteps
+    the trap entirely).
+
+    Scale shape: one scan, one 1-row aggregate, a 8-row explode.  Exact
+    distinct is the contract here (audit numbers end up in data-quality
+    SLAs); the HLL family covers the approximate variant."""
+    from ..functions.money import ratio
+    from .transactions import build_transactions
+
+    txn = build_transactions(spark, sf_dir)
+    aggs = [F.count("*").alias("n_rows")]
+    for c in PROFILE_COLUMNS:
+        aggs.append(F.count(F.when(F.col(c).isNull(), 1)).alias(f"nulls_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"dist_{c}"))
+    one = txn.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col(f"nulls_{c}").alias("n_nulls"),
+                F.col(f"dist_{c}").alias("n_distinct"),
+            )
+            for c in PROFILE_COLUMNS
+        ]
+    )
+    return (
+        one.select("n_rows", F.explode(rows).alias("r"))
+        .select(
+            F.col("r.column_name").alias("column_name"),
+            "n_rows",
+            F.col("r.n_nulls").alias("n_nulls"),
+            ratio(
+                F.col("r.n_nulls").cast("double"), F.col("n_rows").cast("double"), 4
+            ).alias("null_rate"),
+            F.col("r.n_distinct").alias("n_distinct"),
+            # cardinality ratio: 1.0 flags a key, ~0 flags an enum — the
+            # profiling number that picks join keys and dimension columns
+            ratio(
+                F.col("r.n_distinct").cast("double"),
+                F.col("n_rows").cast("double"),
+                4,
+            ).alias("distinct_rate"),
+        )
+        .orderBy("column_name")
+    )
+
+
+def column_profile_audit_sql() -> str:
+    from ..functions.money import ratio_sql
+    from .transactions import transactions_sql
+
+    selects = "\nUNION ALL\n".join(
+        f"SELECT '{c}' AS column_name, count(*) AS n_rows,\n"
+        f"       CAST(sum(({c} IS NULL)::bigint) AS BIGINT) AS n_nulls,\n"
+        f"       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct\n"
+        f"FROM txn"
+        for c in PROFILE_COLUMNS
+    )
+    return f"""
+WITH txn AS ({transactions_sql()}),
+longf AS (
+{selects}
+)
+SELECT column_name, n_rows, n_nulls,
+       {ratio_sql('n_nulls::double', 'n_rows::double', 4)} AS null_rate,
+       n_distinct,
+       {ratio_sql('n_distinct::double', 'n_rows::double', 4)} AS distinct_rate
+FROM longf
+ORDER BY column_name
+"""

@@ -1588,3 +1588,144 @@ SELECT n_days, med.n_pairs AS n_pairs,
          AS theilsen_slope_per_day
 FROM mom CROSS JOIN med
 """
+
+
+def weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week revenue seasonality per category: the zero-filled
+    daily series decomposed into weekday means, each weekday's seasonal
+    index vs the category mean, and the category's seasonality STRENGTH
+    (share of daily variance explained by weekday, 1 − SSE_within/SST) —
+    the number that says whether "weekends are busy" is signal or noise
+    before anyone builds a forecaster on it.  Complements
+    :func:`seasonal_naive_forecast_eval` (which backtests the annual
+    cycle) with the weekly cycle.
+
+    Exactness: all moments are exact integer sums over the dense daily
+    cents (same zero-filled calendar as :func:`ewma_daily_revenue` — a
+    day with no transactions IS a zero-revenue day and must feed the
+    weekday mean); variance decomposition runs on the 7-row moment frame.
+    Net-refund categories (mean ≤ 0) pin the index to NULL; a constant
+    series (SST = 0) pins strength to NULL — both engines.
+
+    Scale shape: one daily aggregation, category-local dense explode,
+    one groupBy onto categories × 7."""
+    from pyspark.sql import Window
+
+    from ..functions.money import ratio, to_cents
+
+    txn = build_transactions(spark, sf_dir)
+    daily = txn.groupBy(
+        F.col("revenue_category"), F.col("txn_date").alias("day")
+    ).agg(F.sum(to_cents(F.col("total_amount"))).alias("cents"))
+    bounds = daily.groupBy("revenue_category").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    calendar = bounds.select(
+        "revenue_category",
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day"),
+    )
+    dense = calendar.join(daily, ["revenue_category", "day"], "left").select(
+        "revenue_category",
+        "day",
+        F.coalesce(F.col("cents"), F.lit(0)).alias("cents"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    per_dow = dense.groupBy(
+        "revenue_category", F.dayofweek("day").alias("dow")
+    ).agg(
+        F.count("*").alias("n_days"),
+        F.sum("cents").alias("s1"),
+        F.sum(dec(F.col("cents")) * dec(F.col("cents"))).alias("s2"),
+    )
+    wc = Window.partitionBy("revenue_category")
+    tot = per_dow.select(
+        "*",
+        F.sum("n_days").over(wc).alias("n"),
+        F.sum("s1").over(wc).alias("t1"),
+        F.sum("s2").over(wc).alias("t2"),
+        # within-weekday squared error, assembled from exact moments:
+        # SSE_d = s2_d - s1_d^2/n_d, summed over the 7 weekday rows
+        F.sum(
+            F.col("s2").cast("double")
+            - F.col("s1").cast("double") * F.col("s1").cast("double")
+            / F.col("n_days").cast("double")
+        )
+        .over(wc)
+        .alias("sse_within"),
+    )
+    sst = (
+        F.col("t2").cast("double")
+        - F.col("t1").cast("double") * F.col("t1").cast("double")
+        / F.col("n").cast("double")
+    )
+    micro = lambda c: F.floor(c * 1000000.0 + 0.5) / 1000000.0  # noqa: E731
+    dow_mean = F.col("s1").cast("double") / F.col("n_days").cast("double")
+    overall_mean = F.col("t1").cast("double") / F.col("n").cast("double")
+    return tot.select(
+        "revenue_category",
+        "dow",
+        "n_days",
+        ratio(F.col("s1").cast("double"), F.col("n_days").cast("double"), 2).alias(
+            "mean_cents"
+        ),
+        F.when(F.col("t1") > 0, micro(dow_mean / overall_mean)).alias(
+            "seasonal_index"
+        ),
+        F.when(sst > 0, micro(1.0 - F.col("sse_within") / sst)).alias(
+            "weekday_strength"
+        ),
+    ).orderBy("revenue_category", "dow")
+
+
+def weekday_seasonality_sql() -> str:
+    from ..functions.money import ratio_sql, to_cents_sql
+
+    return f"""
+WITH txn AS ({transactions_sql()}),
+daily AS (
+  SELECT revenue_category, txn_date AS day,
+         sum({to_cents_sql('total_amount')}) AS cents
+  FROM txn GROUP BY 1, 2
+),
+bounds AS (
+  SELECT revenue_category, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1
+),
+calendar AS (
+  SELECT revenue_category,
+         unnest(generate_series(d0, d1, INTERVAL 1 DAY))::date AS day
+  FROM bounds
+),
+dense AS (
+  SELECT c.revenue_category, c.day, coalesce(d.cents, 0) AS cents
+  FROM calendar c LEFT JOIN daily d USING (revenue_category, day)
+),
+per_dow AS (
+  -- DuckDB dayofweek: 0=Sunday..6; +1 matches Spark's 1=Sunday..7
+  SELECT revenue_category, dayofweek(day)::bigint + 1 AS dow,
+         count(*) AS n_days, sum(cents) AS s1,
+         sum(cents::hugeint * cents::hugeint) AS s2
+  FROM dense GROUP BY 1, 2
+),
+tot AS (
+  SELECT *,
+         sum(n_days) OVER (PARTITION BY revenue_category) AS n,
+         sum(s1) OVER (PARTITION BY revenue_category) AS t1,
+         sum(s2) OVER (PARTITION BY revenue_category) AS t2,
+         sum(s2::double - s1::double * s1::double / n_days::double)
+           OVER (PARTITION BY revenue_category) AS sse_within
+  FROM per_dow
+)
+SELECT revenue_category, dow, CAST(n_days AS BIGINT) AS n_days,
+       {ratio_sql('s1::double', 'n_days::double', 2)} AS mean_cents,
+       CASE WHEN t1 > 0
+            THEN floor((s1::double / n_days::double)
+                       / (t1::double / n::double) * 1000000.0 + 0.5) / 1000000.0
+       END AS seasonal_index,
+       CASE WHEN (t2::double - t1::double * t1::double / n::double) > 0
+            THEN floor((1.0 - sse_within
+                        / (t2::double - t1::double * t1::double / n::double))
+                       * 1000000.0 + 0.5) / 1000000.0
+       END AS weekday_strength
+FROM tot
+ORDER BY revenue_category, dow
+"""

@@ -705,6 +705,40 @@ register(
     txn.theilsen_trend_bucketed,
     txn.theilsen_trend_bucketed_sql(),
 )
+# round-8 statistical wave: rank-based testing (the bucketed-prefix ranking
+# primitive from theilsen_trend_bucketed generalized to full prefix sums),
+# robust location, multiple-testing control, weekly seasonality, hazard,
+# and column profiling
+register(
+    "mann_whitney_spend_utest",
+    ex.mann_whitney_spend_utest,
+    ex.mann_whitney_spend_utest_sql(),
+)
+register(
+    "bh_fdr_category_tests",
+    ex.bh_fdr_category_tests,
+    ex.bh_fdr_category_tests_sql(),
+)
+register(
+    "trimmed_winsorized_spend",
+    co.trimmed_winsorized_spend,
+    co.trimmed_winsorized_spend_sql(),
+)
+register(
+    "weekday_seasonality",
+    txn.weekday_seasonality,
+    txn.weekday_seasonality_sql(),
+)
+register(
+    "churn_hazard_by_tenure",
+    mem.churn_hazard_by_tenure,
+    mem.churn_hazard_by_tenure_sql(),
+)
+register(
+    "column_profile_audit",
+    qa.column_profile_audit,
+    qa.column_profile_audit_sql(),
+)
 
 
 # --- round-5 window rotation ----------------------------------------------

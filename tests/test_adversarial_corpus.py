@@ -315,6 +315,13 @@ TXN_QUERIES = [
     "cusum_revenue_drift",   # negative-total baseline clamp + window identity
     "woe_iv_by_feature",     # Laplace WOE on fuzzed conversion labels
     "theilsen_revenue_trend", # pairwise-slope median on edge-value days
+    "theilsen_trend_bucketed",   # range-partitioned rank == exact on edge days
+    "mann_whitney_spend_utest",  # tie blocks + negative cents in the rank frame
+    "bh_fdr_category_tests",     # z-degenerate categories excluded pre-rank
+    "trimmed_winsorized_spend",  # k=0 tiny-n trim + boundary-tie overlap math
+    "weekday_seasonality",       # one-day categories: SST=0 strength NULL
+    "column_profile_audit",      # dup txn ids, extreme values in the profile
+    "cuped_variance_reduction",  # overflow-guarded micro on edge-value moments
 ]
 
 

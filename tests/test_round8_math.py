@@ -477,3 +477,196 @@ def test_cusum_matches_pure_python(con):
             n_rows += 1
             n_alarms += alarm
     assert n_rows == len(got)
+
+
+def test_mann_whitney_matches_pure_python(con):
+    """Full recomputation of U and the tie-corrected z from a plain
+    sorted-list ranking — independent of the engines' bucketed-prefix
+    rank decomposition."""
+    from basin_climbing_data_pipeline_spark.operators.experiments import (
+        mann_whitney_spend_utest_sql,
+    )
+    from basin_climbing_data_pipeline_spark.operators.transactions import (
+        transactions_sql,
+    )
+
+    got = con.execute(mann_whitney_spend_utest_sql()).fetchone()
+    spend = con.execute(
+        f"""WITH txn AS ({transactions_sql()})
+        SELECT customer_id::varchar,
+               sum(CAST(floor(total_amount * 100.0 + 0.5) AS BIGINT))
+        FROM txn GROUP BY customer_id"""
+    ).fetchall()
+    rows = [
+        (cents, int(hashlib.md5(cid.encode()).hexdigest()[:8], 16) % 2 == 0)
+        for cid, cents in spend
+    ]
+    rows.sort()
+    n = len(rows)
+    n_a = sum(1 for _, a in rows if a)
+    n_b = n - n_a
+    # average ranks with ties, in 2x integer units
+    r2_a = 0
+    ties = 0
+    i = 0
+    while i < n:
+        j = i
+        while j < n and rows[j][0] == rows[i][0]:
+            j += 1
+        t = j - i
+        ties += t * t * t - t
+        avg2 = (i + 1) + j  # 2 * average rank of the tied block
+        r2_a += avg2 * sum(1 for k in range(i, j) if rows[k][1])
+        i = j
+    u2 = r2_a - n_a * (n_a + 1)
+    assert got[0] == n and got[1] == n_a and got[2] == n_b
+    assert got[3] == u2 / 2.0
+    var_u = n_a * n_b / 12.0 * ((n + 1) - ties / (n * (n - 1)))
+    z = (u2 - n_a * n_b) / (2.0 * math.sqrt(var_u))
+    assert got[4] == pytest.approx(z, abs=2e-6)
+    assert got[5] == _ratio(u2 - n_a * n_b, n_a * n_b, 4)
+    # md5 is a null assignment: spend must not differ hugely between arms
+    assert abs(got[4]) < 5.0
+
+
+def test_bh_fdr_matches_pure_python(con):
+    """Recompute the per-category z, the quantized p, and the BH step-up
+    from scratch (python erfc for the grid, brute-force step-up)."""
+    from basin_climbing_data_pipeline_spark.operators.experiments import (
+        BH_ALPHA_PCT,
+        P_GRID_MAX_IDX,
+        P_TWO_SIDED_MICRO,
+        bh_fdr_category_tests_sql,
+    )
+    from basin_climbing_data_pipeline_spark.operators.transactions import (
+        transactions_sql,
+    )
+
+    # the embedded grid IS erfc — independent recomputation of the literals
+    for k in (0, 100, 196, 500):
+        assert P_TWO_SIDED_MICRO[k] == int(
+            math.floor(math.erfc(k * 0.01 / math.sqrt(2.0)) * 1e6 + 0.5)
+        )
+
+    got = con.execute(bh_fdr_category_tests_sql()).fetchall()
+    raw = con.execute(
+        f"""WITH txn AS ({transactions_sql()})
+        SELECT revenue_category, customer_id::varchar, is_refund FROM txn"""
+    ).fetchall()
+    cats: dict[str, list[int]] = {}
+    for cat, cid, ref in raw:
+        a = int(hashlib.md5(cid.encode()).hexdigest()[:8], 16) % 2 == 0
+        cats.setdefault(cat, []).append((a, int(ref)))
+    hyps = []
+    for cat, xs in cats.items():
+        n_a = sum(1 for a, _ in xs if a)
+        n_b = len(xs) - n_a
+        ref_a = sum(r for a, r in xs if a)
+        ref_b = sum(r for a, r in xs if not a)
+        if n_a and n_b and 0 < ref_a + ref_b < n_a + n_b:
+            pool = (ref_a + ref_b) / (n_a + n_b)
+            z = (ref_a / n_a - ref_b / n_b) / math.sqrt(
+                pool * (1 - pool) * (1 / n_a + 1 / n_b)
+            )
+            zq = min(int(math.floor(abs(_micro(z)) * 100.0)), P_GRID_MAX_IDX)
+            hyps.append((P_TWO_SIDED_MICRO[zq] / 1e6, cat, _micro(z)))
+    hyps.sort()
+    m = len(hyps)
+    assert m == len(got)
+    # brute-force step-up: find the largest i with p_i <= i/m * alpha
+    cutoff = 0
+    for i, (p, _c, _z) in enumerate(hyps, 1):
+        if p <= _micro(i / m * BH_ALPHA_PCT / 100.0):
+            cutoff = i
+    for i, (row, (p, cat, z)) in enumerate(zip(got, hyps), 1):
+        assert row[0] == cat and row[5] == z and row[6] == p and row[7] == i
+        assert row[9] == (i <= cutoff), (cat, i, cutoff)
+
+
+def test_trimmed_winsorized_matches_pure_python(con):
+    from basin_climbing_data_pipeline_spark.operators.cohorts import (
+        TRIM_PCT,
+        trimmed_winsorized_spend_sql,
+    )
+    from basin_climbing_data_pipeline_spark.operators.transactions import (
+        transactions_sql,
+    )
+
+    got = con.execute(trimmed_winsorized_spend_sql()).fetchone()
+    spend = sorted(
+        r[0]
+        for r in con.execute(
+            f"""WITH txn AS ({transactions_sql()})
+            SELECT sum(CAST(floor(total_amount * 100.0 + 0.5) AS BIGINT))
+            FROM txn GROUP BY customer_id"""
+        ).fetchall()
+    )
+    n = len(spend)
+    k = n * TRIM_PCT // 100
+    trimmed = spend[k : n - k]
+    wins = [spend[k]] * k + trimmed + [spend[n - k - 1]] * k
+    assert got[0] == n and got[1] == k
+    assert got[2] == _ratio(sum(spend), n, 2)
+    assert got[3] == _ratio(sum(trimmed), len(trimmed), 2)
+    assert got[4] == _ratio(sum(wins), n, 2)
+    assert got[5] == spend[k] and got[6] == spend[n - k - 1]
+    # robustness direction: trimming a right-skewed spend lowers the mean
+    assert got[3] <= got[2]
+
+
+def test_weekday_seasonality_matches_pure_python(con):
+    from basin_climbing_data_pipeline_spark.operators.transactions import (
+        weekday_seasonality_sql,
+    )
+
+    got = {(r[0], r[1]): r for r in con.execute(weekday_seasonality_sql()).fetchall()}
+    dense = _daily_dense(con)
+    n_rows = 0
+    for cat, seq in dense.items():
+        by_dow: dict[int, list[int]] = {}
+        for day, cents in seq:
+            dow = (day.weekday() + 1) % 7 + 1  # python Mon=0 -> Spark Sun=1
+            by_dow.setdefault(dow, []).append(cents)
+        t1 = sum(c for _, c in seq)
+        n = len(seq)
+        sse_w = sum(
+            sum(c * c for c in xs) - sum(xs) ** 2 / len(xs) for xs in by_dow.values()
+        )
+        sst = sum(c * c for _, c in seq) - t1 * t1 / n
+        for dow, xs in by_dow.items():
+            row = got[(cat, dow)]
+            assert row[2] == len(xs)
+            assert row[3] == _ratio(sum(xs), len(xs), 2)
+            if t1 > 0:
+                assert row[4] == pytest.approx(
+                    (sum(xs) / len(xs)) / (t1 / n), abs=2e-6
+                )
+            if sst > 0:
+                assert row[5] == pytest.approx(1.0 - sse_w / sst, abs=2e-6)
+            n_rows += 1
+    assert n_rows == len(got)
+
+
+def test_churn_hazard_matches_pure_python(con):
+    from basin_climbing_data_pipeline_spark.operators.memberships import (
+        churn_hazard_by_tenure_sql,
+        memberships_2024_sql,
+    )
+
+    got = con.execute(churn_hazard_by_tenure_sql()).fetchall()
+    raw = con.execute(
+        f"SELECT (end_date - start_date), (status = 'END') "
+        f"FROM ({memberships_2024_sql()})"
+    ).fetchall()
+    alive = list(raw)
+    cum_nano = 0
+    for row in got:
+        t, n_risk, d, h, ch = row
+        assert n_risk == len(alive)
+        want_d = sum(1 for dur, ev in alive if dur == t and ev)
+        assert d == want_d
+        assert h == _ratio(d, n_risk, 6)
+        cum_nano += math.floor(d / n_risk * 1e9 + 0.5)
+        assert ch == cum_nano / 1e9
+        alive = [(dur, ev) for dur, ev in alive if dur != t]
+    assert not alive  # every membership left the risk set at its tenure
