@@ -1765,3 +1765,270 @@ SELECT n, k AS k_trimmed_each_side,
        hi_cut AS hi_cut_cents
 FROM m
 """
+
+
+def gini_spend_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-customer spend — the revenue-concentration
+    number behind the whale-curve picture (:func:`spend_deciles` shows
+    the curve; this is its scalar).  G = (2·Σ rank·x − (n+1)·Σx) /
+    (n·Σx), computed with the bucketed-prefix ranking discipline (no
+    global sort); tied values use their average rank, which leaves the
+    rank-sum identity exact in 2× integer units.
+
+    Guards: a non-positive total (net-refund corpus) has no Lorenz
+    interpretation — Gini pins to NULL on both engines.
+
+    Scale shape: one customer rollup, one shuffle onto distinct values,
+    bounded-bucket windows, one scalar aggregate."""
+    from pyspark.sql import Window
+
+    from ..functions.money import to_cents
+    from .sketches import HIST_SUBBUCKETS
+    from .transactions import build_transactions
+
+    txn = build_transactions(spark, sf_dir)
+    per_cust = txn.groupBy("customer_id").agg(
+        F.sum(to_cents(F.col("total_amount"))).alias("cents")
+    )
+    per_val = per_cust.groupBy("cents").agg(F.count("*").alias("cnt"))
+    vm = F.col("cents")
+    bucket = (
+        F.when(vm >= 0, F.floor(F.log10(vm + 1) * HIST_SUBBUCKETS))
+        .otherwise(-1 - F.floor(F.log10(-vm + 1) * HIST_SUBBUCKETS))
+        .cast("long")
+    )
+    bucketed = per_val.select("cents", "cnt", bucket.alias("bkt"))
+    bkt_counts = bucketed.groupBy("bkt").agg(F.sum("cnt").alias("bkt_cnt"))
+    wb = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = bkt_counts.select(
+        "bkt", F.coalesce(F.sum("bkt_cnt").over(wb), F.lit(0)).alias("bkt_before")
+    )
+    win = (
+        Window.partitionBy("bkt")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = (
+        bucketed.join(F.broadcast(offsets), "bkt")
+        .withColumn("in_bkt_before", F.coalesce(F.sum("cnt").over(win), F.lit(0)))
+        .select(
+            "cents",
+            "cnt",
+            (F.col("bkt_before") + F.col("in_bkt_before")).alias("before"),
+        )
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    # Σ 2·rank·x over a tied block of cnt copies at average rank
+    # (before + (cnt+1)/2): 2·Σ = cnt·(2·before + cnt + 1)·x — exact ints
+    m = ranked.agg(
+        F.sum("cnt").alias("n"),
+        F.sum(dec(F.col("cents") * F.col("cnt"))).alias("sx"),
+        F.sum(
+            dec(F.col("cents"))
+            * dec(F.col("cnt") * (2 * F.col("before") + F.col("cnt") + 1))
+        ).alias("rx2"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    gini = (F.col("rx2").cast("double") - (n + 1.0) * sx) / (n * sx)
+    micro = lambda c: F.floor(c * 1000000.0 + 0.5) / 1000000.0  # noqa: E731
+    return m.select(
+        "n",
+        (sx / 100.0).alias("total_spend"),
+        F.when(F.col("sx") > 0, micro(gini)).alias("gini"),
+    )
+
+
+def gini_spend_concentration_sql() -> str:
+    from ..functions.money import to_cents_sql
+    from .transactions import transactions_sql
+
+    return f"""
+WITH txn AS ({transactions_sql()}),
+per_cust AS (
+  SELECT customer_id, sum({to_cents_sql('total_amount')}) AS cents
+  FROM txn GROUP BY customer_id
+),
+per_val AS (
+  SELECT cents, count(*) AS cnt FROM per_cust GROUP BY cents
+),
+ranked AS (
+  SELECT cents, cnt,
+         coalesce(sum(cnt) OVER (ORDER BY cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+  FROM per_val
+),
+m AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS n,
+         sum((cents * cnt)::hugeint) AS sx,
+         sum(cents::hugeint * (cnt * (2 * before + cnt + 1))::hugeint) AS rx2
+  FROM ranked
+)
+SELECT n,
+       sx::double / 100.0 AS total_spend,
+       CASE WHEN sx > 0
+            THEN floor((rx2::double - (n + 1)::double * sx::double)
+                       / (n::double * sx::double) * 1000000.0 + 0.5) / 1000000.0
+       END AS gini
+FROM m
+"""
+
+
+def spearman_visit_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between visit count and net spend per
+    customer — the monotone-association companion to
+    :func:`visit_spend_correlation`'s Pearson (heavy-tailed spend makes
+    Pearson whale-driven; Spearman asks "do frequent visitors RANK
+    higher in spend").  Average ranks for ties on BOTH variables (exact
+    half-integer ranks in 2× integer units via the bucketed-prefix
+    discipline, visits vocabulary-bounded so its rank table is tiny),
+    then Pearson over the rank pairs from exact decimal moments.
+
+    Scale shape: two rank frames (each one shuffle onto distinct
+    values + bounded windows), one join back to the customer base on the
+    value key, one scalar moment aggregate."""
+    from pyspark.sql import Window
+
+    from ..functions.money import to_cents
+    from .customers import build_customers
+    from .events import build_checkins
+    from .sketches import HIST_SUBBUCKETS
+    from .transactions import build_transactions
+
+    cust = build_customers(spark, sf_dir).select("customer_id")
+    visits = (
+        build_checkins(spark, sf_dir).groupBy("customer_id").agg(F.count("*").alias("v"))
+    )
+    spend = build_transactions(spark, sf_dir).groupBy("customer_id").agg(
+        F.sum(to_cents(F.col("total_amount"))).alias("s")
+    )
+    base = (
+        cust.join(visits, "customer_id", "left")
+        .join(spend, "customer_id", "left")
+        .select(
+            F.coalesce("v", F.lit(0)).cast("long").alias("v"),
+            F.coalesce("s", F.lit(0)).cast("long").alias("s"),
+        )
+    )
+
+    def rank2(col: str) -> DataFrame:
+        per_val = base.groupBy(col).agg(F.count("*").alias("cnt"))
+        vm = F.col(col)
+        bucket = (
+            F.when(vm >= 0, F.floor(F.log10(vm + 1) * HIST_SUBBUCKETS))
+            .otherwise(-1 - F.floor(F.log10(-vm + 1) * HIST_SUBBUCKETS))
+            .cast("long")
+        )
+        bucketed = per_val.select(col, "cnt", bucket.alias("bkt"))
+        bkt_counts = bucketed.groupBy("bkt").agg(F.sum("cnt").alias("bkt_cnt"))
+        wb = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+        offsets = bkt_counts.select(
+            "bkt",
+            F.coalesce(F.sum("bkt_cnt").over(wb), F.lit(0)).alias("bkt_before"),
+        )
+        win = (
+            Window.partitionBy("bkt")
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return (
+            bucketed.join(F.broadcast(offsets), "bkt")
+            .withColumn(
+                "in_bkt_before", F.coalesce(F.sum("cnt").over(win), F.lit(0))
+            )
+            .select(
+                col,
+                # 2 × average rank of the tied block
+                (
+                    2 * (F.col("bkt_before") + F.col("in_bkt_before"))
+                    + F.col("cnt")
+                    + 1
+                ).alias(f"r2_{col}"),
+            )
+        )
+
+    paired = base.join(F.broadcast(rank2("v")), "v").join(rank2("s"), "s")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    m = paired.agg(
+        F.count("*").alias("n"),
+        F.sum(dec(F.col("r2_v"))).alias("sa"),
+        F.sum(dec(F.col("r2_s"))).alias("sb"),
+        F.sum(dec(F.col("r2_v")) * dec(F.col("r2_s"))).alias("sab"),
+        F.sum(dec(F.col("r2_v")) * dec(F.col("r2_v"))).alias("saa"),
+        F.sum(dec(F.col("r2_s")) * dec(F.col("r2_s"))).alias("sbb"),
+    )
+    n = F.col("n").cast("double")
+    cov = F.col("sab").cast("double") / n - (
+        F.col("sa").cast("double") / n
+    ) * (F.col("sb").cast("double") / n)
+    va = F.col("saa").cast("double") / n - (
+        F.col("sa").cast("double") / n
+    ) * (F.col("sa").cast("double") / n)
+    vb = F.col("sbb").cast("double") / n - (
+        F.col("sb").cast("double") / n
+    ) * (F.col("sb").cast("double") / n)
+    micro = lambda c: F.floor(c * 1000000.0 + 0.5) / 1000000.0  # noqa: E731
+    return m.select(
+        "n",
+        F.when((va > 0) & (vb > 0), micro(cov / F.sqrt(va * vb))).alias(
+            "spearman_rho"
+        ),
+    )
+
+
+def spearman_visit_spend_sql() -> str:
+    from ..functions.money import to_cents_sql
+    from .customers import customers_sql
+    from .events import checkins_sql
+    from .transactions import transactions_sql
+
+    return f"""
+WITH cust AS ({customers_sql()}),
+ck AS ({checkins_sql()}),
+txn AS ({transactions_sql()}),
+visits AS (SELECT customer_id, count(*) AS v FROM ck GROUP BY 1),
+spend AS (
+  SELECT customer_id, sum({to_cents_sql('total_amount')}) AS s
+  FROM txn GROUP BY 1
+),
+base AS (
+  SELECT coalesce(vv.v, 0)::bigint AS v, coalesce(ss.s, 0)::bigint AS s
+  FROM cust c
+  LEFT JOIN visits vv USING (customer_id)
+  LEFT JOIN spend ss USING (customer_id)
+),
+rv AS (
+  SELECT v,
+         2 * coalesce(sum(cnt) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + cnt + 1 AS r2_v
+  FROM (SELECT v, count(*) AS cnt FROM base GROUP BY v)
+),
+rs AS (
+  SELECT s,
+         2 * coalesce(sum(cnt) OVER (ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + cnt + 1 AS r2_s
+  FROM (SELECT s, count(*) AS cnt FROM base GROUP BY s)
+),
+paired AS (
+  SELECT r2_v, r2_s FROM base JOIN rv USING (v) JOIN rs USING (s)
+),
+m AS (
+  SELECT count(*) AS n,
+         sum(r2_v::hugeint) AS sa, sum(r2_s::hugeint) AS sb,
+         sum(r2_v::hugeint * r2_s::hugeint) AS sab,
+         sum(r2_v::hugeint * r2_v::hugeint) AS saa,
+         sum(r2_s::hugeint * r2_s::hugeint) AS sbb
+  FROM paired
+)
+SELECT n,
+       CASE WHEN (saa::double / n - (sa::double / n) * (sa::double / n)) > 0
+             AND (sbb::double / n - (sb::double / n) * (sb::double / n)) > 0
+            THEN floor((sab::double / n - (sa::double / n) * (sb::double / n))
+                 / sqrt((saa::double / n - (sa::double / n) * (sa::double / n))
+                        * (sbb::double / n - (sb::double / n) * (sb::double / n)))
+                 * 1000000.0 + 0.5) / 1000000.0
+       END AS spearman_rho
+FROM m
+"""

@@ -967,7 +967,7 @@ scored AS (
 withp AS (
   SELECT *,
          CASE WHEN z_score IS NOT NULL
-              THEN list_extract([{p_list}],
+              THEN list_extract([{p_list}]::double[],
                      least(floor(abs(z_score) * 100.0)::int, {P_GRID_MAX_IDX}) + 1)
          END AS p_value
   FROM scored

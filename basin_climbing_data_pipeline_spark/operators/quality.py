@@ -477,3 +477,238 @@ SELECT column_name, n_rows, n_nulls,
 FROM longf
 ORDER BY column_name
 """
+
+
+# ---------------------------------------------------------------------------
+# chi-square independence + Cramér's V
+# ---------------------------------------------------------------------------
+
+
+def chisq_category_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test of revenue_category × data_source,
+    with Cramér's V — "does payment channel mix differ by category", the
+    canonical contingency question a multi-source ingest asks before
+    trusting per-source extrapolations.  The statistic and V are
+    reported without a p-value: χ² tail probability needs the incomplete
+    gamma, which neither engine evaluates — V IS the effect size that
+    answers the question (0 independent, 1 determined).
+
+    Absent cells count: a (category, source) pair with zero rows
+    contributes its full expected mass to χ², so the grid is completed
+    by crossing the two bounded margins before the left join.
+
+    Scale shape: one groupBy onto the r×c contingency table; everything
+    after runs on ≤ r·c rows (both vocabularies config-bounded)."""
+    from pyspark.sql import Window
+
+    from .transactions import build_transactions
+
+    txn = build_transactions(spark, sf_dir)
+    obs = txn.groupBy("revenue_category", "data_source").agg(
+        F.count("*").alias("o")
+    )
+    rows = obs.groupBy("revenue_category").agg(F.sum("o").alias("row_tot"))
+    cols = obs.groupBy("data_source").agg(F.sum("o").alias("col_tot"))
+    grid = (
+        rows.crossJoin(cols)  # bounded: categories × sources
+        .join(obs, ["revenue_category", "data_source"], "left")
+        .select(
+            "revenue_category",
+            "data_source",
+            "row_tot",
+            "col_tot",
+            F.coalesce(F.col("o"), F.lit(0)).alias("o"),
+        )
+    )
+    tot = Window.partitionBy()
+    enriched = grid.select("*", F.sum("o").over(tot).alias("n"))
+    e = (
+        F.col("row_tot").cast("double")
+        * F.col("col_tot").cast("double")
+        / F.col("n").cast("double")
+    )
+    term_nano = F.floor(
+        (F.col("o").cast("double") - e) * (F.col("o").cast("double") - e) / e
+        * 1000000000.0
+        + 0.5
+    ).cast("long")
+    per_cell = enriched.withColumn("term_nano", term_nano)
+    agg = per_cell.agg(
+        F.max("n").alias("n"),
+        F.countDistinct("revenue_category").alias("r"),
+        F.countDistinct("data_source").alias("c"),
+        (F.sum("term_nano") / 1000000000.0).alias("chi2"),
+    )
+    dof = (F.col("r") - 1) * (F.col("c") - 1)
+    mind = F.least(F.col("r") - 1, F.col("c") - 1)
+    micro = lambda x: F.floor(x * 1000000.0 + 0.5) / 1000000.0  # noqa: E731
+    return agg.select(
+        "n",
+        F.col("r").alias("n_categories"),
+        F.col("c").alias("n_sources"),
+        "chi2",
+        dof.alias("dof"),
+        F.when(
+            mind > 0,
+            micro(
+                F.sqrt(
+                    F.col("chi2")
+                    / (F.col("n").cast("double") * mind.cast("double"))
+                )
+            ),
+        ).alias("cramers_v"),
+    )
+
+
+def chisq_category_source_sql() -> str:
+    from .transactions import transactions_sql
+
+    return f"""
+WITH txn AS ({transactions_sql()}),
+obs AS (
+  SELECT revenue_category, data_source, count(*) AS o
+  FROM txn GROUP BY 1, 2
+),
+rows_ AS (SELECT revenue_category, sum(o) AS row_tot FROM obs GROUP BY 1),
+cols_ AS (SELECT data_source, sum(o) AS col_tot FROM obs GROUP BY 1),
+grid AS (
+  SELECT r.revenue_category, c.data_source, r.row_tot, c.col_tot,
+         coalesce(o.o, 0) AS o
+  FROM rows_ r CROSS JOIN cols_ c
+  LEFT JOIN obs o USING (revenue_category, data_source)
+),
+enriched AS (
+  SELECT *, sum(o) OVER () AS n FROM grid
+),
+terms AS (
+  SELECT n, revenue_category, data_source,
+         floor((o::double - row_tot::double * col_tot::double / n::double)
+               * (o::double - row_tot::double * col_tot::double / n::double)
+               / (row_tot::double * col_tot::double / n::double)
+               * 1000000000.0 + 0.5)::bigint AS term_nano
+  FROM enriched
+),
+agg AS (
+  SELECT CAST(max(n) AS BIGINT) AS n,
+         count(DISTINCT revenue_category) AS r,
+         count(DISTINCT data_source) AS c,
+         sum(term_nano) / 1000000000.0 AS chi2
+  FROM terms
+)
+SELECT n, r AS n_categories, c AS n_sources, chi2,
+       (r - 1) * (c - 1) AS dof,
+       CASE WHEN least(r - 1, c - 1) > 0
+            THEN floor(sqrt(chi2 / (n::double * least(r - 1, c - 1)::double))
+                       * 1000000.0 + 0.5) / 1000000.0
+       END AS cramers_v
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit
+# ---------------------------------------------------------------------------
+
+import math as _math
+
+# Benford expected shares for digits 1..9, micro-rounded once in Python so
+# both engines compare against the SAME literals
+BENFORD_MICRO: tuple[int, ...] = tuple(
+    int(_math.floor(_math.log10(1.0 + 1.0 / d) * 1_000_000 + 0.5))
+    for d in range(1, 10)
+)
+
+
+def benford_amount_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of transaction amounts — the
+    classic fabricated-numbers screen (organic multiplicative amounts
+    follow P(d) = log10(1+1/d); keyed-in or invented ones don't).
+    Per digit 1-9: observed share of nonzero |cents| vs the Benford
+    expectation and the signed deviation; digits the corpus never
+    produces still appear with share 0 (the audit's whole point).
+
+    First digits come from the DECIMAL STRING of |cents| — exact in both
+    engines, no log10-at-a-power-of-ten edge to disagree on.
+
+    Scale shape: one groupBy onto ≤ 9 digits, joined to a 9-row literal
+    spine."""
+    from ..functions.money import ratio, to_cents
+    from .transactions import build_transactions
+
+    txn = build_transactions(spark, sf_dir)
+    cents = to_cents(F.col("total_amount"))
+    digits = (
+        txn.select(F.abs(cents).alias("a"))
+        .filter(F.col("a") > 0)
+        .select(F.substring(F.col("a").cast("string"), 1, 1).cast("int").alias("d"))
+        .groupBy("d")
+        .agg(F.count("*").alias("n_obs"))
+    )
+    spine = F.explode(F.array(*[F.lit(d) for d in range(1, 10)])).alias("d")
+    grid = (
+        txn.sparkSession.range(1)
+        .select(spine)
+        .join(digits, "d", "left")
+        .select("d", F.coalesce("n_obs", F.lit(0)).alias("n_obs"))
+    )
+    from pyspark.sql import Window
+
+    tot = Window.partitionBy()
+    benford = F.element_at(
+        F.array(*[F.lit(b / 1_000_000.0) for b in BENFORD_MICRO]), F.col("d")
+    )
+    return (
+        grid.select(
+            "*", F.sum("n_obs").over(tot).alias("n_total")
+        )
+        .select(
+            F.col("d").alias("first_digit"),
+            "n_obs",
+            ratio(
+                F.col("n_obs").cast("double") * 1.0,
+                F.col("n_total").cast("double"),
+                6,
+            ).alias("obs_share"),
+            benford.alias("benford_share"),
+            (
+                ratio(
+                    F.col("n_obs").cast("double") * 1.0,
+                    F.col("n_total").cast("double"),
+                    6,
+                )
+                - benford
+            ).alias("deviation"),
+        )
+        .orderBy("first_digit")
+    )
+
+
+def benford_amount_audit_sql() -> str:
+    from ..functions.money import ratio_sql, to_cents_sql
+    from .transactions import transactions_sql
+
+    b_list = ", ".join(str(b / 1_000_000.0) for b in BENFORD_MICRO)
+    return f"""
+WITH txn AS ({transactions_sql()}),
+digits AS (
+  SELECT substr(abs({to_cents_sql('total_amount')})::varchar, 1, 1)::int AS d,
+         count(*) AS n_obs
+  FROM txn WHERE abs({to_cents_sql('total_amount')}) > 0
+  GROUP BY 1
+),
+grid AS (
+  SELECT s.d, coalesce(digits.n_obs, 0) AS n_obs
+  FROM (SELECT unnest(range(1, 10)) AS d) s
+  LEFT JOIN digits USING (d)
+),
+tot AS (
+  SELECT *, sum(n_obs) OVER () AS n_total FROM grid
+)
+SELECT d AS first_digit, CAST(n_obs AS BIGINT) AS n_obs,
+       {ratio_sql('n_obs::double * 1.0', 'n_total::double', 6)} AS obs_share,
+       list_extract([{b_list}]::double[], d) AS benford_share,
+       ({ratio_sql('n_obs::double * 1.0', 'n_total::double', 6)}
+        - list_extract([{b_list}]::double[], d)) AS deviation
+FROM tot
+ORDER BY first_digit
+"""

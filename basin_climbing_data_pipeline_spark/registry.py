@@ -739,6 +739,26 @@ register(
     qa.column_profile_audit,
     qa.column_profile_audit_sql(),
 )
+register(
+    "gini_spend_concentration",
+    co.gini_spend_concentration,
+    co.gini_spend_concentration_sql(),
+)
+register(
+    "spearman_visit_spend",
+    co.spearman_visit_spend,
+    co.spearman_visit_spend_sql(),
+)
+register(
+    "chisq_category_source",
+    qa.chisq_category_source,
+    qa.chisq_category_source_sql(),
+)
+register(
+    "benford_amount_audit",
+    qa.benford_amount_audit,
+    qa.benford_amount_audit_sql(),
+)
 
 
 # --- round-5 window rotation ----------------------------------------------

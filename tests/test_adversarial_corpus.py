@@ -322,6 +322,10 @@ TXN_QUERIES = [
     "weekday_seasonality",       # one-day categories: SST=0 strength NULL
     "column_profile_audit",      # dup txn ids, extreme values in the profile
     "cuped_variance_reduction",  # overflow-guarded micro on edge-value moments
+    "gini_spend_concentration",  # rank-sum identity under heavy value ties
+    "spearman_visit_spend",      # double-tied ranks incl. all-zero visits
+    "chisq_category_source",     # absent contingency cells contribute E
+    "benford_amount_audit",      # string first digit on 1e9-scale amounts
 ]
 
 

@@ -670,3 +670,154 @@ def test_churn_hazard_matches_pure_python(con):
         assert ch == cum_nano / 1e9
         alive = [(dur, ev) for dur, ev in alive if dur != t]
     assert not alive  # every membership left the risk set at its tenure
+
+
+def test_gini_matches_pure_python(con):
+    from basin_climbing_data_pipeline_spark.operators.cohorts import (
+        gini_spend_concentration_sql,
+    )
+    from basin_climbing_data_pipeline_spark.operators.transactions import (
+        transactions_sql,
+    )
+
+    got = con.execute(gini_spend_concentration_sql()).fetchone()
+    spend = sorted(
+        r[0]
+        for r in con.execute(
+            f"""WITH txn AS ({transactions_sql()})
+            SELECT sum(CAST(floor(total_amount * 100.0 + 0.5) AS BIGINT))
+            FROM txn GROUP BY customer_id"""
+        ).fetchall()
+    )
+    n = len(spend)
+    sx = sum(spend)
+    # textbook definition with sorted values; ties at average rank leave
+    # Σ rank·x unchanged vs sorted-order ranks (equal values, summed ranks)
+    rx = sum((i + 1) * x for i, x in enumerate(spend))
+    gini = (2.0 * rx - (n + 1.0) * sx) / (n * float(sx))
+    assert got[0] == n
+    assert got[1] == sx / 100.0
+    assert got[2] == pytest.approx(gini, abs=2e-6)
+    assert 0.0 < got[2] < 1.0
+
+
+def test_spearman_matches_pure_python(con):
+    from basin_climbing_data_pipeline_spark.operators.cohorts import (
+        spearman_visit_spend_sql,
+    )
+    from basin_climbing_data_pipeline_spark.operators.customers import customers_sql
+    from basin_climbing_data_pipeline_spark.operators.events import checkins_sql
+    from basin_climbing_data_pipeline_spark.operators.transactions import (
+        transactions_sql,
+    )
+
+    got = con.execute(spearman_visit_spend_sql()).fetchone()
+    raw = con.execute(
+        f"""WITH cust AS ({customers_sql()}), ck AS ({checkins_sql()}),
+        txn AS ({transactions_sql()}),
+        visits AS (SELECT customer_id, count(*) AS v FROM ck GROUP BY 1),
+        spend AS (SELECT customer_id,
+                         sum(CAST(floor(total_amount * 100.0 + 0.5) AS BIGINT)) AS s
+                  FROM txn GROUP BY 1)
+        SELECT coalesce(vv.v, 0)::bigint, coalesce(ss.s, 0)::bigint
+        FROM cust c LEFT JOIN visits vv USING (customer_id)
+        LEFT JOIN spend ss USING (customer_id)"""
+    ).fetchall()
+
+    def avg_ranks(vals):
+        order = sorted(range(len(vals)), key=lambda i: vals[i])
+        ranks = [0.0] * len(vals)
+        i = 0
+        while i < len(vals):
+            j = i
+            while j < len(vals) and vals[order[j]] == vals[order[i]]:
+                j += 1
+            avg = (i + 1 + j) / 2.0
+            for k in range(i, j):
+                ranks[order[k]] = avg
+            i = j
+        return ranks
+
+    rv = avg_ranks([v for v, _ in raw])
+    rs = avg_ranks([s for _, s in raw])
+    n = len(raw)
+    ma = sum(rv) / n
+    mb = sum(rs) / n
+    cov = sum(a * b for a, b in zip(rv, rs)) / n - ma * mb
+    va = sum(a * a for a in rv) / n - ma * ma
+    vb = sum(b * b for b in rs) / n - mb * mb
+    rho = cov / math.sqrt(va * vb)
+    assert got[0] == n
+    assert got[1] == pytest.approx(rho, abs=2e-6)
+    assert -1.0 <= got[1] <= 1.0
+
+
+def test_chisq_matches_pure_python(con):
+    from basin_climbing_data_pipeline_spark.operators.quality import (
+        chisq_category_source_sql,
+    )
+    from basin_climbing_data_pipeline_spark.operators.transactions import (
+        transactions_sql,
+    )
+
+    got = con.execute(chisq_category_source_sql()).fetchone()
+    raw = con.execute(
+        f"""WITH txn AS ({transactions_sql()})
+        SELECT revenue_category, data_source, count(*) FROM txn GROUP BY 1, 2"""
+    ).fetchall()
+    cats = sorted({r[0] for r in raw})
+    srcs = sorted({r[1] for r in raw})
+    o = {(c, s): 0 for c in cats for s in srcs}
+    for c, s, cnt in raw:
+        o[(c, s)] = cnt
+    n = sum(o.values())
+    chi2 = 0.0
+    for c in cats:
+        for s in srcs:
+            row_tot = sum(o[(c, x)] for x in srcs)
+            col_tot = sum(o[(y, s)] for y in cats)
+            e = row_tot * col_tot / n
+            chi2 += (o[(c, s)] - e) ** 2 / e
+    v = math.sqrt(chi2 / (n * min(len(cats) - 1, len(srcs) - 1)))
+    assert got[0] == n
+    assert got[1] == len(cats) and got[2] == len(srcs)
+    assert got[3] == pytest.approx(chi2, abs=1e-6 * max(1.0, chi2))
+    assert got[4] == (len(cats) - 1) * (len(srcs) - 1)
+    assert got[5] == pytest.approx(v, abs=2e-6)
+
+
+def test_benford_matches_pure_python(con):
+    from basin_climbing_data_pipeline_spark.operators.quality import (
+        BENFORD_MICRO,
+        benford_amount_audit_sql,
+    )
+    from basin_climbing_data_pipeline_spark.operators.transactions import (
+        transactions_sql,
+    )
+
+    # the embedded shares ARE log10(1+1/d), independently recomputed
+    for d in range(1, 10):
+        assert BENFORD_MICRO[d - 1] == int(
+            math.floor(math.log10(1 + 1 / d) * 1e6 + 0.5)
+        )
+    got = {r[0]: r for r in con.execute(benford_amount_audit_sql()).fetchall()}
+    cents = [
+        r[0]
+        for r in con.execute(
+            f"""WITH txn AS ({transactions_sql()})
+            SELECT abs(CAST(floor(total_amount * 100.0 + 0.5) AS BIGINT))
+            FROM txn"""
+        ).fetchall()
+        if r[0] > 0
+    ]
+    counts = {d: 0 for d in range(1, 10)}
+    for v in cents:
+        counts[int(str(v)[0])] += 1
+    total = sum(counts.values())
+    assert set(got) == set(range(1, 10))
+    for d in range(1, 10):
+        row = got[d]
+        assert row[1] == counts[d]
+        assert row[2] == _ratio(counts[d], total, 6)
+        assert row[3] == BENFORD_MICRO[d - 1] / 1e6
+        assert row[4] == pytest.approx(row[2] - row[3], abs=1e-12)
