@@ -991,3 +991,160 @@ SELECT revenue_category, n_a, ref_a, n_b, ref_b, z_score, p_value, p_rank,
 FROM stepped
 ORDER BY p_rank
 """
+
+
+# ---------------------------------------------------------------------------
+# two-sample Kolmogorov-Smirnov over the spend arms
+# ---------------------------------------------------------------------------
+
+# Kolmogorov critical values c(alpha): reject when
+# D > c(alpha) * sqrt((nA+nB)/(nA*nB)).  Shared micro literals.
+KS_CRIT_MICRO = {"0.05": 1_358_100, "0.01": 1_627_600}  # c = 1.3581, 1.6276
+
+
+def ks_spend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov over per-customer spend between the
+    md5 A/B arms: D = max_v |F_A(v) − F_B(v)| — the whole-distribution
+    companion to :func:`mann_whitney_spend_utest` (U detects location
+    shift; KS catches ANY distributional difference, the check a
+    randomization/SRM audit wants).  The decision columns compare D to
+    the Kolmogorov critical values at 5%/1% (sqrt is correctly rounded,
+    so the thresholds are bit-identical cross-engine — no engine ever
+    evaluates the Kolmogorov series).
+
+    Exact D with no global sort: per-distinct-value cumulative arm
+    counts ride the bucketed-prefix rank discipline; at each value,
+    |F_A − F_B| = |cumA·nB − cumB·nA| / (nA·nB) is compared as the exact
+    INTEGER cross product — the max then divides once.
+
+    Scale shape: one customer rollup, one shuffle onto distinct values,
+    bounded-bucket windows, one scalar max."""
+    from ..functions.money import to_cents
+    from .sampling import _md5_bucket
+    from .sketches import HIST_SUBBUCKETS
+    from .transactions import build_transactions
+
+    txn = build_transactions(spark, sf_dir)
+    per_cust = txn.groupBy("customer_id").agg(
+        F.sum(to_cents(F.col("total_amount"))).alias("cents")
+    )
+    arms = per_cust.select(
+        "cents",
+        (_md5_bucket(F.col("customer_id"), 2) == 0).cast("long").alias("is_a"),
+    )
+    per_val = arms.groupBy("cents").agg(
+        F.count("*").alias("cnt"), F.sum("is_a").alias("a_v")
+    )
+    vm = F.col("cents")
+    bucket = (
+        F.when(vm >= 0, F.floor(F.log10(vm + 1) * HIST_SUBBUCKETS))
+        .otherwise(-1 - F.floor(F.log10(-vm + 1) * HIST_SUBBUCKETS))
+        .cast("long")
+    )
+    bucketed = per_val.select("cents", "cnt", "a_v", bucket.alias("bkt"))
+    bkt_counts = bucketed.groupBy("bkt").agg(
+        F.sum("cnt").alias("bkt_cnt"), F.sum("a_v").alias("bkt_a")
+    )
+    wb = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = bkt_counts.select(
+        "bkt",
+        F.coalesce(F.sum("bkt_cnt").over(wb), F.lit(0)).alias("bkt_before"),
+        F.coalesce(F.sum("bkt_a").over(wb), F.lit(0)).alias("bkt_a_before"),
+    )
+    win = (
+        Window.partitionBy("bkt")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = (
+        bucketed.join(F.broadcast(offsets), "bkt")
+        .withColumn("in_cnt", F.sum("cnt").over(win))
+        .withColumn("in_a", F.sum("a_v").over(win))
+        .select(
+            (F.col("bkt_before") + F.col("in_cnt")).alias("cum"),
+            (F.col("bkt_a_before") + F.col("in_a")).alias("cum_a"),
+        )
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    tot = arms.agg(
+        F.count("*").alias("n"), F.sum("is_a").alias("n_a")
+    )
+    j = cum.join(F.broadcast(tot))
+    cum_b = F.col("cum") - F.col("cum_a")
+    nb = F.col("n") - F.col("n_a")
+    cross = F.abs(
+        dec(F.col("cum_a")) * dec(nb) - dec(cum_b) * dec(F.col("n_a"))
+    )
+    m = j.agg(
+        F.max("n").alias("n"),
+        F.max("n_a").alias("n_a"),
+        F.max(cross).alias("max_cross"),
+    )
+    n, na = F.col("n"), F.col("n_a")
+    nbb = n - na
+    d = F.col("max_cross").cast("double") / (na * nbb).cast("double")
+    scale = F.sqrt((n).cast("double") / (na * nbb).cast("double"))
+    micro = lambda c: F.floor(c * 1000000.0 + 0.5) / 1000000.0  # noqa: E731
+    ok = (na > 0) & (nbb > 0)
+    return m.select(
+        n.alias("n"),
+        na.alias("n_a"),
+        nbb.alias("n_b"),
+        F.when(ok, micro(d)).alias("ks_d"),
+        F.when(
+            ok, d > KS_CRIT_MICRO["0.05"] / 1_000_000.0 * scale
+        ).alias("reject_05"),
+        F.when(
+            ok, d > KS_CRIT_MICRO["0.01"] / 1_000_000.0 * scale
+        ).alias("reject_01"),
+    )
+
+
+def ks_spend_test_sql() -> str:
+    from ..functions.money import to_cents_sql
+    from .sampling import _md5_bucket_sql
+    from .transactions import transactions_sql
+
+    c05 = KS_CRIT_MICRO["0.05"] / 1_000_000.0
+    c01 = KS_CRIT_MICRO["0.01"] / 1_000_000.0
+    return f"""
+WITH txn AS ({transactions_sql()}),
+per_cust AS (
+  SELECT customer_id, sum({to_cents_sql('total_amount')}) AS cents
+  FROM txn GROUP BY customer_id
+),
+arms AS (
+  SELECT cents, ({_md5_bucket_sql('customer_id', 2)} = 0)::bigint AS is_a
+  FROM per_cust
+),
+per_val AS (
+  SELECT cents, count(*) AS cnt, sum(is_a) AS a_v FROM arms GROUP BY cents
+),
+cum AS (
+  SELECT sum(cnt) OVER w AS cum, sum(a_v) OVER w AS cum_a
+  FROM per_val
+  WINDOW w AS (ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+tot AS (
+  SELECT count(*) AS n, CAST(sum(is_a) AS BIGINT) AS n_a FROM arms
+),
+m AS (
+  SELECT max(n) AS n, max(n_a) AS n_a,
+         max(abs(cum_a::hugeint * (n - n_a)::hugeint
+                 - (cum - cum_a)::hugeint * n_a::hugeint)) AS max_cross
+  FROM cum CROSS JOIN tot
+)
+SELECT n, n_a, (n - n_a) AS n_b,
+       CASE WHEN n_a > 0 AND n - n_a > 0
+            THEN floor(max_cross::double / (n_a * (n - n_a))::double
+                       * 1000000.0 + 0.5) / 1000000.0 END AS ks_d,
+       CASE WHEN n_a > 0 AND n - n_a > 0
+            THEN max_cross::double / (n_a * (n - n_a))::double
+                 > {c05!r} * sqrt(n::double / (n_a * (n - n_a))::double)
+       END AS reject_05,
+       CASE WHEN n_a > 0 AND n - n_a > 0
+            THEN max_cross::double / (n_a * (n - n_a))::double
+                 > {c01!r} * sqrt(n::double / (n_a * (n - n_a))::double)
+       END AS reject_01
+FROM m
+"""

@@ -712,3 +712,138 @@ SELECT d AS first_digit, CAST(n_obs AS BIGINT) AS n_obs,
 FROM tot
 ORDER BY first_digit
 """
+
+
+def mutual_info_category_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information (nats) between revenue_category and data_source,
+    with both marginal entropies and the normalized MI — the information-
+    theoretic strength companion to :func:`chisq_category_source` (χ²
+    asks "is there dependence"; MI says HOW MUCH, in the same units the
+    token-entropy family already reports).  NMI = MI/min(H_cat, H_src),
+    NULL when either marginal is degenerate (single value ⇒ H = 0).
+
+    Determinism: probabilities come from exact integer counts; each
+    p·ln(…) term is nano-floored to int64 BEFORE summation (the
+    source_token_entropy / PSI discipline — summation-order immune, and
+    the only transcendental is ln, applied identically in both engines).
+
+    Scale shape: one groupBy onto the bounded r×c table; every window
+    and sum after runs on ≤ r·c rows."""
+    from pyspark.sql import Window
+
+    from .transactions import build_transactions
+
+    txn = build_transactions(spark, sf_dir)
+    obs = txn.groupBy("revenue_category", "data_source").agg(
+        F.count("*").alias("o")
+    )
+    tot = Window.partitionBy()
+    wr = Window.partitionBy("revenue_category")
+    wc = Window.partitionBy("data_source")
+    enriched = obs.select(
+        "*",
+        F.sum("o").over(tot).alias("n"),
+        F.sum("o").over(wr).alias("row_tot"),
+        F.sum("o").over(wc).alias("col_tot"),
+    )
+    nd = F.col("n").cast("double")
+    p_xy = F.col("o").cast("double") / nd
+    lift = (
+        F.col("o").cast("double")
+        * nd
+        / (F.col("row_tot").cast("double") * F.col("col_tot").cast("double"))
+    )
+    mi_nano = F.floor(p_xy * F.log(lift) * 1000000000.0 + 0.5).cast("long")
+    # marginal entropy terms, each counted once per distinct margin value:
+    # tag the first cell of each margin partition
+    first_in_row = F.row_number().over(wr.orderBy("data_source")) == 1
+    first_in_col = F.row_number().over(wc.orderBy("revenue_category")) == 1
+    hr_nano = F.when(
+        first_in_row,
+        F.floor(
+            -(F.col("row_tot").cast("double") / nd)
+            * F.log(F.col("row_tot").cast("double") / nd)
+            * 1000000000.0
+            + 0.5
+        ).cast("long"),
+    ).otherwise(0)
+    hc_nano = F.when(
+        first_in_col,
+        F.floor(
+            -(F.col("col_tot").cast("double") / nd)
+            * F.log(F.col("col_tot").cast("double") / nd)
+            * 1000000000.0
+            + 0.5
+        ).cast("long"),
+    ).otherwise(0)
+    agg = enriched.select(
+        "n",
+        mi_nano.alias("mi_nano"),
+        hr_nano.alias("hr_nano"),
+        hc_nano.alias("hc_nano"),
+    ).groupBy("n").agg(
+        (F.sum("mi_nano") / 1000000000.0).alias("mi_nats"),
+        (F.sum("hr_nano") / 1000000000.0).alias("h_category"),
+        (F.sum("hc_nano") / 1000000000.0).alias("h_source"),
+    )
+    minh = F.least(F.col("h_category"), F.col("h_source"))
+    micro = lambda x: F.floor(x * 1000000.0 + 0.5) / 1000000.0  # noqa: E731
+    return agg.select(
+        "n",
+        "mi_nats",
+        "h_category",
+        "h_source",
+        F.when(minh > 0, micro(F.col("mi_nats") / minh)).alias("nmi"),
+    )
+
+
+def mutual_info_category_source_sql() -> str:
+    from .transactions import transactions_sql
+
+    return f"""
+WITH txn AS ({transactions_sql()}),
+obs AS (
+  SELECT revenue_category, data_source, count(*) AS o
+  FROM txn GROUP BY 1, 2
+),
+enriched AS (
+  SELECT *,
+         sum(o) OVER () AS n,
+         sum(o) OVER (PARTITION BY revenue_category) AS row_tot,
+         sum(o) OVER (PARTITION BY data_source) AS col_tot,
+         row_number() OVER (PARTITION BY revenue_category
+                            ORDER BY data_source) AS rn_r,
+         row_number() OVER (PARTITION BY data_source
+                            ORDER BY revenue_category) AS rn_c
+  FROM obs
+),
+terms AS (
+  SELECT n,
+         floor((o::double / n::double)
+               * ln(o::double * n::double
+                    / (row_tot::double * col_tot::double))
+               * 1000000000.0 + 0.5)::bigint AS mi_nano,
+         CASE WHEN rn_r = 1
+              THEN floor(-(row_tot::double / n::double)
+                         * ln(row_tot::double / n::double)
+                         * 1000000000.0 + 0.5)::bigint ELSE 0 END AS hr_nano,
+         CASE WHEN rn_c = 1
+              THEN floor(-(col_tot::double / n::double)
+                         * ln(col_tot::double / n::double)
+                         * 1000000000.0 + 0.5)::bigint ELSE 0 END AS hc_nano
+  FROM enriched
+),
+agg AS (
+  SELECT CAST(n AS BIGINT) AS n,
+         sum(mi_nano) / 1000000000.0 AS mi_nats,
+         sum(hr_nano) / 1000000000.0 AS h_category,
+         sum(hc_nano) / 1000000000.0 AS h_source
+  FROM terms GROUP BY n
+)
+SELECT n, mi_nats, h_category, h_source,
+       CASE WHEN least(h_category, h_source) > 0
+            THEN floor(mi_nats / least(h_category, h_source)
+                       * 1000000.0 + 0.5) / 1000000.0
+       END AS nmi
+FROM agg
+"""

@@ -2260,3 +2260,225 @@ SELECT label, n_vecs,
 FROM lab
 ORDER BY label
 """
+
+
+# ---------------------------------------------------------------------------
+# top principal direction via deterministic power iteration
+# ---------------------------------------------------------------------------
+
+POWER_ITERATIONS = 3
+NANO = 1_000_000_000
+
+
+def embedding_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the unit-embedding second-moment matrix
+    M = Σ ûûᵀ, by POWER ITERATION run entirely in-engine — the
+    anisotropy/collapse monitor one number deeper than
+    :func:`embedding_dispersion_by_label`'s centroid norm (a corpus can
+    have centroid ~0 yet still collapse onto one AXIS; the top
+    eigenvalue share catches that).  Output: n, the Rayleigh-quotient
+    top eigenvalue share λ₁/trace (1/64 = isotropic, → 1 = rank-1
+    collapse), and the iteration residual ‖Mv − λv‖/λ‖v‖ as the
+    self-grading convergence column.
+
+    Determinism discipline: M's 64×64 entries are EXACT integer sums of
+    micro-unit products (one flatten-outer-product explode, map-side
+    combined — never a self-join).  The iteration vector is re-quantized
+    to nano int64 after each normalization, so every matvec is an exact
+    decimal product-sum (float never accumulates across the 64 terms —
+    a double groupBy sum would be partition-order dependent); the one
+    double op per round (norm sqrt + divide) runs on exact ints.  Fixed
+    all-ones start, fixed :data:`POWER_ITERATIONS` rounds, no
+    convergence branch — both engines execute the identical arithmetic.
+
+    Scale shape: the corpus-sized work is ONE explode-groupBy onto 64²
+    rows; the iteration runs on 64-row/4096-row frames."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    nrm = F.sqrt(_dot64(F.col("embedding"), F.col("embedding")))
+    base = emb.select("embedding", nrm.alias("nrm")).where(F.col("nrm") > 0)
+    unit = base.select(
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") / F.col("nrm") * MICRO + 0.5).cast(
+                "long"
+            ),
+        ).alias("u")
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    pairs = unit.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(u, (x, i) -> "
+                "transform(u, (y, j) -> struct(i AS i, j AS j, x * y AS p))))"
+            )
+        ).alias("c")
+    ).select("c.i", "c.j", "c.p")
+    m_raw = pairs.groupBy("i", "j").agg(F.sum(dec(F.col("p"))).alias("m"))
+    nv = unit.agg(F.count("*").alias("n_vecs"))  # 1-row frame, no driver action
+    # trace-normalize M into 1e12 fixed point BEFORE iterating: raw entries
+    # grow with the corpus (n·1e12 at 1e9 rows ≈ 1e21) and their downstream
+    # products blow past decimal(38); M' = floor(M/trace·1e12 + 0.5) keeps
+    # every later product bounded independent of corpus size, and
+    # vᵀM'v/vᵀv = 1e12·λ/trace IS the eigenvalue share up to the fixed grid
+    trace_raw = m_raw.filter(F.col("i") == F.col("j")).agg(
+        F.sum("m").alias("trace_raw")
+    )
+    m_frame = (
+        m_raw.join(F.broadcast(trace_raw))
+        .select(
+            "i",
+            "j",
+            F.floor(
+                F.col("m").cast("double") / F.col("trace_raw").cast("double")
+                * 1.0e12
+                + 0.5
+            )
+            .cast("long")
+            .alias("m"),
+        )
+    )
+
+    # v₀ = all-ones in nano units; each round: w = M v (exact decimal),
+    # then re-quantize w to nano ints on its max-abs scale
+    v = spark.range(DIM).select(
+        F.col("id").cast("int").alias("j"), F.lit(NANO).cast("long").alias("v")
+    )
+    for _ in range(POWER_ITERATIONS):
+        w = (
+            m_frame.join(F.broadcast(v), m_frame["j"] == v["j"])
+            .select(m_frame["i"], (F.col("m") * dec(F.col("v"))).alias("t"))
+            .groupBy("i")
+            .agg(F.sum("t").alias("w"))
+        )
+        mx = w.agg(F.max(F.abs(F.col("w"))).alias("mx"))
+        v = (
+            w.join(F.broadcast(mx))
+            .select(
+                F.col("i").alias("j"),
+                F.floor(
+                    F.col("w").cast("double") / F.col("mx").cast("double") * NANO
+                    + 0.5
+                )
+                .cast("long")
+                .alias("v"),
+            )
+        )
+    # Rayleigh quotient and residual over Mv scaled down to 1e-9 of its
+    # fixed-point units (mv ≤ 64·1e12·1e9; its square would overflow
+    # decimal(38)); with M' in 1e12·share units and v in nano units,
+    # λs = vᵀ(M'v/1e9)/vᵀv = share·1e3, so share = λs/1e3
+    mv = (
+        m_frame.join(F.broadcast(v), m_frame["j"] == v["j"])
+        .select(m_frame["i"], (dec(F.col("m")) * dec(F.col("v"))).alias("t"))
+        .groupBy("i")
+        .agg(
+            F.floor(F.sum("t").cast("double") / 1.0e9 + 0.5)
+            .cast("long")
+            .alias("mvs")
+        )
+    )
+    both = mv.join(F.broadcast(v.select(F.col("j").alias("i"), "v")), "i")
+    stats = both.agg(
+        F.sum(dec(F.col("mvs")) * dec(F.col("v"))).alias("vmv"),
+        F.sum(dec(F.col("v")) * dec(F.col("v"))).alias("vv"),
+        F.sum(dec(F.col("mvs")) * dec(F.col("mvs"))).alias("mvmv"),
+    )
+    lam = F.col("vmv").cast("double") / F.col("vv").cast("double")
+    share = lam / 1.0e3
+    resid = (
+        F.sqrt(
+            F.greatest(
+                F.col("mvmv").cast("double")
+                - lam * lam * F.col("vv").cast("double"),
+                F.lit(0.0),
+            )
+        )
+        / (lam * F.sqrt(F.col("vv").cast("double")))
+    )
+    micro = lambda c: F.floor(c * 1000000.0 + 0.5) / 1000000.0  # noqa: E731
+    return stats.join(F.broadcast(nv)).select(
+        "n_vecs",
+        F.lit(POWER_ITERATIONS).alias("iterations"),
+        micro(share).alias("top_eigen_share"),
+        micro(resid).alias("residual"),
+    )
+
+
+def embedding_top_component_sql() -> str:
+    nrm = _dot_sql("embedding", "embedding")
+    it_prev = "v0"
+    its = []
+    for r in range(1, POWER_ITERATIONS + 1):
+        its.append(
+            f"""w{r} AS (
+  SELECT m.i, sum(m.m * {it_prev}.v::hugeint) AS w
+  FROM m_frame m JOIN {it_prev} ON m.j = {it_prev}.j
+  GROUP BY m.i
+),
+v{r} AS (
+  SELECT w{r}.i AS j,
+         CAST(floor(w{r}.w::double / (SELECT max(abs(w)) FROM w{r})::double
+                    * {NANO} + 0.5) AS BIGINT) AS v
+  FROM w{r}
+)"""
+        )
+        it_prev = f"v{r}"
+    iters = ",\n".join(its)
+    return f"""
+WITH base AS (
+  SELECT embedding, sqrt({nrm}) AS nrm FROM embeddings
+),
+unitv AS (
+  SELECT list_transform(embedding,
+           x -> CAST(floor(x::double / nrm * {MICRO} + 0.5) AS BIGINT)) AS u
+  FROM base WHERE nrm > 0
+),
+pairs AS (
+  SELECT gi.i AS i, gj.j AS j, (u[gi.i] * u[gj.j])::hugeint AS p
+  FROM unitv,
+       unnest(range(1, {DIM + 1})) gi(i),
+       unnest(range(1, {DIM + 1})) gj(j)
+),
+m_raw AS (
+  -- 0-based (i, j) to match Spark's transform index
+  SELECT (i - 1)::int AS i, (j - 1)::int AS j, sum(p) AS m
+  FROM pairs GROUP BY 1, 2
+),
+tr AS (SELECT sum(m) AS trace_raw FROM m_raw WHERE i = j),
+m_frame AS (
+  SELECT i, j,
+         CAST(floor(m::double / (SELECT trace_raw FROM tr)::double * 1.0e12
+                    + 0.5) AS BIGINT) AS m
+  FROM m_raw
+),
+nv AS (SELECT count(*) AS n_vecs FROM unitv),
+v0 AS (
+  SELECT (x - 1)::int AS j, {NANO}::bigint AS v
+  FROM unnest(range(1, {DIM + 1})) t(x)
+),
+{iters},
+mv AS (
+  SELECT i, CAST(floor(t::double / 1.0e9 + 0.5) AS BIGINT) AS mvs
+  FROM (
+    SELECT m.i, sum(m.m::hugeint * {it_prev}.v::hugeint) AS t
+    FROM m_frame m JOIN {it_prev} ON m.j = {it_prev}.j
+    GROUP BY m.i
+  )
+),
+stats AS (
+  SELECT sum(mv.mvs::hugeint * vv.v::hugeint) AS vmv,
+         sum(vv.v::hugeint * vv.v::hugeint) AS vv,
+         sum(mv.mvs::hugeint * mv.mvs::hugeint) AS mvmv
+  FROM mv JOIN {it_prev} vv ON mv.i = vv.j
+)
+SELECT nv.n_vecs AS n_vecs,
+       {POWER_ITERATIONS} AS iterations,
+       floor((vmv::double / vv::double) / 1.0e3
+             * 1000000.0 + 0.5) / 1000000.0 AS top_eigen_share,
+       floor(sqrt(greatest(mvmv::double
+                           - (vmv::double / vv::double)
+                             * (vmv::double / vv::double) * vv::double, 0.0))
+             / ((vmv::double / vv::double) * sqrt(vv::double))
+             * 1000000.0 + 0.5) / 1000000.0 AS residual
+FROM stats CROSS JOIN nv
+"""

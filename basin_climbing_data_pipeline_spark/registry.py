@@ -759,6 +759,17 @@ register(
     qa.benford_amount_audit,
     qa.benford_amount_audit_sql(),
 )
+register("ks_spend_test", ex.ks_spend_test, ex.ks_spend_test_sql())
+register(
+    "mutual_info_category_source",
+    qa.mutual_info_category_source,
+    qa.mutual_info_category_source_sql(),
+)
+register(
+    "embedding_top_component",
+    sim.embedding_top_component,
+    sim.embedding_top_component_sql(),
+)
 
 
 # --- round-5 window rotation ----------------------------------------------

@@ -821,3 +821,142 @@ def test_benford_matches_pure_python(con):
         assert row[2] == _ratio(counts[d], total, 6)
         assert row[3] == BENFORD_MICRO[d - 1] / 1e6
         assert row[4] == pytest.approx(row[2] - row[3], abs=1e-12)
+
+
+def test_ks_matches_pure_python(con):
+    from basin_climbing_data_pipeline_spark.operators.experiments import (
+        KS_CRIT_MICRO,
+        ks_spend_test_sql,
+    )
+    from basin_climbing_data_pipeline_spark.operators.transactions import (
+        transactions_sql,
+    )
+
+    got = con.execute(ks_spend_test_sql()).fetchone()
+    spend = con.execute(
+        f"""WITH txn AS ({transactions_sql()})
+        SELECT customer_id::varchar,
+               sum(CAST(floor(total_amount * 100.0 + 0.5) AS BIGINT))
+        FROM txn GROUP BY customer_id"""
+    ).fetchall()
+    a = sorted(
+        c for cid, c in spend
+        if int(hashlib.md5(cid.encode()).hexdigest()[:8], 16) % 2 == 0
+    )
+    b = sorted(
+        c for cid, c in spend
+        if int(hashlib.md5(cid.encode()).hexdigest()[:8], 16) % 2 == 1
+    )
+    import bisect
+
+    values = sorted(set(a) | set(b))
+    d = max(
+        abs(
+            bisect.bisect_right(a, v) / len(a)
+            - bisect.bisect_right(b, v) / len(b)
+        )
+        for v in values
+    )
+    n = len(a) + len(b)
+    assert got[0] == n and got[1] == len(a) and got[2] == len(b)
+    assert got[3] == pytest.approx(d, abs=2e-6)
+    scale = math.sqrt(n / (len(a) * len(b)))
+    assert got[4] == (d > KS_CRIT_MICRO["0.05"] / 1e6 * scale)
+    assert got[5] == (d > KS_CRIT_MICRO["0.01"] / 1e6 * scale)
+
+
+def test_mutual_info_matches_pure_python(con):
+    from basin_climbing_data_pipeline_spark.operators.quality import (
+        mutual_info_category_source_sql,
+    )
+    from basin_climbing_data_pipeline_spark.operators.transactions import (
+        transactions_sql,
+    )
+
+    got = con.execute(mutual_info_category_source_sql()).fetchone()
+    raw = con.execute(
+        f"""WITH txn AS ({transactions_sql()})
+        SELECT revenue_category, data_source, count(*) FROM txn GROUP BY 1, 2"""
+    ).fetchall()
+    n = sum(r[2] for r in raw)
+    rows: dict[str, int] = {}
+    cols: dict[str, int] = {}
+    for c, s, cnt in raw:
+        rows[c] = rows.get(c, 0) + cnt
+        cols[s] = cols.get(s, 0) + cnt
+    mi = sum(
+        (cnt / n) * math.log(cnt * n / (rows[c] * cols[s])) for c, s, cnt in raw
+    )
+    hc = -sum((v / n) * math.log(v / n) for v in rows.values())
+    hs = -sum((v / n) * math.log(v / n) for v in cols.values())
+    assert got[0] == n
+    assert got[1] == pytest.approx(mi, abs=1e-6)
+    assert got[2] == pytest.approx(hc, abs=1e-6)
+    assert got[3] == pytest.approx(hs, abs=1e-6)
+    assert got[4] == pytest.approx(mi / min(hc, hs), abs=2e-6)
+    assert got[1] >= 0  # MI is nonnegative up to the nano grid
+
+
+def test_top_component_matches_numpy(con):
+    """The engines' quantized power iterate must (a) reproduce a pure-
+    python mirror of the same fixed-point arithmetic exactly, and (b)
+    sit at-or-below numpy's true top eigenvalue share with the gap
+    bounded by the reported residual."""
+    numpy = pytest.importorskip("numpy")
+    from basin_climbing_data_pipeline_spark.operators.similarity import (
+        DIM,
+        MICRO,
+        NANO,
+        POWER_ITERATIONS,
+        embedding_top_component_sql,
+    )
+
+    got = con.execute(embedding_top_component_sql()).fetchone()
+    vecs = [
+        r[0]
+        for r in con.execute("SELECT embedding FROM embeddings").fetchall()
+    ]
+    units = []
+    for v in vecs:
+        nrm = math.sqrt(sum(x * x for x in v))
+        if nrm > 0:
+            units.append([math.floor(x / nrm * MICRO + 0.5) for x in v])
+    assert got[0] == len(units)
+    m_raw = [[0] * DIM for _ in range(DIM)]
+    for u in units:
+        for i in range(DIM):
+            ui = u[i]
+            for j in range(DIM):
+                m_raw[i][j] += ui * u[j]
+    trace = sum(m_raw[i][i] for i in range(DIM))
+    m = [
+        [math.floor(m_raw[i][j] / trace * 1.0e12 + 0.5) for j in range(DIM)]
+        for i in range(DIM)
+    ]
+    v = [NANO] * DIM
+    for _ in range(POWER_ITERATIONS):
+        w = [sum(m[i][j] * v[j] for j in range(DIM)) for i in range(DIM)]
+        mx = max(abs(x) for x in w)
+        v = [math.floor(x / mx * NANO + 0.5) for x in w]
+    mvs = [
+        math.floor(sum(m[i][j] * v[j] for j in range(DIM)) / 1.0e9 + 0.5)
+        for i in range(DIM)
+    ]
+    vmv = sum(a * b for a, b in zip(mvs, v))
+    vv = sum(x * x for x in v)
+    mvmv = sum(x * x for x in mvs)
+    lam = vmv / vv
+    share = lam / 1.0e3
+    resid = math.sqrt(max(mvmv - lam * lam * vv, 0.0)) / (lam * math.sqrt(vv))
+    assert got[2] == _micro(share)
+    assert got[3] == _micro(resid)
+    # vs the true spectrum: the Rayleigh quotient of ANY vector lower-
+    # bounds the top eigenvalue, the 3-round iterate must already beat
+    # the isotropic average (top >= mean always), and the remaining gap
+    # shrinks with the reported residual (2x envelope for the
+    # non-orthogonal tail on a slowly-separating spectrum)
+    a = numpy.array(m_raw, dtype=float) / trace
+    top = float(numpy.linalg.eigvalsh(a)[-1])
+    assert share <= top + 1e-9
+    assert share >= 1.0 / DIM - 1e-9
+    assert top - share <= 2.0 * resid * top + 1e-6
