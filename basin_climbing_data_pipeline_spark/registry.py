@@ -770,6 +770,11 @@ register(
     sim.embedding_top_component,
     sim.embedding_top_component_sql(),
 )
+register(
+    "streaming_benford_drift",
+    st.streaming_benford_drift,
+    st.streaming_benford_drift_sql(),
+)
 
 
 # --- round-5 window rotation ----------------------------------------------

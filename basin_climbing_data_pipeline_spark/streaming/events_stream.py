@@ -728,3 +728,120 @@ SELECT window_start_us, event_type, n_exact,
 FROM est
 ORDER BY window_start_us, event_type
 """
+
+
+def streaming_benford_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed Benford first-digit monitor on the event-value STREAM: per
+    6-hour tumbling window, the first-digit histogram of nonzero |value|
+    with each digit's observed share and deviation from the Benford
+    expectation — the continuously-updating fraud/ingest-corruption tile
+    (a keyed-in or synthetic value batch bends the digit curve long
+    before any aggregate total moves; ``benford_amount_audit`` is the
+    whole-corpus batch form).
+
+    The stateful stage is ONE streaming-legal aggregation: counts per
+    (window, first_digit) — ≤ windows × 9 rows of state; shares and the
+    Benford comparison are a bounded post-process over the sink.  First
+    digits come from the decimal string of the micro-int value (no log10
+    power-of-ten edge), and the expected shares are the same shared
+    micro literals the batch audit uses.  Same availableNow → memory-
+    sink eval shape as the other stream entries (complete mode: state is
+    bounded by the finite input here; a continuous deployment would use
+    update mode with a real sink)."""
+    from pyspark.sql import Window
+
+    from ..functions.money import ratio
+    from ..operators.quality import BENFORD_MICRO
+
+    stream = stream_events(spark, sf_dir).withWatermark("ts", "1 hour")
+    vm = F.floor(F.col("value") * 1000000.0 + 0.5).cast("long")
+    digits = stream.select(
+        F.window("ts", f"{WINDOW_HOURS} hours").alias("wd"),
+        F.substring(F.abs(vm).cast("string"), 1, 1).cast("int").alias("d"),
+        F.abs(vm).alias("a"),
+    ).filter(F.col("a") > 0)
+    agg = digits.groupBy("wd", "d").agg(F.count("*").alias("n_obs")).select(
+        F.unix_micros(F.col("wd.start")).alias("window_start_us"), "d", "n_obs"
+    )
+    sink = f"stream_benford_{uuid.uuid4().hex[:8]}"
+    with _stream_partitions(spark):
+        q = (
+            agg.writeStream.trigger(availableNow=True)
+            .outputMode("complete")
+            .format("memory")
+            .queryName(sink)
+            .start()
+        )
+        _await_finished(q)
+    counts = spark.table(sink).localCheckpoint()
+    spark.catalog.dropTempView(sink)
+    ww = Window.partitionBy("window_start_us")
+    benford = F.element_at(
+        F.array(*[F.lit(b / 1_000_000.0) for b in BENFORD_MICRO]),
+        F.col("first_digit"),
+    )
+    return (
+        counts.select(
+            "window_start_us",
+            F.col("d").alias("first_digit"),
+            "n_obs",
+            F.sum("n_obs").over(ww).alias("n_window"),
+        )
+        .select(
+            "window_start_us",
+            "first_digit",
+            "n_obs",
+            ratio(
+                F.col("n_obs").cast("double") * 1.0,
+                F.col("n_window").cast("double"),
+                6,
+            ).alias("obs_share"),
+            benford.alias("benford_share"),
+            (
+                ratio(
+                    F.col("n_obs").cast("double") * 1.0,
+                    F.col("n_window").cast("double"),
+                    6,
+                )
+                - benford
+            ).alias("deviation"),
+        )
+        .orderBy("window_start_us", "first_digit")
+    )
+
+
+def streaming_benford_drift_sql() -> str:
+    """Oracle: the batch mirror — tumbling windows are epoch-aligned, so
+    the streamed histogram equals batch bucketing over the same events.
+    Digits the window never produced are absent on BOTH sides (unlike
+    the whole-corpus batch audit's 9-row spine, a per-window spine would
+    also have to invent windows; per-window absence is the contract)."""
+    from ..operators.quality import BENFORD_MICRO
+
+    b_list = ", ".join(str(b / 1_000_000.0) for b in BENFORD_MICRO)
+    return f"""
+WITH vals AS (
+  SELECT (epoch_us(ts::TIMESTAMP) // {WINDOW_US}) * {WINDOW_US} AS window_start_us,
+         abs(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS a
+  FROM events
+),
+counts AS (
+  SELECT window_start_us, substr(a::varchar, 1, 1)::int AS first_digit,
+         count(*) AS n_obs
+  FROM vals WHERE a > 0
+  GROUP BY 1, 2
+),
+tot AS (
+  SELECT *, sum(n_obs) OVER (PARTITION BY window_start_us) AS n_window
+  FROM counts
+)
+SELECT window_start_us, first_digit, CAST(n_obs AS BIGINT) AS n_obs,
+       floor(n_obs::double * 1.0 / n_window::double * 1000000.0 + 0.5)
+         / 1000000.0 AS obs_share,
+       list_extract([{b_list}]::double[], first_digit) AS benford_share,
+       (floor(n_obs::double * 1.0 / n_window::double * 1000000.0 + 0.5)
+          / 1000000.0
+        - list_extract([{b_list}]::double[], first_digit)) AS deviation
+FROM tot
+ORDER BY window_start_us, first_digit
+"""
