@@ -1044,6 +1044,56 @@ _ROUND8_FILL = [
     "dedup_transactions",
 ]
 _ROUND8_WINDOW = _ROUND8_FRONT + _ROUND8_FILL
+
+# STAGED for round 9 (informational — finalize into an explicit 50-slot
+# _ROUND9_WINDOW once CORRECTNESS_r08 lands): the 24 round-8 additions,
+# never driver-checked.  No re-verifies are owed: every operator whose
+# source changed in round 8 (cuped_variance_reduction's calendar recut,
+# bh_fdr's ::double[] oracle cast) sits INSIDE the round-8 window, and the
+# remaining round-8 edits are comment/docstring-only.  Fill the other 26
+# slots with the oldest driver-green rows at that point — the round-4
+# rows outside the round-8 window, in CORRECTNESS_r04.json order
+# (checkins_build, visit_numbers, rolling_60d_visits, recency_buckets,
+# trailing_window_counts, entry_method_counts, daily_checkin_stats,
+# source_length_percentiles, incremental_dedup, lsh_buckets,
+# embedding_near_dup_pairs, customer_master, leads_table,
+# family_relationships, simhash_near_pairs, dedup_clusters, kmeans_refine,
+# decontamination, chunk_boilerplate, pii_scrub,
+# temperature_mixture_weights, cross_source_leakage, hard_negative_mining,
+# subword_token_stats, source_quality_cap, training_shard_assignment).
+_ROUND9_FRONT = [
+    "youth_teams_daily_active",
+    "intro_offer_conversion_timeline",
+    "intro_offer_conversion_summary",
+    "birthday_party_participants",
+    "birthday_party_revenue",
+    "fitness_revenue_monthly",
+    "fitness_class_attendance",
+    "camp_session_purchases",
+    "camp_revenue_monthly",
+    "theilsen_trend_bucketed",
+    "mann_whitney_spend_utest",
+    "bh_fdr_category_tests",
+    "trimmed_winsorized_spend",
+    "weekday_seasonality",
+    "churn_hazard_by_tenure",
+    "column_profile_audit",
+    "gini_spend_concentration",
+    "spearman_visit_spend",
+    "chisq_category_source",
+    "benford_amount_audit",
+    "ks_spend_test",
+    "mutual_info_category_source",
+    "embedding_top_component",
+    "streaming_benford_drift",
+]
+_r9_missing = [n for n in _ROUND9_FRONT if n not in REGISTRY]
+if _r9_missing:
+    raise ValueError(f"round-9 staged names not in registry: {_r9_missing}")
+if len(set(_ROUND9_FRONT)) != len(_ROUND9_FRONT):
+    raise ValueError("round-9 staged list contains duplicates")
+if set(_ROUND9_FRONT) & set(_ROUND8_WINDOW):
+    raise ValueError("round-9 staged names overlap the round-8 window")
 if len(_ROUND8_WINDOW) != 50:
     raise ValueError(f"round-8 window must fill exactly 50 slots, got {len(_ROUND8_WINDOW)}")
 if len(set(_ROUND8_WINDOW)) != len(_ROUND8_WINDOW):
