@@ -1761,8 +1761,8 @@ SELECT n, k AS k_trimmed_each_side,
             THEN {ratio_sql('trimmed_sum::double', 'trimmed_n::double', 2)}
        END AS trimmed_mean_cents,
        {ratio_sql('trimmed_sum::double + k::double * (lo_cut + hi_cut)::double', 'n::double', 2)} AS winsorized_mean_cents,
-       lo_cut AS lo_cut_cents,
-       hi_cut AS hi_cut_cents
+       CAST(lo_cut AS BIGINT) AS lo_cut_cents,
+       CAST(hi_cut AS BIGINT) AS hi_cut_cents
 FROM m
 """
 

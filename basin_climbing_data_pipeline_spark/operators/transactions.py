@@ -1560,7 +1560,8 @@ cum AS (
   FROM counts
 ),
 med_bucket AS (
-  SELECT bkt, (n_pairs + 1) // 2 - (cum - cnt) AS rank_in_bkt, n_pairs
+  SELECT bkt, (n_pairs + 1) // 2 - (cum - cnt) AS rank_in_bkt,
+         CAST(n_pairs AS BIGINT) AS n_pairs
   FROM cum
   WHERE cum >= (n_pairs + 1) // 2 AND cum - cnt < (n_pairs + 1) // 2
 ),
