@@ -2032,3 +2032,125 @@ SELECT n,
        END AS spearman_rho
 FROM m
 """
+
+
+# modified z-score convention (Iglewicz-Hoberg): 0.6745·(x−med)/MAD, flag 3.5
+ROBUST_Z_SCALE_MICRO = 674_500
+ROBUST_Z_FLAG_MICRO = 3_500_000
+
+
+def robust_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) daily event-volume anomalies — the sibling of
+    :func:`daily_anomalies` that a contaminated series actually needs:
+    mean/σ anomaly detection MASKS outliers (each anomaly inflates the σ
+    that judges it), while the median and the median absolute deviation
+    have a 50% breakdown point.  Every day rides along with its
+    Iglewicz-Hoberg modified z-score 0.6745·(n − med)/MAD and the
+    standard |mz| ≥ 3.5 flag (all-rows + flag, the CUSUM output shape —
+    a clean corpus answers "no anomaly" with rows, never with an empty
+    frame a hash check can't tell from a broken query).
+
+    Determinism: both medians are the deterministic lower-median rank
+    pick ((k+1) div 2 over the per-type day frame, ties broken by day /
+    deviation+day); MAD = 0 (constant-majority series) pins the score to
+    NULL on both engines rather than dividing by zero.
+
+    Scale shape: events collapse to (type, day) counts in one shuffle;
+    every window after runs per-type over the bounded day frame (days ×
+    types rows), exactly like the mean/σ sibling."""
+    from pyspark.sql import Window as W
+
+    from ..io import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.col("ts").cast("date").alias("d")
+    )
+    daily = ev.groupBy("event_type", "d").agg(F.count("*").alias("n"))
+    wt = W.partitionBy("event_type")
+    ranked = daily.withColumn("k", F.count("*").over(wt)).withColumn(
+        "rn", F.row_number().over(wt.orderBy("n", "d"))
+    )
+    med = ranked.filter(F.col("rn") == F.expr("(k + 1) div 2")).select(
+        "event_type", F.col("n").alias("med")
+    )
+    dev = daily.join(F.broadcast(med), "event_type").withColumn(
+        "ad", F.abs(F.col("n") - F.col("med"))
+    )
+    dev_ranked = dev.withColumn("k", F.count("*").over(wt)).withColumn(
+        "rn", F.row_number().over(wt.orderBy("ad", "d"))
+    )
+    mad = dev_ranked.filter(F.col("rn") == F.expr("(k + 1) div 2")).select(
+        "event_type", F.col("ad").alias("mad")
+    )
+    scored = dev.join(F.broadcast(mad), "event_type").withColumn(
+        "mz_micro",
+        F.when(
+            F.col("mad") > 0,
+            F.floor(
+                (F.col("n") - F.col("med")).cast("double")
+                / F.col("mad").cast("double")
+                * (ROBUST_Z_SCALE_MICRO / 1_000_000.0)
+                * 1000000.0
+                + 0.5
+            ).cast("long"),
+        ),
+    )
+    # every day rides along with its score and the flag (the CUSUM output
+    # shape): a clean corpus must yield rows saying "no anomaly", not an
+    # empty frame a hash check can't distinguish from a broken query
+    return scored.select(
+        "event_type",
+        "d",
+        "n",
+        "med",
+        "mad",
+        "mz_micro",
+        F.when(
+            F.col("mz_micro").isNotNull(),
+            F.abs(F.col("mz_micro")) >= ROBUST_Z_FLAG_MICRO,
+        ).alias("is_anomaly"),
+    ).orderBy("event_type", "d")
+
+
+def robust_daily_anomalies_sql() -> str:
+    return f"""
+WITH daily AS (
+  SELECT event_type, ts::DATE AS d, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, count(*) OVER (PARTITION BY event_type) AS k,
+         row_number() OVER (PARTITION BY event_type ORDER BY n, d) AS rn
+  FROM daily
+),
+med AS (
+  SELECT event_type, n AS med FROM ranked WHERE rn = (k + 1) // 2
+),
+dev AS (
+  SELECT daily.event_type, daily.d, daily.n, med.med,
+         abs(daily.n - med.med) AS ad
+  FROM daily JOIN med USING (event_type)
+),
+dev_ranked AS (
+  SELECT *, count(*) OVER (PARTITION BY event_type) AS k,
+         row_number() OVER (PARTITION BY event_type ORDER BY ad, d) AS rn
+  FROM dev
+),
+mad AS (
+  SELECT event_type, ad AS mad FROM dev_ranked WHERE rn = (k + 1) // 2
+),
+scored AS (
+  SELECT dev.event_type, dev.d, dev.n, dev.med, mad.mad,
+         CASE WHEN mad.mad > 0
+              THEN floor((dev.n - dev.med)::double / mad.mad::double
+                         * {ROBUST_Z_SCALE_MICRO / 1_000_000.0!r}
+                         * 1000000.0 + 0.5)::bigint END AS mz_micro
+  FROM dev JOIN mad USING (event_type)
+)
+SELECT event_type, d, CAST(n AS BIGINT) AS n, CAST(med AS BIGINT) AS med,
+       CAST(mad AS BIGINT) AS mad, mz_micro,
+       CASE WHEN mz_micro IS NOT NULL
+            THEN abs(mz_micro) >= {ROBUST_Z_FLAG_MICRO} END AS is_anomaly
+FROM scored
+ORDER BY event_type, d
+"""

@@ -2180,3 +2180,130 @@ SELECT source, n_docs, CAST(n_pass AS BIGINT) AS n_pass,
 FROM calc
 ORDER BY source
 """
+
+
+def feature_auc_screening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-feature ROC-AUC against the spam label — the numeric-feature
+    screening table beside :func:`experiments.woe_iv_by_feature`'s
+    categorical one: for each doc_stats feature, how well does the raw
+    feature ALONE rank non-spam (composite score >= QUALITY_SPAM_MAX)
+    above spam?  AUC is the Mann-Whitney identity
+    (R_pos − n_pos(n_pos+1)/2) / (n_pos·n_neg) with average tie ranks —
+    exact 2× integer rank sums, one number per feature: 0.5 = useless,
+    1.0 = separates perfectly, BELOW 0.5 = the feature separates in the
+    INVERTED direction (short adversarial docs make unique_ratio rank
+    spam HIGH on this corpus — exactly the screening surprise the table
+    exists to surface); the screening signal is |AUC − 0.5|.
+
+    Scale shape: features stack long-format map-side (3 rows per doc);
+    each feature's rank frame is its ≤10⁴-point fixed-point score
+    vocabulary (the _FEAT_SCALE grid), so the per-feature prefix windows
+    run over BOUNDED frames — corpus size only passes through the one
+    groupBy onto (feature, score)."""
+    stats = doc_stats(spark, sf_dir)
+    pos = (quality_score_col() >= QUALITY_SPAM_MAX).cast("long")
+    feats = F.array(
+        F.struct(
+            F.lit("stopword_ratio").alias("feature"),
+            F.floor(F.coalesce(F.col("stopword_ratio"), F.lit(0.0)) * _FEAT_SCALE + 0.5)
+            .cast("long")
+            .alias("score"),
+        ),
+        F.struct(
+            F.lit("unique_ratio").alias("feature"),
+            F.floor(F.coalesce(F.col("unique_ratio"), F.lit(0.0)) * _FEAT_SCALE + 0.5)
+            .cast("long")
+            .alias("score"),
+        ),
+        F.struct(
+            F.lit("length_saturation").alias("feature"),
+            F.floor(F.least(F.col("n_words") / 100.0, F.lit(1.0)) * _FEAT_SCALE + 0.5)
+            .cast("long")
+            .alias("score"),
+        ),
+    )
+    longf = stats.select(pos.alias("pos"), F.explode(feats).alias("f")).select(
+        F.col("f.feature").alias("feature"), F.col("f.score").alias("score"), "pos"
+    )
+    per_val = longf.groupBy("feature", "score").agg(
+        F.count("*").alias("cnt"), F.sum("pos").alias("n_pos_v")
+    )
+    from pyspark.sql import Window
+
+    win = (
+        Window.partitionBy("feature")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = per_val.withColumn(
+        "before", F.coalesce(F.sum("cnt").over(win), F.lit(0))
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    m = ranked.groupBy("feature").agg(
+        F.sum("cnt").alias("n"),
+        F.sum("n_pos_v").alias("n_pos"),
+        F.sum(
+            dec(F.col("n_pos_v") * (2 * F.col("before") + F.col("cnt") + 1))
+        ).alias("r2_pos"),
+    )
+    n, npos = F.col("n"), F.col("n_pos")
+    nneg = n - npos
+    # AUC via U: 2U = 2R_pos − n_pos(n_pos+1); AUC = U / (n_pos·n_neg)
+    u2 = F.col("r2_pos").cast("double") - (npos * (npos + 1)).cast("double")
+    micro = lambda c: F.floor(c * 1000000.0 + 0.5) / 1000000.0  # noqa: E731
+    return m.select(
+        "feature",
+        n.alias("n_docs"),
+        npos.alias("n_not_spam"),
+        F.when(
+            (npos > 0) & (nneg > 0),
+            micro(u2 / (2.0 * (npos * nneg).cast("double"))),
+        ).alias("auc_not_spam"),
+    ).orderBy("feature")
+
+
+def feature_auc_screening_sql() -> str:
+    return f"""
+WITH stats AS ({doc_stats_sql()}),
+longf AS (
+  SELECT 'stopword_ratio' AS feature,
+         CAST(floor(coalesce(stopword_ratio, 0.0) * {_FEAT_SCALE} + 0.5) AS BIGINT) AS score,
+         ({quality_score_sql()} >= {QUALITY_SPAM_MAX})::bigint AS pos
+  FROM stats
+  UNION ALL
+  SELECT 'unique_ratio',
+         CAST(floor(coalesce(unique_ratio, 0.0) * {_FEAT_SCALE} + 0.5) AS BIGINT),
+         ({quality_score_sql()} >= {QUALITY_SPAM_MAX})::bigint
+  FROM stats
+  UNION ALL
+  SELECT 'length_saturation',
+         CAST(floor(least(n_words / 100.0, 1.0) * {_FEAT_SCALE} + 0.5) AS BIGINT),
+         ({quality_score_sql()} >= {QUALITY_SPAM_MAX})::bigint
+  FROM stats
+),
+per_val AS (
+  SELECT feature, score, count(*) AS cnt, sum(pos) AS n_pos_v
+  FROM longf GROUP BY 1, 2
+),
+ranked AS (
+  SELECT feature, cnt, n_pos_v,
+         coalesce(sum(cnt) OVER (PARTITION BY feature ORDER BY score
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+  FROM per_val
+),
+m AS (
+  SELECT feature,
+         CAST(sum(cnt) AS BIGINT) AS n,
+         CAST(sum(n_pos_v) AS BIGINT) AS n_pos,
+         sum((n_pos_v * (2 * before + cnt + 1))::hugeint) AS r2_pos
+  FROM ranked GROUP BY feature
+)
+SELECT feature, n AS n_docs, n_pos AS n_not_spam,
+       CASE WHEN n_pos > 0 AND n - n_pos > 0
+            THEN floor((r2_pos::double - (n_pos * (n_pos + 1))::double)
+                       / (2.0 * (n_pos * (n - n_pos))::double)
+                       * 1000000.0 + 0.5) / 1000000.0
+       END AS auc_not_spam
+FROM m
+ORDER BY feature
+"""

@@ -775,6 +775,16 @@ register(
     st.streaming_benford_drift,
     st.streaming_benford_drift_sql(),
 )
+register(
+    "feature_auc_screening",
+    ts.feature_auc_screening,
+    ts.feature_auc_screening_sql(),
+)
+register(
+    "robust_daily_anomalies",
+    co.robust_daily_anomalies,
+    co.robust_daily_anomalies_sql(),
+)
 
 
 # --- round-5 window rotation ----------------------------------------------
@@ -1046,11 +1056,11 @@ _ROUND8_FILL = [
 _ROUND8_WINDOW = _ROUND8_FRONT + _ROUND8_FILL
 
 # STAGED for round 9 (informational — finalize into an explicit 50-slot
-# _ROUND9_WINDOW once CORRECTNESS_r08 lands): the 24 round-8 additions,
+# _ROUND9_WINDOW once CORRECTNESS_r08 lands): the 26 round-8 additions,
 # never driver-checked.  No re-verifies are owed: every operator whose
 # source changed in round 8 (cuped_variance_reduction's calendar recut,
 # bh_fdr's ::double[] oracle cast) sits INSIDE the round-8 window, and the
-# remaining round-8 edits are comment/docstring-only.  Fill the other 26
+# remaining round-8 edits are comment/docstring-only.  Fill the other 24
 # slots with the oldest driver-green rows at that point — the round-4
 # rows outside the round-8 window, in CORRECTNESS_r04.json order
 # (checkins_build, visit_numbers, rolling_60d_visits, recency_buckets,
@@ -1060,7 +1070,7 @@ _ROUND8_WINDOW = _ROUND8_FRONT + _ROUND8_FILL
 # family_relationships, simhash_near_pairs, dedup_clusters, kmeans_refine,
 # decontamination, chunk_boilerplate, pii_scrub,
 # temperature_mixture_weights, cross_source_leakage, hard_negative_mining,
-# subword_token_stats, source_quality_cap, training_shard_assignment).
+# subword_token_stats).
 _ROUND9_FRONT = [
     "youth_teams_daily_active",
     "intro_offer_conversion_timeline",
@@ -1086,6 +1096,8 @@ _ROUND9_FRONT = [
     "mutual_info_category_source",
     "embedding_top_component",
     "streaming_benford_drift",
+    "feature_auc_screening",
+    "robust_daily_anomalies",
 ]
 _r9_missing = [n for n in _ROUND9_FRONT if n not in REGISTRY]
 if _r9_missing:

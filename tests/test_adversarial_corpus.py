@@ -68,6 +68,7 @@ QUERIES = [
     "quality_dup_lift",          # quality-bucket x dup-membership on extremes
     "probe_conformal_calibration",  # conformal q-hat on a degenerate tiny fit
     "eb_shrunk_source_quality",  # beta-binomial MoM on degenerate variance
+    "feature_auc_screening",     # tie-heavy fixed-point ranks on empty/short docs
 ]
 
 

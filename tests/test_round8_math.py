@@ -960,3 +960,87 @@ def test_top_component_matches_numpy(con):
     assert share <= top + 1e-9
     assert share >= 1.0 / DIM - 1e-9
     assert top - share <= 2.0 * resid * top + 1e-6
+
+
+def test_feature_auc_matches_pure_python(con):
+    from basin_climbing_data_pipeline_spark.operators.textstats import (
+        _FEAT_SCALE,
+        QUALITY_SPAM_MAX,
+        doc_stats_sql,
+        feature_auc_screening_sql,
+        quality_score_sql,
+    )
+
+    got = {r[0]: r for r in con.execute(feature_auc_screening_sql()).fetchall()}
+    raw = con.execute(
+        f"""WITH stats AS ({doc_stats_sql()})
+        SELECT coalesce(stopword_ratio, 0.0), coalesce(unique_ratio, 0.0),
+               least(n_words / 100.0, 1.0),
+               ({quality_score_sql()} >= {QUALITY_SPAM_MAX})
+        FROM stats"""
+    ).fetchall()
+    feats = {
+        "stopword_ratio": [(math.floor(r[0] * _FEAT_SCALE + 0.5), r[3]) for r in raw],
+        "unique_ratio": [(math.floor(r[1] * _FEAT_SCALE + 0.5), r[3]) for r in raw],
+        "length_saturation": [
+            (math.floor(r[2] * _FEAT_SCALE + 0.5), r[3]) for r in raw
+        ],
+    }
+    assert set(got) == set(feats)
+    for name, xs in feats.items():
+        xs.sort()
+        n = len(xs)
+        n_pos = sum(1 for _s, p in xs if p)
+        # average-tie 2x rank sum for the positive class
+        r2 = 0
+        i = 0
+        while i < n:
+            j = i
+            while j < n and xs[j][0] == xs[i][0]:
+                j += 1
+            r2 += ((i + 1) + j) * sum(1 for k in range(i, j) if xs[k][1])
+            i = j
+        auc = (r2 - n_pos * (n_pos + 1)) / (2.0 * n_pos * (n - n_pos))
+        row = got[name]
+        assert row[1] == n and row[2] == n_pos
+        assert row[3] == _micro(auc)
+        assert 0.0 <= row[3] <= 1.0
+    # the features CONSTRUCT the label, so at least one must carry strong
+    # signal; direction varies per feature (that is the screening point)
+    assert any(abs(got[k][3] - 0.5) > 0.1 for k in got)
+
+
+def test_robust_anomalies_match_pure_python(con):
+    from basin_climbing_data_pipeline_spark.operators.cohorts import (
+        ROBUST_Z_FLAG_MICRO,
+        ROBUST_Z_SCALE_MICRO,
+        robust_daily_anomalies_sql,
+    )
+
+    got = {(r[0], r[1]): r for r in con.execute(robust_daily_anomalies_sql()).fetchall()}
+    daily: dict[str, dict] = {}
+    for et, d, n in con.execute(
+        "SELECT event_type, ts::DATE, count(*) FROM events GROUP BY 1, 2"
+    ).fetchall():
+        daily.setdefault(et, {})[d] = n
+    n_rows = 0
+    for et, days in daily.items():
+        ordered = sorted(days.items(), key=lambda kv: (kv[1], kv[0]))
+        med = ordered[(len(ordered) + 1) // 2 - 1][1]
+        devs = sorted(
+            ((abs(n - med), d) for d, n in days.items())
+        )
+        mad = devs[(len(devs) + 1) // 2 - 1][0]
+        for d, n in days.items():
+            row = got[(et, d)]
+            assert row[3] == med and row[4] == mad
+            if mad > 0:
+                mz = math.floor(
+                    (n - med) / mad * (ROBUST_Z_SCALE_MICRO / 1e6) * 1e6 + 0.5
+                )
+                assert row[5] == mz
+                assert row[6] == (abs(mz) >= ROBUST_Z_FLAG_MICRO)
+            else:
+                assert row[5] is None and row[6] is None
+            n_rows += 1
+    assert n_rows == len(got)
