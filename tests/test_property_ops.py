@@ -209,3 +209,59 @@ def test_kaplan_meier_matches_reference_product(spark=None):
     # survival is non-increasing
     ss = [r[4] for r in got]
     assert all(a >= b for a, b in zip(ss, ss[1:]))
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    vals=st.lists(
+        st.integers(min_value=-(10**15), max_value=10**15), min_size=1, max_size=120
+    )
+)
+def test_bucketed_prefix_ranks_equal_sorted_ranks(vals):
+    """The round-8 rank primitive (sign-aware log-bucket offsets +
+    within-bucket prefix) must reproduce plain sorted-order ranks for ANY
+    int64 multiset — the decomposition is only valid if the bucket
+    function is monotone nondecreasing in the value, including the
+    negative branch, zero, and duplicate-heavy inputs.  This underpins
+    mann_whitney / trimmed_winsorized / gini / spearman / ks /
+    theilsen_trend_bucketed."""
+    from basin_climbing_data_pipeline_spark.operators.sketches import (
+        HIST_SUBBUCKETS,
+    )
+
+    con = duckdb.connect()
+    values = ", ".join(f"({v})" for v in vals)
+    got = con.execute(
+        f"""
+WITH per_val AS (
+  SELECT v, count(*) AS cnt FROM (VALUES {values}) t(v) GROUP BY v
+),
+bucketed AS (
+  SELECT v, cnt,
+         CASE WHEN v >= 0 THEN floor(log10(v + 1) * {HIST_SUBBUCKETS})
+              ELSE -1 - floor(log10(-v + 1) * {HIST_SUBBUCKETS})
+         END::bigint AS bkt
+  FROM per_val
+),
+offsets AS (
+  SELECT bkt, coalesce(sum(cnt) OVER (ORDER BY bkt
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bkt_before
+  FROM (SELECT bkt, sum(cnt) AS cnt FROM bucketed GROUP BY bkt)
+),
+ranked AS (
+  SELECT b.v, b.cnt,
+         o.bkt_before + coalesce(sum(b.cnt) OVER (PARTITION BY b.bkt ORDER BY b.v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+  FROM bucketed b JOIN offsets o USING (bkt)
+)
+SELECT v, cnt, before FROM ranked ORDER BY v
+"""
+    ).fetchall()
+    ordered = sorted(vals)
+    import bisect
+
+    for v, cnt, before in got:
+        lo = bisect.bisect_left(ordered, v)
+        hi = bisect.bisect_right(ordered, v)
+        assert before == lo, (v, before, lo)
+        assert cnt == hi - lo, (v, cnt, hi - lo)
