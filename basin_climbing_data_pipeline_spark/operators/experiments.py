@@ -1148,3 +1148,105 @@ SELECT n, n_a, (n - n_a) AS n_b,
        END AS reject_01
 FROM m
 """
+
+
+# ---------------------------------------------------------------------------
+# power / minimum-detectable-effect table for the category test family
+# ---------------------------------------------------------------------------
+
+# standard-normal quantiles as shared micro literals (z_{0.975}, z_{0.80})
+Z_ALPHA2_MICRO = 1_959_964
+Z_POWER_MICRO = 841_621
+
+
+def refund_test_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment-design table for the per-category refund-rate family
+    (:func:`bh_fdr_category_tests`'s hypotheses): at each category's
+    CURRENT sample sizes and pooled refund rate, the minimum detectable
+    absolute and relative effect at 80% power / 5% two-sided alpha —
+    MDE = (z_{0.975}+z_{0.80})·√(p̂(1−p̂)(1/n_A+1/n_B)).  This is the
+    question a team asks BEFORE reading the test ("could this category
+    even show the shift we care about?"), and the number that explains a
+    non-rejection: an MDE above the plausible effect size means the test
+    was underpowered, not the effect absent.
+
+    Determinism: counts are exact; the z quantiles are shared micro
+    literals (no engine has the inverse normal CDF); the single sqrt is
+    correctly rounded IEEE.  Degenerate pooled rates (0 or 1) pin the
+    MDE to NULL on both engines.
+
+    Scale shape: one conditional aggregation onto the bounded category
+    frame; everything after is scalar arithmetic per category row."""
+    from ..functions.money import ratio
+    from .sampling import _md5_bucket
+    from .transactions import build_transactions
+
+    txn = build_transactions(spark, sf_dir)
+    arms = txn.select(
+        "revenue_category",
+        (_md5_bucket(F.col("customer_id"), 2) == 0).alias("arm_a"),
+        F.col("is_refund").cast("long").alias("ref"),
+    )
+    agg = arms.groupBy("revenue_category").agg(
+        F.sum(F.col("arm_a").cast("long")).alias("n_a"),
+        F.sum((~F.col("arm_a")).cast("long")).alias("n_b"),
+        F.sum("ref").alias("n_ref"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    p = F.col("n_ref").cast("double") / (na + nb)
+    zsum = (Z_ALPHA2_MICRO + Z_POWER_MICRO) / 1_000_000.0
+    mde = zsum * F.sqrt(p * (1.0 - p) * (1.0 / na + 1.0 / nb))
+    ok = (
+        (F.col("n_a") > 0)
+        & (F.col("n_b") > 0)
+        & (F.col("n_ref") > 0)
+        & (F.col("n_ref") < F.col("n_a") + F.col("n_b"))
+    )
+    micro = lambda c: F.floor(c * 1000000.0 + 0.5) / 1000000.0  # noqa: E731
+    return agg.select(
+        "revenue_category",
+        "n_a",
+        "n_b",
+        ratio(F.col("n_ref").cast("double"), na + nb, 6).alias("pooled_rate"),
+        F.when(ok, micro(mde)).alias("mde_abs"),
+        F.when(ok, micro(mde / p)).alias("mde_rel"),
+    ).orderBy("revenue_category")
+
+
+def refund_test_power_mde_sql() -> str:
+    from ..functions.money import ratio_sql
+    from .sampling import _md5_bucket_sql
+    from .transactions import transactions_sql
+
+    zsum = (Z_ALPHA2_MICRO + Z_POWER_MICRO) / 1_000_000.0
+    return f"""
+WITH txn AS ({transactions_sql()}),
+arms AS (
+  SELECT revenue_category,
+         ({_md5_bucket_sql('customer_id', 2)} = 0) AS arm_a,
+         is_refund::bigint AS ref
+  FROM txn
+),
+agg AS (
+  SELECT revenue_category,
+         CAST(sum(arm_a::bigint) AS BIGINT) AS n_a,
+         CAST(sum((NOT arm_a)::bigint) AS BIGINT) AS n_b,
+         CAST(sum(ref) AS BIGINT) AS n_ref
+  FROM arms GROUP BY revenue_category
+)
+SELECT revenue_category, n_a, n_b,
+       {ratio_sql('n_ref::double', '(n_a + n_b)::double', 6)} AS pooled_rate,
+       CASE WHEN n_a > 0 AND n_b > 0 AND n_ref > 0 AND n_ref < n_a + n_b
+            THEN floor({zsum!r} * sqrt((n_ref::double / (n_a + n_b)::double)
+                       * (1.0 - n_ref::double / (n_a + n_b)::double)
+                       * (1.0 / n_a::double + 1.0 / n_b::double))
+                 * 1000000.0 + 0.5) / 1000000.0 END AS mde_abs,
+       CASE WHEN n_a > 0 AND n_b > 0 AND n_ref > 0 AND n_ref < n_a + n_b
+            THEN floor({zsum!r} * sqrt((n_ref::double / (n_a + n_b)::double)
+                       * (1.0 - n_ref::double / (n_a + n_b)::double)
+                       * (1.0 / n_a::double + 1.0 / n_b::double))
+                 / (n_ref::double / (n_a + n_b)::double)
+                 * 1000000.0 + 0.5) / 1000000.0 END AS mde_rel
+FROM agg
+ORDER BY revenue_category
+"""

@@ -1730,3 +1730,157 @@ SELECT revenue_category, dow, CAST(n_days AS BIGINT) AS n_days,
 FROM tot
 ORDER BY revenue_category, dow
 """
+
+
+# ---------------------------------------------------------------------------
+# Holt level+trend filter — the trend-aware step past EWMA
+# ---------------------------------------------------------------------------
+
+HOLT_ALPHA = 0.5
+HOLT_BETA = 0.3
+HOLT_K = 28  # filter taps; the α=.5/β=.3 impulse response is ~2e-5 by lag 28
+
+
+def _holt_weights() -> tuple[tuple[int, ...], tuple[int, ...]]:
+    """Nano-quantized impulse responses of the Holt recursion
+    l_t = αx_t + (1−α)(l_{t−1}+b_{t−1}); b_t = β(l_t−l_{t−1}) + (1−β)b_{t−1}
+    — generated ONCE here and embedded as identical literals in both
+    engines, so no engine ever iterates the recursion."""
+    l = b = 0.0
+    wl, wb = [], []
+    x = 1.0
+    for _ in range(HOLT_K):
+        lp, bp = l, b
+        l = HOLT_ALPHA * x + (1 - HOLT_ALPHA) * (lp + bp)
+        b = HOLT_BETA * (l - lp) + (1 - HOLT_BETA) * bp
+        wl.append(int(_math.floor(l * 1_000_000_000 + 0.5)))
+        wb.append(int(_math.floor(b * 1_000_000_000 + 0.5)))
+        x = 0.0
+    return tuple(wl), tuple(wb)
+
+
+import math as _math  # noqa: E402  (shared with the module's other literal tables)
+
+HOLT_WL_NANO, HOLT_WB_NANO = _holt_weights()
+
+
+def holt_linear_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt level+trend smoothing of daily revenue per category, as an
+    exact :data:`HOLT_K`-tap linear filter — the trend-aware step past
+    :func:`ewma_daily_revenue` (EWMA lags a trending series by design;
+    Holt's trend term removes that lag), plus the one-step-ahead forecast
+    (yesterday's level + trend) and its error, which is the number a
+    finance dashboard actually watches.
+
+    Determinism: the α/β recursion is never iterated in-engine — its
+    impulse response is nano-quantized ONCE in Python
+    (:func:`_holt_weights`) and embedded as identical literals, so level
+    and trend are plain lag-window dot products: Σ w_k·cents_{t−k} with
+    exact int64 products per tap summed in a fixed expression order
+    (never a data-order float sum).  Truncation at K=28 carries the α=.5
+    impulse tail (~2e-5) — documented, identical in both engines.
+
+    Scale shape: same plan as the EWMA — zero-filled category-local dense
+    calendar, ONE shuffle on the category key, one unrolled lag window."""
+    from pyspark.sql import Window
+
+    from ..functions.money import to_cents
+
+    txn = build_transactions(spark, sf_dir)
+    daily = txn.groupBy(
+        F.col("revenue_category"), F.col("txn_date").alias("day")
+    ).agg(F.sum(to_cents(F.col("total_amount"))).alias("cents"))
+    bounds = daily.groupBy("revenue_category").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    calendar = bounds.select(
+        "revenue_category",
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day"),
+    )
+    dense = calendar.join(daily, ["revenue_category", "day"], "left").select(
+        "revenue_category", "day", F.coalesce(F.col("cents"), F.lit(0)).alias("cents")
+    )
+    w = Window.partitionBy("revenue_category").orderBy("day")
+    level_nano = None
+    trend_nano = None
+    for k in range(HOLT_K):
+        # decimal per-tap products: edge-value cents (~1e11) × nano weights
+        # (~5e8) overflow int64 (capstone catch) — mirror the oracle's
+        # hugeint accumulation
+        lagged = F.coalesce(F.lag("cents", k).over(w), F.lit(0)).cast(
+            "decimal(38,0)"
+        )
+        tl = lagged * F.lit(HOLT_WL_NANO[k]).cast("decimal(38,0)")
+        tb = lagged * F.lit(HOLT_WB_NANO[k]).cast("decimal(38,0)")
+        level_nano = tl if level_nano is None else level_nano + tl
+        trend_nano = tb if trend_nano is None else trend_nano + tb
+    staged = dense.select(
+        "revenue_category",
+        "day",
+        "cents",
+        F.floor(level_nano.cast("double") / 1.0e9 + 0.5).cast("long").alias("level_c"),
+        F.floor(trend_nano.cast("double") / 1.0e9 + 0.5).cast("long").alias("trend_c"),
+    )
+    fc = F.lag(F.col("level_c") + F.col("trend_c")).over(w)
+    return staged.select(
+        "revenue_category",
+        "day",
+        (F.col("cents") / 100.0).alias("net_revenue"),
+        (F.col("level_c") / 100.0).alias("holt_level"),
+        (F.col("trend_c") / 100.0).alias("holt_trend"),
+        (fc / 100.0).alias("forecast"),
+        ((F.col("cents") - fc) / 100.0).alias("forecast_error"),
+    ).orderBy("revenue_category", "day")
+
+
+def holt_linear_daily_revenue_sql() -> str:
+    from ..functions.money import to_cents_sql
+
+    lag_cols = ",\n         ".join(
+        f"coalesce(lag(cents, {k}) OVER "
+        f"(PARTITION BY revenue_category ORDER BY day), 0) AS lag_{k}"
+        for k in range(HOLT_K)
+    )
+    lvl = " + ".join(f"lag_{k} * {HOLT_WL_NANO[k]}::hugeint" for k in range(HOLT_K))
+    trd = " + ".join(f"lag_{k} * {HOLT_WB_NANO[k]}::hugeint" for k in range(HOLT_K))
+    return f"""
+WITH txn AS ({transactions_sql()}),
+daily AS (
+  SELECT revenue_category, txn_date AS day,
+         sum({to_cents_sql('total_amount')}) AS cents
+  FROM txn GROUP BY 1, 2
+),
+bounds AS (
+  SELECT revenue_category, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1
+),
+calendar AS (
+  SELECT revenue_category, unnest(generate_series(d0, d1, INTERVAL 1 DAY))::date AS day
+  FROM bounds
+),
+dense AS (
+  SELECT c.revenue_category, c.day, coalesce(d.cents, 0) AS cents
+  FROM calendar c LEFT JOIN daily d USING (revenue_category, day)
+),
+lagged AS (
+  SELECT revenue_category, day, cents,
+         {lag_cols}
+  FROM dense
+),
+staged AS (
+  SELECT revenue_category, day, cents,
+         CAST(floor(({lvl})::double / 1.0e9 + 0.5) AS BIGINT) AS level_c,
+         CAST(floor(({trd})::double / 1.0e9 + 0.5) AS BIGINT) AS trend_c
+  FROM lagged
+)
+SELECT revenue_category, day,
+       cents / 100.0 AS net_revenue,
+       level_c / 100.0 AS holt_level,
+       trend_c / 100.0 AS holt_trend,
+       lag(level_c + trend_c) OVER (PARTITION BY revenue_category ORDER BY day)
+         / 100.0 AS forecast,
+       (cents - lag(level_c + trend_c)
+                OVER (PARTITION BY revenue_category ORDER BY day)) / 100.0
+         AS forecast_error
+FROM staged
+ORDER BY revenue_category, day
+"""

@@ -785,6 +785,16 @@ register(
     co.robust_daily_anomalies,
     co.robust_daily_anomalies_sql(),
 )
+register(
+    "holt_linear_daily_revenue",
+    txn.holt_linear_daily_revenue,
+    txn.holt_linear_daily_revenue_sql(),
+)
+register(
+    "refund_test_power_mde",
+    ex.refund_test_power_mde,
+    ex.refund_test_power_mde_sql(),
+)
 
 
 # --- round-5 window rotation ----------------------------------------------
@@ -1056,11 +1066,11 @@ _ROUND8_FILL = [
 _ROUND8_WINDOW = _ROUND8_FRONT + _ROUND8_FILL
 
 # STAGED for round 9 (informational — finalize into an explicit 50-slot
-# _ROUND9_WINDOW once CORRECTNESS_r08 lands): the 26 round-8 additions,
+# _ROUND9_WINDOW once CORRECTNESS_r08 lands): the 28 round-8 additions,
 # never driver-checked.  No re-verifies are owed: every operator whose
 # source changed in round 8 (cuped_variance_reduction's calendar recut,
 # bh_fdr's ::double[] oracle cast) sits INSIDE the round-8 window, and the
-# remaining round-8 edits are comment/docstring-only.  Fill the other 24
+# remaining round-8 edits are comment/docstring-only.  Fill the other 22
 # slots with the oldest driver-green rows at that point — the round-4
 # rows outside the round-8 window, in CORRECTNESS_r04.json order
 # (checkins_build, visit_numbers, rolling_60d_visits, recency_buckets,
@@ -1069,8 +1079,7 @@ _ROUND8_WINDOW = _ROUND8_FRONT + _ROUND8_FILL
 # embedding_near_dup_pairs, customer_master, leads_table,
 # family_relationships, simhash_near_pairs, dedup_clusters, kmeans_refine,
 # decontamination, chunk_boilerplate, pii_scrub,
-# temperature_mixture_weights, cross_source_leakage, hard_negative_mining,
-# subword_token_stats).
+# temperature_mixture_weights, cross_source_leakage).
 _ROUND9_FRONT = [
     "youth_teams_daily_active",
     "intro_offer_conversion_timeline",
@@ -1098,6 +1107,8 @@ _ROUND9_FRONT = [
     "streaming_benford_drift",
     "feature_auc_screening",
     "robust_daily_anomalies",
+    "holt_linear_daily_revenue",
+    "refund_test_power_mde",
 ]
 _r9_missing = [n for n in _ROUND9_FRONT if n not in REGISTRY]
 if _r9_missing:

@@ -327,6 +327,8 @@ TXN_QUERIES = [
     "spearman_visit_spend",      # double-tied ranks incl. all-zero visits
     "chisq_category_source",     # absent contingency cells contribute E
     "benford_amount_audit",      # string first digit on 1e9-scale amounts
+    "holt_linear_daily_revenue", # decimal tap products on 1e11-cent days
+    "refund_test_power_mde",     # refunds-only / no-refund degenerate rates
 ]
 
 

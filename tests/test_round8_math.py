@@ -1044,3 +1044,106 @@ def test_robust_anomalies_match_pure_python(con):
                 assert row[5] is None and row[6] is None
             n_rows += 1
     assert n_rows == len(got)
+
+
+def test_holt_filter_matches_reference_recursion(con):
+    """The embedded impulse-response literals must reproduce the actual
+    Holt recursion: recompute level/trend per (category, day) by running
+    the textbook recursion in pure python over the zero-filled series
+    (truncation-matched: the recursion is restarted from zero state K
+    days back, which IS the K-tap filter's definition), and compare the
+    nano-floored results exactly."""
+    from basin_climbing_data_pipeline_spark.operators.transactions import (
+        HOLT_ALPHA,
+        HOLT_BETA,
+        HOLT_K,
+        HOLT_WB_NANO,
+        HOLT_WL_NANO,
+        holt_linear_daily_revenue_sql,
+    )
+
+    # literals ARE the recursion's impulse response
+    l = b = 0.0
+    x = 1.0
+    for k in range(HOLT_K):
+        lp, bp = l, b
+        l = HOLT_ALPHA * x + (1 - HOLT_ALPHA) * (lp + bp)
+        b = HOLT_BETA * (l - lp) + (1 - HOLT_BETA) * bp
+        assert HOLT_WL_NANO[k] == math.floor(l * 1e9 + 0.5)
+        assert HOLT_WB_NANO[k] == math.floor(b * 1e9 + 0.5)
+        x = 0.0
+
+    got = {
+        (r[0], r[1]): r for r in con.execute(holt_linear_daily_revenue_sql()).fetchall()
+    }
+    dense = _daily_dense(con)
+    n_rows = 0
+    for cat, seq in dense.items():
+        cents = [c for _, c in seq]
+        for i, (day, c) in enumerate(seq):
+            lvl = sum(
+                HOLT_WL_NANO[k] * cents[i - k]
+                for k in range(min(HOLT_K, i + 1))
+            )
+            trd = sum(
+                HOLT_WB_NANO[k] * cents[i - k]
+                for k in range(min(HOLT_K, i + 1))
+            )
+            level_c = math.floor(lvl / 1e9 + 0.5)
+            trend_c = math.floor(trd / 1e9 + 0.5)
+            row = got[(cat, day)]
+            assert row[2] == c / 100.0
+            assert row[3] == level_c / 100.0, (cat, day)
+            assert row[4] == trend_c / 100.0, (cat, day)
+            n_rows += 1
+    assert n_rows == len(got)
+
+
+def test_power_mde_matches_pure_python(con):
+    from basin_climbing_data_pipeline_spark.operators.experiments import (
+        Z_ALPHA2_MICRO,
+        Z_POWER_MICRO,
+        refund_test_power_mde_sql,
+    )
+    from basin_climbing_data_pipeline_spark.operators.transactions import (
+        transactions_sql,
+    )
+
+    # the z literals are the actual normal quantiles (recomputed via
+    # bisection on erf — no scipy in this container)
+    def norm_q(p):
+        lo, hi = 0.0, 8.0
+        for _ in range(80):
+            mid = (lo + hi) / 2
+            if (1 + math.erf(mid / math.sqrt(2))) / 2 < p:
+                lo = mid
+            else:
+                hi = mid
+        return (lo + hi) / 2
+
+    assert Z_ALPHA2_MICRO == round(norm_q(0.975) * 1e6)
+    assert Z_POWER_MICRO == round(norm_q(0.80) * 1e6)
+
+    got = {r[0]: r for r in con.execute(refund_test_power_mde_sql()).fetchall()}
+    raw = con.execute(
+        f"""WITH txn AS ({transactions_sql()})
+        SELECT revenue_category, customer_id::varchar, is_refund FROM txn"""
+    ).fetchall()
+    cats: dict[str, list] = {}
+    for cat, cid, ref in raw:
+        a = int(hashlib.md5(cid.encode()).hexdigest()[:8], 16) % 2 == 0
+        cats.setdefault(cat, []).append((a, int(ref)))
+    zsum = (Z_ALPHA2_MICRO + Z_POWER_MICRO) / 1e6
+    for cat, xs in cats.items():
+        n_a = sum(1 for a, _ in xs if a)
+        n_b = len(xs) - n_a
+        n_ref = sum(r for _, r in xs)
+        row = got[cat]
+        assert (row[1], row[2]) == (n_a, n_b)
+        assert row[3] == _ratio(n_ref, n_a + n_b, 6)
+        if n_a and n_b and 0 < n_ref < n_a + n_b:
+            p = n_ref / (n_a + n_b)
+            mde = zsum * math.sqrt(p * (1 - p) * (1 / n_a + 1 / n_b))
+            assert row[4] == _micro(mde)
+            assert row[5] == _micro(mde / p)
+            assert 0 < row[4] < 1
