@@ -1001,8 +1001,10 @@ _ROUND7_WINDOW = [
 #     registry: every non-front entry's newest driver row is round 4 or
 #     later, so these are the first 15 round-4-green entries in their
 #     CORRECTNESS_r04.json verification order.
-# A green CORRECTNESS_r08 on this window makes ALL 204 registry entries
-# driver-verified-ever.
+# A green CORRECTNESS_r08 on this window made all 204 PRE-round-8 entries
+# driver-verified-ever (the registry holds 232 at round-8 close; the 28
+# round-8 additions rotate through _ROUND9_WINDOW below).  CORRECTNESS_r08
+# landed 50/50 green, so that milestone is met.
 _ROUND8_FRONT = [
     # round-7 additions (23, never driver-checked)
     "value_drift_psi",
@@ -1065,21 +1067,21 @@ _ROUND8_FILL = [
 ]
 _ROUND8_WINDOW = _ROUND8_FRONT + _ROUND8_FILL
 
-# STAGED for round 9 (informational — finalize into an explicit 50-slot
-# _ROUND9_WINDOW once CORRECTNESS_r08 lands): the 28 round-8 additions,
-# never driver-checked.  No re-verifies are owed: every operator whose
-# source changed in round 8 (cuped_variance_reduction's calendar recut,
-# bh_fdr's ::double[] oracle cast) sits INSIDE the round-8 window, and the
-# remaining round-8 edits are comment/docstring-only.  Fill the other 22
-# slots with the oldest driver-green rows at that point — the round-4
-# rows outside the round-8 window, in CORRECTNESS_r04.json order
-# (checkins_build, visit_numbers, rolling_60d_visits, recency_buckets,
-# trailing_window_counts, entry_method_counts, daily_checkin_stats,
-# source_length_percentiles, incremental_dedup, lsh_buckets,
-# embedding_near_dup_pairs, customer_master, leads_table,
-# family_relationships, simhash_near_pairs, dedup_clusters, kmeans_refine,
-# decontamination, chunk_boilerplate, pii_scrub,
-# temperature_mixture_weights, cross_source_leakage).
+# ROUND-9 WINDOW (the 50 registry slots the driver verifies this round).
+# CORRECTNESS_r08 landed 50/50 green, so the staged plan is now code:
+#   * 28 front slots (_ROUND9_FRONT) — the round-8 additions, never
+#     driver-checked.  A green CORRECTNESS_r09 on them reaches the
+#     232/232 driver-verified-ever milestone.  Three of them
+#     (mann_whitney_spend_utest, trimmed_winsorized_spend,
+#     gini_spend_concentration) had a round-9 cast-before-multiply
+#     overflow hardening (ADVICE r8) — sitting inside this window means
+#     the hardened code is exactly what the driver verifies.
+#   * 22 fill slots (_ROUND9_FILL) — the oldest driver-green rows in the
+#     registry: the round-4-green entries outside the round-8 window, in
+#     CORRECTNESS_r04.json verification order.
+# No re-verifies are owed beyond the fill: every round-8 source change
+# sat inside the round-8 window, and round-9 source changes either sit
+# inside this window or are tracked in _ROUND10_OWED below.
 _ROUND9_FRONT = [
     "youth_teams_daily_active",
     "intro_offer_conversion_timeline",
@@ -1110,13 +1112,69 @@ _ROUND9_FRONT = [
     "holt_linear_daily_revenue",
     "refund_test_power_mde",
 ]
-_r9_missing = [n for n in _ROUND9_FRONT if n not in REGISTRY]
+# Fill slots: oldest driver-green rows — round-4-green entries outside the
+# round-8 window, in CORRECTNESS_r04.json verification order.
+_ROUND9_FILL = [
+    "checkins_build",
+    "visit_numbers",
+    "rolling_60d_visits",
+    "recency_buckets",
+    "trailing_window_counts",
+    "entry_method_counts",
+    "daily_checkin_stats",
+    "source_length_percentiles",
+    "incremental_dedup",
+    "lsh_buckets",
+    "embedding_near_dup_pairs",
+    "customer_master",
+    "leads_table",
+    "family_relationships",
+    "simhash_near_pairs",
+    "dedup_clusters",
+    "kmeans_refine",
+    "decontamination",
+    "chunk_boilerplate",
+    "pii_scrub",
+    "temperature_mixture_weights",
+    "cross_source_leakage",
+]
+_ROUND9_WINDOW = _ROUND9_FRONT + _ROUND9_FILL
+
+_r9_missing = [n for n in _ROUND9_WINDOW if n not in REGISTRY]
 if _r9_missing:
-    raise ValueError(f"round-9 staged names not in registry: {_r9_missing}")
+    raise ValueError(f"round-9 window names not in registry: {_r9_missing}")
 if len(set(_ROUND9_FRONT)) != len(_ROUND9_FRONT):
-    raise ValueError("round-9 staged list contains duplicates")
+    raise ValueError("round-9 front list contains duplicates")
 if set(_ROUND9_FRONT) & set(_ROUND8_WINDOW):
-    raise ValueError("round-9 staged names overlap the round-8 window")
+    raise ValueError("round-9 front names overlap the round-8 window")
+if len(_ROUND9_WINDOW) != 50:
+    raise ValueError(f"round-9 window must fill exactly 50 slots, got {len(_ROUND9_WINDOW)}")
+if len(set(_ROUND9_WINDOW)) != len(_ROUND9_WINDOW):
+    raise ValueError("round-9 window contains duplicate entries")
+
+# STAGED for round 10: new round-9 registry additions (front of the next
+# window) plus entries whose source changed in round 9 AFTER their last
+# driver-green row and which do NOT sit inside the round-9 window (owed
+# re-verifies).  The rotation-arithmetic guard below fails the build the
+# moment additions + owed re-verifies outrun the 50-slot window — debt
+# must never compound silently (judge order, round 8 verdict #4).
+_ROUND10_FRONT: list[str] = []
+_ROUND10_OWED: list[str] = []
+_WINDOW_SLOTS = 50
+if len(_ROUND10_FRONT) + len(_ROUND10_OWED) > _WINDOW_SLOTS:
+    raise ValueError(
+        "round-10 staging over budget: "
+        f"{len(_ROUND10_FRONT)} additions + {len(_ROUND10_OWED)} owed re-verifies "
+        f"> {_WINDOW_SLOTS} window slots — stop adding entries or queryize fewer"
+    )
+_r10_missing = [n for n in _ROUND10_FRONT + _ROUND10_OWED if n not in REGISTRY]
+if _r10_missing:
+    raise ValueError(f"round-10 staged names not in registry: {_r10_missing}")
+if set(_ROUND10_OWED) & set(_ROUND9_WINDOW):
+    raise ValueError(
+        "round-10 owed re-verifies overlap the round-9 window — an entry "
+        "inside the current window is verified this round and owes nothing"
+    )
 if len(_ROUND8_WINDOW) != 50:
     raise ValueError(f"round-8 window must fill exactly 50 slots, got {len(_ROUND8_WINDOW)}")
 if len(set(_ROUND8_WINDOW)) != len(_ROUND8_WINDOW):
@@ -1141,8 +1199,8 @@ if len(set(_ROUND7_WINDOW)) != len(_ROUND7_WINDOW):
 _r7_missing = [n for n in _ROUND7_WINDOW if n not in REGISTRY]
 if _r7_missing:
     raise ValueError(f"round-7 window names not in registry: {_r7_missing}")
-_rest = [n for n in REGISTRY if n not in set(_ROUND8_WINDOW)]
-_reordered = {n: REGISTRY[n] for n in _ROUND8_WINDOW + _rest}
+_rest = [n for n in REGISTRY if n not in set(_ROUND9_WINDOW)]
+_reordered = {n: REGISTRY[n] for n in _ROUND9_WINDOW + _rest}
 REGISTRY.clear()
 REGISTRY.update(_reordered)
 
