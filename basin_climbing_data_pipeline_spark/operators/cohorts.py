@@ -1686,9 +1686,13 @@ def trimmed_winsorized_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep_lo = F.greatest(lo_rank, F.col("k") + 1)
     keep_hi = F.least(hi_rank, F.col("n") - F.col("k"))
     ov = F.greatest(keep_hi - keep_lo + 1, F.lit(0))
+    # dec() EACH OPERAND before the multiply: cents*ov in LONG wraps
+    # silently at edge magnitudes (~1e11 cents × n-bounded overlap) while
+    # the DuckDB oracle's per_cust cents is already HUGEINT (round-8
+    # ADVICE; same class as the Holt tap-product overflow).
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     m = j.groupBy("n", "sum_cents", "k").agg(
-        F.sum(dec(F.col("cents") * ov)).alias("trimmed_sum"),
+        F.sum(dec(F.col("cents")) * dec(ov)).alias("trimmed_sum"),
         F.sum(ov).alias("trimmed_n"),
         F.min(F.when(hi_rank >= F.col("k") + 1, F.col("cents"))).alias("lo_cut"),
         F.min(F.when(hi_rank >= F.col("n") - F.col("k"), F.col("cents"))).alias(
@@ -1822,10 +1826,15 @@ def gini_spend_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (before + (cnt+1)/2): 2·Σ = cnt·(2·before + cnt + 1)·x — exact ints
     m = ranked.agg(
         F.sum("cnt").alias("n"),
-        F.sum(dec(F.col("cents") * F.col("cnt"))).alias("sx"),
+        # dec() each operand BEFORE multiplying — cents*cnt and
+        # cnt*(2*before+cnt+1) computed in LONG wrap silently at edge
+        # magnitudes while the DuckDB oracle promotes to HUGEINT
+        # (round-8 ADVICE overflow class).
+        F.sum(dec(F.col("cents")) * dec(F.col("cnt"))).alias("sx"),
         F.sum(
             dec(F.col("cents"))
-            * dec(F.col("cnt") * (2 * F.col("before") + F.col("cnt") + 1))
+            * dec(F.col("cnt"))
+            * (2 * dec(F.col("before")) + dec(F.col("cnt")) + 1)
         ).alias("rx2"),
     )
     n = F.col("n").cast("double")

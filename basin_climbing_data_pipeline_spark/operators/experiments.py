@@ -725,29 +725,46 @@ def mann_whitney_spend_utest(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("bkt_before") + F.col("in_bkt_before")).alias("before"),
         )
     )
+    # Cast EACH FACTOR to decimal BEFORE multiplying: computing
+    # n_a_v*(2*before+cnt+1) or cnt^3 in LONG first wraps silently once a
+    # tie block exceeds ~2.1M rows (cnt^3 > 2^63), while the DuckDB oracle
+    # promotes to HUGEINT — the exact cross-engine divergence class the
+    # round-8 ADVICE flagged (same fix shape as ks_spend_test's cross
+    # product and holt_linear_daily_revenue's per-tap products).
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    dcnt = dec(F.col("cnt"))
     m = ranked.agg(
         F.sum("cnt").alias("n"),
         F.sum("n_a_v").alias("n_a"),
-        F.sum(dec(F.col("n_a_v") * (2 * F.col("before") + F.col("cnt") + 1)))
-        .alias("r2_a"),
-        F.sum(dec(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")))
-        .alias("ties"),
+        F.sum(
+            dec(F.col("n_a_v"))
+            * (2 * dec(F.col("before")) + dcnt + 1)
+        ).alias("r2_a"),
+        F.sum(dcnt * dcnt * dcnt - dcnt).alias("ties"),
     )
     n, na = F.col("n"), F.col("n_a")
     nb = n - na
-    u2 = F.col("r2_a").cast("double") - (na * (na + 1)).cast("double")
-    mu2 = (na * nb).cast("double")  # 2·μ_U
+    # Same overflow discipline downstream: na*(na+1), na*nb, n*(n-1) and
+    # especially n*(n²−1) — which wraps LONG at just n ≈ 2.1M rows — go
+    # through decimal before the double cast (exact product, one rounding,
+    # matching the oracle's HUGEINT→double path).
+    dn, dna, dnb = dec(n), dec(na), dec(nb)
+    u2 = F.col("r2_a").cast("double") - (dna * (dna + 1)).cast("double")
+    mu2 = (dna * dnb).cast("double")  # 2·μ_U
     var_u = (
-        (na * nb).cast("double")
+        (dna * dnb).cast("double")
         / 12.0
         * (
             (n + 1).cast("double")
-            - F.col("ties").cast("double") / (n * (n - 1)).cast("double")
+            - F.col("ties").cast("double") / (dn * (dn - 1)).cast("double")
         )
     )
     z = (u2 - mu2) / (2.0 * F.sqrt(var_u))
-    ok = (na > 0) & (nb > 0) & (F.col("ties").cast("double") < (n * (n * n - 1)).cast("double"))
+    ok = (
+        (na > 0)
+        & (nb > 0)
+        & (F.col("ties").cast("double") < (dn * (dn * dn - 1)).cast("double"))
+    )
     micro = lambda c: F.floor(c * 1000000.0 + 0.5) / 1000000.0  # noqa: E731
     return m.select(
         n.alias("n"),

@@ -2238,18 +2238,26 @@ def feature_auc_screening(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = per_val.withColumn(
         "before", F.coalesce(F.sum("cnt").over(win), F.lit(0))
     )
+    # dec() each factor BEFORE the multiply: the rank-sum product is
+    # n-dependent (before ≤ n_docs), so LONG arithmetic wraps silently
+    # beyond ~3e9 docs while the oracle promotes to HUGEINT — same
+    # overflow class the round-8 ADVICE flagged in mann_whitney.
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     m = ranked.groupBy("feature").agg(
         F.sum("cnt").alias("n"),
         F.sum("n_pos_v").alias("n_pos"),
         F.sum(
-            dec(F.col("n_pos_v") * (2 * F.col("before") + F.col("cnt") + 1))
+            dec(F.col("n_pos_v"))
+            * (2 * dec(F.col("before")) + dec(F.col("cnt")) + 1)
         ).alias("r2_pos"),
     )
     n, npos = F.col("n"), F.col("n_pos")
     nneg = n - npos
-    # AUC via U: 2U = 2R_pos − n_pos(n_pos+1); AUC = U / (n_pos·n_neg)
-    u2 = F.col("r2_pos").cast("double") - (npos * (npos + 1)).cast("double")
+    # AUC via U: 2U = 2R_pos − n_pos(n_pos+1); AUC = U / (n_pos·n_neg).
+    # npos*(npos+1) and npos*nneg go through decimal before the double
+    # cast — LONG would wrap silently beyond ~3e9 docs.
+    dpos, dneg = dec(npos), dec(nneg)
+    u2 = F.col("r2_pos").cast("double") - (dpos * (dpos + 1)).cast("double")
     micro = lambda c: F.floor(c * 1000000.0 + 0.5) / 1000000.0  # noqa: E731
     return m.select(
         "feature",
@@ -2257,7 +2265,7 @@ def feature_auc_screening(spark: SparkSession, sf_dir: str) -> DataFrame:
         npos.alias("n_not_spam"),
         F.when(
             (npos > 0) & (nneg > 0),
-            micro(u2 / (2.0 * (npos * nneg).cast("double"))),
+            micro(u2 / (2.0 * (dpos * dneg).cast("double"))),
         ).alias("auc_not_spam"),
     ).orderBy("feature")
 
