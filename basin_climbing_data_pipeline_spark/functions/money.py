@@ -23,9 +23,31 @@ from pyspark.sql import functions as F
 
 TAX_RATE = 0.0825
 
+# Exactness domains of the fixed-point quantizers, pinned by
+# tests/test_property_money.py (Spark vs pure-python vs DuckDB):
+#
+# - Spark's ``floor(double)`` returns LONG and SATURATES: |x| past 2^63
+#   clamps to ±int64-max and **NaN maps to 0** — both silent — while
+#   DuckDB's ``floor`` stays in double (NaN→NaN, 1e19→1e19).  Any
+#   quantizer applied to an UNBOUNDED or NaN-able quantity must therefore
+#   use the guarded ``micro()`` below, never a bare floor.
+# - ``to_cents`` is exact and cross-engine-identical for |dollars| ≤
+#   TO_CENTS_EXACT_ABS (x*100+0.5 stays inside int64).  Money amounts are
+#   parse-bounded far below this; the bound exists so the property test
+#   can prove the whole domain rather than sampled points.
+TO_CENTS_EXACT_ABS = 9.0e16
+# Guard bound for micro(): below it, x*1e6+0.5 is far inside int64 (and
+# DuckDB's double floor is integer-exact, < 2^53), so floor-quantization
+# is bit-identical across engines; at or above it the raw double passes
+# through unquantized (already cross-engine-identical by construction).
+MICRO_GUARD_ABS = 1.0e12
+
 
 def to_cents(col: Column) -> Column:
-    """Deterministic round-to-cents as BIGINT: floor(x*100 + 0.5)."""
+    """Deterministic round-to-cents as BIGINT: floor(x*100 + 0.5).
+
+    Exact for |x| ≤ TO_CENTS_EXACT_ABS dollars; see the domain note above.
+    """
     return F.floor(col * 100.0 + 0.5).cast("long")
 
 
@@ -60,6 +82,31 @@ def ratio(num: Column, den: Column, digits: int = 4) -> Column:
 def ratio_sql(num: str, den: str, digits: int = 4) -> str:
     scale = float(10**digits)
     return f"(floor(({num}) / ({den}) * {scale} + 0.5) / {scale})"
+
+
+def micro(col: Column) -> Column:
+    """Overflow-guarded micro (1e-6) quantizer — THE shared primitive for
+    rounding unbounded doubles (variances, slopes, z-scores at adversarial
+    magnitudes).  Inside |x| < MICRO_GUARD_ABS it floor-quantizes exactly
+    like every engine's double floor; outside (including ±inf) and on NaN
+    the raw double passes through, which is already cross-engine-identical
+    — a bare ``floor(x*1e6+0.5)/1e6`` would instead clamp to int64 max on
+    Spark (and send NaN to 0) while DuckDB stays in double.  Promoted from
+    CUPED's local fix (round 8) after three instances of this bug class in
+    two rounds."""
+    return F.when(
+        F.abs(col) < MICRO_GUARD_ABS, F.floor(col * 1000000.0 + 0.5) / 1000000.0
+    ).otherwise(col)
+
+
+def micro_sql(expr: str) -> str:
+    """Oracle mirror of :func:`micro` (DuckDB evaluates floor in double,
+    which is integer-exact inside the guard bound)."""
+    return (
+        f"CASE WHEN abs({expr}) < {MICRO_GUARD_ABS} "
+        f"THEN floor(({expr}) * 1000000.0 + 0.5) / 1000000.0 "
+        f"ELSE ({expr}) END"
+    )
 
 
 def cents_to_dollars(col: Column) -> Column:

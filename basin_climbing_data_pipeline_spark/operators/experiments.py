@@ -568,14 +568,10 @@ def cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
         nd * nd
     )
     var_adj = var_y - 2.0 * theta * cov_xy + theta * theta * var_x
-    # Overflow-guarded micro rounding: Spark's floor(double) returns LONG,
-    # so x*1e6 past 2^63 clamps to int64 max while DuckDB's floor stays in
-    # double (adversarial edge-value amounts push var to ~1e17 dollars²).
-    # Past the guard the raw double is already cross-engine-identical
-    # (exact-int casts + identical double ops), so it passes through.
-    micro = lambda c: F.when(  # noqa: E731
-        F.abs(c) < 1e12, F.floor(c * 1000000.0 + 0.5) / 1000000.0
-    ).otherwise(c)
+    # Overflow-guarded micro rounding (adversarial edge-value amounts push
+    # var to ~1e17 dollars², past int64 when scaled by 1e6) — now the
+    # shared primitive in functions/money.py, property-tested at extremes.
+    from ..functions.money import micro
     return pooled.select(
         "ab_group",
         "n",
@@ -590,12 +586,11 @@ def cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _micro_safe_sql(expr: str) -> str:
-    """Oracle mirror of the overflow-guarded micro rounding above."""
-    return (
-        f"CASE WHEN abs({expr}) < 1000000000000.0 "
-        f"THEN floor(({expr}) * 1000000.0 + 0.5) / 1000000.0 "
-        f"ELSE ({expr}) END"
-    )
+    """Oracle mirror of the overflow-guarded micro rounding above (now
+    delegating to the shared primitive in functions/money.py)."""
+    from ..functions.money import micro_sql
+
+    return micro_sql(expr)
 
 
 def cuped_variance_reduction_sql() -> str:

@@ -1701,7 +1701,11 @@ def linear_probe_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ysum = F.col("mb_0").cast("double") / float(_FEAT_SCALE)
     sse = yy - sum(w[i] * F.col(f"b_{i}") for i in range(4))
     sst = yy - ysum * ysum / F.col("n_docs").cast("double")
-    micro = lambda c: F.floor(c * 1000000.0 + 0.5) / 1000000.0  # noqa: E731
+    # Cramer's-rule weights are determinant RATIOS — near-collinear
+    # features make them arbitrarily large, so use the overflow-guarded
+    # shared quantizer (unguarded floor clamps to int64 on Spark past
+    # ~9.2e12 while DuckDB stays in double).
+    from ..functions.money import micro
     dev = F.greatest(
         F.abs(w[1] - 0.3), F.abs(w[2] - 0.4), F.abs(w[3] - 0.3)
     )
@@ -1732,7 +1736,7 @@ def linear_probe_quality_sql() -> str:
     # sst = 0 must yield NULL in BOTH engines, not Inf/NaN in one.
     w = [f"(CASE WHEN det_a <> 0 THEN det_{i} / det_a END)" for i in range(4)]
     sse = f"(yy - ({' + '.join(f'{w[i]} * b_{i}' for i in range(4))}))"
-    micro = lambda e: f"floor(({e}) * 1000000.0 + 0.5) / 1000000.0"  # noqa: E731
+    from ..functions.money import micro_sql as micro  # guarded, mirrors Spark side
     dev = (
         f"greatest(abs({w[1]} - 0.3), abs({w[2]} - 0.4), abs({w[3]} - 0.3))"
     )
@@ -2130,7 +2134,10 @@ def eb_shrunk_source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     shrunk = (F.col("n_pass").cast("double") + alpha) / (
         F.col("n_docs").cast("double") + ab
     )
-    micro = lambda c: F.floor(c * 1000000.0 + 0.5) / 1000000.0  # noqa: E731
+    # prior strength ab = m(1-m)/v − 1 is bounded only by 1/v_min ≈ g²·1e12
+    # (near-zero between-source variance) — an UNBOUNDED quantity, so the
+    # guarded shared quantizer, not a bare floor (int64 clamp class).
+    from ..functions.money import micro
     return withr.select(
         "source",
         "n_docs",
@@ -2140,6 +2147,12 @@ def eb_shrunk_source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         micro(beta).alias("prior_beta"),
         micro(shrunk).alias("shrunk_rate"),
     ).orderBy("source")
+
+
+def _eb_micro_sql(expr: str) -> str:
+    from ..functions.money import micro_sql
+
+    return micro_sql(expr)
 
 
 def eb_shrunk_source_quality_sql() -> str:
@@ -2167,16 +2180,13 @@ calc AS (
 )
 SELECT source, n_docs, CAST(n_pass AS BIGINT) AS n_pass,
        r_micro / 1000000.0 AS raw_rate,
-       floor(CASE WHEN v > 0 AND v < m * (1.0 - m)
-                  THEN m * (m * (1.0 - m) / v - 1.0) END
-             * 1000000.0 + 0.5) / 1000000.0 AS prior_alpha,
-       floor(CASE WHEN v > 0 AND v < m * (1.0 - m)
-                  THEN (1.0 - m) * (m * (1.0 - m) / v - 1.0) END
-             * 1000000.0 + 0.5) / 1000000.0 AS prior_beta,
-       floor(CASE WHEN v > 0 AND v < m * (1.0 - m)
-                  THEN (n_pass::double + m * (m * (1.0 - m) / v - 1.0))
-                       / (n_docs::double + (m * (1.0 - m) / v - 1.0))
-             END * 1000000.0 + 0.5) / 1000000.0 AS shrunk_rate
+       {_eb_micro_sql('CASE WHEN v > 0 AND v < m * (1.0 - m) '
+                      'THEN m * (m * (1.0 - m) / v - 1.0) END')} AS prior_alpha,
+       {_eb_micro_sql('CASE WHEN v > 0 AND v < m * (1.0 - m) '
+                      'THEN (1.0 - m) * (m * (1.0 - m) / v - 1.0) END')} AS prior_beta,
+       {_eb_micro_sql('CASE WHEN v > 0 AND v < m * (1.0 - m) '
+                      'THEN (n_pass::double + m * (m * (1.0 - m) / v - 1.0)) '
+                      '/ (n_docs::double + (m * (1.0 - m) / v - 1.0)) END')} AS shrunk_rate
 FROM calc
 ORDER BY source
 """

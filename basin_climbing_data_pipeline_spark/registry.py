@@ -1159,7 +1159,13 @@ if len(set(_ROUND9_WINDOW)) != len(_ROUND9_WINDOW):
 # moment additions + owed re-verifies outrun the 50-slot window — debt
 # must never compound silently (judge order, round 8 verdict #4).
 _ROUND10_FRONT: list[str] = []
-_ROUND10_OWED: list[str] = []
+_ROUND10_OWED: list[str] = [
+    # round-9 guarded-micro hardening (engine + oracle switched to the
+    # shared overflow-guarded quantizer; bitwise-identical at sf0.01,
+    # semantics differ only past |x| ≥ 1e12 — re-verify next window)
+    "linear_probe_quality",
+    "eb_shrunk_source_quality",
+]
 _WINDOW_SLOTS = 50
 if len(_ROUND10_FRONT) + len(_ROUND10_OWED) > _WINDOW_SLOTS:
     raise ValueError(
