@@ -1088,7 +1088,7 @@ wts AS (
               ELSE 0::bigint END AS wa,
          CASE WHEN n2::double / (nt::double * nt::double) > 0
                AND n2::double / (nt::double * nt::double) < 1
-              THEN CAST(floor(ln({1.0 - FS_M} / (1.0 - n2::double / (nt::double * nt::double)))
+              THEN CAST(floor(ln((1.0 - {FS_M}) / (1.0 - n2::double / (nt::double * nt::double)))
                               * 1000000000.0 + 0.5) AS BIGINT)
               ELSE 0::bigint END AS wd
   FROM stats

@@ -1884,3 +1884,183 @@ SELECT revenue_category, day,
 FROM staged
 ORDER BY revenue_category, day
 """
+
+
+# ---------------------------------------------------------------------------
+# round-9 time-series battery over the GLOBAL zero-filled daily revenue
+# series: autocorrelation + Ljung-Box, STL-lite decomposition, single
+# changepoint, Page-Hinkley drift.  All four share the scale shape of the
+# EWMA/Holt family — ONE daily aggregation shuffle, then every window runs
+# over the CALENDAR-BOUNDED dense frame (days, not rows; the documented
+# unpartitioned-window exception class).
+# ---------------------------------------------------------------------------
+
+ACF_MAX_LAG = 14     # weekly + biweekly structure visible; frame stays tiny
+PH_DELTA_CENTS = 500       # Page-Hinkley slack per day (5 dollars)
+PH_LAMBDA_DOLLARS = 1000.0  # alarm threshold on the PH statistic
+
+
+def _global_daily_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-filled GLOBAL daily revenue in cents — the shared base of the
+    round-9 time-series battery (same dense-calendar discipline as
+    ewma_daily_revenue: a day with no transactions IS a zero-revenue day)."""
+    txn = build_transactions(spark, sf_dir)
+    daily = txn.groupBy(F.col("txn_date").alias("day")).agg(
+        F.sum(to_cents(F.col("total_amount"))).alias("cents")
+    )
+    bounds = daily.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    calendar = bounds.select(
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day")
+    )
+    return calendar.join(daily, "day", "left").select(
+        "day", F.coalesce(F.col("cents"), F.lit(0)).alias("cents")
+    )
+
+
+_GLOBAL_DAILY_CENTS_SQL = """
+daily AS (
+  SELECT txn_date AS day, sum({cents}) AS cents FROM txn GROUP BY 1
+),
+bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+calendar AS (
+  SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::date AS day FROM bounds
+),
+dense AS (
+  SELECT c.day, coalesce(d.cents, 0) AS cents
+  FROM calendar c LEFT JOIN daily d USING (day)
+)
+"""
+
+
+def _global_daily_cents_sql() -> str:
+    return _GLOBAL_DAILY_CENTS_SQL.format(cents=to_cents_sql("total_amount"))
+
+
+def daily_revenue_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of daily revenue at lags 1..ACF_MAX_LAG plus the
+    cumulative Ljung-Box Q statistic — the "is there structure left"
+    pre-flight every forecaster (Holt, seasonal-naive) should be gated
+    on, and the residual-whiteness check after one is fit.
+
+    Exactness: with z_t = n·y_t − S (exact integers — n times the
+    centered value), r_k = Σ z_t·z_{t−k} / Σ z_t² and the n² factors
+    cancel, so both moments are exact DECIMAL(38,0) sums of per-factor-
+    cast products (the round-8 overflow discipline; z ~ 1e15 at edge
+    cents, products ~1e30).  Q_k = n(n+2)·Σ_{j≤k} r_j²/(n−j) accumulates
+    over the ORDERED 14-row lag frame — identical fp op order in both
+    engines.  A constant series (den = 0) pins r and Q to NULL.
+
+    Scale shape: one daily shuffle; the lag frame is 14 unrolled lag
+    columns over the dense calendar, collapsed map-side into ONE moment
+    row; everything after runs on 14 rows."""
+    from ..functions.money import micro
+
+    dense = _global_daily_cents(spark, sf_dir)
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    tot = dense.agg(
+        F.count("*").alias("n"), F.sum("cents").alias("s")
+    )
+    w = Window.orderBy("day")
+    z = dense.join(F.broadcast(tot)).select(
+        "day",
+        "n",
+        (dec(F.col("n")) * dec(F.col("cents")) - dec(F.col("s"))).alias("z"),
+    )
+    lags = z.select(
+        "n",
+        "z",
+        *[F.lag("z", k).over(w).alias(f"zl{k}") for k in range(1, ACF_MAX_LAG + 1)],
+    )
+    m = lags.groupBy("n").agg(
+        F.sum(F.col("z") * F.col("z")).alias("den"),
+        *[
+            F.sum(F.col("z") * F.col(f"zl{k}")).alias(f"num{k}")
+            for k in range(1, ACF_MAX_LAG + 1)
+        ],
+    )
+    stacked = m.select(
+        "n",
+        "den",
+        F.expr(
+            "stack({}, {}) as (lag_k, num)".format(
+                ACF_MAX_LAG,
+                ", ".join(f"{k}, num{k}" for k in range(1, ACF_MAX_LAG + 1)),
+            )
+        ),
+    )
+    r = F.when(
+        F.col("den") > 0, micro(F.col("num").cast("double") / F.col("den").cast("double"))
+    )
+    wl = Window.orderBy("lag_k").rowsBetween(Window.unboundedPreceding, 0)
+    nd = F.col("n_days").cast("double")
+    scored = stacked.select(
+        F.col("n").alias("n_days"),
+        "lag_k",
+        r.alias("acf"),
+    ).withColumn(
+        "ljung_box_q",
+        F.when(
+            F.col("acf").isNotNull(),
+            micro(
+                nd
+                * (nd + 2.0)
+                * F.sum(
+                    F.col("acf") * F.col("acf") / (nd - F.col("lag_k").cast("double"))
+                ).over(wl)
+            ),
+        ),
+    )
+    return scored.orderBy("lag_k")
+
+
+def daily_revenue_acf_sql() -> str:
+    from ..functions.money import micro_sql
+
+    lag_cols = ",\n         ".join(
+        f"lag(z, {k}) OVER (ORDER BY day) AS zl{k}" for k in range(1, ACF_MAX_LAG + 1)
+    )
+    nums = ",\n         ".join(
+        f"sum(z * zl{k}) AS num{k}" for k in range(1, ACF_MAX_LAG + 1)
+    )
+    stacked = "\n  UNION ALL ".join(
+        f"SELECT n, den, {k} AS lag_k, num{k} AS num FROM m"
+        for k in range(1, ACF_MAX_LAG + 1)
+    )
+    r = micro_sql("num::double / den::double")
+    acf_sq = "(CASE WHEN den > 0 THEN " + r + " END)"
+    q = micro_sql(
+        "n::double * (n::double + 2.0) * sum("
+        + acf_sq
+        + " * "
+        + acf_sq
+        + " / (n::double - lag_k::double)) OVER (ORDER BY lag_k "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    )
+    return f"""
+WITH txn AS ({transactions_sql()}),
+{_global_daily_cents_sql()},
+tot AS (SELECT count(*) AS n, sum(cents) AS s FROM dense),
+zf AS (
+  SELECT day, n,
+         n::hugeint * cents::hugeint - s::hugeint AS z
+  FROM dense, tot
+),
+lagged AS (
+  SELECT n, z,
+         {lag_cols}
+  FROM zf
+),
+m AS (
+  SELECT n, sum(z * z) AS den,
+         {nums}
+  FROM lagged GROUP BY n
+),
+stacked AS (
+  {stacked}
+)
+SELECT CAST(n AS BIGINT) AS n_days, CAST(lag_k AS INTEGER) AS lag_k,
+       CASE WHEN den > 0 THEN {r} END AS acf,
+       CASE WHEN den > 0 AND num IS NOT NULL THEN {q} END AS ljung_box_q
+FROM stacked
+ORDER BY lag_k
+"""

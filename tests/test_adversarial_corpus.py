@@ -1006,3 +1006,32 @@ def test_no_bare_decimal_list_literals_in_oracles():
         "bare DECIMAL list literal(s) in oracle SQL — cast ::double[] "
         f"(round-8 bug class 8): {offenders}"
     )
+
+
+def test_no_ulp_lossy_fractional_literals_in_oracles():
+    """Class-11 generator (round-9 find, via the money property tests):
+    DuckDB parses a fractional SQL literal as DECIMAL first, and once the
+    scaled integer passes 2^53 the decimal→double conversion can land one
+    ULP away from the Python double whose repr produced the literal
+    (found live: record_linkage_patterns interpolated {1.0 - FS_M} =
+    0.050000000000000044).  Nano/micro grids absorb a ULP almost always —
+    until a value lands on a grid boundary, which is exactly the silent
+    cross-engine divergence this repo hunts.  Rule: never interpolate a
+    COMPUTED double into oracle SQL; interpolate the defining constants
+    and let the oracle engine repeat the arithmetic ((1.0 - 0.95), not
+    0.050000000000000044).  Any fractional literal with ≥ 17 significant
+    digits fails here."""
+    import re
+
+    from basin_climbing_data_pipeline_spark.registry import oracle_sql
+
+    offenders = []
+    for name, sql in oracle_sql().items():
+        for m in re.finditer(r"\d+\.\d+", sql):
+            digits = m.group(0).replace(".", "").lstrip("0")
+            if len(digits) >= 17:
+                offenders.append(f"{name}: {m.group(0)}")
+    assert not offenders, (
+        "ULP-lossy fractional literal(s) in oracle SQL — interpolate the "
+        f"defining constants, not computed doubles: {offenders}"
+    )

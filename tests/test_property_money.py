@@ -212,10 +212,14 @@ def test_duckdb_to_cents_sql_matches_python(xs):
     """to_cents_sql over the full documented domain: DuckDB must produce
     the pure-python integer for every double, including subnormals and
     half-cent ties hypothesis finds."""
+    import pandas as pd
+
     con = duckdb.connect()
-    values = ", ".join(f"({i}, {float(x)!r}::double)" for i, x in enumerate(xs))
+    # float64 frame transport — SQL decimal literals lose a ULP past 16
+    # significant digits (see test_duckdb_micro_sql_matches_python_everywhere)
+    con.register("vals", pd.DataFrame({"i": range(len(xs)), "x": pd.array(xs, dtype="float64")}))
     rows = con.execute(
-        f"SELECT i, {to_cents_sql('x')} FROM (VALUES {values}) t(i, x) ORDER BY i"
+        f"SELECT i, {to_cents_sql('x')} FROM vals ORDER BY i"
     ).fetchall()
     for (_i, got), want_x in zip(rows, xs):
         assert got == py_to_cents(want_x), (want_x, got)
@@ -235,10 +239,17 @@ def test_duckdb_micro_sql_matches_python_everywhere(xs):
     xs = [x for x in xs if math.isfinite(x)]
     if not xs:
         return
+    import pandas as pd
+
     con = duckdb.connect()
-    values = ", ".join(f"({i}, {float(x)!r}::double)" for i, x in enumerate(xs))
+    # register a float64 frame instead of SQL literals: DuckDB parses a
+    # fractional literal as DECIMAL first, and a 17-digit decimal's scaled
+    # integer exceeds 2^53 — the round-trip loses a ULP before the cast
+    # (hypothesis found 8528619215718791.0 → …790.0).  Real oracles read
+    # parquet doubles; the frame matches that transport exactly.
+    con.register("vals", pd.DataFrame({"i": range(len(xs)), "x": pd.array(xs, dtype="float64")}))
     rows = con.execute(
-        f"SELECT i, {micro_sql('x')} FROM (VALUES {values}) t(i, x) ORDER BY i"
+        f"SELECT i, {micro_sql('x')} FROM vals ORDER BY i"
     ).fetchall()
     for (_i, got), want_x in zip(rows, xs):
         want = py_micro(want_x)
