@@ -1896,8 +1896,13 @@ ORDER BY revenue_category, day
 # ---------------------------------------------------------------------------
 
 ACF_MAX_LAG = 14     # weekly + biweekly structure visible; frame stays tiny
-PH_DELTA_CENTS = 500       # Page-Hinkley slack per day (5 dollars)
-PH_LAMBDA_DOLLARS = 1000.0  # alarm threshold on the PH statistic
+# Page-Hinkley tuning: δ is the per-day drift magnitude considered noise
+# (anything smaller never accumulates), λ the excursion that alarms.
+# Sized against the corpus's ~$4e5/day revenue with ~$1e5 daily σ — a
+# monitor whose λ sits inside one day's noise alarms always and says
+# nothing (the round-9 spot check caught exactly that at λ=$1e3).
+PH_DELTA_CENTS = 1_000_000      # $10k/day slack
+PH_LAMBDA_DOLLARS = 5_000_000.0  # ~50σ·√days excursion before alarm
 
 
 def _global_daily_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2063,4 +2068,263 @@ SELECT CAST(n AS BIGINT) AS n_days, CAST(lag_k AS INTEGER) AS lag_k,
        CASE WHEN den > 0 AND num IS NOT NULL THEN {q} END AS ljung_box_q
 FROM stacked
 ORDER BY lag_k
+"""
+
+
+SEAS_MA = 7  # centered moving-average window (full weeks only)
+
+
+def seasonal_decomposition_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-lite additive decomposition of global daily revenue:
+    trend = centered 7-day moving average (NULL at the 3-day edges),
+    seasonal = per-weekday mean of the detrended series, residual =
+    observed − trend − seasonal.  The classical-decomposition sibling of
+    :func:`weekday_seasonality` (which scores the weekly cycle's strength;
+    this one hands the forecaster the actual components).
+
+    Exactness: the trend SUM (7 daily cents) and the detrended numerator
+    7·y − Σ₇ are exact integers; the per-weekday seasonal mean divides
+    two exact integers once; trend, seasonal and residual are assembled
+    from those integers with one identical double expression per column,
+    micro-rounded.  Weekday means use only days with a full MA window —
+    both engines drop the same 6 edge days.
+
+    Scale shape: one daily shuffle; ±3-row window and the 7-row weekday
+    frame over the dense calendar (days, not transactions)."""
+    from ..functions.money import micro
+
+    dense = _global_daily_cents(spark, sf_dir)
+    w7 = Window.orderBy("day").rowsBetween(-(SEAS_MA // 2), SEAS_MA // 2)
+    n_in_window = F.count("*").over(w7)
+    with_trend = dense.select(
+        "day",
+        "cents",
+        F.when(n_in_window == SEAS_MA, F.sum("cents").over(w7)).alias("s7"),
+    ).withColumn("dow", F.dayofweek("day"))
+    detr = with_trend.withColumn(
+        "d7", F.lit(SEAS_MA) * F.col("cents") - F.col("s7")
+    )
+    seas = detr.filter(F.col("d7").isNotNull()).groupBy("dow").agg(
+        F.sum("d7").alias("sd"), F.count("*").alias("nd")
+    )
+    joined = detr.join(F.broadcast(seas), "dow", "left")
+    seasonal_c = F.col("sd").cast("double") / (
+        F.lit(float(SEAS_MA)) * F.col("nd").cast("double")
+    )
+    trend_c = F.col("s7").cast("double") / float(SEAS_MA)
+    return joined.select(
+        "day",
+        (F.col("cents") / 100.0).alias("net_revenue"),
+        micro(trend_c / 100.0).alias("trend"),
+        micro(seasonal_c / 100.0).alias("seasonal"),
+        micro(
+            (F.col("cents").cast("double") - trend_c - seasonal_c) / 100.0
+        ).alias("residual"),
+    ).orderBy("day")
+
+
+def seasonal_decomposition_daily_sql() -> str:
+    from ..functions.money import micro_sql
+
+    h = SEAS_MA // 2
+    trend_c = f"(s7::double / {float(SEAS_MA)!r})"
+    seasonal_c = f"(sd::double / ({float(SEAS_MA)!r} * nd::double))"
+    return f"""
+WITH txn AS ({transactions_sql()}),
+{_global_daily_cents_sql()},
+with_trend AS (
+  SELECT day, cents,
+         CASE WHEN count(*) OVER w = {SEAS_MA} THEN sum(cents) OVER w END AS s7,
+         dayofweek(day)::int + 1 AS dow
+  FROM dense
+  WINDOW w AS (ORDER BY day ROWS BETWEEN {h} PRECEDING AND {h} FOLLOWING)
+),
+detr AS (
+  SELECT *, {SEAS_MA} * cents - s7 AS d7 FROM with_trend
+),
+seas AS (
+  SELECT dow, sum(d7) AS sd, count(*) AS nd
+  FROM detr WHERE d7 IS NOT NULL GROUP BY dow
+)
+SELECT day,
+       cents / 100.0 AS net_revenue,
+       {micro_sql(trend_c + ' / 100.0')} AS trend,
+       {micro_sql(seasonal_c + ' / 100.0')} AS seasonal,
+       {micro_sql(f'(cents::double - {trend_c} - {seasonal_c}) / 100.0')} AS residual
+FROM detr LEFT JOIN seas USING (dow)
+ORDER BY day
+"""
+
+
+def revenue_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single most-likely level changepoint in global daily revenue —
+    binary segmentation's first split: the day t maximizing the absolute
+    centered CUSUM |P_t − t·S/n|, with the segment means on both sides
+    and their gap.  Where :func:`cusum_revenue_drift` ALARMS on drift
+    past a threshold, this LOCATES the break a analyst asks "when did
+    revenue shift?" about.
+
+    Exactness: the argmax runs on n·CUSUM_t = n·P_t − t·S — exact
+    HUGEINT/DECIMAL integers, no division before the comparison;
+    tie-break is the earliest day.  Means are exact-int ratios rounded
+    to cents at the edge.
+
+    Scale shape: one daily shuffle, prefix sums over the calendar-bounded
+    dense frame, a 1-row top-1."""
+    dense = _global_daily_cents(spark, sf_dir)
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    pre = dense.select(
+        "day",
+        F.sum("cents").over(w).alias("p"),
+        F.row_number().over(Window.orderBy("day")).alias("t"),
+    )
+    tot = dense.agg(F.count("*").alias("n"), F.sum("cents").alias("s"))
+    scored = (
+        pre.join(F.broadcast(tot))
+        .filter(F.col("t") < F.col("n"))
+        .select(
+            "day",
+            "t",
+            "n",
+            "p",
+            "s",
+            (dec(F.col("n")) * dec(F.col("p")) - dec(F.col("t")) * dec(F.col("s")))
+            .alias("ncusum"),
+        )
+    )
+    best = scored.orderBy(F.abs(F.col("ncusum")).desc(), F.col("day")).limit(1)
+    return best.select(
+        F.col("n").alias("n_days"),
+        F.col("day").alias("changepoint_day"),
+        F.col("t").alias("days_before"),
+        ratio(F.col("p").cast("double"), F.col("t").cast("double") * 100.0, 2).alias(
+            "mean_before"
+        ),
+        ratio(
+            (F.col("s") - F.col("p")).cast("double"),
+            (F.col("n") - F.col("t")).cast("double") * 100.0,
+            2,
+        ).alias("mean_after"),
+        ratio(
+            F.col("ncusum").cast("double"),
+            F.col("n").cast("double") * 100.0,
+            2,
+        ).alias("cusum_dollars"),
+    )
+
+
+def revenue_changepoint_sql() -> str:
+    from ..functions.money import ratio_sql
+
+    return f"""
+WITH txn AS ({transactions_sql()}),
+{_global_daily_cents_sql()},
+pre AS (
+  SELECT day,
+         sum(cents) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS p,
+         row_number() OVER (ORDER BY day) AS t
+  FROM dense
+),
+tot AS (SELECT count(*) AS n, sum(cents) AS s FROM dense),
+scored AS (
+  SELECT day, t, n, p, s,
+         n::hugeint * p::hugeint - t::hugeint * s::hugeint AS ncusum
+  FROM pre, tot
+  WHERE t < n
+),
+best AS (
+  SELECT * FROM scored ORDER BY abs(ncusum) DESC, day LIMIT 1
+)
+SELECT CAST(n AS BIGINT) AS n_days, day AS changepoint_day,
+       CAST(t AS BIGINT) AS days_before,
+       {ratio_sql('p::double', 't::double * 100.0', 2)} AS mean_before,
+       {ratio_sql('(s - p)::double', '(n - t)::double * 100.0', 2)} AS mean_after,
+       {ratio_sql('ncusum::double', 'n::double * 100.0', 2)} AS cusum_dollars
+FROM best
+"""
+
+
+def page_hinkley_revenue_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley upward-drift monitor on global daily revenue: m_t =
+    Σ_{i≤t}(x_i − x̄_i − δ) with x̄_i the running mean, PH_t = m_t −
+    min_{j≤t} m_j, alarm when PH exceeds λ.  The sequential sibling of
+    :func:`cusum_revenue_drift` (whose reference is a FIXED baseline
+    mean; PH's reference adapts, which is what an always-on monitor
+    needs), and the batch mirror of the streaming drift family.
+
+    Exactness: the only division is P_i/i (exact ints → one double op);
+    each day's term is micro-quantized to an int64 (|x−x̄| ≤ edge cents
+    1e11 → micro ~1e17, inside int64) and the running sum/min then run on
+    exact DECIMAL integers — no float accumulation order anywhere.
+
+    Scale shape: one daily shuffle, two ordered prefix passes over the
+    calendar-bounded frame."""
+    dense = _global_daily_cents(spark, sf_dir)
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    pre = dense.select(
+        "day",
+        "cents",
+        F.sum("cents").over(w).alias("p"),
+        F.row_number().over(Window.orderBy("day")).alias("t"),
+    )
+    term = (
+        F.col("cents").cast("double")
+        - F.col("p").cast("double") / F.col("t").cast("double")
+        - float(PH_DELTA_CENTS)
+    )
+    termed = pre.withColumn(
+        "term_micro", F.floor(term * 1000000.0 + 0.5).cast("decimal(38,0)")
+    )
+    cum = termed.withColumn("m", F.sum("term_micro").over(w)).withColumn(
+        "m_min", F.min(F.col("m")).over(w)
+    )
+    ph_dollars = (F.col("m") - F.col("m_min")).cast("double") / 1.0e8
+    from ..functions.money import micro
+
+    return cum.select(
+        "day",
+        (F.col("cents") / 100.0).alias("net_revenue"),
+        micro(ph_dollars).alias("ph_stat_dollars"),
+        (ph_dollars > PH_LAMBDA_DOLLARS).alias("is_drift_alarm"),
+    ).orderBy("day")
+
+
+def page_hinkley_revenue_drift_sql() -> str:
+    from ..functions.money import micro_sql
+
+    term = f"(cents::double - p::double / t::double - {float(PH_DELTA_CENTS)!r})"
+    return f"""
+WITH txn AS ({transactions_sql()}),
+{_global_daily_cents_sql()},
+pre AS (
+  SELECT day, cents,
+         sum(cents) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS p,
+         row_number() OVER (ORDER BY day) AS t
+  FROM dense
+),
+termed AS (
+  SELECT day, cents,
+         CAST(floor({term} * 1000000.0 + 0.5) AS hugeint) AS term_micro
+  FROM pre
+),
+summed AS (
+  SELECT day, cents,
+         sum(term_micro) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS m
+  FROM termed
+),
+cum AS (
+  SELECT day, cents, m,
+         min(m) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS m_min
+  FROM summed
+)
+SELECT day, cents / 100.0 AS net_revenue,
+       {micro_sql('(m - m_min)::double / 1.0e8')} AS ph_stat_dollars,
+       (m - m_min)::double / 1.0e8 > {PH_LAMBDA_DOLLARS!r} AS is_drift_alarm
+FROM cum
+ORDER BY day
 """

@@ -1067,6 +1067,26 @@ _ROUND8_FILL = [
 ]
 _ROUND8_WINDOW = _ROUND8_FRONT + _ROUND8_FILL
 
+# --- round-9 additions (registered AFTER the 50-slot window fills; their
+# driver rows land in round 10 via _ROUND10_FRONT) — time-series battery
+# over the zero-filled global daily revenue series: the "is there
+# structure" pre-flight (ACF + Ljung-Box), the classical decomposition,
+# the "when did it shift" locator, and the adaptive-reference drift
+# monitor.  All share ewma/holt's scale shape: one daily shuffle, then
+# calendar-bounded frames.
+register("daily_revenue_acf", txn.daily_revenue_acf, txn.daily_revenue_acf_sql())
+register(
+    "seasonal_decomposition_daily",
+    txn.seasonal_decomposition_daily,
+    txn.seasonal_decomposition_daily_sql(),
+)
+register("revenue_changepoint", txn.revenue_changepoint, txn.revenue_changepoint_sql())
+register(
+    "page_hinkley_revenue_drift",
+    txn.page_hinkley_revenue_drift,
+    txn.page_hinkley_revenue_drift_sql(),
+)
+
 # ROUND-9 WINDOW (the 50 registry slots the driver verifies this round).
 # CORRECTNESS_r08 landed 50/50 green, so the staged plan is now code:
 #   * 28 front slots (_ROUND9_FRONT) — the round-8 additions, never
@@ -1158,7 +1178,13 @@ if len(set(_ROUND9_WINDOW)) != len(_ROUND9_WINDOW):
 # re-verifies).  The rotation-arithmetic guard below fails the build the
 # moment additions + owed re-verifies outrun the 50-slot window — debt
 # must never compound silently (judge order, round 8 verdict #4).
-_ROUND10_FRONT: list[str] = []
+_ROUND10_FRONT: list[str] = [
+    # round-9 time-series battery (never driver-checked)
+    "daily_revenue_acf",
+    "seasonal_decomposition_daily",
+    "revenue_changepoint",
+    "page_hinkley_revenue_drift",
+]
 _ROUND10_OWED: list[str] = [
     # round-9 guarded-micro hardening (engine + oracle switched to the
     # shared overflow-guarded quantizer; bitwise-identical at sf0.01,
