@@ -1404,3 +1404,265 @@ SELECT t AS tenure_days, CAST(n_risk AS BIGINT) AS n_risk,
 FROM terms
 ORDER BY tenure_days
 """
+
+
+# ---------------------------------------------------------------------------
+# round-9 survival extensions: Nelson-Aalen cumulative hazard (+ the
+# Fleming-Harrington survival it implies) and the Greenwood confidence
+# band the bare KM curve lacks.  Same scale shape as membership_survival_km:
+# one groupBy onto the tenure-day vocabulary, window math on that frame.
+# ---------------------------------------------------------------------------
+
+
+def _km_risk_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared (duration, n_events, n_censored, n_risk) frame of the
+    survival family — the per-duration collapse of memberships_2024 with
+    the risk set as total-minus-prefix (never a per-row rescan)."""
+    from pyspark.sql import Window
+
+    m = build_memberships_2024(spark, sf_dir)
+    rows = m.select(
+        F.datediff(F.col("end_date"), F.col("start_date")).alias("duration_days"),
+        (F.col("status") == "END").cast("long").alias("ev"),
+    )
+    per = rows.groupBy("duration_days").agg(
+        F.sum("ev").alias("n_events"),
+        F.sum(1 - F.col("ev")).alias("n_censored"),
+    )
+    prev = Window.orderBy("duration_days").rowsBetween(Window.unboundedPreceding, -1)
+    total = F.sum(F.col("n_events") + F.col("n_censored")).over(Window.partitionBy())
+    n_risk = total - F.coalesce(
+        F.sum(F.col("n_events") + F.col("n_censored")).over(prev), F.lit(0)
+    )
+    return per.select("duration_days", "n_events", "n_censored", n_risk.alias("n_risk"))
+
+
+_KM_RISK_SQL = """
+rows_ AS (
+  SELECT (end_date - start_date) AS duration_days,
+         (status = 'END')::bigint AS ev
+  FROM m
+),
+per AS (
+  SELECT duration_days, sum(ev) AS n_events, sum(1 - ev) AS n_censored
+  FROM rows_ GROUP BY duration_days
+),
+stepped AS (
+  SELECT duration_days, n_events, n_censored,
+         sum(n_events + n_censored) OVER ()
+           - coalesce(sum(n_events + n_censored)
+                      OVER (ORDER BY duration_days
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS n_risk
+  FROM per
+)
+"""
+
+
+def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative hazard H(t) = Σ_{tᵢ≤t} dᵢ/nᵢ with its
+    standard error (Σ dᵢ/nᵢ² Poisson form) and the Fleming-Harrington
+    survival exp(−H) it implies — the additive-domain counterpart of
+    :func:`membership_survival_km` (hazard INCREMENTS are what a churn
+    model regresses on; the KM product can't be read per-step).
+
+    Exactness: each dᵢ/nᵢ term is nano-quantized to int64 BEFORE the
+    cumulative sum (the KM log-domain discipline, applied to the hazard
+    domain where it is exact by definition — no logs involved);
+    the variance terms likewise.  exp(−H) is one double op from the
+    exact nano integer, micro-rounded.
+
+    Scale shape: identical to the KM — tenure-vocabulary frame only."""
+    from pyspark.sql import Window
+
+    stepped = _km_risk_frame(spark, sf_dir)
+    w = Window.orderBy("duration_days")
+    h_nano = F.floor(
+        F.col("n_events").cast("double") / F.col("n_risk").cast("double")
+        * 1000000000.0
+        + 0.5
+    ).cast("long")
+    v_nano = F.floor(
+        F.col("n_events").cast("double")
+        / (F.col("n_risk").cast("double") * F.col("n_risk").cast("double"))
+        * 1000000000.0
+        + 0.5
+    ).cast("long")
+    cum = stepped.select(
+        "duration_days",
+        "n_risk",
+        "n_events",
+        "n_censored",
+        F.sum(h_nano).over(w).alias("h_nano"),
+        F.sum(v_nano).over(w).alias("v_nano"),
+    )
+    micro6 = lambda c: F.floor(c * 1000000.0 + 0.5) / 1000000.0  # noqa: E731
+    return (
+        cum.filter(F.col("n_events") > 0)
+        .select(
+            "duration_days",
+            "n_risk",
+            "n_events",
+            "n_censored",
+            (F.col("h_nano") / 1.0e9).alias("cum_hazard"),
+            micro6(F.sqrt(F.col("v_nano").cast("double") / 1.0e9)).alias("hazard_se"),
+            micro6(F.exp(-F.col("h_nano").cast("double") / 1.0e9)).alias(
+                "survival_fleming_harrington"
+            ),
+        )
+        .orderBy("duration_days")
+    )
+
+
+def nelson_aalen_hazard_sql() -> str:
+    return f"""
+WITH m AS ({memberships_2024_sql()}),
+{_KM_RISK_SQL},
+cum AS (
+  SELECT duration_days, n_risk, n_events, n_censored,
+         sum(CAST(floor(n_events::double / n_risk::double * 1000000000.0 + 0.5)
+                  AS BIGINT))
+           OVER (ORDER BY duration_days
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS h_nano,
+         sum(CAST(floor(n_events::double / (n_risk::double * n_risk::double)
+                        * 1000000000.0 + 0.5) AS BIGINT))
+           OVER (ORDER BY duration_days
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_nano
+  FROM stepped
+)
+SELECT duration_days, CAST(n_risk AS BIGINT) AS n_risk,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(n_censored AS BIGINT) AS n_censored,
+       h_nano / 1.0e9 AS cum_hazard,
+       floor(sqrt(v_nano::double / 1.0e9) * 1000000.0 + 0.5) / 1000000.0
+         AS hazard_se,
+       floor(exp(-h_nano::double / 1.0e9) * 1000000.0 + 0.5) / 1000000.0
+         AS survival_fleming_harrington
+FROM cum
+WHERE n_events > 0
+ORDER BY duration_days
+"""
+
+
+KM_CI_Z = 1.96  # normal 95% band
+
+
+def km_greenwood_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier curve with the Greenwood 95% confidence band:
+    Var(S) = S²·Σ dᵢ/(nᵢ(nᵢ−dᵢ)), CI = S ± 1.96·se clamped to [0,1] —
+    what :func:`membership_survival_km` should be read with (a tail
+    estimated from a 3-member risk set and one from 300 print the same
+    point value; only the band tells them apart).
+
+    Exactness: the KM product reuses the log-domain nano discipline; the
+    Greenwood sum is per-term nano-quantized BEFORE its cumulative sum;
+    the extinction step (d = n) pins S = 0 and the band to NULL (the
+    Greenwood term divides by n−d) in both engines.
+
+    Scale shape: tenure-vocabulary frame only, same as the KM."""
+    from pyspark.sql import Window
+
+    stepped = _km_risk_frame(spark, sf_dir)
+    w = Window.orderBy("duration_days")
+    extinct = F.col("n_events") >= F.col("n_risk")
+    term_nano = F.when(extinct, F.lit(0)).otherwise(
+        F.floor(
+            F.log(
+                (F.col("n_risk") - F.col("n_events")).cast("double")
+                / F.col("n_risk").cast("double")
+            )
+            * 1000000000.0
+            + 0.5
+        ).cast("long")
+    )
+    g_nano = F.when(extinct, F.lit(0)).otherwise(
+        F.floor(
+            F.col("n_events").cast("double")
+            / (
+                F.col("n_risk").cast("double")
+                * (F.col("n_risk") - F.col("n_events")).cast("double")
+            )
+            * 1000000000.0
+            + 0.5
+        ).cast("long")
+    )
+    cum = stepped.select(
+        "duration_days",
+        "n_risk",
+        "n_events",
+        "n_censored",
+        F.sum(term_nano).over(w).alias("cum_nano"),
+        F.sum(g_nano).over(w).alias("g_nano"),
+        F.max(extinct.cast("int")).over(w).alias("hit_zero"),
+    )
+    micro6 = lambda c: F.floor(c * 1000000.0 + 0.5) / 1000000.0  # noqa: E731
+    s = F.exp(F.col("cum_nano") / 1000000000.0)
+    se = s * F.sqrt(F.col("g_nano").cast("double") / 1.0e9)
+    return (
+        cum.filter(F.col("n_events") > 0)
+        .select(
+            "duration_days",
+            "n_risk",
+            "n_events",
+            F.when(F.col("hit_zero") == 1, F.lit(0.0))
+            .otherwise(micro6(s))
+            .alias("survival"),
+            F.when(F.col("hit_zero") == 0, micro6(se)).alias("survival_se"),
+            F.when(F.col("hit_zero") == 0, micro6(F.greatest(s - KM_CI_Z * se, F.lit(0.0))))
+            .otherwise(F.lit(0.0))
+            .alias("ci_lo"),
+            F.when(F.col("hit_zero") == 0, micro6(F.least(s + KM_CI_Z * se, F.lit(1.0))))
+            .otherwise(F.lit(0.0))
+            .alias("ci_hi"),
+        )
+        .orderBy("duration_days")
+    )
+
+
+def km_greenwood_ci_sql() -> str:
+    return f"""
+WITH m AS ({memberships_2024_sql()}),
+{_KM_RISK_SQL},
+cum AS (
+  SELECT duration_days, n_risk, n_events, n_censored,
+         sum(CASE WHEN n_events >= n_risk THEN 0
+                  ELSE CAST(floor(ln((n_risk - n_events)::double / n_risk::double)
+                                  * 1000000000.0 + 0.5) AS BIGINT) END)
+           OVER (ORDER BY duration_days
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_nano,
+         sum(CASE WHEN n_events >= n_risk THEN 0
+                  ELSE CAST(floor(n_events::double
+                                  / (n_risk::double * (n_risk - n_events)::double)
+                                  * 1000000000.0 + 0.5) AS BIGINT) END)
+           OVER (ORDER BY duration_days
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g_nano,
+         max((n_events >= n_risk)::int)
+           OVER (ORDER BY duration_days
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hit_zero
+  FROM stepped
+)
+SELECT duration_days, CAST(n_risk AS BIGINT) AS n_risk,
+       CAST(n_events AS BIGINT) AS n_events,
+       CASE WHEN hit_zero = 1 THEN 0.0
+            ELSE floor(exp(cum_nano / 1000000000.0) * 1000000.0 + 0.5) / 1000000.0
+       END AS survival,
+       CASE WHEN hit_zero = 0
+            THEN floor(exp(cum_nano / 1000000000.0)
+                       * sqrt(g_nano::double / 1.0e9) * 1000000.0 + 0.5) / 1000000.0
+       END AS survival_se,
+       CASE WHEN hit_zero = 0
+            THEN floor(greatest(exp(cum_nano / 1000000000.0)
+                                - {KM_CI_Z!r} * exp(cum_nano / 1000000000.0)
+                                  * sqrt(g_nano::double / 1.0e9), 0.0)
+                       * 1000000.0 + 0.5) / 1000000.0
+            ELSE 0.0 END AS ci_lo,
+       CASE WHEN hit_zero = 0
+            THEN floor(least(exp(cum_nano / 1000000000.0)
+                             + {KM_CI_Z!r} * exp(cum_nano / 1000000000.0)
+                               * sqrt(g_nano::double / 1.0e9), 1.0)
+                       * 1000000.0 + 0.5) / 1000000.0
+            ELSE 0.0 END AS ci_hi
+FROM cum
+WHERE n_events > 0
+ORDER BY duration_days
+"""

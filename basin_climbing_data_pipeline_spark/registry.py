@@ -1086,6 +1086,10 @@ register(
     txn.page_hinkley_revenue_drift,
     txn.page_hinkley_revenue_drift_sql(),
 )
+# survival extensions: the additive-hazard counterpart of the KM curve and
+# the Greenwood band the bare point estimate should be read with
+register("nelson_aalen_hazard", mem.nelson_aalen_hazard, mem.nelson_aalen_hazard_sql())
+register("km_greenwood_ci", mem.km_greenwood_ci, mem.km_greenwood_ci_sql())
 
 # ROUND-9 WINDOW (the 50 registry slots the driver verifies this round).
 # CORRECTNESS_r08 landed 50/50 green, so the staged plan is now code:
@@ -1184,6 +1188,8 @@ _ROUND10_FRONT: list[str] = [
     "seasonal_decomposition_daily",
     "revenue_changepoint",
     "page_hinkley_revenue_drift",
+    "nelson_aalen_hazard",
+    "km_greenwood_ci",
 ]
 _ROUND10_OWED: list[str] = [
     # round-9 guarded-micro hardening (engine + oracle switched to the
