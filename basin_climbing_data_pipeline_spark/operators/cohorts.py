@@ -2163,3 +2163,431 @@ SELECT event_type, d, CAST(n AS BIGINT) AS n, CAST(med AS BIGINT) AS med,
 FROM scored
 ORDER BY event_type, d
 """
+
+
+# ---------------------------------------------------------------------------
+# round-9 segmentation / funnel-latency / LTV additions
+# ---------------------------------------------------------------------------
+
+RFM_BUCKETS = 5
+
+
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: every customer scored 1..5 on Recency (days since
+    last transaction, lower = better), Frequency (transaction count) and
+    Monetary (net spend), then rolled up per (r,f,m) cell — the marketing
+    segmentation the reference's at-risk / frequent-visitor flag rules
+    hand-pick thresholds for (customer_flags_config.py), generalized to
+    data-driven quintiles.
+
+    Determinism under ties: scores are RANK-quantiles — score = f(count of
+    customers STRICTLY below), so every customer with the same value lands
+    in the same bucket in both engines (ntile would split ties by
+    partition order).  Recency score is inverted (recent = 5).
+
+    Scale shape: the monetary rank rides the sign-aware log-bucket prefix
+    primitive (property-tested; negatives = net refunders); recency and
+    frequency ranks run over their bounded vocabularies (calendar days /
+    count-of-transactions).  Output ≤ 5³ cells."""
+    from .sketches import HIST_SUBBUCKETS as _HSB
+    from .transactions import build_transactions
+
+    txn = build_transactions(spark, sf_dir)
+    ref = txn.agg(F.max("txn_date").alias("ref_day"))
+    per_cust = (
+        txn.groupBy("customer_id")
+        .agg(
+            F.max("txn_date").alias("last_day"),
+            F.count("*").alias("freq"),
+            F.sum(to_cents(F.col("total_amount"))).alias("cents"),
+        )
+        .join(F.broadcast(ref))
+        .select(
+            "customer_id",
+            F.datediff(F.col("ref_day"), F.col("last_day")).alias("recency_days"),
+            "freq",
+            "cents",
+        )
+    )
+
+    def rank_before(df: DataFrame, col: str, bucketed: bool) -> DataFrame:
+        """(value, before) — customers with value strictly below, via the
+        log-bucket primitive (unbounded vocab) or a plain vocab prefix."""
+        per_val = df.groupBy(col).agg(F.count("*").alias("cnt"))
+        if not bucketed:
+            w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
+            return per_val.select(
+                col, F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("before")
+            )
+        vm = F.col(col)
+        bucket = (
+            F.when(vm >= 0, F.floor(F.log10(vm + 1) * _HSB))
+            .otherwise(-1 - F.floor(F.log10(-vm + 1) * _HSB))
+            .cast("long")
+        )
+        b = per_val.select(col, "cnt", bucket.alias("bkt"))
+        bkt_counts = b.groupBy("bkt").agg(F.sum("cnt").alias("bkt_cnt"))
+        wb = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+        offsets = bkt_counts.select(
+            "bkt", F.coalesce(F.sum("bkt_cnt").over(wb), F.lit(0)).alias("bkt_before")
+        )
+        win = Window.partitionBy("bkt").orderBy(col).rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        return (
+            b.join(F.broadcast(offsets), "bkt")
+            .withColumn("in_b", F.coalesce(F.sum("cnt").over(win), F.lit(0)))
+            .select(col, (F.col("bkt_before") + F.col("in_b")).alias("before"))
+        )
+
+    tot = per_cust.agg(F.count("*").alias("n_tot"))
+    # INTEGER division, exactly the oracle's `//` — a double floor(5·b/n)
+    # can land one off when 5·b is an exact multiple of n
+    bucket_of = F.least(
+        F.lit(RFM_BUCKETS - 1),
+        F.expr(f"({RFM_BUCKETS} * before) div n_tot").cast("int"),
+    )
+    r_rank = rank_before(per_cust, "recency_days", bucketed=False)
+    f_rank = rank_before(per_cust, "freq", bucketed=False)
+    m_rank = rank_before(per_cust, "cents", bucketed=True)
+    scored = (
+        per_cust.join(F.broadcast(tot))
+        .join(
+            F.broadcast(r_rank.select("recency_days", F.col("before"))), "recency_days"
+        )
+        .withColumn("r_score", F.lit(RFM_BUCKETS) - bucket_of)
+        .drop("before")
+        .join(F.broadcast(f_rank.select("freq", "before")), "freq")
+        .withColumn("f_score", bucket_of + 1)
+        .drop("before")
+        .join(m_rank.select("cents", "before"), "cents")
+        .withColumn("m_score", bucket_of + 1)
+        .drop("before")
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("cents").alias("cents"),
+        )
+        .select(
+            "r_score",
+            "f_score",
+            "m_score",
+            "n_customers",
+            (F.col("cents") / 100.0).alias("total_spend"),
+            ratio(F.col("cents").cast("double"), F.col("n_customers").cast("double") * 100.0, 2).alias(
+                "avg_spend"
+            ),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+def rfm_segments_sql() -> str:
+    from ..functions.money import ratio_sql
+    from .transactions import transactions_sql
+
+    b = RFM_BUCKETS
+    return f"""
+WITH txn AS ({transactions_sql()}),
+ref AS (SELECT max(txn_date) AS ref_day FROM txn),
+per_cust AS (
+  SELECT customer_id,
+         (SELECT ref_day FROM ref) - max(txn_date) AS recency_days,
+         count(*) AS freq,
+         sum({to_cents_sql('total_amount')}) AS cents
+  FROM txn GROUP BY customer_id
+),
+tot AS (SELECT count(*) AS n FROM per_cust),
+r_rank AS (
+  SELECT recency_days,
+         coalesce(sum(cnt) OVER (ORDER BY recency_days
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+  FROM (SELECT recency_days, count(*) AS cnt FROM per_cust GROUP BY 1)
+),
+f_rank AS (
+  SELECT freq,
+         coalesce(sum(cnt) OVER (ORDER BY freq
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+  FROM (SELECT freq, count(*) AS cnt FROM per_cust GROUP BY 1)
+),
+m_rank AS (
+  SELECT cents,
+         coalesce(sum(cnt) OVER (ORDER BY cents
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+  FROM (SELECT cents, count(*) AS cnt FROM per_cust GROUP BY 1)
+),
+scored AS (
+  SELECT p.customer_id, p.cents,
+         {b} - least({b - 1}, ({b} * r.before) // t.n) AS r_score,
+         least({b - 1}, ({b} * f.before) // t.n) + 1 AS f_score,
+         least({b - 1}, ({b} * m.before) // t.n) + 1 AS m_score
+  FROM per_cust p
+  JOIN r_rank r USING (recency_days)
+  JOIN f_rank f USING (freq)
+  JOIN m_rank m USING (cents)
+  CROSS JOIN tot t
+)
+SELECT r_score, f_score, m_score, count(*) AS n_customers,
+       sum(cents) / 100.0 AS total_spend,
+       {ratio_sql('sum(cents)::double', 'count(*)::double * 100.0', 2)} AS avg_spend
+FROM scored
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
+def funnel_step_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How long converting users take between funnel steps: the latency
+    distribution (mean / median / p90, nearest-rank) of view→click and
+    click→purchase for users who completed each hop — the companion
+    :func:`event_funnel` needs before anyone tunes FUNNEL_HOP (a 95th-
+    percentile latency near the hop cap means the window, not the
+    product, is deciding conversions).
+
+    Determinism: latencies quantize to whole SECONDS (the hop cap is 1h,
+    so the vocabulary is ≤ 3600 values — a bounded frame by construction);
+    median = lower-median rank (n+1) div 2, p90 = nearest-rank ceil(.9n),
+    both picked by prefix-count interval cover, never a percentile UDF.
+
+    Scale shape: the same three per-user min-aggregates as event_funnel
+    (co-hashed joins on user_id), then all rank math runs on the ≤ 3600-row
+    per-step second vocabulary."""
+    from ..io import load_table
+
+    base = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    v = (
+        base.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t1"))
+    )
+    c = (
+        base.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("ts_us") > F.col("t1"))
+            & (F.col("ts_us") <= F.col("t1") + FUNNEL_HOP_US)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t2"), F.min("t1").alias("t1k"))
+    )
+    p = (
+        base.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ts_us") > F.col("t2"))
+            & (F.col("ts_us") <= F.col("t2") + FUNNEL_HOP_US)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t3"), F.min("t2").alias("t2k"))
+    )
+    lat = (
+        c.select(
+            F.lit("view_to_click").alias("hop"),
+            F.floor((F.col("t2") - F.col("t1k")) / 1000000.0).cast("long").alias("lat_s"),
+        )
+        .unionByName(
+            p.select(
+                F.lit("click_to_purchase").alias("hop"),
+                F.floor((F.col("t3") - F.col("t2k")) / 1000000.0)
+                .cast("long")
+                .alias("lat_s"),
+            )
+        )
+    )
+    per_val = lat.groupBy("hop", "lat_s").agg(F.count("*").alias("cnt"))
+    win = Window.partitionBy("hop").orderBy("lat_s").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    wh = Window.partitionBy("hop")
+    ranked = per_val.select(
+        "hop",
+        "lat_s",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(win), F.lit(0)).alias("before"),
+        F.sum("cnt").over(wh).alias("n"),
+        F.sum(F.col("lat_s") * F.col("cnt")).over(wh).alias("s"),
+    )
+    med_rank = F.expr("(n + 1) div 2")
+    p90_rank = F.expr("(9 * n + 9) div 10")
+    covers = lambda r: (F.col("before") < r) & (r <= F.col("before") + F.col("cnt"))  # noqa: E731
+    return (
+        ranked.groupBy("hop", "n", "s")
+        .agg(
+            F.min(F.when(covers(med_rank), F.col("lat_s"))).alias("median_s"),
+            F.min(F.when(covers(p90_rank), F.col("lat_s"))).alias("p90_s"),
+        )
+        .select(
+            "hop",
+            F.col("n").alias("n_users"),
+            ratio(F.col("s").cast("double"), F.col("n").cast("double"), 2).alias(
+                "mean_s"
+            ),
+            "median_s",
+            "p90_s",
+        )
+        .orderBy("hop")
+    )
+
+
+def funnel_step_latency_sql() -> str:
+    hop = FUNNEL_HOP_US
+    return f"""
+WITH base AS (
+  SELECT user_id, event_type, epoch_us(ts::TIMESTAMP) AS ts_us FROM events
+),
+v AS (
+  SELECT user_id, min(ts_us) AS t1 FROM base WHERE event_type = 'view'
+  GROUP BY user_id
+),
+c AS (
+  SELECT b.user_id, min(b.ts_us) AS t2, min(v.t1) AS t1k
+  FROM base b JOIN v ON b.user_id = v.user_id
+  WHERE b.event_type = 'click' AND b.ts_us > v.t1 AND b.ts_us <= v.t1 + {hop}
+  GROUP BY b.user_id
+),
+p AS (
+  SELECT b.user_id, min(b.ts_us) AS t3, min(c.t2) AS t2k
+  FROM base b JOIN c ON b.user_id = c.user_id
+  WHERE b.event_type = 'purchase' AND b.ts_us > c.t2 AND b.ts_us <= c.t2 + {hop}
+  GROUP BY b.user_id
+),
+lat AS (
+  SELECT 'view_to_click' AS hop, CAST(floor((t2 - t1k) / 1000000.0) AS BIGINT) AS lat_s FROM c
+  UNION ALL
+  SELECT 'click_to_purchase', CAST(floor((t3 - t2k) / 1000000.0) AS BIGINT) FROM p
+),
+per_val AS (
+  SELECT hop, lat_s, count(*) AS cnt FROM lat GROUP BY 1, 2
+),
+ranked AS (
+  SELECT hop, lat_s, cnt,
+         coalesce(sum(cnt) OVER (PARTITION BY hop ORDER BY lat_s
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before,
+         sum(cnt) OVER (PARTITION BY hop) AS n,
+         sum(lat_s * cnt) OVER (PARTITION BY hop) AS s
+  FROM per_val
+)
+SELECT hop, CAST(n AS BIGINT) AS n_users,
+       {ratio_sql('s::double', 'n::double', 2)} AS mean_s,
+       min(CASE WHEN before < (n + 1) // 2 AND (n + 1) // 2 <= before + cnt
+                THEN lat_s END) AS median_s,
+       min(CASE WHEN before < (9 * n + 9) // 10 AND (9 * n + 9) // 10 <= before + cnt
+                THEN lat_s END) AS p90_s
+FROM ranked
+GROUP BY hop, n, s
+ORDER BY hop
+"""
+
+
+def ltv_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV triangle: customers grouped by first-purchase month,
+    revenue tracked by month-age, cumulative revenue per cohort member —
+    the money-side counterpart of :func:`retention_triangle` (which counts
+    who comes back; this one says what they're WORTH as the cohort ages,
+    the curve a CAC payback decision reads).
+
+    Exactness: cohort sizes and month-age revenue are exact integer
+    cents; cumulative sums run per cohort over the bounded month-age
+    frame; per-member values are single exact-int ratios.
+
+    Scale shape: one per-customer first-month aggregate (co-hashed with
+    the txn groupBy), one (cohort × age) rollup — ages are calendar-
+    bounded, so the window frame is months × months."""
+    from .transactions import build_transactions
+
+    txn = build_transactions(spark, sf_dir)
+    per_txn = txn.select(
+        "customer_id",
+        F.trunc(F.col("txn_date"), "month").alias("txn_month"),
+        to_cents(F.col("total_amount")).alias("cents"),
+    )
+    firsts = per_txn.groupBy("customer_id").agg(
+        F.min("txn_month").alias("cohort_month")
+    )
+    sized = firsts.groupBy("cohort_month").agg(F.count("*").alias("cohort_size"))
+    aged = (
+        per_txn.join(firsts, "customer_id")
+        .withColumn(
+            "age_months",
+            F.months_between(F.col("txn_month"), F.col("cohort_month")).cast("int"),
+        )
+        .groupBy("cohort_month", "age_months")
+        .agg(
+            F.sum("cents").alias("cents"),
+            F.countDistinct("customer_id").alias("active_customers"),
+        )
+    )
+    w = Window.partitionBy("cohort_month").orderBy("age_months").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        aged.join(F.broadcast(sized), "cohort_month")
+        .select(
+            "cohort_month",
+            "age_months",
+            "cohort_size",
+            "active_customers",
+            (F.col("cents") / 100.0).alias("revenue"),
+            F.sum("cents").over(w).alias("cum_cents"),
+        )
+        .select(
+            "cohort_month",
+            "age_months",
+            "cohort_size",
+            "active_customers",
+            "revenue",
+            (F.col("cum_cents") / 100.0).alias("cum_revenue"),
+            ratio(
+                F.col("cum_cents").cast("double"),
+                F.col("cohort_size").cast("double") * 100.0,
+                2,
+            ).alias("ltv_per_customer"),
+        )
+        .orderBy("cohort_month", "age_months")
+    )
+
+
+def ltv_triangle_sql() -> str:
+    from .transactions import transactions_sql
+
+    return f"""
+WITH txn AS ({transactions_sql()}),
+per_txn AS (
+  SELECT customer_id, date_trunc('month', txn_date)::date AS txn_month,
+         {to_cents_sql('total_amount')} AS cents
+  FROM txn
+),
+firsts AS (
+  SELECT customer_id, min(txn_month) AS cohort_month FROM per_txn GROUP BY 1
+),
+sized AS (
+  SELECT cohort_month, count(*) AS cohort_size FROM firsts GROUP BY 1
+),
+aged AS (
+  SELECT f.cohort_month,
+         CAST(datediff('month', f.cohort_month, p.txn_month) AS INTEGER) AS age_months,
+         sum(p.cents) AS cents,
+         count(DISTINCT p.customer_id) AS active_customers
+  FROM per_txn p JOIN firsts f USING (customer_id)
+  GROUP BY 1, 2
+)
+SELECT a.cohort_month, a.age_months,
+       CAST(s.cohort_size AS BIGINT) AS cohort_size,
+       CAST(a.active_customers AS BIGINT) AS active_customers,
+       a.cents / 100.0 AS revenue,
+       sum(a.cents) OVER (PARTITION BY a.cohort_month ORDER BY a.age_months
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         / 100.0 AS cum_revenue,
+       {ratio_sql(
+           "sum(a.cents) OVER (PARTITION BY a.cohort_month ORDER BY a.age_months "
+           "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::double",
+           "s.cohort_size::double * 100.0",
+           2,
+       )} AS ltv_per_customer
+FROM aged a JOIN sized s USING (cohort_month)
+ORDER BY a.cohort_month, a.age_months
+"""

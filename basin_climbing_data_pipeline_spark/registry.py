@@ -1090,6 +1090,10 @@ register(
 # the Greenwood band the bare point estimate should be read with
 register("nelson_aalen_hazard", mem.nelson_aalen_hazard, mem.nelson_aalen_hazard_sql())
 register("km_greenwood_ci", mem.km_greenwood_ci, mem.km_greenwood_ci_sql())
+# segmentation / funnel-latency / cohort-LTV
+register("rfm_segments", co.rfm_segments, co.rfm_segments_sql())
+register("funnel_step_latency", co.funnel_step_latency, co.funnel_step_latency_sql())
+register("ltv_triangle", co.ltv_triangle, co.ltv_triangle_sql())
 
 # ROUND-9 WINDOW (the 50 registry slots the driver verifies this round).
 # CORRECTNESS_r08 landed 50/50 green, so the staged plan is now code:
@@ -1190,6 +1194,9 @@ _ROUND10_FRONT: list[str] = [
     "page_hinkley_revenue_drift",
     "nelson_aalen_hazard",
     "km_greenwood_ci",
+    "rfm_segments",
+    "funnel_step_latency",
+    "ltv_triangle",
 ]
 _ROUND10_OWED: list[str] = [
     # round-9 guarded-micro hardening (engine + oracle switched to the
