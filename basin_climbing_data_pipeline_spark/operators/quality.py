@@ -847,3 +847,118 @@ SELECT n, mi_nats, h_category, h_source,
        END AS nmi
 FROM agg
 """
+
+
+def jsd_source_categories(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence (nats and bits) between each data
+    source's revenue-category distribution and the corpus-wide one — the
+    bounded, symmetric "how different is this source's mix" number that
+    PSI (unbounded, asymmetric, bin-fragile) is usually a stand-in for;
+    0 = identical mix, ln 2 nats = disjoint support.
+
+    Determinism: P, Q and M = (P+Q)/2 come from exact integer counts;
+    each p·ln(p/m) term is nano-floored to int64 BEFORE summation (the
+    mutual_info / PSI discipline), and absent cells contribute their
+    exact Q·ln 2 mass via the zero-filled category×source grid — both
+    engines materialize the same grid, so absent-cell handling can't
+    diverge.
+
+    Scale shape: one groupBy onto the bounded category×source table;
+    the grid, margins and sums all run on ≤ r·c rows."""
+    from pyspark.sql import Window
+
+    from .transactions import build_transactions
+
+    txn = build_transactions(spark, sf_dir)
+    obs = txn.groupBy("revenue_category", "data_source").agg(F.count("*").alias("o"))
+    cats = obs.select("revenue_category").distinct()
+    srcs = obs.select("data_source").distinct()
+    grid = cats.crossJoin(F.broadcast(srcs)).join(
+        obs, ["revenue_category", "data_source"], "left"
+    ).select(
+        "revenue_category", "data_source", F.coalesce(F.col("o"), F.lit(0)).alias("o")
+    )
+    tot = Window.partitionBy()
+    wc = Window.partitionBy("revenue_category")
+    ws = Window.partitionBy("data_source")
+    enriched = grid.select(
+        "*",
+        F.sum("o").over(tot).alias("n"),
+        F.sum("o").over(wc).alias("cat_tot"),
+        F.sum("o").over(ws).alias("src_tot"),
+    )
+    p = F.col("o").cast("double") / F.col("src_tot").cast("double")
+    q = F.col("cat_tot").cast("double") / F.col("n").cast("double")
+    m = (p + q) / 2.0
+    term_p = F.when(
+        F.col("o") > 0, F.floor(p * F.log(p / m) * 1000000000.0 + 0.5).cast("long")
+    ).otherwise(F.lit(0))
+    term_q = F.floor(q * F.log(q / m) * 1000000000.0 + 0.5).cast("long")
+    agg = enriched.select(
+        "data_source", "src_tot", term_p.alias("tp"), term_q.alias("tq")
+    ).groupBy("data_source", "src_tot").agg(
+        F.sum("tp").alias("sp"), F.sum("tq").alias("sq")
+    )
+    jsd_nats = (F.col("sp") + F.col("sq")).cast("double") / 2.0e9
+    micro = lambda x: F.floor(x * 1000000.0 + 0.5) / 1000000.0  # noqa: E731
+    return agg.select(
+        "data_source",
+        F.col("src_tot").alias("n_txns"),
+        micro(jsd_nats).alias("jsd_nats"),
+        micro(jsd_nats / F.log(F.lit(2.0))).alias("jsd_bits"),
+    ).orderBy("data_source")
+
+
+def jsd_source_categories_sql() -> str:
+    return """
+WITH txn AS ({txn}),
+obs AS (
+  SELECT revenue_category, data_source, count(*) AS o
+  FROM txn GROUP BY 1, 2
+),
+grid AS (
+  SELECT c.revenue_category, s.data_source, coalesce(o.o, 0) AS o
+  FROM (SELECT DISTINCT revenue_category FROM obs) c
+  CROSS JOIN (SELECT DISTINCT data_source FROM obs) s
+  LEFT JOIN obs o USING (revenue_category, data_source)
+),
+enriched AS (
+  SELECT *,
+         sum(o) OVER () AS n,
+         sum(o) OVER (PARTITION BY revenue_category) AS cat_tot,
+         sum(o) OVER (PARTITION BY data_source) AS src_tot
+  FROM grid
+),
+terms AS (
+  SELECT data_source, src_tot,
+         CASE WHEN o > 0
+              THEN CAST(floor((o::double / src_tot::double)
+                   * ln((o::double / src_tot::double)
+                        / ((o::double / src_tot::double
+                            + cat_tot::double / n::double) / 2.0))
+                   * 1000000000.0 + 0.5) AS BIGINT)
+              ELSE 0 END AS tp,
+         CAST(floor((cat_tot::double / n::double)
+              * ln((cat_tot::double / n::double)
+                   / ((o::double / src_tot::double
+                       + cat_tot::double / n::double) / 2.0))
+              * 1000000000.0 + 0.5) AS BIGINT) AS tq
+  FROM enriched
+),
+agg AS (
+  SELECT data_source, src_tot, sum(tp) AS sp, sum(tq) AS sq
+  FROM terms GROUP BY 1, 2
+)
+SELECT data_source, CAST(src_tot AS BIGINT) AS n_txns,
+       floor((sp + sq)::double / 2.0e9 * 1000000.0 + 0.5) / 1000000.0 AS jsd_nats,
+       floor((sp + sq)::double / 2.0e9 / ln(2.0) * 1000000.0 + 0.5) / 1000000.0
+         AS jsd_bits
+FROM agg
+ORDER BY data_source
+""".format(txn=_txn_sql())
+
+
+def _txn_sql() -> str:
+    from .transactions import transactions_sql
+
+    return transactions_sql()

@@ -1184,3 +1184,131 @@ SELECT window_start_us, event_type, n_exact,
 FROM est
 ORDER BY window_start_us, event_type
 """
+
+
+def hll_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise customer-base overlap between data sources by HLL
+    inclusion-exclusion: |A∩B| ≈ E(A) + E(B) − E(A∪B), where the union
+    estimate comes from MERGED registers (bucket-wise max — the operation
+    that makes HLL sketches composable and is exactly why a 100-TB
+    engine keeps registers, not counts: any cross-source overlap matrix
+    is then register-table joins, never a re-scan).  Jaccard and the
+    overlap share of the smaller side ride along; the intersection
+    estimate is clamped at 0 (inclusion-exclusion noise can go negative).
+
+    Scale shape: ONE register build over transactions (groupBy
+    (source, bucket), ≤ 256 rows per source survive); pair expansion and
+    merging run entirely on register tables (sources² × 256 rows).
+
+    Cites the same sketch contract as hll_distinct_eval / the sliding
+    HLL family (reference has no sketch layer; this is the LLM-pipeline
+    extension lane)."""
+    from .transactions import build_transactions
+
+    txn = build_transactions(spark, sf_dir).select("data_source", "customer_id")
+    regs = _hll_registers(txn, "data_source", "customer_id")
+    singles = _hll_scaled_registers(regs, ["grp"])
+    est = _hll_estimate_col()
+    single_est = singles.select(F.col("grp"), est.alias("e"))
+    pairs = (
+        single_est.select(F.col("grp").alias("src_a"), F.col("e").alias("e_a"))
+        .crossJoin(
+            F.broadcast(
+                single_est.select(F.col("grp").alias("src_b"), F.col("e").alias("e_b"))
+            )
+        )
+        .filter(F.col("src_a") < F.col("src_b"))
+    )
+    ra = pairs.select("src_a", "src_b").join(
+        regs, F.col("grp") == F.col("src_a")
+    ).select("src_a", "src_b", "bucket", "max_rho")
+    rb = pairs.select("src_a", "src_b").join(
+        regs, F.col("grp") == F.col("src_b")
+    ).select("src_a", "src_b", "bucket", "max_rho")
+    merged = ra.unionByName(rb).groupBy("src_a", "src_b", "bucket").agg(
+        F.max("max_rho").alias("max_rho")
+    )
+    union_scaled = _hll_scaled_registers(merged, ["src_a", "src_b"])
+    union_est = union_scaled.select("src_a", "src_b", est.alias("e_u"))
+    j = pairs.join(union_est, ["src_a", "src_b"])
+    inter = F.greatest(F.col("e_a") + F.col("e_b") - F.col("e_u"), F.lit(0.0))
+    micro = lambda x: F.floor(x * 1000000.0 + 0.5) / 1000000.0  # noqa: E731
+    return j.select(
+        "src_a",
+        "src_b",
+        micro(F.col("e_a")).alias("est_a"),
+        micro(F.col("e_b")).alias("est_b"),
+        micro(F.col("e_u")).alias("est_union"),
+        micro(inter).alias("est_overlap"),
+        F.when(F.col("e_u") > 0, micro(inter / F.col("e_u"))).alias("jaccard"),
+        F.when(
+            F.least(F.col("e_a"), F.col("e_b")) > 0,
+            micro(inter / F.least(F.col("e_a"), F.col("e_b"))),
+        ).alias("containment_min_side"),
+    ).orderBy("src_a", "src_b")
+
+
+def hll_source_overlap_sql() -> str:
+    from .transactions import transactions_sql
+
+    rb = HLL_RHO_BITS
+    m = HLL_BUCKETS
+    alpha_m2 = HLL_ALPHA * HLL_BUCKETS * HLL_BUCKETS
+    unit = float(2**HLL_RHO_BITS)
+    est = (
+        f"CASE WHEN ({alpha_m2!r} / ((s_present + ({m} - n_present) * {2**rb}) / {unit!r}))"
+        f" <= {2.5 * m!r} AND ({m} - n_present) > 0"
+        f" THEN {float(m)!r} * ln({float(m)!r} / ({m} - n_present))"
+        f" ELSE {alpha_m2!r} / ((s_present + ({m} - n_present) * {2**rb}) / {unit!r}) END"
+    )
+    return f"""
+WITH txn AS ({transactions_sql()}),
+elems AS (
+  SELECT data_source AS grp,
+         ('0x' || substr(md5(customer_id::varchar), 1, 2))::bigint AS bucket,
+         ('0x' || substr(md5(customer_id::varchar), 3, 12))::bigint AS tail
+  FROM txn
+),
+regs AS (
+  SELECT grp, bucket, max({rb} - length(bin(tail)) + 1) AS max_rho
+  FROM elems GROUP BY grp, bucket
+),
+singles AS (
+  SELECT grp,
+         sum((1::bigint << ({rb} - max_rho::int))) AS s_present,
+         count(*) AS n_present
+  FROM regs GROUP BY grp
+),
+single_est AS (SELECT grp, {est} AS e FROM singles),
+pairs AS (
+  SELECT a.grp AS src_a, b.grp AS src_b, a.e AS e_a, b.e AS e_b
+  FROM single_est a, single_est b
+  WHERE a.grp < b.grp
+),
+merged AS (
+  SELECT p.src_a, p.src_b, r.bucket, max(r.max_rho) AS max_rho
+  FROM pairs p JOIN regs r ON r.grp = p.src_a OR r.grp = p.src_b
+  GROUP BY 1, 2, 3
+),
+union_scaled AS (
+  SELECT src_a, src_b,
+         sum((1::bigint << ({rb} - max_rho::int))) AS s_present,
+         count(*) AS n_present
+  FROM merged GROUP BY 1, 2
+),
+union_est AS (SELECT src_a, src_b, {est} AS e_u FROM union_scaled)
+SELECT p.src_a, p.src_b,
+       floor(e_a * 1000000.0 + 0.5) / 1000000.0 AS est_a,
+       floor(e_b * 1000000.0 + 0.5) / 1000000.0 AS est_b,
+       floor(e_u * 1000000.0 + 0.5) / 1000000.0 AS est_union,
+       floor(greatest(e_a + e_b - e_u, 0.0) * 1000000.0 + 0.5) / 1000000.0
+         AS est_overlap,
+       CASE WHEN e_u > 0
+            THEN floor(greatest(e_a + e_b - e_u, 0.0) / e_u * 1000000.0 + 0.5)
+                 / 1000000.0 END AS jaccard,
+       CASE WHEN least(e_a, e_b) > 0
+            THEN floor(greatest(e_a + e_b - e_u, 0.0) / least(e_a, e_b)
+                       * 1000000.0 + 0.5) / 1000000.0 END AS containment_min_side
+FROM pairs p JOIN union_est u USING (src_a, src_b)
+ORDER BY src_a, src_b
+"""

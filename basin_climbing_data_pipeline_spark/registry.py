@@ -1094,6 +1094,9 @@ register("km_greenwood_ci", mem.km_greenwood_ci, mem.km_greenwood_ci_sql())
 register("rfm_segments", co.rfm_segments, co.rfm_segments_sql())
 register("funnel_step_latency", co.funnel_step_latency, co.funnel_step_latency_sql())
 register("ltv_triangle", co.ltv_triangle, co.ltv_triangle_sql())
+# divergence + composable-sketch extensions
+register("jsd_source_categories", qa.jsd_source_categories, qa.jsd_source_categories_sql())
+register("hll_source_overlap", sketch.hll_source_overlap, sketch.hll_source_overlap_sql())
 
 # ROUND-9 WINDOW (the 50 registry slots the driver verifies this round).
 # CORRECTNESS_r08 landed 50/50 green, so the staged plan is now code:
@@ -1197,6 +1200,8 @@ _ROUND10_FRONT: list[str] = [
     "rfm_segments",
     "funnel_step_latency",
     "ltv_triangle",
+    "jsd_source_categories",
+    "hll_source_overlap",
 ]
 _ROUND10_OWED: list[str] = [
     # round-9 guarded-micro hardening (engine + oracle switched to the
