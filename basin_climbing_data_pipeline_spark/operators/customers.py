@@ -1117,3 +1117,188 @@ FROM pairs
 GROUP BY pattern
 ORDER BY pattern
 """
+
+
+FS_PRIOR = 0.01  # initial P(match) for the EM responsibility step
+
+
+def linkage_em_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One EM update of the Fellegi-Sunter parameters from the observed
+    agreement-pattern table — the step that turns
+    :func:`record_linkage_patterns`'s fixed m = 0.95 convention into
+    data-estimated match probabilities (Winkler's EM for record linkage,
+    run one iteration at a time so every update is an auditable query,
+    not an opaque fitted model).
+
+    E-step: r(pattern) = π·Π m-terms / (π·Π m-terms + (1−π)·Π u-terms)
+    over the ≤ 3⁴ pattern rows (agree → m, disagree → 1−m, missing → 1).
+    M-step: m′_f = Σ r·n[agree_f] / Σ r·n[agree or disagree_f], u′_f the
+    (1−r) mirror, π′ = Σ r·n / Σ n.
+
+    Determinism: r is nano-floored per pattern BEFORE the weighted
+    M-step sums; those sums are then exact integer products (nano·count
+    in DECIMAL/HUGEINT), so the updated parameters are single exact-int
+    ratios.  Fields with no agree+disagree mass pin m′/u′ to NULL.
+
+    Scale shape: the pattern table is the corpus collapse (≤ 81 rows);
+    everything here runs on bounded frames."""
+    from pyspark.sql import Window
+
+    pat = record_linkage_patterns(spark, sf_dir).select("pattern", "n_pairs")
+    # per-field u estimates — same two tiny aggregations as the scorer
+    cust = build_customers(spark, sf_dir).select(*FS_FIELDS)
+    longf = cust.select(
+        F.expr(
+            "stack(4, 'nation', nation, 'segment', segment, "
+            "'phone_e164', phone_e164, 'email_domain', email_domain) "
+            "as (field, value)"
+        )
+    ).where(F.col("value").isNotNull())
+    vc = longf.groupBy("field", "value").agg(F.count("*").alias("n"))
+    stats = vc.groupBy("field").agg(
+        F.sum(F.col("n") * F.col("n")).alias("n2"), F.sum("n").alias("nt")
+    )
+    u = F.col("n2").cast("double") / (
+        F.col("nt").cast("double") * F.col("nt").cast("double")
+    )
+    u_guard = F.when((u > 0) & (u < 1), u).otherwise(F.lit(0.5))
+    one = stats.select("field", u_guard.alias("u0")).agg(
+        *[
+            F.max(F.when(F.col("field") == f, F.col("u0"))).alias(f"u0_{f}")
+            for f in FS_FIELDS
+        ]
+    )
+    withu = pat.join(F.broadcast(one))
+
+    def factor(i: int, f: str, p, q):
+        ch = F.substring(F.col("pattern"), i + 1, 1)
+        return F.when(ch == "a", p).when(ch == "d", 1.0 - p).otherwise(F.lit(1.0))
+
+    pm = F.lit(float(FS_PRIOR))
+    pu = F.lit(1.0 - FS_PRIOR)
+    for i, f in enumerate(FS_FIELDS):
+        pm = pm * factor(i, f, F.lit(FS_M), None)
+        pu = pu * factor(i, f, F.col(f"u0_{f}"), None)
+    r_nano = F.floor(pm / (pm + pu) * 1000000000.0 + 0.5).cast("long")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    scored = withu.select("pattern", "n_pairs", r_nano.alias("r"))
+
+    aggs = [
+        F.sum(dec(F.col("r")) * dec(F.col("n_pairs"))).alias("rn"),
+        F.sum(dec(F.lit(1000000000) - F.col("r")) * dec(F.col("n_pairs"))).alias("sn"),
+        F.sum("n_pairs").alias("n"),
+    ]
+    for i, f in enumerate(FS_FIELDS):
+        ch = F.substring(F.col("pattern"), i + 1, 1)
+        agree = F.when(ch == "a", F.col("n_pairs")).otherwise(F.lit(0))
+        known = F.when(ch != "n", F.col("n_pairs")).otherwise(F.lit(0))
+        aggs += [
+            F.sum(dec(F.col("r")) * dec(agree)).alias(f"ma_{f}"),
+            F.sum(dec(F.col("r")) * dec(known)).alias(f"mk_{f}"),
+            F.sum(dec(F.lit(1000000000) - F.col("r")) * dec(agree)).alias(f"ua_{f}"),
+            F.sum(dec(F.lit(1000000000) - F.col("r")) * dec(known)).alias(f"uk_{f}"),
+        ]
+    m = scored.agg(*aggs)
+    micro = lambda x: F.floor(x * 1000000.0 + 0.5) / 1000000.0  # noqa: E731
+    rows = []
+    for f in FS_FIELDS:
+        rows.append(
+            F.struct(
+                F.lit(f).alias("field"),
+                F.when(
+                    F.col(f"mk_{f}") > 0,
+                    micro(F.col(f"ma_{f}").cast("double") / F.col(f"mk_{f}").cast("double")),
+                ).alias("m_updated"),
+                F.when(
+                    F.col(f"uk_{f}") > 0,
+                    micro(F.col(f"ua_{f}").cast("double") / F.col(f"uk_{f}").cast("double")),
+                ).alias("u_updated"),
+            )
+        )
+    exploded = m.select(
+        F.explode(F.array(*rows)).alias("s"),
+        micro(
+            F.col("rn").cast("double") / (F.col("n").cast("double") * 1.0e9)
+        ).alias("pi_updated"),
+        F.col("n").alias("n_pairs_total"),
+    )
+    return exploded.select(
+        F.col("s.field").alias("field"),
+        F.lit(FS_M).alias("m_initial"),
+        F.col("s.m_updated").alias("m_updated"),
+        F.col("s.u_updated").alias("u_updated"),
+        "pi_updated",
+        "n_pairs_total",
+    ).orderBy("field")
+
+
+def linkage_em_step_sql() -> str:
+    pat = record_linkage_patterns_sql()
+    field_terms_m = []
+    field_terms_u = []
+    per_field = []
+    for i, f in enumerate(FS_FIELDS):
+        ch = f"substr(pattern, {i + 1}, 1)"
+        field_terms_m.append(
+            f"(CASE WHEN {ch} = 'a' THEN {FS_M} WHEN {ch} = 'd' THEN 1.0 - {FS_M} ELSE 1.0 END)"
+        )
+        field_terms_u.append(
+            f"(CASE WHEN {ch} = 'a' THEN u0_{f} WHEN {ch} = 'd' THEN 1.0 - u0_{f} ELSE 1.0 END)"
+        )
+        per_field.append(
+            f"""SELECT '{f}' AS field,
+       CASE WHEN sum(r::hugeint * (CASE WHEN substr(pattern, {i + 1}, 1) != 'n' THEN n_pairs ELSE 0 END)::hugeint) > 0
+            THEN floor(sum(r::hugeint * (CASE WHEN substr(pattern, {i + 1}, 1) = 'a' THEN n_pairs ELSE 0 END)::hugeint)::double
+                       / sum(r::hugeint * (CASE WHEN substr(pattern, {i + 1}, 1) != 'n' THEN n_pairs ELSE 0 END)::hugeint)::double
+                       * 1000000.0 + 0.5) / 1000000.0 END AS m_updated,
+       CASE WHEN sum((1000000000 - r)::hugeint * (CASE WHEN substr(pattern, {i + 1}, 1) != 'n' THEN n_pairs ELSE 0 END)::hugeint) > 0
+            THEN floor(sum((1000000000 - r)::hugeint * (CASE WHEN substr(pattern, {i + 1}, 1) = 'a' THEN n_pairs ELSE 0 END)::hugeint)::double
+                       / sum((1000000000 - r)::hugeint * (CASE WHEN substr(pattern, {i + 1}, 1) != 'n' THEN n_pairs ELSE 0 END)::hugeint)::double
+                       * 1000000.0 + 0.5) / 1000000.0 END AS u_updated,
+       floor(sum(r::hugeint * n_pairs::hugeint)::double
+             / (sum(n_pairs)::double * 1.0e9) * 1000000.0 + 0.5) / 1000000.0 AS pi_updated,
+       sum(n_pairs) AS n_pairs_total
+FROM scored"""
+        )
+    u_cols = ",\n       ".join(
+        f"max(CASE WHEN field = '{f}' THEN u0 END) AS u0_{f}" for f in FS_FIELDS
+    )
+    pm = f"{FS_PRIOR} * " + " * ".join(field_terms_m)
+    pu = f"(1.0 - {FS_PRIOR}) * " + " * ".join(field_terms_u)
+    body = "\nUNION ALL\n".join(per_field)
+    return f"""
+WITH pat AS ({pat}),
+cust AS ({customers_sql()}),
+longf AS (
+  SELECT field, value FROM (
+    SELECT nation AS value, 'nation' AS field FROM cust
+    UNION ALL SELECT segment, 'segment' FROM cust
+    UNION ALL SELECT phone_e164, 'phone_e164' FROM cust
+    UNION ALL SELECT email_domain, 'email_domain' FROM cust
+  ) WHERE value IS NOT NULL
+),
+vc AS (SELECT field, value, count(*) AS n FROM longf GROUP BY 1, 2),
+stats AS (
+  SELECT field, sum(n * n) AS n2, sum(n) AS nt FROM vc GROUP BY field
+),
+uest AS (
+  SELECT field,
+         CASE WHEN n2::double / (nt::double * nt::double) > 0
+               AND n2::double / (nt::double * nt::double) < 1
+              THEN n2::double / (nt::double * nt::double) ELSE 0.5 END AS u0
+  FROM stats
+),
+one AS (
+  SELECT {u_cols}
+  FROM uest
+),
+scored AS (
+  SELECT pattern, n_pairs,
+         CAST(floor(({pm}) / (({pm}) + ({pu})) * 1000000000.0 + 0.5) AS BIGINT) AS r
+  FROM pat, one
+)
+SELECT field, {FS_M} AS m_initial, m_updated, u_updated, pi_updated,
+       CAST(n_pairs_total AS BIGINT) AS n_pairs_total
+FROM ({body})
+ORDER BY field
+"""

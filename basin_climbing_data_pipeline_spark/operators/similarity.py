@@ -2482,3 +2482,103 @@ SELECT nv.n_vecs AS n_vecs,
              * 1000000.0 + 0.5) / 1000000.0 AS residual
 FROM stats CROSS JOIN nv
 """
+
+
+# Contamination threshold: real text-embedding corpora use ~0.9 (SemDeDup
+# territory); this fixture's random near-orthogonal vectors cap pairwise
+# cosine near 0.4, so the fixture threshold sits where the detector is
+# actually EXERCISED (counts > 0 and both flag values occur) rather than
+# vacuously green — the degeneracy lesson from the EB/CUPED incidents.
+SEMDECON_TAU = 0.35
+
+
+def semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space eval-set decontamination: for each held-out query
+    vector (vec_id < N_QUERIES — the same held-out convention as
+    cosine_topk), how many CORPUS vectors sit at cosine ≥ SEMDECON_TAU,
+    plus the worst offender — the semantic sibling of the n-gram
+    :func:`dedup.decontamination` (which catches verbatim leakage; this
+    catches paraphrase-level leakage n-grams miss, the gap SemDeDup-style
+    audits exist for).
+
+    Scale shape: the held-out side is bounded (broadcast); the corpus
+    side is ONE scan with per-row dot products against the broadcast
+    queries — the brute-force-but-linear exact plan; at production scale
+    the IVF cell router (ivf_assign) prunes the scan per query.  The
+    per-query top-1 and count are map-side partial aggregates.
+
+    Determinism: the shared strict-left-fold dot (bit-identical vs the
+    oracle's list_sum fold), 1e-6 fixed-point cosines, vec_id tie-break
+    on the argmax."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    with_norm = emb.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(_dot64(F.col("embedding"), F.col("embedding"))).alias("norm"),
+    )
+    queries = with_norm.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    corpus = with_norm.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("corpus_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("norm").alias("c_norm"),
+    )
+    joined = corpus.join(F.broadcast(queries))
+    cos = _cosine(
+        _dot64(F.col("q_emb"), F.col("c_emb")), F.col("q_norm"), F.col("c_norm")
+    )
+    scored = joined.select("query_id", "corpus_id", cos.alias("cosine"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "corpus_id")
+    top = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    counts = scored.groupBy("query_id").agg(
+        F.sum((F.col("cosine") >= SEMDECON_TAU).cast("long")).alias("n_contaminated")
+    )
+    return (
+        top.join(counts, "query_id")
+        .select(
+            "query_id",
+            "n_contaminated",
+            F.col("corpus_id").alias("nearest_corpus_id"),
+            F.col("cosine").alias("nearest_cosine"),
+            (F.col("cosine") >= SEMDECON_TAU).alias("is_contaminated"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def semantic_decontamination_sql() -> str:
+    dot = _dot_sql("q.embedding", "c.embedding")
+    nq = _dot_sql("q.embedding", "q.embedding")
+    nc = _dot_sql("c.embedding", "c.embedding")
+    return f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+         floor({dot} / (sqrt({nq}) * sqrt({nc})) * {COSINE_SCALE} + 0.5)
+           / {COSINE_SCALE} AS cosine
+  FROM embeddings q, embeddings c
+  WHERE q.vec_id < {N_QUERIES} AND c.vec_id >= {N_QUERIES}
+),
+top AS (
+  SELECT query_id, corpus_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, corpus_id) AS rn
+  FROM scored
+),
+counts AS (
+  SELECT query_id,
+         sum((cosine >= {SEMDECON_TAU})::bigint) AS n_contaminated
+  FROM scored GROUP BY query_id
+)
+SELECT t.query_id, CAST(c.n_contaminated AS BIGINT) AS n_contaminated,
+       t.corpus_id AS nearest_corpus_id,
+       t.cosine AS nearest_cosine,
+       t.cosine >= {SEMDECON_TAU} AS is_contaminated
+FROM top t JOIN counts c USING (query_id)
+WHERE t.rn = 1
+ORDER BY t.query_id
+"""

@@ -2325,3 +2325,118 @@ SELECT feature, n AS n_docs, n_pos AS n_not_spam,
 FROM m
 ORDER BY feature
 """
+
+
+def lang_id_macro_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language precision / recall / F1 of the n-gram language
+    detector, plus macro-F1 — the summary :func:`language_id_confusion`
+    (the raw matrix) and :func:`lang_id_kappa` (chance-corrected overall
+    agreement) bracket but don't report: kappa can look healthy while one
+    minority language has zero recall, which is precisely what macro-F1
+    (unweighted mean over languages) penalizes.
+
+    Exactness: tp/fp/fn are exact integer margins of the confusion
+    matrix; F1 = 2tp/(2tp+fp+fn) (the division-free identity — no
+    precision·recall roundtrip); each F1 is micro-floored to the 1e-6
+    grid and macro-F1 averages those exact grid integers, so no
+    float-summation order exists anywhere.
+
+    Scale shape: composes the confusion matrix (one corpus-sized groupBy
+    there); everything here runs on the ≤ langs² frame."""
+    from pyspark.sql import Window
+
+    conf = language_id_confusion(spark, sf_dir)
+    per_label = conf.groupBy("labeled_lang").agg(F.sum("n_docs").alias("n_labeled"))
+    per_det = conf.groupBy("detected_lang").agg(F.sum("n_docs").alias("n_detected"))
+    diag = conf.filter(F.col("labeled_lang") == F.col("detected_lang")).select(
+        F.col("labeled_lang").alias("lang"), F.col("n_docs").alias("tp")
+    )
+    j = (
+        per_label.select(F.col("labeled_lang").alias("lang"), "n_labeled")
+        .join(
+            per_det.select(F.col("detected_lang").alias("lang"), "n_detected"),
+            "lang",
+            "outer",
+        )
+        .join(diag, "lang", "left")
+        .select(
+            "lang",
+            F.coalesce(F.col("tp"), F.lit(0)).alias("tp"),
+            (F.coalesce(F.col("n_detected"), F.lit(0)) - F.coalesce(F.col("tp"), F.lit(0))).alias("fp"),
+            (F.coalesce(F.col("n_labeled"), F.lit(0)) - F.coalesce(F.col("tp"), F.lit(0))).alias("fn"),
+        )
+    )
+    den = 2 * F.col("tp") + F.col("fp") + F.col("fn")
+    f1_micro = F.when(
+        den > 0,
+        F.floor(
+            2.0 * F.col("tp").cast("double") / den.cast("double") * 1000000.0 + 0.5
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    scored = j.withColumn("f1_micro", f1_micro)
+    w = Window.partitionBy()
+    from ..functions.money import ratio
+
+    return scored.select(
+        "lang",
+        "tp",
+        "fp",
+        "fn",
+        F.when(
+            F.col("tp") + F.col("fp") > 0,
+            ratio(F.col("tp").cast("double"), (F.col("tp") + F.col("fp")).cast("double"), 6),
+        ).alias("precision"),
+        F.when(
+            F.col("tp") + F.col("fn") > 0,
+            ratio(F.col("tp").cast("double"), (F.col("tp") + F.col("fn")).cast("double"), 6),
+        ).alias("recall"),
+        (F.col("f1_micro") / 1000000.0).alias("f1"),
+        F.floor(
+            F.sum("f1_micro").over(w).cast("double") / F.count("*").over(w).cast("double")
+            + 0.5
+        ).cast("long").alias("macro_f1_micro"),
+    ).orderBy("lang")
+
+
+def lang_id_macro_f1_sql() -> str:
+    from ..functions.money import ratio_sql
+
+    return f"""
+WITH conf AS ({language_id_confusion_sql()}),
+per_label AS (
+  SELECT labeled_lang AS lang, sum(n_docs) AS n_labeled FROM conf GROUP BY 1
+),
+per_det AS (
+  SELECT detected_lang AS lang, sum(n_docs) AS n_detected FROM conf GROUP BY 1
+),
+diag AS (
+  SELECT labeled_lang AS lang, n_docs AS tp FROM conf
+  WHERE labeled_lang = detected_lang
+),
+j AS (
+  SELECT coalesce(l.lang, d.lang) AS lang,
+         coalesce(g.tp, 0) AS tp,
+         coalesce(d.n_detected, 0) - coalesce(g.tp, 0) AS fp,
+         coalesce(l.n_labeled, 0) - coalesce(g.tp, 0) AS fn
+  FROM per_label l
+  FULL OUTER JOIN per_det d ON l.lang = d.lang
+  LEFT JOIN diag g ON coalesce(l.lang, d.lang) = g.lang
+),
+scored AS (
+  SELECT *,
+         CASE WHEN 2 * tp + fp + fn > 0
+              THEN CAST(floor(2.0 * tp::double / (2 * tp + fp + fn)::double
+                              * 1000000.0 + 0.5) AS BIGINT)
+              ELSE 0 END AS f1_micro
+  FROM j
+)
+SELECT lang, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       CAST(fn AS BIGINT) AS fn,
+       CASE WHEN tp + fp > 0 THEN {ratio_sql('tp::double', '(tp + fp)::double', 6)} END AS precision,
+       CASE WHEN tp + fn > 0 THEN {ratio_sql('tp::double', '(tp + fn)::double', 6)} END AS recall,
+       f1_micro / 1000000.0 AS f1,
+       CAST(floor(sum(f1_micro) OVER ()::double / count(*) OVER ()::double + 0.5)
+            AS BIGINT) AS macro_f1_micro
+FROM scored
+ORDER BY lang
+"""

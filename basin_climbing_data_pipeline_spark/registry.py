@@ -1097,6 +1097,14 @@ register("ltv_triangle", co.ltv_triangle, co.ltv_triangle_sql())
 # divergence + composable-sketch extensions
 register("jsd_source_categories", qa.jsd_source_categories, qa.jsd_source_categories_sql())
 register("hll_source_overlap", sketch.hll_source_overlap, sketch.hll_source_overlap_sql())
+# linkage EM, language-ID summary, semantic eval-set decontamination
+register("linkage_em_step", cu.linkage_em_step, cu.linkage_em_step_sql())
+register("lang_id_macro_f1", ts.lang_id_macro_f1, ts.lang_id_macro_f1_sql())
+register(
+    "semantic_decontamination",
+    sim.semantic_decontamination,
+    sim.semantic_decontamination_sql(),
+)
 
 # ROUND-9 WINDOW (the 50 registry slots the driver verifies this round).
 # CORRECTNESS_r08 landed 50/50 green, so the staged plan is now code:
@@ -1202,6 +1210,9 @@ _ROUND10_FRONT: list[str] = [
     "ltv_triangle",
     "jsd_source_categories",
     "hll_source_overlap",
+    "linkage_em_step",
+    "lang_id_macro_f1",
+    "semantic_decontamination",
 ]
 _ROUND10_OWED: list[str] = [
     # round-9 guarded-micro hardening (engine + oracle switched to the
