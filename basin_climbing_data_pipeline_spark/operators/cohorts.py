@@ -2591,3 +2591,138 @@ SELECT a.cohort_month, a.age_months,
 FROM aged a JOIN sized s USING (cohort_month)
 ORDER BY a.cohort_month, a.age_months
 """
+
+
+def tukey_category_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier audit per revenue category: exact nearest-rank
+    Q1/Q3 over transaction amounts, the 1.5·IQR fences, and how many
+    transactions fall outside each — the box-plot summary behind
+    :func:`transactions.suspicious_price_bands`'s hand-written bands,
+    derived from the data instead (a new category needs no band config
+    before mispricings surface).
+
+    Determinism: quartiles are nearest-rank picks (ceil(n/4), ceil(3n/4))
+    located by prefix-count interval cover over the per-value frame; fence
+    comparisons run on 2×-scaled integer cents (2·cents vs 2·q1 − 3·IQR),
+    so the .5-cent fence positions never touch floats.
+
+    Scale shape: one (category, cents) collapse; ranking rides the
+    sign-aware log-bucket prefix primitive WITHIN each category — the
+    per-category vocabularies are corpus-sized, so no plain per-category
+    window over values, same discipline as gini/trimmed."""
+    from .sketches import HIST_SUBBUCKETS as _HSB
+    from .transactions import build_transactions
+
+    txn = build_transactions(spark, sf_dir)
+    vals = txn.select(
+        "revenue_category", to_cents(F.col("total_amount")).alias("cents")
+    )
+    per_val = vals.groupBy("revenue_category", "cents").agg(F.count("*").alias("cnt"))
+    vm = F.col("cents")
+    bucket = (
+        F.when(vm >= 0, F.floor(F.log10(vm + 1) * _HSB))
+        .otherwise(-1 - F.floor(F.log10(-vm + 1) * _HSB))
+        .cast("long")
+    )
+    b = per_val.select("revenue_category", "cents", "cnt", bucket.alias("bkt"))
+    bkt_counts = b.groupBy("revenue_category", "bkt").agg(F.sum("cnt").alias("bkt_cnt"))
+    wb = Window.partitionBy("revenue_category").orderBy("bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = bkt_counts.select(
+        "revenue_category",
+        "bkt",
+        F.coalesce(F.sum("bkt_cnt").over(wb), F.lit(0)).alias("bkt_before"),
+    )
+    win = Window.partitionBy("revenue_category", "bkt").orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    wc = Window.partitionBy("revenue_category")
+    ranked = (
+        b.join(offsets, ["revenue_category", "bkt"])
+        .withColumn("in_b", F.coalesce(F.sum("cnt").over(win), F.lit(0)))
+        .select(
+            "revenue_category",
+            "cents",
+            "cnt",
+            (F.col("bkt_before") + F.col("in_b")).alias("before"),
+            F.sum("cnt").over(wc).alias("n"),
+        )
+    )
+    q1_rank = F.expr("(n + 3) div 4")
+    q3_rank = F.expr("(3 * n + 3) div 4")
+    covers = lambda r: (F.col("before") < r) & (r <= F.col("before") + F.col("cnt"))  # noqa: E731
+    quart = ranked.groupBy("revenue_category", "n").agg(
+        F.min(F.when(covers(q1_rank), F.col("cents"))).alias("q1"),
+        F.min(F.when(covers(q3_rank), F.col("cents"))).alias("q3"),
+    )
+    j = ranked.join(
+        F.broadcast(quart.select("revenue_category", "q1", "q3")), "revenue_category"
+    )
+    iqr = F.col("q3") - F.col("q1")
+    below = (2 * F.col("cents")) < (2 * F.col("q1") - 3 * iqr)
+    above = (2 * F.col("cents")) > (2 * F.col("q3") + 3 * iqr)
+    outs = j.groupBy("revenue_category").agg(
+        F.sum(F.when(below, F.col("cnt")).otherwise(F.lit(0))).alias("n_out_low"),
+        F.sum(F.when(above, F.col("cnt")).otherwise(F.lit(0))).alias("n_out_high"),
+    )
+    return (
+        quart.join(outs, "revenue_category")
+        .select(
+            "revenue_category",
+            F.col("n").alias("n_txns"),
+            (F.col("q1") / 100.0).alias("q1"),
+            (F.col("q3") / 100.0).alias("q3"),
+            (iqr / 100.0).alias("iqr"),
+            ((2 * F.col("q1") - 3 * iqr) / 200.0).alias("fence_low"),
+            ((2 * F.col("q3") + 3 * iqr) / 200.0).alias("fence_high"),
+            "n_out_low",
+            "n_out_high",
+        )
+        .orderBy("revenue_category")
+    )
+
+
+def tukey_category_outliers_sql() -> str:
+    from .transactions import transactions_sql
+
+    return f"""
+WITH txn AS ({transactions_sql()}),
+vals AS (
+  SELECT revenue_category, {to_cents_sql('total_amount')} AS cents FROM txn
+),
+per_val AS (
+  SELECT revenue_category, cents, count(*) AS cnt FROM vals GROUP BY 1, 2
+),
+ranked AS (
+  SELECT revenue_category, cents, cnt,
+         coalesce(sum(cnt) OVER (PARTITION BY revenue_category ORDER BY cents
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before,
+         sum(cnt) OVER (PARTITION BY revenue_category) AS n
+  FROM per_val
+),
+quart AS (
+  SELECT revenue_category, n,
+         min(CASE WHEN before < (n + 3) // 4 AND (n + 3) // 4 <= before + cnt
+                  THEN cents END) AS q1,
+         min(CASE WHEN before < (3 * n + 3) // 4 AND (3 * n + 3) // 4 <= before + cnt
+                  THEN cents END) AS q3
+  FROM ranked GROUP BY revenue_category, n
+),
+outs AS (
+  SELECT r.revenue_category,
+         sum(CASE WHEN 2 * r.cents < 2 * q.q1 - 3 * (q.q3 - q.q1) THEN r.cnt ELSE 0 END) AS n_out_low,
+         sum(CASE WHEN 2 * r.cents > 2 * q.q3 + 3 * (q.q3 - q.q1) THEN r.cnt ELSE 0 END) AS n_out_high
+  FROM ranked r JOIN quart q USING (revenue_category)
+  GROUP BY r.revenue_category
+)
+SELECT q.revenue_category, CAST(q.n AS BIGINT) AS n_txns,
+       q.q1 / 100.0 AS q1, q.q3 / 100.0 AS q3,
+       (q.q3 - q.q1) / 100.0 AS iqr,
+       (2 * q.q1 - 3 * (q.q3 - q.q1)) / 200.0 AS fence_low,
+       (2 * q.q3 + 3 * (q.q3 - q.q1)) / 200.0 AS fence_high,
+       CAST(o.n_out_low AS BIGINT) AS n_out_low,
+       CAST(o.n_out_high AS BIGINT) AS n_out_high
+FROM quart q JOIN outs o USING (revenue_category)
+ORDER BY q.revenue_category
+"""

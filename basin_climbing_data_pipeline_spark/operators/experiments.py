@@ -1262,3 +1262,124 @@ SELECT revenue_category, n_a, n_b,
 FROM agg
 ORDER BY revenue_category
 """
+
+
+def cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage trend test: does refund probability rise or fall
+    MONOTONICALLY across the ordered o_orderpriority levels (1-URGENT …
+    5-LOW)?  The ordered-categories sibling of
+    :func:`quality.chisq_category_source` — χ² spends its power on any
+    deviation; the CA statistic targets the one-degree-of-freedom linear
+    trend an ops team actually acts on ("lower priority → more refunds").
+
+    T = Σ wᵢ(rᵢ − nᵢR/N), Var(T) = (R/N)(1−R/N)(Σw²nᵢ − (Σwnᵢ)²/N),
+    z = T/√Var, with scores w = the priority's leading digit.
+
+    Determinism: every aggregate is an exact integer (scores ≤ 5, all
+    products per-factor decimal); z is ONE double expression over those
+    integers, micro-rounded; degenerate margins (no refunds, all refunds,
+    or a single priority level ⇒ Var = 0) pin z to NULL on both engines.
+
+    Scale shape: one groupBy onto the ≤ 5-row priority table; the test
+    statistic is a 1-row fold of that frame."""
+    from ..functions.money import ratio
+    from .transactions import build_transactions
+
+    txn = build_transactions(spark, sf_dir)
+    from ..io import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey"), F.col("o_orderpriority")
+    )
+    # recover the priority from the txn id's order half joined back to
+    # orders (transaction_id = orderkey_linenum)
+    withp = (
+        txn.select(
+            F.split(F.col("transaction_id"), "_").getItem(0).cast("long").alias("ok"),
+            F.col("is_refund").cast("long").alias("ref"),
+        )
+        .join(orders.select(F.col("o_orderkey").alias("ok"), "o_orderpriority"), "ok")
+        .select(
+            F.substring(F.col("o_orderpriority"), 1, 1).cast("long").alias("w"),
+            "ref",
+            F.col("o_orderpriority").alias("priority"),
+        )
+    )
+    per = withp.groupBy("priority", "w").agg(
+        F.count("*").alias("n_i"), F.sum("ref").alias("r_i")
+    )
+    from pyspark.sql import Window
+
+    tot = Window.partitionBy()
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    enriched = per.select(
+        "*",
+        F.sum("n_i").over(tot).alias("n"),
+        F.sum("r_i").over(tot).alias("r"),
+        F.sum(dec(F.col("w")) * dec(F.col("n_i"))).over(tot).alias("swn"),
+        F.sum(dec(F.col("w")) * dec(F.col("w")) * dec(F.col("n_i"))).over(tot).alias("sw2n"),
+        F.sum(dec(F.col("w")) * dec(F.col("r_i"))).over(tot).alias("swr"),
+    )
+    nd = F.col("n").cast("double")
+    rd = F.col("r").cast("double")
+    p = rd / nd
+    t = F.col("swr").cast("double") - F.col("swn").cast("double") * p
+    var = p * (1.0 - p) * (
+        F.col("sw2n").cast("double")
+        - F.col("swn").cast("double") * F.col("swn").cast("double") / nd
+    )
+    z = t / F.sqrt(var)
+    micro = lambda c: F.floor(c * 1000000.0 + 0.5) / 1000000.0  # noqa: E731
+    return enriched.select(
+        "priority",
+        F.col("w").alias("score"),
+        "n_i",
+        "r_i",
+        ratio(F.col("r_i").cast("double"), F.col("n_i").cast("double"), 6).alias(
+            "refund_rate"
+        ),
+        F.when((F.col("r") > 0) & (F.col("r") < F.col("n")) & (var > 0), micro(z)).alias(
+            "trend_z"
+        ),
+    ).orderBy("priority")
+
+
+def cochran_armitage_trend_sql() -> str:
+    from ..functions.money import ratio_sql
+    from .transactions import transactions_sql
+
+    return f"""
+WITH txn AS ({transactions_sql()}),
+withp AS (
+  SELECT substr(o.o_orderpriority, 1, 1)::bigint AS w,
+         t.is_refund::bigint AS ref,
+         o.o_orderpriority AS priority
+  FROM txn t
+  JOIN orders o ON split_part(t.transaction_id, '_', 1)::bigint = o.o_orderkey
+),
+per AS (
+  SELECT priority, w, count(*) AS n_i, sum(ref) AS r_i
+  FROM withp GROUP BY 1, 2
+),
+enriched AS (
+  SELECT *,
+         sum(n_i) OVER () AS n,
+         sum(r_i) OVER () AS r,
+         sum(w::hugeint * n_i::hugeint) OVER () AS swn,
+         sum(w::hugeint * w::hugeint * n_i::hugeint) OVER () AS sw2n,
+         sum(w::hugeint * r_i::hugeint) OVER () AS swr
+  FROM per
+)
+SELECT priority, CAST(w AS BIGINT) AS score, CAST(n_i AS BIGINT) AS n_i,
+       CAST(r_i AS BIGINT) AS r_i,
+       {ratio_sql('r_i::double', 'n_i::double', 6)} AS refund_rate,
+       CASE WHEN r > 0 AND r < n
+             AND (r::double / n::double) * (1.0 - r::double / n::double)
+                 * (sw2n::double - swn::double * swn::double / n::double) > 0
+            THEN floor((swr::double - swn::double * (r::double / n::double))
+                       / sqrt((r::double / n::double) * (1.0 - r::double / n::double)
+                              * (sw2n::double - swn::double * swn::double / n::double))
+                       * 1000000.0 + 0.5) / 1000000.0 END AS trend_z
+FROM enriched
+ORDER BY priority
+"""

@@ -1105,6 +1105,15 @@ register(
     sim.semantic_decontamination,
     sim.semantic_decontamination_sql(),
 )
+# data-derived outlier fences + ordered-category trend test
+register(
+    "tukey_category_outliers",
+    co.tukey_category_outliers,
+    co.tukey_category_outliers_sql(),
+)
+register(
+    "cochran_armitage_trend", ex.cochran_armitage_trend, ex.cochran_armitage_trend_sql()
+)
 
 # ROUND-9 WINDOW (the 50 registry slots the driver verifies this round).
 # CORRECTNESS_r08 landed 50/50 green, so the staged plan is now code:
@@ -1213,6 +1222,8 @@ _ROUND10_FRONT: list[str] = [
     "linkage_em_step",
     "lang_id_macro_f1",
     "semantic_decontamination",
+    "tukey_category_outliers",
+    "cochran_armitage_trend",
 ]
 _ROUND10_OWED: list[str] = [
     # round-9 guarded-micro hardening (engine + oracle switched to the
