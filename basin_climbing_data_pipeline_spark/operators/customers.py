@@ -1297,7 +1297,7 @@ scored AS (
          CAST(floor(({pm}) / (({pm}) + ({pu})) * 1000000000.0 + 0.5) AS BIGINT) AS r
   FROM pat, one
 )
-SELECT field, {FS_M} AS m_initial, m_updated, u_updated, pi_updated,
+SELECT field, {FS_M}::double AS m_initial, m_updated, u_updated, pi_updated,
        CAST(n_pairs_total AS BIGINT) AS n_pairs_total
 FROM ({body})
 ORDER BY field

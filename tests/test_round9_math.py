@@ -1,0 +1,715 @@
+"""Independent math validation for the round-9 statistical operators.
+
+Same contract as tests/test_round7_math.py / test_round8_math.py: the
+bitwise oracle harness proves Spark == DuckDB, so the remaining failure
+mode is both engines agreeing on the wrong math.  Every round-9 statistic
+is recomputed here from raw inputs in pure Python (exact ints where the
+operators use DECIMAL/HUGEINT, the same micro/nano grids) and compared
+against the oracle engine's output at sf0.001.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+SF = "/root/testdata/sf0.001"
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return c
+
+
+def _micro(x: float) -> float:
+    return math.floor(x * 1_000_000.0 + 0.5) / 1_000_000.0
+
+
+def _ratio(num: float, den: float, digits: int) -> float:
+    scale = float(10**digits)
+    return math.floor(num / den * scale + 0.5) / scale
+
+
+def _daily_cents(con) -> list[tuple]:
+    """Zero-filled global daily cents — the round-9 time-series base."""
+    from basin_climbing_data_pipeline_spark.operators.transactions import (
+        transactions_sql,
+    )
+
+    return con.execute(
+        f"""WITH txn AS ({transactions_sql()}),
+        daily AS (SELECT txn_date AS day,
+                         sum(CAST(floor(total_amount * 100.0 + 0.5) AS BIGINT)) AS cents
+                  FROM txn GROUP BY 1),
+        bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+        calendar AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::date AS day
+                     FROM bounds)
+        SELECT c.day, coalesce(d.cents, 0)::bigint
+        FROM calendar c LEFT JOIN daily d USING (day) ORDER BY c.day"""
+    ).fetchall()
+
+
+def test_daily_revenue_acf_matches_pure_python(con):
+    from basin_climbing_data_pipeline_spark.operators.transactions import (
+        ACF_MAX_LAG,
+        daily_revenue_acf_sql,
+    )
+
+    got = con.execute(daily_revenue_acf_sql()).fetchall()
+    ys = [c for _d, c in _daily_cents(con)]
+    n, s = len(ys), sum(ys)
+    z = [n * y - s for y in ys]  # exact ints
+    den = sum(v * v for v in z)
+    q_sum = 0.0
+    want = []
+    for k in range(1, ACF_MAX_LAG + 1):
+        num = sum(z[t] * z[t - k] for t in range(k, n))
+        r = _micro(num / den)
+        q_sum += r * r / (float(n) - float(k))
+        q = _micro(float(n) * (float(n) + 2.0) * q_sum)
+        want.append((n, k, r, q))
+    assert [tuple(r) for r in got] == want
+    # the statistic is alive: at least one lag shows non-zero correlation
+    assert any(abs(r[2]) > 0 for r in got)
+
+
+def test_seasonal_decomposition_matches_pure_python(con):
+    from basin_climbing_data_pipeline_spark.operators.transactions import (
+        SEAS_MA,
+        seasonal_decomposition_daily_sql,
+    )
+
+    got = con.execute(seasonal_decomposition_daily_sql()).fetchall()
+    rows = _daily_cents(con)
+    ys = [c for _d, c in rows]
+    days = [d for d, _c in rows]
+    h = SEAS_MA // 2
+    n = len(ys)
+    s7 = [
+        sum(ys[t - h : t + h + 1]) if h <= t < n - h else None for t in range(n)
+    ]
+    # DuckDB dayofweek: 0=Sunday..6, +1 in the oracle
+    sd: dict[int, int] = {}
+    nd: dict[int, int] = {}
+    for t in range(n):
+        if s7[t] is None:
+            continue
+        dow = (days[t].weekday() + 1) % 7 + 1  # python Mon=0 → Sun-first 1..7
+        sd[dow] = sd.get(dow, 0) + SEAS_MA * ys[t] - s7[t]
+        nd[dow] = nd.get(dow, 0) + 1
+    want = []
+    for t in range(n):
+        dow = (days[t].weekday() + 1) % 7 + 1
+        trend_c = s7[t] / float(SEAS_MA) if s7[t] is not None else None
+        seas_c = sd[dow] / (float(SEAS_MA) * nd[dow]) if dow in sd else None
+        resid = (
+            _micro((ys[t] - trend_c - seas_c) / 100.0)
+            if trend_c is not None and seas_c is not None
+            else None
+        )
+        want.append(
+            (
+                days[t],
+                ys[t] / 100.0,
+                _micro(trend_c / 100.0) if trend_c is not None else None,
+                _micro(seas_c / 100.0) if seas_c is not None else None,
+                resid,
+            )
+        )
+    assert [tuple(r) for r in got] == want
+
+
+def test_revenue_changepoint_matches_pure_python(con):
+    from basin_climbing_data_pipeline_spark.operators.transactions import (
+        revenue_changepoint_sql,
+    )
+
+    got = con.execute(revenue_changepoint_sql()).fetchone()
+    rows = _daily_cents(con)
+    ys = [c for _d, c in rows]
+    n, s = len(ys), sum(ys)
+    best = None
+    p = 0
+    for t in range(1, n):  # t = days_before, split after day t
+        p += ys[t - 1]
+        nc = n * p - t * s
+        key = (abs(nc), )
+        if best is None or abs(nc) > best[0]:
+            best = (abs(nc), t, p, nc, rows[t - 1][0])
+    _absnc, t, p, nc, day = best
+    assert got[0] == n
+    assert got[1] == day
+    assert got[2] == t
+    assert got[3] == _ratio(p, t * 100.0, 2)
+    assert got[4] == _ratio(s - p, (n - t) * 100.0, 2)
+    assert got[5] == _ratio(nc, n * 100.0, 2)
+
+
+def test_page_hinkley_matches_pure_python(con):
+    from basin_climbing_data_pipeline_spark.operators.transactions import (
+        PH_DELTA_CENTS,
+        PH_LAMBDA_DOLLARS,
+        page_hinkley_revenue_drift_sql,
+    )
+
+    got = con.execute(page_hinkley_revenue_drift_sql()).fetchall()
+    rows = _daily_cents(con)
+    p = 0
+    m = 0
+    m_min = 0
+    want = []
+    for t, (day, c) in enumerate(rows, start=1):
+        p += c
+        term = c - p / t - float(PH_DELTA_CENTS)
+        m += math.floor(term * 1e6 + 0.5)
+        m_min = min(m_min, m) if t > 1 else m
+        ph = (m - m_min) / 1.0e8
+        want.append((day, c / 100.0, _micro(ph), ph > PH_LAMBDA_DOLLARS))
+    assert [tuple(r) for r in got] == want
+
+
+def _durations(con) -> list[tuple]:
+    from basin_climbing_data_pipeline_spark.operators.memberships import (
+        memberships_2024_sql,
+    )
+
+    return con.execute(
+        f"SELECT (end_date - start_date) AS dur, (status = 'END') AS ev "
+        f"FROM ({memberships_2024_sql()})"
+    ).fetchall()
+
+
+def _risk_frame(con):
+    from collections import defaultdict
+
+    raw = _durations(con)
+    d_by, c_by = defaultdict(int), defaultdict(int)
+    for dur, ev in raw:
+        (d_by if ev else c_by)[dur] += 1
+    times = sorted(set(d_by) | set(c_by))
+    n = len(raw)
+    out = []
+    for t in times:
+        d, c = d_by.get(t, 0), c_by.get(t, 0)
+        out.append((t, n, d, c))
+        n -= d + c
+    return out
+
+
+def test_nelson_aalen_matches_pure_python(con):
+    from basin_climbing_data_pipeline_spark.operators.memberships import (
+        nelson_aalen_hazard_sql,
+    )
+
+    got = con.execute(nelson_aalen_hazard_sql()).fetchall()
+    h_nano = v_nano = 0
+    want = []
+    for t, n, d, c in _risk_frame(con):
+        h_nano += math.floor(d / n * 1e9 + 0.5)
+        v_nano += math.floor(d / (n * n) * 1e9 + 0.5)
+        if d > 0:
+            want.append(
+                (
+                    t,
+                    n,
+                    d,
+                    c,
+                    h_nano / 1e9,
+                    _micro(math.sqrt(v_nano / 1e9)),
+                    _micro(math.exp(-h_nano / 1e9)),
+                )
+            )
+    assert [tuple(r) for r in got] == want
+    # cumulative hazard is nondecreasing and F-H survival ≤ 1
+    hs = [r[4] for r in got]
+    assert all(a <= b for a, b in zip(hs, hs[1:]))
+
+
+def test_km_greenwood_matches_pure_python(con):
+    from basin_climbing_data_pipeline_spark.operators.memberships import (
+        KM_CI_Z,
+        km_greenwood_ci_sql,
+    )
+
+    got = con.execute(km_greenwood_ci_sql()).fetchall()
+    cum = g = 0
+    hit = False
+    want = []
+    for t, n, d, c in _risk_frame(con):
+        if d >= n:
+            hit = True
+        if not hit:
+            cum += math.floor(math.log((n - d) / n) * 1e9 + 0.5)
+            g += math.floor(d / (n * (n - d)) * 1e9 + 0.5)
+        if d > 0:
+            s = math.exp(cum / 1e9)
+            se = s * math.sqrt(g / 1e9)
+            if hit:
+                want.append((t, n, d, 0.0, None, 0.0, 0.0))
+            else:
+                want.append(
+                    (
+                        t,
+                        n,
+                        d,
+                        _micro(s),
+                        _micro(se),
+                        _micro(max(s - KM_CI_Z * se, 0.0)),
+                        _micro(min(s + KM_CI_Z * se, 1.0)),
+                    )
+                )
+    assert [tuple(r) for r in got] == want
+    for row in got:
+        if row[4] is not None:
+            assert row[5] <= row[3] <= row[6]
+
+
+def test_rfm_segments_matches_pure_python(con):
+    from collections import defaultdict
+
+    from basin_climbing_data_pipeline_spark.operators.cohorts import (
+        RFM_BUCKETS,
+        rfm_segments_sql,
+    )
+    from basin_climbing_data_pipeline_spark.operators.transactions import (
+        transactions_sql,
+    )
+
+    got = con.execute(rfm_segments_sql()).fetchall()
+    raw = con.execute(
+        f"""WITH txn AS ({transactions_sql()})
+        SELECT customer_id,
+               (SELECT max(txn_date) FROM txn) - max(txn_date) AS recency,
+               count(*) AS freq,
+               sum(CAST(floor(total_amount * 100.0 + 0.5) AS BIGINT)) AS cents
+        FROM txn GROUP BY customer_id"""
+    ).fetchall()
+    n = len(raw)
+
+    def before_map(vals):
+        sv = sorted(vals)
+        import bisect
+
+        return {v: bisect.bisect_left(sv, v) for v in set(vals)}
+
+    rb = before_map([r[1] for r in raw])
+    fb = before_map([r[2] for r in raw])
+    mb = before_map([r[3] for r in raw])
+    cells = defaultdict(lambda: [0, 0])
+    b = RFM_BUCKETS
+    for _cid, rec, fr, cents in raw:
+        r_score = b - min(b - 1, (b * rb[rec]) // n)
+        f_score = min(b - 1, (b * fb[fr]) // n) + 1
+        m_score = min(b - 1, (b * mb[cents]) // n) + 1
+        cell = cells[(r_score, f_score, m_score)]
+        cell[0] += 1
+        cell[1] += cents
+    want = sorted(
+        (
+            r,
+            f,
+            m,
+            cnt,
+            cents / 100.0,
+            _ratio(cents, cnt * 100.0, 2),
+        )
+        for (r, f, m), (cnt, cents) in cells.items()
+    )
+    assert sorted(tuple(r) for r in got) == want
+
+
+def test_jsd_matches_pure_python(con):
+    from basin_climbing_data_pipeline_spark.operators.quality import (
+        jsd_source_categories_sql,
+    )
+    from basin_climbing_data_pipeline_spark.operators.transactions import (
+        transactions_sql,
+    )
+
+    got = con.execute(jsd_source_categories_sql()).fetchall()
+    obs = con.execute(
+        f"""WITH txn AS ({transactions_sql()})
+        SELECT revenue_category, data_source, count(*) FROM txn GROUP BY 1, 2"""
+    ).fetchall()
+    cats = sorted({r[0] for r in obs})
+    srcs = sorted({r[1] for r in obs})
+    o = {(c, s): 0 for c in cats for s in srcs}
+    for c, s, k in obs:
+        o[(c, s)] = k
+    n = sum(o.values())
+    cat_tot = {c: sum(o[(c, s)] for s in srcs) for c in cats}
+    src_tot = {s: sum(o[(c, s)] for c in cats) for s in srcs}
+    want = []
+    for s in srcs:
+        sp = sq = 0
+        for c in cats:
+            p = o[(c, s)] / src_tot[s]
+            q = cat_tot[c] / n
+            m = (p + q) / 2.0
+            if o[(c, s)] > 0:
+                sp += math.floor(p * math.log(p / m) * 1e9 + 0.5)
+            sq += math.floor(q * math.log(q / m) * 1e9 + 0.5)
+        nats = (sp + sq) / 2.0e9
+        want.append((s, src_tot[s], _micro(nats), _micro(nats / math.log(2.0))))
+    assert [tuple(r) for r in got] == want
+    for row in got:
+        assert 0.0 <= row[2] <= math.log(2.0) + 1e-9  # JSD is bounded by ln 2
+
+
+def test_lang_id_macro_f1_matches_pure_python(con):
+    from basin_climbing_data_pipeline_spark.operators.textstats import (
+        lang_id_macro_f1_sql,
+        language_id_confusion_sql,
+    )
+
+    got = con.execute(lang_id_macro_f1_sql()).fetchall()
+    conf = con.execute(language_id_confusion_sql()).fetchall()
+    langs = sorted({r[0] for r in conf} | {r[1] for r in conf})
+    tp = {g: 0 for g in langs}
+    lab = {g: 0 for g in langs}
+    det = {g: 0 for g in langs}
+    for a, b, k in conf:
+        lab[a] += k
+        det[b] += k
+        if a == b:
+            tp[a] = k
+    f1m = {}
+    for g in langs:
+        den = 2 * tp[g] + (det[g] - tp[g]) + (lab[g] - tp[g])
+        f1m[g] = math.floor(2.0 * tp[g] / den * 1e6 + 0.5) if den > 0 else 0
+    macro = math.floor(sum(f1m.values()) / len(langs) + 0.5)
+    for row in got:
+        g = row[0]
+        fp, fn = det[g] - tp[g], lab[g] - tp[g]
+        assert (row[1], row[2], row[3]) == (tp[g], fp, fn)
+        assert row[4] == (_ratio(tp[g], tp[g] + fp, 6) if tp[g] + fp > 0 else None)
+        assert row[5] == (_ratio(tp[g], tp[g] + fn, 6) if tp[g] + fn > 0 else None)
+        assert row[6] == f1m[g] / 1e6
+        assert row[7] == macro
+
+
+def test_linkage_em_step_matches_pure_python(con):
+    from basin_climbing_data_pipeline_spark.operators.customers import (
+        FS_FIELDS,
+        FS_M,
+        FS_PRIOR,
+        customers_sql,
+        linkage_em_step_sql,
+        record_linkage_patterns_sql,
+    )
+
+    got = {r[0]: r for r in con.execute(linkage_em_step_sql()).fetchall()}
+    pat = con.execute(
+        f"SELECT pattern, n_pairs FROM ({record_linkage_patterns_sql()})"
+    ).fetchall()
+    u0 = {}
+    for f in FS_FIELDS:
+        n2, nt = con.execute(
+            f"""WITH cust AS ({customers_sql()}),
+            vc AS (SELECT {f} AS v, count(*) AS n FROM cust
+                   WHERE {f} IS NOT NULL GROUP BY 1)
+            SELECT sum(n * n), sum(n) FROM vc"""
+        ).fetchone()
+        u = n2 / (nt * nt)
+        u0[f] = u if 0 < u < 1 else 0.5
+    # E-step
+    scored = []
+    for pattern, n_pairs in pat:
+        pm, pu = FS_PRIOR, 1.0 - FS_PRIOR
+        for i, f in enumerate(FS_FIELDS):
+            ch = pattern[i]
+            pm *= FS_M if ch == "a" else (1.0 - FS_M) if ch == "d" else 1.0
+            pu *= u0[f] if ch == "a" else (1.0 - u0[f]) if ch == "d" else 1.0
+        r = math.floor(pm / (pm + pu) * 1e9 + 0.5)
+        scored.append((pattern, n_pairs, r))
+    n_total = sum(n for _p, n, _r in scored)
+    rn = sum(r * n for _p, n, r in scored)
+    pi1 = _micro(rn / (n_total * 1e9))
+    for i, f in enumerate(FS_FIELDS):
+        ma = sum(r * n for p, n, r in scored if p[i] == "a")
+        mk = sum(r * n for p, n, r in scored if p[i] != "n")
+        ua = sum((10**9 - r) * n for p, n, r in scored if p[i] == "a")
+        uk = sum((10**9 - r) * n for p, n, r in scored if p[i] != "n")
+        row = got[f]
+        assert row[1] == FS_M
+        assert row[2] == (_micro(ma / mk) if mk > 0 else None)
+        assert row[3] == (_micro(ua / uk) if uk > 0 else None)
+        assert row[4] == pi1
+        assert row[5] == n_total
+
+
+def test_tukey_matches_pure_python(con):
+    from basin_climbing_data_pipeline_spark.operators.cohorts import (
+        tukey_category_outliers_sql,
+    )
+    from basin_climbing_data_pipeline_spark.operators.transactions import (
+        transactions_sql,
+    )
+
+    got = con.execute(tukey_category_outliers_sql()).fetchall()
+    raw = con.execute(
+        f"""WITH txn AS ({transactions_sql()})
+        SELECT revenue_category,
+               CAST(floor(total_amount * 100.0 + 0.5) AS BIGINT) FROM txn"""
+    ).fetchall()
+    from collections import defaultdict
+
+    by = defaultdict(list)
+    for cat, cents in raw:
+        by[cat].append(cents)
+    want = []
+    for cat in sorted(by):
+        v = sorted(by[cat])
+        n = len(v)
+        q1 = v[(n + 3) // 4 - 1]
+        q3 = v[(3 * n + 3) // 4 - 1]
+        iqr = q3 - q1
+        lo = sum(1 for x in v if 2 * x < 2 * q1 - 3 * iqr)
+        hi = sum(1 for x in v if 2 * x > 2 * q3 + 3 * iqr)
+        want.append(
+            (
+                cat,
+                n,
+                q1 / 100.0,
+                q3 / 100.0,
+                iqr / 100.0,
+                (2 * q1 - 3 * iqr) / 200.0,
+                (2 * q3 + 3 * iqr) / 200.0,
+                lo,
+                hi,
+            )
+        )
+    assert [tuple(r) for r in got] == want
+
+
+def test_cochran_armitage_matches_pure_python(con):
+    from basin_climbing_data_pipeline_spark.operators.experiments import (
+        cochran_armitage_trend_sql,
+    )
+    from basin_climbing_data_pipeline_spark.operators.transactions import (
+        transactions_sql,
+    )
+
+    got = con.execute(cochran_armitage_trend_sql()).fetchall()
+    raw = con.execute(
+        f"""WITH txn AS ({transactions_sql()})
+        SELECT o.o_orderpriority, substr(o.o_orderpriority, 1, 1)::bigint,
+               count(*), sum(t.is_refund::bigint)
+        FROM txn t JOIN orders o
+          ON split_part(t.transaction_id, '_', 1)::bigint = o.o_orderkey
+        GROUP BY 1, 2 ORDER BY 1"""
+    ).fetchall()
+    n = sum(r[2] for r in raw)
+    rr = sum(r[3] for r in raw)
+    swn = sum(r[1] * r[2] for r in raw)
+    sw2n = sum(r[1] * r[1] * r[2] for r in raw)
+    swr = sum(r[1] * r[3] for r in raw)
+    p = rr / n
+    var = p * (1.0 - p) * (sw2n - swn * swn / n)
+    z = _micro((swr - swn * p) / math.sqrt(var)) if 0 < rr < n and var > 0 else None
+    for row, r in zip(got, raw):
+        assert (row[0], row[1], row[2], row[3]) == r
+        assert row[4] == _ratio(r[3], r[2], 6)
+        assert row[5] == z
+
+
+def test_funnel_latency_matches_pure_python(con):
+    from collections import defaultdict
+
+    from basin_climbing_data_pipeline_spark.operators.cohorts import (
+        FUNNEL_HOP_US,
+        funnel_step_latency_sql,
+    )
+
+    got = con.execute(funnel_step_latency_sql()).fetchall()
+    ev = con.execute(
+        "SELECT user_id, event_type, epoch_us(ts::TIMESTAMP) FROM events"
+    ).fetchall()
+    by = defaultdict(lambda: defaultdict(list))
+    for u, t, us in ev:
+        by[u][t].append(us)
+    lats = defaultdict(list)
+    for u, evs in by.items():
+        if "view" not in evs:
+            continue
+        t1 = min(evs["view"])
+        clicks = [x for x in evs.get("click", []) if t1 < x <= t1 + FUNNEL_HOP_US]
+        if not clicks:
+            continue
+        t2 = min(clicks)
+        lats["view_to_click"].append((t2 - t1) // 1_000_000)
+        purch = [x for x in evs.get("purchase", []) if t2 < x <= t2 + FUNNEL_HOP_US]
+        if purch:
+            t3 = min(purch)
+            lats["click_to_purchase"].append((t3 - t2) // 1_000_000)
+    want = []
+    for hop in sorted(lats):
+        v = sorted(lats[hop])
+        n, s = len(v), sum(v)
+        med = v[(n + 1) // 2 - 1]
+        p90 = v[(9 * n + 9) // 10 - 1]
+        want.append((hop, n, _ratio(s, n, 2), med, p90))
+    assert [tuple(r) for r in got] == want
+
+
+def test_ltv_triangle_matches_pure_python(con):
+    from collections import defaultdict
+
+    from basin_climbing_data_pipeline_spark.operators.cohorts import ltv_triangle_sql
+    from basin_climbing_data_pipeline_spark.operators.transactions import (
+        transactions_sql,
+    )
+
+    got = con.execute(ltv_triangle_sql()).fetchall()
+    raw = con.execute(
+        f"""WITH txn AS ({transactions_sql()})
+        SELECT customer_id, date_trunc('month', txn_date)::date,
+               CAST(floor(total_amount * 100.0 + 0.5) AS BIGINT)
+        FROM txn"""
+    ).fetchall()
+    first = {}
+    for cid, m, _c in raw:
+        if cid not in first or m < first[cid]:
+            first[cid] = m
+    size = defaultdict(int)
+    for cid in first:
+        size[first[cid]] += 1
+    cells = defaultdict(lambda: [0, set()])
+    for cid, m, c in raw:
+        cm = first[cid]
+        age = (m.year - cm.year) * 12 + (m.month - cm.month)
+        cell = cells[(cm, age)]
+        cell[0] += c
+        cell[1].add(cid)
+    want = []
+    for cm in sorted({k[0] for k in cells}):
+        cum = 0
+        for age in sorted(a for c, a in cells if c == cm):
+            cents, actives = cells[(cm, age)]
+            cum += cents
+            want.append(
+                (
+                    cm,
+                    age,
+                    size[cm],
+                    len(actives),
+                    cents / 100.0,
+                    cum / 100.0,
+                    _ratio(cum, size[cm] * 100.0, 2),
+                )
+            )
+    assert [tuple(r) for r in got] == want
+
+
+def test_hll_source_overlap_matches_pure_python(con):
+    import hashlib
+
+    from basin_climbing_data_pipeline_spark.operators.sketches import (
+        HLL_ALPHA,
+        HLL_BUCKETS,
+        HLL_RHO_BITS,
+        hll_source_overlap_sql,
+    )
+    from basin_climbing_data_pipeline_spark.operators.transactions import (
+        transactions_sql,
+    )
+
+    got = con.execute(hll_source_overlap_sql()).fetchall()
+    raw = con.execute(
+        f"WITH txn AS ({transactions_sql()}) "
+        f"SELECT DISTINCT data_source, customer_id FROM txn"
+    ).fetchall()
+    regs: dict[str, dict[int, int]] = {}
+    for src, cid in raw:
+        h = hashlib.md5(str(cid).encode()).hexdigest()
+        bucket = int(h[:2], 16)
+        tail = int(h[2:14], 16)
+        rho = HLL_RHO_BITS - max(tail.bit_length(), 1) + 1
+        r = regs.setdefault(src, {})
+        r[bucket] = max(r.get(bucket, 0), rho)
+
+    def est(r: dict[int, int]) -> float:
+        s = sum(2 ** (HLL_RHO_BITS - v) for v in r.values())
+        npres = len(r)
+        unit = float(2**HLL_RHO_BITS)
+        raw_e = (
+            HLL_ALPHA
+            * HLL_BUCKETS
+            * HLL_BUCKETS
+            / ((s + (HLL_BUCKETS - npres) * 2**HLL_RHO_BITS) / unit)
+        )
+        empty = HLL_BUCKETS - npres
+        if raw_e <= 2.5 * HLL_BUCKETS and empty > 0:
+            return float(HLL_BUCKETS) * math.log(float(HLL_BUCKETS) / empty)
+        return raw_e
+
+    srcs = sorted(regs)
+    want = []
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1 :]:
+            merged = dict(regs[a])
+            for k, v in regs[b].items():
+                merged[k] = max(merged.get(k, 0), v)
+            ea, eb, eu = est(regs[a]), est(regs[b]), est(merged)
+            inter = max(ea + eb - eu, 0.0)
+            want.append(
+                (
+                    a,
+                    b,
+                    _micro(ea),
+                    _micro(eb),
+                    _micro(eu),
+                    _micro(inter),
+                    _micro(inter / eu) if eu > 0 else None,
+                    _micro(inter / min(ea, eb)) if min(ea, eb) > 0 else None,
+                )
+            )
+    assert [tuple(r) for r in got] == want
+    # sketch sanity: the union estimate dominates both sides
+    for row in got:
+        assert row[4] >= max(row[2], row[3]) - 1e-6
+
+
+def test_semantic_decontamination_matches_pure_python(con):
+    from basin_climbing_data_pipeline_spark.operators.similarity import (
+        COSINE_SCALE,
+        N_QUERIES,
+        SEMDECON_TAU,
+        semantic_decontamination_sql,
+    )
+
+    got = con.execute(semantic_decontamination_sql()).fetchall()
+    emb = con.execute("SELECT vec_id, embedding FROM embeddings ORDER BY vec_id").fetchall()
+    vecs = {vid: [float(x) for x in v] for vid, v in emb}
+
+    def dot(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s += x * y
+        return s
+
+    want = []
+    for q in sorted(v for v in vecs if v < N_QUERIES):
+        qs = vecs[q]
+        nq = math.sqrt(dot(qs, qs))
+        best = None
+        cnt = 0
+        for cid in sorted(v for v in vecs if v >= N_QUERIES):
+            cs = vecs[cid]
+            cos = math.floor(
+                dot(qs, cs) / (nq * math.sqrt(dot(cs, cs))) * COSINE_SCALE + 0.5
+            ) / COSINE_SCALE
+            if cos >= SEMDECON_TAU:
+                cnt += 1
+            if best is None or cos > best[1] or (cos == best[1] and cid < best[0]):
+                best = (cid, cos)
+        want.append((q, cnt, best[0], best[1], best[1] >= SEMDECON_TAU))
+    assert [tuple(r) for r in got] == want
