@@ -69,6 +69,7 @@ QUERIES = [
     "probe_conformal_calibration",  # conformal q-hat on a degenerate tiny fit
     "eb_shrunk_source_quality",  # beta-binomial MoM on degenerate variance
     "feature_auc_screening",     # tie-heavy fixed-point ranks on empty/short docs
+    "lang_id_macro_f1",          # zero-support languages -> F1 = 0, not NULL noise
 ]
 
 
@@ -182,6 +183,8 @@ def fuzz_events_dir(tmp_path_factory):
 
 
 EVENT_QUERIES = [
+    "funnel_step_latency",     # hop-boundary latencies at exactly-1h gaps
+
     "event_funnel",            # crashed before the prev > 0 ANSI guard
     "streaming_windowed_counts",  # oracle lacked the event_id dedup
     "checkin_sessions",
@@ -329,6 +332,17 @@ TXN_QUERIES = [
     "benford_amount_audit",      # string first digit on 1e9-scale amounts
     "holt_linear_daily_revenue", # decimal tap products on 1e11-cent days
     "refund_test_power_mde",     # refunds-only / no-refund degenerate rates
+    # round-9 wave
+    "daily_revenue_acf",         # n-scaled centered products on edge-cent days
+    "seasonal_decomposition_daily",  # MA/seasonal NULLs on the sparse fuzz calendar
+    "revenue_changepoint",       # |ncusum| argmax ties broken by earliest day
+    "page_hinkley_revenue_drift",    # micro terms at edge-cent magnitudes
+    "rfm_segments",              # rank-quantiles under heavy value ties
+    "tukey_category_outliers",   # nearest-rank quartiles on tiny categories
+    "cochran_armitage_trend",    # degenerate margins (refunds-only priorities)
+    "ltv_triangle",              # negative-cent cohorts, single-month cohorts
+    "jsd_source_categories",     # absent-cell Q·ln2 mass on sparse grids
+    "hll_source_overlap",        # register merge on tiny/degenerate sources
 ]
 
 
@@ -403,6 +417,7 @@ EMB_QUERIES = [
     "pq_codebook_eval",          # subvector argmin ties at envelope magnitudes
     "embedding_dispersion_by_label",  # centroid identity on identical/antipodal vecs
     "hybrid_rrf_retrieval",      # RRF over exact-tie cosine + degenerate lexical ranks
+    "semantic_decontamination",  # exact-tie cosines, antipodal/one-hot probes
 ]
 
 
@@ -527,6 +542,8 @@ MEM_QUERIES = [
     "survival_logrank_by_frequency",  # log-rank terms on fuzzed risk sets
     "membership_attrition_monthly",   # contribution-union on fuzzed lifecycles
     "active_memberships_new_vs_existing",  # month explode on fuzzed spans
+    "nelson_aalen_hazard",          # hazard terms on fuzzed risk-set ties
+    "km_greenwood_ci",              # extinction pinning + band clamps
 ]
 
 
@@ -936,6 +953,7 @@ CUST_QUERIES = [
     "fuzzy_email_matches",      # sorted-neighborhood at fuzzed rank layout
     "record_linkage_patterns",  # F-S weights + pattern table on fuzzed blocks
     "woe_iv_by_feature",        # per-category counts at sparse huge keys
+    "linkage_em_step",          # EM responsibilities on fuzzed pattern tables
 ]
 
 
