@@ -819,3 +819,236 @@ FROM ck WHERE entry_method = '{FITNESS_ENTRY_METHOD}'
 GROUP BY 1
 ORDER BY month
 """
+
+
+def overdispersion_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-of-dispersion audit per event type: variance/mean of the
+    zero-filled daily count series plus the χ² dispersion statistic
+    (n−1)·s²/x̄ — the "is this Poisson" pre-flight that decides whether
+    daily_anomalies' mean/σ bands are even the right model (D ≫ 1 ⇒
+    bursty/overdispersed ⇒ robust or negative-binomial monitoring).
+
+    Exactness: moments are exact integer sums over the per-type dense
+    calendar (n·s² = n·Σc² − (Σc)² in DECIMAL per-factor products);
+    ratios are single double expressions, micro-rounded; a zero-mean
+    type pins D and χ² to NULL.
+
+    Scale shape: one (type, day) collapse, then type-local dense
+    calendars — frames are days × types."""
+    from ..functions.money import micro, ratio
+    from ..io import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.col("ts").cast("date").alias("d")
+    )
+    daily = ev.groupBy("event_type", "d").agg(F.count("*").alias("c"))
+    bounds = daily.groupBy("event_type").agg(
+        F.min("d").alias("d0"), F.max("d").alias("d1")
+    )
+    calendar = bounds.select(
+        "event_type", F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("d")
+    )
+    dense = calendar.join(daily, ["event_type", "d"], "left").select(
+        "event_type", "d", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+    )
+    dec = lambda x: x.cast("decimal(38,0)")  # noqa: E731
+    m = dense.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("c").alias("s1"),
+        F.sum(dec(F.col("c")) * dec(F.col("c"))).alias("s2"),
+    )
+    nd = F.col("n").cast("double")
+    mean = F.col("s1").cast("double") / nd
+    # sample variance: (n·Σc² − (Σc)²) / (n(n−1)) — numerator exact
+    var_num = (
+        dec(F.col("n")) * F.col("s2") - dec(F.col("s1")) * dec(F.col("s1"))
+    ).cast("double")
+    s2 = var_num / (nd * (nd - 1.0))
+    d_index = s2 / mean
+    chi2 = (nd - 1.0) * d_index
+    return m.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        ratio(F.col("s1").cast("double"), nd, 4).alias("mean_daily"),
+        F.when(F.col("n") > 1, micro(s2)).alias("var_daily"),
+        F.when((F.col("n") > 1) & (F.col("s1") > 0), micro(d_index)).alias(
+            "dispersion_index"
+        ),
+        F.when((F.col("n") > 1) & (F.col("s1") > 0), micro(chi2)).alias("chi2_stat"),
+        F.when(
+            (F.col("n") > 1) & (F.col("s1") > 0), d_index > 2.0
+        ).alias("is_overdispersed"),
+    ).orderBy("event_type")
+
+
+def overdispersion_check_sql() -> str:
+    from ..functions.money import micro_sql, ratio_sql
+
+    mean = "(s1::double / n::double)"
+    s2 = "((n::hugeint * s2 - s1::hugeint * s1::hugeint)::double / (n::double * (n::double - 1.0)))"
+    d = f"({s2} / {mean})"
+    return f"""
+WITH daily AS (
+  SELECT event_type, ts::DATE AS d, count(*) AS c FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT event_type, min(d) AS d0, max(d) AS d1 FROM daily GROUP BY 1
+),
+calendar AS (
+  SELECT event_type, unnest(generate_series(d0, d1, INTERVAL 1 DAY))::date AS d
+  FROM bounds
+),
+dense AS (
+  SELECT c.event_type, c.d, coalesce(x.c, 0) AS c
+  FROM calendar c LEFT JOIN daily x USING (event_type, d)
+),
+m AS (
+  SELECT event_type, count(*) AS n, sum(c) AS s1,
+         sum(c::hugeint * c::hugeint) AS s2
+  FROM dense GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_days,
+       {ratio_sql('s1::double', 'n::double', 4)} AS mean_daily,
+       CASE WHEN n > 1 THEN {micro_sql(s2)} END AS var_daily,
+       CASE WHEN n > 1 AND s1 > 0 THEN {micro_sql(d)} END AS dispersion_index,
+       CASE WHEN n > 1 AND s1 > 0
+            THEN {micro_sql(f'(n::double - 1.0) * {d}')} END AS chi2_stat,
+       CASE WHEN n > 1 AND s1 > 0 THEN {d} > 2.0 END AS is_overdispersed
+FROM m
+ORDER BY event_type
+"""
+
+
+PBA_LOOKBACK_US = 7 * 24 * 3_600_000_000  # 7-day attribution window
+PBA_FIRST_MICRO = 400_000   # U-shaped 40 / 20 / 40 credit split
+PBA_LAST_MICRO = 400_000
+
+
+def position_based_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shaped (position-based) multi-touch attribution: every purchase
+    distributes 1.0 of credit over its non-purchase touches in the 7-day
+    lookback — 40% first touch, 40% last touch, 20% spread over the
+    middles (1 touch → 100%, 2 → 50/50) — the fractional-credit model
+    beside :func:`purchase_attribution`'s first/last endpoints; the
+    per-channel totals are what a budget reallocation actually uses.
+
+    Determinism: credit is assigned in exact MICRO integers (middles get
+    floor(200000/(k−2)) each — the ≤ k·1e-6 rounding remainder is
+    documented, never redistributed float-wise); per-channel sums are
+    integer sums.
+
+    Scale shape: purchases join touches per user within the bounded
+    lookback (the proximity-join discipline — equi on user_id, range on
+    time); ranking is per-purchase over its ≤ window touches; the rollup
+    lands on the ≤ event-type key space."""
+    from ..functions.money import ratio
+    from ..io import load_table
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("ts_us"), "event_type", "event_id"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts_us").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    touches = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id",
+        F.col("ts_us").alias("t_ts"),
+        F.col("event_type").alias("channel"),
+        F.col("event_id").alias("touch_id"),
+    )
+    pairs = purchases.join(touches, "user_id").filter(
+        (F.col("t_ts") < F.col("p_ts"))
+        & (F.col("t_ts") >= F.col("p_ts") - PBA_LOOKBACK_US)
+    )
+    w = Window.partitionBy("purchase_id").orderBy("t_ts", "touch_id")
+    wk = Window.partitionBy("purchase_id")
+    ranked = pairs.select(
+        "purchase_id",
+        "channel",
+        F.row_number().over(w).alias("pos"),
+        F.count("*").over(wk).alias("k"),
+    )
+    mid_each = F.expr(f"(1000000 - {PBA_FIRST_MICRO} - {PBA_LAST_MICRO}) div (k - 2)")
+    credit = (
+        F.when(F.col("k") == 1, F.lit(1_000_000))
+        .when((F.col("k") == 2) & (F.col("pos") == 1), F.lit(500_000))
+        .when((F.col("k") == 2) & (F.col("pos") == 2), F.lit(500_000))
+        .when(F.col("pos") == 1, F.lit(PBA_FIRST_MICRO))
+        .when(F.col("pos") == F.col("k"), F.lit(PBA_LAST_MICRO))
+        .otherwise(mid_each)
+    )
+    out = ranked.groupBy("channel").agg(
+        F.sum(credit.cast("long")).alias("credit_micro"),
+        F.countDistinct("purchase_id").alias("n_purchases_touched"),
+        F.count("*").alias("n_touches"),
+    )
+    tot = out.agg(F.sum("credit_micro").alias("t"))
+    return (
+        out.join(F.broadcast(tot))
+        .select(
+            "channel",
+            (F.col("credit_micro") / 1000000.0).alias("credit"),
+            "n_purchases_touched",
+            "n_touches",
+            F.when(
+                F.col("t") > 0,
+                ratio(F.col("credit_micro").cast("double"), F.col("t").cast("double"), 6),
+            ).alias("credit_share"),
+        )
+        .orderBy("channel")
+    )
+
+
+def position_based_attribution_sql() -> str:
+    from ..functions.money import ratio_sql
+
+    mid = 1_000_000 - PBA_FIRST_MICRO - PBA_LAST_MICRO
+    return f"""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts::TIMESTAMP) AS ts_us, event_type, event_id
+  FROM events
+),
+purchases AS (
+  SELECT user_id, ts_us AS p_ts, event_id AS purchase_id
+  FROM ev WHERE event_type = 'purchase'
+),
+touches AS (
+  SELECT user_id, ts_us AS t_ts, event_type AS channel, event_id AS touch_id
+  FROM ev WHERE event_type != 'purchase'
+),
+ranked AS (
+  SELECT p.purchase_id, t.channel,
+         row_number() OVER (PARTITION BY p.purchase_id
+                            ORDER BY t.t_ts, t.touch_id) AS pos,
+         count(*) OVER (PARTITION BY p.purchase_id) AS k
+  FROM purchases p JOIN touches t ON p.user_id = t.user_id
+  WHERE t.t_ts < p.p_ts AND t.t_ts >= p.p_ts - {PBA_LOOKBACK_US}
+),
+credited AS (
+  SELECT channel, purchase_id,
+         CASE WHEN k = 1 THEN 1000000
+              WHEN k = 2 THEN 500000
+              WHEN pos = 1 THEN {PBA_FIRST_MICRO}
+              WHEN pos = k THEN {PBA_LAST_MICRO}
+              ELSE {mid} // (k - 2) END AS credit
+  FROM ranked
+),
+out_ AS (
+  SELECT channel, sum(credit) AS credit_micro,
+         count(DISTINCT purchase_id) AS n_purchases_touched,
+         count(*) AS n_touches
+  FROM credited GROUP BY channel
+),
+tot AS (SELECT sum(credit_micro) AS t FROM out_)
+SELECT channel, credit_micro / 1000000.0 AS credit,
+       CAST(n_purchases_touched AS BIGINT) AS n_purchases_touched,
+       CAST(n_touches AS BIGINT) AS n_touches,
+       CASE WHEN t > 0
+            THEN {ratio_sql('credit_micro::double', 't::double', 6)} END
+         AS credit_share
+FROM out_, tot
+ORDER BY channel
+"""

@@ -1666,3 +1666,144 @@ FROM cum
 WHERE n_events > 0
 ORDER BY duration_days
 """
+
+
+RMST_HORIZON_DAYS = 365  # restriction time for the mean survival
+
+
+def rmst_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Restricted mean survival time: the area under the KM curve up to
+    RMST_HORIZON_DAYS — "expected retained days in the first year", the
+    single number the KM curve's shape integrates to, reported beside the
+    NAIVE mean duration (average of observed durations, which censoring
+    biases low — the gap between the two columns IS the censoring bias).
+
+    Exactness: the KM survival at each event time is the micro-rounded
+    log-domain product (the membership_survival_km discipline); RMST sums
+    survival-micro × interval-days products as exact integers, one
+    division at the edge.  The tail past the last event carries the last
+    survival value to the horizon.
+
+    Scale shape: tenure-vocabulary frame only."""
+    from pyspark.sql import Window
+
+    stepped = _km_risk_frame(spark, sf_dir)
+    w = Window.orderBy("duration_days")
+    extinct = F.col("n_events") >= F.col("n_risk")
+    term_nano = F.when(extinct, F.lit(0)).otherwise(
+        F.floor(
+            F.log(
+                (F.col("n_risk") - F.col("n_events")).cast("double")
+                / F.col("n_risk").cast("double")
+            )
+            * 1000000000.0
+            + 0.5
+        ).cast("long")
+    )
+    cum = (
+        stepped.filter(F.col("n_events") > 0)
+        .select(
+            "duration_days",
+            "n_events",
+            F.sum(term_nano).over(w).alias("cum_nano"),
+            F.max(extinct.cast("int")).over(w).alias("hit_zero"),
+        )
+    )
+    s_micro = F.when(F.col("hit_zero") == 1, F.lit(0).cast("long")).otherwise(
+        F.floor(F.exp(F.col("cum_nano") / 1000000000.0) * 1000000.0 + 0.5).cast("long")
+    )
+    # interval [t_i, min(t_{i+1}, H)) carries S(t_i); [0, t_1) carries 1
+    stepsd = cum.select(
+        "duration_days",
+        s_micro.alias("s_micro"),
+        F.coalesce(
+            F.lead("duration_days").over(w), F.lit(RMST_HORIZON_DAYS)
+        ).alias("next_t"),
+        F.row_number().over(w).alias("rn"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    seg = F.greatest(
+        F.least(F.col("next_t"), F.lit(RMST_HORIZON_DAYS))
+        - F.least(F.col("duration_days"), F.lit(RMST_HORIZON_DAYS)),
+        F.lit(0),
+    )
+    head = F.when(
+        F.col("rn") == 1,
+        dec(F.lit(1000000)) * dec(F.least(F.col("duration_days"), F.lit(RMST_HORIZON_DAYS))),
+    ).otherwise(dec(F.lit(0)))
+    area = stepsd.agg(
+        (
+            F.sum(dec(F.col("s_micro")) * dec(seg) + head) / 1.0e6
+        ).alias("rmst_days"),
+        F.count("*").alias("n_event_times"),
+    )
+    m = build_memberships_2024(spark, sf_dir)
+    # exact int sum / count, not avg(): engine-internal avg accumulation
+    # order is not part of either engine's contract
+    naive = m.agg(
+        F.count("*").alias("n_memberships"),
+        (
+            F.sum(F.datediff(F.col("end_date"), F.col("start_date"))).cast("double")
+            / F.count("*").cast("double")
+        ).alias("naive"),
+    )
+    from ..functions.money import micro
+
+    return area.join(F.broadcast(naive)).select(
+        F.lit(RMST_HORIZON_DAYS).alias("horizon_days"),
+        "n_memberships",
+        "n_event_times",
+        micro(F.col("rmst_days").cast("double")).alias("rmst_days"),
+        micro(F.col("naive")).alias("naive_mean_duration_days"),
+    )
+
+
+def rmst_membership_sql() -> str:
+    from ..functions.money import micro_sql
+
+    h = RMST_HORIZON_DAYS
+    return f"""
+WITH m AS ({memberships_2024_sql()}),
+{_KM_RISK_SQL},
+cum AS (
+  SELECT duration_days, n_events,
+         sum(CASE WHEN n_events >= n_risk THEN 0
+                  ELSE CAST(floor(ln((n_risk - n_events)::double / n_risk::double)
+                                  * 1000000000.0 + 0.5) AS BIGINT) END)
+           OVER (ORDER BY duration_days
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_nano,
+         max((n_events >= n_risk)::int)
+           OVER (ORDER BY duration_days
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hit_zero
+  FROM stepped
+  WHERE n_events > 0
+),
+stepsd AS (
+  SELECT duration_days,
+         CASE WHEN hit_zero = 1 THEN 0
+              ELSE CAST(floor(exp(cum_nano / 1000000000.0) * 1000000.0 + 0.5)
+                        AS BIGINT) END AS s_micro,
+         coalesce(lead(duration_days) OVER (ORDER BY duration_days), {h}) AS next_t,
+         row_number() OVER (ORDER BY duration_days) AS rn
+  FROM cum
+),
+area AS (
+  SELECT sum(s_micro::hugeint
+             * greatest(least(next_t, {h}) - least(duration_days, {h}), 0)::hugeint
+             + CASE WHEN rn = 1
+                    THEN 1000000::hugeint * least(duration_days, {h})::hugeint
+                    ELSE 0 END) / 1.0e6 AS rmst_days,
+         count(*) AS n_event_times
+  FROM stepsd
+),
+naive AS (
+  SELECT count(*) AS n_memberships,
+         sum(end_date - start_date)::double / count(*)::double AS naive
+  FROM m
+)
+SELECT {h} AS horizon_days, CAST(n_memberships AS BIGINT) AS n_memberships,
+       CAST(n_event_times AS BIGINT) AS n_event_times,
+       {micro_sql('rmst_days::double')} AS rmst_days,
+       {micro_sql('naive')} AS naive_mean_duration_days
+FROM area, naive
+"""

@@ -962,3 +962,110 @@ def _txn_sql() -> str:
     from .transactions import transactions_sql
 
     return transactions_sql()
+
+
+def capture_recapture_population(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chapman capture-recapture estimate of the total customer population
+    from every pair of data sources, graded against the KNOWN truth: the
+    two sources are two "captures", their customer overlap the "recapture",
+    N̂ = (n_a+1)(n_b+1)/(m+1) − 1 with the Chapman standard error — the
+    classic how-many-are-we-missing estimator for partial-coverage
+    sources, and (because the fixture knows the real total) a built-in
+    eval of how badly source-correlation biases it.
+
+    Exactness: all counts are exact distinct integers; N̂ and the se are
+    single double expressions over them, micro-rounded; a zero overlap
+    still estimates (the +1s are the point of Chapman's correction).
+
+    Scale shape: one distinct collapse per (source, customer); the pair
+    stage is source-pair joins over per-source customer sets — each side
+    a semi-collapsed (source, customer) frame, the overlap an equi join
+    co-hashed on customer_id; sources are a bounded vocabulary."""
+    from ..functions.money import micro
+    from .transactions import build_transactions
+
+    txn = build_transactions(spark, sf_dir)
+    sc = txn.select("data_source", "customer_id").distinct()
+    sizes = sc.groupBy("data_source").agg(F.count("*").alias("n"))
+    a = sc.select(F.col("data_source").alias("src_a"), "customer_id")
+    b = sc.select(F.col("data_source").alias("src_b"), "customer_id")
+    overlap = (
+        a.join(b, "customer_id")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("m"))
+    )
+    truth = txn.agg(F.countDistinct("customer_id").alias("n_true"))
+    j = (
+        overlap.join(
+            F.broadcast(sizes.select(F.col("data_source").alias("src_a"), F.col("n").alias("n_a"))),
+            "src_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("data_source").alias("src_b"), F.col("n").alias("n_b"))),
+            "src_b",
+        )
+        .join(F.broadcast(truth))
+    )
+    na, nb, m = (
+        F.col("n_a").cast("double"),
+        F.col("n_b").cast("double"),
+        F.col("m").cast("double"),
+    )
+    nhat = (na + 1.0) * (nb + 1.0) / (m + 1.0) - 1.0
+    se = F.sqrt(
+        (na + 1.0)
+        * (nb + 1.0)
+        * (na - m)
+        * (nb - m)
+        / ((m + 1.0) * (m + 1.0) * (m + 2.0))
+    )
+    return j.select(
+        "src_a",
+        "src_b",
+        "n_a",
+        "n_b",
+        F.col("m").alias("n_overlap"),
+        micro(nhat).alias("chapman_estimate"),
+        micro(se).alias("chapman_se"),
+        "n_true",
+        micro((nhat - F.col("n_true").cast("double")) / F.col("n_true").cast("double")).alias(
+            "relative_bias"
+        ),
+    ).orderBy("src_a", "src_b")
+
+
+def capture_recapture_population_sql() -> str:
+    from ..functions.money import micro_sql
+    from .transactions import transactions_sql
+
+    nhat = "((n_a::double + 1.0) * (n_b::double + 1.0) / (m::double + 1.0) - 1.0)"
+    se = (
+        "sqrt((n_a::double + 1.0) * (n_b::double + 1.0)"
+        " * (n_a::double - m::double) * (n_b::double - m::double)"
+        " / ((m::double + 1.0) * (m::double + 1.0) * (m::double + 2.0)))"
+    )
+    return f"""
+WITH txn AS ({transactions_sql()}),
+sc AS (SELECT DISTINCT data_source, customer_id FROM txn),
+sizes AS (SELECT data_source, count(*) AS n FROM sc GROUP BY 1),
+overlap AS (
+  SELECT a.data_source AS src_a, b.data_source AS src_b, count(*) AS m
+  FROM sc a JOIN sc b ON a.customer_id = b.customer_id
+  WHERE a.data_source < b.data_source
+  GROUP BY 1, 2
+),
+truth AS (SELECT count(DISTINCT customer_id) AS n_true FROM txn)
+SELECT o.src_a, o.src_b,
+       CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+       CAST(o.m AS BIGINT) AS n_overlap,
+       {micro_sql(nhat.replace('n_a', 'sa.n').replace('n_b', 'sb.n').replace('m::double', 'o.m::double'))} AS chapman_estimate,
+       {micro_sql(se.replace('n_a', 'sa.n').replace('n_b', 'sb.n').replace('m::double', 'o.m::double'))} AS chapman_se,
+       CAST(t.n_true AS BIGINT) AS n_true,
+       {micro_sql(f"({nhat.replace('n_a', 'sa.n').replace('n_b', 'sb.n').replace('m::double', 'o.m::double')} - t.n_true::double) / t.n_true::double")} AS relative_bias
+FROM overlap o
+JOIN sizes sa ON o.src_a = sa.data_source
+JOIN sizes sb ON o.src_b = sb.data_source
+CROSS JOIN truth t
+ORDER BY o.src_a, o.src_b
+"""

@@ -2440,3 +2440,90 @@ SELECT lang, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
 FROM scored
 ORDER BY lang
 """
+
+
+def readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source readability profile: average sentence length, average
+    syllables per word (ASCII vowel-group heuristic), and the Flesch
+    reading-ease score — the classic text-quality lens the quality-score
+    battery (stopword/length ratios) doesn't cover: two corpora with the
+    same token stats can sit at opposite ends of the reading-ease scale.
+
+    Determinism: sentences = [.!?]+ terminator runs, with the standard
+    fallback that a NON-EMPTY document with zero terminators counts as
+    ONE sentence (transcript/title corpora carry no punctuation — an
+    all-NULL score column on such a corpus is exactly the degeneracy the
+    registry audit forbids); syllables = [aeiouyAEIOUY]+ runs (no
+    lower(): its Final_Sigma/İ special-casing is adversarial class 2).
+    Both are REGEX COUNTS over exact integers summed per source; the
+    Flesch formula is one double expression over those totals,
+    micro-rounded.  Non-Latin scripts count 0 syllables (documented
+    ASCII heuristic); zero-word sources pin scores to NULL.
+
+    Scale shape: pure per-row projections, one groupBy onto sources."""
+    from ..functions.money import micro, ratio
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.size(_words(F.col("text")))
+    runs = F.size(F.expr("regexp_extract_all(text, '[.!?]+', 0)"))
+    sents = F.when(
+        (runs == 0) & (F.length(F.trim(F.col("text"))) > 0), F.lit(1)
+    ).otherwise(runs)
+    sylls = F.size(F.expr("regexp_extract_all(text, '[aeiouyAEIOUY]+', 0)"))
+    per_src = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(words.cast("long")).alias("w"),
+        F.sum(sents.cast("long")).alias("s"),
+        F.sum(sylls.cast("long")).alias("y"),
+    )
+    wd = F.col("w").cast("double")
+    sd = F.col("s").cast("double")
+    yd = F.col("y").cast("double")
+    flesch = 206.835 - 1.015 * (wd / sd) - 84.6 * (yd / wd)
+    return per_src.select(
+        "source",
+        "n_docs",
+        F.col("w").alias("n_words"),
+        F.col("s").alias("n_sentences"),
+        F.col("y").alias("n_syllables"),
+        F.when(F.col("s") > 0, ratio(wd, sd, 4)).alias("words_per_sentence"),
+        F.when(F.col("w") > 0, ratio(yd, wd, 4)).alias("syllables_per_word"),
+        F.when((F.col("s") > 0) & (F.col("w") > 0), micro(flesch)).alias(
+            "flesch_reading_ease"
+        ),
+    ).orderBy("source")
+
+
+def readability_scores_sql() -> str:
+    from ..functions.money import micro_sql, ratio_sql
+
+    return f"""
+WITH per_doc AS (
+  SELECT source,
+         len(string_split(trim(text, ' '), ' ')) AS w,
+         CASE WHEN len(regexp_extract_all(text, '[.!?]+')) = 0
+                   AND length(trim(text, ' ')) > 0
+              THEN 1 ELSE len(regexp_extract_all(text, '[.!?]+')) END AS s,
+         len(regexp_extract_all(text, '[aeiouyAEIOUY]+')) AS y
+  FROM documents
+),
+per_src AS (
+  SELECT source, count(*) AS n_docs,
+         sum(w::bigint) AS w, sum(s::bigint) AS s, sum(y::bigint) AS y
+  FROM per_doc GROUP BY source
+)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(w AS BIGINT) AS n_words,
+       CAST(s AS BIGINT) AS n_sentences,
+       CAST(y AS BIGINT) AS n_syllables,
+       CASE WHEN s > 0 THEN {ratio_sql('w::double', 's::double', 4)} END
+         AS words_per_sentence,
+       CASE WHEN w > 0 THEN {ratio_sql('y::double', 'w::double', 4)} END
+         AS syllables_per_word,
+       CASE WHEN s > 0 AND w > 0
+            THEN {micro_sql('206.835 - 1.015 * (w::double / s::double)'
+                            ' - 84.6 * (y::double / w::double)')} END
+         AS flesch_reading_ease
+FROM per_src
+ORDER BY source
+"""

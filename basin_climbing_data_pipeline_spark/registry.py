@@ -1114,6 +1114,21 @@ register(
 register(
     "cochran_armitage_trend", ex.cochran_armitage_trend, ex.cochran_armitage_trend_sql()
 )
+# second round-9 batch: survival area, dispersion audit, multi-touch credit,
+# coverage estimation, text readability
+register("rmst_membership", mem.rmst_membership, mem.rmst_membership_sql())
+register("overdispersion_check", ev.overdispersion_check, ev.overdispersion_check_sql())
+register(
+    "position_based_attribution",
+    ev.position_based_attribution,
+    ev.position_based_attribution_sql(),
+)
+register(
+    "capture_recapture_population",
+    qa.capture_recapture_population,
+    qa.capture_recapture_population_sql(),
+)
+register("readability_scores", ts.readability_scores, ts.readability_scores_sql())
 
 # ROUND-9 WINDOW (the 50 registry slots the driver verifies this round).
 # CORRECTNESS_r08 landed 50/50 green, so the staged plan is now code:
@@ -1224,6 +1239,11 @@ _ROUND10_FRONT: list[str] = [
     "semantic_decontamination",
     "tukey_category_outliers",
     "cochran_armitage_trend",
+    "rmst_membership",
+    "overdispersion_check",
+    "position_based_attribution",
+    "capture_recapture_population",
+    "readability_scores",
 ]
 _ROUND10_OWED: list[str] = [
     # round-9 guarded-micro hardening (engine + oracle switched to the

@@ -70,6 +70,7 @@ QUERIES = [
     "eb_shrunk_source_quality",  # beta-binomial MoM on degenerate variance
     "feature_auc_screening",     # tie-heavy fixed-point ranks on empty/short docs
     "lang_id_macro_f1",          # zero-support languages -> F1 = 0, not NULL noise
+    "readability_scores",        # zero-sentence/zero-word sources, multi-byte text
 ]
 
 
@@ -184,6 +185,8 @@ def fuzz_events_dir(tmp_path_factory):
 
 EVENT_QUERIES = [
     "funnel_step_latency",     # hop-boundary latencies at exactly-1h gaps
+    "overdispersion_check",    # burst days + single-day types (n=1 guard)
+    "position_based_attribution",  # k=1/k=2 paths + window-boundary touches
 
     "event_funnel",            # crashed before the prev > 0 ANSI guard
     "streaming_windowed_counts",  # oracle lacked the event_id dedup
@@ -343,6 +346,7 @@ TXN_QUERIES = [
     "ltv_triangle",              # negative-cent cohorts, single-month cohorts
     "jsd_source_categories",     # absent-cell Q·ln2 mass on sparse grids
     "hll_source_overlap",        # register merge on tiny/degenerate sources
+    "capture_recapture_population",  # zero-overlap Chapman (+1 correction path)
 ]
 
 
@@ -544,6 +548,7 @@ MEM_QUERIES = [
     "active_memberships_new_vs_existing",  # month explode on fuzzed spans
     "nelson_aalen_hazard",          # hazard terms on fuzzed risk-set ties
     "km_greenwood_ci",              # extinction pinning + band clamps
+    "rmst_membership",              # horizon clamps on fuzzed duration grids
 ]
 
 

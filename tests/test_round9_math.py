@@ -713,3 +713,221 @@ def test_semantic_decontamination_matches_pure_python(con):
                 best = (cid, cos)
         want.append((q, cnt, best[0], best[1], best[1] >= SEMDECON_TAU))
     assert [tuple(r) for r in got] == want
+
+
+def test_rmst_matches_pure_python(con):
+    from basin_climbing_data_pipeline_spark.operators.memberships import (
+        RMST_HORIZON_DAYS,
+        rmst_membership_sql,
+    )
+
+    got = con.execute(rmst_membership_sql()).fetchone()
+    raw = _durations(con)
+    frame = _risk_frame(con)
+    cum = 0
+    hit = False
+    steps = []  # (t, s_micro)
+    for t, n, d, _c in frame:
+        if d == 0:
+            continue
+        if d >= n:
+            hit = True
+        if not hit:
+            cum += math.floor(math.log((n - d) / n) * 1e9 + 0.5)
+        steps.append((t, 0 if hit else math.floor(math.exp(cum / 1e9) * 1e6 + 0.5)))
+    h = RMST_HORIZON_DAYS
+    area = 1_000_000 * min(steps[0][0], h)
+    for i, (t, s) in enumerate(steps):
+        nxt = steps[i + 1][0] if i + 1 < len(steps) else h
+        area += s * max(min(nxt, h) - min(t, h), 0)
+    rmst = _micro(area / 1e6)
+    naive = _micro(sum(d for d, _e in raw) / len(raw))
+    assert got[0] == h
+    assert got[1] == len(raw)
+    assert got[2] == len(steps)
+    assert got[3] == rmst
+    assert got[4] == naive
+    # censoring bias: naive mean must not exceed the restricted mean by
+    # construction on this corpus shape (both are day counts >= 0)
+    assert got[3] > 0
+
+
+def test_overdispersion_matches_pure_python(con):
+    from collections import defaultdict
+    import datetime as dt
+
+    from basin_climbing_data_pipeline_spark.operators.events import (
+        overdispersion_check_sql,
+    )
+
+    got = con.execute(overdispersion_check_sql()).fetchall()
+    raw = con.execute(
+        "SELECT event_type, ts::DATE, count(*) FROM events GROUP BY 1, 2"
+    ).fetchall()
+    days = defaultdict(dict)
+    for t, d, c in raw:
+        days[t][d] = c
+    want = []
+    for t in sorted(days):
+        d0, d1 = min(days[t]), max(days[t])
+        n = (d1 - d0).days + 1
+        cs = [days[t].get(d0 + dt.timedelta(days=i), 0) for i in range(n)]
+        s1, s2 = sum(cs), sum(c * c for c in cs)
+        mean = s1 / n
+        var = (n * s2 - s1 * s1) / (n * (n - 1.0))
+        di = var / mean
+        want.append(
+            (
+                t,
+                n,
+                _ratio(s1, n, 4),
+                _micro(var),
+                _micro(di),
+                _micro((n - 1.0) * di),
+                di > 2.0,
+            )
+        )
+    assert [tuple(r) for r in got] == want
+
+
+def test_position_based_attribution_matches_pure_python(con):
+    from collections import defaultdict
+
+    from basin_climbing_data_pipeline_spark.operators.events import (
+        PBA_FIRST_MICRO,
+        PBA_LAST_MICRO,
+        PBA_LOOKBACK_US,
+        position_based_attribution_sql,
+    )
+
+    got = con.execute(position_based_attribution_sql()).fetchall()
+    ev = con.execute(
+        "SELECT user_id, epoch_us(ts::TIMESTAMP), event_type, event_id FROM events"
+    ).fetchall()
+    by_user = defaultdict(list)
+    for u, us, t, eid in ev:
+        by_user[u].append((us, t, eid))
+    credit = defaultdict(int)
+    purchases_touched = defaultdict(set)
+    touches = defaultdict(int)
+    mid = 1_000_000 - PBA_FIRST_MICRO - PBA_LAST_MICRO
+    for u, evs in by_user.items():
+        for us, t, pid in evs:
+            if t != "purchase":
+                continue
+            tl = sorted(
+                (tus, ch, tid)
+                for tus, ch, tid in evs
+                if ch != "purchase" and us - PBA_LOOKBACK_US <= tus < us
+            )
+            k = len(tl)
+            for pos, (_tus, ch, _tid) in enumerate(tl, start=1):
+                if k == 1:
+                    c = 1_000_000
+                elif k == 2:
+                    c = 500_000
+                elif pos == 1:
+                    c = PBA_FIRST_MICRO
+                elif pos == k:
+                    c = PBA_LAST_MICRO
+                else:
+                    c = mid // (k - 2)
+                credit[ch] += c
+                purchases_touched[ch].add(pid)
+                touches[ch] += 1
+    total = sum(credit.values())
+    want = [
+        (
+            ch,
+            credit[ch] / 1e6,
+            len(purchases_touched[ch]),
+            touches[ch],
+            _ratio(credit[ch], total, 6) if total > 0 else None,
+        )
+        for ch in sorted(credit)
+    ]
+    assert [tuple(r) for r in got] == want
+
+
+def test_capture_recapture_matches_pure_python(con):
+    from collections import defaultdict
+
+    from basin_climbing_data_pipeline_spark.operators.quality import (
+        capture_recapture_population_sql,
+    )
+    from basin_climbing_data_pipeline_spark.operators.transactions import (
+        transactions_sql,
+    )
+
+    got = con.execute(capture_recapture_population_sql()).fetchall()
+    raw = con.execute(
+        f"WITH txn AS ({transactions_sql()}) "
+        f"SELECT DISTINCT data_source, customer_id FROM txn"
+    ).fetchall()
+    sets = defaultdict(set)
+    for s, c in raw:
+        sets[s].add(c)
+    n_true = len({c for _s, c in raw})
+    srcs = sorted(sets)
+    want = []
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1 :]:
+            na, nb = len(sets[a]), len(sets[b])
+            m = len(sets[a] & sets[b])
+            nhat = (na + 1.0) * (nb + 1.0) / (m + 1.0) - 1.0
+            se = math.sqrt(
+                (na + 1.0) * (nb + 1.0) * (na - m) * (nb - m)
+                / ((m + 1.0) ** 2 * (m + 2.0))
+            )
+            want.append(
+                (
+                    a,
+                    b,
+                    na,
+                    nb,
+                    m,
+                    _micro(nhat),
+                    _micro(se),
+                    n_true,
+                    _micro((nhat - n_true) / n_true),
+                )
+            )
+    assert [tuple(r) for r in got] == want
+
+
+def test_readability_matches_pure_python(con):
+    import re
+    from collections import defaultdict
+
+    from basin_climbing_data_pipeline_spark.operators.textstats import (
+        readability_scores_sql,
+    )
+
+    got = con.execute(readability_scores_sql()).fetchall()
+    raw = con.execute("SELECT source, text FROM documents").fetchall()
+    agg = defaultdict(lambda: [0, 0, 0, 0])
+    for src, text in raw:
+        a = agg[src]
+        a[0] += 1
+        a[1] += len(text.strip(" ").split(" "))
+        runs = len(re.findall(r"[.!?]+", text))
+        a[2] += 1 if runs == 0 and text.strip(" ") else runs
+        a[3] += len(re.findall(r"[aeiouyAEIOUY]+", text))
+    want = []
+    for src in sorted(agg):
+        nd, w, s, y = agg[src]
+        want.append(
+            (
+                src,
+                nd,
+                w,
+                s,
+                y,
+                _ratio(w, s, 4) if s > 0 else None,
+                _ratio(y, w, 4) if w > 0 else None,
+                _micro(206.835 - 1.015 * (w / s) - 84.6 * (y / w))
+                if s > 0 and w > 0
+                else None,
+            )
+        )
+    assert [tuple(r) for r in got] == want
