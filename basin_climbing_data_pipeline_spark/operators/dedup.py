@@ -2368,3 +2368,68 @@ SELECT q_bucket, n_docs, CAST(n_dup AS BIGINT) AS n_dup,
 FROM per_bucket
 ORDER BY q_bucket
 """
+
+
+NEAR_DUP_TAUS = (0.5, 0.6, 0.7, 0.8, 0.9)
+
+
+def near_dup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup aggressiveness curve: for each candidate Jaccard threshold,
+    how many verified near-dup pairs survive and how many distinct
+    documents they touch — the table a corpus owner reads BEFORE picking
+    the dedup threshold (the knee of this curve is the policy decision;
+    running dedup at one blind τ is how you either keep boilerplate or
+    delete paraphrases).
+
+    Exactness: rides :func:`minhash_lsh_pairs`' verified true-Jaccard
+    pairs (already 1e-6 fixed point); each grid row is integer counts
+    over that table.  Document counts use the pair-endpoint union.
+
+    Scale shape: the pair table is the banded-LSH output (linear, never
+    all-pairs); the sweep is |grid| × pair-table aggregations over a
+    broadcast 5-row grid."""
+    pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b", "jaccard")
+    grid = spark.createDataFrame(
+        [(float(t),) for t in NEAR_DUP_TAUS], "tau double"
+    )
+    j = pairs.join(F.broadcast(grid), F.col("jaccard") >= F.col("tau"))
+    per_tau = j.groupBy("tau").agg(
+        F.count("*").alias("n_pairs"),
+    )
+    docs = (
+        j.select("tau", F.col("doc_a").alias("d"))
+        .unionByName(j.select("tau", F.col("doc_b").alias("d")))
+        .groupBy("tau")
+        .agg(F.countDistinct("d").alias("n_docs_involved"))
+    )
+    out = (
+        grid.join(per_tau, "tau", "left")
+        .join(docs, "tau", "left")
+        .select(
+            "tau",
+            F.coalesce(F.col("n_pairs"), F.lit(0)).alias("n_pairs"),
+            F.coalesce(F.col("n_docs_involved"), F.lit(0)).alias("n_docs_involved"),
+        )
+    )
+    return out.orderBy("tau")
+
+
+def near_dup_threshold_sweep_sql() -> str:
+    taus = ", ".join(f"({t!r}::double)" for t in NEAR_DUP_TAUS)
+    return f"""
+WITH pairs AS ({minhash_lsh_pairs_sql()}),
+grid AS (SELECT * FROM (VALUES {taus}) g(tau)),
+j AS (
+  SELECT g.tau, p.doc_a, p.doc_b FROM pairs p JOIN grid g ON p.jaccard >= g.tau
+),
+per_tau AS (SELECT tau, count(*) AS n_pairs FROM j GROUP BY tau),
+docs AS (
+  SELECT tau, count(DISTINCT d) AS n_docs_involved
+  FROM (SELECT tau, doc_a AS d FROM j UNION ALL SELECT tau, doc_b FROM j)
+  GROUP BY tau
+)
+SELECT g.tau, coalesce(p.n_pairs, 0) AS n_pairs,
+       coalesce(d.n_docs_involved, 0) AS n_docs_involved
+FROM grid g LEFT JOIN per_tau p USING (tau) LEFT JOIN docs d USING (tau)
+ORDER BY g.tau
+"""

@@ -395,3 +395,207 @@ FROM (
 WHERE fused_rank <= {RRF_TOP_K}
 ORDER BY query_id, fused_rank
 """
+
+
+def retrieval_rank_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much do the dense and lexical retrievers AGREE?  Per query:
+    overlap@K between the cosine top-K and the word-Jaccard top-K, plus
+    the mean absolute rank displacement over the shared docs — the
+    diagnostic that says whether :func:`hybrid_rrf_retrieval`'s fusion is
+    actually adding signal (overlap ≈ 1 means the second retriever is
+    redundant; overlap ≈ 0 with good downstream evals means they cover
+    different failure modes — the reason hybrid search exists).
+
+    Determinism: both rankings replicate the RRF candidate stages
+    verbatim (1e-6 cosines / Jaccards, doc_id tie-breaks); agreement
+    numbers are exact integer counts and micro ratios.
+
+    Scale shape: identical to the RRF candidate stages (broadcast-query
+    dense scan + df-pruned inverted index); agreement is a join of two
+    ≤ queries×K frames."""
+    from pyspark.sql import Window
+
+    from ..io import load_table
+    from .similarity import N_QUERIES, _cosine, _dot64
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    with_norm = emb.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(_dot64(F.col("embedding"), F.col("embedding"))).alias("norm"),
+    )
+    q = with_norm.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    c = with_norm.select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("norm").alias("c_norm"),
+    )
+    cos = _cosine(_dot64(F.col("q_emb"), F.col("c_emb")), F.col("q_norm"), F.col("c_norm"))
+    wd = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("doc_id"))
+    dense = (
+        c.join(F.broadcast(q), F.col("doc_id") != F.col("query_id"))
+        .withColumn("cosine", cos)
+        .withColumn("rank_dense", F.row_number().over(wd))
+        .filter(F.col("rank_dense") <= RRF_CAND)
+        .select("query_id", "doc_id", "rank_dense")
+    )
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split(F.trim(F.col("text")), " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    df_counts = toks.groupBy("tok").agg(F.count("*").alias("df"))
+    pruned = toks.join(
+        df_counts.filter(F.col("df") <= MAX_TOKEN_DF).select("tok"), "tok"
+    )
+    sizes = pruned.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
+    qt = pruned.filter(F.col("doc_id") < N_QUERIES).select(
+        F.col("doc_id").alias("query_id"), "tok"
+    )
+    inter = (
+        qt.join(pruned, "tok")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.count("*").alias("common"))
+    )
+    sq = sizes.select(F.col("doc_id").alias("query_id"), F.col("n_tok").alias("n_q"))
+    sd = sizes.select("doc_id", F.col("n_tok").alias("n_d"))
+    jac = (
+        F.floor(
+            F.col("common")
+            / (F.col("n_q") + F.col("n_d") - F.col("common"))
+            * 1000000.0
+            + 0.5
+        )
+        / 1000000.0
+    )
+    wl = Window.partitionBy("query_id").orderBy(F.desc("jaccard"), F.asc("doc_id"))
+    lex = (
+        inter.join(sq, "query_id")
+        .join(sd, "doc_id")
+        .withColumn("jaccard", jac)
+        .withColumn("rank_lex", F.row_number().over(wl))
+        .filter(F.col("rank_lex") <= RRF_CAND)
+        .select("query_id", "doc_id", "rank_lex")
+    )
+    both = dense.join(lex, ["query_id", "doc_id"])
+    per_q = both.groupBy("query_id").agg(
+        F.count("*").alias("n_shared"),
+        F.sum(F.abs(F.col("rank_dense") - F.col("rank_lex"))).alias("disp"),
+    )
+    n_lex = lex.groupBy("query_id").agg(F.count("*").alias("n_lex"))
+    from ..functions.money import ratio
+
+    return (
+        dense.groupBy("query_id")
+        .agg(F.count("*").alias("n_dense"))
+        .join(n_lex, "query_id", "left")
+        .join(per_q, "query_id", "left")
+        .select(
+            "query_id",
+            "n_dense",
+            F.coalesce(F.col("n_lex"), F.lit(0)).alias("n_lex"),
+            F.coalesce(F.col("n_shared"), F.lit(0)).alias("n_shared"),
+            F.when(
+                F.coalesce(F.col("n_lex"), F.lit(0)) + F.col("n_dense")
+                - F.coalesce(F.col("n_shared"), F.lit(0))
+                > 0,
+                ratio(
+                    F.coalesce(F.col("n_shared"), F.lit(0)).cast("double"),
+                    (
+                        F.col("n_dense")
+                        + F.coalesce(F.col("n_lex"), F.lit(0))
+                        - F.coalesce(F.col("n_shared"), F.lit(0))
+                    ).cast("double"),
+                    6,
+                ),
+            ).alias("overlap_jaccard"),
+            F.when(
+                F.coalesce(F.col("n_shared"), F.lit(0)) > 0,
+                ratio(
+                    F.col("disp").cast("double"), F.col("n_shared").cast("double"), 4
+                ),
+            ).alias("mean_rank_displacement"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def retrieval_rank_agreement_sql() -> str:
+    from .similarity import COSINE_SCALE, N_QUERIES, _dot_sql
+
+    dot = _dot_sql("q.embedding", "c.embedding")
+    nq = _dot_sql("q.embedding", "q.embedding")
+    nc = _dot_sql("c.embedding", "c.embedding")
+    from ..functions.money import ratio_sql
+
+    return f"""
+WITH dense_scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+         floor({dot} / (sqrt({nq}) * sqrt({nc})) * {COSINE_SCALE} + 0.5)
+           / {COSINE_SCALE} AS cosine
+  FROM embeddings q, embeddings c
+  WHERE q.vec_id < {N_QUERIES} AND c.vec_id != q.vec_id
+),
+dense AS (
+  SELECT query_id, doc_id, rank_dense FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, doc_id) AS rank_dense
+    FROM dense_scored
+  ) WHERE rank_dense <= {RRF_CAND}
+),
+toks AS (
+  SELECT DISTINCT doc_id, unnest(string_split(trim(text, ' '), ' ')) AS tok
+  FROM documents
+),
+toks2 AS (SELECT doc_id, tok FROM toks WHERE tok != ''),
+dfc AS (SELECT tok, count(*) AS df FROM toks2 GROUP BY tok),
+pruned AS (
+  SELECT t.doc_id, t.tok FROM toks2 t JOIN dfc USING (tok)
+  WHERE dfc.df <= {MAX_TOKEN_DF}
+),
+sizes AS (SELECT doc_id, count(*) AS n_tok FROM pruned GROUP BY doc_id),
+inter AS (
+  SELECT qt.doc_id AS query_id, p.doc_id, count(*) AS common
+  FROM pruned qt JOIN pruned p USING (tok)
+  WHERE qt.doc_id < {N_QUERIES} AND p.doc_id != qt.doc_id
+  GROUP BY 1, 2
+),
+lex AS (
+  SELECT query_id, doc_id, rank_lex FROM (
+    SELECT i.query_id, i.doc_id,
+           row_number() OVER (PARTITION BY i.query_id ORDER BY
+             floor(i.common / (sq.n_tok + sd.n_tok - i.common) * 1000000.0 + 0.5)
+               / 1000000.0 DESC, i.doc_id) AS rank_lex
+    FROM inter i
+    JOIN sizes sq ON sq.doc_id = i.query_id
+    JOIN sizes sd ON sd.doc_id = i.doc_id
+  ) WHERE rank_lex <= {RRF_CAND}
+),
+shared AS (
+  SELECT d.query_id, count(*) AS n_shared,
+         sum(abs(d.rank_dense - l.rank_lex)) AS disp
+  FROM dense d JOIN lex l USING (query_id, doc_id)
+  GROUP BY d.query_id
+),
+nd AS (SELECT query_id, count(*) AS n_dense FROM dense GROUP BY 1),
+nl AS (SELECT query_id, count(*) AS n_lex FROM lex GROUP BY 1)
+SELECT nd.query_id, CAST(nd.n_dense AS BIGINT) AS n_dense,
+       CAST(coalesce(nl.n_lex, 0) AS BIGINT) AS n_lex,
+       CAST(coalesce(b.n_shared, 0) AS BIGINT) AS n_shared,
+       CASE WHEN nd.n_dense + coalesce(nl.n_lex, 0) - coalesce(b.n_shared, 0) > 0
+            THEN {ratio_sql('coalesce(b.n_shared, 0)::double',
+                            '(nd.n_dense + coalesce(nl.n_lex, 0) - coalesce(b.n_shared, 0))::double', 6)}
+       END AS overlap_jaccard,
+       CASE WHEN coalesce(b.n_shared, 0) > 0
+            THEN {ratio_sql('b.disp::double', 'b.n_shared::double', 4)}
+       END AS mean_rank_displacement
+FROM nd LEFT JOIN nl USING (query_id) LEFT JOIN shared b USING (query_id)
+ORDER BY nd.query_id
+"""

@@ -2582,3 +2582,108 @@ FROM top t JOIN counts c USING (query_id)
 WHERE t.rn = 1
 ORDER BY t.query_id
 """
+
+
+def embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding NORM health: mean/σ of vector norms from exact
+    fixed-point moments, the min/max envelope, and how many vectors sit
+    outside mean ± 3σ — the degenerate-embedding detector that catches
+    what cosine-based checks can't (cosine normalizes norms away; a
+    collapsing encoder often shows up in the norm distribution first).
+
+    Determinism: each norm is NANO-quantized to int64 at the row (1e-9:
+    on an exactly-unit-normalized corpus the float32 normalization
+    jitter IS the signal — a micro grid would round every norm to 1.0
+    and the audit would be vacuously flat, the degeneracy the registry
+    audit forbids), so the moment sums are exact integers (per-factor
+    DECIMAL products for Σx²); mean/σ/outlier fences are single double
+    expressions over those integers.
+
+    Scale shape: one scan with per-row fold dots, one groupBy onto
+    labels, one broadcast-join second pass for the outlier count."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm_micro = F.floor(
+        F.sqrt(_dot64(F.col("embedding"), F.col("embedding"))) * 1000000000.0 + 0.5
+    ).cast("long")
+    rows = emb.select("label", norm_micro.alias("nm"))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    m = rows.groupBy("label").agg(
+        F.count("*").alias("n"),
+        F.sum("nm").alias("s1"),
+        F.sum(dec(F.col("nm")) * dec(F.col("nm"))).alias("s2"),
+        F.min("nm").alias("mn"),
+        F.max("nm").alias("mx"),
+    )
+    nd = F.col("n").cast("double")
+    mean = F.col("s1").cast("double") / nd
+    var = (
+        (dec(F.col("n")) * F.col("s2") - dec(F.col("s1")) * dec(F.col("s1"))).cast(
+            "double"
+        )
+        / (nd * nd)
+    )
+    sd = F.sqrt(var)
+    stats = m.select(
+        "label",
+        "n",
+        mean.alias("mean_m"),
+        sd.alias("sd_m"),
+        "mn",
+        "mx",
+    )
+    j = rows.join(F.broadcast(stats), "label")
+    out_cnt = j.filter(
+        F.abs(F.col("nm").cast("double") - F.col("mean_m")) > 3.0 * F.col("sd_m")
+    ).groupBy("label").agg(F.count("*").alias("n_outliers"))
+    nano9 = lambda c: F.floor(c * 1000000000.0 + 0.5) / 1000000000.0  # noqa: E731
+    return (
+        stats.join(out_cnt, "label", "left")
+        .select(
+            "label",
+            "n",
+            nano9(F.col("mean_m") / 1.0e9).alias("mean_norm"),
+            nano9(F.col("sd_m") / 1.0e9).alias("sd_norm"),
+            (F.col("mn") / 1000000000.0).alias("min_norm"),
+            (F.col("mx") / 1000000000.0).alias("max_norm"),
+            F.coalesce(F.col("n_outliers"), F.lit(0)).alias("n_outliers_3sd"),
+        )
+        .orderBy("label")
+    )
+
+
+def embedding_norm_audit_sql() -> str:
+    dot = _dot_sql("embedding", "embedding")
+    return f"""
+WITH rows_ AS (
+  SELECT label,
+         CAST(floor(sqrt({dot}) * 1000000000.0 + 0.5) AS BIGINT) AS nm
+  FROM embeddings
+),
+m AS (
+  SELECT label, count(*) AS n, sum(nm) AS s1,
+         sum(nm::hugeint * nm::hugeint) AS s2,
+         min(nm) AS mn, max(nm) AS mx
+  FROM rows_ GROUP BY label
+),
+stats AS (
+  SELECT label, n, s1::double / n::double AS mean_m,
+         sqrt((n::hugeint * s2 - s1::hugeint * s1::hugeint)::double
+              / (n::double * n::double)) AS sd_m,
+         mn, mx
+  FROM m
+),
+outs AS (
+  SELECT r.label, count(*) AS n_outliers
+  FROM rows_ r JOIN stats s USING (label)
+  WHERE abs(r.nm::double - s.mean_m) > 3.0 * s.sd_m
+  GROUP BY r.label
+)
+SELECT s.label, CAST(s.n AS BIGINT) AS n,
+       floor(s.mean_m / 1.0e9 * 1000000000.0 + 0.5) / 1000000000.0 AS mean_norm,
+       floor(s.sd_m / 1.0e9 * 1000000000.0 + 0.5) / 1000000000.0 AS sd_norm,
+       s.mn / 1000000000.0 AS min_norm,
+       s.mx / 1000000000.0 AS max_norm,
+       coalesce(o.n_outliers, 0) AS n_outliers_3sd
+FROM stats s LEFT JOIN outs o USING (label)
+ORDER BY s.label
+"""

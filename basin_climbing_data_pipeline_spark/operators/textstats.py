@@ -2527,3 +2527,279 @@ SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
 FROM per_src
 ORDER BY source
 """
+
+
+def source_length_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source length-distribution drift: the exact two-sample KS
+    distance between each source's n_chars distribution and the rest of
+    the corpus — the whole-distribution upgrade of
+    :func:`source_length_percentiles` (two sources can share a median
+    while one is bimodal; D sees the whole CDF gap), and the per-source
+    version of the ks_spend_test discipline.
+
+    Exactness: D is located as the max INTEGER cross product
+    |cum_s·n_rest − cum_rest·n_s| over the per-source length grid —
+    the integer-lattice KS form, no CDF doubles until the single edge
+    division; rest = corpus minus the source, so a dominant source
+    can't dilute its own comparison.
+
+    Scale shape: one (source, n_chars) collapse; each source's CDF walk
+    runs over the per-source length vocabulary joined against the
+    corpus-level vocabulary prefix (lengths are a bounded vocabulary —
+    documents have a max length, not an unbounded one)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "n_chars")
+    per = docs.groupBy("source", "n_chars").agg(F.count("*").alias("c"))
+    glob = per.groupBy("n_chars").agg(F.sum("c").alias("g"))
+    # evaluate both CDFs on the GLOBAL length grid per source: grid join
+    srcs = per.select("source").distinct()
+    grid = srcs.crossJoin(F.broadcast(glob))
+    gs = grid.join(per, ["source", "n_chars"], "left").select(
+        "source", "n_chars", "g", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+    )
+    w = Window.partitionBy("source").orderBy("n_chars").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ws = Window.partitionBy("source")
+    dec = lambda x: x.cast("decimal(38,0)")  # noqa: E731
+    cum = gs.select(
+        "source",
+        "n_chars",
+        F.sum("c").over(w).alias("cum_s"),
+        (F.sum("g").over(w) - F.sum("c").over(w)).alias("cum_r"),
+        F.sum("c").over(ws).alias("n_s"),
+        (F.sum("g").over(ws) - F.sum("c").over(ws)).alias("n_r"),
+    )
+    cross = F.abs(
+        dec(F.col("cum_s")) * dec(F.col("n_r")) - dec(F.col("cum_r")) * dec(F.col("n_s"))
+    )
+    m = cum.groupBy("source", "n_s", "n_r").agg(F.max(cross).alias("dmax"))
+    micro = lambda c: F.floor(c * 1000000.0 + 0.5) / 1000000.0  # noqa: E731
+    d = F.col("dmax").cast("double") / (
+        F.col("n_s").cast("double") * F.col("n_r").cast("double")
+    )
+    return m.select(
+        "source",
+        F.col("n_s").alias("n_docs"),
+        F.col("n_r").alias("n_rest"),
+        F.when((F.col("n_s") > 0) & (F.col("n_r") > 0), micro(d)).alias("ks_d"),
+    ).orderBy("source")
+
+
+def source_length_ks_sql() -> str:
+    return """
+WITH per AS (
+  SELECT source, n_chars, count(*) AS c FROM documents GROUP BY 1, 2
+),
+lens AS (SELECT n_chars, sum(c) AS g FROM per GROUP BY 1),
+grid AS (
+  SELECT s.source, v.n_chars, v.g
+  FROM (SELECT DISTINCT source FROM per) s CROSS JOIN lens v
+),
+gs AS (
+  SELECT g.source, g.n_chars, g.g, coalesce(p.c, 0) AS c
+  FROM grid g LEFT JOIN per p USING (source, n_chars)
+),
+cum AS (
+  SELECT source, n_chars,
+         sum(c) OVER w AS cum_s,
+         sum(g) OVER w - sum(c) OVER w AS cum_r,
+         sum(c) OVER ws AS n_s,
+         sum(g) OVER ws - sum(c) OVER ws AS n_r
+  FROM gs
+  WINDOW w AS (PARTITION BY source ORDER BY n_chars
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         ws AS (PARTITION BY source)
+),
+m AS (
+  SELECT source, n_s, n_r,
+         max(abs(cum_s::hugeint * n_r::hugeint - cum_r::hugeint * n_s::hugeint))
+           AS dmax
+  FROM cum GROUP BY 1, 2, 3
+)
+SELECT source, CAST(n_s AS BIGINT) AS n_docs, CAST(n_r AS BIGINT) AS n_rest,
+       CASE WHEN n_s > 0 AND n_r > 0
+            THEN floor(dmax::double / (n_s::double * n_r::double)
+                       * 1000000.0 + 0.5) / 1000000.0 END AS ks_d
+FROM m
+ORDER BY source
+"""
+
+
+FORMAT_MARKERS = (
+    # real-world curation markers (exercised by the adversarial corpora —
+    # the driver's synthetic word-soup corpus contains no punctuation)
+    ("url", "https?://"),
+    ("list_item", "(^|\\n)[-*] "),
+    ("qa_pair", "(^|\\n)(Q|A):"),
+    ("code_brace", "[{};]"),
+    ("numeric", "[0-9]"),
+    # shape markers that vary on ANY tokenized corpus (keeps the profile
+    # non-degenerate where the punctuation markers are honestly all-zero)
+    ("single_char_token", "(^| )a( |$)"),
+    ("leading_article", "^the "),
+)
+
+
+def format_marker_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source structural-format profile: the share of documents
+    matching each format marker (URLs, list items, Q/A pairs, code-ish
+    punctuation, digits) — the quick curation lens a mixture planner
+    reads before weighting sources (a "books" source with 40% code-brace
+    docs is mislabeled; an instruction source should be high qa_pair).
+
+    Determinism: fixed regexes evaluated identically by RE2-compatible
+    patterns (no lookahead/backrefs — the dialect-safe subset); shares
+    are exact count ratios.
+
+    Scale shape: pure per-row projections, one groupBy onto sources ×
+    markers (bounded)."""
+    from ..functions.money import ratio
+
+    docs = load_table(spark, sf_dir, "documents")
+    aggs = [F.count("*").alias("n_docs")]
+    for name, pat in FORMAT_MARKERS:
+        aggs.append(
+            F.sum(F.col("text").rlike(pat).cast("long")).alias(f"n_{name}")
+        )
+    per = docs.groupBy("source").agg(*aggs)
+    cols = [F.col("source"), F.col("n_docs")]
+    for name, _p in FORMAT_MARKERS:
+        cols.append(
+            ratio(
+                F.col(f"n_{name}").cast("double"), F.col("n_docs").cast("double"), 6
+            ).alias(f"{name}_rate")
+        )
+    return per.select(*cols).orderBy("source")
+
+
+def format_marker_rates_sql() -> str:
+    from ..functions.money import ratio_sql
+
+    marker_sums = ",\n         ".join(
+        f"sum(regexp_matches(text, '{pat}')::bigint) AS n_{name}"
+        for name, pat in FORMAT_MARKERS
+    )
+    rate_cols = ",\n       ".join(
+        ratio_sql(f"n_{name}::double", "n_docs::double", 6) + f" AS {name}_rate"
+        for name, _p in FORMAT_MARKERS
+    )
+    return f"""
+WITH per AS (
+  SELECT source, count(*) AS n_docs,
+         {marker_sums}
+  FROM documents GROUP BY source
+)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+       {rate_cols}
+FROM per
+ORDER BY source
+"""
+
+
+def split_token_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test token-distribution divergence: the Jensen-Shannon
+    divergence between the two splits' unigram distributions — the
+    one-number answer to "is my held-out set distributionally like the
+    training set", the check that catches a split accidentally
+    stratified by source or length (cluster_safe_split guards LEAKAGE;
+    this guards REPRESENTATIVENESS — both can fail independently).
+
+    Exactness: token counts are exact integers per (split, token); each
+    p·ln(p/m) term is nano-floored BEFORE the corpus-level sum (the JSD
+    discipline from jsd_source_categories applied at token vocabulary
+    scale — the sum is order-immune integer addition).
+
+    Scale shape: one (split, token) collapse (map-side combine does the
+    heavy lifting), one token-vocabulary join of the two count columns,
+    one global integer sum."""
+    from .sampling import _md5_bucket, TRAIN_PCT
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.when(_md5_bucket(F.col("doc_id")) < TRAIN_PCT, "train")
+        .otherwise("test")
+        .alias("split"),
+        F.explode(F.split(F.trim(F.col("text")), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    counts = toks.groupBy("split", "tok").agg(F.count("*").alias("c"))
+    wide = (
+        counts.groupBy("tok")
+        .agg(
+            F.sum(F.when(F.col("split") == "train", F.col("c")).otherwise(0)).alias("a"),
+            F.sum(F.when(F.col("split") == "test", F.col("c")).otherwise(0)).alias("b"),
+        )
+    )
+    tot = wide.agg(F.sum("a").alias("na"), F.sum("b").alias("nb"))
+    j = wide.join(F.broadcast(tot))
+    p = F.col("a").cast("double") / F.col("na").cast("double")
+    q = F.col("b").cast("double") / F.col("nb").cast("double")
+    m = (p + q) / 2.0
+    tp = F.when(
+        F.col("a") > 0, F.floor(p * F.log(p / m) * 1000000000.0 + 0.5).cast("long")
+    ).otherwise(F.lit(0))
+    tq = F.when(
+        F.col("b") > 0, F.floor(q * F.log(q / m) * 1000000000.0 + 0.5).cast("long")
+    ).otherwise(F.lit(0))
+    agg = j.select(
+        "na", "nb", tp.alias("tp"), tq.alias("tq")
+    ).groupBy("na", "nb").agg(
+        F.sum("tp").alias("sp"), F.sum("tq").alias("sq"), F.count("*").alias("vocab")
+    )
+    jsd = (F.col("sp") + F.col("sq")).cast("double") / 2.0e9
+    micro = lambda c: F.floor(c * 1000000.0 + 0.5) / 1000000.0  # noqa: E731
+    return agg.select(
+        F.col("na").alias("n_train_tokens"),
+        F.col("nb").alias("n_test_tokens"),
+        F.col("vocab").alias("vocab_size"),
+        micro(jsd).alias("jsd_nats"),
+        micro(jsd / F.log(F.lit(2.0))).alias("jsd_bits"),
+    )
+
+
+def split_token_jsd_sql() -> str:
+    from .sampling import _md5_bucket_sql, TRAIN_PCT
+
+    b = _md5_bucket_sql("doc_id", 100)
+    return f"""
+WITH toks AS (
+  SELECT CASE WHEN {b} < {TRAIN_PCT} THEN 'train' ELSE 'test' END AS split,
+         unnest(string_split(trim(text, ' '), ' ')) AS tok
+  FROM documents
+),
+counts AS (
+  SELECT split, tok, count(*) AS c FROM toks WHERE tok != '' GROUP BY 1, 2
+),
+wide AS (
+  SELECT tok,
+         sum(CASE WHEN split = 'train' THEN c ELSE 0 END) AS a,
+         sum(CASE WHEN split = 'test' THEN c ELSE 0 END) AS b
+  FROM counts GROUP BY tok
+),
+tot AS (SELECT sum(a) AS na, sum(b) AS nb FROM wide),
+terms AS (
+  SELECT na, nb,
+         CASE WHEN a > 0
+              THEN CAST(floor((a::double / na::double)
+                   * ln((a::double / na::double)
+                        / ((a::double / na::double + b::double / nb::double) / 2.0))
+                   * 1000000000.0 + 0.5) AS BIGINT) ELSE 0 END AS tp,
+         CASE WHEN b > 0
+              THEN CAST(floor((b::double / nb::double)
+                   * ln((b::double / nb::double)
+                        / ((a::double / na::double + b::double / nb::double) / 2.0))
+                   * 1000000000.0 + 0.5) AS BIGINT) ELSE 0 END AS tq
+  FROM wide, tot
+),
+agg AS (
+  SELECT na, nb, sum(tp) AS sp, sum(tq) AS sq, count(*) AS vocab FROM terms
+  GROUP BY na, nb
+)
+SELECT CAST(na AS BIGINT) AS n_train_tokens, CAST(nb AS BIGINT) AS n_test_tokens,
+       CAST(vocab AS BIGINT) AS vocab_size,
+       floor((sp + sq)::double / 2.0e9 * 1000000.0 + 0.5) / 1000000.0 AS jsd_nats,
+       floor((sp + sq)::double / 2.0e9 / ln(2.0) * 1000000.0 + 0.5) / 1000000.0
+         AS jsd_bits
+FROM agg
+"""

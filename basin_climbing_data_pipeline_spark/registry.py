@@ -1129,6 +1129,21 @@ register(
     qa.capture_recapture_population_sql(),
 )
 register("readability_scores", ts.readability_scores, ts.readability_scores_sql())
+# third round-9 batch: corpus-curation diagnostics (threshold sweep, split
+# representativeness, length drift, format profile, retriever agreement,
+# embedding-norm health)
+register(
+    "near_dup_threshold_sweep", dd.near_dup_threshold_sweep, dd.near_dup_threshold_sweep_sql()
+)
+register("source_length_ks", ts.source_length_ks, ts.source_length_ks_sql())
+register("format_marker_rates", ts.format_marker_rates, ts.format_marker_rates_sql())
+register("split_token_jsd", ts.split_token_jsd, ts.split_token_jsd_sql())
+register("embedding_norm_audit", sim.embedding_norm_audit, sim.embedding_norm_audit_sql())
+register(
+    "retrieval_rank_agreement",
+    rt.retrieval_rank_agreement,
+    rt.retrieval_rank_agreement_sql(),
+)
 
 # ROUND-9 WINDOW (the 50 registry slots the driver verifies this round).
 # CORRECTNESS_r08 landed 50/50 green, so the staged plan is now code:
@@ -1244,6 +1259,12 @@ _ROUND10_FRONT: list[str] = [
     "position_based_attribution",
     "capture_recapture_population",
     "readability_scores",
+    "near_dup_threshold_sweep",
+    "source_length_ks",
+    "format_marker_rates",
+    "split_token_jsd",
+    "embedding_norm_audit",
+    "retrieval_rank_agreement",
 ]
 _ROUND10_OWED: list[str] = [
     # round-9 guarded-micro hardening (engine + oracle switched to the

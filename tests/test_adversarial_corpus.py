@@ -71,6 +71,10 @@ QUERIES = [
     "feature_auc_screening",     # tie-heavy fixed-point ranks on empty/short docs
     "lang_id_macro_f1",          # zero-support languages -> F1 = 0, not NULL noise
     "readability_scores",        # zero-sentence/zero-word sources, multi-byte text
+    "near_dup_threshold_sweep",  # empty grid rows when no pair survives a tau
+    "source_length_ks",          # single-doc sources, duplicate length vocab
+    "format_marker_rates",       # regex battery on unicode/punct/empty docs
+    "split_token_jsd",           # empty split halves, multi-byte tokens
 ]
 
 
@@ -422,6 +426,8 @@ EMB_QUERIES = [
     "embedding_dispersion_by_label",  # centroid identity on identical/antipodal vecs
     "hybrid_rrf_retrieval",      # RRF over exact-tie cosine + degenerate lexical ranks
     "semantic_decontamination",  # exact-tie cosines, antipodal/one-hot probes
+    "embedding_norm_audit",      # tiny-norm/antipodal vectors, sd=0 labels
+    "retrieval_rank_agreement",  # exact-tie pools in both rankers
 ]
 
 

@@ -931,3 +931,171 @@ def test_readability_matches_pure_python(con):
             )
         )
     assert [tuple(r) for r in got] == want
+
+
+def test_near_dup_threshold_sweep_matches_pure_python(con):
+    from basin_climbing_data_pipeline_spark.operators.dedup import (
+        NEAR_DUP_TAUS,
+        minhash_lsh_pairs_sql,
+        near_dup_threshold_sweep_sql,
+    )
+
+    got = con.execute(near_dup_threshold_sweep_sql()).fetchall()
+    pairs = con.execute(
+        f"SELECT doc_a, doc_b, jaccard FROM ({minhash_lsh_pairs_sql()})"
+    ).fetchall()
+    want = []
+    for t in NEAR_DUP_TAUS:
+        keep = [(a, b) for a, b, j in pairs if j >= t]
+        docs = {d for p in keep for d in p}
+        want.append((t, len(keep), len(docs)))
+    assert [tuple(r) for r in got] == want
+    # monotone: higher threshold can only shrink the surviving set
+    ns = [r[1] for r in got]
+    assert all(a >= b for a, b in zip(ns, ns[1:]))
+
+
+def test_source_length_ks_matches_pure_python(con):
+    from collections import defaultdict
+
+    from basin_climbing_data_pipeline_spark.operators.textstats import (
+        source_length_ks_sql,
+    )
+
+    got = con.execute(source_length_ks_sql()).fetchall()
+    raw = con.execute("SELECT source, n_chars FROM documents").fetchall()
+    by = defaultdict(list)
+    for s, n in raw:
+        by[s].append(n)
+    all_lens = sorted({n for _s, n in raw})
+    want = []
+    for s in sorted(by):
+        mine = sorted(by[s])
+        rest = sorted(n for src, ns in by.items() if src != s for n in ns)
+        import bisect
+
+        n_s, n_r = len(mine), len(rest)
+        dmax = max(
+            abs(bisect.bisect_right(mine, v) * n_r - bisect.bisect_right(rest, v) * n_s)
+            for v in all_lens
+        )
+        want.append((s, n_s, n_r, _micro(dmax / (n_s * n_r))))
+    assert [tuple(r) for r in got] == want
+
+
+def test_format_marker_rates_matches_pure_python(con):
+    import re
+    from collections import defaultdict
+
+    from basin_climbing_data_pipeline_spark.operators.textstats import (
+        FORMAT_MARKERS,
+        format_marker_rates_sql,
+    )
+
+    got = con.execute(format_marker_rates_sql()).fetchall()
+    raw = con.execute("SELECT source, text FROM documents").fetchall()
+    agg = defaultdict(lambda: [0] + [0] * len(FORMAT_MARKERS))
+    for s, text in raw:
+        a = agg[s]
+        a[0] += 1
+        for i, (_n, pat) in enumerate(FORMAT_MARKERS):
+            if re.search(pat, text):
+                a[i + 1] += 1
+    want = []
+    for s in sorted(agg):
+        a = agg[s]
+        want.append(
+            tuple([s, a[0]] + [_ratio(a[i + 1], a[0], 6) for i in range(len(FORMAT_MARKERS))])
+        )
+    assert [tuple(r) for r in got] == want
+
+
+def test_split_token_jsd_matches_pure_python(con):
+    import hashlib
+    from collections import Counter
+
+    from basin_climbing_data_pipeline_spark.operators.sampling import TRAIN_PCT
+    from basin_climbing_data_pipeline_spark.operators.textstats import (
+        split_token_jsd_sql,
+    )
+
+    got = con.execute(split_token_jsd_sql()).fetchone()
+    raw = con.execute("SELECT doc_id, text FROM documents").fetchall()
+    ca, cb = Counter(), Counter()
+    for did, text in raw:
+        bucket = int(hashlib.md5(str(did).encode()).hexdigest()[:8], 16) % 100
+        c = ca if bucket < TRAIN_PCT else cb
+        for tok in text.strip(" ").split(" "):
+            if tok:
+                c[tok] += 1
+    na, nb = sum(ca.values()), sum(cb.values())
+    vocab = set(ca) | set(cb)
+    sp = sq = 0
+    for tok in vocab:
+        a, b = ca.get(tok, 0), cb.get(tok, 0)
+        p, q = a / na, b / nb
+        m = (p + q) / 2.0
+        if a > 0:
+            sp += math.floor(p * math.log(p / m) * 1e9 + 0.5)
+        if b > 0:
+            sq += math.floor(q * math.log(q / m) * 1e9 + 0.5)
+    jsd = (sp + sq) / 2.0e9
+    assert got[0] == na and got[1] == nb and got[2] == len(vocab)
+    assert got[3] == _micro(jsd)
+    assert got[4] == _micro(jsd / math.log(2.0))
+    assert 0.0 <= got[3] <= math.log(2.0) + 1e-9
+
+
+def test_embedding_norm_audit_matches_pure_python(con):
+    from collections import defaultdict
+
+    from basin_climbing_data_pipeline_spark.operators.similarity import (
+        embedding_norm_audit_sql,
+    )
+
+    got = con.execute(embedding_norm_audit_sql()).fetchall()
+    raw = con.execute("SELECT label, embedding FROM embeddings").fetchall()
+    by = defaultdict(list)
+    for lb, vec in raw:
+        s = 0.0
+        for x in vec:
+            s += float(x) * float(x)
+        by[lb].append(math.floor(math.sqrt(s) * 1e9 + 0.5))
+    want = []
+    for lb in sorted(by):
+        nm = by[lb]
+        n, s1, s2 = len(nm), sum(nm), sum(v * v for v in nm)
+        mean = s1 / n
+        sd = math.sqrt((n * s2 - s1 * s1) / (n * n))
+        outs = sum(1 for v in nm if abs(v - mean) > 3.0 * sd)
+        nano9 = lambda x: math.floor(x * 1e9 + 0.5) / 1e9  # noqa: E731
+        want.append(
+            (
+                lb,
+                n,
+                nano9(mean / 1e9),
+                nano9(sd / 1e9),
+                min(nm) / 1e9,
+                max(nm) / 1e9,
+                outs,
+            )
+        )
+    assert [tuple(r) for r in got] == want
+
+
+def test_retrieval_rank_agreement_consistency(con):
+    """Full python re-ranking would duplicate the RRF stages; instead pin
+    the CONSISTENCY contract: n_shared ≤ min(n_dense, n_lex), the overlap
+    Jaccard matches its own counts exactly, and every query row exists."""
+    from basin_climbing_data_pipeline_spark.operators.retrieval import (
+        retrieval_rank_agreement_sql,
+    )
+    from basin_climbing_data_pipeline_spark.operators.similarity import N_QUERIES
+
+    got = con.execute(retrieval_rank_agreement_sql()).fetchall()
+    assert len(got) == N_QUERIES
+    for q, nd, nl, ns, oj, _md in got:
+        assert ns <= min(nd, nl)
+        union = nd + nl - ns
+        if union > 0:
+            assert oj == _ratio(ns, union, 6)
