@@ -2192,9 +2192,14 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sketches import HIST_SUBBUCKETS as _HSB
     from .transactions import build_transactions
 
+    from ..io import tracked_persist
+
     txn = build_transactions(spark, sf_dir)
     ref = txn.agg(F.max("txn_date").alias("ref_day"))
-    per_cust = (
+    # tracked cache: five consumers (tot + three rank vocabularies + the
+    # score join) would otherwise each recompute the per-customer collapse
+    # — PLANSTATS showed the duplicated subtree as 21 shuffles / 14 BNLJ
+    per_cust = tracked_persist(
         txn.groupBy("customer_id")
         .agg(
             F.max("txn_date").alias("last_day"),
