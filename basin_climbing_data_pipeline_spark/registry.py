@@ -1236,6 +1236,9 @@ if len(set(_ROUND9_WINDOW)) != len(_ROUND9_WINDOW):
 # re-verifies).  The rotation-arithmetic guard below fails the build the
 # moment additions + owed re-verifies outrun the 50-slot window — debt
 # must never compound silently (judge order, round 8 verdict #4).
+# Round-9 close: 27 front + 2 owed = 29 slots; fill the remaining 21 with
+# the oldest driver-green rows at that point (continue the round-4-green
+# sequence the round-9 fill consumed, CORRECTNESS_r04 order).
 _ROUND10_FRONT: list[str] = [
     # round-9 time-series battery (never driver-checked)
     "daily_revenue_acf",
