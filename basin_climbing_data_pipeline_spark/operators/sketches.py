@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.money import micro as _gm
+from ..functions.money import micro_sql as _gm_sql
 from ..io import load_table
 
 HLL_BUCKETS = 256  # m = 2^8: bucket = first 2 md5 hex digits
@@ -121,13 +123,8 @@ def hll_distinct_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = scaled.join(exact, "grp").select(
         F.col("grp").alias("event_type"),
         "n_exact",
-        (F.floor(est * 1000000.0 + 0.5) / 1000000.0).alias("hll_estimate"),
-        (
-            F.floor(
-                F.abs(est - F.col("n_exact")) / F.col("n_exact") * 1000000.0 + 0.5
-            )
-            / 1000000.0
-        ).alias("rel_error"),
+        _gm(est).alias("hll_estimate"),
+        _gm(F.abs(est - F.col("n_exact")) / F.col("n_exact")).alias("rel_error"),
     )
     return out.orderBy("event_type")
 
@@ -169,8 +166,8 @@ est AS (
   FROM raw_est
 )
 SELECT grp AS event_type, n_exact,
-       floor(raw * 1000000.0 + 0.5) / 1000000.0 AS hll_estimate,
-       floor(abs(raw - n_exact) / n_exact * 1000000.0 + 0.5) / 1000000.0 AS rel_error
+       CASE WHEN abs(raw) < 1000000000000.0 THEN floor((raw) * 1000000.0 + 0.5) / 1000000.0 ELSE (raw) END AS hll_estimate,
+       CASE WHEN abs(abs(raw - n_exact) / n_exact) < 1000000000000.0 THEN floor((abs(raw - n_exact) / n_exact) * 1000000.0 + 0.5) / 1000000.0 ELSE (abs(raw - n_exact) / n_exact) END AS rel_error
 FROM est
 ORDER BY event_type
 """
@@ -1111,7 +1108,7 @@ def sliding_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             "window_start_us",
             "event_type",
             "n_exact",
-            (F.floor(est * 1000000.0 + 0.5) / 1000000.0).alias("hll_estimate"),
+            _gm(est).alias("hll_estimate"),
             (
                 F.floor(
                     F.abs(est - F.col("n_exact")) / F.col("n_exact") * 1000000.0 + 0.5
@@ -1179,8 +1176,8 @@ est AS (
   FROM raw_est
 )
 SELECT window_start_us, event_type, n_exact,
-       floor(raw * 1000000.0 + 0.5) / 1000000.0 AS hll_estimate,
-       floor(abs(raw - n_exact) / n_exact * 1000000.0 + 0.5) / 1000000.0 AS rel_error
+       CASE WHEN abs(raw) < 1000000000000.0 THEN floor((raw) * 1000000.0 + 0.5) / 1000000.0 ELSE (raw) END AS hll_estimate,
+       CASE WHEN abs(abs(raw - n_exact) / n_exact) < 1000000000000.0 THEN floor((abs(raw - n_exact) / n_exact) * 1000000.0 + 0.5) / 1000000.0 ELSE (abs(raw - n_exact) / n_exact) END AS rel_error
 FROM est
 ORDER BY window_start_us, event_type
 """
@@ -1232,7 +1229,7 @@ def hll_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     union_est = union_scaled.select("src_a", "src_b", est.alias("e_u"))
     j = pairs.join(union_est, ["src_a", "src_b"])
     inter = F.greatest(F.col("e_a") + F.col("e_b") - F.col("e_u"), F.lit(0.0))
-    micro = lambda x: F.floor(x * 1000000.0 + 0.5) / 1000000.0  # noqa: E731
+    micro = _gm  # estimates are unbounded statistics -> guarded quantizer
     return j.select(
         "src_a",
         "src_b",
@@ -1298,17 +1295,16 @@ union_scaled AS (
 ),
 union_est AS (SELECT src_a, src_b, {est} AS e_u FROM union_scaled)
 SELECT p.src_a, p.src_b,
-       floor(e_a * 1000000.0 + 0.5) / 1000000.0 AS est_a,
-       floor(e_b * 1000000.0 + 0.5) / 1000000.0 AS est_b,
-       floor(e_u * 1000000.0 + 0.5) / 1000000.0 AS est_union,
-       floor(greatest(e_a + e_b - e_u, 0.0) * 1000000.0 + 0.5) / 1000000.0
-         AS est_overlap,
+       CASE WHEN abs(e_a) < 1000000000000.0 THEN floor((e_a) * 1000000.0 + 0.5) / 1000000.0 ELSE (e_a) END AS est_a,
+       CASE WHEN abs(e_b) < 1000000000000.0 THEN floor((e_b) * 1000000.0 + 0.5) / 1000000.0 ELSE (e_b) END AS est_b,
+       CASE WHEN abs(e_u) < 1000000000000.0 THEN floor((e_u) * 1000000.0 + 0.5) / 1000000.0 ELSE (e_u) END AS est_union,
+       CASE WHEN abs(greatest(e_a + e_b - e_u, 0.0)) < 1000000000000.0 THEN floor((greatest(e_a + e_b - e_u, 0.0)) * 1000000.0 + 0.5) / 1000000.0 ELSE (greatest(e_a + e_b - e_u, 0.0)) END AS est_overlap,
        CASE WHEN e_u > 0
-            THEN floor(greatest(e_a + e_b - e_u, 0.0) / e_u * 1000000.0 + 0.5)
-                 / 1000000.0 END AS jaccard,
+            THEN CASE WHEN abs(greatest(e_a + e_b - e_u, 0.0) / e_u) < 1000000000000.0 THEN floor((greatest(e_a + e_b - e_u, 0.0) / e_u) * 1000000.0 + 0.5) / 1000000.0 ELSE (greatest(e_a + e_b - e_u, 0.0) / e_u) END
+       END AS jaccard,
        CASE WHEN least(e_a, e_b) > 0
-            THEN floor(greatest(e_a + e_b - e_u, 0.0) / least(e_a, e_b)
-                       * 1000000.0 + 0.5) / 1000000.0 END AS containment_min_side
+            THEN CASE WHEN abs(greatest(e_a + e_b - e_u, 0.0) / least(e_a, e_b)) < 1000000000000.0 THEN floor((greatest(e_a + e_b - e_u, 0.0) / least(e_a, e_b)) * 1000000.0 + 0.5) / 1000000.0 ELSE (greatest(e_a + e_b - e_u, 0.0) / least(e_a, e_b)) END
+       END AS containment_min_side
 FROM pairs p JOIN union_est u USING (src_a, src_b)
 ORDER BY src_a, src_b
 """

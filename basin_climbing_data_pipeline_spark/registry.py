@@ -1275,6 +1275,11 @@ _ROUND10_OWED: list[str] = [
     # semantics differ only past |x| ≥ 1e12 — re-verify next window)
     "linear_probe_quality",
     "eb_shrunk_source_quality",
+    # HLL estimate family: same hardening pass (saturated-register
+    # estimates are unbounded statistics, the floor→LONG class)
+    "hll_distinct_eval",
+    "sliding_distinct_users_hll",
+    "streaming_window_distinct_users",
 ]
 _WINDOW_SLOTS = 50
 if len(_ROUND10_FRONT) + len(_ROUND10_OWED) > _WINDOW_SLOTS:

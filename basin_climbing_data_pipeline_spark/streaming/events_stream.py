@@ -614,6 +614,7 @@ def streaming_window_distinct_users(spark: SparkSession, sf_dir: str) -> DataFra
     above, the eval shape runs in complete mode over a finite availableNow
     input, which is what bounds state here; a continuous deployment would
     use update/append with a real sink so the watermark evicts windows."""
+    from ..functions.money import micro as _guarded_micro
     from ..io import load_table
     from ..operators.sketches import (
         _hll_estimate_col,
@@ -667,7 +668,7 @@ def streaming_window_distinct_users(spark: SparkSession, sf_dir: str) -> DataFra
             "window_start_us",
             "event_type",
             "n_exact",
-            (F.floor(est * 1000000.0 + 0.5) / 1000000.0).alias("hll_estimate"),
+            _guarded_micro(est).alias("hll_estimate"),
             (
                 F.floor(
                     F.abs(est - F.col("n_exact")) / F.col("n_exact") * 1000000.0 + 0.5
@@ -723,7 +724,7 @@ est AS (
   FROM raw_est
 )
 SELECT window_start_us, event_type, n_exact,
-       floor(raw * 1000000.0 + 0.5) / 1000000.0 AS hll_estimate,
+       CASE WHEN abs(raw) < 1000000000000.0 THEN floor((raw) * 1000000.0 + 0.5) / 1000000.0 ELSE (raw) END AS hll_estimate,
        floor(abs(raw - n_exact) / n_exact * 1000000.0 + 0.5) / 1000000.0 AS rel_error
 FROM est
 ORDER BY window_start_us, event_type
