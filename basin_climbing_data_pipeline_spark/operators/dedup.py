@@ -2433,3 +2433,110 @@ SELECT g.tau, coalesce(p.n_pairs, 0) AS n_pairs,
 FROM grid g LEFT JOIN per_tau p USING (tau) LEFT JOIN docs d USING (tau)
 ORDER BY g.tau
 """
+
+
+def cluster_size_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size spectrum: how many clusters exist at each
+    size, what share of the corpus sits in clusters ≥ that size, and the
+    log-log slope of the size-frequency curve — the shape that tells a
+    corpus owner whether duplication is a few mega-clusters (boilerplate:
+    collapse aggressively) or a long tail of pairs (paraphrase: collapse
+    carefully).  Power-law-ish slopes are the norm; a kink is news.
+
+    Exactness: the spectrum is exact integer counts over the cluster
+    table; the slope is an exact-moment OLS over (ln size, ln count)
+    pairs nano-quantized per point BEFORE the bounded-frame sums —
+    ≤ |distinct sizes| rows, so the regression is a tiny fold.
+
+    Scale shape: one distinct-collapse of the cluster table, one groupBy
+    onto the size vocabulary; everything after is size-vocabulary-bounded."""
+    from pyspark.sql import Window
+
+    clusters = dedup_clusters(spark, sf_dir).select("cluster_id", "cluster_size")
+    distinct_clusters = clusters.distinct()
+    spectrum = distinct_clusters.groupBy("cluster_size").agg(
+        F.count("*").alias("n_clusters")
+    )
+    w = Window.orderBy(F.desc("cluster_size")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = Window.partitionBy()
+    enriched = spectrum.select(
+        "cluster_size",
+        "n_clusters",
+        (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
+    ).select(
+        "*",
+        F.sum("n_docs").over(w).alias("docs_ge"),
+        F.sum("n_docs").over(tot).alias("docs_total"),
+        F.count("*").over(tot).alias("k_sizes"),
+    )
+    ln_s = F.floor(F.log(F.col("cluster_size").cast("double")) * 1000000000.0 + 0.5).cast("long")
+    ln_c = F.floor(F.log(F.col("n_clusters").cast("double")) * 1000000000.0 + 0.5).cast("long")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    moments = enriched.select(
+        "*",
+        F.sum(ln_s).over(tot).alias("sx"),
+        F.sum(ln_c).over(tot).alias("sy"),
+        F.sum(dec(ln_s) * dec(ln_s)).over(tot).alias("sxx"),
+        F.sum(dec(ln_s) * dec(ln_c)).over(tot).alias("sxy"),
+    )
+    kd = F.col("k_sizes").cast("double")
+    num = F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double") / kd
+    den = F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double") / kd
+    from ..functions.money import micro, ratio
+
+    return moments.select(
+        "cluster_size",
+        "n_clusters",
+        "n_docs",
+        ratio(F.col("docs_ge").cast("double"), F.col("docs_total").cast("double"), 6).alias(
+            "share_docs_in_ge"
+        ),
+        F.when((F.col("k_sizes") > 1) & (den != 0.0), micro(num / den)).alias(
+            "loglog_slope"
+        ),
+    ).orderBy("cluster_size")
+
+
+def cluster_size_distribution_sql() -> str:
+    from ..functions.money import micro_sql, ratio_sql
+
+    return f"""
+WITH clusters AS ({dedup_clusters_sql()}),
+dc AS (SELECT DISTINCT cluster_id, cluster_size FROM clusters),
+spectrum AS (
+  SELECT cluster_size, count(*) AS n_clusters,
+         cluster_size * count(*) AS n_docs
+  FROM dc GROUP BY cluster_size
+),
+enriched AS (
+  SELECT *,
+         sum(n_docs) OVER (ORDER BY cluster_size DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS docs_ge,
+         sum(n_docs) OVER () AS docs_total,
+         count(*) OVER () AS k_sizes,
+         CAST(floor(ln(cluster_size::double) * 1000000000.0 + 0.5) AS BIGINT) AS lns,
+         CAST(floor(ln(n_clusters::double) * 1000000000.0 + 0.5) AS BIGINT) AS lnc
+  FROM spectrum
+),
+moments AS (
+  SELECT *,
+         sum(lns) OVER () AS sx,
+         sum(lnc) OVER () AS sy,
+         sum(lns::hugeint * lns::hugeint) OVER () AS sxx,
+         sum(lns::hugeint * lnc::hugeint) OVER () AS sxy
+  FROM enriched
+)
+SELECT cluster_size, CAST(n_clusters AS BIGINT) AS n_clusters,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       {ratio_sql('docs_ge::double', 'docs_total::double', 6)} AS share_docs_in_ge,
+       CASE WHEN k_sizes > 1
+             AND (sxx::double - sx::double * sx::double / k_sizes::double) != 0.0
+            THEN {micro_sql('(sxy::double - sx::double * sy::double / k_sizes::double)'
+                            ' / (sxx::double - sx::double * sx::double / k_sizes::double)')}
+       END AS loglog_slope
+FROM moments
+ORDER BY cluster_size
+"""

@@ -1383,3 +1383,154 @@ SELECT priority, CAST(w AS BIGINT) AS score, CAST(n_i AS BIGINT) AS n_i,
 FROM enriched
 ORDER BY priority
 """
+
+
+OBF_LOOKS = 4
+OBF_C = 2.024  # O'Brien-Fleming constant for K=4 at overall two-sided α=0.05
+
+
+def sequential_probe_obf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-sequential monitoring of the refund-rate A/B test: the
+    transaction timeline split into OBF_LOOKS interim looks by txn_date
+    order, the cumulative two-proportion z (arm = the md5 customer
+    bucket every refund-rate test in this family uses; outcome =
+    is_refund) at each look, and the O'Brien-Fleming boundary C·√(K/k)
+    it must cross — the peeking-safe sibling of
+    :func:`refund_test_power_mde` (reading a fixed-horizon z weekly IS
+    the alpha-inflation mistake; OBF boundaries are the standard fix,
+    strict early and converging to ~the fixed bound at the final look).
+
+    Determinism: looks are rank-quantiles of txn_date (count strictly
+    earlier — date ties share a look in both engines); cumulative counts
+    are exact integer window sums over the K-row frame; z and the
+    boundary are single double expressions, micro-rounded; degenerate
+    cumulative margins pin z to NULL.
+
+    Scale shape: one groupBy onto the txn_date vocabulary for the look
+    assignment, one onto (look, arm); cumulative windows run on K rows."""
+    from pyspark.sql import Window
+
+    from ..functions.money import micro
+    from .sampling import _md5_bucket
+    from .transactions import build_transactions
+
+    txn = build_transactions(spark, sf_dir).select(
+        "txn_date",
+        (_md5_bucket(F.col("customer_id"), 2) == 0).alias("is_a"),
+        F.col("is_refund").cast("long").alias("ref"),
+    )
+    per_date = txn.groupBy("txn_date").agg(F.count("*").alias("cnt"))
+    looks = per_date.select(
+        "txn_date",
+        (
+            F.least(
+                F.lit(OBF_LOOKS - 1),
+                F.expr(
+                    f"({OBF_LOOKS} * coalesce(sum(cnt) over (order by txn_date "
+                    f"rows between unbounded preceding and 1 preceding), 0)) "
+                    f"div sum(cnt) over ()"
+                ),
+            )
+            + 1
+        ).alias("look"),
+    )
+    with_look = txn.join(looks, "txn_date")
+    per_look = with_look.groupBy("look").agg(
+        F.sum(F.col("is_a").cast("long")).alias("na"),
+        F.sum(F.when(F.col("is_a"), F.col("ref")).otherwise(0)).alias("ca"),
+        F.sum((~F.col("is_a")).cast("long")).alias("nb"),
+        F.sum(F.when(~F.col("is_a"), F.col("ref")).otherwise(0)).alias("cb"),
+    )
+    wcum = Window.orderBy("look").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_look.select(
+        "look",
+        F.sum("na").over(wcum).alias("n_a"),
+        F.sum("ca").over(wcum).alias("conv_a"),
+        F.sum("nb").over(wcum).alias("n_b"),
+        F.sum("cb").over(wcum).alias("conv_b"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    pool = (F.col("conv_a") + F.col("conv_b")) / (na + nb)
+    z = (F.col("conv_a") / na - F.col("conv_b") / nb) / F.sqrt(
+        pool * (1.0 - pool) * (1.0 / na + 1.0 / nb)
+    )
+    boundary = F.lit(OBF_C) * F.sqrt(
+        F.lit(float(OBF_LOOKS)) / F.col("look").cast("double")
+    )
+    z_ok = (
+        (F.col("n_a") > 0)
+        & (F.col("n_b") > 0)
+        & (F.col("conv_a") + F.col("conv_b") > 0)
+        & (F.col("conv_a") + F.col("conv_b") < F.col("n_a") + F.col("n_b"))
+    )
+    return cum.select(
+        "look",
+        "n_a",
+        F.col("conv_a").alias("ref_a"),
+        "n_b",
+        F.col("conv_b").alias("ref_b"),
+        F.when(z_ok, micro(z)).alias("z_cum"),
+        micro(boundary).alias("obf_boundary"),
+        F.when(z_ok, F.abs(z) > boundary).alias("crossed"),
+    ).orderBy("look")
+
+
+def sequential_probe_obf_sql() -> str:
+    from .sampling import _md5_bucket_sql
+    from .transactions import transactions_sql
+
+    k = OBF_LOOKS
+    z = (
+        "(conv_a / n_a::double - conv_b / n_b::double)"
+        " / sqrt(((conv_a + conv_b) / (n_a::double + n_b::double))"
+        " * (1.0 - (conv_a + conv_b) / (n_a::double + n_b::double))"
+        " * (1.0 / n_a::double + 1.0 / n_b::double))"
+    )
+    zok = "n_a > 0 AND n_b > 0 AND conv_a + conv_b > 0 AND conv_a + conv_b < n_a + n_b"
+    return f"""
+WITH txn0 AS ({transactions_sql()}),
+txn AS (
+  SELECT txn_date, ({_md5_bucket_sql('customer_id', 2)} = 0) AS is_a,
+         is_refund::bigint AS ref
+  FROM txn0
+),
+per_date AS (
+  SELECT txn_date, count(*) AS cnt FROM txn GROUP BY 1
+),
+looks AS (
+  SELECT txn_date,
+         least({k - 1},
+               ({k} * coalesce(sum(cnt) OVER (ORDER BY txn_date
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
+               // (sum(cnt) OVER ())) + 1 AS look
+  FROM per_date
+),
+per_look AS (
+  SELECT l.look,
+         sum(t.is_a::bigint) AS na,
+         sum(CASE WHEN t.is_a THEN t.ref ELSE 0 END) AS ca,
+         sum((NOT t.is_a)::bigint) AS nb,
+         sum(CASE WHEN NOT t.is_a THEN t.ref ELSE 0 END) AS cb
+  FROM txn t JOIN looks l USING (txn_date)
+  GROUP BY 1
+),
+cum AS (
+  SELECT look,
+         sum(na) OVER w AS n_a, sum(ca) OVER w AS conv_a,
+         sum(nb) OVER w AS n_b, sum(cb) OVER w AS conv_b
+  FROM per_look
+  WINDOW w AS (ORDER BY look ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT CAST(look AS BIGINT) AS look,
+       CAST(n_a AS BIGINT) AS n_a, CAST(conv_a AS BIGINT) AS ref_a,
+       CAST(n_b AS BIGINT) AS n_b, CAST(conv_b AS BIGINT) AS ref_b,
+       CASE WHEN {zok}
+            THEN floor(({z}) * 1000000.0 + 0.5) / 1000000.0 END AS z_cum,
+       floor({OBF_C} * sqrt({float(k)!r} / look::double) * 1000000.0 + 0.5)
+         / 1000000.0 AS obf_boundary,
+       CASE WHEN {zok}
+            THEN abs({z}) > {OBF_C} * sqrt({float(k)!r} / look::double)
+       END AS crossed
+FROM cum
+ORDER BY look
+"""

@@ -1097,3 +1097,78 @@ FROM ranked
 WHERE rank <= {RESERVOIR_K}
 ORDER BY rank
 """
+
+
+MIX_BUDGET_PCTS = (10, 30, 50, 70, 90)
+
+
+def mixture_budget_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture planning curve: at each token budget (% of the corpus),
+    how many tokens each source receives under the temperature weights,
+    whether its cap binds (allocation > available tokens ⇒ the source
+    saturates and its surplus implicitly respreads), and its utilization
+    — the table a data-mixture owner reads to pick the budget where the
+    high-value small sources stop being starved (the budget axis is what
+    :func:`temperature_mixture_weights` alone can't show).
+
+    Exactness: allocations are integer-floor token counts from the
+    micro-grid temperature weights (alloc = budget_tokens·w_micro div
+    1e6 — integer arithmetic, no float rounding divergence); caps and
+    utilizations are exact integer comparisons/ratios.
+
+    Scale shape: the weight table is sources-bounded; the curve is a
+    broadcast |grid| × sources expansion of that tiny frame."""
+    from ..functions.money import ratio
+
+    w = temperature_mixture_weights(spark, sf_dir).select(
+        "source", "n_tokens", "temp_weight"
+    )
+    tot = w.agg(F.sum("n_tokens").alias("t"))
+    grid = spark.createDataFrame(
+        [(int(p),) for p in MIX_BUDGET_PCTS], "budget_pct int"
+    )
+    j = w.join(F.broadcast(tot)).crossJoin(F.broadcast(grid))
+    alloc = F.expr(
+        "((t * budget_pct) div 100) * "
+        "cast(floor(temp_weight * 1000000.0 + 0.5) as bigint) div 1000000"
+    )
+    binds = alloc > F.col("n_tokens")
+    granted = F.least(alloc, F.col("n_tokens"))
+    return j.select(
+        "budget_pct",
+        "source",
+        F.col("n_tokens").alias("available_tokens"),
+        alloc.alias("allocated_tokens"),
+        granted.alias("granted_tokens"),
+        binds.alias("cap_binding"),
+        ratio(granted.cast("double"), F.col("n_tokens").cast("double"), 6).alias(
+            "utilization"
+        ),
+    ).orderBy("budget_pct", "source")
+
+
+def mixture_budget_curve_sql() -> str:
+    from ..functions.money import ratio_sql
+
+    pcts = ", ".join(f"({p})" for p in MIX_BUDGET_PCTS)
+    return f"""
+WITH w AS ({temperature_mixture_weights_sql()}),
+tot AS (SELECT sum(n_tokens) AS t FROM w),
+grid AS (SELECT * FROM (VALUES {pcts}) g(budget_pct)),
+j AS (
+  SELECT w.source, w.n_tokens, w.temp_weight, tot.t, g.budget_pct,
+         ((tot.t * g.budget_pct) // 100)
+           * CAST(floor(w.temp_weight * 1000000.0 + 0.5) AS BIGINT) // 1000000
+           AS alloc
+  FROM w, tot, grid g
+)
+SELECT budget_pct, source,
+       CAST(n_tokens AS BIGINT) AS available_tokens,
+       CAST(alloc AS BIGINT) AS allocated_tokens,
+       CAST(least(alloc, n_tokens) AS BIGINT) AS granted_tokens,
+       alloc > n_tokens AS cap_binding,
+       {ratio_sql('least(alloc, n_tokens)::double', 'n_tokens::double', 6)}
+         AS utilization
+FROM j
+ORDER BY budget_pct, source
+"""

@@ -1144,6 +1144,15 @@ register(
     rt.retrieval_rank_agreement,
     rt.retrieval_rank_agreement_sql(),
 )
+# fourth round-9 batch: dedup-cluster spectrum, mixture budget planning,
+# peeking-safe sequential testing
+register(
+    "cluster_size_distribution",
+    dd.cluster_size_distribution,
+    dd.cluster_size_distribution_sql(),
+)
+register("mixture_budget_curve", sp.mixture_budget_curve, sp.mixture_budget_curve_sql())
+register("sequential_probe_obf", ex.sequential_probe_obf, ex.sequential_probe_obf_sql())
 
 # ROUND-9 WINDOW (the 50 registry slots the driver verifies this round).
 # CORRECTNESS_r08 landed 50/50 green, so the staged plan is now code:
@@ -1268,6 +1277,9 @@ _ROUND10_FRONT: list[str] = [
     "split_token_jsd",
     "embedding_norm_audit",
     "retrieval_rank_agreement",
+    "cluster_size_distribution",
+    "mixture_budget_curve",
+    "sequential_probe_obf",
 ]
 _ROUND10_OWED: list[str] = [
     # round-9 guarded-micro hardening (engine + oracle switched to the

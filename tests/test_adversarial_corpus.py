@@ -72,6 +72,8 @@ QUERIES = [
     "lang_id_macro_f1",          # zero-support languages -> F1 = 0, not NULL noise
     "readability_scores",        # zero-sentence/zero-word sources, multi-byte text
     "near_dup_threshold_sweep",  # empty grid rows when no pair survives a tau
+    "cluster_size_distribution", # single-size spectra (slope NULL), unicode clusters
+    "mixture_budget_curve",      # zero-token sources, saturation at tiny budgets
     "source_length_ks",          # single-doc sources, duplicate length vocab
     "format_marker_rates",       # regex battery on unicode/punct/empty docs
     "split_token_jsd",           # empty split halves, multi-byte tokens
@@ -347,6 +349,7 @@ TXN_QUERIES = [
     "rfm_segments",              # rank-quantiles under heavy value ties
     "tukey_category_outliers",   # nearest-rank quartiles on tiny categories
     "cochran_armitage_trend",    # degenerate margins (refunds-only priorities)
+    "sequential_probe_obf",      # single-date timelines collapse to one look
     "ltv_triangle",              # negative-cent cohorts, single-month cohorts
     "jsd_source_categories",     # absent-cell Q·ln2 mass on sparse grids
     "hll_source_overlap",        # register merge on tiny/degenerate sources

@@ -1099,3 +1099,126 @@ def test_retrieval_rank_agreement_consistency(con):
         union = nd + nl - ns
         if union > 0:
             assert oj == _ratio(ns, union, 6)
+
+
+def test_cluster_size_distribution_matches_pure_python(con):
+    from collections import Counter
+
+    from basin_climbing_data_pipeline_spark.operators.dedup import (
+        cluster_size_distribution_sql,
+        dedup_clusters_sql,
+    )
+
+    got = con.execute(cluster_size_distribution_sql()).fetchall()
+    clusters = con.execute(
+        f"SELECT DISTINCT cluster_id, cluster_size FROM ({dedup_clusters_sql()})"
+    ).fetchall()
+    spec = Counter(sz for _cid, sz in clusters)
+    sizes = sorted(spec)
+    docs_total = sum(sz * c for sz, c in spec.items())
+    k = len(sizes)
+    lns = {sz: math.floor(math.log(sz) * 1e9 + 0.5) for sz in sizes}
+    lnc = {sz: math.floor(math.log(spec[sz]) * 1e9 + 0.5) for sz in sizes}
+    sx, sy = sum(lns.values()), sum(lnc.values())
+    sxx = sum(v * v for v in lns.values())
+    sxy = sum(lns[sz] * lnc[sz] for sz in sizes)
+    den = sxx - sx * sx / k
+    slope = _micro((sxy - sx * sy / k) / den) if k > 1 and den != 0 else None
+    want = []
+    for sz in sizes:
+        docs_ge = sum(s * c for s, c in spec.items() if s >= sz)
+        want.append(
+            (
+                sz,
+                spec[sz],
+                sz * spec[sz],
+                _ratio(docs_ge, docs_total, 6),
+                slope,
+            )
+        )
+    assert [tuple(r) for r in got] == want
+
+
+def test_mixture_budget_curve_matches_pure_python(con):
+    from basin_climbing_data_pipeline_spark.operators.sampling import (
+        MIX_BUDGET_PCTS,
+        mixture_budget_curve_sql,
+        temperature_mixture_weights_sql,
+    )
+
+    got = con.execute(mixture_budget_curve_sql()).fetchall()
+    w = con.execute(
+        f"SELECT source, n_tokens, temp_weight FROM ({temperature_mixture_weights_sql()})"
+    ).fetchall()
+    t = sum(r[1] for r in w)
+    want = []
+    for pct in MIX_BUDGET_PCTS:
+        for src, nt, tw in sorted(w):
+            alloc = (t * pct) // 100 * math.floor(tw * 1e6 + 0.5) // 1_000_000
+            granted = min(alloc, nt)
+            want.append(
+                (pct, src, nt, alloc, granted, alloc > nt, _ratio(granted, nt, 6))
+            )
+    assert [tuple(r) for r in got] == want
+    # cap-binding monotone: once a source saturates it stays saturated
+    from collections import defaultdict
+
+    by_src = defaultdict(list)
+    for pct, src, _nt, _a, _g, binds, _u in got:
+        by_src[src].append(binds)
+    for flags in by_src.values():
+        assert flags == sorted(flags)  # False... then True...
+
+
+def test_sequential_probe_obf_matches_pure_python(con):
+    import hashlib
+    from collections import defaultdict
+
+    from basin_climbing_data_pipeline_spark.operators.experiments import (
+        OBF_C,
+        OBF_LOOKS,
+        sequential_probe_obf_sql,
+    )
+    from basin_climbing_data_pipeline_spark.operators.transactions import (
+        transactions_sql,
+    )
+
+    got = con.execute(sequential_probe_obf_sql()).fetchall()
+    raw = con.execute(
+        f"WITH txn AS ({transactions_sql()}) "
+        f"SELECT txn_date, customer_id, is_refund::int FROM txn ORDER BY txn_date"
+    ).fetchall()
+    per_date = defaultdict(int)
+    for d, _c, _r in raw:
+        per_date[d] += 1
+    dates = sorted(per_date)
+    n = len(raw)
+    before = 0
+    look_of = {}
+    for d in dates:
+        look_of[d] = min(OBF_LOOKS - 1, (OBF_LOOKS * before) // n) + 1
+        before += per_date[d]
+    cum = {k: [0, 0, 0, 0] for k in range(1, OBF_LOOKS + 1)}
+    for d, cid, r in raw:
+        h = int(hashlib.md5(str(cid).encode()).hexdigest()[:8], 16) % 2 == 0
+        cell = cum[look_of[d]]
+        if h:
+            cell[0] += 1
+            cell[1] += r
+        else:
+            cell[2] += 1
+            cell[3] += r
+    na = ca = nb = cb = 0
+    want = []
+    for k in range(1, OBF_LOOKS + 1):
+        na += cum[k][0]
+        ca += cum[k][1]
+        nb += cum[k][2]
+        cb += cum[k][3]
+        pool = (ca + cb) / (na + nb)
+        z = (ca / na - cb / nb) / math.sqrt(pool * (1 - pool) * (1 / na + 1 / nb))
+        bound = OBF_C * math.sqrt(OBF_LOOKS / k)
+        want.append(
+            (k, na, ca, nb, cb, _micro(z), _micro(bound), abs(z) > bound)
+        )
+    assert [tuple(r) for r in got] == want
