@@ -1128,9 +1128,13 @@ def mixture_budget_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(int(p),) for p in MIX_BUDGET_PCTS], "budget_pct int"
     )
     j = w.join(F.broadcast(tot)).crossJoin(F.broadcast(grid))
+    # per-factor DECIMAL before the multiply: budget_tokens (≈1e14 at a
+    # 100-TB corpus) × micro weight (≤1e6) wraps int64 silently on Spark
+    # while DuckDB errors — the round-8 ADVICE overflow class
     alloc = F.expr(
-        "((t * budget_pct) div 100) * "
-        "cast(floor(temp_weight * 1000000.0 + 0.5) as bigint) div 1000000"
+        "cast(cast(((t * budget_pct) div 100) as decimal(38,0)) * "
+        "cast(cast(floor(temp_weight * 1000000.0 + 0.5) as bigint) as decimal(38,0)) "
+        "div 1000000 as bigint)"
     )
     binds = alloc > F.col("n_tokens")
     granted = F.least(alloc, F.col("n_tokens"))
@@ -1157,9 +1161,9 @@ tot AS (SELECT sum(n_tokens) AS t FROM w),
 grid AS (SELECT * FROM (VALUES {pcts}) g(budget_pct)),
 j AS (
   SELECT w.source, w.n_tokens, w.temp_weight, tot.t, g.budget_pct,
-         ((tot.t * g.budget_pct) // 100)
-           * CAST(floor(w.temp_weight * 1000000.0 + 0.5) AS BIGINT) // 1000000
-           AS alloc
+         CAST(((tot.t * g.budget_pct) // 100)::hugeint
+           * CAST(floor(w.temp_weight * 1000000.0 + 0.5) AS BIGINT)::hugeint
+           // 1000000 AS BIGINT) AS alloc
   FROM w, tot, grid g
 )
 SELECT budget_pct, source,
