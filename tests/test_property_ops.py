@@ -265,3 +265,67 @@ SELECT v, cnt, before FROM ranked ORDER BY v
         hi = bisect.bisect_right(ordered, v)
         assert before == lo, (v, before, lo)
         assert cnt == hi - lo, (v, cnt, hi - lo)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    vals=st.lists(
+        st.integers(min_value=-(10**9), max_value=10**9), min_size=1, max_size=120
+    ),
+    b=st.sampled_from([4, 5, 10]),
+)
+def test_rank_quantile_buckets_are_tie_stable_and_balanced(vals, b):
+    """The round-9 rank-quantile primitive (RFM scores, OBF looks):
+    bucket(v) = min(b-1, (b · |{x : x < v}|) div n).  Properties: every
+    copy of the same value lands in the same bucket (tie stability — the
+    reason ntile was rejected), buckets are monotone in the value, and
+    no bucket is skipped below the last occupied one when values are
+    distinct enough (each bucket's rank interval is non-empty)."""
+    n = len(vals)
+    import bisect
+
+    sv = sorted(vals)
+    bucket = {
+        v: min(b - 1, (b * bisect.bisect_left(sv, v)) // n) for v in set(vals)
+    }
+    ordered = sorted(set(vals))
+    bks = [bucket[v] for v in ordered]
+    assert all(x <= y for x, y in zip(bks, bks[1:]))  # monotone
+    assert all(0 <= x < b for x in bks)
+    assert bucket[ordered[0]] == 0  # the minimum always opens bucket 0
+    if len(ordered) == n and n >= b:
+        # with ALL-distinct values the top bucket is reachable:
+        # (b·(n−1)) div n = b−1 exactly when b ≤ n.  Heavy ties on the
+        # maximum legitimately pull it down (hypothesis found
+        # [1,2,3,4,4,4,4,4] @ b=4 → max in bucket 1) — ties share the
+        # bucket their SHARED rank earns, which is the tie-stability
+        # contract, not a defect.
+        assert bucket[ordered[-1]] == b - 1
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    vals=st.lists(
+        st.integers(min_value=-(10**12), max_value=10**12), min_size=1, max_size=120
+    )
+)
+def test_nearest_rank_interval_cover_equals_sorted_indexing(vals):
+    """The round-9 nearest-rank pick (tukey quartiles, funnel latency
+    median/p90): selecting the value whose prefix interval
+    (before, before+cnt] covers rank r must equal sorted-array indexing
+    sorted(vals)[r-1] for EVERY rank — the interval-cover form is what
+    runs distributed; the sorted array is the spec."""
+    from collections import Counter
+
+    sv = sorted(vals)
+    n = len(sv)
+    per_val = sorted(Counter(vals).items())
+    before = 0
+    cover = {}
+    for v, cnt in per_val:
+        for r in range(before + 1, before + cnt + 1):
+            cover[r] = v
+        before += cnt
+    for r in {1, (n + 1) // 2, (n + 3) // 4, (3 * n + 3) // 4, (9 * n + 9) // 10, n}:
+        if 1 <= r <= n:
+            assert cover[r] == sv[r - 1], (r, cover[r], sv[r - 1])
