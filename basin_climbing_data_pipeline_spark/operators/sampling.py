@@ -1176,3 +1176,75 @@ SELECT budget_pct, source,
 FROM j
 ORDER BY budget_pct, source
 """
+
+
+def dedup_weight_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective sample size of the soft-dedup weighting per source:
+    ESS = (Σw)²/Σw² over the per-document 1/cluster_size weights — the
+    number that says how many INDEPENDENT documents a source really
+    contributes after duplicate down-weighting (ESS/n far below
+    mass_retained means the weight distribution is lumpy: a few huge
+    clusters, not uniform mild duplication — a different curation
+    problem than :func:`soft_dedup_weights`' mass number shows).
+
+    Exactness: weights are the same exact micro integers as
+    soft_dedup_weights; Σw and Σw² are DECIMAL sums of per-factor-cast
+    products; ESS is one double expression over them, micro-rounded.
+
+    Scale shape: rides the cluster build; one per-source aggregation."""
+    from ..functions.money import micro, ratio
+    from .dedup import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    clusters = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_size")
+    weighted = (
+        docs.join(clusters, "doc_id", "left")
+        .withColumn("cluster_size", F.coalesce(F.col("cluster_size"), F.lit(1)))
+        .withColumn(
+            "w",
+            F.floor(1000000.0 / F.col("cluster_size") + 0.5).cast("long"),
+        )
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = weighted.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("w").alias("sw"),
+        F.sum(dec(F.col("w")) * dec(F.col("w"))).alias("sww"),
+    )
+    ess = (
+        F.col("sw").cast("double") * F.col("sw").cast("double")
+        / F.col("sww").cast("double")
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        micro(ess).alias("ess"),
+        ratio(ess, F.col("n_docs").cast("double"), 6).alias("ess_ratio"),
+    ).orderBy("source")
+
+
+def dedup_weight_ess_sql() -> str:
+    from ..functions.money import micro_sql, ratio_sql
+    from .dedup import _clusters_cte_sql
+
+    ess = "(sw::double * sw::double / sww::double)"
+    return f"""
+WITH RECURSIVE {_clusters_cte_sql()},
+weighted AS (
+  SELECT d.doc_id, d.source,
+         CAST(floor(1000000.0 / coalesce(s.cluster_size, 1) + 0.5) AS BIGINT) AS w
+  FROM documents d
+  LEFT JOIN labels l ON l.node = d.doc_id
+  LEFT JOIN sizes s ON s.cluster_id = l.cluster_id
+),
+agg AS (
+  SELECT source, count(*) AS n_docs, sum(w) AS sw,
+         sum(w::hugeint * w::hugeint) AS sww
+  FROM weighted GROUP BY source
+)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+       {micro_sql(ess)} AS ess,
+       {ratio_sql(ess, 'n_docs::double', 6)} AS ess_ratio
+FROM agg
+ORDER BY source
+"""

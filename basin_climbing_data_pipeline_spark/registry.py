@@ -1153,6 +1153,7 @@ register(
 )
 register("mixture_budget_curve", sp.mixture_budget_curve, sp.mixture_budget_curve_sql())
 register("sequential_probe_obf", ex.sequential_probe_obf, ex.sequential_probe_obf_sql())
+register("dedup_weight_ess", sp.dedup_weight_ess, sp.dedup_weight_ess_sql())
 
 # ROUND-9 WINDOW (the 50 registry slots the driver verifies this round).
 # CORRECTNESS_r08 landed 50/50 green, so the staged plan is now code:
@@ -1280,6 +1281,7 @@ _ROUND10_FRONT: list[str] = [
     "cluster_size_distribution",
     "mixture_budget_curve",
     "sequential_probe_obf",
+    "dedup_weight_ess",
 ]
 _ROUND10_OWED: list[str] = [
     # round-9 guarded-micro hardening (engine + oracle switched to the

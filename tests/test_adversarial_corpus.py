@@ -73,6 +73,7 @@ QUERIES = [
     "readability_scores",        # zero-sentence/zero-word sources, multi-byte text
     "near_dup_threshold_sweep",  # empty grid rows when no pair survives a tau
     "cluster_size_distribution", # single-size spectra (slope NULL), unicode clusters
+    "dedup_weight_ess",          # singleton-only sources (ESS == n exactly)
     "mixture_budget_curve",      # zero-token sources, saturation at tiny budgets
     "source_length_ks",          # single-doc sources, duplicate length vocab
     "format_marker_rates",       # regex battery on unicode/punct/empty docs

@@ -1222,3 +1222,33 @@ def test_sequential_probe_obf_matches_pure_python(con):
             (k, na, ca, nb, cb, _micro(z), _micro(bound), abs(z) > bound)
         )
     assert [tuple(r) for r in got] == want
+
+
+def test_dedup_weight_ess_matches_pure_python(con):
+    from collections import defaultdict
+
+    from basin_climbing_data_pipeline_spark.operators.dedup import dedup_clusters_sql
+    from basin_climbing_data_pipeline_spark.operators.sampling import (
+        dedup_weight_ess_sql,
+    )
+
+    got = con.execute(dedup_weight_ess_sql()).fetchall()
+    docs = con.execute("SELECT doc_id, source FROM documents").fetchall()
+    csize = dict(
+        con.execute(
+            f"SELECT doc_id, cluster_size FROM ({dedup_clusters_sql()})"
+        ).fetchall()
+    )
+    by = defaultdict(list)
+    for did, src in docs:
+        by[src].append(math.floor(1e6 / csize.get(did, 1) + 0.5))
+    want = []
+    for src in sorted(by):
+        ws = by[src]
+        sw, sww = sum(ws), sum(w * w for w in ws)
+        ess = sw * sw / sww
+        want.append((src, len(ws), _micro(ess), _ratio(ess, len(ws), 6)))
+    assert [tuple(r) for r in got] == want
+    # ESS never exceeds n and equals n exactly when all weights are equal
+    for _s, n, ess, ratio_ in got:
+        assert ess <= n + 1e-6
