@@ -2734,3 +2734,130 @@ SELECT q.revenue_category, CAST(q.n AS BIGINT) AS n_txns,
 FROM quart q JOIN outs o USING (revenue_category)
 ORDER BY q.revenue_category
 """
+
+
+PARETO_TOPS = (1, 5, 10, 20, 50)  # top-% customer tiers
+
+
+def revenue_pareto_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration table: the share of net revenue carried by
+    the top 1/5/10/20/50% of customers — the "is it really 80/20" view
+    that :func:`gini_spend_concentration` compresses into one number
+    (two corpora can share a Gini while one hides a whale tier; this
+    table shows WHERE the mass sits).
+
+    Determinism: the top-k cut is a rank-interval over the per-value
+    frame (ties split by rank, exactly like the trimmed-mean cuts):
+    top_n = ceil(p%·n); a value straddling the cut contributes only its
+    in-cut copies, so both engines count identical mass.  Ranks ride the
+    sign-aware log-bucket primitive — no global sort.
+
+    Scale shape: one per-customer collapse, the bucketed rank build,
+    then a broadcast 5-row tier grid over the per-value frame."""
+    from .sketches import HIST_SUBBUCKETS as _HSB
+    from .transactions import build_transactions
+
+    txn = build_transactions(spark, sf_dir)
+    per_cust = txn.groupBy("customer_id").agg(
+        F.sum(to_cents(F.col("total_amount"))).alias("cents")
+    )
+    per_val = per_cust.groupBy("cents").agg(F.count("*").alias("cnt"))
+    vm = F.col("cents")
+    bucket = (
+        F.when(vm >= 0, F.floor(F.log10(vm + 1) * _HSB))
+        .otherwise(-1 - F.floor(F.log10(-vm + 1) * _HSB))
+        .cast("long")
+    )
+    b = per_val.select("cents", "cnt", bucket.alias("bkt"))
+    bkt_counts = b.groupBy("bkt").agg(F.sum("cnt").alias("bkt_cnt"))
+    # rank DESC: "before" counts customers with STRICTLY MORE spend
+    wb = Window.orderBy(F.desc("bkt")).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = bkt_counts.select(
+        "bkt", F.coalesce(F.sum("bkt_cnt").over(wb), F.lit(0)).alias("bkt_before")
+    )
+    win = Window.partitionBy("bkt").orderBy(F.desc("cents")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    tot = Window.partitionBy()
+    ranked = (
+        b.join(F.broadcast(offsets), "bkt")
+        .withColumn("in_b", F.coalesce(F.sum("cnt").over(win), F.lit(0)))
+        .select(
+            "cents",
+            "cnt",
+            (F.col("bkt_before") + F.col("in_b")).alias("before"),
+            F.sum("cnt").over(tot).alias("n"),
+            F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cnt").cast("decimal(38,0)"))
+            .over(tot)
+            .alias("total_cents"),
+        )
+    )
+    tiers = spark.createDataFrame([(int(p),) for p in PARETO_TOPS], "top_pct int")
+    j = ranked.crossJoin(F.broadcast(tiers)).withColumn(
+        "top_n", F.expr("(top_pct * n + 99) div 100")
+    )
+    in_cut = F.greatest(
+        F.lit(0),
+        F.least(F.col("top_n") - F.col("before"), F.col("cnt").cast("long")),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = j.groupBy("top_pct", "n", "total_cents").agg(
+        F.sum(dec(in_cut) * dec(F.col("cents"))).alias("tier_cents"),
+        F.sum(in_cut).alias("tier_customers"),
+    )
+    return agg.select(
+        "top_pct",
+        F.col("tier_customers").alias("n_customers"),
+        (F.col("tier_cents") / 100.0).alias("tier_revenue"),
+        F.when(
+            F.col("total_cents") != 0,
+            ratio(
+                F.col("tier_cents").cast("double"),
+                F.col("total_cents").cast("double"),
+                6,
+            ),
+        ).alias("revenue_share"),
+    ).orderBy("top_pct")
+
+
+def revenue_pareto_shares_sql() -> str:
+    from .transactions import transactions_sql
+
+    tiers = ", ".join(f"({p})" for p in PARETO_TOPS)
+    return f"""
+WITH txn AS ({transactions_sql()}),
+per_cust AS (
+  SELECT customer_id, sum({to_cents_sql('total_amount')}) AS cents
+  FROM txn GROUP BY customer_id
+),
+per_val AS (
+  SELECT cents, count(*) AS cnt FROM per_cust GROUP BY cents
+),
+ranked AS (
+  SELECT cents, cnt,
+         coalesce(sum(cnt) OVER (ORDER BY cents DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before,
+         sum(cnt) OVER () AS n,
+         sum(cents::hugeint * cnt::hugeint) OVER () AS total_cents
+  FROM per_val
+),
+j AS (
+  SELECT r.*, t.top_pct, (t.top_pct * r.n + 99) // 100 AS top_n
+  FROM ranked r CROSS JOIN (SELECT * FROM (VALUES {tiers}) x(top_pct)) t
+),
+agg AS (
+  SELECT top_pct, n, total_cents,
+         sum(greatest(0, least(top_n - before, cnt))::hugeint * cents::hugeint)
+           AS tier_cents,
+         sum(greatest(0, least(top_n - before, cnt))) AS tier_customers
+  FROM j GROUP BY 1, 2, 3
+)
+SELECT top_pct,
+       CAST(tier_customers AS BIGINT) AS n_customers,
+       tier_cents / 100.0 AS tier_revenue,
+       CASE WHEN total_cents != 0
+            THEN floor(tier_cents::double / total_cents::double * 1000000.0 + 0.5)
+                 / 1000000.0 END AS revenue_share
+FROM agg
+ORDER BY top_pct
+"""

@@ -1052,3 +1052,77 @@ SELECT channel, credit_micro / 1000000.0 AS credit,
 FROM out_, tot
 ORDER BY channel
 """
+
+
+def activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour-of-day activity matrix over the event stream:
+    counts, share of all events, and the within-day peak flag — the gym
+    staffing heatmap every reference dashboard family circles around
+    (dashboard.py's daily/hourly charts are 1-D slices of this), and the
+    canonical cube a BI layer pivots.
+
+    Determinism: dow/hour come from the UTC-pinned event timestamps
+    (session TZ discipline); shares are exact count ratios; the per-day
+    peak is a max-count comparison with hour tie-break.
+
+    Scale shape: one groupBy onto the fixed 7×24 grid — map-side combine
+    does everything; the output is 168 rows at any corpus size."""
+    from pyspark.sql import Window
+
+    from ..functions.money import ratio
+    from ..io import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.dayofweek("ts").alias("dow"), F.hour("ts").alias("hour")
+    )
+    grid = ev.groupBy("dow", "hour").agg(F.count("*").alias("n"))
+    tot = Window.partitionBy()
+    wd = Window.partitionBy("dow")
+    staged = grid.select(
+        "*",
+        F.sum("n").over(tot).alias("n_total"),
+        F.max("n").over(wd).alias("day_max"),
+    )
+    enriched = staged.select(
+        "*",
+        F.min(F.when(F.col("n") == F.col("day_max"), F.col("hour"))).over(wd).alias(
+            "peak_hour"
+        ),
+    )
+    return enriched.select(
+        "dow",
+        "hour",
+        "n",
+        ratio(F.col("n").cast("double"), F.col("n_total").cast("double"), 6).alias(
+            "share"
+        ),
+        (F.col("hour") == F.col("peak_hour")).alias("is_day_peak"),
+    ).orderBy("dow", "hour")
+
+
+def activity_heatmap_sql() -> str:
+    from ..functions.money import ratio_sql
+
+    return f"""
+WITH grid AS (
+  SELECT dayofweek(ts)::int + 1 AS dow, hour(ts)::int AS hour, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+staged AS (
+  SELECT *,
+         sum(n) OVER () AS n_total,
+         max(n) OVER (PARTITION BY dow) AS day_max
+  FROM grid
+),
+enriched AS (
+  SELECT *,
+         min(CASE WHEN n = day_max THEN hour END)
+           OVER (PARTITION BY dow) AS peak_hour
+  FROM staged
+)
+SELECT dow, hour, CAST(n AS BIGINT) AS n,
+       {ratio_sql('n::double', 'n_total::double', 6)} AS share,
+       hour = peak_hour AS is_day_peak
+FROM enriched
+ORDER BY dow, hour
+"""

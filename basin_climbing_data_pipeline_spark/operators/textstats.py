@@ -2803,3 +2803,175 @@ SELECT CAST(na AS BIGINT) AS n_train_tokens, CAST(nb AS BIGINT) AS n_test_tokens
          AS jsd_bits
 FROM agg
 """
+
+
+HEAPS_CUTS = (25, 50, 75, 100)  # doc-order prefixes (percent) the fit uses
+
+
+def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth (Heaps' law) fit per source: V(N) ≈ K·N^β
+    estimated from four doc-order prefixes — the saturation diagnostic a
+    mixture planner reads (β near 1 = every new doc brings new vocabulary,
+    the source is far from exhausted; β ≪ 1 = the crawl is re-covering
+    itself and more of it buys little).
+
+    Construction: prefixes are doc_id-order rank-quantiles of each
+    source's docs; N_i = tokens in the prefix (exact window sums over the
+    per-doc frame), V_i = tokens whose FIRST occurrence rank ≤ cut (one
+    min-aggregate over the (source, token) collapse) — no re-scan per
+    cut.  β̂/ln K̂ come from an exact-moment OLS over the 4 nano-quantized
+    (ln N, ln V) points.
+
+    Scale shape: one (source, token) collapse with a min(first_rank);
+    one per-doc rank window per source (corpus-sized partitions ordered
+    by doc_id — the same per-source window class as source_length
+    percentiles); the fit runs on 4-row frames."""
+    from pyspark.sql import Window
+
+    from ..functions.money import micro
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    per_doc = toks.groupBy("source", "doc_id").agg(F.count("*").alias("n_tok"))
+    wr = Window.partitionBy("source").orderBy("doc_id")
+    ws = Window.partitionBy("source")
+    ranked = per_doc.select(
+        "source",
+        "doc_id",
+        "n_tok",
+        F.row_number().over(wr).alias("rnk"),
+        F.count("*").over(ws).alias("n_docs"),
+        F.sum("n_tok").over(wr.rowsBetween(Window.unboundedPreceding, 0)).alias("cum_tok"),
+    )
+    # first-occurrence rank per (source, token)
+    tok_first = (
+        toks.join(ranked.select("source", "doc_id", "rnk"), ["source", "doc_id"])
+        .groupBy("source", "tok")
+        .agg(F.min("rnk").alias("first_rnk"))
+    )
+    cuts = spark.createDataFrame([(int(c),) for c in HEAPS_CUTS], "cut int")
+    # cut rank = nearest-rank ceil(cut% · n_docs)
+    cut_ranks = (
+        ranked.select("source", "n_docs").distinct().crossJoin(F.broadcast(cuts))
+        .select(
+            "source",
+            "cut",
+            F.expr("(cut * n_docs + 99) div 100").alias("cut_rnk"),
+        )
+    )
+    n_at = (
+        cut_ranks.join(ranked, ["source"])
+        .filter(F.col("rnk") == F.col("cut_rnk"))
+        .select("source", "cut", F.col("cum_tok").alias("n_i"))
+    )
+    v_at = (
+        cut_ranks.join(tok_first, "source")
+        .filter(F.col("first_rnk") <= F.col("cut_rnk"))
+        .groupBy("source", "cut")
+        .agg(F.count("*").alias("v_i"))
+    )
+    pts = n_at.join(v_at, ["source", "cut"])
+    lnn = F.floor(F.log(F.col("n_i").cast("double")) * 1000000000.0 + 0.5).cast("long")
+    lnv = F.floor(F.log(F.col("v_i").cast("double")) * 1000000000.0 + 0.5).cast("long")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    m = pts.filter((F.col("n_i") > 0) & (F.col("v_i") > 0)).groupBy("source").agg(
+        F.count("*").alias("k"),
+        F.sum(lnn).alias("sx"),
+        F.sum(lnv).alias("sy"),
+        F.sum(dec(lnn) * dec(lnn)).alias("sxx"),
+        F.sum(dec(lnn) * dec(lnv)).alias("sxy"),
+        F.max(F.when(F.col("cut") == 100, F.col("n_i"))).alias("n_total"),
+        F.max(F.when(F.col("cut") == 100, F.col("v_i"))).alias("v_total"),
+    )
+    kd = F.col("k").cast("double")
+    den = F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double") / kd
+    beta = (
+        F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double") / kd
+    ) / den
+    lnk = (F.col("sy").cast("double") - beta * F.col("sx").cast("double")) / kd / 1.0e9
+    return m.select(
+        "source",
+        F.col("n_total").alias("n_tokens"),
+        F.col("v_total").alias("vocab_size"),
+        F.when((F.col("k") > 1) & (den != 0.0), micro(beta)).alias("heaps_beta"),
+        F.when((F.col("k") > 1) & (den != 0.0), micro(F.exp(lnk))).alias("heaps_k"),
+    ).orderBy("source")
+
+
+def heaps_law_fit_sql() -> str:
+    from ..functions.money import micro_sql
+
+    cuts = ", ".join(f"({c})" for c in HEAPS_CUTS)
+    beta = (
+        "((sxy::double - sx::double * sy::double / k::double)"
+        " / (sxx::double - sx::double * sx::double / k::double))"
+    )
+    den_ok = "(sxx::double - sx::double * sx::double / k::double) != 0.0"
+    lnk = f"((sy::double - {beta} * sx::double) / k::double / 1.0e9)"
+    return f"""
+WITH toks AS (
+  SELECT source, doc_id,
+         unnest(string_split(trim(text, ' '), ' ')) AS tok
+  FROM documents
+),
+toks2 AS (SELECT * FROM toks WHERE tok != ''),
+per_doc AS (
+  SELECT source, doc_id, count(*) AS n_tok FROM toks2 GROUP BY 1, 2
+),
+ranked AS (
+  SELECT source, doc_id, n_tok,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rnk,
+         count(*) OVER (PARTITION BY source) AS n_docs,
+         sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_tok
+  FROM per_doc
+),
+tok_first AS (
+  SELECT t.source, t.tok, min(r.rnk) AS first_rnk
+  FROM toks2 t JOIN ranked r USING (source, doc_id)
+  GROUP BY 1, 2
+),
+cut_ranks AS (
+  SELECT s.source, c.cut, (c.cut * s.n_docs + 99) // 100 AS cut_rnk
+  FROM (SELECT DISTINCT source, n_docs FROM ranked) s
+  CROSS JOIN (SELECT * FROM (VALUES {cuts}) x(cut)) c
+),
+n_at AS (
+  SELECT cr.source, cr.cut, r.cum_tok AS n_i
+  FROM cut_ranks cr JOIN ranked r
+    ON r.source = cr.source AND r.rnk = cr.cut_rnk
+),
+v_at AS (
+  SELECT cr.source, cr.cut, count(*) AS v_i
+  FROM cut_ranks cr JOIN tok_first tf ON tf.source = cr.source
+  WHERE tf.first_rnk <= cr.cut_rnk
+  GROUP BY 1, 2
+),
+pts AS (
+  SELECT n.source, n.cut, n.n_i, v.v_i,
+         CAST(floor(ln(n.n_i::double) * 1000000000.0 + 0.5) AS BIGINT) AS lnn,
+         CAST(floor(ln(v.v_i::double) * 1000000000.0 + 0.5) AS BIGINT) AS lnv
+  FROM n_at n JOIN v_at v USING (source, cut)
+  WHERE n.n_i > 0 AND v.v_i > 0
+),
+m AS (
+  SELECT source, count(*) AS k, sum(lnn) AS sx, sum(lnv) AS sy,
+         sum(lnn::hugeint * lnn::hugeint) AS sxx,
+         sum(lnn::hugeint * lnv::hugeint) AS sxy,
+         max(CASE WHEN cut = 100 THEN n_i END) AS n_total,
+         max(CASE WHEN cut = 100 THEN v_i END) AS v_total
+  FROM pts GROUP BY source
+)
+SELECT source, CAST(n_total AS BIGINT) AS n_tokens,
+       CAST(v_total AS BIGINT) AS vocab_size,
+       CASE WHEN k > 1 AND {den_ok} THEN {micro_sql(beta)} END AS heaps_beta,
+       CASE WHEN k > 1 AND {den_ok} THEN {micro_sql(f'exp({lnk})')} END AS heaps_k
+FROM m
+ORDER BY source
+"""

@@ -1154,6 +1154,14 @@ register(
 register("mixture_budget_curve", sp.mixture_budget_curve, sp.mixture_budget_curve_sql())
 register("sequential_probe_obf", ex.sequential_probe_obf, ex.sequential_probe_obf_sql())
 register("dedup_weight_ess", sp.dedup_weight_ess, sp.dedup_weight_ess_sql())
+# fifth round-9 batch: vocabulary growth, revenue concentration tiers,
+# activity cube, streaming mix-drift
+register("heaps_law_fit", ts.heaps_law_fit, ts.heaps_law_fit_sql())
+register(
+    "revenue_pareto_shares", co.revenue_pareto_shares, co.revenue_pareto_shares_sql()
+)
+register("activity_heatmap", ev.activity_heatmap, ev.activity_heatmap_sql())
+register("streaming_jsd_drift", st.streaming_jsd_drift, st.streaming_jsd_drift_sql())
 
 # ROUND-9 WINDOW (the 50 registry slots the driver verifies this round).
 # CORRECTNESS_r08 landed 50/50 green, so the staged plan is now code:
@@ -1282,6 +1290,10 @@ _ROUND10_FRONT: list[str] = [
     "mixture_budget_curve",
     "sequential_probe_obf",
     "dedup_weight_ess",
+    "heaps_law_fit",
+    "revenue_pareto_shares",
+    "activity_heatmap",
+    "streaming_jsd_drift",
 ]
 _ROUND10_OWED: list[str] = [
     # round-9 guarded-micro hardening (engine + oracle switched to the

@@ -846,3 +846,148 @@ SELECT window_start_us, first_digit, CAST(n_obs AS BIGINT) AS n_obs,
 FROM tot
 ORDER BY window_start_us, first_digit
 """
+
+
+def streaming_jsd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed event-MIX drift on a stream: per 6h window, the
+    Jensen-Shannon divergence between that window's event-type
+    distribution and the PREVIOUS window's — the bounded, symmetric
+    companion to :func:`streaming_value_drift_psi` (PSI is unbounded and
+    blows up on bucket birth/death; JSD is capped at ln 2, so a pager
+    threshold means the same thing in every window).
+
+    The stateful stage maintains only (window × event_type) counts —
+    windows × |types| rows of state; the consecutive-window JSD scoring
+    is a bounded post-process over the sink (nano-floored p·ln(p/m)
+    terms on the zero-filled type grid, the jsd_source_categories
+    discipline — absent types contribute their exact Q·ln2 mass).
+
+    Same availableNow → memory-sink shape as the other stream entries;
+    oracle = the identical batch computation (epoch-aligned windows)."""
+    from pyspark.sql import Window
+
+    stream = stream_events(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = (
+        stream.groupBy(
+            F.window("ts", f"{WINDOW_HOURS} hours").alias("wd"),
+            F.col("event_type"),
+        )
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.unix_micros(F.col("wd.start")).alias("w"),
+            "event_type",
+            "n",
+        )
+    )
+    sink = f"stream_jsd_{uuid.uuid4().hex[:8]}"
+    with _stream_partitions(spark):
+        q = (
+            agg.writeStream.trigger(availableNow=True)
+            .outputMode("complete")
+            .format("memory")
+            .queryName(sink)
+            .start()
+        )
+        _await_finished(q)
+    counts = spark.table(sink).localCheckpoint()
+    spark.catalog.dropTempView(sink)
+    return _jsd_over_window_counts(counts)
+
+
+def _jsd_over_window_counts(counts):
+    """Consecutive-window JSD over a (w, event_type, n) frame — bounded
+    post-process shared by the streaming entry and its oracle shape."""
+    from pyspark.sql import Window
+
+    types = counts.select("event_type").distinct()
+    windows = counts.select("w").distinct()
+    grid = windows.crossJoin(F.broadcast(types)).join(
+        counts, ["w", "event_type"], "left"
+    ).select("w", "event_type", F.coalesce(F.col("n"), F.lit(0)).alias("n"))
+    wt = Window.partitionBy("event_type").orderBy("w")
+    ww = Window.partitionBy("w")
+    paired = grid.select(
+        "w",
+        "event_type",
+        "n",
+        F.lag("n").over(wt).alias("prev_n"),
+    ).withColumn("tot", F.sum("n").over(ww)).withColumn(
+        "prev_tot", F.sum("prev_n").over(ww)
+    )
+    valid = paired.filter(F.col("prev_tot").isNotNull() & (F.col("prev_tot") > 0) & (F.col("tot") > 0))
+    p = F.col("n").cast("double") / F.col("tot").cast("double")
+    q = F.col("prev_n").cast("double") / F.col("prev_tot").cast("double")
+    m = (p + q) / 2.0
+    tp = F.when(
+        F.col("n") > 0, F.floor(p * F.log(p / m) * 1000000000.0 + 0.5).cast("long")
+    ).otherwise(F.lit(0))
+    tq = F.when(
+        F.col("prev_n") > 0, F.floor(q * F.log(q / m) * 1000000000.0 + 0.5).cast("long")
+    ).otherwise(F.lit(0))
+    agg2 = valid.select("w", "tot", "prev_tot", tp.alias("tp"), tq.alias("tq")).groupBy(
+        "w", "tot", "prev_tot"
+    ).agg(F.sum("tp").alias("sp"), F.sum("tq").alias("sq"))
+    jsd = (F.col("sp") + F.col("sq")).cast("double") / 2.0e9
+    micro = lambda x: F.floor(x * 1000000.0 + 0.5) / 1000000.0  # noqa: E731
+    return agg2.select(
+        F.col("w").alias("window_start_us"),
+        F.col("tot").alias("n_events"),
+        F.col("prev_tot").alias("n_prev_events"),
+        micro(jsd).alias("jsd_nats"),
+    ).orderBy("window_start_us")
+
+
+def streaming_jsd_drift_sql() -> str:
+    """Oracle: identical batch computation — epoch-aligned 6h windows."""
+    win = WINDOW_US
+    return f"""
+WITH counts AS (
+  SELECT (epoch_us(ts::TIMESTAMP) // {win}) * {win} AS w, event_type,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+grid AS (
+  SELECT wd.w, t.event_type, coalesce(c.n, 0) AS n
+  FROM (SELECT DISTINCT w FROM counts) wd
+  CROSS JOIN (SELECT DISTINCT event_type FROM counts) t
+  LEFT JOIN counts c USING (w, event_type)
+),
+paired AS (
+  SELECT w, event_type, n,
+         lag(n) OVER (PARTITION BY event_type ORDER BY w) AS prev_n
+  FROM grid
+),
+tots AS (
+  SELECT *, sum(n) OVER (PARTITION BY w) AS tot,
+         sum(prev_n) OVER (PARTITION BY w) AS prev_tot
+  FROM paired
+),
+valid AS (
+  SELECT * FROM tots WHERE prev_tot IS NOT NULL AND prev_tot > 0 AND tot > 0
+),
+terms AS (
+  SELECT w, tot, prev_tot,
+         CASE WHEN n > 0
+              THEN CAST(floor((n::double / tot::double)
+                   * ln((n::double / tot::double)
+                        / ((n::double / tot::double
+                            + prev_n::double / prev_tot::double) / 2.0))
+                   * 1000000000.0 + 0.5) AS BIGINT) ELSE 0 END AS tp,
+         CASE WHEN prev_n > 0
+              THEN CAST(floor((prev_n::double / prev_tot::double)
+                   * ln((prev_n::double / prev_tot::double)
+                        / ((n::double / tot::double
+                            + prev_n::double / prev_tot::double) / 2.0))
+                   * 1000000000.0 + 0.5) AS BIGINT) ELSE 0 END AS tq
+  FROM valid
+),
+agg AS (
+  SELECT w, tot, prev_tot, sum(tp) AS sp, sum(tq) AS sq
+  FROM terms GROUP BY 1, 2, 3
+)
+SELECT w AS window_start_us, CAST(tot AS BIGINT) AS n_events,
+       CAST(prev_tot AS BIGINT) AS n_prev_events,
+       floor((sp + sq)::double / 2.0e9 * 1000000.0 + 0.5) / 1000000.0 AS jsd_nats
+FROM agg
+ORDER BY window_start_us
+"""

@@ -78,6 +78,7 @@ QUERIES = [
     "source_length_ks",          # single-doc sources, duplicate length vocab
     "format_marker_rates",       # regex battery on unicode/punct/empty docs
     "split_token_jsd",           # empty split halves, multi-byte tokens
+    "heaps_law_fit",             # saturated/degenerate vocab growth (beta=0)
 ]
 
 
@@ -194,6 +195,8 @@ EVENT_QUERIES = [
     "funnel_step_latency",     # hop-boundary latencies at exactly-1h gaps
     "overdispersion_check",    # burst days + single-day types (n=1 guard)
     "position_based_attribution",  # k=1/k=2 paths + window-boundary touches
+    "activity_heatmap",        # peak ties broken by earliest hour
+    "streaming_jsd_drift",     # type birth/death across window boundaries
 
     "event_funnel",            # crashed before the prev > 0 ANSI guard
     "streaming_windowed_counts",  # oracle lacked the event_id dedup
@@ -351,6 +354,7 @@ TXN_QUERIES = [
     "tukey_category_outliers",   # nearest-rank quartiles on tiny categories
     "cochran_armitage_trend",    # degenerate margins (refunds-only priorities)
     "sequential_probe_obf",      # single-date timelines collapse to one look
+    "revenue_pareto_shares",     # negative-total corpora, tie-straddling cuts
     "ltv_triangle",              # negative-cent cohorts, single-month cohorts
     "jsd_source_categories",     # absent-cell Q·ln2 mass on sparse grids
     "hll_source_overlap",        # register merge on tiny/degenerate sources

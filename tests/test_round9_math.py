@@ -1252,3 +1252,165 @@ def test_dedup_weight_ess_matches_pure_python(con):
     # ESS never exceeds n and equals n exactly when all weights are equal
     for _s, n, ess, ratio_ in got:
         assert ess <= n + 1e-6
+
+
+def test_heaps_law_fit_matches_pure_python(con):
+    from collections import defaultdict
+
+    from basin_climbing_data_pipeline_spark.operators.textstats import (
+        HEAPS_CUTS,
+        heaps_law_fit_sql,
+    )
+
+    got = con.execute(heaps_law_fit_sql()).fetchall()
+    raw = con.execute(
+        "SELECT source, doc_id, text FROM documents ORDER BY source, doc_id"
+    ).fetchall()
+    by = defaultdict(list)
+    for src, did, text in raw:
+        by[src].append([t for t in text.strip(" ").split(" ") if t])
+    want = []
+    for src in sorted(by):
+        docs = by[src]
+        n_docs = len(docs)
+        pts = []
+        for cut in HEAPS_CUTS:
+            k = (cut * n_docs + 99) // 100
+            n_i = sum(len(d) for d in docs[:k])
+            v_i = len({t for d in docs[:k] for t in d})
+            if n_i > 0 and v_i > 0:
+                pts.append(
+                    (
+                        math.floor(math.log(n_i) * 1e9 + 0.5),
+                        math.floor(math.log(v_i) * 1e9 + 0.5),
+                        n_i,
+                        v_i,
+                        cut,
+                    )
+                )
+        kk = len(pts)
+        sx = sum(p[0] for p in pts)
+        sy = sum(p[1] for p in pts)
+        sxx = sum(p[0] * p[0] for p in pts)
+        sxy = sum(p[0] * p[1] for p in pts)
+        den = sxx - sx * sx / kk
+        beta = (sxy - sx * sy / kk) / den if kk > 1 and den != 0 else None
+        lnk = (sy - beta * sx) / kk / 1e9 if beta is not None else None
+        full = [p for p in pts if p[4] == 100][0]
+        want.append(
+            (
+                src,
+                full[2],
+                full[3],
+                _micro(beta) if beta is not None else None,
+                _micro(math.exp(lnk)) if lnk is not None else None,
+            )
+        )
+    assert [tuple(r) for r in got] == want
+    # Heaps exponent lives in [0, 1] — β = 0 exactly means the vocabulary
+    # saturated before the first cut (legitimate on tiny sources)
+    for row in got:
+        if row[3] is not None:
+            assert 0.0 <= row[3] <= 1.0 + 1e-6
+
+
+def test_revenue_pareto_shares_matches_pure_python(con):
+    from basin_climbing_data_pipeline_spark.operators.cohorts import (
+        PARETO_TOPS,
+        revenue_pareto_shares_sql,
+    )
+    from basin_climbing_data_pipeline_spark.operators.transactions import (
+        transactions_sql,
+    )
+
+    got = con.execute(revenue_pareto_shares_sql()).fetchall()
+    raw = con.execute(
+        f"""WITH txn AS ({transactions_sql()})
+        SELECT customer_id, sum(CAST(floor(total_amount * 100.0 + 0.5) AS BIGINT))
+        FROM txn GROUP BY 1"""
+    ).fetchall()
+    cents = sorted((c for _cid, c in raw), reverse=True)
+    n, total = len(cents), sum(cents)
+    want = []
+    for p in PARETO_TOPS:
+        top_n = (p * n + 99) // 100
+        tier = cents[:top_n]
+        want.append(
+            (
+                p,
+                len(tier),
+                sum(tier) / 100.0,
+                _ratio(sum(tier), total, 6) if total != 0 else None,
+            )
+        )
+    assert [tuple(r) for r in got] == want
+    # concentration is monotone in the tier width
+    shares = [r[3] for r in got]
+    assert all(a <= b + 1e-9 for a, b in zip(shares, shares[1:]))
+
+
+def test_activity_heatmap_matches_pure_python(con):
+    from collections import Counter, defaultdict
+
+    from basin_climbing_data_pipeline_spark.operators.events import (
+        activity_heatmap_sql,
+    )
+
+    got = con.execute(activity_heatmap_sql()).fetchall()
+    raw = con.execute(
+        "SELECT dayofweek(ts)::int + 1, hour(ts)::int FROM events"
+    ).fetchall()
+    grid = Counter(raw)
+    total = sum(grid.values())
+    day_max = defaultdict(int)
+    for (d, _h), c in grid.items():
+        day_max[d] = max(day_max[d], c)
+    peak = {}
+    for d in day_max:
+        peak[d] = min(h for (dd, h), c in grid.items() if dd == d and c == day_max[d])
+    want = sorted(
+        (d, h, c, _ratio(c, total, 6), h == peak[d]) for (d, h), c in grid.items()
+    )
+    assert sorted(tuple(r) for r in got) == want
+
+
+def test_streaming_jsd_drift_matches_pure_python(con):
+    from collections import defaultdict
+
+    from basin_climbing_data_pipeline_spark.streaming.events_stream import (
+        WINDOW_US,
+        streaming_jsd_drift_sql,
+    )
+
+    got = con.execute(streaming_jsd_drift_sql()).fetchall()
+    raw = con.execute(
+        f"SELECT (epoch_us(ts::TIMESTAMP) // {WINDOW_US}) * {WINDOW_US}, event_type "
+        "FROM events"
+    ).fetchall()
+    counts = defaultdict(int)
+    for w, t in raw:
+        counts[(w, t)] += 1
+    windows = sorted({w for w, _t in counts})
+    types = sorted({t for _w, t in counts})
+    want = []
+    for i, w in enumerate(windows):
+        if i == 0:
+            continue
+        prev = windows[i - 1]
+        tot = sum(counts.get((w, t), 0) for t in types)
+        ptot = sum(counts.get((prev, t), 0) for t in types)
+        if tot == 0 or ptot == 0:
+            continue
+        sp = sq = 0
+        for t in types:
+            a, b = counts.get((w, t), 0), counts.get((prev, t), 0)
+            p, q = a / tot, b / ptot
+            m = (p + q) / 2.0
+            if a > 0:
+                sp += math.floor(p * math.log(p / m) * 1e9 + 0.5)
+            if b > 0:
+                sq += math.floor(q * math.log(q / m) * 1e9 + 0.5)
+        want.append((w, tot, ptot, _micro((sp + sq) / 2.0e9)))
+    assert [tuple(r) for r in got] == want
+    for row in got:
+        assert 0.0 <= row[3] <= math.log(2.0) + 1e-9
