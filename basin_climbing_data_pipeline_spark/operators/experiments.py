@@ -1534,3 +1534,293 @@ SELECT CAST(look AS BIGINT) AS look,
 FROM cum
 ORDER BY look
 """
+
+
+# ---------------------------------------------------------------------------
+# one-way ANOVA + Kruskal-Wallis across customer market segments
+# ---------------------------------------------------------------------------
+
+
+def anova_spend_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of per-customer net spend (cents) across the five
+    customer market segments: F statistic and the eta-squared effect size
+    — the "does segment explain spend" screening the parametric side of
+    the family answers (its rank-based sibling is
+    :func:`kruskal_wallis_spend`; the two-group member is the md5-arm
+    z/U pair).  No p-value: the F tail needs the incomplete beta, which
+    neither engine evaluates — eta² is the effect size that answers the
+    question.
+
+    Exactness: per-group moments accumulate EXACTLY — n_g as int64, spend
+    sums S_g as int64 cents, squared moments Σy² and S_g² as
+    decimal(38,0) (the visit_spend_correlation discipline) — so every
+    per-group quantity is order-insensitive under any partitioning.  The
+    only float work is one division per group term plus the final
+    formula; the cross-group Σ S_g²/n_g runs as an ORDERED window
+    cumulative sum over the bounded (≤5-row) segment frame, so both
+    engines add the same doubles in the same sequence.  F and eta² are
+    guarded-micro rounded.
+
+    Scale shape: one groupBy per customer (map-side combined), one
+    broadcast join onto the customer dimension for the segment, one
+    groupBy onto the ≤5-row segment frame — the window runs over 5 rows.
+    """
+    from ..functions.money import micro, to_cents
+    from .customers import build_customers
+    from .transactions import build_transactions
+
+    txn = build_transactions(spark, sf_dir)
+    per_cust = txn.groupBy("customer_id").agg(
+        F.sum(to_cents(F.col("total_amount"))).alias("y")
+    )
+    seg = build_customers(spark, sf_dir).select("customer_id", "segment")
+    vals = per_cust.join(F.broadcast(seg), "customer_id").select("segment", "y")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    yd = F.col("y").cast("decimal(19,0)")
+    g = vals.groupBy("segment").agg(
+        F.count("*").alias("n_g"),
+        F.sum("y").alias("s_g"),
+        F.sum((yd * yd).cast("decimal(38,0)")).alias("q_g"),
+    )
+    # per-group rational term S_g²/n_g: exact decimal square, ONE double div
+    term = (dec(F.col("s_g")) * dec(F.col("s_g"))).cast("double") / F.col(
+        "n_g"
+    ).cast("double")
+    w = Window.orderBy("segment").rowsBetween(Window.unboundedPreceding, 0)
+    wk = Window.partitionBy()
+    cum = g.select(
+        F.sum("n_g").over(wk).alias("n"),
+        F.sum("s_g").over(wk).alias("s"),
+        F.sum(dec(F.col("q_g"))).over(wk).alias("q"),
+        F.count("*").over(wk).alias("k"),
+        F.sum(term).over(w).alias("cum_term"),
+        F.row_number().over(Window.orderBy("segment")).alias("rn"),
+    ).filter(F.col("rn") == F.col("k"))
+    n, k = F.col("n").cast("double"), F.col("k")
+    grand = dec(F.col("s")) * dec(F.col("s"))
+    ssb = F.col("cum_term") - grand.cast("double") / n
+    sst = F.col("q").cast("double") - grand.cast("double") / n
+    ssw = sst - ssb
+    dfb = (k - 1).cast("double")
+    dfw = (F.col("n") - k).cast("double")
+    ok = (k > 1) & (F.col("n") > k) & (ssw > 0.0)
+    f_stat = (ssb / dfb) / (ssw / dfw)
+    return cum.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("k").cast("long").alias("n_groups"),
+        micro(ssb).alias("ss_between"),
+        micro(ssw).alias("ss_within"),
+        F.when(ok, micro(f_stat)).alias("f_stat"),
+        F.when(sst > 0.0, micro(ssb / sst)).alias("eta_sq"),
+    )
+
+
+def anova_spend_by_segment_sql() -> str:
+    from ..functions.money import micro_sql, to_cents_sql
+    from .customers import customers_sql
+    from .transactions import transactions_sql
+
+    ssb = "(cum_term - (s::hugeint * s::hugeint)::double / n::double)"
+    sst = "(q::double - (s::hugeint * s::hugeint)::double / n::double)"
+    ssw = f"({sst} - {ssb})"
+    f_stat = f"(({ssb} / (k - 1)::double) / ({ssw} / (n - k)::double))"
+    return f"""
+WITH txn AS ({transactions_sql()}),
+cust AS ({customers_sql()}),
+per_cust AS (
+  SELECT customer_id, sum({to_cents_sql('total_amount')}) AS y
+  FROM txn GROUP BY customer_id
+),
+vals AS (
+  SELECT c.segment, p.y
+  FROM per_cust p JOIN cust c USING (customer_id)
+),
+g AS (
+  SELECT segment, count(*) AS n_g,
+         CAST(sum(y) AS BIGINT) AS s_g,
+         sum(y::hugeint * y::hugeint) AS q_g
+  FROM vals GROUP BY segment
+),
+cum AS (
+  SELECT sum(n_g) OVER () AS n,
+         sum(s_g) OVER () AS s,
+         sum(q_g) OVER () AS q,
+         count(*) OVER () AS k,
+         sum((s_g::hugeint * s_g::hugeint)::double / n_g::double)
+           OVER (ORDER BY segment ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW) AS cum_term,
+         row_number() OVER (ORDER BY segment) AS rn
+  FROM g
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS n_groups,
+       {micro_sql(ssb)} AS ss_between,
+       {micro_sql(ssw)} AS ss_within,
+       CASE WHEN k > 1 AND n > k AND {ssw} > 0.0
+            THEN {micro_sql(f_stat)} END AS f_stat,
+       CASE WHEN {sst} > 0.0 THEN {micro_sql(f'({ssb} / {sst})')} END AS eta_sq
+FROM cum WHERE rn = k
+"""
+
+
+def kruskal_wallis_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H over per-customer net spend across the five
+    market segments — the rank-based (distribution-free) sibling of
+    :func:`anova_spend_by_segment`, and the k-group generalization of
+    :func:`mann_whitney_spend_utest`: heavy-tailed spend makes the F on
+    means whale-dominated, H asks whether ANY segment stochastically
+    outspends.  Reports raw H, the tie-corrected H, and Kelley's ε²
+    effect size (H − k + 1)/(n − k).
+
+    Distributed ranking discipline: NO global row sort — values collapse
+    to a per-distinct-value frame; rank offsets decompose as monotone
+    log-bucket offsets + within-bucket prefix windows (the
+    mann_whitney machinery verbatim).  2·R_g = Σ_v n_gv·(2·before_v +
+    cnt_v + 1) stays exact in decimal; R_g²/n_g terms are one double
+    division each, combined by an ORDERED window sum over the ≤5-row
+    segment frame (the anova discipline), tie term Σ(t³−t) exact decimal.
+
+    Scale shape: one per-customer collapse, one (value, segment) groupBy,
+    the bounded bucket-offset build, one per-segment rollup — no stage
+    carries more than the distinct-value frame."""
+    from ..functions.money import micro, to_cents
+    from .customers import build_customers
+    from .sketches import HIST_SUBBUCKETS
+    from .transactions import build_transactions
+
+    txn = build_transactions(spark, sf_dir)
+    per_cust = txn.groupBy("customer_id").agg(
+        F.sum(to_cents(F.col("total_amount"))).alias("cents")
+    )
+    seg = build_customers(spark, sf_dir).select("customer_id", "segment")
+    vals = per_cust.join(F.broadcast(seg), "customer_id").select("segment", "cents")
+    per_vg = vals.groupBy("cents", "segment").agg(F.count("*").alias("n_gv"))
+    per_val = per_vg.groupBy("cents").agg(F.sum("n_gv").alias("cnt"))
+    vm = F.col("cents")
+    bucket = (
+        F.when(vm >= 0, F.floor(F.log10(vm + 1) * HIST_SUBBUCKETS))
+        .otherwise(-1 - F.floor(F.log10(-vm + 1) * HIST_SUBBUCKETS))
+        .cast("long")
+    )
+    bucketed = per_val.select("cents", "cnt", bucket.alias("bkt"))
+    bkt_counts = bucketed.groupBy("bkt").agg(F.sum("cnt").alias("bkt_cnt"))
+    wb = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = bkt_counts.select(
+        "bkt", F.coalesce(F.sum("bkt_cnt").over(wb), F.lit(0)).alias("bkt_before")
+    )
+    win = (
+        Window.partitionBy("bkt")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = (
+        bucketed.join(F.broadcast(offsets), "bkt")
+        .withColumn("in_bkt_before", F.coalesce(F.sum("cnt").over(win), F.lit(0)))
+        .select(
+            "cents",
+            "cnt",
+            (F.col("bkt_before") + F.col("in_bkt_before")).alias("before"),
+        )
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    dcnt = dec(F.col("cnt"))
+    joined = per_vg.join(ranked, "cents")
+    per_g = joined.groupBy("segment").agg(
+        F.sum("n_gv").alias("n_g"),
+        F.sum(
+            dec(F.col("n_gv")) * (2 * dec(F.col("before")) + dcnt + 1)
+        ).alias("r2_g"),
+    )
+    ties_df = ranked.agg(
+        F.sum(dcnt * dcnt * dcnt - dcnt).alias("ties"),
+    )
+    term = (dec(F.col("r2_g")) * dec(F.col("r2_g"))).cast("double") / (
+        4.0 * F.col("n_g").cast("double")
+    )
+    w = Window.orderBy("segment").rowsBetween(Window.unboundedPreceding, 0)
+    wk = Window.partitionBy()
+    cum = (
+        per_g.select(
+            F.sum("n_g").over(wk).alias("n"),
+            F.count("*").over(wk).alias("k"),
+            F.sum(term).over(w).alias("cum_term"),
+            F.row_number().over(Window.orderBy("segment")).alias("rn"),
+        )
+        .filter(F.col("rn") == F.col("k"))
+        .crossJoin(F.broadcast(ties_df))
+    )
+    n = F.col("n").cast("double")
+    dn = dec(F.col("n"))
+    h = 12.0 / (n * (n + 1.0)) * F.col("cum_term") - 3.0 * (n + 1.0)
+    c_tie = 1.0 - F.col("ties").cast("double") / (dn * dn * dn - dn).cast("double")
+    k = F.col("k")
+    ok = (k > 1) & (F.col("n") > k)
+    return cum.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("k").cast("long").alias("n_groups"),
+        F.when(ok, micro(h)).alias("h_stat"),
+        F.when(ok & (c_tie > 0.0), micro(h / c_tie)).alias("h_tie_corr"),
+        F.when(
+            ok,
+            micro((h - k.cast("double") + 1.0) / (n - k.cast("double"))),
+        ).alias("epsilon_sq"),
+    )
+
+
+def kruskal_wallis_spend_sql() -> str:
+    from ..functions.money import micro_sql, to_cents_sql
+    from .customers import customers_sql
+    from .transactions import transactions_sql
+
+    h = "(12.0 / (n::double * (n::double + 1.0)) * cum_term - 3.0 * (n::double + 1.0))"
+    c_tie = (
+        "(1.0 - ties::double"
+        " / (n::hugeint * n::hugeint * n::hugeint - n::hugeint)::double)"
+    )
+    eps = f"(({h} - k::double + 1.0) / (n::double - k::double))"
+    return f"""
+WITH txn AS ({transactions_sql()}),
+cust AS ({customers_sql()}),
+per_cust AS (
+  SELECT customer_id, sum({to_cents_sql('total_amount')}) AS cents
+  FROM txn GROUP BY customer_id
+),
+vals AS (
+  SELECT c.segment, p.cents
+  FROM per_cust p JOIN cust c USING (customer_id)
+),
+per_vg AS (
+  SELECT cents, segment, count(*) AS n_gv FROM vals GROUP BY 1, 2
+),
+per_val AS (SELECT cents, sum(n_gv) AS cnt FROM per_vg GROUP BY cents),
+ranked AS (
+  SELECT cents, cnt,
+         coalesce(sum(cnt) OVER (ORDER BY cents
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+  FROM per_val
+),
+per_g AS (
+  SELECT v.segment, sum(v.n_gv) AS n_g,
+         sum(v.n_gv::hugeint * (2 * r.before::hugeint + r.cnt + 1)) AS r2_g
+  FROM per_vg v JOIN ranked r USING (cents)
+  GROUP BY v.segment
+),
+ties_t AS (
+  SELECT sum(cnt::hugeint * cnt::hugeint * cnt::hugeint - cnt::hugeint) AS ties
+  FROM ranked
+),
+cum AS (
+  SELECT sum(n_g) OVER () AS n,
+         count(*) OVER () AS k,
+         sum((r2_g::hugeint * r2_g::hugeint)::double / (4.0 * n_g::double))
+           OVER (ORDER BY segment ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW) AS cum_term,
+         row_number() OVER (ORDER BY segment) AS rn
+  FROM per_g
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS n_groups,
+       CASE WHEN k > 1 AND n > k THEN {micro_sql(h)} END AS h_stat,
+       CASE WHEN k > 1 AND n > k AND {c_tie} > 0.0
+            THEN {micro_sql(f'({h} / {c_tie})')} END AS h_tie_corr,
+       CASE WHEN k > 1 AND n > k THEN {micro_sql(eps)} END AS epsilon_sq
+FROM cum, ties_t WHERE rn = k
+"""

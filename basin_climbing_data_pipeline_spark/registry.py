@@ -1162,6 +1162,11 @@ register(
 )
 register("activity_heatmap", ev.activity_heatmap, ev.activity_heatmap_sql())
 register("streaming_jsd_drift", st.streaming_jsd_drift, st.streaming_jsd_drift_sql())
+# sixth round-9 batch: the k-group test pair (parametric + rank-based)
+register(
+    "anova_spend_by_segment", ex.anova_spend_by_segment, ex.anova_spend_by_segment_sql()
+)
+register("kruskal_wallis_spend", ex.kruskal_wallis_spend, ex.kruskal_wallis_spend_sql())
 
 # ROUND-9 WINDOW (the 50 registry slots the driver verifies this round).
 # CORRECTNESS_r08 landed 50/50 green, so the staged plan is now code:
@@ -1294,6 +1299,8 @@ _ROUND10_FRONT: list[str] = [
     "revenue_pareto_shares",
     "activity_heatmap",
     "streaming_jsd_drift",
+    "anova_spend_by_segment",
+    "kruskal_wallis_spend",
 ]
 _ROUND10_OWED: list[str] = [
     # round-9 guarded-micro hardening (engine + oracle switched to the

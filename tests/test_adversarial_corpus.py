@@ -359,6 +359,8 @@ TXN_QUERIES = [
     "jsd_source_categories",     # absent-cell Q·ln2 mass on sparse grids
     "hll_source_overlap",        # register merge on tiny/degenerate sources
     "capture_recapture_population",  # zero-overlap Chapman (+1 correction path)
+    "anova_spend_by_segment",    # tiny-n groups: n==k / SSW=0 guard paths
+    "kruskal_wallis_spend",      # all-tied rank frames: C<=0 tie-correction guard
 ]
 
 
