@@ -2325,9 +2325,9 @@ m_rank AS (
 ),
 scored AS (
   SELECT p.customer_id, p.cents,
-         {b} - least({b - 1}, ({b} * r.before) // t.n) AS r_score,
-         least({b - 1}, ({b} * f.before) // t.n) + 1 AS f_score,
-         least({b - 1}, ({b} * m.before) // t.n) + 1 AS m_score
+         CAST({b} - least({b - 1}, ({b} * r.before) // t.n) AS INTEGER) AS r_score,
+         CAST(least({b - 1}, ({b} * f.before) // t.n) + 1 AS INTEGER) AS f_score,
+         CAST(least({b - 1}, ({b} * m.before) // t.n) + 1 AS INTEGER) AS m_score
   FROM per_cust p
   JOIN r_rank r USING (recency_days)
   JOIN f_rank f USING (freq)
