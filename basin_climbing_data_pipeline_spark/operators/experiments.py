@@ -1824,3 +1824,576 @@ SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS n_groups,
        CASE WHEN k > 1 AND n > k THEN {micro_sql(eps)} END AS epsilon_sq
 FROM cum, ties_t WHERE rn = k
 """
+
+
+# ---------------------------------------------------------------------------
+# Welch's t-test + Grubbs extreme-outlier screen on per-customer spend
+# ---------------------------------------------------------------------------
+
+
+def welch_ttest_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test of per-customer net spend between
+    the md5 A/B arms — the parametric member of the two-group family
+    (:func:`mann_whitney_spend_utest` is its rank-based sibling on the
+    SAME frame, so the pair answers "means differ" vs "distributions
+    differ" on identical arms).  Reports t, the Welch–Satterthwaite
+    degrees of freedom, and Cohen's d on the pooled sd.  No p-value: the
+    t tail needs the incomplete beta, which neither engine evaluates —
+    d is the effect size that answers the question.
+
+    Exactness: per-arm moments accumulate EXACTLY (n as int64, spend sum
+    S as int64 cents, Σy² as decimal(38,0) with per-factor casts), so the
+    variance numerators n·Q − S² are exact decimals; each arm contributes
+    ONE double division (the visit_spend_correlation discipline) and the
+    t/df/d formulas are fixed scalar arithmetic on those doubles —
+    identical fp op sequence in both engines, guarded-micro rounded.
+
+    Scale shape: one per-customer groupBy (map-side combined), one 2-row
+    arm rollup; everything after runs on a single row."""
+    from ..functions.money import micro, to_cents
+    from .sampling import _md5_bucket
+    from .transactions import build_transactions
+
+    txn = build_transactions(spark, sf_dir)
+    per_cust = txn.groupBy("customer_id").agg(
+        F.sum(to_cents(F.col("total_amount"))).alias("y")
+    )
+    arms = per_cust.select(
+        "y", (_md5_bucket(F.col("customer_id"), 2) == 0).alias("is_a")
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    yd = F.col("y").cast("decimal(19,0)")
+    g = arms.groupBy("is_a").agg(
+        F.count("*").alias("n_g"),
+        F.sum("y").alias("s_g"),
+        F.sum((yd * yd).cast("decimal(38,0)")).alias("q_g"),
+    )
+    # pivot the 2-row arm frame into one row of exact scalars
+    pick = lambda c, a: F.min(F.when(F.col("is_a") == a, F.col(c)))  # noqa: E731
+    m = g.agg(
+        pick("n_g", True).alias("n_a"),
+        pick("s_g", True).alias("s_a"),
+        pick("q_g", True).alias("q_a"),
+        pick("n_g", False).alias("n_b"),
+        pick("s_g", False).alias("s_b"),
+        pick("q_g", False).alias("q_b"),
+    )
+    na, nb = F.col("n_a"), F.col("n_b")
+    # exact decimal variance numerators: n·Q − S² (per-factor casts)
+    vnum = lambda n, s, q: dec(F.col(n)) * dec(F.col(q)) - dec(F.col(s)) * dec(  # noqa: E731
+        F.col(s)
+    )
+    var_a = vnum("n_a", "s_a", "q_a").cast("double") / (
+        na.cast("double") * (na - 1).cast("double")
+    )
+    var_b = vnum("n_b", "s_b", "q_b").cast("double") / (
+        nb.cast("double") * (nb - 1).cast("double")
+    )
+    mean_a = F.col("s_a").cast("double") / na.cast("double")
+    mean_b = F.col("s_b").cast("double") / nb.cast("double")
+    se2_a = var_a / na.cast("double")
+    se2_b = var_b / nb.cast("double")
+    t = (mean_a - mean_b) / F.sqrt(se2_a + se2_b)
+    df_w = (se2_a + se2_b) * (se2_a + se2_b) / (
+        se2_a * se2_a / (na - 1).cast("double")
+        + se2_b * se2_b / (nb - 1).cast("double")
+    )
+    sp2 = (
+        (na - 1).cast("double") * var_a + (nb - 1).cast("double") * var_b
+    ) / (na + nb - 2).cast("double")
+    d = (mean_a - mean_b) / F.sqrt(sp2)
+    ok = (
+        na.isNotNull()
+        & nb.isNotNull()
+        & (na > 1)
+        & (nb > 1)
+        & (var_a + var_b > 0.0)
+    )
+    return m.select(
+        F.coalesce(na, F.lit(0)).alias("n_a"),
+        F.coalesce(nb, F.lit(0)).alias("n_b"),
+        F.when(na > 0, micro(mean_a / 100.0)).alias("mean_a"),
+        F.when(nb > 0, micro(mean_b / 100.0)).alias("mean_b"),
+        F.when(ok & (se2_a + se2_b > 0.0), micro(t)).alias("t_stat"),
+        F.when(ok & (se2_a + se2_b > 0.0), micro(df_w)).alias("welch_df"),
+        F.when(ok & (sp2 > 0.0), micro(d)).alias("cohens_d"),
+    )
+
+
+def welch_ttest_spend_sql() -> str:
+    from ..functions.money import micro_sql, to_cents_sql
+    from .sampling import _md5_bucket_sql
+    from .transactions import transactions_sql
+
+    var_a = "((n_a::hugeint * q_a - s_a::hugeint * s_a::hugeint)::double / (n_a::double * (n_a - 1)::double))"
+    var_b = "((n_b::hugeint * q_b - s_b::hugeint * s_b::hugeint)::double / (n_b::double * (n_b - 1)::double))"
+    mean_a = "(s_a::double / n_a::double)"
+    mean_b = "(s_b::double / n_b::double)"
+    se2_a = f"({var_a} / n_a::double)"
+    se2_b = f"({var_b} / n_b::double)"
+    t = f"(({mean_a} - {mean_b}) / sqrt({se2_a} + {se2_b}))"
+    df_w = (
+        f"(({se2_a} + {se2_b}) * ({se2_a} + {se2_b}) / "
+        f"({se2_a} * {se2_a} / (n_a - 1)::double + {se2_b} * {se2_b} / (n_b - 1)::double))"
+    )
+    sp2 = f"(((n_a - 1)::double * {var_a} + (n_b - 1)::double * {var_b}) / (n_a + n_b - 2)::double)"
+    d = f"(({mean_a} - {mean_b}) / sqrt({sp2}))"
+    ok = f"(n_a IS NOT NULL AND n_b IS NOT NULL AND n_a > 1 AND n_b > 1 AND {var_a} + {var_b} > 0.0)"
+    return f"""
+WITH txn AS ({transactions_sql()}),
+per_cust AS (
+  SELECT customer_id, sum({to_cents_sql('total_amount')}) AS y
+  FROM txn GROUP BY customer_id
+),
+arms AS (
+  SELECT y, {_md5_bucket_sql('customer_id', 2)} = 0 AS is_a FROM per_cust
+),
+g AS (
+  SELECT is_a, count(*) AS n_g, CAST(sum(y) AS BIGINT) AS s_g,
+         sum(y::hugeint * y::hugeint) AS q_g
+  FROM arms GROUP BY is_a
+),
+m AS (
+  SELECT min(CASE WHEN is_a THEN n_g END) AS n_a,
+         min(CASE WHEN is_a THEN s_g END) AS s_a,
+         min(CASE WHEN is_a THEN q_g END) AS q_a,
+         min(CASE WHEN NOT is_a THEN n_g END) AS n_b,
+         min(CASE WHEN NOT is_a THEN s_g END) AS s_b,
+         min(CASE WHEN NOT is_a THEN q_g END) AS q_b
+  FROM g
+)
+SELECT coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b,
+       CASE WHEN n_a > 0 THEN {micro_sql(f'({mean_a} / 100.0)')} END AS mean_a,
+       CASE WHEN n_b > 0 THEN {micro_sql(f'({mean_b} / 100.0)')} END AS mean_b,
+       CASE WHEN {ok} AND {se2_a} + {se2_b} > 0.0 THEN {micro_sql(t)} END AS t_stat,
+       CASE WHEN {ok} AND {se2_a} + {se2_b} > 0.0 THEN {micro_sql(df_w)} END AS welch_df,
+       CASE WHEN {ok} AND {sp2} > 0.0 THEN {micro_sql(d)} END AS cohens_d
+FROM m
+"""
+
+
+def grubbs_spend_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grubbs extreme-studentized-deviate screen on per-customer net
+    spend: G = max|y − ȳ|/s from a SINGLE moment pass — max|dev| is
+    max(y_max − ȳ, ȳ − y_min), so min/max/Σ/Σ² suffice and no second
+    data pass ever runs.  The single-most-extreme-customer complement of
+    :func:`cohorts.tukey_category_outliers`'s bulk fence counts (Tukey
+    counts the tail, Grubbs asks whether the ONE whale is statistically
+    surprising).  No p-value (t tail); G in σ units answers the question.
+
+    Exactness: n/S int64, Σy² decimal with per-factor casts; the extreme
+    deviations n·y_max − S and S − n·y_min are exact decimals (the
+    daily_revenue_acf z discipline applied to the scalar extremes), so
+    G = maxdev / (n·s) divides two doubles derived from exact integers —
+    identical op order both engines, guarded-micro rounded.
+
+    Scale shape: one per-customer groupBy, one 1-row moment rollup."""
+    from ..functions.money import micro, to_cents
+    from .transactions import build_transactions
+
+    txn = build_transactions(spark, sf_dir)
+    per_cust = txn.groupBy("customer_id").agg(
+        F.sum(to_cents(F.col("total_amount"))).alias("y")
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    yd = F.col("y").cast("decimal(19,0)")
+    m = per_cust.agg(
+        F.count("*").alias("n"),
+        F.sum("y").alias("s"),
+        F.sum((yd * yd).cast("decimal(38,0)")).alias("q"),
+        F.min("y").alias("y_min"),
+        F.max("y").alias("y_max"),
+    )
+    n = F.col("n")
+    nd = n.cast("double")
+    var = (dec(n) * dec(F.col("q")) - dec(F.col("s")) * dec(F.col("s"))).cast(
+        "double"
+    ) / (nd * (n - 1).cast("double"))
+    sd = F.sqrt(var)
+    dev_hi = (dec(n) * dec(F.col("y_max")) - dec(F.col("s"))).cast("double")
+    dev_lo = (dec(F.col("s")) - dec(n) * dec(F.col("y_min"))).cast("double")
+    g_hi = dev_hi / (nd * sd)
+    g_lo = dev_lo / (nd * sd)
+    ok = (n > 2) & (var > 0.0)
+    return m.select(
+        n.alias("n"),
+        micro(F.col("s").cast("double") / nd / 100.0).alias("mean_spend"),
+        F.when(n > 1, micro(sd / 100.0)).alias("sd_spend"),
+        F.when(ok, micro(g_hi)).alias("g_high"),
+        F.when(ok, micro(g_lo)).alias("g_low"),
+        F.when(ok, micro(F.greatest(g_hi, g_lo))).alias("g_stat"),
+        F.when(
+            ok, F.when(g_hi >= g_lo, F.lit("high")).otherwise(F.lit("low"))
+        ).alias("extreme_side"),
+    )
+
+
+def grubbs_spend_outlier_sql() -> str:
+    from ..functions.money import micro_sql, to_cents_sql
+    from .transactions import transactions_sql
+
+    var = (
+        "((n::hugeint * q - s::hugeint * s::hugeint)::double"
+        " / (n::double * (n - 1)::double))"
+    )
+    sd = f"sqrt({var})"
+    dev_hi = "((n::hugeint * y_max::hugeint - s::hugeint)::double)"
+    dev_lo = "((s::hugeint - n::hugeint * y_min::hugeint)::double)"
+    g_hi = f"({dev_hi} / (n::double * {sd}))"
+    g_lo = f"({dev_lo} / (n::double * {sd}))"
+    ok = f"(n > 2 AND {var} > 0.0)"
+    return f"""
+WITH txn AS ({transactions_sql()}),
+per_cust AS (
+  SELECT customer_id, sum({to_cents_sql('total_amount')}) AS y
+  FROM txn GROUP BY customer_id
+),
+m AS (
+  SELECT count(*) AS n, CAST(sum(y) AS BIGINT) AS s,
+         sum(y::hugeint * y::hugeint) AS q,
+         min(y) AS y_min, max(y) AS y_max
+  FROM per_cust
+)
+SELECT CAST(n AS BIGINT) AS n,
+       {micro_sql('(s::double / n::double / 100.0)')} AS mean_spend,
+       CASE WHEN n > 1 THEN {micro_sql(f'({sd} / 100.0)')} END AS sd_spend,
+       CASE WHEN {ok} THEN {micro_sql(g_hi)} END AS g_high,
+       CASE WHEN {ok} THEN {micro_sql(g_lo)} END AS g_low,
+       CASE WHEN {ok} THEN {micro_sql(f'greatest({g_hi}, {g_lo})')} END AS g_stat,
+       CASE WHEN {ok} THEN
+         CASE WHEN {g_hi} >= {g_lo} THEN 'high' ELSE 'low' END END AS extreme_side
+FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
+# Brown-Forsythe variance homogeneity + deterministic permutation test
+# ---------------------------------------------------------------------------
+
+
+def levene_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown–Forsythe (median-centered Levene) test of spend-variance
+    homogeneity across the five market segments — the precondition check
+    for :func:`anova_spend_by_segment` (classic ANOVA assumes equal group
+    variances; this asks whether that assumption even holds, and the
+    median centering keeps it honest on heavy-tailed cents where the
+    mean-centered Levene is whale-dominated).  W is an ordinary one-way
+    ANOVA F computed on z = |y − med_g|.
+
+    Distributed discipline: per-segment LOWER medians come from the
+    sign-aware log-bucket prefix primitive PARTITIONED by segment (the
+    tukey_category_outliers shape — no per-segment global value sort);
+    z stays an exact int64 (|cents − med| of two int64s); the ANOVA on z
+    reuses the exact-moment + ordered ≤5-row window discipline verbatim
+    (Σ z per group as decimal, Σ z² as per-factor-cast decimal, ONE
+    double division per group term).
+
+    Scale shape: one per-customer collapse, one (segment, value) groupBy,
+    the bounded per-segment bucket-offset build, one ≤5-row rollup."""
+    from ..functions.money import micro, to_cents
+    from .customers import build_customers
+    from .sketches import HIST_SUBBUCKETS
+    from .transactions import build_transactions
+
+    txn = build_transactions(spark, sf_dir)
+    per_cust = txn.groupBy("customer_id").agg(
+        F.sum(to_cents(F.col("total_amount"))).alias("cents")
+    )
+    seg = build_customers(spark, sf_dir).select("customer_id", "segment")
+    vals = per_cust.join(F.broadcast(seg), "customer_id").select("segment", "cents")
+    per_val = vals.groupBy("segment", "cents").agg(F.count("*").alias("cnt"))
+    vm = F.col("cents")
+    bucket = (
+        F.when(vm >= 0, F.floor(F.log10(vm + 1) * HIST_SUBBUCKETS))
+        .otherwise(-1 - F.floor(F.log10(-vm + 1) * HIST_SUBBUCKETS))
+        .cast("long")
+    )
+    b = per_val.select("segment", "cents", "cnt", bucket.alias("bkt"))
+    bkt_counts = b.groupBy("segment", "bkt").agg(F.sum("cnt").alias("bkt_cnt"))
+    wb = Window.partitionBy("segment").orderBy("bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = bkt_counts.select(
+        "segment",
+        "bkt",
+        F.coalesce(F.sum("bkt_cnt").over(wb), F.lit(0)).alias("bkt_before"),
+    )
+    win = Window.partitionBy("segment", "bkt").orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    wseg = Window.partitionBy("segment")
+    ranked = (
+        b.join(offsets, ["segment", "bkt"])
+        .withColumn("in_b", F.coalesce(F.sum("cnt").over(win), F.lit(0)))
+        .select(
+            "segment",
+            "cents",
+            "cnt",
+            (F.col("bkt_before") + F.col("in_b")).alias("before"),
+            F.sum("cnt").over(wseg).alias("n_seg"),
+        )
+    )
+    med_rank = F.expr("(n_seg + 1) div 2")
+    covers = (F.col("before") < med_rank) & (med_rank <= F.col("before") + F.col("cnt"))
+    medians = ranked.groupBy("segment").agg(
+        F.min(F.when(covers, F.col("cents"))).alias("med")
+    )
+    # |dev| over the per-value frame (cnt-weighted) — exact int64
+    z = vals.join(F.broadcast(medians), "segment").select(
+        "segment", F.abs(F.col("cents") - F.col("med")).alias("z")
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    zd = F.col("z").cast("decimal(19,0)")
+    g = z.groupBy("segment").agg(
+        F.count("*").alias("n_g"),
+        F.sum("z").alias("s_g"),
+        F.sum((zd * zd).cast("decimal(38,0)")).alias("q_g"),
+    )
+    term = (dec(F.col("s_g")) * dec(F.col("s_g"))).cast("double") / F.col(
+        "n_g"
+    ).cast("double")
+    w = Window.orderBy("segment").rowsBetween(Window.unboundedPreceding, 0)
+    wk = Window.partitionBy()
+    cum = g.select(
+        F.sum("n_g").over(wk).alias("n"),
+        F.sum("s_g").over(wk).alias("s"),
+        F.sum(dec(F.col("q_g"))).over(wk).alias("q"),
+        F.count("*").over(wk).alias("k"),
+        F.sum(term).over(w).alias("cum_term"),
+        F.row_number().over(Window.orderBy("segment")).alias("rn"),
+    ).filter(F.col("rn") == F.col("k"))
+    n, k = F.col("n").cast("double"), F.col("k")
+    grand = dec(F.col("s")) * dec(F.col("s"))
+    ssb = F.col("cum_term") - grand.cast("double") / n
+    sst = F.col("q").cast("double") - grand.cast("double") / n
+    ssw = sst - ssb
+    ok = (k > 1) & (F.col("n") > k) & (ssw > 0.0)
+    w_stat = (ssb / (k - 1).cast("double")) / (ssw / (F.col("n") - k).cast("double"))
+    return cum.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("k").cast("long").alias("n_groups"),
+        F.when(ok, micro(w_stat)).alias("bf_stat"),
+        F.when(sst > 0.0, micro(ssb / sst)).alias("eta_sq_absdev"),
+    )
+
+
+def levene_brown_forsythe_sql() -> str:
+    from ..functions.money import micro_sql, to_cents_sql
+    from .customers import customers_sql
+    from .transactions import transactions_sql
+
+    ssb = "(cum_term - (s::hugeint * s::hugeint)::double / n::double)"
+    sst = "(q::double - (s::hugeint * s::hugeint)::double / n::double)"
+    ssw = f"({sst} - {ssb})"
+    w_stat = f"(({ssb} / (k - 1)::double) / ({ssw} / (n - k)::double))"
+    return f"""
+WITH txn AS ({transactions_sql()}),
+cust AS ({customers_sql()}),
+per_cust AS (
+  SELECT customer_id, sum({to_cents_sql('total_amount')}) AS cents
+  FROM txn GROUP BY customer_id
+),
+vals AS (
+  SELECT c.segment, p.cents
+  FROM per_cust p JOIN cust c USING (customer_id)
+),
+per_val AS (
+  SELECT segment, cents, count(*) AS cnt FROM vals GROUP BY 1, 2
+),
+ranked AS (
+  SELECT segment, cents, cnt,
+         coalesce(sum(cnt) OVER (PARTITION BY segment ORDER BY cents
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before,
+         sum(cnt) OVER (PARTITION BY segment) AS n_seg
+  FROM per_val
+),
+medians AS (
+  SELECT segment,
+         min(CASE WHEN before < (n_seg + 1) // 2
+                  AND (n_seg + 1) // 2 <= before + cnt THEN cents END) AS med
+  FROM ranked GROUP BY segment
+),
+zf AS (
+  SELECT v.segment, abs(v.cents - m.med) AS z
+  FROM vals v JOIN medians m USING (segment)
+),
+g AS (
+  SELECT segment, count(*) AS n_g, CAST(sum(z) AS BIGINT) AS s_g,
+         sum(z::hugeint * z::hugeint) AS q_g
+  FROM zf GROUP BY segment
+),
+cum AS (
+  SELECT sum(n_g) OVER () AS n,
+         sum(s_g) OVER () AS s,
+         sum(q_g) OVER () AS q,
+         count(*) OVER () AS k,
+         sum((s_g::hugeint * s_g::hugeint)::double / n_g::double)
+           OVER (ORDER BY segment ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW) AS cum_term,
+         row_number() OVER (ORDER BY segment) AS rn
+  FROM g
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS n_groups,
+       CASE WHEN k > 1 AND n > k AND {ssw} > 0.0
+            THEN {micro_sql(w_stat)} END AS bf_stat,
+       CASE WHEN {sst} > 0.0 THEN {micro_sql(f'({ssb} / {sst})')} END AS eta_sq_absdev
+FROM cum WHERE rn = k
+"""
+
+
+# permutation count for the label-shuffle test: enough for p-resolution
+# 1/201 ≈ 0.005 at a cost of B·n_cust exploded rows (one map-side groupBy)
+PERM_B = 200
+
+
+def permutation_test_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic permutation test of the A/B spend-mean difference:
+    B = 200 pseudo-permutations reassign each customer's arm by
+    md5(customer_id ∥ perm-index) and the p-value is the share of
+    permuted |mean diffs| at least as extreme as the observed one
+    ((1 + #extreme)/(B + 1), the add-one permutation estimator).  The
+    resampling-based member of the two-group family — no normality or
+    rank assumptions at all — and a template for deterministic Monte
+    Carlo on a cluster: NO rand(), the "randomness" is a content hash,
+    so any executor count, partitioning or retry reproduces it bitwise.
+
+    Exactness: the extremeness comparison |d_b| ≥ |d_obs| NEVER touches
+    floats — with d = S_a/n_a − S_b/n_b it cross-multiplies to
+    |S_a·n_b − S_b·n_a|·(n_a°·n_b°) vs |S_a°·n_b° − S_b°·n_a°|·(n_a·n_b)
+    in exact decimal (per-factor casts), so a permuted diff exactly AT
+    the observed value counts as extreme in both engines with no
+    boundary fp ambiguity.
+
+    Scale shape: one per-customer collapse; the explode is B rows per
+    customer collapsed by ONE map-side-combined groupBy(perm) to B rows;
+    everything after runs on the B-row frame."""
+    from ..functions.money import micro, to_cents
+    from .sampling import _md5_bucket
+    from .transactions import build_transactions
+
+    txn = build_transactions(spark, sf_dir)
+    per_cust = txn.groupBy("customer_id").agg(
+        F.sum(to_cents(F.col("total_amount"))).alias("y")
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    obs = per_cust.select(
+        "y", (_md5_bucket(F.col("customer_id"), 2) == 0).cast("long").alias("is_a")
+    ).agg(
+        F.sum("is_a").alias("n_a0"),
+        F.sum(F.when(F.col("is_a") == 1, F.col("y")).otherwise(0)).alias("s_a0"),
+        (F.count("*") - F.sum("is_a")).alias("n_b0"),
+        F.sum(F.when(F.col("is_a") == 0, F.col("y")).otherwise(0)).alias("s_b0"),
+    )
+    perms = per_cust.select(
+        "customer_id", "y", F.explode(F.expr(f"sequence(1, {PERM_B})")).alias("perm")
+    ).select(
+        "perm",
+        "y",
+        (
+            _md5_bucket(
+                F.concat(F.col("customer_id").cast("string"), F.lit("|perm"), F.col("perm")),
+                2,
+            )
+            == 0
+        )
+        .cast("long")
+        .alias("is_a"),
+    )
+    per_b = perms.groupBy("perm").agg(
+        F.sum("is_a").alias("n_a"),
+        F.sum(F.when(F.col("is_a") == 1, F.col("y")).otherwise(0)).alias("s_a"),
+        (F.count("*") - F.sum("is_a")).alias("n_b"),
+        F.sum(F.when(F.col("is_a") == 0, F.col("y")).otherwise(0)).alias("s_b"),
+    )
+    j = per_b.crossJoin(F.broadcast(obs))
+    # exact cross-multiplied extremeness: both sides decimal(38,0) products
+    lhs = F.abs(
+        dec(F.col("s_a")) * dec(F.col("n_b")) - dec(F.col("s_b")) * dec(F.col("n_a"))
+    ) * (dec(F.col("n_a0")) * dec(F.col("n_b0")))
+    rhs = F.abs(
+        dec(F.col("s_a0")) * dec(F.col("n_b0")) - dec(F.col("s_b0")) * dec(F.col("n_a0"))
+    ) * (dec(F.col("n_a")) * dec(F.col("n_b")))
+    valid = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    agg = j.agg(
+        F.count("*").alias("n_perms"),
+        F.sum(F.when(valid & (lhs >= rhs), 1).otherwise(0)).alias("n_ge"),
+        F.min("n_a0").alias("n_a0"),
+        F.min("s_a0").alias("s_a0"),
+        F.min("n_b0").alias("n_b0"),
+        F.min("s_b0").alias("s_b0"),
+    )
+    d_obs = F.col("s_a0").cast("double") / F.col("n_a0").cast("double") - F.col(
+        "s_b0"
+    ).cast("double") / F.col("n_b0").cast("double")
+    ok = (F.col("n_a0") > 0) & (F.col("n_b0") > 0)
+    return agg.select(
+        F.col("n_a0").alias("n_a"),
+        F.col("n_b0").alias("n_b"),
+        F.when(ok, micro(d_obs / 100.0)).alias("mean_diff"),
+        F.col("n_perms").cast("long").alias("n_perms"),
+        F.col("n_ge").cast("long").alias("n_extreme"),
+        F.when(
+            ok,
+            micro(
+                (1.0 + F.col("n_ge").cast("double"))
+                / (1.0 + F.col("n_perms").cast("double"))
+            ),
+        ).alias("p_value"),
+    )
+
+
+def permutation_test_spend_sql() -> str:
+    from ..functions.money import micro_sql, to_cents_sql
+    from .sampling import _md5_bucket_sql
+    from .transactions import transactions_sql
+
+    arm0 = _md5_bucket_sql("customer_id", 2)
+    armb = _md5_bucket_sql("customer_id::varchar || '|perm' || perm::varchar", 2)
+    d_obs = "(s_a0::double / n_a0::double - s_b0::double / n_b0::double)"
+    return f"""
+WITH txn AS ({transactions_sql()}),
+per_cust AS (
+  SELECT customer_id, sum({to_cents_sql('total_amount')}) AS y
+  FROM txn GROUP BY customer_id
+),
+obs AS (
+  SELECT sum(is_a) AS n_a0,
+         sum(CASE WHEN is_a = 1 THEN y ELSE 0 END) AS s_a0,
+         count(*) - sum(is_a) AS n_b0,
+         sum(CASE WHEN is_a = 0 THEN y ELSE 0 END) AS s_b0
+  FROM (SELECT y, CASE WHEN {arm0} = 0 THEN 1 ELSE 0 END AS is_a FROM per_cust)
+),
+perms AS (
+  SELECT p.perm, c.y,
+         CASE WHEN {armb} = 0 THEN 1 ELSE 0 END AS is_a
+  FROM per_cust c, (SELECT unnest(generate_series(1, {PERM_B})) AS perm) p
+),
+per_b AS (
+  SELECT perm, sum(is_a) AS n_a,
+         sum(CASE WHEN is_a = 1 THEN y ELSE 0 END) AS s_a,
+         count(*) - sum(is_a) AS n_b,
+         sum(CASE WHEN is_a = 0 THEN y ELSE 0 END) AS s_b
+  FROM perms GROUP BY perm
+),
+agg AS (
+  SELECT count(*) AS n_perms,
+         sum(CASE WHEN n_a > 0 AND n_b > 0
+                  AND abs(s_a::hugeint * n_b::hugeint - s_b::hugeint * n_a::hugeint)
+                      * (n_a0::hugeint * n_b0::hugeint)
+                  >= abs(s_a0::hugeint * n_b0::hugeint - s_b0::hugeint * n_a0::hugeint)
+                      * (n_a::hugeint * n_b::hugeint)
+                  THEN 1 ELSE 0 END) AS n_ge,
+         min(n_a0) AS n_a0, min(s_a0) AS s_a0,
+         min(n_b0) AS n_b0, min(s_b0) AS s_b0
+  FROM per_b, obs
+)
+SELECT CAST(n_a0 AS BIGINT) AS n_a, CAST(n_b0 AS BIGINT) AS n_b,
+       CASE WHEN n_a0 > 0 AND n_b0 > 0
+            THEN {micro_sql(f'({d_obs} / 100.0)')} END AS mean_diff,
+       CAST(n_perms AS BIGINT) AS n_perms,
+       CAST(n_ge AS BIGINT) AS n_extreme,
+       CASE WHEN n_a0 > 0 AND n_b0 > 0 THEN
+         {micro_sql('((1.0 + n_ge::double) / (1.0 + n_perms::double))')}
+       END AS p_value
+FROM agg
+"""

@@ -2975,3 +2975,160 @@ SELECT source, CAST(n_total AS BIGINT) AS n_tokens,
 FROM m
 ORDER BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# grouped-jackknife sensitivity of corpus-level statistics
+# ---------------------------------------------------------------------------
+
+
+def jackknife_source_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-source-out (grouped delete-d) jackknife of the corpus
+    mean document length: for each source, the corpus mean WITHOUT that
+    source, the jackknife pseudo-value, and the grouped-jackknife
+    standard error of the mean — "how fragile is any corpus-level stat
+    to a single source?"  A source whose removal moves the mean by
+    multiple SEs dominates the corpus (the length-stat cousin of
+    :func:`eb_shrunk_source_quality`'s small-n distrust: EB asks "can I
+    trust a small source", the jackknife asks "am I hostage to a big
+    one").  SE uses the standard (G−1)/G grouped-jackknife scaling.
+
+    Determinism: per-source n_g and Σchars are exact int64; every
+    leave-one-out mean θ_(g) = (S − s_g)/(n − n_g) is ONE double
+    division of exact integers; the across-source moments (Σθ, Σ(θ−θ̄)²)
+    accumulate as ORDERED cumulative window sums over the ≤|sources|-row
+    frame in source order — both engines add the same doubles in the
+    same sequence (the anova ≤5-row discipline on the ~20-row source
+    frame).
+
+    Scale shape: one map-side-combined groupBy(source); everything after
+    runs on the bounded source frame."""
+    from pyspark.sql import Window
+
+    from ..functions.money import micro
+
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.groupBy("source").agg(
+        F.count("*").alias("n_g"), F.sum("n_chars").alias("s_g")
+    )
+    wk = Window.partitionBy()
+    tot = g.select(
+        "source",
+        "n_g",
+        "s_g",
+        F.sum("n_g").over(wk).alias("n"),
+        F.sum("s_g").over(wk).alias("s"),
+        F.count("*").over(wk).alias("n_sources"),
+    )
+    theta_hat = F.col("s").cast("double") / F.col("n").cast("double")
+    theta_loo = (F.col("s") - F.col("s_g")).cast("double") / (
+        F.col("n") - F.col("n_g")
+    ).cast("double")
+    gd = F.col("n_sources").cast("double")
+    base = tot.filter(F.col("n") > F.col("n_g")).select(
+        "source",
+        "n_g",
+        "n_sources",
+        theta_hat.alias("theta_hat"),
+        theta_loo.alias("theta_loo"),
+        (gd * theta_hat - (gd - 1.0) * theta_loo).alias("pseudo"),
+    )
+    ws = Window.orderBy("source").rowsBetween(Window.unboundedPreceding, 0)
+    # pass 1: ordered mean of theta_loo (final-row pick, then broadcast)
+    mean_row = (
+        base.select(
+            F.sum("theta_loo").over(ws).alias("cum_theta"),
+            F.row_number().over(Window.orderBy("source")).alias("rn"),
+            F.count("*").over(wk).alias("g_eff"),
+        )
+        .filter(F.col("rn") == F.col("g_eff"))
+        .select(
+            (F.col("cum_theta") / F.col("g_eff").cast("double")).alias("theta_bar"),
+            F.col("g_eff"),
+        )
+    )
+    withbar = base.join(F.broadcast(mean_row))
+    dev = F.col("theta_loo") - F.col("theta_bar")
+    se_row = (
+        withbar.select(
+            F.sum(dev * dev).over(ws).alias("cum_ss"),
+            F.row_number().over(Window.orderBy("source")).alias("rn"),
+            "g_eff",
+        )
+        .filter(F.col("rn") == F.col("g_eff"))
+        .select(
+            F.sqrt(
+                (F.col("g_eff").cast("double") - 1.0)
+                / F.col("g_eff").cast("double")
+                * F.col("cum_ss")
+            ).alias("jk_se"),
+            F.col("g_eff").alias("g_se"),
+        )
+    )
+    return (
+        withbar.join(F.broadcast(se_row))
+        .select(
+            "source",
+            F.col("n_g").alias("n_docs"),
+            micro(F.col("theta_hat")).alias("mean_chars_all"),
+            micro(F.col("theta_loo")).alias("mean_chars_loo"),
+            micro(F.col("pseudo")).alias("pseudo_value"),
+            F.when(F.col("g_se") > 1, micro(F.col("jk_se"))).alias("jk_se"),
+        )
+        .orderBy("source")
+    )
+
+
+def jackknife_source_mean_sql() -> str:
+    from ..functions.money import micro_sql
+
+    return f"""
+WITH g AS (
+  SELECT source, count(*) AS n_g, sum(n_chars) AS s_g
+  FROM documents GROUP BY source
+),
+tot AS (
+  SELECT source, n_g, s_g,
+         sum(n_g) OVER () AS n, sum(s_g) OVER () AS s,
+         count(*) OVER () AS n_sources
+  FROM g
+),
+base AS (
+  SELECT source, n_g, n_sources,
+         s::double / n::double AS theta_hat,
+         (s - s_g)::double / (n - n_g)::double AS theta_loo,
+         n_sources::double * (s::double / n::double)
+           - (n_sources::double - 1.0)
+             * ((s - s_g)::double / (n - n_g)::double) AS pseudo
+  FROM tot WHERE n > n_g
+),
+mean_row AS (
+  SELECT cum_theta / g_eff::double AS theta_bar, g_eff
+  FROM (
+    SELECT sum(theta_loo) OVER (ORDER BY source ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) AS cum_theta,
+           row_number() OVER (ORDER BY source) AS rn,
+           count(*) OVER () AS g_eff
+    FROM base
+  ) WHERE rn = g_eff
+),
+se_row AS (
+  SELECT sqrt((g_eff::double - 1.0) / g_eff::double * cum_ss) AS jk_se,
+         g_eff AS g_se
+  FROM (
+    SELECT sum((b.theta_loo - m.theta_bar) * (b.theta_loo - m.theta_bar))
+               OVER (ORDER BY b.source ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS cum_ss,
+           row_number() OVER (ORDER BY b.source) AS rn,
+           m.g_eff
+    FROM base b, mean_row m
+  ) WHERE rn = g_eff
+)
+SELECT b.source, CAST(b.n_g AS BIGINT) AS n_docs,
+       {micro_sql('b.theta_hat')} AS mean_chars_all,
+       {micro_sql('b.theta_loo')} AS mean_chars_loo,
+       {micro_sql('b.pseudo')} AS pseudo_value,
+       CASE WHEN s.g_se > 1 THEN {micro_sql('s.jk_se')} END AS jk_se
+FROM base b, mean_row m, se_row s
+ORDER BY b.source
+"""

@@ -2328,3 +2328,363 @@ SELECT day, cents / 100.0 AS net_revenue,
 FROM cum
 ORDER BY day
 """
+
+
+# ---------------------------------------------------------------------------
+# daily-series diagnostics: normality, residual autocorrelation, randomness
+# ---------------------------------------------------------------------------
+
+
+def jarque_bera_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque–Bera normality screen on global daily revenue: skewness,
+    excess kurtosis, and JB = n/6·(g₁² + g₂²/4) — the "can I even use
+    z/t machinery on this series" pre-flight the daily anomaly monitors
+    (:func:`daily_anomalies` z-scores, :func:`robust_daily_anomalies`)
+    should be read against.  No p-value (χ² tail); JB in χ²₂ units
+    answers the question.
+
+    Determinism: the centered deviations are exact first — z_t = n·y_t −
+    S in decimal (the daily_revenue_acf discipline) — then ONE double
+    division by n each; the 2nd/3rd/4th-power sums CANNOT stay exact
+    (z⁴ ≈ 1e56 at adversarial cents, past decimal(38)), so they
+    accumulate as ORDERED cumulative window sums over the dense calendar
+    (day order), giving both engines the identical fp addition sequence
+    — the ewma/holt bounded-calendar class, not a data-sized sort.
+
+    Scale shape: one daily shuffle; the moment pass is one ordered window
+    over the dense calendar (days, not transactions)."""
+    from ..functions.money import micro
+
+    dense = _global_daily_cents(spark, sf_dir)
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    tot = dense.agg(F.count("*").alias("n"), F.sum("cents").alias("s"))
+    d = dense.join(F.broadcast(tot)).select(
+        "day",
+        "n",
+        (
+            (dec(F.col("n")) * dec(F.col("cents")) - dec(F.col("s"))).cast("double")
+            / F.col("n").cast("double")
+        ).alias("d"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    dd = F.col("d")
+    cum = d.select(
+        "n",
+        F.sum(dd * dd).over(w).alias("s2"),
+        F.sum(dd * dd * dd).over(w).alias("s3"),
+        F.sum(dd * dd * dd * dd).over(w).alias("s4"),
+        F.row_number().over(Window.orderBy("day")).alias("rn"),
+    ).filter(F.col("rn") == F.col("n"))
+    nd = F.col("n").cast("double")
+    m2 = F.col("s2") / nd
+    m3 = F.col("s3") / nd
+    m4 = F.col("s4") / nd
+    skew = m3 / F.sqrt(m2 * m2 * m2)
+    exk = m4 / (m2 * m2) - 3.0
+    jb = nd / 6.0 * (skew * skew + exk * exk / 4.0)
+    ok = m2 > 0.0
+    return cum.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.when(ok, micro(skew)).alias("skewness"),
+        F.when(ok, micro(exk)).alias("ex_kurtosis"),
+        F.when(ok, micro(jb)).alias("jb_stat"),
+    )
+
+
+def jarque_bera_daily_revenue_sql() -> str:
+    from ..functions.money import micro_sql
+
+    skew = (
+        "(s3 / n::double / sqrt((s2 / n::double) * (s2 / n::double)"
+        " * (s2 / n::double)))"
+    )
+    exk = "(s4 / n::double / ((s2 / n::double) * (s2 / n::double)) - 3.0)"
+    jb = f"(n::double / 6.0 * ({skew} * {skew} + {exk} * {exk} / 4.0))"
+    return f"""
+WITH txn AS ({transactions_sql()}),
+{_global_daily_cents_sql()},
+tot AS (SELECT count(*) AS n, sum(cents) AS s FROM dense),
+devs AS (
+  SELECT day, n,
+         (n::hugeint * cents::hugeint - s::hugeint)::double / n::double AS d
+  FROM dense, tot
+),
+cum AS (
+  SELECT n,
+         sum(d * d) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+              AND CURRENT ROW) AS s2,
+         sum(d * d * d) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+              AND CURRENT ROW) AS s3,
+         sum(d * d * d * d) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+              AND CURRENT ROW) AS s4,
+         row_number() OVER (ORDER BY day) AS rn
+  FROM devs
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       CASE WHEN s2 > 0.0 THEN {micro_sql(skew)} END AS skewness,
+       CASE WHEN s2 > 0.0 THEN {micro_sql(exk)} END AS ex_kurtosis,
+       CASE WHEN s2 > 0.0 THEN {micro_sql(jb)} END AS jb_stat
+FROM cum WHERE rn = n
+"""
+
+
+def durbin_watson_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin–Watson serial-correlation test on the residuals of the OLS
+    day-index trend of daily revenue — "after removing the linear trend,
+    are consecutive days still correlated?"  DW ≈ 2 means white
+    residuals (the trend captured the structure), DW → 0 positive serial
+    correlation (:func:`holt_linear_daily_revenue`'s level component is
+    then doing real work), DW → 4 alternation.  Also reports the exact
+    OLS slope in dollars/day — the closed-form LS companion to the
+    robust :func:`theilsen_revenue_trend`.
+
+    Exactness: with x = days-since-start (exact int) the OLS residual
+    scales to the exact decimal R_t = D·(n·y_t − S_y) − N·(n·x_t − S_x),
+    N = n·S_xy − S_x·S_y, D = n·S_xx − S_x² (all per-factor-cast decimal
+    products, ≤1e27 at adversarial magnitudes); residual squares WOULD
+    overflow decimal, so Σe², Σ(e_t − e_{t−1})² accumulate as ordered
+    cumulative doubles over the dense calendar (the jarque_bera
+    discipline).  DW is scale-invariant, so the D·n scaling of R_t
+    cancels exactly.
+
+    Scale shape: one daily shuffle, one broadcast 1-row moment join, one
+    ordered window over the dense calendar."""
+    from ..functions.money import micro
+
+    dense = _global_daily_cents(spark, sf_dir)
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    w0 = Window.partitionBy()
+    xframe = dense.select(
+        "day",
+        "cents",
+        F.datediff(F.col("day"), F.min("day").over(w0)).cast("long").alias("x"),
+    )
+    xd = F.col("x").cast("decimal(19,0)")
+    yd = F.col("cents").cast("decimal(19,0)")
+    tot = xframe.agg(
+        F.count("*").alias("n"),
+        F.sum("cents").alias("sy"),
+        F.sum("x").alias("sx"),
+        F.sum((xd * xd).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((xd * yd).cast("decimal(38,0)")).alias("sxy"),
+    )
+    n_big = dec(F.col("n"))
+    num = n_big * dec(F.col("sxy")) - dec(F.col("sx")) * dec(F.col("sy"))
+    den = n_big * dec(F.col("sxx")) - dec(F.col("sx")) * dec(F.col("sx"))
+    moments = tot.select(
+        "n", "sy", "sx", num.alias("nslope"), den.alias("dslope")
+    )
+    r = xframe.join(F.broadcast(moments)).select(
+        "day",
+        "n",
+        "nslope",
+        "dslope",
+        (
+            dec(F.col("dslope"))
+            * (dec(F.col("n")) * dec(F.col("cents")) - dec(F.col("sy")))
+            - dec(F.col("nslope"))
+            * (dec(F.col("n")) * dec(F.col("x")) - dec(F.col("sx")))
+        )
+        .cast("double")
+        .alias("e"),
+    )
+    wd = Window.orderBy("day")
+    wcum = wd.rowsBetween(Window.unboundedPreceding, 0)
+    diff = F.col("e") - F.lag("e", 1).over(wd)
+    cum = r.select(
+        "n",
+        "nslope",
+        "dslope",
+        F.sum(F.col("e") * F.col("e")).over(wcum).alias("den_ss"),
+        F.sum(
+            F.coalesce(diff * diff, F.lit(0.0))
+        ).over(wcum).alias("num_ss"),
+        F.row_number().over(wd).alias("rn"),
+    ).filter(F.col("rn") == F.col("n"))
+    ok = (F.col("dslope") != 0) & (F.col("den_ss") > 0.0)
+    dw = F.col("num_ss") / F.col("den_ss")
+    slope = F.col("nslope").cast("double") / F.col("dslope").cast("double")
+    return cum.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.when(F.col("dslope") != 0, micro(slope / 100.0)).alias("ols_slope_per_day"),
+        F.when(ok, micro(dw)).alias("dw_stat"),
+        F.when(ok, micro(1.0 - dw / 2.0)).alias("rho1_approx"),
+    )
+
+
+def durbin_watson_revenue_sql() -> str:
+    from ..functions.money import micro_sql
+
+    dw = "(num_ss / den_ss)"
+    return f"""
+WITH txn AS ({transactions_sql()}),
+{_global_daily_cents_sql()},
+xframe AS (
+  SELECT day, cents,
+         CAST(day - min(day) OVER () AS BIGINT) AS x
+  FROM dense
+),
+tot AS (
+  SELECT count(*) AS n, sum(cents) AS sy, sum(x) AS sx,
+         sum(x::hugeint * x::hugeint) AS sxx,
+         sum(x::hugeint * cents::hugeint) AS sxy
+  FROM xframe
+),
+moments AS (
+  SELECT n, sy, sx,
+         n::hugeint * sxy - sx::hugeint * sy::hugeint AS nslope,
+         n::hugeint * sxx - sx::hugeint * sx::hugeint AS dslope
+  FROM tot
+),
+resid AS (
+  SELECT f.day, m.n, m.nslope, m.dslope,
+         (m.dslope * (m.n::hugeint * f.cents::hugeint - m.sy::hugeint)
+          - m.nslope * (m.n::hugeint * f.x::hugeint - m.sx::hugeint))::double AS e
+  FROM xframe f, moments m
+),
+lagged AS (
+  SELECT day, n, nslope, dslope, e,
+         e - lag(e, 1) OVER (ORDER BY day) AS de
+  FROM resid
+),
+cum AS (
+  SELECT n, nslope, dslope,
+         sum(e * e) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+              AND CURRENT ROW) AS den_ss,
+         sum(coalesce(de * de, 0.0)) OVER (ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS num_ss,
+         row_number() OVER (ORDER BY day) AS rn
+  FROM lagged
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       CASE WHEN dslope <> 0 THEN
+         {micro_sql('(nslope::double / dslope::double / 100.0)')}
+       END AS ols_slope_per_day,
+       CASE WHEN dslope <> 0 AND den_ss > 0.0 THEN {micro_sql(dw)} END AS dw_stat,
+       CASE WHEN dslope <> 0 AND den_ss > 0.0
+            THEN {micro_sql(f'(1.0 - {dw} / 2.0)')} END AS rho1_approx
+FROM cum WHERE rn = n
+"""
+
+
+def runs_test_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test on daily revenue around its median: are
+    above-median and below-median days randomly interleaved, or do they
+    clump (momentum/regimes) or alternate (overcorrection)?  The
+    distribution-free randomness screen that complements
+    :func:`daily_revenue_acf` (ACF measures linear lag correlation; runs
+    detect ANY sign-pattern structure).  Median-tied days are dropped —
+    the standard two-category reduction.
+
+    Determinism: the median is an exact nearest-rank pick (rank
+    (m+1) div 2) located by prefix-count interval cover over the
+    per-value frame of the dense calendar (bounded by n_days — the
+    bounded-calendar window class); run boundaries come from a lag over
+    day order; μ_R and σ²_R use per-factor-cast decimal products with
+    ONE double division each.
+
+    Scale shape: one daily shuffle; ranking and run counting both run on
+    calendar-bounded frames."""
+    from ..functions.money import micro
+
+    dense = _global_daily_cents(spark, sf_dir)
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    per_val = dense.groupBy("cents").agg(F.count("*").alias("cnt"))
+    wv = Window.orderBy("cents")
+    ranked = per_val.select(
+        "cents",
+        "cnt",
+        F.coalesce(
+            F.sum("cnt").over(wv.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
+        ).alias("before"),
+        F.sum("cnt").over(Window.partitionBy()).alias("m"),
+    )
+    med_rank = F.expr("(m + 1) div 2")
+    covers = (F.col("before") < med_rank) & (med_rank <= F.col("before") + F.col("cnt"))
+    med = ranked.agg(F.min(F.when(covers, F.col("cents"))).alias("med"))
+    signs = (
+        dense.join(F.broadcast(med))
+        .filter(F.col("cents") != F.col("med"))
+        .select("day", (F.col("cents") > F.col("med")).cast("int").alias("sgn"))
+    )
+    wd = Window.orderBy("day")
+    runs = signs.select(
+        "sgn",
+        F.when(
+            F.lag("sgn", 1).over(wd).isNull()
+            | (F.lag("sgn", 1).over(wd) != F.col("sgn")),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_start"),
+    )
+    m = runs.agg(
+        F.sum("sgn").alias("n1"),
+        (F.count("*") - F.sum("sgn")).alias("n2"),
+        F.sum("is_start").alias("r"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    mm = n1 + n2
+    two_n1n2 = 2 * dec(n1) * dec(n2)
+    mu = two_n1n2.cast("double") / mm.cast("double") + 1.0
+    var = (
+        (two_n1n2 * (two_n1n2 - dec(mm))).cast("double")
+        / (dec(mm) * dec(mm) * dec(mm - 1)).cast("double")
+    )
+    ok = (n1 > 0) & (n2 > 0) & (mm > 1) & (var > 0.0)
+    z = (F.col("r").cast("double") - mu) / F.sqrt(var)
+    return m.select(
+        n1.cast("long").alias("n_above"),
+        n2.cast("long").alias("n_below"),
+        F.col("r").cast("long").alias("n_runs"),
+        F.when(ok, micro(mu)).alias("expected_runs"),
+        F.when(ok, micro(z)).alias("z_score"),
+    )
+
+
+def runs_test_revenue_sql() -> str:
+    from ..functions.money import micro_sql
+
+    mu = "((2 * n1::hugeint * n2::hugeint)::double / (n1 + n2)::double + 1.0)"
+    var = (
+        "(((2 * n1::hugeint * n2::hugeint) * (2 * n1::hugeint * n2::hugeint"
+        " - (n1 + n2)::hugeint))::double"
+        " / ((n1 + n2)::hugeint * (n1 + n2)::hugeint * (n1 + n2 - 1)::hugeint)::double)"
+    )
+    z = f"((r::double - {mu}) / sqrt({var}))"
+    ok = f"(n1 > 0 AND n2 > 0 AND n1 + n2 > 1 AND {var} > 0.0)"
+    return f"""
+WITH txn AS ({transactions_sql()}),
+{_global_daily_cents_sql()},
+per_val AS (SELECT cents, count(*) AS cnt FROM dense GROUP BY cents),
+ranked AS (
+  SELECT cents, cnt,
+         coalesce(sum(cnt) OVER (ORDER BY cents ROWS BETWEEN UNBOUNDED
+                  PRECEDING AND 1 PRECEDING), 0) AS before,
+         sum(cnt) OVER () AS m
+  FROM per_val
+),
+med AS (
+  SELECT min(CASE WHEN before < (m + 1) // 2 AND (m + 1) // 2 <= before + cnt
+                  THEN cents END) AS med
+  FROM ranked
+),
+signs AS (
+  SELECT day, CASE WHEN cents > med THEN 1 ELSE 0 END AS sgn
+  FROM dense, med WHERE cents <> med
+),
+runs AS (
+  SELECT sgn,
+         CASE WHEN lag(sgn, 1) OVER (ORDER BY day) IS NULL
+              OR lag(sgn, 1) OVER (ORDER BY day) <> sgn THEN 1 ELSE 0 END AS is_start
+  FROM signs
+),
+m AS (
+  SELECT sum(sgn) AS n1, count(*) - sum(sgn) AS n2, sum(is_start) AS r FROM runs
+)
+SELECT CAST(n1 AS BIGINT) AS n_above, CAST(n2 AS BIGINT) AS n_below,
+       CAST(r AS BIGINT) AS n_runs,
+       CASE WHEN {ok} THEN {micro_sql(mu)} END AS expected_runs,
+       CASE WHEN {ok} THEN {micro_sql(z)} END AS z_score
+FROM m
+"""

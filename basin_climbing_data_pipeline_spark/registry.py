@@ -1167,6 +1167,31 @@ register(
     "anova_spend_by_segment", ex.anova_spend_by_segment, ex.anova_spend_by_segment_sql()
 )
 register("kruskal_wallis_spend", ex.kruskal_wallis_spend, ex.kruskal_wallis_spend_sql())
+# seventh round-9 batch: inference-battery round-out — the parametric
+# two-group member, single-pass extreme screen
+register("welch_ttest_spend", ex.welch_ttest_spend, ex.welch_ttest_spend_sql())
+register("grubbs_spend_outlier", ex.grubbs_spend_outlier, ex.grubbs_spend_outlier_sql())
+register(
+    "levene_brown_forsythe", ex.levene_brown_forsythe, ex.levene_brown_forsythe_sql()
+)
+register(
+    "permutation_test_spend", ex.permutation_test_spend, ex.permutation_test_spend_sql()
+)
+# eighth round-9 batch: daily-series diagnostics (normality, residual
+# autocorrelation, sign-pattern randomness)
+register(
+    "jarque_bera_daily_revenue",
+    txn.jarque_bera_daily_revenue,
+    txn.jarque_bera_daily_revenue_sql(),
+)
+register(
+    "durbin_watson_revenue", txn.durbin_watson_revenue, txn.durbin_watson_revenue_sql()
+)
+register("runs_test_revenue", txn.runs_test_revenue, txn.runs_test_revenue_sql())
+# ninth round-9 batch: grouped-jackknife corpus-sensitivity audit
+register(
+    "jackknife_source_mean", ts.jackknife_source_mean, ts.jackknife_source_mean_sql()
+)
 
 # ROUND-9 WINDOW (the 50 registry slots the driver verifies this round).
 # CORRECTNESS_r08 landed 50/50 green, so the staged plan is now code:
@@ -1259,9 +1284,9 @@ if len(set(_ROUND9_WINDOW)) != len(_ROUND9_WINDOW):
 # re-verifies).  The rotation-arithmetic guard below fails the build the
 # moment additions + owed re-verifies outrun the 50-slot window — debt
 # must never compound silently (judge order, round 8 verdict #4).
-# Round-9 close: 27 front + 2 owed = 29 slots; fill the remaining 21 with
-# the oldest driver-green rows at that point (continue the round-4-green
-# sequence the round-9 fill consumed, CORRECTNESS_r04 order).
+# Round-9 close: 45 front + 5 owed = 50 slots — the window is FULL, so no
+# further registry additions can ship in round 9 (the guard below would
+# throw).  Round 10 therefore verifies exactly this window with zero fill.
 _ROUND10_FRONT: list[str] = [
     # round-9 time-series battery (never driver-checked)
     "daily_revenue_acf",
@@ -1301,6 +1326,14 @@ _ROUND10_FRONT: list[str] = [
     "streaming_jsd_drift",
     "anova_spend_by_segment",
     "kruskal_wallis_spend",
+    "welch_ttest_spend",
+    "grubbs_spend_outlier",
+    "levene_brown_forsythe",
+    "permutation_test_spend",
+    "jarque_bera_daily_revenue",
+    "durbin_watson_revenue",
+    "runs_test_revenue",
+    "jackknife_source_mean",
 ]
 _ROUND10_OWED: list[str] = [
     # round-9 guarded-micro hardening (engine + oracle switched to the

@@ -79,6 +79,7 @@ QUERIES = [
     "format_marker_rates",       # regex battery on unicode/punct/empty docs
     "split_token_jsd",           # empty split halves, multi-byte tokens
     "heaps_law_fit",             # saturated/degenerate vocab growth (beta=0)
+    "jackknife_source_mean",     # single-source corpora (g_eff=1: SE NULL)
 ]
 
 
@@ -361,6 +362,13 @@ TXN_QUERIES = [
     "capture_recapture_population",  # zero-overlap Chapman (+1 correction path)
     "anova_spend_by_segment",    # tiny-n groups: n==k / SSW=0 guard paths
     "kruskal_wallis_spend",      # all-tied rank frames: C<=0 tie-correction guard
+    "welch_ttest_spend",         # one-sided/empty arms, zero-variance guard paths
+    "grubbs_spend_outlier",      # n<=2 and constant-spend var=0 guards
+    "levene_brown_forsythe",     # per-segment medians on tie-heavy tiny groups
+    "permutation_test_spend",    # exact boundary |d_b| == |d_obs| counts extreme
+    "jarque_bera_daily_revenue", # edge-cent z ordered-sum moments, m2=0 guard
+    "durbin_watson_revenue",     # degenerate 1-day calendars (D=0), zero residuals
+    "runs_test_revenue",         # all-above/all-below median: sigma^2=0 guard
 ]
 
 
