@@ -752,6 +752,14 @@ REL_QUERIES = [
     "membership_scd2",           # SCD2 islands over randomized lifecycles
     "data_questions",            # queue rules over randomized memberships
     "bootstrap_spend_ci",        # md5 replicate weights over random amounts
+    # round-9 inference battery under full relational randomization
+    "welch_ttest_spend",         # 8-decimal money rounding into exact moments
+    "grubbs_spend_outlier",      # random heavy tails through the single-pass max
+    "levene_brown_forsythe",     # randomized per-segment medians + |dev| ANOVA
+    "permutation_test_spend",    # hash arms over random spends, exact boundary
+    "jarque_bera_daily_revenue", # sparse random calendar ordered-sum moments
+    "durbin_watson_revenue",     # random-walk residuals on the fuzzed calendar
+    "runs_test_revenue",         # random sign interleavings around the median
 ]
 
 
