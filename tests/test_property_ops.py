@@ -329,3 +329,38 @@ def test_nearest_rank_interval_cover_equals_sorted_indexing(vals):
     for r in {1, (n + 1) // 2, (n + 3) // 4, (3 * n + 3) // 4, (9 * n + 9) // 10, n}:
         if 1 <= r <= n:
             assert cover[r] == sv[r - 1], (r, cover[r], sv[r - 1])
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.tuples(
+        st.integers(min_value=-(10**14), max_value=10**14),  # s_a (cents sums)
+        st.integers(min_value=1, max_value=10**7),           # n_a
+        st.integers(min_value=-(10**14), max_value=10**14),  # s_b
+        st.integers(min_value=1, max_value=10**7),           # n_b
+        st.integers(min_value=-(10**14), max_value=10**14),  # s_a0
+        st.integers(min_value=1, max_value=10**7),           # n_a0
+        st.integers(min_value=-(10**14), max_value=10**14),  # s_b0
+        st.integers(min_value=1, max_value=10**7),           # n_b0
+    )
+)
+def test_cross_multiplied_extremeness_equals_exact_rational(t):
+    """The permutation test's boundary comparison |S_a/n_a − S_b/n_b| ≥
+    |S_a0/n_a0 − S_b0/n_b0| is evaluated as
+    |S_a·n_b − S_b·n_a|·(n_a0·n_b0) ≥ |S_a0·n_b0 − S_b0·n_a0|·(n_a·n_b)
+    in exact integer arithmetic (decimal(38,0) in Spark, HUGEINT in the
+    oracle).  Prove the algebra against exact rationals over the full
+    adversarial magnitude domain, and prove the 38-digit envelope is
+    never exceeded (Spark decimal would otherwise overflow)."""
+    from fractions import Fraction
+
+    s_a, n_a, s_b, n_b, s_a0, n_a0, s_b0, n_b0 = t
+    lhs = abs(s_a * n_b - s_b * n_a) * (n_a0 * n_b0)
+    rhs = abs(s_a0 * n_b0 - s_b0 * n_a0) * (n_a * n_b)
+    exact = abs(Fraction(s_a, n_a) - Fraction(s_b, n_b)) >= abs(
+        Fraction(s_a0, n_a0) - Fraction(s_b0, n_b0)
+    )
+    assert (lhs >= rhs) == exact
+    # decimal(38,0) envelope: |S|·n ≤ 1e14·1e7 = 1e21; diff ≤ 2e21;
+    # times n²(≤1e14) ≤ 2e35 < 1e38 − the Spark cast never saturates.
+    assert abs(lhs) < 10**38 and abs(rhs) < 10**38
