@@ -2102,6 +2102,11 @@ def levene_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
     seg = build_customers(spark, sf_dir).select("customer_id", "segment")
     vals = per_cust.join(F.broadcast(seg), "customer_id").select("segment", "cents")
     per_val = vals.groupBy("segment", "cents").agg(F.count("*").alias("cnt"))
+    # NOTE(round-10): 5th inline copy of the sign-aware log-bucket prefix
+    # rank (siblings: mann_whitney/kruskal here, tukey/rfm in cohorts).
+    # Consolidating into a shared sketches.py helper means touching
+    # driver-green operators, which the full round-10 window cannot absorb
+    # as owed re-verifies this round — scheduled for the round-10 session.
     vm = F.col("cents")
     bucket = (
         F.when(vm >= 0, F.floor(F.log10(vm + 1) * HIST_SUBBUCKETS))
@@ -2251,7 +2256,9 @@ def permutation_test_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     B = 200 pseudo-permutations reassign each customer's arm by
     md5(customer_id ∥ perm-index) and the p-value is the share of
     permuted |mean diffs| at least as extreme as the observed one
-    ((1 + #extreme)/(B + 1), the add-one permutation estimator).  The
+    ((1 + #extreme)/(1 + #valid), the add-one permutation estimator over
+    the pseudo-permutations that kept both arms populated — a degenerate
+    perm carries no diff and drops from numerator AND denominator).  The
     resampling-based member of the two-group family — no normality or
     rank assumptions at all — and a template for deterministic Monte
     Carlo on a cluster: NO rand(), the "randomness" is a content hash,
@@ -2313,9 +2320,14 @@ def permutation_test_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     rhs = F.abs(
         dec(F.col("s_a0")) * dec(F.col("n_b0")) - dec(F.col("s_b0")) * dec(F.col("n_a0"))
     ) * (dec(F.col("n_a")) * dec(F.col("n_b")))
+    # a pseudo-permutation that empties an arm carries no diff — it must
+    # drop from BOTH the numerator and the denominator (counting it only
+    # in the denominator would bias p toward significance on tiny
+    # corpora, where P(empty arm) = 2·2^-n is non-negligible)
     valid = (F.col("n_a") > 0) & (F.col("n_b") > 0)
     agg = j.agg(
         F.count("*").alias("n_perms"),
+        F.sum(valid.cast("long")).alias("n_valid"),
         F.sum(F.when(valid & (lhs >= rhs), 1).otherwise(0)).alias("n_ge"),
         F.min("n_a0").alias("n_a0"),
         F.min("s_a0").alias("s_a0"),
@@ -2331,12 +2343,13 @@ def permutation_test_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_b0").alias("n_b"),
         F.when(ok, micro(d_obs / 100.0)).alias("mean_diff"),
         F.col("n_perms").cast("long").alias("n_perms"),
+        F.col("n_valid").cast("long").alias("n_valid"),
         F.col("n_ge").cast("long").alias("n_extreme"),
         F.when(
             ok,
             micro(
                 (1.0 + F.col("n_ge").cast("double"))
-                / (1.0 + F.col("n_perms").cast("double"))
+                / (1.0 + F.col("n_valid").cast("double"))
             ),
         ).alias("p_value"),
     )
@@ -2377,6 +2390,7 @@ per_b AS (
 ),
 agg AS (
   SELECT count(*) AS n_perms,
+         sum(CASE WHEN n_a > 0 AND n_b > 0 THEN 1 ELSE 0 END) AS n_valid,
          sum(CASE WHEN n_a > 0 AND n_b > 0
                   AND abs(s_a::hugeint * n_b::hugeint - s_b::hugeint * n_a::hugeint)
                       * (n_a0::hugeint * n_b0::hugeint)
@@ -2391,9 +2405,10 @@ SELECT CAST(n_a0 AS BIGINT) AS n_a, CAST(n_b0 AS BIGINT) AS n_b,
        CASE WHEN n_a0 > 0 AND n_b0 > 0
             THEN {micro_sql(f'({d_obs} / 100.0)')} END AS mean_diff,
        CAST(n_perms AS BIGINT) AS n_perms,
+       CAST(n_valid AS BIGINT) AS n_valid,
        CAST(n_ge AS BIGINT) AS n_extreme,
        CASE WHEN n_a0 > 0 AND n_b0 > 0 THEN
-         {micro_sql('((1.0 + n_ge::double) / (1.0 + n_perms::double))')}
+         {micro_sql('((1.0 + n_ge::double) / (1.0 + n_valid::double))')}
        END AS p_value
 FROM agg
 """

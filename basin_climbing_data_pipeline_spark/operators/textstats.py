@@ -2991,7 +2991,11 @@ def jackknife_source_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     multiple SEs dominates the corpus (the length-stat cousin of
     :func:`eb_shrunk_source_quality`'s small-n distrust: EB asks "can I
     trust a small source", the jackknife asks "am I hostage to a big
-    one").  SE uses the standard (G−1)/G grouped-jackknife scaling.
+    one").  SE uses the standard (G−1)/G grouped-jackknife scaling.  A
+    single-source corpus returns an EMPTY frame on both engines
+    (leave-one-out is undefined at G = 1: the only row has n == n_g and
+    the n > n_g filter drops it), so non-empty output structurally has
+    G ≥ 2.
 
     Determinism: per-source n_g and Σchars are exact int64; every
     leave-one-out mean θ_(g) = (S − s_g)/(n − n_g) is ONE double
@@ -3062,9 +3066,11 @@ def jackknife_source_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.col("g_eff").cast("double")
                 * F.col("cum_ss")
             ).alias("jk_se"),
-            F.col("g_eff").alias("g_se"),
         )
     )
+    # no G==1 guard needed: a single-source corpus has n == n_g for its
+    # only row, so `base` is EMPTY (leave-one-out is undefined) and any
+    # non-empty output structurally has G >= 2
     return (
         withbar.join(F.broadcast(se_row))
         .select(
@@ -3073,7 +3079,7 @@ def jackknife_source_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             micro(F.col("theta_hat")).alias("mean_chars_all"),
             micro(F.col("theta_loo")).alias("mean_chars_loo"),
             micro(F.col("pseudo")).alias("pseudo_value"),
-            F.when(F.col("g_se") > 1, micro(F.col("jk_se"))).alias("jk_se"),
+            micro(F.col("jk_se")).alias("jk_se"),
         )
         .orderBy("source")
     )
@@ -3113,8 +3119,7 @@ mean_row AS (
   ) WHERE rn = g_eff
 ),
 se_row AS (
-  SELECT sqrt((g_eff::double - 1.0) / g_eff::double * cum_ss) AS jk_se,
-         g_eff AS g_se
+  SELECT sqrt((g_eff::double - 1.0) / g_eff::double * cum_ss) AS jk_se
   FROM (
     SELECT sum((b.theta_loo - m.theta_bar) * (b.theta_loo - m.theta_bar))
                OVER (ORDER BY b.source ROWS BETWEEN UNBOUNDED PRECEDING
@@ -3128,7 +3133,7 @@ SELECT b.source, CAST(b.n_g AS BIGINT) AS n_docs,
        {micro_sql('b.theta_hat')} AS mean_chars_all,
        {micro_sql('b.theta_loo')} AS mean_chars_loo,
        {micro_sql('b.pseudo')} AS pseudo_value,
-       CASE WHEN s.g_se > 1 THEN {micro_sql('s.jk_se')} END AS jk_se
+       {micro_sql('s.jk_se')} AS jk_se
 FROM base b, mean_row m, se_row s
 ORDER BY b.source
 """

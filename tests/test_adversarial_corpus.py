@@ -79,7 +79,7 @@ QUERIES = [
     "format_marker_rates",       # regex battery on unicode/punct/empty docs
     "split_token_jsd",           # empty split halves, multi-byte tokens
     "heaps_law_fit",             # saturated/degenerate vocab growth (beta=0)
-    "jackknife_source_mean",     # single-source corpora (g_eff=1: SE NULL)
+    "jackknife_source_mean",     # single-source corpora -> empty frame (LOO undefined)
 ]
 
 

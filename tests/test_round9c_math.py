@@ -189,7 +189,7 @@ def test_permutation_test_spend_matches_pure_python(con):
     sa0 = sum(c for _k, c in obs_a)
     nb0 = len(rows) - na0
     sb0 = sum(c for _k, c in rows) - sa0
-    n_ge = 0
+    n_ge = n_valid = 0
     for b in range(1, PERM_B + 1):
         na = sa = 0
         for k, c in rows:
@@ -198,19 +198,22 @@ def test_permutation_test_spend_matches_pure_python(con):
                 sa += c
         nb, sb = len(rows) - na, sum(c for _k, c in rows) - sa
         if na == 0 or nb == 0:
-            continue
+            continue  # degenerate perm: out of numerator AND denominator
+        n_valid += 1
         # exact cross-multiplied extremeness (no float boundary)
         lhs = abs(sa * nb - sb * na) * (na0 * nb0)
         rhs = abs(sa0 * nb0 - sb0 * na0) * (na * nb)
         if lhs >= rhs:
             n_ge += 1
     d_obs = float(sa0) / float(na0) - float(sb0) / float(nb0)
-    p = (1.0 + float(n_ge)) / (1.0 + float(PERM_B))
+    p = (1.0 + float(n_ge)) / (1.0 + float(n_valid))
     assert got == [
-        (na0, nb0, _micro(d_obs / 100.0), PERM_B, n_ge, _micro(p))
+        (na0, nb0, _micro(d_obs / 100.0), PERM_B, n_valid, n_ge, _micro(p))
     ]
-    # alive: p is a genuine interior probability with add-one smoothing
-    assert 0.0 < got[0][5] <= 1.0
+    # alive: p is a genuine interior probability with add-one smoothing,
+    # and the md5 arms keep every perm two-sided on this corpus
+    assert 0.0 < got[0][6] <= 1.0
+    assert n_valid == PERM_B
 
 
 def test_jarque_bera_daily_revenue_matches_pure_python(con):
