@@ -2091,6 +2091,7 @@ def levene_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one per-customer collapse, one (segment, value) groupBy,
     the bounded per-segment bucket-offset build, one ≤5-row rollup."""
     from ..functions.money import micro, to_cents
+    from ..io import tracked_persist
     from .customers import build_customers
     from .sketches import HIST_SUBBUCKETS
     from .transactions import build_transactions
@@ -2100,7 +2101,11 @@ def levene_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(to_cents(F.col("total_amount"))).alias("cents")
     )
     seg = build_customers(spark, sf_dir).select("customer_id", "segment")
-    vals = per_cust.join(F.broadcast(seg), "customer_id").select("segment", "cents")
+    # tracked cache: the rank build AND the |dev| pass both consume the
+    # per-customer collapse — without it the corpus-sized groupBy runs twice
+    vals = tracked_persist(
+        per_cust.join(F.broadcast(seg), "customer_id").select("segment", "cents")
+    )
     per_val = vals.groupBy("segment", "cents").agg(F.count("*").alias("cnt"))
     # NOTE(round-10): 5th inline copy of the sign-aware log-bucket prefix
     # rank (siblings: mann_whitney/kruskal here, tukey/rfm in cohorts).
@@ -2275,12 +2280,17 @@ def permutation_test_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer collapsed by ONE map-side-combined groupBy(perm) to B rows;
     everything after runs on the B-row frame."""
     from ..functions.money import micro, to_cents
+    from ..io import tracked_persist
     from .sampling import _md5_bucket
     from .transactions import build_transactions
 
     txn = build_transactions(spark, sf_dir)
-    per_cust = txn.groupBy("customer_id").agg(
-        F.sum(to_cents(F.col("total_amount"))).alias("y")
+    # tracked cache: the observed-arm aggregate AND the 200-way explode
+    # both consume the per-customer collapse
+    per_cust = tracked_persist(
+        txn.groupBy("customer_id").agg(
+            F.sum(to_cents(F.col("total_amount"))).alias("y")
+        )
     )
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     obs = per_cust.select(

@@ -1908,7 +1908,16 @@ PH_LAMBDA_DOLLARS = 5_000_000.0  # ~50σ·√days excursion before alarm
 def _global_daily_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zero-filled GLOBAL daily revenue in cents — the shared base of the
     round-9 time-series battery (same dense-calendar discipline as
-    ewma_daily_revenue: a day with no transactions IS a zero-revenue day)."""
+    ewma_daily_revenue: a day with no transactions IS a zero-revenue day).
+
+    Tracked-persisted: every consumer feeds the dense frame to at least
+    two plans (a 1-row moment aggregate + the per-row pass), and Catalyst
+    plans those as independent subtrees — without the cache each consumer
+    would scan and collapse the corpus-sized transaction table twice (the
+    rfm_segments lesson at 2 consumers instead of 5).  The cached frame
+    is calendar-bounded (days, not transactions)."""
+    from ..io import tracked_persist
+
     txn = build_transactions(spark, sf_dir)
     daily = txn.groupBy(F.col("txn_date").alias("day")).agg(
         F.sum(to_cents(F.col("total_amount"))).alias("cents")
@@ -1917,8 +1926,10 @@ def _global_daily_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
     calendar = bounds.select(
         F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day")
     )
-    return calendar.join(daily, "day", "left").select(
-        "day", F.coalesce(F.col("cents"), F.lit(0)).alias("cents")
+    return tracked_persist(
+        calendar.join(daily, "day", "left").select(
+            "day", F.coalesce(F.col("cents"), F.lit(0)).alias("cents")
+        )
     )
 
 
