@@ -16,27 +16,30 @@ from basin_climbing_data_pipeline_spark import registry
 
 
 def test_window_order_is_the_declared_rotation():
-    """The first 50 entries must be exactly _ROUND9_WINDOW, in order —
+    """The first 50 entries must be exactly _ROUND10_WINDOW, in order —
     the round's verification plan IS the registration order."""
     names = list(registry.REGISTRY)
-    assert names[:50] == registry._ROUND9_WINDOW
+    assert names[:50] == registry._ROUND10_WINDOW
 
 
 def test_rotation_arithmetic_cannot_compound_debt():
     """Judge order (round-8 verdict #4): additions staged for the next
     round plus owed re-verifies must fit the 50-slot window, and the
     current window must cover every entry never driver-verified.  Today
-    the 28 round-8 additions are exactly _ROUND9_FRONT; CORRECTNESS_r08
-    landed green on the round-8 window, so a green r09 on this window
-    reaches 232/232 driver-verified-ever."""
-    assert len(registry._ROUND9_WINDOW) == 50
+    the 45 round-9 additions plus 5 owed re-verifies are exactly
+    _ROUND10_WINDOW; CORRECTNESS_r09 landed green on the round-9 window
+    (232/232 driver-verified-ever), so a green r10 on this window reaches
+    277/277.  Round-10 additions are further capped at 20 (round-9
+    verdict #6: depth over breadth)."""
+    assert len(registry._ROUND10_WINDOW) == 50
     assert (
-        len(registry._ROUND10_FRONT) + len(registry._ROUND10_OWED) <= registry._WINDOW_SLOTS
+        len(registry._ROUND11_FRONT) + len(registry._ROUND11_OWED) <= registry._WINDOW_SLOTS
     )
-    # every staged round-10 name must exist and not already be in-window
-    for n in registry._ROUND10_FRONT + registry._ROUND10_OWED:
+    assert len(registry._ROUND11_FRONT) <= 20
+    # every staged round-11 name must exist and not already be in-window
+    for n in registry._ROUND11_FRONT + registry._ROUND11_OWED:
         assert n in registry.REGISTRY
-    assert not set(registry._ROUND10_OWED) & set(registry._ROUND9_WINDOW)
+    assert not set(registry._ROUND11_OWED) & set(registry._ROUND10_WINDOW)
 
 
 def test_every_query_has_an_oracle_or_documented_rows_only():
