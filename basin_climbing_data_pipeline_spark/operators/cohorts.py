@@ -1641,10 +1641,8 @@ def trimmed_winsorized_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one customer rollup, one shuffle onto distinct values,
     bounded-bucket windows, one scalar aggregate."""
-    from pyspark.sql import Window
-
     from ..functions.money import ratio, to_cents
-    from .sketches import HIST_SUBBUCKETS
+    from .sketches import bucketed_prefix_rank
     from .transactions import build_transactions
 
     txn = build_transactions(spark, sf_dir)
@@ -1652,32 +1650,7 @@ def trimmed_winsorized_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(to_cents(F.col("total_amount"))).alias("cents")
     )
     per_val = per_cust.groupBy("cents").agg(F.count("*").alias("cnt"))
-    vm = F.col("cents")
-    bucket = (
-        F.when(vm >= 0, F.floor(F.log10(vm + 1) * HIST_SUBBUCKETS))
-        .otherwise(-1 - F.floor(F.log10(-vm + 1) * HIST_SUBBUCKETS))
-        .cast("long")
-    )
-    bucketed = per_val.select("cents", "cnt", bucket.alias("bkt"))
-    bkt_counts = bucketed.groupBy("bkt").agg(F.sum("cnt").alias("bkt_cnt"))
-    wb = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = bkt_counts.select(
-        "bkt", F.coalesce(F.sum("bkt_cnt").over(wb), F.lit(0)).alias("bkt_before")
-    )
-    win = (
-        Window.partitionBy("bkt")
-        .orderBy("cents")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    ranked = (
-        bucketed.join(F.broadcast(offsets), "bkt")
-        .withColumn("in_bkt_before", F.coalesce(F.sum("cnt").over(win), F.lit(0)))
-        .select(
-            "cents",
-            "cnt",
-            (F.col("bkt_before") + F.col("in_bkt_before")).alias("before"),
-        )
-    )
+    ranked = bucketed_prefix_rank(per_val, "cents")
     totals = per_cust.agg(
         F.count("*").alias("n"), F.sum("cents").alias("sum_cents")
     ).select("*", F.expr(f"n * {TRIM_PCT} div 100").alias("k"))
@@ -1784,10 +1757,8 @@ def gini_spend_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one customer rollup, one shuffle onto distinct values,
     bounded-bucket windows, one scalar aggregate."""
-    from pyspark.sql import Window
-
     from ..functions.money import to_cents
-    from .sketches import HIST_SUBBUCKETS
+    from .sketches import bucketed_prefix_rank
     from .transactions import build_transactions
 
     txn = build_transactions(spark, sf_dir)
@@ -1795,32 +1766,7 @@ def gini_spend_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(to_cents(F.col("total_amount"))).alias("cents")
     )
     per_val = per_cust.groupBy("cents").agg(F.count("*").alias("cnt"))
-    vm = F.col("cents")
-    bucket = (
-        F.when(vm >= 0, F.floor(F.log10(vm + 1) * HIST_SUBBUCKETS))
-        .otherwise(-1 - F.floor(F.log10(-vm + 1) * HIST_SUBBUCKETS))
-        .cast("long")
-    )
-    bucketed = per_val.select("cents", "cnt", bucket.alias("bkt"))
-    bkt_counts = bucketed.groupBy("bkt").agg(F.sum("cnt").alias("bkt_cnt"))
-    wb = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = bkt_counts.select(
-        "bkt", F.coalesce(F.sum("bkt_cnt").over(wb), F.lit(0)).alias("bkt_before")
-    )
-    win = (
-        Window.partitionBy("bkt")
-        .orderBy("cents")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    ranked = (
-        bucketed.join(F.broadcast(offsets), "bkt")
-        .withColumn("in_bkt_before", F.coalesce(F.sum("cnt").over(win), F.lit(0)))
-        .select(
-            "cents",
-            "cnt",
-            (F.col("bkt_before") + F.col("in_bkt_before")).alias("before"),
-        )
-    )
+    ranked = bucketed_prefix_rank(per_val, "cents")
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     # Σ 2·rank·x over a tied block of cnt copies at average rank
     # (before + (cnt+1)/2): 2·Σ = cnt·(2·before + cnt + 1)·x — exact ints
@@ -1896,12 +1842,10 @@ def spearman_visit_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: two rank frames (each one shuffle onto distinct
     values + bounded windows), one join back to the customer base on the
     value key, one scalar moment aggregate."""
-    from pyspark.sql import Window
-
     from ..functions.money import to_cents
     from .customers import build_customers
     from .events import build_checkins
-    from .sketches import HIST_SUBBUCKETS
+    from .sketches import bucketed_prefix_rank
     from .transactions import build_transactions
 
     cust = build_customers(spark, sf_dir).select("customer_id")
@@ -1922,38 +1866,10 @@ def spearman_visit_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def rank2(col: str) -> DataFrame:
         per_val = base.groupBy(col).agg(F.count("*").alias("cnt"))
-        vm = F.col(col)
-        bucket = (
-            F.when(vm >= 0, F.floor(F.log10(vm + 1) * HIST_SUBBUCKETS))
-            .otherwise(-1 - F.floor(F.log10(-vm + 1) * HIST_SUBBUCKETS))
-            .cast("long")
-        )
-        bucketed = per_val.select(col, "cnt", bucket.alias("bkt"))
-        bkt_counts = bucketed.groupBy("bkt").agg(F.sum("cnt").alias("bkt_cnt"))
-        wb = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
-        offsets = bkt_counts.select(
-            "bkt",
-            F.coalesce(F.sum("bkt_cnt").over(wb), F.lit(0)).alias("bkt_before"),
-        )
-        win = (
-            Window.partitionBy("bkt")
-            .orderBy(col)
-            .rowsBetween(Window.unboundedPreceding, -1)
-        )
-        return (
-            bucketed.join(F.broadcast(offsets), "bkt")
-            .withColumn(
-                "in_bkt_before", F.coalesce(F.sum("cnt").over(win), F.lit(0))
-            )
-            .select(
-                col,
-                # 2 × average rank of the tied block
-                (
-                    2 * (F.col("bkt_before") + F.col("in_bkt_before"))
-                    + F.col("cnt")
-                    + 1
-                ).alias(f"r2_{col}"),
-            )
+        return bucketed_prefix_rank(per_val, col).select(
+            col,
+            # 2 × average rank of the tied block
+            (2 * F.col("before") + F.col("cnt") + 1).alias(f"r2_{col}"),
         )
 
     paired = base.join(F.broadcast(rank2("v")), "v").join(rank2("s"), "s")
@@ -2189,7 +2105,7 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     primitive (property-tested; negatives = net refunders); recency and
     frequency ranks run over their bounded vocabularies (calendar days /
     count-of-transactions).  Output ≤ 5³ cells."""
-    from .sketches import HIST_SUBBUCKETS as _HSB
+    from .sketches import bucketed_prefix_rank
     from .transactions import build_transactions
 
     from ..io import tracked_persist
@@ -2224,26 +2140,7 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             return per_val.select(
                 col, F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("before")
             )
-        vm = F.col(col)
-        bucket = (
-            F.when(vm >= 0, F.floor(F.log10(vm + 1) * _HSB))
-            .otherwise(-1 - F.floor(F.log10(-vm + 1) * _HSB))
-            .cast("long")
-        )
-        b = per_val.select(col, "cnt", bucket.alias("bkt"))
-        bkt_counts = b.groupBy("bkt").agg(F.sum("cnt").alias("bkt_cnt"))
-        wb = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
-        offsets = bkt_counts.select(
-            "bkt", F.coalesce(F.sum("bkt_cnt").over(wb), F.lit(0)).alias("bkt_before")
-        )
-        win = Window.partitionBy("bkt").orderBy(col).rowsBetween(
-            Window.unboundedPreceding, -1
-        )
-        return (
-            b.join(F.broadcast(offsets), "bkt")
-            .withColumn("in_b", F.coalesce(F.sum("cnt").over(win), F.lit(0)))
-            .select(col, (F.col("bkt_before") + F.col("in_b")).alias("before"))
-        )
+        return bucketed_prefix_rank(per_val, col).select(col, "before")
 
     tot = per_cust.agg(F.count("*").alias("n_tot"))
     # INTEGER division, exactly the oracle's `//` — a double floor(5·b/n)
@@ -2615,7 +2512,7 @@ def tukey_category_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     sign-aware log-bucket prefix primitive WITHIN each category — the
     per-category vocabularies are corpus-sized, so no plain per-category
     window over values, same discipline as gini/trimmed."""
-    from .sketches import HIST_SUBBUCKETS as _HSB
+    from .sketches import bucketed_prefix_rank
     from .transactions import build_transactions
 
     txn = build_transactions(spark, sf_dir)
@@ -2623,37 +2520,10 @@ def tukey_category_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue_category", to_cents(F.col("total_amount")).alias("cents")
     )
     per_val = vals.groupBy("revenue_category", "cents").agg(F.count("*").alias("cnt"))
-    vm = F.col("cents")
-    bucket = (
-        F.when(vm >= 0, F.floor(F.log10(vm + 1) * _HSB))
-        .otherwise(-1 - F.floor(F.log10(-vm + 1) * _HSB))
-        .cast("long")
-    )
-    b = per_val.select("revenue_category", "cents", "cnt", bucket.alias("bkt"))
-    bkt_counts = b.groupBy("revenue_category", "bkt").agg(F.sum("cnt").alias("bkt_cnt"))
-    wb = Window.partitionBy("revenue_category").orderBy("bkt").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    offsets = bkt_counts.select(
-        "revenue_category",
-        "bkt",
-        F.coalesce(F.sum("bkt_cnt").over(wb), F.lit(0)).alias("bkt_before"),
-    )
-    win = Window.partitionBy("revenue_category", "bkt").orderBy("cents").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
     wc = Window.partitionBy("revenue_category")
-    ranked = (
-        b.join(offsets, ["revenue_category", "bkt"])
-        .withColumn("in_b", F.coalesce(F.sum("cnt").over(win), F.lit(0)))
-        .select(
-            "revenue_category",
-            "cents",
-            "cnt",
-            (F.col("bkt_before") + F.col("in_b")).alias("before"),
-            F.sum("cnt").over(wc).alias("n"),
-        )
-    )
+    ranked = bucketed_prefix_rank(
+        per_val, "cents", partition_cols=("revenue_category",)
+    ).withColumn("n", F.sum("cnt").over(wc))
     q1_rank = F.expr("(n + 3) div 4")
     q3_rank = F.expr("(3 * n + 3) div 4")
     covers = lambda r: (F.col("before") < r) & (r <= F.col("before") + F.col("cnt"))  # noqa: E731
@@ -2754,7 +2624,7 @@ def revenue_pareto_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one per-customer collapse, the bucketed rank build,
     then a broadcast 5-row tier grid over the per-value frame."""
-    from .sketches import HIST_SUBBUCKETS as _HSB
+    from .sketches import bucketed_prefix_rank
     from .transactions import build_transactions
 
     txn = build_transactions(spark, sf_dir)
@@ -2762,34 +2632,16 @@ def revenue_pareto_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(to_cents(F.col("total_amount"))).alias("cents")
     )
     per_val = per_cust.groupBy("cents").agg(F.count("*").alias("cnt"))
-    vm = F.col("cents")
-    bucket = (
-        F.when(vm >= 0, F.floor(F.log10(vm + 1) * _HSB))
-        .otherwise(-1 - F.floor(F.log10(-vm + 1) * _HSB))
-        .cast("long")
-    )
-    b = per_val.select("cents", "cnt", bucket.alias("bkt"))
-    bkt_counts = b.groupBy("bkt").agg(F.sum("cnt").alias("bkt_cnt"))
-    # rank DESC: "before" counts customers with STRICTLY MORE spend
-    wb = Window.orderBy(F.desc("bkt")).rowsBetween(Window.unboundedPreceding, -1)
-    offsets = bkt_counts.select(
-        "bkt", F.coalesce(F.sum("bkt_cnt").over(wb), F.lit(0)).alias("bkt_before")
-    )
-    win = Window.partitionBy("bkt").orderBy(F.desc("cents")).rowsBetween(
-        Window.unboundedPreceding, -1
-    )
     tot = Window.partitionBy()
+    # rank DESC: "before" counts customers with STRICTLY MORE spend
     ranked = (
-        b.join(F.broadcast(offsets), "bkt")
-        .withColumn("in_b", F.coalesce(F.sum("cnt").over(win), F.lit(0)))
-        .select(
-            "cents",
-            "cnt",
-            (F.col("bkt_before") + F.col("in_b")).alias("before"),
-            F.sum("cnt").over(tot).alias("n"),
-            F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cnt").cast("decimal(38,0)"))
-            .over(tot)
-            .alias("total_cents"),
+        bucketed_prefix_rank(per_val, "cents", descending=True)
+        .withColumn("n", F.sum("cnt").over(tot))
+        .withColumn(
+            "total_cents",
+            F.sum(
+                F.col("cents").cast("decimal(38,0)") * F.col("cnt").cast("decimal(38,0)")
+            ).over(tot),
         )
     )
     tiers = spark.createDataFrame([(int(p),) for p in PARETO_TOPS], "top_pct int")

@@ -677,7 +677,7 @@ def mann_whitney_spend_utest(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines."""
     from ..functions.money import ratio, to_cents
     from .sampling import _md5_bucket
-    from .sketches import HIST_SUBBUCKETS
+    from .sketches import bucketed_prefix_rank
     from .transactions import build_transactions
 
     txn = build_transactions(spark, sf_dir)
@@ -691,35 +691,7 @@ def mann_whitney_spend_utest(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_val = arms.groupBy("cents").agg(
         F.count("*").alias("cnt"), F.sum("is_a").alias("n_a_v")
     )
-    vm = F.col("cents")
-    bucket = (
-        F.when(vm >= 0, F.floor(F.log10(vm + 1) * HIST_SUBBUCKETS))
-        .otherwise(-1 - F.floor(F.log10(-vm + 1) * HIST_SUBBUCKETS))
-        .cast("long")
-    )
-    bucketed = per_val.select("cents", "cnt", "n_a_v", bucket.alias("bkt"))
-    # bucket offsets over the BOUNDED bucket table
-    bkt_counts = bucketed.groupBy("bkt").agg(F.sum("cnt").alias("bkt_cnt"))
-    wb = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = bkt_counts.select(
-        "bkt", F.coalesce(F.sum("bkt_cnt").over(wb), F.lit(0)).alias("bkt_before")
-    )
-    # within-bucket prefix, PARTITIONED by bucket — never a global sort
-    win = (
-        Window.partitionBy("bkt")
-        .orderBy("cents")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    ranked = (
-        bucketed.join(F.broadcast(offsets), "bkt")
-        .withColumn("in_bkt_before", F.coalesce(F.sum("cnt").over(win), F.lit(0)))
-        .select(
-            "cents",
-            "cnt",
-            "n_a_v",
-            (F.col("bkt_before") + F.col("in_bkt_before")).alias("before"),
-        )
-    )
+    ranked = bucketed_prefix_rank(per_val, "cents")
     # Cast EACH FACTOR to decimal BEFORE multiplying: computing
     # n_a_v*(2*before+cnt+1) or cnt^3 in LONG first wraps silently once a
     # tie block exceeds ~2.1M rows (cnt^3 > 2^63), while the DuckDB oracle
@@ -1033,7 +1005,7 @@ def ks_spend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded-bucket windows, one scalar max."""
     from ..functions.money import to_cents
     from .sampling import _md5_bucket
-    from .sketches import HIST_SUBBUCKETS
+    from .sketches import bucketed_prefix_rank
     from .transactions import build_transactions
 
     txn = build_transactions(spark, sf_dir)
@@ -1047,36 +1019,10 @@ def ks_spend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_val = arms.groupBy("cents").agg(
         F.count("*").alias("cnt"), F.sum("is_a").alias("a_v")
     )
-    vm = F.col("cents")
-    bucket = (
-        F.when(vm >= 0, F.floor(F.log10(vm + 1) * HIST_SUBBUCKETS))
-        .otherwise(-1 - F.floor(F.log10(-vm + 1) * HIST_SUBBUCKETS))
-        .cast("long")
-    )
-    bucketed = per_val.select("cents", "cnt", "a_v", bucket.alias("bkt"))
-    bkt_counts = bucketed.groupBy("bkt").agg(
-        F.sum("cnt").alias("bkt_cnt"), F.sum("a_v").alias("bkt_a")
-    )
-    wb = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = bkt_counts.select(
-        "bkt",
-        F.coalesce(F.sum("bkt_cnt").over(wb), F.lit(0)).alias("bkt_before"),
-        F.coalesce(F.sum("bkt_a").over(wb), F.lit(0)).alias("bkt_a_before"),
-    )
-    win = (
-        Window.partitionBy("bkt")
-        .orderBy("cents")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    cum = (
-        bucketed.join(F.broadcast(offsets), "bkt")
-        .withColumn("in_cnt", F.sum("cnt").over(win))
-        .withColumn("in_a", F.sum("a_v").over(win))
-        .select(
-            (F.col("bkt_before") + F.col("in_cnt")).alias("cum"),
-            (F.col("bkt_a_before") + F.col("in_a")).alias("cum_a"),
-        )
-    )
+    # inclusive (≤) cumulatives for BOTH measures in one primitive pass
+    cum = bucketed_prefix_rank(
+        per_val, "cents", inclusive=True, sums={"cnt": "cum", "a_v": "cum_a"}
+    ).select("cum", "cum_a")
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     tot = arms.agg(
         F.count("*").alias("n"), F.sum("is_a").alias("n_a")
@@ -1684,7 +1630,7 @@ def kruskal_wallis_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries more than the distinct-value frame."""
     from ..functions.money import micro, to_cents
     from .customers import build_customers
-    from .sketches import HIST_SUBBUCKETS
+    from .sketches import bucketed_prefix_rank
     from .transactions import build_transactions
 
     txn = build_transactions(spark, sf_dir)
@@ -1695,32 +1641,7 @@ def kruskal_wallis_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     vals = per_cust.join(F.broadcast(seg), "customer_id").select("segment", "cents")
     per_vg = vals.groupBy("cents", "segment").agg(F.count("*").alias("n_gv"))
     per_val = per_vg.groupBy("cents").agg(F.sum("n_gv").alias("cnt"))
-    vm = F.col("cents")
-    bucket = (
-        F.when(vm >= 0, F.floor(F.log10(vm + 1) * HIST_SUBBUCKETS))
-        .otherwise(-1 - F.floor(F.log10(-vm + 1) * HIST_SUBBUCKETS))
-        .cast("long")
-    )
-    bucketed = per_val.select("cents", "cnt", bucket.alias("bkt"))
-    bkt_counts = bucketed.groupBy("bkt").agg(F.sum("cnt").alias("bkt_cnt"))
-    wb = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = bkt_counts.select(
-        "bkt", F.coalesce(F.sum("bkt_cnt").over(wb), F.lit(0)).alias("bkt_before")
-    )
-    win = (
-        Window.partitionBy("bkt")
-        .orderBy("cents")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    ranked = (
-        bucketed.join(F.broadcast(offsets), "bkt")
-        .withColumn("in_bkt_before", F.coalesce(F.sum("cnt").over(win), F.lit(0)))
-        .select(
-            "cents",
-            "cnt",
-            (F.col("bkt_before") + F.col("in_bkt_before")).alias("before"),
-        )
-    )
+    ranked = bucketed_prefix_rank(per_val, "cents")
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     dcnt = dec(F.col("cnt"))
     joined = per_vg.join(ranked, "cents")
@@ -2093,7 +2014,7 @@ def levene_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.money import micro, to_cents
     from ..io import tracked_persist
     from .customers import build_customers
-    from .sketches import HIST_SUBBUCKETS
+    from .sketches import bucketed_prefix_rank
     from .transactions import build_transactions
 
     txn = build_transactions(spark, sf_dir)
@@ -2107,48 +2028,17 @@ def levene_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_cust.join(F.broadcast(seg), "customer_id").select("segment", "cents")
     )
     per_val = vals.groupBy("segment", "cents").agg(F.count("*").alias("cnt"))
-    # NOTE(round-10): 5th inline copy of the sign-aware log-bucket prefix
-    # rank (siblings: mann_whitney/kruskal here, tukey/rfm in cohorts).
-    # Consolidating into a shared sketches.py helper means touching
-    # driver-green operators, which the full round-10 window cannot absorb
-    # as owed re-verifies this round — scheduled for the round-10 session.
-    vm = F.col("cents")
-    bucket = (
-        F.when(vm >= 0, F.floor(F.log10(vm + 1) * HIST_SUBBUCKETS))
-        .otherwise(-1 - F.floor(F.log10(-vm + 1) * HIST_SUBBUCKETS))
-        .cast("long")
-    )
-    b = per_val.select("segment", "cents", "cnt", bucket.alias("bkt"))
-    bkt_counts = b.groupBy("segment", "bkt").agg(F.sum("cnt").alias("bkt_cnt"))
-    wb = Window.partitionBy("segment").orderBy("bkt").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    offsets = bkt_counts.select(
-        "segment",
-        "bkt",
-        F.coalesce(F.sum("bkt_cnt").over(wb), F.lit(0)).alias("bkt_before"),
-    )
-    win = Window.partitionBy("segment", "bkt").orderBy("cents").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
     wseg = Window.partitionBy("segment")
-    ranked = (
-        b.join(offsets, ["segment", "bkt"])
-        .withColumn("in_b", F.coalesce(F.sum("cnt").over(win), F.lit(0)))
-        .select(
-            "segment",
-            "cents",
-            "cnt",
-            (F.col("bkt_before") + F.col("in_b")).alias("before"),
-            F.sum("cnt").over(wseg).alias("n_seg"),
-        )
-    )
+    ranked = bucketed_prefix_rank(
+        per_val, "cents", partition_cols=("segment",)
+    ).withColumn("n_seg", F.sum("cnt").over(wseg))
     med_rank = F.expr("(n_seg + 1) div 2")
     covers = (F.col("before") < med_rank) & (med_rank <= F.col("before") + F.col("cnt"))
     medians = ranked.groupBy("segment").agg(
         F.min(F.when(covers, F.col("cents"))).alias("med")
     )
-    # |dev| over the per-value frame (cnt-weighted) — exact int64
+    # |dev| over the per-customer vals frame (one row per customer, matching
+    # the oracle's zf CTE) — exact int64
     z = vals.join(F.broadcast(medians), "segment").select(
         "segment", F.abs(F.col("cents") - F.col("med")).alias("z")
     )

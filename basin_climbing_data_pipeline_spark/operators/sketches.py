@@ -442,6 +442,109 @@ HIST_SUBBUCKETS = 16  # buckets per decade: bucket = floor(log10(v+1) * 16)
 HIST_QS = (0.5, 0.9, 0.99)
 
 
+def log_bucket(value: F.Column) -> F.Column:
+    """Sign-aware symmetric log bucket over an integer fixed-point column —
+    THE shared bucketing primitive (single source of truth; formerly 14
+    inline copies across the rank/sketch family, consolidated round 10).
+
+    ``b >= 0`` covers ``[10^(b/16)-1, 10^((b+1)/16)-1)``; ``b < 0`` mirrors
+    the magnitude (``-1 - floor(log10(-v+1)·16)``) so bucket order equals
+    value order over the FULL signed range — monotone nondecreasing, the
+    property every prefix-rank decomposition below depends on (and that
+    ``tests/test_property_rank.py`` pins against adversarial magnitudes).
+    Negative support matters: lifetime spend can be a net refund, where a
+    plain ``log10`` bucket is undefined (and DuckDB raises while Spark
+    NULLs — an engine-divergence trap).
+
+    Bounds are DATA-INDEPENDENT: no min/max pre-pass, histograms from any
+    two partitions/windows/days merge without re-bucketing, and the whole
+    signed int64 cents range lands in ≤ ~2·19·16 ≈ 610 buckets."""
+    return (
+        F.when(value >= 0, F.floor(F.log10(value + 1) * HIST_SUBBUCKETS))
+        .otherwise(-1 - F.floor(F.log10(-value + 1) * HIST_SUBBUCKETS))
+        .cast("long")
+    )
+
+
+def log_bucket_sql(expr: str) -> str:
+    """DuckDB-side twin of :func:`log_bucket` for the oracles whose OUTPUT
+    depends on bucket identity (theilsen's median pick, the PSI/decile
+    histograms) — both engines must land every value in the same bucket,
+    so the SQL is generated from one template instead of hand-copied.
+    ``expr`` must already be integer fixed-point (cents / micro)."""
+    return (
+        f"CASE WHEN {expr} >= 0 "
+        f"THEN floor(log10({expr} + 1) * {HIST_SUBBUCKETS}) "
+        f"ELSE -1 - floor(log10(-({expr}) + 1) * {HIST_SUBBUCKETS}) "
+        f"END::bigint"
+    )
+
+
+def bucketed_prefix_rank(
+    per_val: DataFrame,
+    value_col: str,
+    *,
+    partition_cols: tuple[str, ...] = (),
+    descending: bool = False,
+    inclusive: bool = False,
+    sums: dict[str, str] | None = None,
+) -> DataFrame:
+    """Distributed prefix sums over a per-distinct-value frame with NO
+    global row sort — the shared rank primitive behind the order-statistic
+    family (Mann-Whitney/Kruskal/KS/Levene ranks, trimmed/winsorized and
+    Gini/Pareto cuts, Spearman rank pairs, RFM and Tukey quantile picks;
+    formerly five-plus hand-inlined copies, consolidated round 10).
+
+    For each measure column ``m`` in ``sums`` (default ``{"cnt":
+    "before"}``) appends ``sums[m]`` = Σ m over rows of the same
+    ``partition_cols`` group whose ``value_col`` is strictly smaller
+    (strictly larger when ``descending``; ≤/≥ when ``inclusive``).  All
+    input columns pass through unchanged.
+
+    How it scales: each value's global prefix decomposes as a bucket
+    offset plus a within-bucket offset.  Bucket offsets are an EXCLUSIVE
+    cumulative window over the bounded monotone :func:`log_bucket` table
+    (≤ ~610 rows per partition group — broadcast back, never shuffled by
+    data volume); within-bucket offsets are windows PARTITIONED by
+    bucket, so no executor ever sorts more than one bucket's distinct
+    values.  Everything is exact integer math — bitwise-stable across
+    engines and partitionings."""
+    from pyspark.sql import Window
+
+    if sums is None:
+        sums = {"cnt": "before"}
+    pc = list(partition_cols)
+    b = per_val.withColumn("_bpr_bkt", log_bucket(F.col(value_col)))
+    bkt_counts = b.groupBy(*pc, "_bpr_bkt").agg(
+        *[F.sum(m).alias(f"_bpr_sum_{m}") for m in sums]
+    )
+    wb = (
+        Window.partitionBy(*pc)
+        .orderBy(F.desc("_bpr_bkt") if descending else F.asc("_bpr_bkt"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = bkt_counts.select(
+        *pc,
+        "_bpr_bkt",
+        *[
+            F.coalesce(F.sum(f"_bpr_sum_{m}").over(wb), F.lit(0)).alias(f"_bpr_off_{m}")
+            for m in sums
+        ],
+    )
+    win = (
+        Window.partitionBy(*pc, "_bpr_bkt")
+        .orderBy(F.desc(value_col) if descending else F.asc(value_col))
+        .rowsBetween(Window.unboundedPreceding, 0 if inclusive else -1)
+    )
+    out = b.join(F.broadcast(offsets), pc + ["_bpr_bkt"])
+    for m, name in sums.items():
+        out = out.withColumn(
+            name,
+            F.col(f"_bpr_off_{m}") + F.coalesce(F.sum(m).over(win), F.lit(0)),
+        )
+    return out.drop("_bpr_bkt", *[f"_bpr_off_{m}" for m in sums])
+
+
 def histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantiles from a log-bucket histogram (HdrHistogram-style), evaluated
     against the exact discrete percentiles — the third canonical sketch
@@ -576,19 +679,7 @@ def sketch_decile_cuts(per_cust: DataFrame) -> DataFrame:
     default decile API)."""
     from pyspark.sql import Window
 
-    # sign-aware symmetric log bucket: lifetime spend can be NEGATIVE (net
-    # refunds), where a plain log10 bucket is undefined (and DuckDB raises
-    # where Spark nulls).  b >= 0 covers [10^(b/16)-1, 10^((b+1)/16)-1);
-    # b < 0 mirrors the magnitude so bucket order == value order.
-    cents = F.col("cents")
-    bucketed = per_cust.select(
-        F.when(
-            cents >= 0, F.floor(F.log10(cents + 1) * HIST_SUBBUCKETS)
-        )
-        .otherwise(-1 - F.floor(F.log10(-cents + 1) * HIST_SUBBUCKETS))
-        .cast("long")
-        .alias("bucket")
-    )
+    bucketed = per_cust.select(log_bucket(F.col("cents")).alias("bucket"))
     hist = bucketed.groupBy("bucket").agg(F.count("*").alias("cnt"))
     wb = Window.orderBy("bucket")  # histogram-sized frame
     cum = hist.withColumn("cum", F.sum("cnt").over(wb)).withColumn(
@@ -680,10 +771,7 @@ per_cust AS (
   FROM txn GROUP BY customer_id
 ),
 hist AS (
-  SELECT CASE WHEN cents >= 0
-              THEN floor(log10(cents + 1) * {HIST_SUBBUCKETS})
-              ELSE -1 - floor(log10(-cents + 1) * {HIST_SUBBUCKETS})
-         END::bigint AS bucket,
+  SELECT {log_bucket_sql('cents')} AS bucket,
          count(*) AS cnt
   FROM per_cust GROUP BY 1
 ),
@@ -774,11 +862,7 @@ def spend_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     txn = build_transactions(spark, sf_dir)
     cents = to_cents(F.col("total_amount"))
-    bucket = (
-        F.when(cents >= 0, F.floor(F.log10(cents + 1) * HIST_SUBBUCKETS))
-        .otherwise(-1 - F.floor(F.log10(-cents + 1) * HIST_SUBBUCKETS))
-        .cast("long")
-    )
+    bucket = log_bucket(cents)
     is_base = (F.col("txn_date") < F.lit(PSI_SPLIT_DATE).cast("date")).cast("long")
     counts = (
         txn.select(F.col("revenue_category"), bucket.alias("bucket"), is_base.alias("b"))
@@ -823,10 +907,7 @@ def spend_drift_psi_sql() -> str:
 WITH txn AS ({transactions_sql()}),
 bucketed AS (
   SELECT revenue_category,
-         CASE WHEN {cents} >= 0
-              THEN floor(log10({cents} + 1) * {HIST_SUBBUCKETS})
-              ELSE -1 - floor(log10(-{cents} + 1) * {HIST_SUBBUCKETS})
-         END::bigint AS bucket,
+         {log_bucket_sql(cents)} AS bucket,
          (txn_date < DATE '{PSI_SPLIT_DATE}')::bigint AS b
   FROM txn
 ),
@@ -874,11 +955,7 @@ def _value_bucket() -> F.Column:
     the same data-independent bounds as ``sketch_decile_cuts``, so any two
     windows' histograms are comparable without a re-bucketing pass."""
     vm = F.floor(F.col("value") * 1000000.0 + 0.5).cast("long")
-    return (
-        F.when(vm >= 0, F.floor(F.log10(vm + 1) * HIST_SUBBUCKETS))
-        .otherwise(-1 - F.floor(F.log10(-vm + 1) * HIST_SUBBUCKETS))
-        .cast("long")
-    )
+    return log_bucket(vm)
 
 
 def value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -983,12 +1060,7 @@ def value_drift_psi_sql() -> str:
 WITH bucketed AS (
   SELECT (epoch_us(ts::TIMESTAMP) // {DRIFT_WINDOW_US}) * {DRIFT_WINDOW_US} AS w,
          event_type,
-         CASE WHEN CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) >= 0
-              THEN floor(log10(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) + 1)
-                         * {HIST_SUBBUCKETS})
-              ELSE -1 - floor(log10(-CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) + 1)
-                              * {HIST_SUBBUCKETS})
-         END::bigint AS bucket
+         {log_bucket_sql("CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)")} AS bucket
   FROM events
 ),
 counts AS (

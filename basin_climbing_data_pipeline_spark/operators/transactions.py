@@ -1448,7 +1448,7 @@ def theilsen_trend_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     from ..functions.money import to_cents
-    from .sketches import HIST_SUBBUCKETS
+    from .sketches import log_bucket
 
     txn = build_transactions(spark, sf_dir)
     daily = txn.groupBy("txn_date").agg(
@@ -1475,11 +1475,7 @@ def theilsen_trend_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sign-aware log bucket at micro fixed-point — monotone nondecreasing
     # in slope, so bucket order never contradicts slope order
     vm = F.floor(F.col("slope") * 1000000.0 + 0.5).cast("long")
-    bucket = (
-        F.when(vm >= 0, F.floor(F.log10(vm + 1) * HIST_SUBBUCKETS))
-        .otherwise(-1 - F.floor(F.log10(-vm + 1) * HIST_SUBBUCKETS))
-        .cast("long")
-    )
+    bucket = log_bucket(vm)
     bucketed = pairs.select("xi", "xj", "slope", bucket.alias("bkt"))
     counts = bucketed.groupBy("bkt").agg(F.count("*").alias("cnt"))
     wb = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, 0)
@@ -1523,7 +1519,7 @@ def theilsen_trend_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def theilsen_trend_bucketed_sql() -> str:
     from ..functions.money import to_cents_sql
-    from .sketches import HIST_SUBBUCKETS
+    from .sketches import log_bucket_sql
 
     return f"""
 WITH txn AS ({transactions_sql()}),
@@ -1541,12 +1537,7 @@ pairs AS (
 ),
 bucketed AS (
   SELECT xi, xj, slope,
-         CASE WHEN CAST(floor(slope * 1000000.0 + 0.5) AS BIGINT) >= 0
-              THEN floor(log10(CAST(floor(slope * 1000000.0 + 0.5) AS BIGINT) + 1)
-                         * {HIST_SUBBUCKETS})
-              ELSE -1 - floor(log10(-CAST(floor(slope * 1000000.0 + 0.5) AS BIGINT) + 1)
-                              * {HIST_SUBBUCKETS})
-         END::bigint AS bkt
+         {log_bucket_sql("CAST(floor(slope * 1000000.0 + 0.5) AS BIGINT)")} AS bkt
   FROM pairs
 ),
 counts AS (

@@ -1392,7 +1392,25 @@ if set(_ROUND10_FRONT) & set(_ROUND9_WINDOW):
 # breadth to depth: round-10 additions are capped at 20 so freed slots can
 # absorb re-verifies of the log-bucket-rank consolidation touches.
 _ROUND11_FRONT: list[str] = []
-_ROUND11_OWED: list[str] = []
+_ROUND11_OWED: list[str] = [
+    # round-10 log-bucket-rank consolidation (judge order, round-9 verdict
+    # #2): the 14 inline sign-aware bucket/prefix-rank copies now call
+    # sketches.log_bucket / bucketed_prefix_rank / log_bucket_sql.  Every
+    # touched query re-verified bitwise-green at sf0.01 in-session; these
+    # are the touched entries OUTSIDE the round-10 window whose last
+    # driver-green row predates the rewrite.
+    "theilsen_trend_bucketed",
+    "trimmed_winsorized_spend",
+    "gini_spend_concentration",
+    "spearman_visit_spend",
+    "mann_whitney_spend_utest",
+    "ks_spend_test",
+    "spend_deciles",
+    "sketch_decile_assignment",
+    "spend_drift_psi",
+    "value_drift_psi",
+    "streaming_value_drift_psi",
+]
 if len(_ROUND11_FRONT) + len(_ROUND11_OWED) > _WINDOW_SLOTS:
     raise ValueError(
         "round-11 staging over budget: "
