@@ -590,16 +590,14 @@ def test_adversarial_membership_intervals_oracle_parity(spark, fuzz_mem_dir, nam
 # ---------------------------------------------------------------------------
 
 
-@pytest.fixture(scope="module", params=[20260814, 7, 99])
-def fuzz_random_dir(tmp_path_factory, request):
+def random_unicode_doc_rows(seed: int, n_docs: int = 40) -> list[dict]:
+    """Seeded random-unicode documents — shared by the fuzz_random_dir
+    parametrization below and tools/capstone_corpus.py's --seed rotation
+    (one generator, so a new divergence-hunting seed exercises the SAME
+    distribution both harnesses were built against)."""
     import random
 
-    d = tmp_path_factory.mktemp(f"fuzz_random_{request.param}")
-    src = "/root/testdata/sf0.001"
-    for t in ("region nation customer supplier part orders lineitem events "
-              "embeddings").split():
-        shutil.copy(f"{src}/{t}.parquet", d / f"{t}.parquet")
-    rng = random.Random(request.param)
+    rng = random.Random(seed)
 
     def rand_word():
         pools = [
@@ -620,11 +618,22 @@ def fuzz_random_dir(tmp_path_factory, request):
         return "".join(f() for f in picks)
 
     texts = [" ".join(rand_word() for _ in range(rng.randint(1, 60)))
-             for _ in range(40)]
-    rows = [{"doc_id": i, "text": t, "lang": ["en", "de", "ja", "xx"][i % 4],
+             for _ in range(n_docs)]
+    return [{"doc_id": i, "text": t, "lang": ["en", "de", "ja", "xx"][i % 4],
              "source": ["web", "books", "code"][i % 3], "n_chars": len(t)}
             for i, t in enumerate(texts)]
-    pd.DataFrame(rows).to_parquet(d / "documents.parquet")
+
+
+@pytest.fixture(scope="module", params=[20260814, 7, 99])
+def fuzz_random_dir(tmp_path_factory, request):
+    d = tmp_path_factory.mktemp(f"fuzz_random_{request.param}")
+    src = "/root/testdata/sf0.001"
+    for t in ("region nation customer supplier part orders lineitem events "
+              "embeddings").split():
+        shutil.copy(f"{src}/{t}.parquet", d / f"{t}.parquet")
+    pd.DataFrame(random_unicode_doc_rows(request.param)).to_parquet(
+        d / "documents.parquet"
+    )
     return str(d)
 
 

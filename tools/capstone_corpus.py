@@ -10,6 +10,11 @@ with the families as they grow.
 Usage:
     python tools/capstone_corpus.py [out_dir]      # build, print path
     python tools/check.py $(python tools/capstone_corpus.py) [--bitwise]
+    python tools/capstone_corpus.py --seed N [out_dir]
+        # seed rotation: the documents table is replaced by the seeded
+        # random-unicode generator (tests/test_adversarial_corpus.py's
+        # random_unicode_doc_rows) instead of the hand-crafted adversarial
+        # set — a fresh seed hunts divergences the fixed set can't.
 """
 
 from __future__ import annotations
@@ -42,7 +47,7 @@ class _Factory:
         return p
 
 
-def build(out_dir: str | None = None) -> str:
+def build(out_dir: str | None = None, seed: int | None = None) -> str:
     out = Path(out_dir) if out_dir else Path(tempfile.mkdtemp(prefix="capstone_"))
     out.mkdir(parents=True, exist_ok=True)
     work = _Factory(out / "_parts")
@@ -56,7 +61,14 @@ def build(out_dir: str | None = None) -> str:
 
     for t in TABLES:
         shutil.copy(f"{SRC}/{t}.parquet", out / f"{t}.parquet")
-    shutil.copy(f"{docs_dir}/documents.parquet", out / "documents.parquet")
+    if seed is None:
+        shutil.copy(f"{docs_dir}/documents.parquet", out / "documents.parquet")
+    else:
+        import pandas as pd
+
+        pd.DataFrame(T.random_unicode_doc_rows(seed)).to_parquet(
+            out / "documents.parquet"
+        )
     shutil.copy(f"{emb_dir}/embeddings.parquet", out / "embeddings.parquet")
     for t in ("customer", "orders", "lineitem"):
         shutil.copy(f"{txn_dir}/{t}.parquet", out / f"{t}.parquet")
@@ -67,4 +79,10 @@ def build(out_dir: str | None = None) -> str:
 
 
 if __name__ == "__main__":
-    print(build(sys.argv[1] if len(sys.argv) > 1 else None))
+    args = sys.argv[1:]
+    seed = None
+    if "--seed" in args:
+        i = args.index("--seed")
+        seed = int(args[i + 1])
+        del args[i : i + 2]
+    print(build(args[0] if args else None, seed=seed))
