@@ -2713,3 +2713,101 @@ SELECT top_pct,
 FROM agg
 ORDER BY top_pct
 """
+
+
+def segment_spend_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment spend quantile table (p25/p50/p75/p90 of per-customer
+    net cents) — the per-SEGMENT sibling of :func:`tukey_category_outliers`'s
+    per-category quartiles and the quantile backbone the reference's
+    segment dashboards read as hand-set thresholds
+    (utils/customer_flags_config.py tiers); here the cuts come from the
+    data.  Quantiles are exact nearest-rank picks (rank = ceil(q·n))
+    located by prefix-count interval cover, so ties land identically in
+    both engines.
+
+    Scale shape: one (segment, cents) collapse; ranking rides the shared
+    :func:`sketches.bucketed_prefix_rank` in PARTITIONED mode (the
+    per-segment value vocabularies are corpus-sized — no plain
+    per-segment sort anywhere); output ≤ 5 rows."""
+    from ..functions.money import to_cents
+    from .customers import build_customers
+    from .sketches import bucketed_prefix_rank
+    from .transactions import build_transactions
+
+    txn = build_transactions(spark, sf_dir)
+    per_cust = txn.groupBy("customer_id").agg(
+        F.sum(to_cents(F.col("total_amount"))).alias("cents")
+    )
+    seg = build_customers(spark, sf_dir).select("customer_id", "segment")
+    vals = per_cust.join(F.broadcast(seg), "customer_id").select("segment", "cents")
+    per_val = vals.groupBy("segment", "cents").agg(F.count("*").alias("cnt"))
+    wseg = Window.partitionBy("segment")
+    ranked = bucketed_prefix_rank(
+        per_val, "cents", partition_cols=("segment",)
+    ).withColumn("n", F.sum("cnt").over(wseg))
+    # nearest-rank targets: ceil(q·n) as pure integer arithmetic
+    r25 = F.expr("(n + 3) div 4")
+    r50 = F.expr("(n + 1) div 2")
+    r75 = F.expr("(3 * n + 3) div 4")
+    r90 = F.expr("(9 * n + 9) div 10")
+    covers = lambda r: (F.col("before") < r) & (r <= F.col("before") + F.col("cnt"))  # noqa: E731
+    q = ranked.groupBy("segment", "n").agg(
+        F.min(F.when(covers(r25), F.col("cents"))).alias("q25"),
+        F.min(F.when(covers(r50), F.col("cents"))).alias("q50"),
+        F.min(F.when(covers(r75), F.col("cents"))).alias("q75"),
+        F.min(F.when(covers(r90), F.col("cents"))).alias("q90"),
+    )
+    return q.select(
+        "segment",
+        F.col("n").alias("n_customers"),
+        (F.col("q25") / 100.0).alias("p25"),
+        (F.col("q50") / 100.0).alias("p50"),
+        (F.col("q75") / 100.0).alias("p75"),
+        (F.col("q90") / 100.0).alias("p90"),
+    ).orderBy("segment")
+
+
+def segment_spend_quantiles_sql() -> str:
+    from ..functions.money import to_cents_sql
+    from .customers import customers_sql
+    from .transactions import transactions_sql
+
+    return f"""
+WITH txn AS ({transactions_sql()}),
+cust AS ({customers_sql()}),
+per_cust AS (
+  SELECT customer_id, sum({to_cents_sql('total_amount')}) AS cents
+  FROM txn GROUP BY customer_id
+),
+vals AS (
+  SELECT c.segment, p.cents
+  FROM per_cust p JOIN cust c USING (customer_id)
+),
+per_val AS (
+  SELECT segment, cents, count(*) AS cnt
+  FROM vals GROUP BY segment, cents
+),
+ranked AS (
+  SELECT segment, cents, cnt,
+         coalesce(sum(cnt) OVER (PARTITION BY segment ORDER BY cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before,
+         sum(cnt) OVER (PARTITION BY segment) AS n
+  FROM per_val
+),
+q AS (
+  SELECT segment, n,
+         min(CASE WHEN before < (n + 3) // 4
+                   AND (n + 3) // 4 <= before + cnt THEN cents END) AS q25,
+         min(CASE WHEN before < (n + 1) // 2
+                   AND (n + 1) // 2 <= before + cnt THEN cents END) AS q50,
+         min(CASE WHEN before < (3 * n + 3) // 4
+                   AND (3 * n + 3) // 4 <= before + cnt THEN cents END) AS q75,
+         min(CASE WHEN before < (9 * n + 9) // 10
+                   AND (9 * n + 9) // 10 <= before + cnt THEN cents END) AS q90
+  FROM ranked GROUP BY segment, n
+)
+SELECT segment, CAST(n AS BIGINT) AS n_customers,
+       q25 / 100.0 AS p25, q50 / 100.0 AS p50,
+       q75 / 100.0 AS p75, q90 / 100.0 AS p90
+FROM q ORDER BY segment
+"""

@@ -2312,3 +2312,240 @@ SELECT CAST(n_a0 AS BIGINT) AS n_a, CAST(n_b0 AS BIGINT) AS n_b,
        END AS p_value
 FROM agg
 """
+
+
+def wilcoxon_signed_rank_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test over per-customer PAIRED spend: each
+    customer's net cents before vs after the fixed epoch midpoint
+    (``sketches.PSI_SPLIT_DATE`` — the same split spend_drift_psi
+    monitors), asking "did the SAME customers shift their spending
+    between eras" — the paired sibling of :func:`mann_whitney_spend_utest`
+    (which compares two different groups).  The reference's era-over-era
+    revenue comparisons (dashboard month-over-month deltas) are mean-based
+    and whale-dominated; the signed-rank form is the distribution-free
+    version a cents metric needs.
+
+    Semantics: a customer with transactions in only one era pairs against
+    a 0-cent other half; zero differences drop (standard zero-discard);
+    tied |d| blocks take average ranks in 2× integer units.  2·W+ =
+    Σ_v npos_v·(2·before_v + cnt_v + 1) stays exact decimal via the shared
+    :func:`sketches.bucketed_prefix_rank` (plain mode — no global sort);
+    the tie-corrected normal approximation uses var(2W+) =
+    n(n+1)(2n+1)/6 − Σ(t³−t)/12, which is ≥ n(n+1)²/4 > 0 for n ≥ 1, so
+    the only degenerate case is n = 0 (every customer's halves tie) —
+    z pins NULL on both engines.
+
+    Scale shape: one per-customer conditional-sum collapse, one shuffle
+    onto distinct |d| values, the bounded-bucket rank build, one scalar
+    aggregate."""
+    from ..functions.money import to_cents
+    from .sketches import PSI_SPLIT_DATE, bucketed_prefix_rank
+    from .transactions import build_transactions
+
+    txn = build_transactions(spark, sf_dir)
+    cents = to_cents(F.col("total_amount"))
+    split = F.lit(PSI_SPLIT_DATE).cast("date")
+    per_cust = txn.groupBy("customer_id").agg(
+        F.sum(F.when(F.col("txn_date") < split, cents).otherwise(F.lit(0))).alias("s1"),
+        F.sum(F.when(F.col("txn_date") >= split, cents).otherwise(F.lit(0))).alias(
+            "s2"
+        ),
+    )
+    pairs = (
+        per_cust.select((F.col("s2") - F.col("s1")).alias("d"))
+        .filter(F.col("d") != 0)
+        .select(F.abs(F.col("d")).alias("absd"), (F.col("d") > 0).cast("long").alias("pos"))
+    )
+    per_val = pairs.groupBy("absd").agg(
+        F.count("*").alias("cnt"), F.sum("pos").alias("n_pos_v")
+    )
+    ranked = bucketed_prefix_rank(per_val, "absd")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    dcnt = dec(F.col("cnt"))
+    m = ranked.agg(
+        F.sum("cnt").alias("n"),
+        F.sum("n_pos_v").alias("n_pos"),
+        F.sum(
+            dec(F.col("n_pos_v")) * (2 * dec(F.col("before")) + dcnt + 1)
+        ).alias("w2_plus"),
+        F.sum(dcnt * dcnt * dcnt - dcnt).alias("ties"),
+    )
+    n = F.col("n")
+    dn = dec(n)
+    # z = (W+ − n(n+1)/4)/σ, in 2× units: (2·w2 − n(n+1)) / (2·sqrt(var2)),
+    # var2 = var(2W+); every product decimal-exact before the double cast
+    num = (2 * dec(F.col("w2_plus")) - dn * (dn + 1)).cast("double")
+    var2 = (dn * (dn + 1) * (2 * dn + 1)).cast("double") / 6.0 - F.col("ties").cast(
+        "double"
+    ) / 12.0
+    z = num / (2.0 * F.sqrt(var2))
+    micro = lambda c: F.floor(c * 1000000.0 + 0.5) / 1000000.0  # noqa: E731
+    return m.select(
+        F.coalesce(n, F.lit(0)).cast("long").alias("n_pairs"),
+        F.coalesce(F.col("n_pos"), F.lit(0)).cast("long").alias("n_positive"),
+        (F.col("w2_plus").cast("double") / 2.0).alias("w_plus"),
+        F.when(n > 0, micro(z)).alias("z_score"),
+    )
+
+
+def wilcoxon_signed_rank_spend_sql() -> str:
+    from ..functions.money import to_cents_sql
+    from .sketches import PSI_SPLIT_DATE
+    from .transactions import transactions_sql
+
+    return f"""
+WITH txn AS ({transactions_sql()}),
+per_cust AS (
+  SELECT customer_id,
+         sum(CASE WHEN txn_date < DATE '{PSI_SPLIT_DATE}'
+                  THEN {to_cents_sql('total_amount')} ELSE 0 END) AS s1,
+         sum(CASE WHEN txn_date >= DATE '{PSI_SPLIT_DATE}'
+                  THEN {to_cents_sql('total_amount')} ELSE 0 END) AS s2
+  FROM txn GROUP BY customer_id
+),
+pairs AS (
+  SELECT abs(s2 - s1) AS absd, (s2 > s1)::bigint AS pos
+  FROM per_cust WHERE s2 <> s1
+),
+per_val AS (
+  SELECT absd, count(*) AS cnt, sum(pos) AS n_pos_v
+  FROM pairs GROUP BY absd
+),
+ranked AS (
+  SELECT absd, cnt, n_pos_v,
+         coalesce(sum(cnt) OVER (ORDER BY absd
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+  FROM per_val
+),
+m AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS n,
+         CAST(sum(n_pos_v) AS BIGINT) AS n_pos,
+         sum((n_pos_v * (2 * before + cnt + 1))::hugeint) AS w2_plus,
+         sum((cnt * cnt * cnt - cnt)::hugeint) AS ties
+  FROM ranked
+)
+SELECT coalesce(n, 0) AS n_pairs,
+       coalesce(n_pos, 0) AS n_positive,
+       w2_plus::double / 2.0 AS w_plus,
+       CASE WHEN n > 0 THEN
+         floor((2 * w2_plus - (n::hugeint * (n + 1)))::double
+               / (2.0 * sqrt((n::hugeint * (n + 1) * (2 * n + 1))::double / 6.0
+                             - ties::double / 12.0))
+               * 1000000.0 + 0.5) / 1000000.0
+       END AS z_score
+FROM m
+"""
+
+
+def cvm_spend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Cramér–von Mises criterion over per-customer net spend
+    between the md5 A/B arms — the whole-distribution sibling of
+    :func:`ks_spend_test`: KS reads only the single largest ECDF gap, CvM
+    integrates the SQUARED gap over every pooled observation, so it sees
+    broad mid-distribution shifts KS underweights.  T = n_a·n_b/(n)² ·
+    Σ_v cnt_v·(F_A(v) − F_B(v))², computed as exact integers:
+    Σ cnt·(n_b·cumA − n_a·cumB)² / (n_a·n_b·n²), with the inclusive dual
+    cumulatives from ONE :func:`sketches.bucketed_prefix_rank` pass
+    (inclusive mode, both measures) — the ks_spend_test machinery with
+    the max swapped for a weighted sum.
+
+    Degenerate cases (an empty arm) pin T to NULL on both engines.
+
+    Scale shape: one customer rollup, one shuffle onto distinct values,
+    bounded-bucket windows, one scalar aggregate.  The exact integer
+    numerator is bounded by n³·max(cum)² ~ n⁵ — decimal(38,0) holds to
+    n ≈ 10⁷ customers; past that the production form shards the sum by
+    bucket before the final add (same class as ks's cross product)."""
+    from ..functions.money import to_cents
+    from .sampling import _md5_bucket
+    from .sketches import bucketed_prefix_rank
+    from .transactions import build_transactions
+
+    txn = build_transactions(spark, sf_dir)
+    per_cust = txn.groupBy("customer_id").agg(
+        F.sum(to_cents(F.col("total_amount"))).alias("cents")
+    )
+    arms = per_cust.select(
+        "cents",
+        (_md5_bucket(F.col("customer_id"), 2) == 0).cast("long").alias("is_a"),
+    )
+    per_val = arms.groupBy("cents").agg(
+        F.count("*").alias("cnt"), F.sum("is_a").alias("a_v")
+    )
+    cum = bucketed_prefix_rank(
+        per_val, "cents", inclusive=True, sums={"cnt": "cum", "a_v": "cum_a"}
+    ).select("cnt", "cum", "cum_a")
+    tot = arms.agg(F.count("*").alias("n"), F.sum("is_a").alias("n_a"))
+    j = cum.join(F.broadcast(tot))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    nb = F.col("n") - F.col("n_a")
+    cum_b = dec(F.col("cum")) - dec(F.col("cum_a"))
+    diff = dec(nb) * dec(F.col("cum_a")) - dec(F.col("n_a")) * cum_b
+    m = j.agg(
+        F.max("n").alias("n"),
+        F.max("n_a").alias("n_a"),
+        F.sum(dec(F.col("cnt")) * diff * diff).alias("s"),
+    )
+    n, na = F.col("n"), F.col("n_a")
+    nbb = n - na
+    dn, dna, dnb = dec(n), dec(na), dec(nbb)
+    t = (
+        F.col("s").cast("double")
+        / (dna * dnb).cast("double")
+        / (dn * dn).cast("double")
+    )
+    micro = lambda c: F.floor(c * 1000000.0 + 0.5) / 1000000.0  # noqa: E731
+    ok = (na > 0) & (nbb > 0)
+    return m.select(
+        n.alias("n"),
+        na.alias("n_a"),
+        nbb.alias("n_b"),
+        F.when(ok, micro(t)).alias("cvm_t"),
+    )
+
+
+def cvm_spend_test_sql() -> str:
+    from ..functions.money import to_cents_sql
+    from .sampling import _md5_bucket_sql
+    from .transactions import transactions_sql
+
+    return f"""
+WITH txn AS ({transactions_sql()}),
+per_cust AS (
+  SELECT customer_id, sum({to_cents_sql('total_amount')}) AS cents
+  FROM txn GROUP BY customer_id
+),
+arms AS (
+  SELECT cents, ({_md5_bucket_sql('customer_id', 2)} = 0)::bigint AS is_a
+  FROM per_cust
+),
+per_val AS (
+  SELECT cents, count(*) AS cnt, sum(is_a) AS a_v
+  FROM arms GROUP BY cents
+),
+cum AS (
+  SELECT cnt,
+         sum(cnt) OVER (ORDER BY cents
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(a_v) OVER (ORDER BY cents
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a
+  FROM per_val
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(is_a) AS BIGINT) AS n_a
+  FROM arms
+),
+m AS (
+  SELECT max(n) AS n, max(n_a) AS n_a,
+         sum((cnt::hugeint
+              * ((n - n_a) * cum_a - n_a * (cum - cum_a))::hugeint
+              * ((n - n_a) * cum_a - n_a * (cum - cum_a))::hugeint)) AS s
+  FROM cum, tot
+)
+SELECT n, n_a, (n - n_a) AS n_b,
+       CASE WHEN n_a > 0 AND n - n_a > 0 THEN
+         floor(s::double / (n_a::hugeint * (n - n_a))::double
+               / (n::hugeint * n)::double * 1000000.0 + 0.5) / 1000000.0
+       END AS cvm_t
+FROM m
+"""

@@ -3005,15 +3005,23 @@ def jackknife_source_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     same sequence (the anova ≤5-row discipline on the ~20-row source
     frame).
 
-    Scale shape: one map-side-combined groupBy(source); everything after
-    runs on the bounded source frame."""
+    Scale shape: one map-side-combined groupBy(source) — tracked-persisted,
+    because three independent Catalyst subtrees consume it (the ordered
+    theta mean, the SS pass via withbar, and the final select): without
+    the cache the corpus-sized scan+aggregate re-runs per consumer (the
+    round-9 ADVICE finding; same collapse class as rfm_segments /
+    permutation_test_spend).  Everything after runs on the bounded
+    source frame."""
     from pyspark.sql import Window
 
     from ..functions.money import micro
+    from ..io import tracked_persist
 
     docs = load_table(spark, sf_dir, "documents")
-    g = docs.groupBy("source").agg(
-        F.count("*").alias("n_g"), F.sum("n_chars").alias("s_g")
+    g = tracked_persist(
+        docs.groupBy("source").agg(
+            F.count("*").alias("n_g"), F.sum("n_chars").alias("s_g")
+        )
     )
     wk = Window.partitionBy()
     tot = g.select(

@@ -1193,6 +1193,23 @@ register(
     "jackknife_source_mean", ts.jackknife_source_mean, ts.jackknife_source_mean_sql()
 )
 
+# round-10 additions (depth round: each is a driver-checked consumer of a
+# DISTINCT mode of the consolidated sketches.bucketed_prefix_rank —
+# plain (wilcoxon |d| ranks), inclusive dual-measure (CvM cumulative
+# ECDFs), and partitioned rank-pick (per-segment quantiles) — so the
+# round-10 consolidation's three code paths all carry driver-green rows)
+register(
+    "wilcoxon_signed_rank_spend",
+    ex.wilcoxon_signed_rank_spend,
+    ex.wilcoxon_signed_rank_spend_sql(),
+)
+register("cvm_spend_test", ex.cvm_spend_test, ex.cvm_spend_test_sql())
+register(
+    "segment_spend_quantiles",
+    co.segment_spend_quantiles,
+    co.segment_spend_quantiles_sql(),
+)
+
 # ROUND-9 WINDOW (the 50 registry slots the driver verifies this round).
 # CORRECTNESS_r08 landed 50/50 green, so the staged plan is now code:
 #   * 28 front slots (_ROUND9_FRONT) — the round-8 additions, never
@@ -1391,7 +1408,11 @@ if set(_ROUND10_FRONT) & set(_ROUND9_WINDOW):
 # re-verifies).  The judge's round-9 order shifts the growth budget from
 # breadth to depth: round-10 additions are capped at 20 so freed slots can
 # absorb re-verifies of the log-bucket-rank consolidation touches.
-_ROUND11_FRONT: list[str] = []
+_ROUND11_FRONT: list[str] = [
+    "wilcoxon_signed_rank_spend",
+    "cvm_spend_test",
+    "segment_spend_quantiles",
+]
 _ROUND11_OWED: list[str] = [
     # round-10 log-bucket-rank consolidation (judge order, round-9 verdict
     # #2): the 14 inline sign-aware bucket/prefix-rank copies now call

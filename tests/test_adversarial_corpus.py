@@ -369,6 +369,10 @@ TXN_QUERIES = [
     "jarque_bera_daily_revenue", # edge-cent z ordered-sum moments, m2=0 guard
     "durbin_watson_revenue",     # degenerate 1-day calendars (D=0), zero residuals
     "runs_test_revenue",         # all-above/all-below median: sigma^2=0 guard
+    # round-10 wave
+    "wilcoxon_signed_rank_spend",  # zero-diff discard + |d| tie blocks on edges
+    "cvm_spend_test",            # squared-ECDF-gap decimal products at edge cents
+    "segment_spend_quantiles",   # nearest-rank interval cover on tie-heavy values
 ]
 
 
@@ -769,6 +773,10 @@ REL_QUERIES = [
     "jarque_bera_daily_revenue", # sparse random calendar ordered-sum moments
     "durbin_watson_revenue",     # random-walk residuals on the fuzzed calendar
     "runs_test_revenue",         # random sign interleavings around the median
+    # round-10 wave
+    "wilcoxon_signed_rank_spend",  # random 8-decimal paired sums around the split
+    "cvm_spend_test",            # random spends through the exact ECDF-gap sum
+    "segment_spend_quantiles",   # random per-segment vocabularies, quantile picks
 ]
 
 
