@@ -2338,7 +2338,7 @@ def wilcoxon_signed_rank_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one per-customer conditional-sum collapse, one shuffle
     onto distinct |d| values, the bounded-bucket rank build, one scalar
     aggregate."""
-    from ..functions.money import to_cents
+    from ..functions.money import micro, to_cents
     from .sketches import PSI_SPLIT_DATE, bucketed_prefix_rank
     from .transactions import build_transactions
 
@@ -2379,7 +2379,6 @@ def wilcoxon_signed_rank_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "double"
     ) / 12.0
     z = num / (2.0 * F.sqrt(var2))
-    micro = lambda c: F.floor(c * 1000000.0 + 0.5) / 1000000.0  # noqa: E731
     return m.select(
         F.coalesce(n, F.lit(0)).cast("long").alias("n_pairs"),
         F.coalesce(F.col("n_pos"), F.lit(0)).cast("long").alias("n_positive"),
@@ -2389,10 +2388,13 @@ def wilcoxon_signed_rank_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def wilcoxon_signed_rank_spend_sql() -> str:
-    from ..functions.money import to_cents_sql
+    from ..functions.money import micro_sql, to_cents_sql
     from .sketches import PSI_SPLIT_DATE
     from .transactions import transactions_sql
 
+    zx = ("((2 * w2_plus - (n::hugeint * (n + 1)))::double "
+          "/ (2.0 * sqrt((n::hugeint * (n + 1) * (2 * n + 1))::double / 6.0 "
+          "- ties::double / 12.0)))")
     return f"""
 WITH txn AS ({transactions_sql()}),
 per_cust AS (
@@ -2428,10 +2430,7 @@ SELECT coalesce(n, 0) AS n_pairs,
        coalesce(n_pos, 0) AS n_positive,
        w2_plus::double / 2.0 AS w_plus,
        CASE WHEN n > 0 THEN
-         floor((2 * w2_plus - (n::hugeint * (n + 1)))::double
-               / (2.0 * sqrt((n::hugeint * (n + 1) * (2 * n + 1))::double / 6.0
-                             - ties::double / 12.0))
-               * 1000000.0 + 0.5) / 1000000.0
+         {micro_sql(zx)}
        END AS z_score
 FROM m
 """
@@ -2456,7 +2455,7 @@ def cvm_spend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     numerator is bounded by n³·max(cum)² ~ n⁵ — decimal(38,0) holds to
     n ≈ 10⁷ customers; past that the production form shards the sum by
     bucket before the final add (same class as ks's cross product)."""
-    from ..functions.money import to_cents
+    from ..functions.money import micro, to_cents
     from .sampling import _md5_bucket
     from .sketches import bucketed_prefix_rank
     from .transactions import build_transactions
@@ -2494,7 +2493,6 @@ def cvm_spend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         / (dna * dnb).cast("double")
         / (dn * dn).cast("double")
     )
-    micro = lambda c: F.floor(c * 1000000.0 + 0.5) / 1000000.0  # noqa: E731
     ok = (na > 0) & (nbb > 0)
     return m.select(
         n.alias("n"),
@@ -2505,10 +2503,12 @@ def cvm_spend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def cvm_spend_test_sql() -> str:
-    from ..functions.money import to_cents_sql
+    from ..functions.money import micro_sql, to_cents_sql
     from .sampling import _md5_bucket_sql
     from .transactions import transactions_sql
 
+    tx = ("(s::double / (n_a::hugeint * (n - n_a))::double "
+          "/ (n::hugeint * n)::double)")
     return f"""
 WITH txn AS ({transactions_sql()}),
 per_cust AS (
@@ -2544,8 +2544,7 @@ m AS (
 )
 SELECT n, n_a, (n - n_a) AS n_b,
        CASE WHEN n_a > 0 AND n - n_a > 0 THEN
-         floor(s::double / (n_a::hugeint * (n - n_a))::double
-               / (n::hugeint * n)::double * 1000000.0 + 0.5) / 1000000.0
+         {micro_sql(tx)}
        END AS cvm_t
 FROM m
 """

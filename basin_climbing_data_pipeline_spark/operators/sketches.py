@@ -488,6 +488,7 @@ def bucketed_prefix_rank(
     descending: bool = False,
     inclusive: bool = False,
     sums: dict[str, str] | None = None,
+    broadcast_offsets: bool = True,
 ) -> DataFrame:
     """Distributed prefix sums over a per-distinct-value frame with NO
     global row sort — the shared rank primitive behind the order-statistic
@@ -504,11 +505,15 @@ def bucketed_prefix_rank(
     How it scales: each value's global prefix decomposes as a bucket
     offset plus a within-bucket offset.  Bucket offsets are an EXCLUSIVE
     cumulative window over the bounded monotone :func:`log_bucket` table
-    (≤ ~610 rows per partition group — broadcast back, never shuffled by
-    data volume); within-bucket offsets are windows PARTITIONED by
-    bucket, so no executor ever sorts more than one bucket's distinct
-    values.  Everything is exact integer math — bitwise-stable across
-    engines and partitionings."""
+    — ≤ ~610 rows TIMES the partition-group count, so the default
+    broadcast join back is safe only while ``partition_cols`` has a
+    bounded vocabulary (segments, revenue categories); pass
+    ``broadcast_offsets=False`` for a corpus-sized partition key, where
+    collecting groups×610 rows to the driver would be the scale bug.
+    Within-bucket offsets are windows PARTITIONED by bucket, so no
+    executor ever sorts more than one bucket's distinct values.
+    Everything is exact integer math — bitwise-stable across engines and
+    partitionings (the join strategy never changes values)."""
     from pyspark.sql import Window
 
     if sums is None:
@@ -536,7 +541,9 @@ def bucketed_prefix_rank(
         .orderBy(F.desc(value_col) if descending else F.asc(value_col))
         .rowsBetween(Window.unboundedPreceding, 0 if inclusive else -1)
     )
-    out = b.join(F.broadcast(offsets), pc + ["_bpr_bkt"])
+    out = b.join(
+        F.broadcast(offsets) if broadcast_offsets else offsets, pc + ["_bpr_bkt"]
+    )
     for m, name in sums.items():
         out = out.withColumn(
             name,

@@ -38,6 +38,16 @@ def run_query(df) -> None:
 
 
 def main() -> int:
+    # parse --reps FIRST: a malformed flag must fail fast, not after the
+    # multi-minute warm-up/load phases
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "1"))
+    if "--reps" in sys.argv:
+        i = sys.argv.index("--reps")
+        if i + 1 >= len(sys.argv) or not sys.argv[i + 1].isdigit():
+            print("usage: bench.py [--reps N]  (N a positive integer)", file=sys.stderr)
+            return 2
+        reps = int(sys.argv[i + 1])
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else 0.0
@@ -154,9 +164,6 @@ def main() -> int:
         list(pool.map(load_one, builders))
     load_sec = round(time.time() - t_load, 3)
 
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "1"))
-    if "--reps" in sys.argv:
-        reps = int(sys.argv[sys.argv.index("--reps") + 1])
     timings: dict[str, float | None] = {}
     rep_totals: list[float] = []
     for _rep in range(max(1, reps)):
@@ -201,7 +208,7 @@ def main() -> int:
     )
     with open(full_path, "w") as f:
         json.dump(payload, f, indent=1, sort_keys=True)
-    line = compact_line(timings, total, load_sec, sf)
+    line = compact_line(timings, total, load_sec, sf, reps=max(1, reps))
     print(json.dumps(line, allow_nan=False))
     # a red bench must be a red exit code — a `bench.py | tee`-style gate
     # without pipefail once landed a failing run as green (round-7 lesson)
@@ -214,6 +221,7 @@ def compact_line(
     load_sec: float,
     sf: float,
     budget: int = 1900,
+    reps: int = 1,
 ) -> dict:
     """The single stdout record: the driver keeps only a ~2 KB tail of
     stdout and parses the last line as JSON; the full per-query map is
@@ -237,6 +245,10 @@ def compact_line(
         "queries": {},
         "n_queries": len(timings),
         "n_failed": len(failed),
+        # reps > 1 => `value` is the MIN-PROFILE sum (per-query minima), a
+        # composite no single run achieved — comparable only against other
+        # min profiles at the same reps, NOT against reps=1 history
+        "reps": reps,
         "warehouse_load_sec": load_sec,
         "full_record": "BENCH_FULL.json",
         "sf": sf,

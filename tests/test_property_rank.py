@@ -91,7 +91,7 @@ def test_log_bucket_sql_matches_reference():
         assert b == py_log_bucket(v), v
 
 
-def _brute_force(rows, *, descending, inclusive, n_parts):
+def _brute_force(rows, *, descending, inclusive):
     """O(n²) reference: for each row, sum each measure over same-partition
     rows with strictly smaller/larger (or ≤/≥) value."""
     out = []
@@ -155,7 +155,6 @@ def test_bucketed_prefix_rank_matches_bruteforce(
         [(key(p), v, m) for p, v, m in rows],
         descending=descending,
         inclusive=inclusive,
-        n_parts=len(parts),
     )
     assert got_rows == [(p, v, m) for p, v, m in ref]
 

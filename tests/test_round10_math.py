@@ -33,6 +33,9 @@ def con():
 
 
 def _micro(x: float) -> float:
+    """The shared guarded quantizer's semantics (functions/money.py)."""
+    if math.isnan(x) or not abs(x) < 1.0e12:
+        return x
     return math.floor(x * 1_000_000.0 + 0.5) / 1_000_000.0
 
 
