@@ -693,23 +693,24 @@ def test_fold_norm_pins_special_casing(spark):
 # ---------------------------------------------------------------------------
 
 
-@pytest.fixture(scope="module")
-def fuzz_rel_dir(tmp_path_factory):
+def write_random_relational(d, seed: int = 9090) -> None:
+    """Seeded random orders/lineitem/part layer — shared by the fuzz_rel_dir
+    fixture and tools/capstone_corpus.py's --seed rotation: prices with up
+    to 8 decimal places (money-rounding stress), random discounts/taxes/
+    flags/dates, orders without lines, randomized part names mixing
+    category keywords, grammar tokens, and unicode.  Writes into ``d``,
+    which must already hold the non-randomized tables."""
     import datetime as dt
     import random
 
-    import duckdb as _dd
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    d = tmp_path_factory.mktemp("fuzz_rel")
     src = "/root/testdata/sf0.001"
-    for t in ("region nation customer supplier documents embeddings "
-              "events").split():
-        shutil.copy(f"{src}/{t}.parquet", d / f"{t}.parquet")
-    rng = random.Random(9090)
-    con = _dd.connect()
-    ck = [r[0] for r in con.execute(
+    rng = random.Random(seed)
+    import duckdb as _dd
+
+    ck = [r[0] for r in _dd.connect().execute(
         f"SELECT c_custkey FROM read_parquet('{src}/customer.parquet')").fetchall()]
     p_schema = pq.read_schema(f"{src}/part.parquet")
     part = pq.read_table(f"{src}/part.parquet").to_pandas()
@@ -751,6 +752,16 @@ def fuzz_rel_dir(tmp_path_factory):
     pq.write_table(
         pa.table({f.name: pa.array([r[i] for r in li], f.type)
                   for i, f in enumerate(li_schema)}), f"{d}/lineitem.parquet")
+
+
+@pytest.fixture(scope="module")
+def fuzz_rel_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("fuzz_rel")
+    src = "/root/testdata/sf0.001"
+    for t in ("region nation customer supplier documents embeddings "
+              "events").split():
+        shutil.copy(f"{src}/{t}.parquet", d / f"{t}.parquet")
+    write_random_relational(d)
     return str(d)
 
 

@@ -12,9 +12,12 @@ Usage:
     python tools/check.py $(python tools/capstone_corpus.py) [--bitwise]
     python tools/capstone_corpus.py --seed N [out_dir]
         # seed rotation: the documents table is replaced by the seeded
-        # random-unicode generator (tests/test_adversarial_corpus.py's
-        # random_unicode_doc_rows) instead of the hand-crafted adversarial
-        # set — a fresh seed hunts divergences the fixed set can't.
+        # random-unicode generator and orders/lineitem/part by the seeded
+        # random-relational generator (both shared with the pytest fuzz
+        # fixtures) instead of the hand-crafted adversarial sets — a fresh
+        # seed hunts divergences the fixed sets can't.  Embeddings and
+        # events keep their hand-crafted adversarial layers (no seeded
+        # generator exists for them).
 """
 
 from __future__ import annotations
@@ -73,6 +76,10 @@ def build(out_dir: str | None = None, seed: int | None = None) -> str:
     for t in ("customer", "orders", "lineitem"):
         shutil.copy(f"{txn_dir}/{t}.parquet", out / f"{t}.parquet")
     shutil.copy(f"{part_dir}/part.parquet", out / "part.parquet")
+    if seed is not None:
+        # seeded rotation also randomizes the relational stack (overwrites
+        # orders/lineitem/part; customer keeps the adversarial edge rows)
+        T.write_random_relational(out, seed=seed + 1)
     T._write_events(str(out), T._adversarial_events_rows())
     shutil.rmtree(out / "_parts")
     return str(out)
