@@ -65,7 +65,11 @@ def main() -> None:
     from basin_climbing_data_pipeline_spark.registry import REGISTRY
 
     out: dict[str, list[dict]] = {}
-    for name in ("streaming_sessions", "streaming_windowed_counts"):
+    for name in (
+        "streaming_attribution_join",  # round-10 adjudication target (r9 verdict #3)
+        "streaming_sessions",
+        "streaming_windowed_counts",
+    ):
         fn = REGISTRY[name][0]
         runs = []
         for rep in range(REPS):
