@@ -8,14 +8,18 @@ line: {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
 Each query is forced with a noop-format write so every column is computed
 (a bare .count() would let Catalyst prune the expensive projections).
 
-``--reps N`` (or $SPARK_GRAFT_BENCH_REPS, default 1) repeats the timed
+``--reps N`` (or $SPARK_GRAFT_BENCH_REPS, DEFAULT 3) repeats the timed
 query phase N times and reports each query's MINIMUM wall — the
 noise-resistant profile the round-9 verdict ordered promoted into the
 tool: this box's envelope spans ±30%+ at identical code (three identical
 closing runs measured 357.8/495.3/414.3 s in round 9), so a single-run
 sweep is weak evidence for any per-query movement; the min profile is
 what round-over-round comparison should read.  Warm-up and the warehouse
-load run once; per-rep totals land in BENCH_FULL.json as ``rep_totals``.
+load run once; per-rep totals land in BENCH_FULL.json as ``rep_totals``
+and the compact line carries the ``reps`` actually RUN.  A wall budget
+($SPARK_GRAFT_BENCH_BUDGET_S, default 1500) stops further reps when the
+projected finish would overshoot — the first rep always completes, so a
+slow day degrades to fewer reps instead of a driver timeout.
 """
 
 from __future__ import annotations
@@ -40,7 +44,7 @@ def run_query(df) -> None:
 def main() -> int:
     # parse --reps FIRST: a malformed flag must fail fast, not after the
     # multi-minute warm-up/load phases
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "1"))
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     if "--reps" in sys.argv:
         i = sys.argv.index("--reps")
         if i + 1 >= len(sys.argv) or not sys.argv[i + 1].isdigit():
@@ -164,9 +168,24 @@ def main() -> int:
         list(pool.map(load_one, builders))
     load_sec = round(time.time() - t_load, 3)
 
+    # Rep budget: further reps run only while the projected finish stays
+    # under the wall budget (first rep always runs).  This lets the default
+    # be a 3-rep min profile — the noise-resistant artifact the round-9
+    # verdict ordered — without risking a driver-side timeout on a slow
+    # day: a rep costs its predecessor's wall, so stop when elapsed +
+    # last_rep would overshoot.
+    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "1500"))
+    t_reps = time.time()
     timings: dict[str, float | None] = {}
     rep_totals: list[float] = []
     for _rep in range(max(1, reps)):
+        if rep_totals and (time.time() - t_reps) + rep_totals[-1] > budget_s:
+            print(
+                f"bench: stopping after {len(rep_totals)} rep(s) — projected "
+                f"finish exceeds SPARK_GRAFT_BENCH_BUDGET_S={budget_s:.0f}s",
+                file=sys.stderr,
+            )
+            break
         rep_total = 0.0
         for name, (fn, _sql) in REGISTRY.items():
             t0 = time.time()
@@ -187,12 +206,13 @@ def main() -> int:
         rep_totals.append(round(rep_total, 3))
     total = sum(v for v in timings.values() if v is not None)
 
+    reps_run = len(rep_totals)
     payload = {
         "metric": "total_query_wall_sec",
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
-        "reps": max(1, reps),
+        "reps": reps_run,
         "rep_totals": rep_totals,
         "warehouse_load_sec": load_sec,
         "warehouse_load_per_table": load_per_table,
@@ -208,7 +228,7 @@ def main() -> int:
     )
     with open(full_path, "w") as f:
         json.dump(payload, f, indent=1, sort_keys=True)
-    line = compact_line(timings, total, load_sec, sf, reps=max(1, reps))
+    line = compact_line(timings, total, load_sec, sf, reps=reps_run)
     print(json.dumps(line, allow_nan=False))
     # a red bench must be a red exit code — a `bench.py | tee`-style gate
     # without pipefail once landed a failing run as green (round-7 lesson)
