@@ -1408,6 +1408,14 @@ if set(_ROUND10_FRONT) & set(_ROUND9_WINDOW):
 # re-verifies).  The judge's round-9 order shifts the growth budget from
 # breadth to depth: round-10 additions are capped at 20 so freed slots can
 # absorb re-verifies of the log-bucket-rank consolidation touches.
+# NOTE(round-11 candidate): the `dec = lambda c: c.cast("decimal(38,0)")`
+# overflow-discipline lambda has 36 inline copies across the operators —
+# the next consolidation target (a shared functions/money.py `dec38()`),
+# deliberately deferred from round 10 because rewriting ~30 driver-green
+# out-of-window entries would consume most of a verification window as
+# owed re-verifies in one round.  Unlike the log-bucket primitive it is a
+# one-expression alias with no fencepost choices, so the drift risk is
+# low; schedule it when a window has matching slack.
 _ROUND11_FRONT: list[str] = [
     "wilcoxon_signed_rank_spend",
     "cvm_spend_test",
