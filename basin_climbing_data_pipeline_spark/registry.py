@@ -1448,7 +1448,7 @@ if len(_ROUND11_FRONT) + len(_ROUND11_OWED) > _WINDOW_SLOTS:
     )
 if len(_ROUND11_FRONT) > 20:
     raise ValueError(
-        "round-10 additions capped at 20 (judge order, round-9 verdict #6: "
+        "round-11 additions capped at 20 (judge order, round-9 verdict #6: "
         f"depth over breadth) — got {len(_ROUND11_FRONT)}"
     )
 _r11_missing = [n for n in _ROUND11_FRONT + _ROUND11_OWED if n not in REGISTRY]

@@ -289,7 +289,13 @@ def test_delta_profile_matches_parquet_under_contract_fake(
             # string the engine built) selects them
             t_unmatched = t.join(b, F.expr(self._cond), "left_anti")
             if self._delete_cond is not None:
-                t_unmatched = t_unmatched.filter(~F.expr(self._delete_cond))
+                # Delta's WHEN NOT MATCHED BY SOURCE THEN DELETE deletes only
+                # when the condition evaluates TRUE — a NULL condition KEEPS
+                # the row.  A bare filter(~expr) would drop NULL-evaluating
+                # rows (filter keeps only TRUE), silently deleting them.
+                t_unmatched = t_unmatched.filter(
+                    F.coalesce(~F.expr(self._delete_cond), F.lit(True))
+                )
             new = b.unionByName(t_unmatched)
             rows = new.collect()  # materialize before overwriting the store
             self._sess.createDataFrame(rows, new.schema).write.mode(

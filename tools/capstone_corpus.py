@@ -78,7 +78,9 @@ def build(out_dir: str | None = None, seed: int | None = None) -> str:
     shutil.copy(f"{part_dir}/part.parquet", out / "part.parquet")
     if seed is not None:
         # seeded rotation also randomizes the relational stack (overwrites
-        # orders/lineitem/part; customer keeps the adversarial edge rows)
+        # orders/lineitem/part; customer stays the stock sf0.001 table,
+        # referentially consistent with the seeded orders — the adversarial
+        # customer fixture is a separate corpus this builder does not use)
         T.write_random_relational(out, seed=seed + 1)
     T._write_events(str(out), T._adversarial_events_rows())
     shutil.rmtree(out / "_parts")
@@ -90,6 +92,14 @@ if __name__ == "__main__":
     seed = None
     if "--seed" in args:
         i = args.index("--seed")
+        # validate the operand like bench.py's --reps: a trailing flag or a
+        # non-integer must print usage, not a bare traceback
+        if i + 1 >= len(args) or not args[i + 1].lstrip("-").isdigit():
+            print(
+                "usage: capstone_corpus.py [OUT_DIR] [--seed N]  (N an integer)",
+                file=sys.stderr,
+            )
+            sys.exit(2)
         seed = int(args[i + 1])
         del args[i : i + 2]
     print(build(args[0] if args else None, seed=seed))
