@@ -84,6 +84,37 @@ def ratio_sql(num: str, den: str, digits: int = 4) -> str:
     return f"(floor(({num}) / ({den}) * {scale} + 0.5) / {scale})"
 
 
+# Exact-integer accumulator type for statistical moments.  int64 sums of
+# squared cents overflow past ~9.2e18 (ANSI Spark THROWS where DuckDB
+# silently promotes to HUGEINT — found by random-corpus fuzzing, round 9);
+# decimal(38,0) gives 38 digits of order-insensitive exact headroom.
+DEC38 = "decimal(38,0)"
+
+
+def dec38(col: Column) -> Column:
+    """THE shared overflow-discipline cast: exact decimal(38,0) integer.
+
+    Use on any int64-range count/sum factor entering a product or squared
+    moment so the arithmetic stays exact past int64 (Σy², n·Σxy, S²…).
+    Consolidates the ~36 inline ``dec = lambda c: c.cast("decimal(38,0)")``
+    copies (round-10 verdict order #2 for round 11) — one definition, so
+    the cast literal can never drift per-site."""
+    return col.cast(DEC38)
+
+
+def dec38_prod(a: Column, b: Column) -> Column:
+    """Exact product of two int64-range integer columns as decimal(38,0).
+
+    Per-factor casts to decimal(19,0) keep each int64 factor exact and give
+    Spark's decimal multiply its full 38-digit result headroom (19+19+1 →
+    capped at 38, scale 0); the outer cast pins the accumulator type.  This
+    is the ``F.sum((xd * yd).cast("decimal(38,0)"))`` squared-moment idiom
+    shared by the correlation/OLS/ANOVA/Welch/… family — exact while
+    |a·b| < 1e38, which every call site bounds by construction (cents and
+    ranks are ≪ 1e19)."""
+    return (a.cast("decimal(19,0)") * b.cast("decimal(19,0)")).cast(DEC38)
+
+
 def micro(col: Column) -> Column:
     """Overflow-guarded micro (1e-6) quantizer — THE shared primitive for
     rounding unbounded doubles (variances, slopes, z-scores at adversarial

@@ -32,7 +32,16 @@ import datetime as dt
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.money import ratio, ratio_sql, sum_money, sum_money_sql, to_cents, to_cents_sql
+from ..functions.money import (
+    dec38,
+    dec38_prod,
+    ratio,
+    ratio_sql,
+    sum_money,
+    sum_money_sql,
+    to_cents,
+    to_cents_sql,
+)
 
 COHORT_AS_OF = dt.date(2024, 1, 20)  # mid-stream: later visits are immature
 
@@ -1256,15 +1265,13 @@ def visit_spend_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 4x probe); the squared moments accumulate as DECIMAL(38,0) — exact and
     # order-insensitive like the int64 path, with 38-digit headroom — and
     # drop to double once, for the final formula only
-    yd = F.col("y").cast("decimal(19,0)")
-    xd = F.col("x").cast("decimal(19,0)")
     m = xy.agg(
         F.count("*").alias("n"),
         F.sum("x").alias("sx"),
         F.sum("y").alias("sy"),
-        F.sum((xd * yd).cast("decimal(38,0)")).alias("sxy"),
-        F.sum((xd * xd).cast("decimal(38,0)")).alias("sxx"),
-        F.sum((yd * yd).cast("decimal(38,0)")).alias("syy"),
+        F.sum(dec38_prod(F.col("x"), F.col("y"))).alias("sxy"),
+        F.sum(dec38_prod(F.col("x"), F.col("x"))).alias("sxx"),
+        F.sum(dec38_prod(F.col("y"), F.col("y"))).alias("syy"),
     )
     n = F.col("n").cast("double")
     cov = F.col("sxy").cast("double") / n - (F.col("sx") / n) * (F.col("sy") / n)
@@ -1659,13 +1666,12 @@ def trimmed_winsorized_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep_lo = F.greatest(lo_rank, F.col("k") + 1)
     keep_hi = F.least(hi_rank, F.col("n") - F.col("k"))
     ov = F.greatest(keep_hi - keep_lo + 1, F.lit(0))
-    # dec() EACH OPERAND before the multiply: cents*ov in LONG wraps
+    # dec38() EACH OPERAND before the multiply: cents*ov in LONG wraps
     # silently at edge magnitudes (~1e11 cents × n-bounded overlap) while
     # the DuckDB oracle's per_cust cents is already HUGEINT (round-8
     # ADVICE; same class as the Holt tap-product overflow).
-    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     m = j.groupBy("n", "sum_cents", "k").agg(
-        F.sum(dec(F.col("cents")) * dec(ov)).alias("trimmed_sum"),
+        F.sum(dec38(F.col("cents")) * dec38(ov)).alias("trimmed_sum"),
         F.sum(ov).alias("trimmed_n"),
         F.min(F.when(hi_rank >= F.col("k") + 1, F.col("cents"))).alias("lo_cut"),
         F.min(F.when(hi_rank >= F.col("n") - F.col("k"), F.col("cents"))).alias(
@@ -1767,20 +1773,19 @@ def gini_spend_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per_val = per_cust.groupBy("cents").agg(F.count("*").alias("cnt"))
     ranked = bucketed_prefix_rank(per_val, "cents")
-    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     # Σ 2·rank·x over a tied block of cnt copies at average rank
     # (before + (cnt+1)/2): 2·Σ = cnt·(2·before + cnt + 1)·x — exact ints
     m = ranked.agg(
         F.sum("cnt").alias("n"),
-        # dec() each operand BEFORE multiplying — cents*cnt and
+        # dec38() each operand BEFORE multiplying — cents*cnt and
         # cnt*(2*before+cnt+1) computed in LONG wrap silently at edge
         # magnitudes while the DuckDB oracle promotes to HUGEINT
         # (round-8 ADVICE overflow class).
-        F.sum(dec(F.col("cents")) * dec(F.col("cnt"))).alias("sx"),
+        F.sum(dec38(F.col("cents")) * dec38(F.col("cnt"))).alias("sx"),
         F.sum(
-            dec(F.col("cents"))
-            * dec(F.col("cnt"))
-            * (2 * dec(F.col("before")) + dec(F.col("cnt")) + 1)
+            dec38(F.col("cents"))
+            * dec38(F.col("cnt"))
+            * (2 * dec38(F.col("before")) + dec38(F.col("cnt")) + 1)
         ).alias("rx2"),
     )
     n = F.col("n").cast("double")
@@ -1873,14 +1878,13 @@ def spearman_visit_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     paired = base.join(F.broadcast(rank2("v")), "v").join(rank2("s"), "s")
-    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     m = paired.agg(
         F.count("*").alias("n"),
-        F.sum(dec(F.col("r2_v"))).alias("sa"),
-        F.sum(dec(F.col("r2_s"))).alias("sb"),
-        F.sum(dec(F.col("r2_v")) * dec(F.col("r2_s"))).alias("sab"),
-        F.sum(dec(F.col("r2_v")) * dec(F.col("r2_v"))).alias("saa"),
-        F.sum(dec(F.col("r2_s")) * dec(F.col("r2_s"))).alias("sbb"),
+        F.sum(dec38(F.col("r2_v"))).alias("sa"),
+        F.sum(dec38(F.col("r2_s"))).alias("sb"),
+        F.sum(dec38(F.col("r2_v")) * dec38(F.col("r2_s"))).alias("sab"),
+        F.sum(dec38(F.col("r2_v")) * dec38(F.col("r2_v"))).alias("saa"),
+        F.sum(dec38(F.col("r2_s")) * dec38(F.col("r2_s"))).alias("sbb"),
     )
     n = F.col("n").cast("double")
     cov = F.col("sab").cast("double") / n - (
@@ -2640,7 +2644,7 @@ def revenue_pareto_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "total_cents",
             F.sum(
-                F.col("cents").cast("decimal(38,0)") * F.col("cnt").cast("decimal(38,0)")
+                dec38_prod(F.col("cents"), F.col("cnt"))
             ).over(tot),
         )
     )
@@ -2652,9 +2656,8 @@ def revenue_pareto_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0),
         F.least(F.col("top_n") - F.col("before"), F.col("cnt").cast("long")),
     )
-    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     agg = j.groupBy("top_pct", "n", "total_cents").agg(
-        F.sum(dec(in_cut) * dec(F.col("cents"))).alias("tier_cents"),
+        F.sum(dec38(in_cut) * dec38(F.col("cents"))).alias("tier_cents"),
         F.sum(in_cut).alias("tier_customers"),
     )
     return agg.select(

@@ -41,6 +41,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import config
+from ..functions.money import dec38
 from ..functions.text import (
     NORMALIZE_PHONE_SQL,
     correct_tld,
@@ -1180,12 +1181,11 @@ def linkage_em_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         pm = pm * factor(i, f, F.lit(FS_M), None)
         pu = pu * factor(i, f, F.col(f"u0_{f}"), None)
     r_nano = F.floor(pm / (pm + pu) * 1000000000.0 + 0.5).cast("long")
-    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     scored = withu.select("pattern", "n_pairs", r_nano.alias("r"))
 
     aggs = [
-        F.sum(dec(F.col("r")) * dec(F.col("n_pairs"))).alias("rn"),
-        F.sum(dec(F.lit(1000000000) - F.col("r")) * dec(F.col("n_pairs"))).alias("sn"),
+        F.sum(dec38(F.col("r")) * dec38(F.col("n_pairs"))).alias("rn"),
+        F.sum(dec38(F.lit(1000000000) - F.col("r")) * dec38(F.col("n_pairs"))).alias("sn"),
         F.sum("n_pairs").alias("n"),
     ]
     for i, f in enumerate(FS_FIELDS):
@@ -1193,10 +1193,10 @@ def linkage_em_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         agree = F.when(ch == "a", F.col("n_pairs")).otherwise(F.lit(0))
         known = F.when(ch != "n", F.col("n_pairs")).otherwise(F.lit(0))
         aggs += [
-            F.sum(dec(F.col("r")) * dec(agree)).alias(f"ma_{f}"),
-            F.sum(dec(F.col("r")) * dec(known)).alias(f"mk_{f}"),
-            F.sum(dec(F.lit(1000000000) - F.col("r")) * dec(agree)).alias(f"ua_{f}"),
-            F.sum(dec(F.lit(1000000000) - F.col("r")) * dec(known)).alias(f"uk_{f}"),
+            F.sum(dec38(F.col("r")) * dec38(agree)).alias(f"ma_{f}"),
+            F.sum(dec38(F.col("r")) * dec38(known)).alias(f"mk_{f}"),
+            F.sum(dec38(F.lit(1000000000) - F.col("r")) * dec38(agree)).alias(f"ua_{f}"),
+            F.sum(dec38(F.lit(1000000000) - F.col("r")) * dec38(known)).alias(f"uk_{f}"),
         ]
     m = scored.agg(*aggs)
     micro = lambda x: F.floor(x * 1000000.0 + 0.5) / 1000000.0  # noqa: E731

@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.money import dec38
 from ..io import load_table, materialized, tracked_persist
 
 MINHASH_K = 16
@@ -2473,13 +2474,12 @@ def cluster_size_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ln_s = F.floor(F.log(F.col("cluster_size").cast("double")) * 1000000000.0 + 0.5).cast("long")
     ln_c = F.floor(F.log(F.col("n_clusters").cast("double")) * 1000000000.0 + 0.5).cast("long")
-    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     moments = enriched.select(
         "*",
         F.sum(ln_s).over(tot).alias("sx"),
         F.sum(ln_c).over(tot).alias("sy"),
-        F.sum(dec(ln_s) * dec(ln_s)).over(tot).alias("sxx"),
-        F.sum(dec(ln_s) * dec(ln_c)).over(tot).alias("sxy"),
+        F.sum(dec38(ln_s) * dec38(ln_s)).over(tot).alias("sxx"),
+        F.sum(dec38(ln_s) * dec38(ln_c)).over(tot).alias("sxy"),
     )
     kd = F.col("k_sizes").cast("double")
     num = F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double") / kd

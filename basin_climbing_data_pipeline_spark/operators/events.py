@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .. import config
-from ..functions.money import money, money_sql, sum_money, sum_money_sql
+from ..functions.money import dec38, money, money_sql, sum_money, sum_money_sql
 from ..functions.text import map_lookup, map_lookup_sql
 from ..io import load_table, materialized
 
@@ -724,14 +724,13 @@ def interevent_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     gaps = ev.withColumn("gap_us", F.col("ts_us") - F.lag("ts_us").over(w)).where(
         F.col("gap_us").isNotNull()
     )
-    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     mom = gaps.groupBy("event_type").agg(
         F.count("*").alias("n_gaps"),
-        F.sum(dec(F.col("gap_us"))).alias("s"),
-        F.sum(dec(F.col("gap_us")) * dec(F.col("gap_us"))).alias("s2"),
+        F.sum(dec38(F.col("gap_us"))).alias("s"),
+        F.sum(dec38(F.col("gap_us")) * dec38(F.col("gap_us"))).alias("s2"),
     )
     micro = lambda c: F.floor(c * 1000000.0 + 0.5) / 1000000.0  # noqa: E731
-    n = F.col("n_gaps").cast("decimal(38,0)")
+    n = dec38(F.col("n_gaps"))
     # population variance from exact moments: (n·Σx² − (Σx)²) / n²
     var_num = n * F.col("s2") - F.col("s") * F.col("s")
     mean_us = F.col("s").cast("double") / F.col("n_gaps").cast("double")
@@ -851,17 +850,16 @@ def overdispersion_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     dense = calendar.join(daily, ["event_type", "d"], "left").select(
         "event_type", "d", F.coalesce(F.col("c"), F.lit(0)).alias("c")
     )
-    dec = lambda x: x.cast("decimal(38,0)")  # noqa: E731
     m = dense.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.sum("c").alias("s1"),
-        F.sum(dec(F.col("c")) * dec(F.col("c"))).alias("s2"),
+        F.sum(dec38(F.col("c")) * dec38(F.col("c"))).alias("s2"),
     )
     nd = F.col("n").cast("double")
     mean = F.col("s1").cast("double") / nd
     # sample variance: (n·Σc² − (Σc)²) / (n(n−1)) — numerator exact
     var_num = (
-        dec(F.col("n")) * F.col("s2") - dec(F.col("s1")) * dec(F.col("s1"))
+        dec38(F.col("n")) * F.col("s2") - dec38(F.col("s1")) * dec38(F.col("s1"))
     ).cast("double")
     s2 = var_num / (nd * (nd - 1.0))
     d_index = s2 / mean

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.money import dec38, dec38_prod
 from .flags import OFFER_FLAG_TYPES, build_flags, build_flags_sql
 
 EXPERIMENT_ID = "day_pass_conversion_2024_01"
@@ -535,14 +536,13 @@ def cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "x",
         "y",
     )
-    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     mom = per_cust.groupBy("ab_group").agg(
         F.count("*").alias("n"),
-        F.sum(dec(F.col("x"))).alias("sx"),
-        F.sum(dec(F.col("y"))).alias("sy"),
-        F.sum(dec(F.col("x")) * dec(F.col("y"))).alias("sxy"),
-        F.sum(dec(F.col("x")) * dec(F.col("x"))).alias("sxx"),
-        F.sum(dec(F.col("y")) * dec(F.col("y"))).alias("syy"),
+        F.sum(dec38(F.col("x"))).alias("sx"),
+        F.sum(dec38(F.col("y"))).alias("sy"),
+        F.sum(dec38(F.col("x")) * dec38(F.col("y"))).alias("sxy"),
+        F.sum(dec38(F.col("x")) * dec38(F.col("x"))).alias("sxx"),
+        F.sum(dec38(F.col("y")) * dec38(F.col("y"))).alias("syy"),
     )
     wall = Window.partitionBy()
     pooled = mom.select(
@@ -698,14 +698,13 @@ def mann_whitney_spend_utest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # promotes to HUGEINT — the exact cross-engine divergence class the
     # round-8 ADVICE flagged (same fix shape as ks_spend_test's cross
     # product and holt_linear_daily_revenue's per-tap products).
-    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
-    dcnt = dec(F.col("cnt"))
+    dcnt = dec38(F.col("cnt"))
     m = ranked.agg(
         F.sum("cnt").alias("n"),
         F.sum("n_a_v").alias("n_a"),
         F.sum(
-            dec(F.col("n_a_v"))
-            * (2 * dec(F.col("before")) + dcnt + 1)
+            dec38(F.col("n_a_v"))
+            * (2 * dec38(F.col("before")) + dcnt + 1)
         ).alias("r2_a"),
         F.sum(dcnt * dcnt * dcnt - dcnt).alias("ties"),
     )
@@ -715,7 +714,7 @@ def mann_whitney_spend_utest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # especially n*(n²−1) — which wraps LONG at just n ≈ 2.1M rows — go
     # through decimal before the double cast (exact product, one rounding,
     # matching the oracle's HUGEINT→double path).
-    dn, dna, dnb = dec(n), dec(na), dec(nb)
+    dn, dna, dnb = dec38(n), dec38(na), dec38(nb)
     u2 = F.col("r2_a").cast("double") - (dna * (dna + 1)).cast("double")
     mu2 = (dna * dnb).cast("double")  # 2·μ_U
     var_u = (
@@ -1023,7 +1022,6 @@ def ks_spend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum = bucketed_prefix_rank(
         per_val, "cents", inclusive=True, sums={"cnt": "cum", "a_v": "cum_a"}
     ).select("cum", "cum_a")
-    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     tot = arms.agg(
         F.count("*").alias("n"), F.sum("is_a").alias("n_a")
     )
@@ -1031,7 +1029,7 @@ def ks_spend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum_b = F.col("cum") - F.col("cum_a")
     nb = F.col("n") - F.col("n_a")
     cross = F.abs(
-        dec(F.col("cum_a")) * dec(nb) - dec(cum_b) * dec(F.col("n_a"))
+        dec38(F.col("cum_a")) * dec38(nb) - dec38(cum_b) * dec38(F.col("n_a"))
     )
     m = j.agg(
         F.max("n").alias("n"),
@@ -1257,14 +1255,13 @@ def cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     tot = Window.partitionBy()
-    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     enriched = per.select(
         "*",
         F.sum("n_i").over(tot).alias("n"),
         F.sum("r_i").over(tot).alias("r"),
-        F.sum(dec(F.col("w")) * dec(F.col("n_i"))).over(tot).alias("swn"),
-        F.sum(dec(F.col("w")) * dec(F.col("w")) * dec(F.col("n_i"))).over(tot).alias("sw2n"),
-        F.sum(dec(F.col("w")) * dec(F.col("r_i"))).over(tot).alias("swr"),
+        F.sum(dec38(F.col("w")) * dec38(F.col("n_i"))).over(tot).alias("swn"),
+        F.sum(dec38(F.col("w")) * dec38(F.col("w")) * dec38(F.col("n_i"))).over(tot).alias("sw2n"),
+        F.sum(dec38(F.col("w")) * dec38(F.col("r_i"))).over(tot).alias("swr"),
     )
     nd = F.col("n").cast("double")
     rd = F.col("r").cast("double")
@@ -1521,15 +1518,13 @@ def anova_spend_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     seg = build_customers(spark, sf_dir).select("customer_id", "segment")
     vals = per_cust.join(F.broadcast(seg), "customer_id").select("segment", "y")
-    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
-    yd = F.col("y").cast("decimal(19,0)")
     g = vals.groupBy("segment").agg(
         F.count("*").alias("n_g"),
         F.sum("y").alias("s_g"),
-        F.sum((yd * yd).cast("decimal(38,0)")).alias("q_g"),
+        F.sum(dec38_prod(F.col("y"), F.col("y"))).alias("q_g"),
     )
     # per-group rational term S_g²/n_g: exact decimal square, ONE double div
-    term = (dec(F.col("s_g")) * dec(F.col("s_g"))).cast("double") / F.col(
+    term = (dec38(F.col("s_g")) * dec38(F.col("s_g"))).cast("double") / F.col(
         "n_g"
     ).cast("double")
     w = Window.orderBy("segment").rowsBetween(Window.unboundedPreceding, 0)
@@ -1537,13 +1532,13 @@ def anova_spend_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum = g.select(
         F.sum("n_g").over(wk).alias("n"),
         F.sum("s_g").over(wk).alias("s"),
-        F.sum(dec(F.col("q_g"))).over(wk).alias("q"),
+        F.sum(dec38(F.col("q_g"))).over(wk).alias("q"),
         F.count("*").over(wk).alias("k"),
         F.sum(term).over(w).alias("cum_term"),
         F.row_number().over(Window.orderBy("segment")).alias("rn"),
     ).filter(F.col("rn") == F.col("k"))
     n, k = F.col("n").cast("double"), F.col("k")
-    grand = dec(F.col("s")) * dec(F.col("s"))
+    grand = dec38(F.col("s")) * dec38(F.col("s"))
     ssb = F.col("cum_term") - grand.cast("double") / n
     sst = F.col("q").cast("double") - grand.cast("double") / n
     ssw = sst - ssb
@@ -1642,19 +1637,18 @@ def kruskal_wallis_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_vg = vals.groupBy("cents", "segment").agg(F.count("*").alias("n_gv"))
     per_val = per_vg.groupBy("cents").agg(F.sum("n_gv").alias("cnt"))
     ranked = bucketed_prefix_rank(per_val, "cents")
-    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
-    dcnt = dec(F.col("cnt"))
+    dcnt = dec38(F.col("cnt"))
     joined = per_vg.join(ranked, "cents")
     per_g = joined.groupBy("segment").agg(
         F.sum("n_gv").alias("n_g"),
         F.sum(
-            dec(F.col("n_gv")) * (2 * dec(F.col("before")) + dcnt + 1)
+            dec38(F.col("n_gv")) * (2 * dec38(F.col("before")) + dcnt + 1)
         ).alias("r2_g"),
     )
     ties_df = ranked.agg(
         F.sum(dcnt * dcnt * dcnt - dcnt).alias("ties"),
     )
-    term = (dec(F.col("r2_g")) * dec(F.col("r2_g"))).cast("double") / (
+    term = (dec38(F.col("r2_g")) * dec38(F.col("r2_g"))).cast("double") / (
         4.0 * F.col("n_g").cast("double")
     )
     w = Window.orderBy("segment").rowsBetween(Window.unboundedPreceding, 0)
@@ -1670,7 +1664,7 @@ def kruskal_wallis_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(ties_df))
     )
     n = F.col("n").cast("double")
-    dn = dec(F.col("n"))
+    dn = dec38(F.col("n"))
     h = 12.0 / (n * (n + 1.0)) * F.col("cum_term") - 3.0 * (n + 1.0)
     c_tie = 1.0 - F.col("ties").cast("double") / (dn * dn * dn - dn).cast("double")
     k = F.col("k")
@@ -1782,12 +1776,10 @@ def welch_ttest_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     arms = per_cust.select(
         "y", (_md5_bucket(F.col("customer_id"), 2) == 0).alias("is_a")
     )
-    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
-    yd = F.col("y").cast("decimal(19,0)")
     g = arms.groupBy("is_a").agg(
         F.count("*").alias("n_g"),
         F.sum("y").alias("s_g"),
-        F.sum((yd * yd).cast("decimal(38,0)")).alias("q_g"),
+        F.sum(dec38_prod(F.col("y"), F.col("y"))).alias("q_g"),
     )
     # pivot the 2-row arm frame into one row of exact scalars
     pick = lambda c, a: F.min(F.when(F.col("is_a") == a, F.col(c)))  # noqa: E731
@@ -1801,7 +1793,7 @@ def welch_ttest_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     na, nb = F.col("n_a"), F.col("n_b")
     # exact decimal variance numerators: n·Q − S² (per-factor casts)
-    vnum = lambda n, s, q: dec(F.col(n)) * dec(F.col(q)) - dec(F.col(s)) * dec(  # noqa: E731
+    vnum = lambda n, s, q: dec38(F.col(n)) * dec38(F.col(q)) - dec38(F.col(s)) * dec38(  # noqa: E731
         F.col(s)
     )
     var_a = vnum("n_a", "s_a", "q_a").cast("double") / (
@@ -1916,23 +1908,21 @@ def grubbs_spend_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_cust = txn.groupBy("customer_id").agg(
         F.sum(to_cents(F.col("total_amount"))).alias("y")
     )
-    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
-    yd = F.col("y").cast("decimal(19,0)")
     m = per_cust.agg(
         F.count("*").alias("n"),
         F.sum("y").alias("s"),
-        F.sum((yd * yd).cast("decimal(38,0)")).alias("q"),
+        F.sum(dec38_prod(F.col("y"), F.col("y"))).alias("q"),
         F.min("y").alias("y_min"),
         F.max("y").alias("y_max"),
     )
     n = F.col("n")
     nd = n.cast("double")
-    var = (dec(n) * dec(F.col("q")) - dec(F.col("s")) * dec(F.col("s"))).cast(
+    var = (dec38(n) * dec38(F.col("q")) - dec38(F.col("s")) * dec38(F.col("s"))).cast(
         "double"
     ) / (nd * (n - 1).cast("double"))
     sd = F.sqrt(var)
-    dev_hi = (dec(n) * dec(F.col("y_max")) - dec(F.col("s"))).cast("double")
-    dev_lo = (dec(F.col("s")) - dec(n) * dec(F.col("y_min"))).cast("double")
+    dev_hi = (dec38(n) * dec38(F.col("y_max")) - dec38(F.col("s"))).cast("double")
+    dev_lo = (dec38(F.col("s")) - dec38(n) * dec38(F.col("y_min"))).cast("double")
     g_hi = dev_hi / (nd * sd)
     g_lo = dev_lo / (nd * sd)
     ok = (n > 2) & (var > 0.0)
@@ -2042,14 +2032,12 @@ def levene_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
     z = vals.join(F.broadcast(medians), "segment").select(
         "segment", F.abs(F.col("cents") - F.col("med")).alias("z")
     )
-    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
-    zd = F.col("z").cast("decimal(19,0)")
     g = z.groupBy("segment").agg(
         F.count("*").alias("n_g"),
         F.sum("z").alias("s_g"),
-        F.sum((zd * zd).cast("decimal(38,0)")).alias("q_g"),
+        F.sum(dec38_prod(F.col("z"), F.col("z"))).alias("q_g"),
     )
-    term = (dec(F.col("s_g")) * dec(F.col("s_g"))).cast("double") / F.col(
+    term = (dec38(F.col("s_g")) * dec38(F.col("s_g"))).cast("double") / F.col(
         "n_g"
     ).cast("double")
     w = Window.orderBy("segment").rowsBetween(Window.unboundedPreceding, 0)
@@ -2057,13 +2045,13 @@ def levene_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum = g.select(
         F.sum("n_g").over(wk).alias("n"),
         F.sum("s_g").over(wk).alias("s"),
-        F.sum(dec(F.col("q_g"))).over(wk).alias("q"),
+        F.sum(dec38(F.col("q_g"))).over(wk).alias("q"),
         F.count("*").over(wk).alias("k"),
         F.sum(term).over(w).alias("cum_term"),
         F.row_number().over(Window.orderBy("segment")).alias("rn"),
     ).filter(F.col("rn") == F.col("k"))
     n, k = F.col("n").cast("double"), F.col("k")
-    grand = dec(F.col("s")) * dec(F.col("s"))
+    grand = dec38(F.col("s")) * dec38(F.col("s"))
     ssb = F.col("cum_term") - grand.cast("double") / n
     sst = F.col("q").cast("double") - grand.cast("double") / n
     ssw = sst - ssb
@@ -2182,7 +2170,6 @@ def permutation_test_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(to_cents(F.col("total_amount"))).alias("y")
         )
     )
-    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     obs = per_cust.select(
         "y", (_md5_bucket(F.col("customer_id"), 2) == 0).cast("long").alias("is_a")
     ).agg(
@@ -2215,11 +2202,11 @@ def permutation_test_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = per_b.crossJoin(F.broadcast(obs))
     # exact cross-multiplied extremeness: both sides decimal(38,0) products
     lhs = F.abs(
-        dec(F.col("s_a")) * dec(F.col("n_b")) - dec(F.col("s_b")) * dec(F.col("n_a"))
-    ) * (dec(F.col("n_a0")) * dec(F.col("n_b0")))
+        dec38(F.col("s_a")) * dec38(F.col("n_b")) - dec38(F.col("s_b")) * dec38(F.col("n_a"))
+    ) * (dec38(F.col("n_a0")) * dec38(F.col("n_b0")))
     rhs = F.abs(
-        dec(F.col("s_a0")) * dec(F.col("n_b0")) - dec(F.col("s_b0")) * dec(F.col("n_a0"))
-    ) * (dec(F.col("n_a")) * dec(F.col("n_b")))
+        dec38(F.col("s_a0")) * dec38(F.col("n_b0")) - dec38(F.col("s_b0")) * dec38(F.col("n_a0"))
+    ) * (dec38(F.col("n_a")) * dec38(F.col("n_b")))
     # a pseudo-permutation that empties an arm carries no diff — it must
     # drop from BOTH the numerator and the denominator (counting it only
     # in the denominator would bias p toward significance on tiny
@@ -2360,21 +2347,20 @@ def wilcoxon_signed_rank_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("cnt"), F.sum("pos").alias("n_pos_v")
     )
     ranked = bucketed_prefix_rank(per_val, "absd")
-    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
-    dcnt = dec(F.col("cnt"))
+    dcnt = dec38(F.col("cnt"))
     m = ranked.agg(
         F.sum("cnt").alias("n"),
         F.sum("n_pos_v").alias("n_pos"),
         F.sum(
-            dec(F.col("n_pos_v")) * (2 * dec(F.col("before")) + dcnt + 1)
+            dec38(F.col("n_pos_v")) * (2 * dec38(F.col("before")) + dcnt + 1)
         ).alias("w2_plus"),
         F.sum(dcnt * dcnt * dcnt - dcnt).alias("ties"),
     )
     n = F.col("n")
-    dn = dec(n)
+    dn = dec38(n)
     # z = (W+ − n(n+1)/4)/σ, in 2× units: (2·w2 − n(n+1)) / (2·sqrt(var2)),
     # var2 = var(2W+); every product decimal-exact before the double cast
-    num = (2 * dec(F.col("w2_plus")) - dn * (dn + 1)).cast("double")
+    num = (2 * dec38(F.col("w2_plus")) - dn * (dn + 1)).cast("double")
     var2 = (dn * (dn + 1) * (2 * dn + 1)).cast("double") / 6.0 - F.col("ties").cast(
         "double"
     ) / 12.0
@@ -2476,18 +2462,17 @@ def cvm_spend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("cnt", "cum", "cum_a")
     tot = arms.agg(F.count("*").alias("n"), F.sum("is_a").alias("n_a"))
     j = cum.join(F.broadcast(tot))
-    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     nb = F.col("n") - F.col("n_a")
-    cum_b = dec(F.col("cum")) - dec(F.col("cum_a"))
-    diff = dec(nb) * dec(F.col("cum_a")) - dec(F.col("n_a")) * cum_b
+    cum_b = dec38(F.col("cum")) - dec38(F.col("cum_a"))
+    diff = dec38(nb) * dec38(F.col("cum_a")) - dec38(F.col("n_a")) * cum_b
     m = j.agg(
         F.max("n").alias("n"),
         F.max("n_a").alias("n_a"),
-        F.sum(dec(F.col("cnt")) * diff * diff).alias("s"),
+        F.sum(dec38(F.col("cnt")) * diff * diff).alias("s"),
     )
     n, na = F.col("n"), F.col("n_a")
     nbb = n - na
-    dn, dna, dnb = dec(n), dec(na), dec(nbb)
+    dn, dna, dnb = dec38(n), dec38(na), dec38(nbb)
     t = (
         F.col("s").cast("double")
         / (dna * dnb).cast("double")

@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import config
-from ..functions.money import money, money_sql, sum_money, sum_money_sql
+from ..functions.money import dec38, money, money_sql, sum_money, sum_money_sql
 from ..functions.text import map_lookup, map_lookup_sql
 from ..io import load_table, materialized
 
@@ -1721,7 +1721,6 @@ def rmst_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("next_t"),
         F.row_number().over(w).alias("rn"),
     )
-    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     seg = F.greatest(
         F.least(F.col("next_t"), F.lit(RMST_HORIZON_DAYS))
         - F.least(F.col("duration_days"), F.lit(RMST_HORIZON_DAYS)),
@@ -1729,11 +1728,11 @@ def rmst_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     head = F.when(
         F.col("rn") == 1,
-        dec(F.lit(1000000)) * dec(F.least(F.col("duration_days"), F.lit(RMST_HORIZON_DAYS))),
-    ).otherwise(dec(F.lit(0)))
+        dec38(F.lit(1000000)) * dec38(F.least(F.col("duration_days"), F.lit(RMST_HORIZON_DAYS))),
+    ).otherwise(dec38(F.lit(0)))
     area = stepsd.agg(
         (
-            F.sum(dec(F.col("s_micro")) * dec(seg) + head) / 1.0e6
+            F.sum(dec38(F.col("s_micro")) * dec38(seg) + head) / 1.0e6
         ).alias("rmst_days"),
         F.count("*").alias("n_event_times"),
     )

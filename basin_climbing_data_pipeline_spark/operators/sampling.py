@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.money import DEC38, dec38
 from ..io import load_table
 
 SPLIT_BUCKETS = 100
@@ -1132,8 +1133,8 @@ def mixture_budget_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 100-TB corpus) × micro weight (≤1e6) wraps int64 silently on Spark
     # while DuckDB errors — the round-8 ADVICE overflow class
     alloc = F.expr(
-        "cast(cast(((t * budget_pct) div 100) as decimal(38,0)) * "
-        "cast(cast(floor(temp_weight * 1000000.0 + 0.5) as bigint) as decimal(38,0)) "
+        f"cast(cast(((t * budget_pct) div 100) as {DEC38}) * "
+        f"cast(cast(floor(temp_weight * 1000000.0 + 0.5) as bigint) as {DEC38}) "
         "div 1000000 as bigint)"
     )
     binds = alloc > F.col("n_tokens")
@@ -1205,11 +1206,10 @@ def dedup_weight_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(1000000.0 / F.col("cluster_size") + 0.5).cast("long"),
         )
     )
-    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     agg = weighted.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.sum("w").alias("sw"),
-        F.sum(dec(F.col("w")) * dec(F.col("w"))).alias("sww"),
+        F.sum(dec38(F.col("w")) * dec38(F.col("w"))).alias("sww"),
     )
     ess = (
         F.col("sw").cast("double") * F.col("sw").cast("double")

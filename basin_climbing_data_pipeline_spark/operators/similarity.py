@@ -68,6 +68,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.money import dec38, dec38_prod
 from ..io import load_table
 
 DIM = 64
@@ -2195,14 +2196,12 @@ def embedding_dispersion_by_label(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy("label", "dim")
         .agg(
             F.sum("v").alias("s"),
-            F.sum((F.col("v") * F.col("v")).cast("decimal(38,0)")).alias("qq"),
+            F.sum(dec38_prod(F.col("v"), F.col("v"))).alias("qq"),
             F.count("*").alias("n"),
         )
     )
     lab = per_dim.groupBy("label").agg(
-        F.sum(F.col("s").cast("decimal(38,0)") * F.col("s").cast("decimal(38,0)")).alias(
-            "s2"
-        ),
+        F.sum(dec38_prod(F.col("s"), F.col("s"))).alias("s2"),
         F.sum("qq").alias("qsum"),
         F.max("n").alias("n_vecs"),
     )
@@ -2304,7 +2303,6 @@ def embedding_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("u")
     )
-    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     pairs = unit.select(
         F.explode(
             F.expr(
@@ -2313,7 +2311,7 @@ def embedding_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("c")
     ).select("c.i", "c.j", "c.p")
-    m_raw = pairs.groupBy("i", "j").agg(F.sum(dec(F.col("p"))).alias("m"))
+    m_raw = pairs.groupBy("i", "j").agg(F.sum(dec38(F.col("p"))).alias("m"))
     nv = unit.agg(F.count("*").alias("n_vecs"))  # 1-row frame, no driver action
     # trace-normalize M into 1e12 fixed point BEFORE iterating: raw entries
     # grow with the corpus (n·1e12 at 1e9 rows ≈ 1e21) and their downstream
@@ -2346,7 +2344,7 @@ def embedding_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(POWER_ITERATIONS):
         w = (
             m_frame.join(F.broadcast(v), m_frame["j"] == v["j"])
-            .select(m_frame["i"], (F.col("m") * dec(F.col("v"))).alias("t"))
+            .select(m_frame["i"], (F.col("m") * dec38(F.col("v"))).alias("t"))
             .groupBy("i")
             .agg(F.sum("t").alias("w"))
         )
@@ -2369,7 +2367,7 @@ def embedding_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     # λs = vᵀ(M'v/1e9)/vᵀv = share·1e3, so share = λs/1e3
     mv = (
         m_frame.join(F.broadcast(v), m_frame["j"] == v["j"])
-        .select(m_frame["i"], (dec(F.col("m")) * dec(F.col("v"))).alias("t"))
+        .select(m_frame["i"], (dec38(F.col("m")) * dec38(F.col("v"))).alias("t"))
         .groupBy("i")
         .agg(
             F.floor(F.sum("t").cast("double") / 1.0e9 + 0.5)
@@ -2379,9 +2377,9 @@ def embedding_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     both = mv.join(F.broadcast(v.select(F.col("j").alias("i"), "v")), "i")
     stats = both.agg(
-        F.sum(dec(F.col("mvs")) * dec(F.col("v"))).alias("vmv"),
-        F.sum(dec(F.col("v")) * dec(F.col("v"))).alias("vv"),
-        F.sum(dec(F.col("mvs")) * dec(F.col("mvs"))).alias("mvmv"),
+        F.sum(dec38(F.col("mvs")) * dec38(F.col("v"))).alias("vmv"),
+        F.sum(dec38(F.col("v")) * dec38(F.col("v"))).alias("vv"),
+        F.sum(dec38(F.col("mvs")) * dec38(F.col("mvs"))).alias("mvmv"),
     )
     lam = F.col("vmv").cast("double") / F.col("vv").cast("double")
     share = lam / 1.0e3
@@ -2606,18 +2604,17 @@ def embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt(_dot64(F.col("embedding"), F.col("embedding"))) * 1000000000.0 + 0.5
     ).cast("long")
     rows = emb.select("label", norm_micro.alias("nm"))
-    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     m = rows.groupBy("label").agg(
         F.count("*").alias("n"),
         F.sum("nm").alias("s1"),
-        F.sum(dec(F.col("nm")) * dec(F.col("nm"))).alias("s2"),
+        F.sum(dec38(F.col("nm")) * dec38(F.col("nm"))).alias("s2"),
         F.min("nm").alias("mn"),
         F.max("nm").alias("mx"),
     )
     nd = F.col("n").cast("double")
     mean = F.col("s1").cast("double") / nd
     var = (
-        (dec(F.col("n")) * F.col("s2") - dec(F.col("s1")) * dec(F.col("s1"))).cast(
+        (dec38(F.col("n")) * F.col("s2") - dec38(F.col("s1")) * dec38(F.col("s1"))).cast(
             "double"
         )
         / (nd * nd)

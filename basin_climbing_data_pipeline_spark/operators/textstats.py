@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.money import ratio, ratio_sql
+from ..functions.money import dec38, dec38_prod, ratio, ratio_sql
 from ..io import load_table
 
 STOPWORDS = ("the", "a", "of", "and")
@@ -871,18 +871,15 @@ def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DuckDB silently promotes to HUGEINT while ANSI Spark THROWS), so the
     # squared moments accumulate as DECIMAL(38,0) — exact and
     # order-insensitive, same pattern as visit_spend_correlation
-    xd = F.col("x").cast("decimal(19,0)")
-    yd = F.col("y").cast("decimal(19,0)")
     stats = ranked.agg(
         F.count("*").alias("k"),
         F.sum("x").alias("sx"),
         F.sum("y").alias("sy"),
-        F.sum((xd * yd).cast("decimal(38,0)")).alias("sxy"),
-        F.sum((xd * xd).cast("decimal(38,0)")).alias("sxx"),
+        F.sum(dec38_prod(F.col("x"), F.col("y"))).alias("sxy"),
+        F.sum(dec38_prod(F.col("x"), F.col("x"))).alias("sxx"),
     )
-    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
-    num = dec(F.col("k")) * F.col("sxy") - dec(F.col("sx")) * dec(F.col("sy"))
-    den = dec(F.col("k")) * F.col("sxx") - dec(F.col("sx")) * dec(F.col("sx"))
+    num = dec38(F.col("k")) * F.col("sxy") - dec38(F.col("sx")) * dec38(F.col("sy"))
+    den = dec38(F.col("k")) * F.col("sxx") - dec38(F.col("sx")) * dec38(F.col("sx"))
     # slope in ln-units: the micro scaling of x and y cancels; the one
     # drop to double happens here, on both engines' identical exact ints.
     # den is exactly 0 when the ranked head is a single distinct token
@@ -1672,14 +1669,13 @@ def linear_probe_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("s3"),
         F.floor(quality_score_col() * _FEAT_SCALE + 0.5).cast("long").alias("t"),
     )
-    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     s = {0: F.lit(1).cast("long"), 1: F.col("s1"), 2: F.col("s2"), 3: F.col("s3")}
     aggs = [F.count("*").alias("n_docs")]
     for i in range(4):
         for j in range(i, 4):
-            aggs.append(F.sum(dec(s[i] * s[j])).alias(f"mm_{i}{j}"))
-        aggs.append(F.sum(dec(s[i] * F.col("t"))).alias(f"mb_{i}"))
-    aggs.append(F.sum(dec(F.col("t") * F.col("t"))).alias("mtt"))
+            aggs.append(F.sum(dec38(s[i] * s[j])).alias(f"mm_{i}{j}"))
+        aggs.append(F.sum(dec38(s[i] * F.col("t"))).alias(f"mb_{i}"))
+    aggs.append(F.sum(dec38(F.col("t") * F.col("t"))).alias("mtt"))
     mom = feats.agg(*aggs)
 
     exprs = _probe_weight_exprs()
@@ -1813,8 +1809,8 @@ def lang_id_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     # or only as a prediction; the absent side contributes 0 to Σ nl·np
     marg = nl.join(np_, ["source", "cls"], "full").select(
         "source",
-        F.coalesce(F.col("nl"), F.lit(0)).cast("decimal(38,0)").alias("nl"),
-        F.coalesce(F.col("np"), F.lit(0)).cast("decimal(38,0)").alias("np"),
+        dec38(F.coalesce(F.col("nl"), F.lit(0))).alias("nl"),
+        dec38(F.coalesce(F.col("np"), F.lit(0))).alias("np"),
     )
     chance = marg.groupBy("source").agg(F.sum(F.col("nl") * F.col("np")).alias("sum_nlnp"))
     totals = cm.groupBy("source").agg(
@@ -1827,8 +1823,8 @@ def lang_id_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     micro = lambda c: F.floor(c * 1000000.0 + 0.5) / 1000000.0  # noqa: E731
     j = totals.join(chance, "source")
-    n_dec = F.col("n_docs").cast("decimal(38,0)")
-    num = F.col("agree").cast("decimal(38,0)") * n_dec - F.col("sum_nlnp")
+    n_dec = dec38(F.col("n_docs"))
+    num = dec38(F.col("agree")) * n_dec - F.col("sum_nlnp")
     den = n_dec * n_dec - F.col("sum_nlnp")
     return j.select(
         "source",
@@ -1939,9 +1935,8 @@ def probe_conformal_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("s3"),
         F.floor(quality_score_col() * _FEAT_SCALE + 0.5).cast("long").alias("t"),
     )
-    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     s = {0: F.lit(1).cast("long"), 1: F.col("s1"), 2: F.col("s2"), 3: F.col("s3")}
-    cal = lambda c: F.sum(F.when(F.col("is_calib"), dec(c)).otherwise(F.lit(0).cast("decimal(38,0)")))  # noqa: E731
+    cal = lambda c: F.sum(F.when(F.col("is_calib"), dec38(c)).otherwise(dec38(F.lit(0))))  # noqa: E731
     aggs = [F.sum(F.col("is_calib").cast("long")).alias("n_docs")]
     for i in range(4):
         for j in range(i, 4):
@@ -2248,17 +2243,16 @@ def feature_auc_screening(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = per_val.withColumn(
         "before", F.coalesce(F.sum("cnt").over(win), F.lit(0))
     )
-    # dec() each factor BEFORE the multiply: the rank-sum product is
+    # dec38() each factor BEFORE the multiply: the rank-sum product is
     # n-dependent (before ≤ n_docs), so LONG arithmetic wraps silently
     # beyond ~3e9 docs while the oracle promotes to HUGEINT — same
     # overflow class the round-8 ADVICE flagged in mann_whitney.
-    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     m = ranked.groupBy("feature").agg(
         F.sum("cnt").alias("n"),
         F.sum("n_pos_v").alias("n_pos"),
         F.sum(
-            dec(F.col("n_pos_v"))
-            * (2 * dec(F.col("before")) + dec(F.col("cnt")) + 1)
+            dec38(F.col("n_pos_v"))
+            * (2 * dec38(F.col("before")) + dec38(F.col("cnt")) + 1)
         ).alias("r2_pos"),
     )
     n, npos = F.col("n"), F.col("n_pos")
@@ -2266,7 +2260,7 @@ def feature_auc_screening(spark: SparkSession, sf_dir: str) -> DataFrame:
     # AUC via U: 2U = 2R_pos − n_pos(n_pos+1); AUC = U / (n_pos·n_neg).
     # npos*(npos+1) and npos*nneg go through decimal before the double
     # cast — LONG would wrap silently beyond ~3e9 docs.
-    dpos, dneg = dec(npos), dec(nneg)
+    dpos, dneg = dec38(npos), dec38(nneg)
     u2 = F.col("r2_pos").cast("double") - (dpos * (dpos + 1)).cast("double")
     micro = lambda c: F.floor(c * 1000000.0 + 0.5) / 1000000.0  # noqa: E731
     return m.select(
@@ -2562,7 +2556,6 @@ def source_length_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.unboundedPreceding, 0
     )
     ws = Window.partitionBy("source")
-    dec = lambda x: x.cast("decimal(38,0)")  # noqa: E731
     cum = gs.select(
         "source",
         "n_chars",
@@ -2572,7 +2565,7 @@ def source_length_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("g").over(ws) - F.sum("c").over(ws)).alias("n_r"),
     )
     cross = F.abs(
-        dec(F.col("cum_s")) * dec(F.col("n_r")) - dec(F.col("cum_r")) * dec(F.col("n_s"))
+        dec38(F.col("cum_s")) * dec38(F.col("n_r")) - dec38(F.col("cum_r")) * dec38(F.col("n_s"))
     )
     m = cum.groupBy("source", "n_s", "n_r").agg(F.max(cross).alias("dmax"))
     micro = lambda c: F.floor(c * 1000000.0 + 0.5) / 1000000.0  # noqa: E731
@@ -2877,13 +2870,12 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = n_at.join(v_at, ["source", "cut"])
     lnn = F.floor(F.log(F.col("n_i").cast("double")) * 1000000000.0 + 0.5).cast("long")
     lnv = F.floor(F.log(F.col("v_i").cast("double")) * 1000000000.0 + 0.5).cast("long")
-    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     m = pts.filter((F.col("n_i") > 0) & (F.col("v_i") > 0)).groupBy("source").agg(
         F.count("*").alias("k"),
         F.sum(lnn).alias("sx"),
         F.sum(lnv).alias("sy"),
-        F.sum(dec(lnn) * dec(lnn)).alias("sxx"),
-        F.sum(dec(lnn) * dec(lnv)).alias("sxy"),
+        F.sum(dec38(lnn) * dec38(lnn)).alias("sxx"),
+        F.sum(dec38(lnn) * dec38(lnv)).alias("sxy"),
         F.max(F.when(F.col("cut") == 100, F.col("n_i"))).alias("n_total"),
         F.max(F.when(F.col("cut") == 100, F.col("v_i"))).alias("v_total"),
     )

@@ -31,6 +31,8 @@ from pyspark.sql import functions as F
 
 from .. import config
 from ..functions.money import (
+    dec38,
+    dec38_prod,
     money,
     money_sql,
     ratio,
@@ -1198,15 +1200,14 @@ def theilsen_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     med = ranked.filter(
         F.col("rn") == F.expr("(n_pairs + 1) div 2")
     ).select(F.col("slope").alias("ts_slope"), "n_pairs")
-    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     mom = d.agg(
         F.count("*").alias("n_days"),
-        F.sum(dec(F.col("x"))).alias("sx"),
-        F.sum(dec(F.col("cents"))).alias("sy"),
-        F.sum(dec(F.col("x")) * dec(F.col("cents"))).alias("sxy"),
-        F.sum(dec(F.col("x")) * dec(F.col("x"))).alias("sxx"),
+        F.sum(dec38(F.col("x"))).alias("sx"),
+        F.sum(dec38(F.col("cents"))).alias("sy"),
+        F.sum(dec38(F.col("x")) * dec38(F.col("cents"))).alias("sxy"),
+        F.sum(dec38(F.col("x")) * dec38(F.col("x"))).alias("sxx"),
     )
-    n = F.col("n_days").cast("decimal(38,0)")
+    n = dec38(F.col("n_days"))
     num = n * F.col("sxy") - F.col("sx") * F.col("sy")
     den = n * F.col("sxx") - F.col("sx") * F.col("sx")
     micro = lambda c: F.floor(c * 1000000.0 + 0.5) / 1000000.0  # noqa: E731
@@ -1496,15 +1497,14 @@ def theilsen_trend_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     med = in_bucket.filter(F.col("rn") == F.col("rank_in_bkt")).select(
         F.col("slope").alias("ts_slope"), "n_pairs"
     )
-    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     mom = d.agg(
         F.count("*").alias("n_days"),
-        F.sum(dec(F.col("x"))).alias("sx"),
-        F.sum(dec(F.col("cents"))).alias("sy"),
-        F.sum(dec(F.col("x")) * dec(F.col("cents"))).alias("sxy"),
-        F.sum(dec(F.col("x")) * dec(F.col("x"))).alias("sxx"),
+        F.sum(dec38(F.col("x"))).alias("sx"),
+        F.sum(dec38(F.col("cents"))).alias("sy"),
+        F.sum(dec38(F.col("x")) * dec38(F.col("cents"))).alias("sxy"),
+        F.sum(dec38(F.col("x")) * dec38(F.col("x"))).alias("sxx"),
     )
-    n = F.col("n_days").cast("decimal(38,0)")
+    n = dec38(F.col("n_days"))
     num = n * F.col("sxy") - F.col("sx") * F.col("sy")
     den = n * F.col("sxx") - F.col("sx") * F.col("sx")
     micro = lambda c: F.floor(c * 1000000.0 + 0.5) / 1000000.0  # noqa: E731
@@ -1621,13 +1621,12 @@ def weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         F.coalesce(F.col("cents"), F.lit(0)).alias("cents"),
     )
-    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     per_dow = dense.groupBy(
         "revenue_category", F.dayofweek("day").alias("dow")
     ).agg(
         F.count("*").alias("n_days"),
         F.sum("cents").alias("s1"),
-        F.sum(dec(F.col("cents")) * dec(F.col("cents"))).alias("s2"),
+        F.sum(dec38(F.col("cents")) * dec38(F.col("cents"))).alias("s2"),
     )
     wc = Window.partitionBy("revenue_category")
     tot = per_dow.select(
@@ -1798,11 +1797,9 @@ def holt_linear_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         # decimal per-tap products: edge-value cents (~1e11) × nano weights
         # (~5e8) overflow int64 (capstone catch) — mirror the oracle's
         # hugeint accumulation
-        lagged = F.coalesce(F.lag("cents", k).over(w), F.lit(0)).cast(
-            "decimal(38,0)"
-        )
-        tl = lagged * F.lit(HOLT_WL_NANO[k]).cast("decimal(38,0)")
-        tb = lagged * F.lit(HOLT_WB_NANO[k]).cast("decimal(38,0)")
+        lagged = dec38(F.coalesce(F.lag("cents", k).over(w), F.lit(0)))
+        tl = lagged * dec38(F.lit(HOLT_WL_NANO[k]))
+        tb = lagged * dec38(F.lit(HOLT_WB_NANO[k]))
         level_nano = tl if level_nano is None else level_nano + tl
         trend_nano = tb if trend_nano is None else trend_nano + tb
     staged = dense.select(
@@ -1963,7 +1960,6 @@ def daily_revenue_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.money import micro
 
     dense = _global_daily_cents(spark, sf_dir)
-    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     tot = dense.agg(
         F.count("*").alias("n"), F.sum("cents").alias("s")
     )
@@ -1971,7 +1967,7 @@ def daily_revenue_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     z = dense.join(F.broadcast(tot)).select(
         "day",
         "n",
-        (dec(F.col("n")) * dec(F.col("cents")) - dec(F.col("s"))).alias("z"),
+        (dec38(F.col("n")) * dec38(F.col("cents")) - dec38(F.col("s"))).alias("z"),
     )
     lags = z.select(
         "n",
@@ -2175,7 +2171,6 @@ def revenue_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     dense frame, a 1-row top-1."""
     dense = _global_daily_cents(spark, sf_dir)
     w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
-    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     pre = dense.select(
         "day",
         F.sum("cents").over(w).alias("p"),
@@ -2191,7 +2186,7 @@ def revenue_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
             "p",
             "s",
-            (dec(F.col("n")) * dec(F.col("p")) - dec(F.col("t")) * dec(F.col("s")))
+            (dec38(F.col("n")) * dec38(F.col("p")) - dec38(F.col("t")) * dec38(F.col("s")))
             .alias("ncusum"),
         )
     )
@@ -2277,7 +2272,7 @@ def page_hinkley_revenue_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         - float(PH_DELTA_CENTS)
     )
     termed = pre.withColumn(
-        "term_micro", F.floor(term * 1000000.0 + 0.5).cast("decimal(38,0)")
+        "term_micro", dec38(F.floor(term * 1000000.0 + 0.5))
     )
     cum = termed.withColumn("m", F.sum("term_micro").over(w)).withColumn(
         "m_min", F.min(F.col("m")).over(w)
@@ -2358,13 +2353,12 @@ def jarque_bera_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.money import micro
 
     dense = _global_daily_cents(spark, sf_dir)
-    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     tot = dense.agg(F.count("*").alias("n"), F.sum("cents").alias("s"))
     d = dense.join(F.broadcast(tot)).select(
         "day",
         "n",
         (
-            (dec(F.col("n")) * dec(F.col("cents")) - dec(F.col("s"))).cast("double")
+            (dec38(F.col("n")) * dec38(F.col("cents")) - dec38(F.col("s"))).cast("double")
             / F.col("n").cast("double")
         ).alias("d"),
     )
@@ -2454,25 +2448,22 @@ def durbin_watson_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.money import micro
 
     dense = _global_daily_cents(spark, sf_dir)
-    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     w0 = Window.partitionBy()
     xframe = dense.select(
         "day",
         "cents",
         F.datediff(F.col("day"), F.min("day").over(w0)).cast("long").alias("x"),
     )
-    xd = F.col("x").cast("decimal(19,0)")
-    yd = F.col("cents").cast("decimal(19,0)")
     tot = xframe.agg(
         F.count("*").alias("n"),
         F.sum("cents").alias("sy"),
         F.sum("x").alias("sx"),
-        F.sum((xd * xd).cast("decimal(38,0)")).alias("sxx"),
-        F.sum((xd * yd).cast("decimal(38,0)")).alias("sxy"),
+        F.sum(dec38_prod(F.col("x"), F.col("x"))).alias("sxx"),
+        F.sum(dec38_prod(F.col("x"), F.col("cents"))).alias("sxy"),
     )
-    n_big = dec(F.col("n"))
-    num = n_big * dec(F.col("sxy")) - dec(F.col("sx")) * dec(F.col("sy"))
-    den = n_big * dec(F.col("sxx")) - dec(F.col("sx")) * dec(F.col("sx"))
+    n_big = dec38(F.col("n"))
+    num = n_big * dec38(F.col("sxy")) - dec38(F.col("sx")) * dec38(F.col("sy"))
+    den = n_big * dec38(F.col("sxx")) - dec38(F.col("sx")) * dec38(F.col("sx"))
     moments = tot.select(
         "n", "sy", "sx", num.alias("nslope"), den.alias("dslope")
     )
@@ -2482,10 +2473,10 @@ def durbin_watson_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nslope",
         "dslope",
         (
-            dec(F.col("dslope"))
-            * (dec(F.col("n")) * dec(F.col("cents")) - dec(F.col("sy")))
-            - dec(F.col("nslope"))
-            * (dec(F.col("n")) * dec(F.col("x")) - dec(F.col("sx")))
+            dec38(F.col("dslope"))
+            * (dec38(F.col("n")) * dec38(F.col("cents")) - dec38(F.col("sy")))
+            - dec38(F.col("nslope"))
+            * (dec38(F.col("n")) * dec38(F.col("x")) - dec38(F.col("sx")))
         )
         .cast("double")
         .alias("e"),
@@ -2590,7 +2581,6 @@ def runs_test_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.money import micro
 
     dense = _global_daily_cents(spark, sf_dir)
-    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     per_val = dense.groupBy("cents").agg(F.count("*").alias("cnt"))
     wv = Window.orderBy("cents")
     ranked = per_val.select(
@@ -2627,11 +2617,11 @@ def runs_test_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n1, n2 = F.col("n1"), F.col("n2")
     mm = n1 + n2
-    two_n1n2 = 2 * dec(n1) * dec(n2)
+    two_n1n2 = 2 * dec38(n1) * dec38(n2)
     mu = two_n1n2.cast("double") / mm.cast("double") + 1.0
     var = (
-        (two_n1n2 * (two_n1n2 - dec(mm))).cast("double")
-        / (dec(mm) * dec(mm) * dec(mm - 1)).cast("double")
+        (two_n1n2 * (two_n1n2 - dec38(mm))).cast("double")
+        / (dec38(mm) * dec38(mm) * dec38(mm - 1)).cast("double")
     )
     ok = (n1 > 0) & (n2 > 0) & (mm > 1) & (var > 0.0)
     z = (F.col("r").cast("double") - mu) / F.sqrt(var)

@@ -1459,6 +1459,73 @@ if set(_ROUND11_OWED) & set(_ROUND10_WINDOW):
         "round-11 owed re-verifies overlap the round-10 window — an entry "
         "inside the current window is verified this round and owes nothing"
     )
+
+# Round-11 FILL: the dec38 consolidation re-verifies.  Round 11 executed the
+# staged candidate (the ~39 inline `dec = lambda c: c.cast("decimal(38,0)")`
+# copies plus the per-factor `(xd * yd).cast(...)` product idiom are now ONE
+# pair of shared helpers, functions/money.py::dec38/dec38_prod, property-
+# tested against exact python ints and DuckDB HUGEINT at the int64 corners
+# in tests/test_property_dec38.py).  These are the touched driver-green
+# entries OUTSIDE the staged 14 (the other 6 touched queries already sit in
+# _ROUND11_FRONT/_ROUND11_OWED) — exactly 36, so the consolidation's whole
+# re-verify debt lands inside THIS round's window and round 12 starts owed-
+# free.  All 36 re-verified bitwise-green at sf0.01 in-session post-rewrite.
+_ROUND11_FILL: list[str] = [
+    "mixture_budget_curve",
+    "dedup_weight_ess",
+    "zipf_slope",
+    "linear_probe_quality",
+    "lang_id_kappa",
+    "probe_conformal_calibration",
+    "feature_auc_screening",
+    "source_length_ks",
+    "heaps_law_fit",
+    "cluster_size_distribution",
+    "theilsen_revenue_trend",
+    "weekday_seasonality",
+    "holt_linear_daily_revenue",
+    "daily_revenue_acf",
+    "revenue_changepoint",
+    "page_hinkley_revenue_drift",
+    "jarque_bera_daily_revenue",
+    "durbin_watson_revenue",
+    "runs_test_revenue",
+    "rmst_membership",
+    "visit_spend_correlation",
+    "revenue_pareto_shares",
+    "cuped_variance_reduction",
+    "cochran_armitage_trend",
+    "anova_spend_by_segment",
+    "kruskal_wallis_spend",
+    "welch_ttest_spend",
+    "grubbs_spend_outlier",
+    "levene_brown_forsythe",
+    "permutation_test_spend",
+    "interevent_burstiness",
+    "overdispersion_check",
+    "linkage_em_step",
+    "embedding_dispersion_by_label",
+    "embedding_top_component",
+    "embedding_norm_audit",
+]
+
+# ROUND-11 WINDOW (the 50 registry slots the driver verifies this round):
+#   * 3 front slots — the round-10 additions, the only entries never
+#     driver-checked; green here reaches 280/280 driver-verified-ever,
+#     the first round with ZERO never-verified entries.
+#   * 11 owed slots — the round-10 log-bucket-rank consolidation touches
+#     whose last driver-green row predates that rewrite.
+#   * 36 fill slots — the round-11 dec38 consolidation touches (above).
+_ROUND11_WINDOW = _ROUND11_FRONT + _ROUND11_OWED + _ROUND11_FILL
+if len(_ROUND11_WINDOW) != 50:
+    raise ValueError(
+        f"round-11 window must fill exactly 50 slots, got {len(_ROUND11_WINDOW)}"
+    )
+if len(set(_ROUND11_WINDOW)) != len(_ROUND11_WINDOW):
+    raise ValueError("round-11 window contains duplicate entries")
+_r11w_missing = [n for n in _ROUND11_WINDOW if n not in REGISTRY]
+if _r11w_missing:
+    raise ValueError(f"round-11 window names not in registry: {_r11w_missing}")
 if len(_ROUND8_WINDOW) != 50:
     raise ValueError(f"round-8 window must fill exactly 50 slots, got {len(_ROUND8_WINDOW)}")
 if len(set(_ROUND8_WINDOW)) != len(_ROUND8_WINDOW):
@@ -1483,8 +1550,8 @@ if len(set(_ROUND7_WINDOW)) != len(_ROUND7_WINDOW):
 _r7_missing = [n for n in _ROUND7_WINDOW if n not in REGISTRY]
 if _r7_missing:
     raise ValueError(f"round-7 window names not in registry: {_r7_missing}")
-_rest = [n for n in REGISTRY if n not in set(_ROUND10_WINDOW)]
-_reordered = {n: REGISTRY[n] for n in _ROUND10_WINDOW + _rest}
+_rest = [n for n in REGISTRY if n not in set(_ROUND11_WINDOW)]
+_reordered = {n: REGISTRY[n] for n in _ROUND11_WINDOW + _rest}
 REGISTRY.clear()
 REGISTRY.update(_reordered)
 

@@ -16,22 +16,23 @@ from basin_climbing_data_pipeline_spark import registry
 
 
 def test_window_order_is_the_declared_rotation():
-    """The first 50 entries must be exactly _ROUND10_WINDOW, in order —
+    """The first 50 entries must be exactly _ROUND11_WINDOW, in order —
     the round's verification plan IS the registration order."""
     names = list(registry.REGISTRY)
-    assert names[:50] == registry._ROUND10_WINDOW
+    assert names[:50] == registry._ROUND11_WINDOW
 
 
 def test_rotation_arithmetic_cannot_compound_debt():
     """Judge order (round-8 verdict #4): additions staged for the next
     round plus owed re-verifies must fit the 50-slot window, and the
     current window must cover every entry never driver-verified.  Today
-    the 45 round-9 additions plus 5 owed re-verifies are exactly
-    _ROUND10_WINDOW; CORRECTNESS_r09 landed green on the round-9 window
-    (232/232 driver-verified-ever), so a green r10 on this window reaches
-    277/277.  Round-10 additions are further capped at 20 (round-9
-    verdict #6: depth over breadth)."""
-    assert len(registry._ROUND10_WINDOW) == 50
+    the 3 round-10 additions (the only never-verified entries) lead
+    _ROUND11_WINDOW, followed by the 11 rank-consolidation owed
+    re-verifies and the 36 dec38-consolidation fill re-verifies; a green
+    CORRECTNESS_r11 reaches 280/280 driver-verified-ever.  Additions per
+    round are further capped at 20 (round-9 verdict #6: depth over
+    breadth)."""
+    assert len(registry._ROUND11_WINDOW) == 50
     assert (
         len(registry._ROUND11_FRONT) + len(registry._ROUND11_OWED) <= registry._WINDOW_SLOTS
     )
@@ -40,6 +41,11 @@ def test_rotation_arithmetic_cannot_compound_debt():
     for n in registry._ROUND11_FRONT + registry._ROUND11_OWED:
         assert n in registry.REGISTRY
     assert not set(registry._ROUND11_OWED) & set(registry._ROUND10_WINDOW)
+    # the consolidation fill must never displace a front/owed slot
+    assert registry._ROUND11_WINDOW[:3] == registry._ROUND11_FRONT
+    assert not set(registry._ROUND11_FILL) & set(
+        registry._ROUND11_FRONT + registry._ROUND11_OWED
+    )
 
 
 def test_every_query_has_an_oracle_or_documented_rows_only():
