@@ -17,9 +17,15 @@ sweep is weak evidence for any per-query movement; the min profile is
 what round-over-round comparison should read.  Warm-up and the warehouse
 load run once; per-rep totals land in BENCH_FULL.json as ``rep_totals``
 and the compact line carries the ``reps`` actually RUN.  A wall budget
-($SPARK_GRAFT_BENCH_BUDGET_S, default 1500) stops further reps when the
+($SPARK_GRAFT_BENCH_BUDGET_S, default 2300) stops further reps when the
 projected finish would overshoot — the first rep always completes, so a
-slow day degrades to fewer reps instead of a driver timeout.
+slow day degrades to fewer reps instead of a driver timeout.  The default
+was 1500 through round 10, which degraded the driver's own record to 2
+reps (a rep costs ~550 s at 280 queries / sf0.1 on this box, so rep 3
+projected past 1500); 2300 fits 3 typical reps plus the round-10-measured
+worst single-rep wall (758 s) once, while staying far under the ~2.5 h
+inter-round driver window (round-10's ~1260 s driver bench run drew no
+timeout).
 """
 
 from __future__ import annotations
@@ -174,7 +180,7 @@ def main() -> int:
     # verdict ordered — without risking a driver-side timeout on a slow
     # day: a rep costs its predecessor's wall, so stop when elapsed +
     # last_rep would overshoot.
-    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "1500"))
+    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "2300"))
     t_reps = time.time()
     timings: dict[str, float | None] = {}
     rep_totals: list[float] = []
