@@ -1509,6 +1509,29 @@ _ROUND11_FILL: list[str] = [
     "embedding_norm_audit",
 ]
 
+# STAGED for round 12: empty at round-11 close.  The dec38 consolidation's
+# entire re-verify debt landed INSIDE the round-11 window (_ROUND11_FILL),
+# and round 11 adds no registry entries — so for the first time the next
+# round starts with zero never-verified entries AND zero owed re-verifies.
+# The guards stay: any round-11 edit to an out-of-window driver-green entry
+# must append here in the same commit (window-rotation discipline).
+_ROUND12_FRONT: list[str] = []
+_ROUND12_OWED: list[str] = []
+if len(_ROUND12_FRONT) + len(_ROUND12_OWED) > _WINDOW_SLOTS:
+    raise ValueError(
+        "round-12 staging over budget: "
+        f"{len(_ROUND12_FRONT)} additions + {len(_ROUND12_OWED)} owed re-verifies "
+        f"> {_WINDOW_SLOTS} window slots — stop adding entries or queryize fewer"
+    )
+if len(_ROUND12_FRONT) > 20:
+    raise ValueError(
+        "round-12 additions capped at 20 (judge order, round-9 verdict #6: "
+        f"depth over breadth) — got {len(_ROUND12_FRONT)}"
+    )
+_r12_missing = [n for n in _ROUND12_FRONT + _ROUND12_OWED if n not in REGISTRY]
+if _r12_missing:
+    raise ValueError(f"round-12 staged names not in registry: {_r12_missing}")
+
 # ROUND-11 WINDOW (the 50 registry slots the driver verifies this round):
 #   * 3 front slots — the round-10 additions, the only entries never
 #     driver-checked; green here reaches 280/280 driver-verified-ever,
@@ -1526,6 +1549,11 @@ if len(set(_ROUND11_WINDOW)) != len(_ROUND11_WINDOW):
 _r11w_missing = [n for n in _ROUND11_WINDOW if n not in REGISTRY]
 if _r11w_missing:
     raise ValueError(f"round-11 window names not in registry: {_r11w_missing}")
+if set(_ROUND12_OWED) & set(_ROUND11_WINDOW):
+    raise ValueError(
+        "round-12 owed re-verifies overlap the round-11 window — an entry "
+        "inside the current window is verified this round and owes nothing"
+    )
 if len(_ROUND8_WINDOW) != 50:
     raise ValueError(f"round-8 window must fill exactly 50 slots, got {len(_ROUND8_WINDOW)}")
 if len(set(_ROUND8_WINDOW)) != len(_ROUND8_WINDOW):
