@@ -140,6 +140,42 @@ def micro_sql(expr: str) -> str:
     )
 
 
+# Clamp bound for fixed-point quantizers that feed int64: exactly
+# representable as a double (10^18 = 2^18·5^18, 42 mantissa bits), an order
+# of magnitude inside int64, and far past any in-domain quantity.
+GUARDED_LONG_ABS = 1.0e18
+
+
+def guarded_long(col: Column) -> Column:
+    """Overflow-guarded fixed-point quantizer to BIGINT: floor(clamp(x)+0.5).
+
+    THE shared primitive for quantizing an UNBOUNDED double into an int64
+    fixed-point key or bucket input (value·1e6 micro units, ln(u)/w·1e9
+    sampling keys).  A bare ``floor(x).cast("long")`` silently SATURATES
+    on Spark past ±2^63 (and the saturated value then overflows ANSI
+    arithmetic downstream — the +1 inside ``log_bucket`` was the round-11
+    catch, found by the seeded random-events corpus) while DuckDB's BIGINT
+    cast ERRORS — so both engines get the clamp, in double space, where
+    IEEE semantics are identical.  Inside ±GUARDED_LONG_ABS this is
+    bit-for-bit the old bare quantizer; past it, magnitudes collapse onto
+    the guard (extreme bucket / extreme key) on BOTH engines.  Same bug
+    class as :func:`micro` (the round-8/9 guarded-micro family) — this is
+    the int64-output sibling."""
+    clamped = F.least(
+        F.greatest(col, F.lit(-GUARDED_LONG_ABS)), F.lit(GUARDED_LONG_ABS)
+    )
+    return F.floor(clamped + 0.5).cast("long")
+
+
+def guarded_long_sql(expr: str) -> str:
+    """Oracle mirror of :func:`guarded_long` (same double-space clamp, so
+    DuckDB's out-of-range BIGINT cast can never fire)."""
+    return (
+        f"CAST(floor(least(greatest(({expr}), -{GUARDED_LONG_ABS}), "
+        f"{GUARDED_LONG_ABS}) + 0.5) AS BIGINT)"
+    )
+
+
 def cents_to_dollars(col: Column) -> Column:
     return col / 100.0
 

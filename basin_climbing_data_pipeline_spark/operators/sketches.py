@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.money import micro as _gm
+from ..functions.money import guarded_long_sql as _gl_sql
 from ..functions.money import micro_sql as _gm_sql
 from ..io import load_table
 
@@ -961,7 +962,9 @@ def _value_bucket() -> F.Column:
     """Sign-aware log bucket over the event ``value`` at micro fixed-point —
     the same data-independent bounds as ``sketch_decile_cuts``, so any two
     windows' histograms are comparable without a re-bucketing pass."""
-    vm = F.floor(F.col("value") * 1000000.0 + 0.5).cast("long")
+    from ..functions.money import guarded_long
+
+    vm = guarded_long(F.col("value") * 1000000.0)
     return log_bucket(vm)
 
 
@@ -1067,7 +1070,7 @@ def value_drift_psi_sql() -> str:
 WITH bucketed AS (
   SELECT (epoch_us(ts::TIMESTAMP) // {DRIFT_WINDOW_US}) * {DRIFT_WINDOW_US} AS w,
          event_type,
-         {log_bucket_sql("CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)")} AS bucket
+         {log_bucket_sql(_gl_sql("value * 1000000.0"))} AS bucket
   FROM events
 ),
 counts AS (

@@ -25,6 +25,8 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.money import guarded_long, guarded_long_sql
+
 WINDOW_HOURS = 6
 WINDOW_US = WINDOW_HOURS * 3600 * 1_000_000
 
@@ -432,7 +434,7 @@ def _aes_keyed(df: DataFrame) -> DataFrame:
         "bigint"
     )
     u = (h.cast("double") + 0.5) / 4294967296.0
-    key_nano = F.floor(F.log(u) / F.col("value") * 1000000000.0 + 0.5).cast("long")
+    key_nano = guarded_long(F.log(u) / F.col("value") * 1000000000.0)
     return df.filter(F.col("value") > 0).select(
         "event_id", F.col("value").alias("weight"), key_nano.alias("key_nano")
     )
@@ -510,13 +512,14 @@ def streaming_weighted_sample(
 
 
 def streaming_weighted_sample_sql() -> str:
+    key_expr = guarded_long_sql(
+        "ln((('0x' || substr(md5(event_id::varchar), 1, 8))::bigint::double + 0.5)"
+        " / 4294967296.0) / value * 1000000000.0"
+    )
     return f"""
 WITH keyed AS (
   SELECT event_id, value AS weight,
-         CAST(floor(
-           ln((('0x' || substr(md5(event_id::varchar), 1, 8))::bigint::double + 0.5)
-              / 4294967296.0)
-           / value * 1000000000.0 + 0.5) AS BIGINT) AS key_nano
+         {key_expr} AS key_nano
   FROM events
   WHERE value > 0
 ),
@@ -755,7 +758,7 @@ def streaming_benford_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.quality import BENFORD_MICRO
 
     stream = stream_events(spark, sf_dir).withWatermark("ts", "1 hour")
-    vm = F.floor(F.col("value") * 1000000.0 + 0.5).cast("long")
+    vm = guarded_long(F.col("value") * 1000000.0)
     digits = stream.select(
         F.window("ts", f"{WINDOW_HOURS} hours").alias("wd"),
         F.substring(F.abs(vm).cast("string"), 1, 1).cast("int").alias("d"),
@@ -823,7 +826,7 @@ def streaming_benford_drift_sql() -> str:
     return f"""
 WITH vals AS (
   SELECT (epoch_us(ts::TIMESTAMP) // {WINDOW_US}) * {WINDOW_US} AS window_start_us,
-         abs(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS a
+         abs({guarded_long_sql("value * 1000000.0")}) AS a
   FROM events
 ),
 counts AS (

@@ -214,12 +214,106 @@ EVENT_QUERIES = [
     "interevent_burstiness",      # zero gaps at identical-ts bursts + tie-break
     "markov_absorption_probs",    # Cramer inversion on degenerate tiny chains
     "sliding_distinct_users_hll", # register MAX-merge on boundary-tie windows
+    "streaming_benford_drift",    # guarded_long vm: first digits past the clamp
 ]
 
 
 @pytest.mark.parametrize("name", EVENT_QUERIES)
 def test_adversarial_events_oracle_parity(spark, fuzz_events_dir, name):
     _assert_oracle_parity(spark, fuzz_events_dir, name)
+
+
+def random_event_rows(seed: int, n: int = 400) -> list[tuple]:
+    """Seeded random events — the third randomized corpus axis (documents
+    and the relational stack came first); shared by the fuzz fixture below
+    and tools/capstone_corpus.py's --seed rotation.  Edge classes baked
+    into the distribution:
+
+    - tie clusters: 2-5 rows at the IDENTICAL microsecond timestamp
+      (order-by-ts queries must tie-break deterministically);
+    - exact midnights and 1-second session bursts and multi-hour ladders;
+    - unknown/extreme user_ids alongside the stock 0-14 range;
+    - novel/unicode/empty event types next to the known five;
+    - values spanning half-cents, 8-decimal fractions, negatives, zeros,
+      and magnitudes past the micro() guard (raw-double pass-through);
+    - props in the well-formed ``{"k": N}`` family plus spacing variants
+      and k-less JSON (the regex-extract and get_json_object NULL paths) —
+      k stays numeric/absent because the engines' documented divergence
+      trap (ANSI string→int throws where DuckDB NULLs) is designed-around,
+      not exercised.
+
+    event_ids are unique (the documented build_checkins input invariant).
+    """
+    import datetime as dt
+    import random
+
+    rng = random.Random(seed)
+    base = dt.datetime(2024, 1, 1)
+    types = ["view", "click", "purchase", "signup", "error"]
+    rare_types = ["VIEW", "view ", "naïve-type", "", "类型"]
+    rows: list[tuple] = []
+    eid = 10_000
+    while len(rows) < n:
+        shape = rng.choices(
+            ("plain", "tie", "midnight", "burst", "ladder"),
+            weights=(70, 10, 5, 10, 5),
+        )[0]
+        ts = base + dt.timedelta(
+            days=rng.randint(0, 90),
+            seconds=rng.randint(0, 86_399),
+            microseconds=rng.randint(0, 999_999),
+        )
+        if shape == "midnight":
+            ts = ts.replace(hour=0, minute=0, second=0, microsecond=0)
+        k = {"plain": 1, "midnight": 1, "tie": rng.randint(2, 5),
+             "burst": rng.randint(5, 20), "ladder": rng.randint(3, 6)}[shape]
+        for j in range(k):
+            if shape == "burst":
+                ts_j = ts + dt.timedelta(seconds=j)
+            elif shape == "ladder":
+                ts_j = ts + dt.timedelta(hours=6 * j)
+            else:
+                ts_j = ts  # tie/plain/midnight share the instant
+            user = rng.choice(
+                [rng.randint(0, 14)] * 8 + [rng.randint(15, 25), 10**9, -1]
+            )
+            etype = rng.choice(types * 6 + rare_types)
+            value = rng.choice(
+                [
+                    round(rng.uniform(0, 500), 2),
+                    rng.uniform(0, 1) * 10**-rng.randint(0, 8),
+                    -round(rng.uniform(0, 100), 2),
+                    0.0,
+                    0.005,
+                    999999.995,
+                    5.0e12,      # past MICRO_GUARD_ABS: raw pass-through
+                    8.9e15,
+                ]
+            )
+            props = rng.choice(
+                ['{"k": %d}' % rng.randint(0, 2_000_000_000)] * 5
+                + ['{"k":%d}' % rng.randint(0, 99), "{}", '{"x": 1}']
+            )
+            rows.append((eid, ts_j, user, etype, value, props))
+            eid += 1
+    rng.shuffle(rows)  # unsorted arrival order: order-insensitivity on disk
+    return rows[:n]
+
+
+@pytest.fixture(scope="module", params=[20260816, 11])
+def fuzz_random_events_dir(tmp_path_factory, request):
+    d = tmp_path_factory.mktemp(f"fuzz_random_events_{request.param}")
+    src = "/root/testdata/sf0.001"
+    for t in ("region nation customer supplier part orders lineitem documents "
+              "embeddings").split():
+        shutil.copy(f"{src}/{t}.parquet", d / f"{t}.parquet")
+    _write_events(str(d), random_event_rows(request.param))
+    return str(d)
+
+
+@pytest.mark.parametrize("name", EVENT_QUERIES)
+def test_random_events_oracle_parity(spark, fuzz_random_events_dir, name):
+    _assert_oracle_parity(spark, fuzz_random_events_dir, name)
 
 
 def test_streaming_dedup_matches_oracle_on_retransmission(spark, tmp_path):

@@ -82,7 +82,13 @@ def build(out_dir: str | None = None, seed: int | None = None) -> str:
         # referentially consistent with the seeded orders — the adversarial
         # customer fixture is a separate corpus this builder does not use)
         T.write_random_relational(out, seed=seed + 1)
-    T._write_events(str(out), T._adversarial_events_rows())
+    ev_rows = T._adversarial_events_rows()
+    if seed is not None:
+        # third randomized axis (round 11): seeded random events UNIONed
+        # with the adversarial edge rows (ids 10000+ vs <=1502 — unique
+        # event_id preserved, the documented build_checkins invariant)
+        ev_rows = ev_rows + T.random_event_rows(seed + 2)
+    T._write_events(str(out), ev_rows)
     shutil.rmtree(out / "_parts")
     return str(out)
 
