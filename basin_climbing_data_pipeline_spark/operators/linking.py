@@ -154,7 +154,12 @@ def regex_key_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed = ev.select(
         F.col("event_id"),
         F.col("event_type"),
-        F.regexp_extract(F.col("props"), r"\"k\": (\d+)", 1).cast("long").alias("k"),
+        # no-match regexp_extract is '' on Spark (NULL on DuckDB) and ANSI
+        # refuses CAST('' AS BIGINT) — nullif first, the grammar.py pattern
+        # (caught by the seeded random-events corpus: props without "k: N")
+        F.nullif(
+            F.regexp_extract(F.col("props"), r"\"k\": (\d+)", 1), F.lit("")
+        ).cast("long").alias("k"),
     ).filter(F.col("k").isNotNull())
     return (
         keyed.join(F.broadcast(part), keyed.k == part.p_partkey)
@@ -171,7 +176,7 @@ def regex_key_enrichment_sql() -> str:
     return """
 WITH keyed AS (
   SELECT event_id, event_type,
-         CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS k
+         CAST(nullif(regexp_extract(props, '"k": (\\d+)', 1), '') AS BIGINT) AS k
   FROM events
 )
 SELECT p_type, count(*) AS n_events, count(DISTINCT event_type) AS n_event_types

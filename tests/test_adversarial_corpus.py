@@ -215,6 +215,7 @@ EVENT_QUERIES = [
     "markov_absorption_probs",    # Cramer inversion on degenerate tiny chains
     "sliding_distinct_users_hll", # register MAX-merge on boundary-tie windows
     "streaming_benford_drift",    # guarded_long vm: first digits past the clamp
+    "regex_key_enrichment",       # no-match regexp_extract '' vs NULL (ANSI cast)
 ]
 
 
