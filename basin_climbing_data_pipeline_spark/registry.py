@@ -1466,8 +1466,9 @@ if set(_ROUND11_OWED) & set(_ROUND10_WINDOW):
 # pair of shared helpers, functions/money.py::dec38/dec38_prod, property-
 # tested against exact python ints and DuckDB HUGEINT at the int64 corners
 # in tests/test_property_dec38.py).  These are the touched driver-green
-# entries OUTSIDE the staged 14 (the other 6 touched queries already sit in
-# _ROUND11_FRONT/_ROUND11_OWED) — exactly 36, so the consolidation's whole
+# entries OUTSIDE the staged 14 (the other 8 touched entries already sit in
+# _ROUND11_FRONT/_ROUND11_OWED: 6 owed plus wilcoxon_signed_rank_spend and
+# cvm_spend_test in front) — exactly 36, so the consolidation's whole
 # re-verify debt lands inside THIS round's window and round 12 starts owed-
 # free.  All 36 re-verified bitwise-green at sf0.01 in-session post-rewrite.
 _ROUND11_FILL: list[str] = [
@@ -1547,6 +1548,86 @@ _r12_missing = [n for n in _ROUND12_FRONT + _ROUND12_OWED if n not in REGISTRY]
 if _r12_missing:
     raise ValueError(f"round-12 staged names not in registry: {_r12_missing}")
 
+# Round-12 FILL: staleness rotation (judge order, round-11 verdict #1).
+# With zero never-verified entries and only 3 owed re-verifies, the 47 free
+# slots systematically refresh verified-ever into verified-recently: the
+# fill is every non-owed entry ordered by OLDEST last driver-green row
+# first (ties broken by registry definition order), computed from
+# CORRECTNESS_r01..r11.  That selects all 36 entries whose last green row
+# dates to round 5 plus the 11 oldest round-6 rows; the next-stalest tier
+# (remaining round-6 rows) heads the round-13 fill candidate list.  All 47
+# re-verified bitwise-green at sf0.01 in-session before staging.
+_ROUND12_FILL: list[str] = [
+    "hard_negative_mining",
+    "subword_token_stats",
+    "source_quality_cap",
+    "training_shard_assignment",
+    "sliding_window_chunks",
+    "mixture_epoch_plan",
+    "containment_pairs",
+    "vocab_coverage",
+    "tfidf_keywords",
+    "cms_heavy_hitters",
+    "bloom_join_prune",
+    "event_funnel",
+    "histogram_quantiles",
+    "pagerank_proximity",
+    "triangle_stats",
+    "markov_transitions",
+    "source_token_entropy",
+    "daily_anomalies",
+    "pmi_collocations",
+    "quality_rule_battery",
+    "unigram_logprob_quality",
+    "sorted_neighborhood_pairs",
+    "cogroup_spend_at_checkin",
+    "common_neighbor_recs",
+    "warehouse_constraint_audit",
+    "revenue_cube",
+    "media_frame_sample",
+    "daily_revenue_locf",
+    "purchase_attribution",
+    "category_basket_lift",
+    "experiment_conversion_ztest",
+    "seasonal_naive_forecast_eval",
+    "semantic_dedup",
+    "blocker_recall_eval",
+    "table_diff_audit",
+    "visit_streaks",
+    "media_features",
+    "revenue_by_month_category",
+    "refund_metrics_by_category",
+    "merged_transactions_window",
+    "expense_categories",
+    "bigram_repetition",
+    "minhash_error_eval",
+    "sequence_packing",
+    "minhash_lsh_pairs",
+    "cluster_collapse_summary",
+    "simhash_adaptive_near_pairs",
+]
+
+# STAGED for round 13: empty at round-12 open.  Any round-12 edit to a
+# driver-green entry OUTSIDE the round-12 window must append to
+# _ROUND13_OWED in the same commit (window-rotation discipline); new
+# registry additions go to _ROUND13_FRONT (capped at 20).
+_ROUND13_FRONT: list[str] = []
+_ROUND13_OWED: list[str] = []
+if len(_ROUND13_FRONT) + len(_ROUND13_OWED) > _WINDOW_SLOTS:
+    raise ValueError(
+        "round-13 staging over budget: "
+        f"{len(_ROUND13_FRONT)} additions + {len(_ROUND13_OWED)} owed re-verifies "
+        f"> {_WINDOW_SLOTS} window slots — stop adding entries or queryize fewer"
+    )
+if len(_ROUND13_FRONT) > 20:
+    raise ValueError(
+        "round-13 additions capped at 20 (judge order, round-9 verdict #6: "
+        f"depth over breadth) — got {len(_ROUND13_FRONT)}"
+    )
+_r13_missing = [n for n in _ROUND13_FRONT + _ROUND13_OWED if n not in REGISTRY]
+if _r13_missing:
+    raise ValueError(f"round-13 staged names not in registry: {_r13_missing}")
+
 # ROUND-11 WINDOW (the 50 registry slots the driver verifies this round):
 #   * 3 front slots — the round-10 additions, the only entries never
 #     driver-checked; green here reaches 280/280 driver-verified-ever,
@@ -1567,6 +1648,27 @@ if _r11w_missing:
 if set(_ROUND12_OWED) & set(_ROUND11_WINDOW):
     raise ValueError(
         "round-12 owed re-verifies overlap the round-11 window — an entry "
+        "inside the current window is verified this round and owes nothing"
+    )
+
+# ROUND-12 WINDOW (the 50 registry slots the driver verifies this round):
+#   * 0 front slots — round 11 added no registry entries.
+#   * 3 owed slots — the round-11 guarded_long + nullif fixes' touched
+#     consumers outside the round-11 window.
+#   * 47 fill slots — the staleness rotation (oldest last-green first).
+_ROUND12_WINDOW = _ROUND12_FRONT + _ROUND12_OWED + _ROUND12_FILL
+if len(_ROUND12_WINDOW) != 50:
+    raise ValueError(
+        f"round-12 window must fill exactly 50 slots, got {len(_ROUND12_WINDOW)}"
+    )
+if len(set(_ROUND12_WINDOW)) != len(_ROUND12_WINDOW):
+    raise ValueError("round-12 window contains duplicate entries")
+_r12w_missing = [n for n in _ROUND12_WINDOW if n not in REGISTRY]
+if _r12w_missing:
+    raise ValueError(f"round-12 window names not in registry: {_r12w_missing}")
+if set(_ROUND13_OWED) & set(_ROUND12_WINDOW):
+    raise ValueError(
+        "round-13 owed re-verifies overlap the round-12 window — an entry "
         "inside the current window is verified this round and owes nothing"
     )
 if len(_ROUND8_WINDOW) != 50:
@@ -1593,8 +1695,8 @@ if len(set(_ROUND7_WINDOW)) != len(_ROUND7_WINDOW):
 _r7_missing = [n for n in _ROUND7_WINDOW if n not in REGISTRY]
 if _r7_missing:
     raise ValueError(f"round-7 window names not in registry: {_r7_missing}")
-_rest = [n for n in REGISTRY if n not in set(_ROUND11_WINDOW)]
-_reordered = {n: REGISTRY[n] for n in _ROUND11_WINDOW + _rest}
+_rest = [n for n in REGISTRY if n not in set(_ROUND12_WINDOW)]
+_reordered = {n: REGISTRY[n] for n in _ROUND12_WINDOW + _rest}
 REGISTRY.clear()
 REGISTRY.update(_reordered)
 

@@ -16,36 +16,80 @@ from basin_climbing_data_pipeline_spark import registry
 
 
 def test_window_order_is_the_declared_rotation():
-    """The first 50 entries must be exactly _ROUND11_WINDOW, in order —
+    """The first 50 entries must be exactly _ROUND12_WINDOW, in order —
     the round's verification plan IS the registration order."""
     names = list(registry.REGISTRY)
-    assert names[:50] == registry._ROUND11_WINDOW
+    assert names[:50] == registry._ROUND12_WINDOW
 
 
 def test_rotation_arithmetic_cannot_compound_debt():
     """Judge order (round-8 verdict #4): additions staged for the next
     round plus owed re-verifies must fit the 50-slot window, and the
-    current window must cover every entry never driver-verified.  Today
-    the 3 round-10 additions (the only never-verified entries) lead
-    _ROUND11_WINDOW, followed by the 11 rank-consolidation owed
-    re-verifies and the 36 dec38-consolidation fill re-verifies; a green
-    CORRECTNESS_r11 reaches 280/280 driver-verified-ever.  Additions per
-    round are further capped at 20 (round-9 verdict #6: depth over
-    breadth)."""
-    assert len(registry._ROUND11_WINDOW) == 50
+    current window must cover every entry never driver-verified.  Round 12
+    opens with zero never-verified entries; the window is the 3 owed
+    re-verifies (guarded_long + nullif touched consumers) followed by the
+    47-slot staleness-rotation fill (oldest last driver-green row first).
+    Additions per round are further capped at 20 (round-9 verdict #6:
+    depth over breadth)."""
+    assert len(registry._ROUND12_WINDOW) == 50
     assert (
-        len(registry._ROUND11_FRONT) + len(registry._ROUND11_OWED) <= registry._WINDOW_SLOTS
+        len(registry._ROUND12_FRONT) + len(registry._ROUND12_OWED) <= registry._WINDOW_SLOTS
     )
-    assert len(registry._ROUND11_FRONT) <= 20
-    # every staged round-11 name must exist and not already be in-window
-    for n in registry._ROUND11_FRONT + registry._ROUND11_OWED:
+    assert len(registry._ROUND12_FRONT) <= 20
+    # every staged round-12 name must exist and not already be in-window
+    for n in registry._ROUND12_FRONT + registry._ROUND12_OWED:
         assert n in registry.REGISTRY
-    assert not set(registry._ROUND11_OWED) & set(registry._ROUND10_WINDOW)
-    # the consolidation fill must never displace a front/owed slot
-    assert registry._ROUND11_WINDOW[:3] == registry._ROUND11_FRONT
-    assert not set(registry._ROUND11_FILL) & set(
-        registry._ROUND11_FRONT + registry._ROUND11_OWED
+    assert not set(registry._ROUND12_OWED) & set(registry._ROUND11_WINDOW)
+    # the staleness fill must never displace a front/owed slot
+    assert registry._ROUND12_WINDOW[: len(registry._ROUND12_OWED)] == (
+        registry._ROUND12_FRONT + registry._ROUND12_OWED
     )
+    assert not set(registry._ROUND12_FILL) & set(
+        registry._ROUND12_FRONT + registry._ROUND12_OWED
+    )
+    # round-13 staging must stay inside next round's budget too
+    assert (
+        len(registry._ROUND13_FRONT) + len(registry._ROUND13_OWED) <= registry._WINDOW_SLOTS
+    )
+    assert not set(registry._ROUND13_OWED) & set(registry._ROUND12_WINDOW)
+
+
+def test_round12_fill_is_the_staleness_rotation():
+    """Judge order (round-11 verdict #1): the 47 fill slots must be the
+    oldest-last-driver-green entries, computed from CORRECTNESS_r01..r11
+    (ties broken by registry definition order).  Recomputes the selection
+    from the committed driver artifacts so a drifted fill list fails."""
+    import glob
+    import json
+    import os
+    import re
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    files = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
+    rounds = [f for f in files if int(re.search(r"_r(\d+)", f).group(1)) <= 11]
+    if len(rounds) < 11:  # artifacts absent in a stripped checkout
+        pytest.skip("driver CORRECTNESS artifacts not present")
+    last_green: dict[str, int] = {}
+    for fn in rounds:
+        r = int(re.search(r"_r(\d+)", fn).group(1))
+        for name, row in json.load(open(fn)).items():
+            ok = (
+                isinstance(row, dict)
+                and row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match") in (True, None)
+                and not row.get("err")
+            )
+            if ok:
+                last_green[name] = max(last_green.get(name, 0), r)
+    src = open(
+        os.path.join(root, "basin_climbing_data_pipeline_spark", "registry.py")
+    ).read()
+    reg_order = re.findall(r'register\(\s*["\']([a-z0-9_]+)["\']', src)
+    owed = set(registry._ROUND12_FRONT + registry._ROUND12_OWED)
+    cand = [n for n in reg_order if n not in owed]
+    cand.sort(key=lambda n: (last_green.get(n, 0), reg_order.index(n)))
+    assert registry._ROUND12_FILL == cand[: len(registry._ROUND12_FILL)]
 
 
 def test_every_query_has_an_oracle_or_documented_rows_only():
