@@ -160,7 +160,14 @@ def guarded_long(col: Column) -> Column:
     bit-for-bit the old bare quantizer; past it, magnitudes collapse onto
     the guard (extreme bucket / extreme key) on BOTH engines.  Same bug
     class as :func:`micro` (the round-8/9 guarded-micro family) — this is
-    the int64-output sibling."""
+    the int64-output sibling.
+
+    Corner semantics, pinned three-way (Spark == DuckDB == pure python) in
+    tests/test_property_guarded_long.py: NaN lands on +GUARDED_LONG_ABS
+    (both engines' least/greatest order NaN greatest) and NULL lands on
+    -GUARDED_LONG_ABS rather than propagating (both engines' greatest/
+    least SKIP nulls) — consumers that want NULL-in → NULL-out must
+    pre-filter or wrap in F.when(col.isNotNull(), ...)."""
     clamped = F.least(
         F.greatest(col, F.lit(-GUARDED_LONG_ABS)), F.lit(GUARDED_LONG_ABS)
     )

@@ -236,12 +236,15 @@ def random_event_rows(seed: int, n: int = 400) -> list[tuple]:
     - unknown/extreme user_ids alongside the stock 0-14 range;
     - novel/unicode/empty event types next to the known five;
     - values spanning half-cents, 8-decimal fractions, negatives, zeros,
-      and magnitudes past the micro() guard (raw-double pass-through);
-    - props in the well-formed ``{"k": N}`` family plus spacing variants
-      and k-less JSON (the regex-extract and get_json_object NULL paths) —
-      k stays numeric/absent because the engines' documented divergence
-      trap (ANSI string→int throws where DuckDB NULLs) is designed-around,
-      not exercised.
+      magnitudes past the micro() guard (raw-double pass-through), and —
+      round 12 — NULLs (the guarded_long NULL-collapse corner pinned in
+      tests/test_property_guarded_long.py, and both engines' agg/filter
+      null-skip semantics);
+    - props in the well-formed ``{"k": N}`` family plus spacing variants,
+      k-less JSON (the regex-extract and get_json_object NULL paths), and
+      — round 12 — NULL props — k stays numeric/absent because the
+      engines' documented divergence trap (ANSI string→int throws where
+      DuckDB NULLs) is designed-around, not exercised.
 
     event_ids are unique (the documented build_checkins input invariant).
     """
@@ -289,11 +292,12 @@ def random_event_rows(seed: int, n: int = 400) -> list[tuple]:
                     999999.995,
                     5.0e12,      # past MICRO_GUARD_ABS: raw pass-through
                     8.9e15,
+                    None,        # NULL value: agg/filter null-skip parity
                 ]
             )
             props = rng.choice(
                 ['{"k": %d}' % rng.randint(0, 2_000_000_000)] * 5
-                + ['{"k":%d}' % rng.randint(0, 99), "{}", '{"x": 1}']
+                + ['{"k":%d}' % rng.randint(0, 99), "{}", '{"x": 1}', None]
             )
             rows.append((eid, ts_j, user, etype, value, props))
             eid += 1
