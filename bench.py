@@ -184,6 +184,10 @@ def main() -> int:
     t_reps = time.time()
     timings: dict[str, float | None] = {}
     rep_totals: list[float] = []
+    # per-query wall per rep, so a single-record reader can adjudicate a
+    # mover as noise (wide spread on identical code) without needing a
+    # second bench run — round-11 verdict order #4.  Failed reps are null.
+    per_rep_walls: dict[str, list[float | None]] = {}
     for _rep in range(max(1, reps)):
         if rep_totals and (time.time() - t_reps) + rep_totals[-1] > budget_s:
             print(
@@ -202,6 +206,9 @@ def main() -> int:
                 print(f"bench error in {name}: {e}", file=sys.stderr)
                 dt = float("nan")
             rep_total += dt if dt == dt else 0.0
+            per_rep_walls.setdefault(name, []).append(
+                round(dt, 3) if dt == dt else None
+            )
             # min over successful reps; a query is failed only if it never
             # succeeded (NaN != NaN keeps a lone failure from poisoning min)
             prev = timings.get(name)
@@ -218,6 +225,10 @@ def main() -> int:
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
+        # read rule (BENCH_NOTES.md): `queries` is the min profile; judge a
+        # mover against its own `queries_reps` spread FIRST — a wall inside
+        # [min, max] of any same-HEAD record is box noise, not a regression
+        "queries_reps": per_rep_walls,
         "reps": reps_run,
         "rep_totals": rep_totals,
         "warehouse_load_sec": load_sec,

@@ -113,3 +113,10 @@ def test_bench_main_exits_nonzero_on_query_failure(spark, tmp_path, monkeypatch,
     assert rc != 0
     rec = json.loads((tmp_path / "full.json").read_text())
     assert rec["queries"]["meta_fail_probe"] is None
+    # the per-rep spread record (round-11 verdict order #4): one list per
+    # query, one slot per rep run, failures as null, min(list) == profile
+    assert set(rec["queries_reps"]) == set(rec["queries"])
+    for name, walls in rec["queries_reps"].items():
+        assert len(walls) == rec["reps"]
+        ok = [w for w in walls if w is not None]
+        assert (min(ok) if ok else None) == rec["queries"][name]
