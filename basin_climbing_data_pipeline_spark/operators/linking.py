@@ -154,9 +154,11 @@ def regex_key_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed = ev.select(
         F.col("event_id"),
         F.col("event_type"),
-        # no-match regexp_extract is '' on Spark (NULL on DuckDB) and ANSI
-        # refuses CAST('' AS BIGINT) — nullif first, the grammar.py pattern
-        # (caught by the seeded random-events corpus: props without "k: N")
+        # no-match regexp_extract is '' on BOTH engines, and both ANSI
+        # Spark and DuckDB refuse CAST('' AS BIGINT) — nullif first on both
+        # sides, the grammar.py pattern (caught by the seeded random-events
+        # corpus: props without "k: N"; round-11 ADVICE corrected this
+        # comment's earlier claim that DuckDB returns NULL)
         F.nullif(
             F.regexp_extract(F.col("props"), r"\"k\": (\d+)", 1), F.lit("")
         ).cast("long").alias("k"),

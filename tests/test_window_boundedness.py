@@ -124,12 +124,28 @@ def collect_global_window_sites(src: str) -> dict[str, list[int]]:
                 best = (a, name)
         return best[1] if best else "<module>"
 
+    # resolve import aliases so `from pyspark.sql import Window as W` can't
+    # evade the lint (round-11 ADVICE); attribute-qualified references
+    # (pyspark.sql.Window.orderBy, window_mod.Window.orderBy) match below
+    # by the chain base's terminal attribute name.
+    aliases = {"Window"}
+    for node in ast.walk(tree):
+        if isinstance(node, ast.ImportFrom):
+            for a in node.names:
+                if a.name == "Window":
+                    aliases.add(a.asname or a.name)
+
+    def is_window_base(expr: ast.expr) -> bool:
+        if isinstance(expr, ast.Name):
+            return expr.id in aliases
+        return isinstance(expr, ast.Attribute) and expr.attr == "Window"
+
     out: dict[str, list[int]] = {}
     for node in ast.walk(tree):
         if not (isinstance(node, ast.Call) and isinstance(node.func, ast.Attribute)):
             continue
         f = node.func
-        if not (isinstance(f.value, ast.Name) and f.value.id == "Window"):
+        if not is_window_base(f.value):
             continue
         key = enclosing(node.lineno)
         if f.attr == "orderBy":
@@ -189,4 +205,24 @@ def test_lint_goes_red_on_a_synthetic_violation():
     )
     sites = collect_global_window_sites(synthetic)
     assert sites == {"sneaky_global_rank": [1, 1]}
+
+
+def test_lint_sees_through_aliased_and_qualified_window_references():
+    """Evasion coverage (round-11 ADVICE): an import alias, a fully-
+    qualified pyspark.sql.Window, and a module-attribute Window must all
+    count like the literal name — none exist in the engine today, and
+    this keeps it that way."""
+    synthetic = (
+        "import pyspark.sql\n"
+        "from pyspark.sql import window as wmod\n"
+        "from pyspark.sql import Window as W\n"
+        "def aliased(df):\n"
+        "    a = W.orderBy('x')\n"
+        "    b = pyspark.sql.Window.orderBy('x')\n"
+        "    c = wmod.Window.partitionBy()\n"
+        "    ok = W.partitionBy('k').orderBy('x')\n"
+        "    return df\n"
+    )
+    sites = collect_global_window_sites(synthetic)
+    assert sites == {"aliased": [2, 1]}
     assert ("operators/synthetic.py", "sneaky_global_rank") not in ALLOWLIST

@@ -99,8 +99,13 @@ if __name__ == "__main__":
     if "--seed" in args:
         i = args.index("--seed")
         # validate the operand like bench.py's --reps: a trailing flag or a
-        # non-integer must print usage, not a bare traceback
-        if i + 1 >= len(args) or not args[i + 1].lstrip("-").isdigit():
+        # non-integer must print usage, not a bare traceback.  A strict
+        # regex, not lstrip("-").isdigit(): that accepted "--5", which
+        # int() then rejects with the traceback this guard exists to stop
+        # (round-11 ADVICE).
+        import re
+
+        if i + 1 >= len(args) or not re.fullmatch(r"-?\d+", args[i + 1]):
             print(
                 "usage: capstone_corpus.py [OUT_DIR] [--seed N]  (N an integer)",
                 file=sys.stderr,
