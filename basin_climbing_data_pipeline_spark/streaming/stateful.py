@@ -101,6 +101,91 @@ def streaming_sessions(spark: SparkSession, sf_dir: str, sink_name: str) -> Data
     return result
 
 
+def _sessionize_timeout(key, pdfs: Iterator, state: GroupState):
+    """Event-time-timeout sessionizer body: same gap semantics as
+    :func:`_sessionize`, plus WATERMARK FLUSH — when the watermark passes
+    a session's end + gap with no new events, the group times out and the
+    open session is emitted with ``is_final=True`` (gap-closed sessions
+    carry ``is_final=False`` here, distinguishing the two close paths).
+
+    Late-row policy is enforced HERE, not by the framework: unlike
+    windowed aggregations, (applyInPandas/flatMapGroups)WithState does
+    NOT drop behind-watermark input — Spark hands every row to the
+    function and leaves the late policy to user code (empirically pinned
+    by the scenario test: without the explicit filter below, a
+    behind-watermark straggler reopened an already-flushing session and
+    dragged its start hours back).  Rows with ts < the current watermark
+    are discarded, so a too-late event can neither reopen nor corrupt a
+    flushed session — the scenario pinned in tests/test_streaming.py."""
+    import pandas as pd
+
+    (customer_id,) = key
+    cols = ["customer_id", "session_start_us", "session_end_us", "n_events", "is_final"]
+
+    if state.hasTimedOut:
+        start_us, end_us, n = state.get
+        state.remove()
+        yield pd.DataFrame([(customer_id, start_us, end_us, n, True)], columns=cols)
+        return
+
+    wm_us = state.getCurrentWatermarkMs() * 1000
+    events = sorted(
+        ts for pdf in pdfs for v in pdf["ts_us"] if (ts := int(v)) >= wm_us
+    )
+    if state.exists:
+        start_us, end_us, n = state.get
+    else:
+        start_us = end_us = None
+        n = 0
+
+    rows = []
+    for ts in events:
+        if start_us is None:
+            start_us, end_us, n = ts, ts, 1
+        elif ts - end_us > SESSION_GAP_US:
+            rows.append((customer_id, start_us, end_us, n, False))
+            start_us, end_us, n = ts, ts, 1
+        else:
+            start_us, end_us, n = min(start_us, ts), max(end_us, ts), n + 1
+
+    if start_us is not None:
+        state.update((start_us, end_us, n))
+        # flush when the event-time watermark passes end + gap (ms epoch).
+        # Clamp to watermark+1: Spark REJECTS a timeout timestamp at or
+        # behind the current watermark (INVALID_TIMEOUT_TIMESTAMP), which
+        # happens when a late-but-admissible event lands in a session whose
+        # flush horizon the watermark already passed — such a session
+        # flushes at the next timeout opportunity instead.
+        wm_ms = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max((end_us + SESSION_GAP_US) // 1000, wm_ms + 1))
+
+    if rows:
+        yield pd.DataFrame(rows, columns=cols)
+
+
+def sessionize_stream_with_timeout(events: DataFrame, watermark_delay: str = "1 hour") -> DataFrame:
+    """Wire a streaming (customer_id, ts TIMESTAMP) frame through the
+    event-time-timeout sessionizer.
+
+    The caller owns the source (a file stream in tests, Kafka/files in a
+    deployment) so micro-batch boundaries and file arrival order stay
+    controllable; this function owns the watermark + state wiring.  Unlike
+    :func:`streaming_sessions` (NoTimeout — final sessions stay open
+    forever), idle sessions here flush once the watermark passes their
+    end + gap, which is what a continuous deployment needs for state to
+    stay bounded: state size is O(active sessions), not O(all keys ever)."""
+    stream = events.withWatermark("ts", watermark_delay).select(
+        "customer_id", "ts", F.unix_micros("ts").alias("ts_us")
+    )
+    return stream.groupBy("customer_id").applyInPandasWithState(
+        _sessionize_timeout,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def streaming_sessions_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-checked entry for the stateful sessionizer: the emitted
     (closed) sessions over the full events stream.

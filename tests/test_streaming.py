@@ -425,3 +425,108 @@ def test_streaming_value_drift_psi_watermark_on_growing_prefix(spark, tmp_path):
     want_full = sorted(map(tuple, value_drift_psi(spark, str(d)).collect()))
     assert got_full == want_full
     assert len(got_full) >= n_first
+
+
+def test_stateful_timeout_sessionizer_late_data_straddling_watermark(spark, tmp_path):
+    """The event-time-timeout sessionizer under controlled micro-batches
+    (maxFilesPerTrigger=1, file mtimes force arrival order) — the three
+    late-arrival regimes in one scenario:
+
+    * batch 2 carries an event LATE relative to batch 1 but inside the
+      1-hour watermark delay → absorbed into the still-open session
+      (bounds extend, count grows);
+    * batch 3 carries an event BEHIND the watermark → dropped by the
+      stateful eviction filter; instead the group's pending timeout fires
+      (the session it would have joined was already gap-closed);
+    * idle sessions whose end + gap falls behind the watermark flush with
+      is_final=True; a session still inside the horizon stays open and is
+      NOT emitted.
+    """
+    import os
+    import shutil as _sh
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from basin_climbing_data_pipeline_spark.streaming.events_stream import (
+        _await_finished,
+        _stream_partitions,
+    )
+    from basin_climbing_data_pipeline_spark.streaming.stateful import (
+        sessionize_stream_with_timeout,
+    )
+
+    d = tmp_path / "sess_src"
+    d.mkdir()
+    T0 = dt.datetime(2024, 3, 1, 10, 0, 0)
+
+    def us(t):
+        return int(t.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+
+    def write(name, rows, mtime):
+        tbl = pa.table(
+            {
+                "customer_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([us(r[1]) for r in rows], pa.timestamp("us", tz="UTC")),
+            }
+        )
+        p = str(d / name)
+        pq.write_table(tbl, p)
+        os.utime(p, (mtime, mtime))
+
+    m = dt.timedelta  # noqa: E741 — local alias for brevity
+    # batch 1: c1 open session 10:00-10:10; c2 single event.  Post-batch
+    # watermark = 10:10 - 1h = 09:10.
+    write("a.parquet", [(1, T0), (1, T0 + m(minutes=10)), (2, T0)], 1_000)
+    # batch 2: c1 late-but-inside-watermark 10:20 (absorbed), then 13:00
+    # (gap-closes the first session); c99 at 15:00 pushes the post-batch
+    # watermark to 14:00
+    write(
+        "b.parquet",
+        [(1, T0 + m(minutes=20)), (1, T0 + m(hours=3)), (99, T0 + m(hours=5))],
+        2_000,
+    )
+    # batch 3: c1 at 10:30 is BEHIND the 14:00 watermark (dropped); c99 at
+    # 15:05 extends its open session (stays inside the horizon)
+    write(
+        "c.parquet",
+        [(1, T0 + m(minutes=30)), (99, T0 + m(hours=5, minutes=5))],
+        3_000,
+    )
+
+    stream = (
+        spark.readStream.schema("customer_id long, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(d))
+    )
+    out = sessionize_stream_with_timeout(stream)
+    with _stream_partitions(spark):
+        q = (
+            out.writeStream.trigger(availableNow=True)
+            .outputMode("append")
+            .format("memory")
+            .queryName("sess_timeout_test")
+            .start()
+        )
+        _await_finished(q)
+    got = {
+        tuple(r)
+        for r in spark.table("sess_timeout_test")
+        .select("customer_id", "session_start_us", "session_end_us", "n_events", "is_final")
+        .collect()
+    }
+    spark.catalog.dropTempView("sess_timeout_test")
+    _sh.rmtree(str(d))
+
+    want = {
+        # gap-closed in batch 2: the 10:20 straggler was absorbed first
+        (1, us(T0), us(T0 + m(minutes=20)), 3, False),
+        # c1's 13:00 session: timeout fired once the watermark (14:00)
+        # passed 13:00 + 30min; the behind-watermark 10:30 event could
+        # neither join nor block it
+        (1, us(T0 + m(hours=3)), us(T0 + m(hours=3)), 1, True),
+        # c2 idle since batch 1: flushed by the same watermark advance
+        (2, us(T0), us(T0), 1, True),
+        # c99 (15:00-15:05) stays inside the horizon: NOT emitted
+    }
+    assert got == want
