@@ -186,6 +186,11 @@ register(
     inc.merged_transactions_window_sql(),
 )
 register("streaming_sessions", stf.streaming_sessions_query, stf.streaming_sessions_sql())
+register(
+    "streaming_sessions_flush",
+    stf.streaming_sessions_flush_query,
+    stf.streaming_sessions_flush_sql(),
+)
 register("expense_categories", txn.expense_categories, txn.expense_categories_sql())
 register("bigram_repetition", ts.bigram_repetition, ts.bigram_repetition_sql())
 register("kmeans_refine", sim.kmeans_refine, sim.kmeans_refine_sql())
@@ -1607,11 +1612,15 @@ _ROUND12_FILL: list[str] = [
     "simhash_adaptive_near_pairs",
 ]
 
-# STAGED for round 13: empty at round-12 open.  Any round-12 edit to a
-# driver-green entry OUTSIDE the round-12 window must append to
-# _ROUND13_OWED in the same commit (window-rotation discipline); new
-# registry additions go to _ROUND13_FRONT (capped at 20).
-_ROUND13_FRONT: list[str] = []
+# STAGED for round 13: any round-12 edit to a driver-green entry OUTSIDE
+# the round-12 window must append to _ROUND13_OWED in the same commit
+# (window-rotation discipline); new registry additions go to
+# _ROUND13_FRONT (capped at 20).
+_ROUND13_FRONT: list[str] = [
+    # round-12 addition: the event-time-timeout sessionizer's deterministic
+    # driver surface (gap-closed + watermark-flushed sessions; ST6 deepened)
+    "streaming_sessions_flush",
+]
 _ROUND13_OWED: list[str] = []
 if len(_ROUND13_FRONT) + len(_ROUND13_OWED) > _WINDOW_SLOTS:
     raise ValueError(

@@ -219,3 +219,77 @@ FROM marked
 WHERE session_seq < max_seq
 ORDER BY customer_id, session_start_us
 """
+
+
+# watermark delay for the flush-variant driver query (must mirror the SQL
+# oracle's subtraction below)
+FLUSH_WATERMARK = "1 hour"
+FLUSH_WATERMARK_MS = 3600 * 1000
+
+
+def streaming_sessions_flush_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checked entry for the event-time-timeout sessionizer: gap-
+    closed sessions (``is_final=false``) plus idle open sessions flushed
+    by the end-of-stream watermark (``is_final=true``).
+
+    Deterministic under the driver contract because the events table is a
+    single parquet file: availableNow processes it as ONE data batch with
+    watermark 0 (no mid-stream timeouts, no late drops), then runs the
+    no-data batch at watermark = max(ts) - 1h, which flushes exactly the
+    open sessions whose end + gap fell behind — a closed-form set the SQL
+    oracle reproduces.  (On a multi-file/continuous source, mid-stream
+    watermark advances make emission timing arrival-dependent — that
+    regime is covered by the scenario test, not an oracle.)"""
+    import uuid
+
+    sink = f"stream_sess_flush_{uuid.uuid4().hex[:8]}"
+    src = stream_events(spark, sf_dir).select(
+        F.col("user_id").alias("customer_id"), "ts"
+    )
+    out = sessionize_stream_with_timeout(src, watermark_delay=FLUSH_WATERMARK)
+    from .events_stream import _await_finished, _stream_partitions
+
+    with _stream_partitions(spark):
+        q = (
+            out.writeStream.trigger(availableNow=True)
+            .outputMode("append")
+            .format("memory")
+            .queryName(sink)
+            .start()
+        )
+        _await_finished(q)
+    result = spark.table(sink).localCheckpoint()
+    spark.catalog.dropTempView(sink)
+    return result.select(
+        "customer_id", "session_start_us", "session_end_us", "n_events", "is_final"
+    ).orderBy("customer_id", "session_start_us")
+
+
+def streaming_sessions_flush_sql() -> str:
+    """Oracle for :func:`streaming_sessions_flush_query`.
+
+    Timeout arithmetic mirrors Spark's ms-granularity watermark exactly:
+    the tracker floors event time to ms, the watermark is that max minus
+    the delay, and a group times out iff its timeout timestamp (end + gap,
+    floored to ms, per _sessionize_timeout's setTimeoutTimestamp) is
+    STRICTLY below the watermark — hence the ``// 1000`` floors and ``<``
+    below, kept in integer math on both engines."""
+    from ..operators.events import checkin_sessions_sql
+
+    return f"""
+WITH sess AS ({checkin_sessions_sql()}),
+marked AS (
+  SELECT *, max(session_seq) OVER (PARTITION BY customer_id) AS max_seq
+  FROM sess
+),
+wm AS (
+  SELECT max(epoch_us(ts::TIMESTAMP)) // 1000 - {FLUSH_WATERMARK_MS} AS wm_ms
+  FROM events
+)
+SELECT customer_id, session_start_us, session_end_us, n_events,
+       (session_seq = max_seq) AS is_final
+FROM marked, wm
+WHERE session_seq < max_seq
+   OR (session_end_us + {SESSION_GAP_US}) // 1000 < wm_ms
+ORDER BY customer_id, session_start_us
+"""

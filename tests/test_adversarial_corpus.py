@@ -216,6 +216,7 @@ EVENT_QUERIES = [
     "sliding_distinct_users_hll", # register MAX-merge on boundary-tie windows
     "streaming_benford_drift",    # guarded_long vm: first digits past the clamp
     "regex_key_enrichment",       # no-match regexp_extract '' vs NULL (ANSI cast)
+    "streaming_sessions_flush",   # ms-floored watermark/timeout boundary (< vs <=)
 ]
 
 

@@ -530,3 +530,53 @@ def test_stateful_timeout_sessionizer_late_data_straddling_watermark(spark, tmp_
         # c99 (15:00-15:05) stays inside the horizon: NOT emitted
     }
     assert got == want
+
+
+def test_flush_timeout_boundary_is_strict_less_than(spark, tmp_path):
+    """Pin the < vs <= adjudication the flush oracle bakes in: a session
+    whose timeout timestamp (end + gap, ms) EXACTLY equals the end-of-
+    stream watermark must stay open (Spark times out a group only when
+    the watermark is strictly greater); one ms later it flushes.  If a
+    Spark upgrade flips this comparison, the streaming_sessions_flush
+    oracle needs the same flip."""
+    import shutil as _sh
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from basin_climbing_data_pipeline_spark import registry
+
+    src = "/root/testdata/sf0.001"
+    fn, _sql = registry.REGISTRY["streaming_sessions_flush"]
+    T0 = dt.datetime(2024, 3, 1, 10, 0, 0)
+
+    def run(clock_offset_ms):
+        d = tmp_path / f"b{clock_offset_ms}"
+        d.mkdir()
+        for t in ("region nation customer supplier part orders lineitem "
+                  "documents embeddings").split():
+            _sh.copy(f"{src}/{t}.parquet", d / f"{t}.parquet")
+        ref = pq.read_schema(f"{src}/events.parquet")
+
+        def us(t):
+            return int(t.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+
+        # user 1 at T0; clock user 2 at T0 + 1.5h (+offset): watermark =
+        # clock - 1h, user-1 timeout = T0 + 30min -> equality at offset 0
+        rows = [(1, us(T0)), (2, us(T0 + dt.timedelta(hours=1, minutes=30,
+                                                      milliseconds=clock_offset_ms)))]
+        unit = {"us": 1, "ns": 1000}[ref.field("ts").type.unit]
+        tbl = pa.table({
+            "event_id": pa.array([10, 11], pa.int64()),
+            "ts": pa.array([r[1] * unit for r in rows], ref.field("ts").type),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_type": pa.array(["view", "view"], pa.string()),
+            "value": pa.array([1.0, 1.0], pa.float64()),
+            "props": pa.array(["{}", "{}"], pa.string()),
+        })
+        pq.write_table(tbl, d / "events.parquet")
+        return {tuple(r) for r in fn(spark, str(d)).collect()}
+
+    assert run(0) == set()          # equality: nothing times out
+    flushed = run(1)                # 1 ms past: user 1's session flushes
+    assert {(r[0], r[3], r[4]) for r in flushed} == {(1, 1, True)}
