@@ -87,8 +87,11 @@ def test_round12_fill_is_the_staleness_rotation():
     ).read()
     reg_order = re.findall(r'register\(\s*["\']([a-z0-9_]+)["\']', src)
     owed = set(registry._ROUND12_FRONT + registry._ROUND12_OWED)
-    cand = [n for n in reg_order if n not in owed]
-    cand.sort(key=lambda n: (last_green.get(n, 0), reg_order.index(n)))
+    # fill slots refresh DRIVER-GREEN entries; a never-verified entry is
+    # not a staleness candidate — it gets its first row via a front slot
+    # (round-12 additions sit in _ROUND13_FRONT for next round's window)
+    cand = [n for n in reg_order if n not in owed and n in last_green]
+    cand.sort(key=lambda n: (last_green[n], reg_order.index(n)))
     assert registry._ROUND12_FILL == cand[: len(registry._ROUND12_FILL)]
 
 
