@@ -2336,70 +2336,60 @@ def embedding_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    # v₀ = all-ones in nano units; each round: w = M v (exact decimal),
-    # then re-quantize w to nano ints on its max-abs scale
-    v = spark.range(DIM).select(
-        F.col("id").cast("int").alias("j"), F.lit(NANO).cast("long").alias("v")
-    )
+    # ROUND-12 OPTIMIZATION (guide §1.2/§5): the iteration itself runs on a
+    # CONSTANT 64×64 frame, but expressing it as 3 rounds of
+    # join→groupBy→broadcast built ~20 tiny bounded-frame Spark jobs whose
+    # fixed scheduling overhead dominated the query wall (round-8 plan
+    # audit; measured 13.0 s isolated at sf0.1).  The corpus-sized work
+    # (normalization + explode-Gram, the only part that grows with rows)
+    # stays distributed above; M' is then fetched with ONE bounded collect
+    # — ≤ DIM² = 4096 longs, corpus-size-independent, the same bounded
+    # class as the k-means k×DIM centroid fetch — and the power iteration
+    # replays the IDENTICAL exact arithmetic in driver Python: int sums
+    # are exact in both (decimal(38) there, arbitrary-precision here), and
+    # every double op (the casts, divides, floor(+0.5) re-quantizations)
+    # is the same IEEE-754 sequence, so the output is bit-identical (the
+    # unchanged closed-form SQL oracle verifies this per run).
+    import math
+
+    m_rows = m_frame.collect()  # bounded: ≤ DIM² rows of (i, j, m)
+    n_vecs = nv.collect()[0]["n_vecs"]  # global agg → exactly 1 row
+
+    def out_frame(share_v, resid_v):
+        return spark.createDataFrame(
+            [(n_vecs, POWER_ITERATIONS, share_v, resid_v)],
+            "n_vecs bigint, iterations int, top_eigen_share double, residual double",
+        )
+
+    if not m_rows:  # degenerate corpus: all-null stats, like the agg form
+        return out_frame(None, None)
+    m: dict[tuple[int, int], int] = {(r["i"], r["j"]): int(r["m"]) for r in m_rows}
+    v = [NANO] * DIM
     for _ in range(POWER_ITERATIONS):
-        w = (
-            m_frame.join(F.broadcast(v), m_frame["j"] == v["j"])
-            .select(m_frame["i"], (F.col("m") * dec38(F.col("v"))).alias("t"))
-            .groupBy("i")
-            .agg(F.sum("t").alias("w"))
-        )
-        mx = w.agg(F.max(F.abs(F.col("w"))).alias("mx"))
-        v = (
-            w.join(F.broadcast(mx))
-            .select(
-                F.col("i").alias("j"),
-                F.floor(
-                    F.col("w").cast("double") / F.col("mx").cast("double") * NANO
-                    + 0.5
-                )
-                .cast("long")
-                .alias("v"),
+        w = [
+            sum(m.get((i, j), 0) * v[j] for j in range(DIM)) for i in range(DIM)
+        ]
+        mx = max(abs(x) for x in w)
+        v = [int(math.floor(float(x) / float(mx) * NANO + 0.5)) for x in w]
+    mvs = [
+        int(
+            math.floor(
+                float(sum(m.get((i, j), 0) * v[j] for j in range(DIM))) / 1.0e9
+                + 0.5
             )
         )
-    # Rayleigh quotient and residual over Mv scaled down to 1e-9 of its
-    # fixed-point units (mv ≤ 64·1e12·1e9; its square would overflow
-    # decimal(38)); with M' in 1e12·share units and v in nano units,
-    # λs = vᵀ(M'v/1e9)/vᵀv = share·1e3, so share = λs/1e3
-    mv = (
-        m_frame.join(F.broadcast(v), m_frame["j"] == v["j"])
-        .select(m_frame["i"], (dec38(F.col("m")) * dec38(F.col("v"))).alias("t"))
-        .groupBy("i")
-        .agg(
-            F.floor(F.sum("t").cast("double") / 1.0e9 + 0.5)
-            .cast("long")
-            .alias("mvs")
-        )
-    )
-    both = mv.join(F.broadcast(v.select(F.col("j").alias("i"), "v")), "i")
-    stats = both.agg(
-        F.sum(dec38(F.col("mvs")) * dec38(F.col("v"))).alias("vmv"),
-        F.sum(dec38(F.col("v")) * dec38(F.col("v"))).alias("vv"),
-        F.sum(dec38(F.col("mvs")) * dec38(F.col("mvs"))).alias("mvmv"),
-    )
-    lam = F.col("vmv").cast("double") / F.col("vv").cast("double")
+        for i in range(DIM)
+    ]
+    vmv = sum(a * b for a, b in zip(mvs, v))
+    vv = sum(b * b for b in v)
+    mvmv = sum(a * a for a in mvs)
+    lam = float(vmv) / float(vv)
     share = lam / 1.0e3
-    resid = (
-        F.sqrt(
-            F.greatest(
-                F.col("mvmv").cast("double")
-                - lam * lam * F.col("vv").cast("double"),
-                F.lit(0.0),
-            )
-        )
-        / (lam * F.sqrt(F.col("vv").cast("double")))
-    )
-    micro = lambda c: F.floor(c * 1000000.0 + 0.5) / 1000000.0  # noqa: E731
-    return stats.join(F.broadcast(nv)).select(
-        "n_vecs",
-        F.lit(POWER_ITERATIONS).alias("iterations"),
-        micro(share).alias("top_eigen_share"),
-        micro(resid).alias("residual"),
-    )
+    resid = math.sqrt(
+        max(float(mvmv) - lam * lam * float(vv), 0.0)
+    ) / (lam * math.sqrt(float(vv)))
+    micro = lambda x: math.floor(x * 1000000.0 + 0.5) / 1000000.0  # noqa: E731
+    return out_frame(micro(share), micro(resid))
 
 
 def embedding_top_component_sql() -> str:

@@ -286,12 +286,73 @@ def test_customer_spend_deciles_sketch_default_agrees_with_exact(spark, sf_dir):
         assert abs(exact[d]["pct_of_revenue"] - sketch[d]["pct_of_revenue"]) <= 5.0
 
 
+def _theilsen_exact_reference(spark, sf_dir):
+    """The pre-round-12 EXACT Theil-Sen: median of all pairwise slopes via
+    one global single-partition Window.orderBy rank.  Kept here (not in the
+    engine — the round-12 optimization made the registry query ride the
+    range-partitioned rank) as the reference implementation the bucketed
+    form must equal."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from basin_climbing_data_pipeline_spark.functions.money import dec38, to_cents
+    from basin_climbing_data_pipeline_spark.operators.transactions import (
+        build_transactions,
+    )
+
+    txn = build_transactions(spark, sf_dir)
+    daily = txn.groupBy("txn_date").agg(
+        F.sum(to_cents(F.col("total_amount"))).alias("cents")
+    )
+    d = daily.select(
+        F.datediff(F.col("txn_date"), F.lit("1992-01-01").cast("date")).alias("x"),
+        "cents",
+    )
+    a, b = d.alias("a"), d.alias("b")
+    pairs = a.join(b, F.col("a.x") < F.col("b.x")).select(
+        F.col("a.x").alias("xi"),
+        F.col("b.x").alias("xj"),
+        (
+            (F.col("b.cents") - F.col("a.cents")).cast("double")
+            / (F.col("b.x") - F.col("a.x")).cast("double")
+        ).alias("slope"),
+    )
+    w = Window.orderBy("slope", "xi", "xj")
+    ranked = pairs.select(
+        "slope",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("n_pairs"),
+    )
+    med = ranked.filter(
+        F.col("rn") == F.expr("(n_pairs + 1) div 2")
+    ).select(F.col("slope").alias("ts_slope"), "n_pairs")
+    mom = d.agg(
+        F.count("*").alias("n_days"),
+        F.sum(dec38(F.col("x"))).alias("sx"),
+        F.sum(dec38(F.col("cents"))).alias("sy"),
+        F.sum(dec38(F.col("x")) * dec38(F.col("cents"))).alias("sxy"),
+        F.sum(dec38(F.col("x")) * dec38(F.col("x"))).alias("sxx"),
+    )
+    n = dec38(F.col("n_days"))
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    micro = lambda c: F.floor(c * 1000000.0 + 0.5) / 1000000.0  # noqa: E731
+    ols = F.when(den != 0, num.cast("double") / den.cast("double"))
+    return mom.join(F.broadcast(med)).select(
+        "n_days",
+        "n_pairs",
+        micro(ols / 100.0).alias("ols_slope_per_day"),
+        micro(F.col("ts_slope") / 100.0).alias("theilsen_slope_per_day"),
+    )
+
+
 def test_theilsen_bucketed_equals_exact(spark, sf_dir):
-    """The range-partitioned Theil-Sen (theilsen_trend_bucketed) is the
-    EXACT median computed without the exact form's single-partition rank:
-    the sign-aware log bucket is monotone in slope, so bucket order +
+    """The range-partitioned Theil-Sen (theilsen_trend_bucketed, and since
+    round 12 also theilsen_revenue_trend, which delegates to it) is the
+    EXACT median computed without the single-partition global rank: the
+    sign-aware log bucket is monotone in slope, so bucket order +
     within-bucket order IS the global order.  Approximation error bound:
-    zero — equality, both engines."""
+    zero — equality, both engines, against the global-sort reference."""
     import duckdb
 
     from basin_climbing_data_pipeline_spark.operators.transactions import (
@@ -301,9 +362,13 @@ def test_theilsen_bucketed_equals_exact(spark, sf_dir):
         theilsen_trend_bucketed_sql,
     )
 
-    exact = theilsen_revenue_trend(spark, sf_dir).collect()[0]
+    exact = _theilsen_exact_reference(spark, sf_dir).collect()[0]
     bucketed = theilsen_trend_bucketed(spark, sf_dir).collect()[0]
     assert tuple(exact) == tuple(bucketed)
+    # the registry query now rides the bucketed path — same values
+    assert tuple(theilsen_revenue_trend(spark, sf_dir).collect()[0]) == tuple(
+        bucketed
+    )
 
     con = duckdb.connect()
     for t in ("orders", "lineitem", "customer", "part", "nation", "region",

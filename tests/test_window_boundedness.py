@@ -60,7 +60,8 @@ ALLOWLIST: dict[tuple[str, str], tuple[int, int, str]] = {
     ("operators/textstats.py", "zipf_slope"): (1, 0, VOCAB + " (first-occurrence rank head)"),
     ("operators/dedup.py", "quality_dup_lift"): (0, 1, GRID + " (dup-class × quality-band)"),
     ("operators/dedup.py", "cluster_size_distribution"): (1, 1, BUCKET + " (size spectrum)"),
-    ("operators/transactions.py", "theilsen_revenue_trend"): (1, 1, CAL),
+    # theilsen_revenue_trend delegates to theilsen_trend_bucketed since the
+    # round-12 optimization (no global window of its own anymore)
     ("operators/transactions.py", "theilsen_trend_bucketed"): (1, 1, CAL),
     ("operators/transactions.py", "daily_revenue_acf"): (2, 0, CAL),
     ("operators/transactions.py", "seasonal_decomposition_daily"): (1, 0, CAL),
