@@ -2523,7 +2523,17 @@ def tukey_category_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     vals = txn.select(
         "revenue_category", to_cents(F.col("total_amount")).alias("cents")
     )
-    per_val = vals.groupBy("revenue_category", "cents").agg(F.count("*").alias("cnt"))
+    # ROUND-12 OPTIMIZATION (guide §5): per_val feeds both the ranked
+    # quartile subtree and the fence-count join, and quart feeds both the
+    # fence-count broadcast and the final output join — uncached, the txn
+    # scan+collapse ran twice and the two-window rank subtree ran twice.
+    # Both cached frames are value-vocabulary-sized (per (category, cents)
+    # and per category), not row-sized.
+    from ..io import tracked_persist
+
+    per_val = tracked_persist(
+        vals.groupBy("revenue_category", "cents").agg(F.count("*").alias("cnt"))
+    )
     wc = Window.partitionBy("revenue_category")
     ranked = bucketed_prefix_rank(
         per_val, "cents", partition_cols=("revenue_category",)
@@ -2531,9 +2541,11 @@ def tukey_category_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     q1_rank = F.expr("(n + 3) div 4")
     q3_rank = F.expr("(3 * n + 3) div 4")
     covers = lambda r: (F.col("before") < r) & (r <= F.col("before") + F.col("cnt"))  # noqa: E731
-    quart = ranked.groupBy("revenue_category", "n").agg(
-        F.min(F.when(covers(q1_rank), F.col("cents"))).alias("q1"),
-        F.min(F.when(covers(q3_rank), F.col("cents"))).alias("q3"),
+    quart = tracked_persist(
+        ranked.groupBy("revenue_category", "n").agg(
+            F.min(F.when(covers(q1_rank), F.col("cents"))).alias("q1"),
+            F.min(F.when(covers(q3_rank), F.col("cents"))).alias("q3"),
+        )
     )
     # outlier counting needs only (value, cnt) — join the quartiles onto
     # per_val, NOT onto ranked: reusing ranked here would recompute its

@@ -1920,9 +1920,16 @@ def blocker_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
     )
     truth = tracked_persist(truth)
-    snm = sorted_neighborhood_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    # ROUND-12 OPTIMIZATION (guide §5): each candidate frame is consumed
+    # twice inside score() (volume count + truth semi-join), and snm a
+    # third time via the union — cache the computed pair frames so the
+    # sorted-neighborhood window subtree runs once (minhash_lsh_pairs is
+    # already session-materialized and stays uncached).
+    snm = tracked_persist(
+        sorted_neighborhood_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    )
     lsh = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    union = snm.unionByName(lsh).distinct()
+    union = tracked_persist(snm.unionByName(lsh).distinct())
 
     def score(name: str, cand: DataFrame) -> DataFrame:
         cand = cand.select("doc_a", "doc_b")
@@ -2189,7 +2196,13 @@ def cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(b < SPLIT_TEST_LO, "val")
         .otherwise("test")
     )
-    assigned = assigned.withColumn("split", split)
+    # ROUND-12 OPTIMIZATION (guide §5): assigned feeds four consumers
+    # (cluster sizes, the per-split rollup, both audit endpoints) — cache
+    # the (doc_id, cluster_id, split) frame so the docs⋈labels join and
+    # md5 bucket compute once instead of four times.
+    from ..io import tracked_persist
+
+    assigned = tracked_persist(assigned.withColumn("split", split))
     csize = assigned.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
     per_split = (
         assigned.join(csize, "cluster_id")

@@ -893,9 +893,15 @@ def flags_via_applyinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     as_of = FLAGS_AS_OF
 
+    # ROUND-12 OPTIMIZATION (guide §2.3): the pandas body's first act is
+    # dropping rows past as_of — apply the same filter BEFORE the
+    # groupBy(customer) shuffle and the Arrow boundary so post-as_of rows
+    # are never shuffled or shipped to Python (groups emptied by the
+    # filter return zero rows either way).  The in-pandas filter stays as
+    # a no-op guard so the rule body is unchanged.
     ck = build_checkins(spark, sf_dir).select(
         "customer_id", "checkin_date", "checkin_ts_us", "checkin_id"
-    )
+    ).filter(F.col("checkin_date") <= F.lit(as_of))
     first_mem = (
         build_memberships_2024(spark, sf_dir)
         .groupBy(F.col("owner_id").alias("customer_id"))

@@ -262,8 +262,16 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     df_counts = toks.groupBy("tok").agg(F.count("*").alias("df"))
-    pruned = toks.join(
-        df_counts.filter(F.col("df") <= MAX_TOKEN_DF).select("tok"), "tok"
+    # ROUND-12 OPTIMIZATION (guide §5): the df-pruned inverted index
+    # feeds three consumers (per-doc sizes, the query side, the
+    # intersection join) — cache it so the explode+distinct+df-join
+    # subtree runs once.
+    from ..io import tracked_persist
+
+    pruned = tracked_persist(
+        toks.join(
+            df_counts.filter(F.col("df") <= MAX_TOKEN_DF).select("tok"), "tok"
+        )
     )
     sizes = pruned.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
     qt = pruned.filter(F.col("doc_id") < N_QUERIES).select(
@@ -436,7 +444,16 @@ def retrieval_rank_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cos = _cosine(_dot64(F.col("q_emb"), F.col("c_emb")), F.col("q_norm"), F.col("c_norm"))
     wd = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("doc_id"))
-    dense = (
+    # ROUND-12 OPTIMIZATION (guide §5): dense and lex (each a bounded
+    # queries x RRF_CAND frame) are consumed twice below (the agreement
+    # join + their own per-query counts) — uncached, the corpus-wide
+    # broadcast cosine scan and the inverted-index join each ran twice.
+    # pruned (the df-pruned inverted index) likewise feeds three
+    # consumers.  All three cached frames are released before the next
+    # registry query.
+    from ..io import tracked_persist
+
+    dense = tracked_persist(
         c.join(F.broadcast(q), F.col("doc_id") != F.col("query_id"))
         .withColumn("cosine", cos)
         .withColumn("rank_dense", F.row_number().over(wd))
@@ -450,8 +467,10 @@ def retrieval_rank_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     df_counts = toks.groupBy("tok").agg(F.count("*").alias("df"))
-    pruned = toks.join(
-        df_counts.filter(F.col("df") <= MAX_TOKEN_DF).select("tok"), "tok"
+    pruned = tracked_persist(
+        toks.join(
+            df_counts.filter(F.col("df") <= MAX_TOKEN_DF).select("tok"), "tok"
+        )
     )
     sizes = pruned.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
     qt = pruned.filter(F.col("doc_id") < N_QUERIES).select(
@@ -475,7 +494,7 @@ def retrieval_rank_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         / 1000000.0
     )
     wl = Window.partitionBy("query_id").orderBy(F.desc("jaccard"), F.asc("doc_id"))
-    lex = (
+    lex = tracked_persist(
         inter.join(sq, "query_id")
         .join(sd, "doc_id")
         .withColumn("jaccard", jac)

@@ -696,32 +696,35 @@ def kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").alias("cluster_id"), F.col("e").alias("c"))
         .collect()
     )
+    import math
+
     for _ in range(KMEANS_ITERS):
-        # assignment in its OWN select below the explode: putting the
-        # nearest-centroid expression in the same select as posexplode
-        # compiles to Project-above-Generate, re-evaluating the k x DIM
-        # distance scan once per exploded dimension (64x; measured 21 s vs
-        # 1.3 s on this corpus).  Split, the Project sits under Generate
-        # and runs once per vector.
+        # ROUND-12 OPTIMIZATION (guide §2.3): the old update posexploded
+        # every vector into corpus×DIM (dim, val) rows before the
+        # groupBy(cluster, dim) — a 64x row inflation feeding the
+        # exchange.  DIM per-dimension sums inside ONE
+        # groupBy(cluster_id) aggregate map-side-combine to k rows per
+        # partition with no inflation; floor(sum/ n) replays the same
+        # long→double cast, IEEE divide and floor on the driver, so the
+        # centroid trajectory (and the oracle-checked output) is
+        # bit-identical.  Assignment stays in its OWN select (the
+        # Project-above-Generate 64x re-evaluation trap the old comment
+        # documents is gone with the explode, but the distance argmax
+        # still only needs evaluating once per vector).
         assigned = emb.select(_nearest_centroid(cent_rows).alias("cluster_id"), "e")
-        per_dim = (
-            assigned.select("cluster_id", F.posexplode("e").alias("dim", "val"))
-            .groupBy("cluster_id", "dim")
-            .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+        per_cl = assigned.groupBy("cluster_id").agg(
+            F.count("*").alias("n"),
+            *[F.sum(F.element_at("e", i + 1)).alias(f"s{i}") for i in range(DIM)],
         )
         cent_rows = sorted(
-            (int(r["cluster_id"]), list(r["c"]))
-            for r in per_dim.withColumn(
-                "m", F.floor(F.col("s").cast("double") / F.col("n")).cast("long")
+            (
+                int(r["cluster_id"]),
+                [
+                    int(math.floor(float(int(r[f"s{i}"])) / float(int(r["n"]))))
+                    for i in range(DIM)
+                ],
             )
-            .groupBy("cluster_id")
-            .agg(
-                F.transform(
-                    F.sort_array(F.collect_list(F.struct("dim", "m"))),
-                    lambda st: st["m"],
-                ).alias("c")
-            )
-            .collect()
+            for r in per_cl.collect()
         )
     sizes = (
         emb.select(_nearest_centroid(cent_rows).alias("cluster_id"))
@@ -1923,17 +1926,37 @@ def ivf_probe_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("norm").alias("c_norm"),
     )
     cos = _cosine(_dot64(F.col("embedding"), F.col("c_emb")), F.col("norm"), F.col("c_norm"))
-    scored = with_norm.join(F.broadcast(centroids)).withColumn("cosine", cos)
+    # ROUND-12 OPTIMIZATION (guide §2.3/§2.4): the corpus-side assignment
+    # only needs the PER-VECTOR ARGMAX of the 16 centroid cosines, so it
+    # rides a map-side-combinable max_by aggregation (the 16 rows per
+    # vector are generated inside one task by the broadcast join, so the
+    # partial agg collapses them to 1 row before the exchange) instead of
+    # shuffling corpus×16 rows — embedding arrays included — through a
+    # row_number window sort.  Tie order is identical: max of
+    # struct(cosine, -centroid_id) == first row under (cosine DESC,
+    # centroid_id ASC); struct comparison and window ordering agree on
+    # NULL-smallest/NaN-largest.  The query-side TOP-max_probe ranking
+    # still uses the window, but only AFTER filtering to the N_QUERIES
+    # vectors (was: window over the full corpus, filtered after).
+    scored = with_norm.join(F.broadcast(centroids)).select(
+        "vec_id", "centroid_id", cos.alias("cosine")
+    )
+    assigned = scored.groupBy("vec_id").agg(
+        F.max_by(
+            "centroid_id",
+            F.struct(F.col("cosine"), (-F.col("centroid_id")).alias("nc")),
+        ).alias("centroid_id")
+    ).select(F.col("vec_id").alias("corpus_id"), "centroid_id")
     from pyspark.sql import Window
 
     w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), "centroid_id")
-    ranked = scored.withColumn("rn", F.row_number().over(w))
-    assigned = ranked.filter(F.col("rn") == 1).select(
-        F.col("vec_id").alias("corpus_id"), "centroid_id"
-    )
     max_probe = max(IVF_NPROBES)
     qcells = (
-        ranked.filter((F.col("vec_id") < N_QUERIES) & (F.col("rn") <= max_probe))
+        with_norm.filter(F.col("vec_id") < N_QUERIES)
+        .join(F.broadcast(centroids))
+        .select("vec_id", "centroid_id", cos.alias("cosine"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= max_probe)
         .select(F.col("vec_id").alias("query_id"), "centroid_id", F.col("rn").alias("crank"))
     )
     probes = spark.createDataFrame([(p,) for p in IVF_NPROBES], "nprobe int")

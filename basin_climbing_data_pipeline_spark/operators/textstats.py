@@ -1935,6 +1935,14 @@ def probe_conformal_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("s3"),
         F.floor(quality_score_col() * _FEAT_SCALE + 0.5).cast("long").alias("t"),
     )
+    # ROUND-12 OPTIMIZATION (guide §5): feats sits on top of the full
+    # doc_stats tokenization subtree and is consumed by THREE independent
+    # plans (the moment reduce, the calibration histogram, the held-out
+    # coverage agg) — without a cache each consumer re-tokenizes the
+    # corpus.  The cached frame is 5 longs + a bool per doc.
+    from ..io import tracked_persist
+
+    feats = tracked_persist(feats)
     s = {0: F.lit(1).cast("long"), 1: F.col("s1"), 2: F.col("s2"), 3: F.col("s3")}
     cal = lambda c: F.sum(F.when(F.col("is_calib"), dec38(c)).otherwise(dec38(F.lit(0))))  # noqa: E731
     aggs = [F.sum(F.col("is_calib").cast("long")).alias("n_docs")]

@@ -34,6 +34,24 @@ def get_spark(
     ).getOrCreate()
 
 
+# AQE partition-coalescing floor.  The default 1m floor coalesces a
+# few-MB shuffle down to a handful of partitions — correct for
+# byte-bound stages, but it throttles CPU-bound stages whose cost is
+# rows/groups in PYTHON, not bytes (measured round 12:
+# flags_via_applyinpandas 13.3 s -> 3.1 s at sf0.1 once the
+# applyInPandas stage kept its parallelism).  64k keeps tiny shuffles
+# coalesced while letting parallelismFirst reach defaultParallelism for
+# the MB-scale ones; at cluster scale post-shuffle partitions are far
+# above either floor, so the setting only ever binds on small inputs.
+DEFAULT_AQE_MIN_PARTITION_SIZE = "64KB"
+
+
+def _aqe_min_partition_size() -> str:
+    return os.environ.get(
+        "SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", DEFAULT_AQE_MIN_PARTITION_SIZE
+    )
+
+
 def configure(builder: SparkSession.Builder, shuffle_partitions: int = DEFAULT_SHUFFLE_PARTITIONS):
     """Apply engine defaults to any builder (also used on driver-provided sessions)."""
     return (
@@ -41,6 +59,10 @@ def configure(builder: SparkSession.Builder, shuffle_partitions: int = DEFAULT_S
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            _aqe_min_partition_size(),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
@@ -57,6 +79,10 @@ def tune_session(spark: SparkSession) -> SparkSession:
         ("spark.sql.shuffle.partitions", str(DEFAULT_SHUFFLE_PARTITIONS)),
         ("spark.sql.adaptive.enabled", "true"),
         ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
+        (
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            _aqe_min_partition_size(),
+        ),
         ("spark.sql.adaptive.skewJoin.enabled", "true"),
         ("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)),
     ]:
