@@ -1920,16 +1920,9 @@ def blocker_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
     )
     truth = tracked_persist(truth)
-    # ROUND-12 OPTIMIZATION (guide §5): each candidate frame is consumed
-    # twice inside score() (volume count + truth semi-join), and snm a
-    # third time via the union — cache the computed pair frames so the
-    # sorted-neighborhood window subtree runs once (minhash_lsh_pairs is
-    # already session-materialized and stays uncached).
-    snm = tracked_persist(
-        sorted_neighborhood_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    )
+    snm = sorted_neighborhood_pairs(spark, sf_dir).select("doc_a", "doc_b")
     lsh = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    union = tracked_persist(snm.unionByName(lsh).distinct())
+    union = snm.unionByName(lsh).distinct()
 
     def score(name: str, cand: DataFrame) -> DataFrame:
         cand = cand.select("doc_a", "doc_b")

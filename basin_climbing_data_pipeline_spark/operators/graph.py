@@ -392,12 +392,22 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
     unrolls the same three rounds in SQL.
 
     Scale shape: each round is one equi-join (labels ⋈ edges) + one
-    groupBy(node, label) + one argmax window over that bounded frame —
-    the Pregel step as relational algebra; ``localCheckpoint`` flattens
-    lineage per round exactly like PageRank above."""
-    from pyspark.sql import Window
+    groupBy(node, label) + one per-node argmax aggregation — the Pregel
+    step as relational algebra; ``localCheckpoint`` flattens lineage per
+    round exactly like PageRank above.
 
-    edges = _edges(spark, sf_dir)
+    ROUND-12 OPTIMIZATION: (a) ``tracked_persist(edges)`` — the
+    proximity-self-join edge list is consumed by every round's join, the
+    node seed AND the internal-edge count (~6 rebuilds uncached; PageRank
+    above already caches it); (b) the per-node argmax rides
+    ``max_by(label, struct(n, -label))`` — max of (n, -label) is exactly
+    the first row under (n DESC, label ASC), the same tie proof as
+    ivf_probe_recall_sweep — so the partial aggregation collapses each
+    node's candidate labels map-side instead of shuffling them into a
+    row_number window sort."""
+    from ..io import tracked_persist
+
+    edges = tracked_persist(_edges(spark, sf_dir))
     nodes = edges.select(F.col("src").alias("node")).distinct()
     labels = nodes.select("node", F.col("node").alias("label"))
     for _ in range(LPA_ITERS):
@@ -405,11 +415,13 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
             labels.withColumnRenamed("node", "dst"), "dst"
         ).select(F.col("src").alias("node"), "label")
         counts = nbr.groupBy("node", "label").agg(F.count("*").alias("n"))
-        w = Window.partitionBy("node").orderBy(F.desc("n"), F.asc("label"))
         labels = (
-            counts.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("node", "label")
+            counts.groupBy("node")
+            .agg(
+                F.max_by(
+                    "label", F.struct(F.col("n"), (-F.col("label")).alias("nl"))
+                ).alias("label")
+            )
             .localCheckpoint()
         )
     sizes = labels.groupBy("label").agg(

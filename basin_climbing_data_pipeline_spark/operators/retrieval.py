@@ -444,16 +444,7 @@ def retrieval_rank_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cos = _cosine(_dot64(F.col("q_emb"), F.col("c_emb")), F.col("q_norm"), F.col("c_norm"))
     wd = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("doc_id"))
-    # ROUND-12 OPTIMIZATION (guide §5): dense and lex (each a bounded
-    # queries x RRF_CAND frame) are consumed twice below (the agreement
-    # join + their own per-query counts) — uncached, the corpus-wide
-    # broadcast cosine scan and the inverted-index join each ran twice.
-    # pruned (the df-pruned inverted index) likewise feeds three
-    # consumers.  All three cached frames are released before the next
-    # registry query.
-    from ..io import tracked_persist
-
-    dense = tracked_persist(
+    dense = (
         c.join(F.broadcast(q), F.col("doc_id") != F.col("query_id"))
         .withColumn("cosine", cos)
         .withColumn("rank_dense", F.row_number().over(wd))
@@ -467,10 +458,8 @@ def retrieval_rank_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     df_counts = toks.groupBy("tok").agg(F.count("*").alias("df"))
-    pruned = tracked_persist(
-        toks.join(
-            df_counts.filter(F.col("df") <= MAX_TOKEN_DF).select("tok"), "tok"
-        )
+    pruned = toks.join(
+        df_counts.filter(F.col("df") <= MAX_TOKEN_DF).select("tok"), "tok"
     )
     sizes = pruned.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
     qt = pruned.filter(F.col("doc_id") < N_QUERIES).select(
@@ -494,7 +483,7 @@ def retrieval_rank_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         / 1000000.0
     )
     wl = Window.partitionBy("query_id").orderBy(F.desc("jaccard"), F.asc("doc_id"))
-    lex = tracked_persist(
+    lex = (
         inter.join(sq, "query_id")
         .join(sd, "doc_id")
         .withColumn("jaccard", jac)
