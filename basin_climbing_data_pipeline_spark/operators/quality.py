@@ -405,53 +405,65 @@ def column_profile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     facts via ad-hoc pandas ``info()``/``nunique()`` during ingest
     debugging; this is the queryized, oracle-checked form.
 
-    Long-format output is built from ONE aggregation pass (2 aggregates
-    per column, map-side combined) exploded driver-free into rows — not
-    an UNPIVOT (DuckDB drops NULL cells by default; the explode sidesteps
-    the trap entirely).
+    Long-format output is one two-level aggregation branch per column,
+    unioned — the same UNION-ALL shape as the oracle, not an UNPIVOT
+    (DuckDB drops NULL cells by default).
 
-    Scale shape: one scan, one 1-row aggregate, a 8-row explode.  Exact
-    distinct is the contract here (audit numbers end up in data-quality
-    SLAs); the HLL family covers the approximate variant."""
+    ROUND-12 OPTIMIZATION (guide §2.3): the previous single-pass form
+    asked for 8 ``countDistinct`` in one aggregate, which Catalyst plans
+    as an Expand — every input row is replicated 9× (one copy per
+    distinct-aggregate group + one for the plain aggregates) before the
+    partial HashAggregate.  The per-column branch form hashes each row
+    once per column (same total hash work, no replication through one
+    stage chain), the branches' scans are column-pruned to ONE column
+    each (same total bytes as the old 8-column scan), and the 8 branches
+    overlap as sibling stages of the one job.  Each branch's shuffle
+    carries only that column's per-partition distinct values.  n_rows /
+    n_nulls ride the same groupBy (sum of per-value counts), so the
+    whole profile is still exactly one pass over each column.
+
+    Scale shape: 8 column-pruned scans (= one full-width scan in bytes),
+    8 vocabulary-sized exchanges, an 8-row union.  Exact distinct is the
+    contract here (audit numbers end up in data-quality SLAs); the HLL
+    family covers the approximate variant."""
+    from functools import reduce
+
     from ..functions.money import ratio
     from .transactions import build_transactions
 
     txn = build_transactions(spark, sf_dir)
-    aggs = [F.count("*").alias("n_rows")]
-    for c in PROFILE_COLUMNS:
-        aggs.append(F.count(F.when(F.col(c).isNull(), 1)).alias(f"nulls_{c}"))
-        aggs.append(F.countDistinct(c).alias(f"dist_{c}"))
-    one = txn.agg(*aggs)
-    rows = F.array(
-        *[
-            F.struct(
-                F.lit(c).alias("column_name"),
-                F.col(f"nulls_{c}").alias("n_nulls"),
-                F.col(f"dist_{c}").alias("n_distinct"),
+
+    def profile(c: str) -> DataFrame:
+        per_val = txn.groupBy(c).agg(F.count("*").alias("cnt"))
+        return per_val.agg(
+            F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("n_rows"),
+            F.coalesce(
+                F.sum(F.when(F.col(c).isNull(), F.col("cnt"))), F.lit(0)
             )
-            for c in PROFILE_COLUMNS
-        ]
+            .cast("long")
+            .alias("n_nulls"),
+            F.count(F.when(F.col(c).isNotNull(), 1)).alias("n_distinct"),
+        ).select(F.lit(c).alias("column_name"), "n_rows", "n_nulls", "n_distinct")
+
+    longf = reduce(
+        DataFrame.unionByName, [profile(c) for c in PROFILE_COLUMNS]
     )
-    return (
-        one.select("n_rows", F.explode(rows).alias("r"))
-        .select(
-            F.col("r.column_name").alias("column_name"),
-            "n_rows",
-            F.col("r.n_nulls").alias("n_nulls"),
-            ratio(
-                F.col("r.n_nulls").cast("double"), F.col("n_rows").cast("double"), 4
-            ).alias("null_rate"),
-            F.col("r.n_distinct").alias("n_distinct"),
-            # cardinality ratio: 1.0 flags a key, ~0 flags an enum — the
-            # profiling number that picks join keys and dimension columns
-            ratio(
-                F.col("r.n_distinct").cast("double"),
-                F.col("n_rows").cast("double"),
-                4,
-            ).alias("distinct_rate"),
-        )
-        .orderBy("column_name")
-    )
+    return longf.select(
+        "column_name",
+        "n_rows",
+        "n_nulls",
+        ratio(
+            F.col("n_nulls").cast("double"), F.col("n_rows").cast("double"), 4
+        ).alias("null_rate"),
+        "n_distinct",
+        # cardinality ratio: 1.0 flags a key, ~0 flags an enum — the
+        # profiling number that picks join keys and dimension columns
+        ratio(
+            F.col("n_distinct").cast("double"),
+            F.col("n_rows").cast("double"),
+            4,
+        ).alias("distinct_rate"),
+    ).orderBy("column_name")
 
 
 def column_profile_audit_sql() -> str:

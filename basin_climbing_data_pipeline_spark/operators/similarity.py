@@ -2292,6 +2292,9 @@ POWER_ITERATIONS = 3
 NANO = 1_000_000_000
 
 
+_GRAM_CHUNK = 4096  # level-1 long-sum chunk: 4096 vectors x |x*y|<=1e12 << int64
+
+
 def embedding_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top principal direction of the unit-embedding second-moment matrix
     M = Σ ûûᵀ, by POWER ITERATION run entirely in-engine — the
@@ -2317,24 +2320,53 @@ def embedding_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows; the iteration runs on 64-row/4096-row frames."""
     emb = load_table(spark, sf_dir, "embeddings")
     nrm = F.sqrt(_dot64(F.col("embedding"), F.col("embedding")))
-    base = emb.select("embedding", nrm.alias("nrm")).where(F.col("nrm") > 0)
+    base = emb.select("vec_id", "embedding", nrm.alias("nrm")).where(
+        F.col("nrm") > 0
+    )
     unit = base.select(
+        "vec_id",
         F.transform(
             "embedding",
             lambda x: F.floor(x.cast("double") / F.col("nrm") * MICRO + 0.5).cast(
                 "long"
             ),
-        ).alias("u")
+        ).alias("u"),
     )
-    pairs = unit.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(u, (x, i) -> "
-                "transform(u, (y, j) -> struct(i AS i, j AS j, x * y AS p))))"
-            )
-        ).alias("c")
-    ).select("c.i", "c.j", "c.p")
-    m_raw = pairs.groupBy("i", "j").agg(F.sum(dec38(F.col("p"))).alias("m"))
+    # ROUND-12 OPTIMIZATION (guide §2.3, second pass — same shape fix as
+    # kmeans_refine): the flatten-outer-product explode inflated every
+    # vector into DIM² = 4096 (i, j, p) rows before the groupBy — the
+    # hash aggregate ingested corpus×4096 rows, every one through a
+    # decimal(38) conversion.  Replaced with a TWO-LEVEL aggregation:
+    # explode only the ROW index (corpus×64 rows) and (level 1) sum the
+    # 64 per-j products in plain LONG within bounded chunks of
+    # _GRAM_CHUNK = 4096 vectors (|x·y| ≤ 1e12 ⇒ |chunk sum| ≤ 4·10¹⁵,
+    # three orders of magnitude inside int64 — whole-stage-codegen long
+    # arithmetic, no decimal op per term), then (level 2) sum the chunk
+    # subtotals in decimal(38).  Equivalence is exact: each m(i,j) is an
+    # integer sum of the same products, and integer sums are associative
+    # — Σ_dec38(terms) == Σ_dec38(Σ_long per chunk) regardless of chunk
+    # assignment; the chunk key (vec_id div 4096) is deterministic data,
+    # not a random key (guide §2.5).
+    rows = unit.select(
+        F.expr(f"vec_id div {_GRAM_CHUNK}").alias("chunk"),
+        F.col("u"),
+        F.posexplode("u").alias("i", "x"),
+    )
+    per_chunk = rows.groupBy("chunk", "i").agg(
+        *[
+            F.sum(F.col("x") * F.element_at(F.col("u"), j + 1)).alias(f"m{j}")
+            for j in range(DIM)
+        ]
+    )
+    per_i = per_chunk.groupBy("i").agg(
+        *[F.sum(dec38(F.col(f"m{j}"))).alias(f"m{j}") for j in range(DIM)]
+    )
+    m_raw = per_i.select(
+        "i",
+        F.posexplode(F.array(*[F.col(f"m{j}") for j in range(DIM)])).alias(
+            "j", "m"
+        ),
+    )
     nv = unit.agg(F.count("*").alias("n_vecs"))  # 1-row frame, no driver action
     # trace-normalize M into 1e12 fixed point BEFORE iterating: raw entries
     # grow with the corpus (n·1e12 at 1e9 rows ≈ 1e21) and their downstream
