@@ -122,6 +122,23 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def exact_canonical_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id) of exact-dedup canonical docs — min doc_id per text-hash
+    group, WITHOUT the join-back that :func:`exact_dedup` needs to flag
+    every doc.  Funnel-style consumers that only need the surviving id
+    set (corpus_funnel) use this: one groupBy instead of groupBy + join,
+    identical id set by construction."""
+    from ..functions.text import fold_norm
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.md5(fold_norm(F.col("text"))).alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+
+
 def exact_dedup_sql() -> str:
     from ..functions.text import FOLD_NORM_SQL
 
@@ -672,6 +689,21 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: one row per clustered doc (singletons excluded) with its
     cluster id (= min doc_id in the component) and the cluster size.
     """
+    return _cluster_labels(spark, sf_dir).orderBy("doc_id")
+
+
+@materialized("cluster_labels")
+def _cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, cluster_id, cluster_size) for every clustered doc — the
+    label-propagation output behind :func:`dedup_clusters`, materialized
+    like its input :func:`minhash_lsh_pairs`: the LPA rounds run EAGERLY
+    (driver-coordinated localCheckpoint loop), and seven registry paths
+    consume the labels (dedup_clusters, cluster_collapse_summary,
+    cluster_size_distribution, corpus_funnel, quality_dup_lift,
+    soft_dedup_weights, dedup_weight_ess) — without the stored table each
+    re-pays the full contraction (measured ~1.5-2 s per consumer at
+    sf0.1).  At 100 TB cluster assignments are exactly the persisted
+    silver table a dedup stack writes between clustering and collapse."""
     pairs = minhash_lsh_pairs(spark, sf_dir).filter(
         F.col("jaccard") >= CLUSTER_JACCARD_MIN
     )
@@ -680,14 +712,10 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     labels = propagate_min_labels(edges)
     sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
-    return (
-        labels.join(sizes, "label")
-        .select(
-            F.col("node").alias("doc_id"),
-            F.col("label").alias("cluster_id"),
-            "cluster_size",
-        )
-        .orderBy("doc_id")
+    return labels.join(sizes, "label").select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        "cluster_size",
     )
 
 

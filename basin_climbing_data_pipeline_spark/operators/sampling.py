@@ -248,13 +248,15 @@ def corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     left joins + one conditional-sum agg) was measured SLOWER (4.5 s vs
     3.5 s warm at sf0.1) because it serializes those joins onto one
     critical path; keep the union shape."""
-    from .dedup import decontamination, dedup_clusters, exact_dedup
+    from .dedup import decontamination, dedup_clusters, exact_canonical_ids
     from .textstats import QUALITY_SPAM_MAX, doc_stats, quality_score_col
 
     s_raw = load_table(spark, sf_dir, "documents").select("doc_id")
-    s_exact = (
-        exact_dedup(spark, sf_dir).filter(F.col("is_canonical")).select("doc_id")
-    )
+    # canonical ids straight from the groupBy-min (identical id set to
+    # exact_dedup().filter(is_canonical) without its join-back — the
+    # exact-dedup subtree sits under all four surviving-stage branches,
+    # so the saved join is paid four times over)
+    s_exact = exact_canonical_ids(spark, sf_dir)
     dupes = (
         dedup_clusters(spark, sf_dir)
         .filter(F.col("doc_id") != F.col("cluster_id"))
@@ -676,18 +678,27 @@ def dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = uni.unionByName(bi).select(
         "doc_id", "lang", _md5_bucket(F.col("feat"), DSIR_BUCKETS).alias("bucket")
     )
-
-    q_cnt = feats.groupBy("bucket").agg(F.count("*").alias("n_q"))
-    p_cnt = (
-        feats.filter(F.col("lang") == DSIR_TARGET_LANG)
-        .groupBy("bucket")
-        .agg(F.count("*").alias("n_p"))
-    )
+    from ..io import tracked_persist
     from pyspark.sql import Window
 
+    # the q (corpus) and p (target-lang) bucket models in ONE aggregation
+    # pass over the exploded features — identical counts to the former
+    # two-pass + left-join shape: n_q = count per bucket; n_p = count of
+    # target-lang occurrences (0 when absent, exactly the old
+    # coalesce(n_p, 0)).  The map-side partial agg collapses to 128 bucket
+    # rows before the exchange, so one tokenize pass replaces two.  (An
+    # alternative that pre-collapsed feats to cached (doc, bucket) counts
+    # for ALL consumers measured WORSE — 2.82 vs 2.35 s 5-rep min — the
+    # (doc, bucket)-keyed shuffle + persist costs more than a second
+    # codegen'd tokenize pass.)
     model = (
-        q_cnt.join(p_cnt, "bucket", "left")
-        .withColumn("n_p", F.coalesce(F.col("n_p"), F.lit(0)))
+        feats.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_q"),
+            F.sum(
+                F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)
+            ).alias("n_p"),
+        )
         .withColumn("tot_q", F.sum("n_q").over(Window.partitionBy()))
         .withColumn("tot_p", F.sum("n_p").over(Window.partitionBy()))
     )
@@ -701,7 +712,10 @@ def dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("long")
     model = F.broadcast(model.select("bucket", ratio_micro.alias("ratio_micro")))
 
-    per_doc = (
+    # persist the per-doc weights — the top-k pick is a broadcast barrier,
+    # so its consumer and the final join run SEQUENTIALLY (no overlap to
+    # lose), and without the cache the tokenize subtree ran twice more
+    per_doc = tracked_persist(
         feats.groupBy("doc_id", "bucket")
         .agg(F.count("*").alias("n"))
         .join(model, "bucket")

@@ -49,14 +49,22 @@ STREAM_SHUFFLE_PARTITIONS = 4
 
 class _stream_partitions:
     """Temporarily pin spark.sql.shuffle.partitions for a streaming query
-    (the value is baked into the query's state layout at start)."""
+    (the value is baked into the query's state layout at start).
 
-    def __init__(self, spark: SparkSession):
+    ``n`` overrides the family default for operators with a different
+    cost profile: the stateful sessionizers (stateful.py) are bounded by
+    per-group PYTHON time, not per-store overhead, so they run more
+    partitions than the state-store-bound windowed aggregations
+    (measured round 12: flush sessionizer 4.97 s at 4 -> 3.89 s at 8,
+    back up to 6.98 s at 32)."""
+
+    def __init__(self, spark: SparkSession, n: int | None = None):
         self.spark = spark
+        self.n = n if n is not None else STREAM_SHUFFLE_PARTITIONS
 
     def __enter__(self):
         self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
-        self.spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_SHUFFLE_PARTITIONS))
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
 
     def __exit__(self, *exc):
         self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)

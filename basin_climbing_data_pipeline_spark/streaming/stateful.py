@@ -25,6 +25,15 @@ from .events_stream import stream_events
 
 SESSION_GAP_US = 1800 * 1_000_000
 
+# The stateful sessionizers are bounded by per-group Python time (one
+# _sessionize call per customer), not by per-partition state-store
+# overhead like the windowed aggregations — so they run MORE shuffle
+# partitions than events_stream.STREAM_SHUFFLE_PARTITIONS.  Measured at
+# sf0.1 (3-rep min, flush variant): 4 -> 4.97 s, 8 -> 3.89 s,
+# 16 -> 4.36 s, 32 -> 6.98 s.  On a cluster this would be sized to
+# active-key volume per the same trade-off.
+STATEFUL_STREAM_PARTITIONS = 8
+
 OUTPUT_SCHEMA = (
     "customer_id long, session_start_us long, session_end_us long, n_events long, "
     "is_final boolean"
@@ -84,7 +93,7 @@ def streaming_sessions(spark: SparkSession, sf_dir: str, sink_name: str) -> Data
     )
     from .events_stream import _await_finished, _stream_partitions
 
-    with _stream_partitions(spark):
+    with _stream_partitions(spark, STATEFUL_STREAM_PARTITIONS):
         q = (
             out.writeStream.trigger(availableNow=True)
             .outputMode("append")
@@ -249,7 +258,7 @@ def streaming_sessions_flush_query(spark: SparkSession, sf_dir: str) -> DataFram
     out = sessionize_stream_with_timeout(src, watermark_delay=FLUSH_WATERMARK)
     from .events_stream import _await_finished, _stream_partitions
 
-    with _stream_partitions(spark):
+    with _stream_partitions(spark, STATEFUL_STREAM_PARTITIONS):
         q = (
             out.writeStream.trigger(availableNow=True)
             .outputMode("append")

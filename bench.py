@@ -116,6 +116,7 @@ def main() -> int:
         family_relationships,
     )
     from basin_climbing_data_pipeline_spark.operators.dedup import (
+        _cluster_labels,
         _pruned_shingles,
         minhash_lsh_pairs,
     )
@@ -149,6 +150,7 @@ def main() -> int:
                       events_unified),
         family_relationships: (build_customers, build_checkins),
         minhash_lsh_pairs: (_pruned_shingles,),
+        _cluster_labels: (minhash_lsh_pairs,),
         proximity_connections: (build_checkins,),
     }
     # Cycle check up front (Kahn's peel over the declared map): with every
