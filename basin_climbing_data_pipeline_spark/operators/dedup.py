@@ -935,13 +935,11 @@ def source_priority_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     resolution itself is one broadcast-sized tier map, one equi-join of
     labels to the docs table, and one per-cluster min — no step touches
     more than the clustered subset."""
-    pairs = minhash_lsh_pairs(spark, sf_dir).filter(
-        F.col("jaccard") >= CLUSTER_JACCARD_MIN
+    # same cluster ids as dedup_clusters — scan the materialized labels
+    # table instead of re-running the star contraction (round 12)
+    labels = _cluster_labels(spark, sf_dir).select(
+        F.col("doc_id").alias("node"), F.col("cluster_id").alias("label")
     )
-    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).union(
-        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-    )
-    labels = propagate_min_labels(edges)
     docs = load_table(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("node"), "source"
     )
@@ -1950,38 +1948,58 @@ def blocker_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = tracked_persist(truth)
     snm = sorted_neighborhood_pairs(spark, sf_dir).select("doc_a", "doc_b")
     lsh = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    union = snm.unionByName(lsh).distinct()
+    # ONE tagged pass instead of per-blocker pipelines: the former shape
+    # evaluated the SNM pipeline twice (own score + union) and ran three
+    # separate semi-join jobs; both blockers emit DISTINCT pairs (SNM:
+    # forward-only leads at fixed offsets; LSH: pair-grouped), so per-pair
+    # membership flags make every count an exact sum over one grouped
+    # frame.  n_candidates(snm) = Σ in_snm, (lsh) = Σ in_lsh, (union) =
+    # row count; hits ride one join of the (persisted, candidate-sized)
+    # flags onto the cached truth set.
+    tagged = snm.select(
+        "doc_a", "doc_b", F.lit(1).alias("s"), F.lit(0).alias("l")
+    ).unionByName(lsh.select("doc_a", "doc_b", F.lit(0).alias("s"), F.lit(1).alias("l")))
+    grouped = tracked_persist(
+        tagged.groupBy("doc_a", "doc_b").agg(
+            F.max("s").alias("in_snm"), F.max("l").alias("in_lsh")
+        )
+    )
+    cand_counts = grouped.agg(
+        F.sum("in_snm").alias("cand_snm"),
+        F.sum("in_lsh").alias("cand_lsh"),
+        F.count("*").alias("cand_union"),
+    )
+    hit_counts = truth.join(grouped, ["doc_a", "doc_b"], "left").agg(
+        F.count("*").alias("n_truth"),
+        F.sum(F.coalesce(F.col("in_snm"), F.lit(0))).alias("hit_snm"),
+        F.sum(F.coalesce(F.col("in_lsh"), F.lit(0))).alias("hit_lsh"),
+        F.count(F.col("in_snm")).alias("hit_union"),
+    )
+    stats = cand_counts.join(hit_counts)
 
-    def score(name: str, cand: DataFrame) -> DataFrame:
-        cand = cand.select("doc_a", "doc_b")
-        hits = truth.join(cand, ["doc_a", "doc_b"], "left_semi")
-        return (
-            cand.agg(F.count("*").alias("n_candidates"))
-            .join(truth.agg(F.count("*").alias("n_truth")))
-            .join(hits.agg(F.count("*").alias("n_hit")))
-            .select(
-                F.lit(name).alias("blocker"),
-                "n_candidates",
-                "n_truth",
-                "n_hit",
-                # n_truth > 0 guard: an empty truth set (higher truth bar or
-                # sparser corpus) would make Spark's 0/0 NULL but DuckDB's
-                # NaN/inf under IEEE ops — same guard pattern as
-                # experiment_conversion_ztest's z_ok
-                F.when(
-                    F.col("n_truth") > 0,
-                    F.floor(
-                        F.col("n_hit").cast("double") / F.col("n_truth") * 1000000.0 + 0.5
-                    )
-                    / 1000000.0,
-                ).alias("recall"),
-            )
+    def score(name: str, cand_col: str, hit_col: str) -> DataFrame:
+        return stats.select(
+            F.lit(name).alias("blocker"),
+            F.col(cand_col).alias("n_candidates"),
+            "n_truth",
+            F.col(hit_col).alias("n_hit"),
+            # n_truth > 0 guard: an empty truth set (higher truth bar or
+            # sparser corpus) would make Spark's 0/0 NULL but DuckDB's
+            # NaN/inf under IEEE ops — same guard pattern as
+            # experiment_conversion_ztest's z_ok
+            F.when(
+                F.col("n_truth") > 0,
+                F.floor(
+                    F.col(hit_col).cast("double") / F.col("n_truth") * 1000000.0 + 0.5
+                )
+                / 1000000.0,
+            ).alias("recall"),
         )
 
     return (
-        score("minhash_lsh", lsh)
-        .unionByName(score("snm", snm))
-        .unionByName(score("union", union))
+        score("minhash_lsh", "cand_lsh", "hit_lsh")
+        .unionByName(score("snm", "cand_snm", "hit_snm"))
+        .unionByName(score("union", "cand_union", "hit_union"))
         .orderBy("blocker")
     )
 
@@ -2204,10 +2222,12 @@ def cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_lsh_pairs(spark, sf_dir).filter(
         F.col("jaccard") >= CLUSTER_JACCARD_MIN
     )
-    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).union(
-        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    # (node, label) for clustered docs — the materialized labels table
+    # (identical ids: same edge set, same contraction) instead of an
+    # eager per-query star-contraction re-run (round 12)
+    labels = _cluster_labels(spark, sf_dir).select(
+        F.col("doc_id").alias("node"), F.col("cluster_id").alias("label")
     )
-    labels = propagate_min_labels(edges)  # (node, label) for clustered docs
     assigned = docs.join(labels, docs.doc_id == labels.node, "left").select(
         "doc_id", F.coalesce(F.col("label"), F.col("doc_id")).alias("cluster_id")
     )

@@ -413,13 +413,10 @@ def lead_timelines(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .flags import events_unified
 
     ev = events_unified(spark, sf_dir)
-    timeline = F.array_join(
-        F.transform(
-            F.sort_array(F.collect_list(F.struct("event_date", "event_type"))),
-            lambda s: F.concat_ws(":", s["event_date"].cast("string"), s["event_type"]),
-        ),
-        "|",
-    )
+    # ONE collect_list + sort per customer; the rendered string and the
+    # JSON form are projections over the same sorted array (formerly two
+    # independent collect_list aggregates doubled the aggregation state
+    # and sorted twice)
     return (
         ev.groupBy("customer_id")
         .agg(
@@ -430,10 +427,29 @@ def lead_timelines(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("event_date").alias("first_event_date"),
             F.max("event_date").alias("last_event_date"),
             sum_money(F.col("amount")).alias("total_amount"),
-            timeline.alias("timeline"),
-            F.to_json(
-                F.sort_array(F.collect_list(F.struct("event_date", "event_type")))
-            ).alias("timeline_json"),
+            F.sort_array(
+                F.collect_list(F.struct("event_date", "event_type"))
+            ).alias("_tl"),
+        )
+        .select(
+            "customer_id",
+            "n_events",
+            "n_checkins",
+            "n_purchases",
+            "n_refunds",
+            "first_event_date",
+            "last_event_date",
+            "total_amount",
+            F.array_join(
+                F.transform(
+                    F.col("_tl"),
+                    lambda s: F.concat_ws(
+                        ":", s["event_date"].cast("string"), s["event_type"]
+                    ),
+                ),
+                "|",
+            ).alias("timeline"),
+            F.to_json(F.col("_tl")).alias("timeline_json"),
         )
         .orderBy("customer_id")
     )

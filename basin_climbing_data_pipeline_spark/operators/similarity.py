@@ -1631,60 +1631,51 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id_b",
             F.floor(sim * COSINE_SCALE + 0.5).cast("long").alias("sim_micro"),
         )
-        .localCheckpoint()
     )
-    cands = pool.select("query_id", "corpus_id", "rel_micro")
-
-    # step 1: pure relevance argmax (selected set empty -> maxsim = 0)
-    w1 = Window.partitionBy("query_id").orderBy(F.desc("rel_micro"), "corpus_id")
-    sel = (
-        cands.withColumn("rn", F.row_number().over(w1))
-        .filter(F.col("rn") == 1)
-        .select(
-            "query_id",
-            "corpus_id",
-            "rel_micro",
-            F.lit(0).cast("long").alias("maxsim_micro"),
-            F.lit(1).alias("sel_rank"),
-        )
-        .localCheckpoint()
+    # The greedy chain is BOUNDED by constants — ≤ N_QUERIES·MMR_POOL cand
+    # rows and ≤ N_QUERIES·MMR_POOL·(MMR_POOL−1) pairwise sims, corpus-size-
+    # independent — so the K−1 relational steps (each a join + window +
+    # localCheckpoint job barrier) are replayed on the driver instead: one
+    # bounded collect per frame, then the identical exact-integer argmax
+    # (7·rel − 3·maxsim, corpus_id tie-break) in Python.  Same bounded-
+    # collect class as the k-means centroid fetch and the power-iteration
+    # replay (round 12); the corpus-sized pool scan above stays distributed.
+    cand_rows = sorted(
+        (r["query_id"], r["corpus_id"], r["rel_micro"])
+        for r in pool.select("query_id", "corpus_id", "rel_micro").collect()
     )
-    for step in range(2, MMR_K + 1):
-        prev_ids = sel.select("query_id", F.col("corpus_id").alias("sel_id"))
-        remaining = cands.join(
-            prev_ids.withColumnRenamed("sel_id", "corpus_id"),
-            ["query_id", "corpus_id"],
-            "left_anti",
-        )
-        scored = (
-            remaining.join(prev_ids, "query_id")
-            .join(
-                sims.withColumnRenamed("id_a", "corpus_id").withColumnRenamed(
-                    "id_b", "sel_id"
-                ),
-                ["query_id", "corpus_id", "sel_id"],
-            )
-            .groupBy("query_id", "corpus_id", "rel_micro")
-            .agg(F.max("sim_micro").alias("maxsim_micro"))
-        )
-        mmr_key = (
-            F.lit(_MMR_REL_W) * F.col("rel_micro")
-            - F.lit(_MMR_DIV_W) * F.col("maxsim_micro")
-        )
-        ws = Window.partitionBy("query_id").orderBy(F.desc(mmr_key), "corpus_id")
-        pick = (
-            scored.withColumn("rn", F.row_number().over(ws))
-            .filter(F.col("rn") == 1)
-            .select(
-                "query_id",
-                "corpus_id",
-                "rel_micro",
-                "maxsim_micro",
-                F.lit(step).alias("sel_rank"),
-            )
-        )
-        sel = sel.unionByName(pick).localCheckpoint()
+    sim_lookup = {
+        (r["query_id"], r["id_a"], r["id_b"]): r["sim_micro"] for r in sims.collect()
+    }
+    by_query: dict[int, list[tuple[int, int]]] = {}
+    for qid, cid, rel in cand_rows:
+        by_query.setdefault(qid, []).append((cid, rel))
+    out_rows = []
+    for qid in sorted(by_query):
+        cands_q = by_query[qid]
+        # step 1: pure relevance argmax (selected set empty -> maxsim = 0)
+        cid, rel = max(cands_q, key=lambda t: (t[1], -t[0]))
+        selected = [cid]
+        out_rows.append((qid, cid, rel, 0, 1))
+        for step in range(2, MMR_K + 1):
+            best = None
+            for cid, rel in cands_q:
+                if cid in selected:
+                    continue
+                maxsim = max(sim_lookup[(qid, cid, s)] for s in selected)
+                key = (_MMR_REL_W * rel - _MMR_DIV_W * maxsim, -cid)
+                if best is None or key > best[0]:
+                    best = (key, cid, rel, maxsim)
+            if best is None:
+                break
+            _, cid, rel, maxsim = best
+            selected.append(cid)
+            out_rows.append((qid, cid, rel, maxsim, step))
 
+    sel = pool.sparkSession.createDataFrame(
+        out_rows,
+        "query_id long, corpus_id long, rel_micro long, maxsim_micro long, sel_rank int",
+    )
     return sel.select(
         "query_id",
         "corpus_id",

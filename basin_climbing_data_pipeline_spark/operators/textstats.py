@@ -1481,6 +1481,9 @@ def bigram_interp_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pos", "token"
         ),
     )
+    # NOTE (round 12): caching the lagged sequence for the three consumers
+    # measured WORSE (2.30 vs 1.91 s 5-rep alternating min at sf0.1) — the
+    # token-sized persist costs more than the overlapping recomputes
     seq = toks.withColumn(
         "prev", F.lag("token").over(Window.partitionBy("doc_id").orderBy("pos"))
     )
