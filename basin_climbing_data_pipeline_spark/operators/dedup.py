@@ -515,6 +515,10 @@ def simhash_signatures(
     meaningful at test scale; the scale path derives the width from the
     corpus via :func:`simhash_bits_for` (measured: 1.2x runtime at 4x
     corpus with derived width vs 8.5x at fixed width)."""
+    # NOTE (round 12): persisting an UNSORTED variant for the pair
+    # generators measured WORSE (2.04 vs 1.70 s 5-rep alternating min at
+    # sf0.1) — the sorted cache's partitioning serves the chunk self-join
+    # better; keep the sorted build for both surfaces
     docs = load_table(spark, sf_dir, "documents")
     words = docs.select(
         "doc_id",
