@@ -1968,15 +1968,22 @@ def blocker_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("s").alias("in_snm"), F.max("l").alias("in_lsh")
         )
     )
+    # coalesce every sum: over an EMPTY frame (sparse capstone corpus with
+    # no candidate pairs) sum() is NULL where the former count(*) was 0 —
+    # caught by test_capstone's oracle-parity corpus
     cand_counts = grouped.agg(
-        F.sum("in_snm").alias("cand_snm"),
-        F.sum("in_lsh").alias("cand_lsh"),
+        F.coalesce(F.sum("in_snm"), F.lit(0)).alias("cand_snm"),
+        F.coalesce(F.sum("in_lsh"), F.lit(0)).alias("cand_lsh"),
         F.count("*").alias("cand_union"),
     )
     hit_counts = truth.join(grouped, ["doc_a", "doc_b"], "left").agg(
         F.count("*").alias("n_truth"),
-        F.sum(F.coalesce(F.col("in_snm"), F.lit(0))).alias("hit_snm"),
-        F.sum(F.coalesce(F.col("in_lsh"), F.lit(0))).alias("hit_lsh"),
+        F.coalesce(F.sum(F.coalesce(F.col("in_snm"), F.lit(0))), F.lit(0)).alias(
+            "hit_snm"
+        ),
+        F.coalesce(F.sum(F.coalesce(F.col("in_lsh"), F.lit(0))), F.lit(0)).alias(
+            "hit_lsh"
+        ),
         F.count(F.col("in_snm")).alias("hit_union"),
     )
     stats = cand_counts.join(hit_counts)
