@@ -1621,7 +1621,41 @@ _ROUND13_FRONT: list[str] = [
     # driver surface (gap-closed + watermark-flushed sessions; ST6 deepened)
     "streaming_sessions_flush",
 ]
-_ROUND13_OWED: list[str] = []
+_ROUND13_OWED: list[str] = [
+    # Round-12 optimization rewrites that landed OUTSIDE the round-12
+    # window (r12 verdict order #1: every path restructured in round 12
+    # must be driver re-verified in round 13).  All 23 were bitwise-green
+    # in the builder's own full-registry sweeps (CHECKR12_SF001 /
+    # CHECKR12_CAPSTONE); this list puts them back under the driver's
+    # oracle.  With _ROUND13_FRONT's streaming_sessions_flush that covers
+    # all 24 round-12-rewritten query paths.
+    "embedding_top_component",
+    "theilsen_revenue_trend",
+    "ivf_probe_recall_sweep",
+    "kmeans_refine",
+    "column_profile_audit",
+    "label_propagation_communities",
+    "corpus_funnel",
+    # the materialized cluster-labels family (consumers of _cluster_labels
+    # and exact_canonical_ids; cluster_collapse_summary and
+    # blocker_recall_eval were in the round-12 window already):
+    "dedup_clusters",
+    "cluster_size_distribution",
+    "soft_dedup_weights",
+    "source_priority_dedup",
+    "dedup_weight_ess",
+    "quality_dup_lift",
+    "cluster_safe_split",
+    "dsir_selection",
+    "mmr_diversified_topk",
+    "lead_timelines",
+    "timeline_json_parse",
+    "flags_via_applyinpandas",
+    "probe_conformal_calibration",
+    "tukey_category_outliers",
+    "hybrid_rrf_retrieval",
+    "streaming_sessions",
+]
 if len(_ROUND13_FRONT) + len(_ROUND13_OWED) > _WINDOW_SLOTS:
     raise ValueError(
         "round-13 staging over budget: "
@@ -1636,6 +1670,64 @@ if len(_ROUND13_FRONT) > 20:
 _r13_missing = [n for n in _ROUND13_FRONT + _ROUND13_OWED if n not in REGISTRY]
 if _r13_missing:
     raise ValueError(f"round-13 staged names not in registry: {_r13_missing}")
+
+# Round-13 FILL: staleness rotation continued (judge order, round-11
+# verdict #1).  26 free slots go to the OLDEST last-driver-green entries
+# (ties broken by registry definition order), computed from
+# CORRECTNESS_r01..r12: the stalest tier is the 30 entries whose last
+# green row dates to round 6; these are its first 26.  The remaining 4
+# round-6 rows (ngram_jaccard_pairs, minhash_signatures,
+# simhash_signatures, catalog_table_counts) head the round-14 fill
+# candidate list.
+_ROUND13_FILL: list[str] = [
+    "quantization_error_eval",
+    "quantized_topk_recall",
+    "dedup_recall_eval",
+    "refund_metrics_long",
+    "revenue_pivot_by_category",
+    "retention_triangle",
+    "revenue_mom_growth",
+    "flags_build",
+    "events_unified",
+    "flag_type_summary",
+    "cosine_topk",
+    "knn_label_vote",
+    "ivf_cell_search",
+    "proximity_connections",
+    "returning_after_break",
+    "memberships_build",
+    "active_memberships_on_date",
+    "daily_active_timeline",
+    "revenue_projection",
+    "revenue_actual_plus_projected",
+    "membership_conversion_asof",
+    "customers_build",
+    "doc_stats",
+    "token_frequencies",
+    "doc_fingerprints",
+    "exact_dedup",
+]
+
+# STAGED for round 14: any round-13 edit to a driver-green entry OUTSIDE
+# the round-13 window must append to _ROUND14_OWED in the same commit
+# (window-rotation discipline); new registry additions go to
+# _ROUND14_FRONT (capped at 20).
+_ROUND14_FRONT: list[str] = []
+_ROUND14_OWED: list[str] = []
+if len(_ROUND14_FRONT) + len(_ROUND14_OWED) > _WINDOW_SLOTS:
+    raise ValueError(
+        "round-14 staging over budget: "
+        f"{len(_ROUND14_FRONT)} additions + {len(_ROUND14_OWED)} owed re-verifies "
+        f"> {_WINDOW_SLOTS} window slots — stop adding entries or queryize fewer"
+    )
+if len(_ROUND14_FRONT) > 20:
+    raise ValueError(
+        "round-14 additions capped at 20 (judge order, round-9 verdict #6: "
+        f"depth over breadth) — got {len(_ROUND14_FRONT)}"
+    )
+_r14_missing = [n for n in _ROUND14_FRONT + _ROUND14_OWED if n not in REGISTRY]
+if _r14_missing:
+    raise ValueError(f"round-14 staged names not in registry: {_r14_missing}")
 
 # ROUND-11 WINDOW (the 50 registry slots the driver verifies this round):
 #   * 3 front slots — the round-10 additions, the only entries never
@@ -1678,6 +1770,28 @@ if _r12w_missing:
 if set(_ROUND13_OWED) & set(_ROUND12_WINDOW):
     raise ValueError(
         "round-13 owed re-verifies overlap the round-12 window — an entry "
+        "inside the round-12 window was verified that round and owes nothing"
+    )
+
+# ROUND-13 WINDOW (the 50 registry slots the driver verifies this round):
+#   * 1 front slot — streaming_sessions_flush, the round-12 build
+#     addition, the only never-driver-verified entry.
+#   * 23 owed slots — the round-12 optimization rewrites outside the
+#     round-12 window (r12 verdict order #1).
+#   * 26 fill slots — the staleness rotation (oldest last-green first).
+_ROUND13_WINDOW = _ROUND13_FRONT + _ROUND13_OWED + _ROUND13_FILL
+if len(_ROUND13_WINDOW) != 50:
+    raise ValueError(
+        f"round-13 window must fill exactly 50 slots, got {len(_ROUND13_WINDOW)}"
+    )
+if len(set(_ROUND13_WINDOW)) != len(_ROUND13_WINDOW):
+    raise ValueError("round-13 window contains duplicate entries")
+_r13w_missing = [n for n in _ROUND13_WINDOW if n not in REGISTRY]
+if _r13w_missing:
+    raise ValueError(f"round-13 window names not in registry: {_r13w_missing}")
+if set(_ROUND14_OWED) & set(_ROUND13_WINDOW):
+    raise ValueError(
+        "round-14 owed re-verifies overlap the round-13 window — an entry "
         "inside the current window is verified this round and owes nothing"
     )
 if len(_ROUND8_WINDOW) != 50:
@@ -1704,8 +1818,8 @@ if len(set(_ROUND7_WINDOW)) != len(_ROUND7_WINDOW):
 _r7_missing = [n for n in _ROUND7_WINDOW if n not in REGISTRY]
 if _r7_missing:
     raise ValueError(f"round-7 window names not in registry: {_r7_missing}")
-_rest = [n for n in REGISTRY if n not in set(_ROUND12_WINDOW)]
-_reordered = {n: REGISTRY[n] for n in _ROUND12_WINDOW + _rest}
+_rest = [n for n in REGISTRY if n not in set(_ROUND13_WINDOW)]
+_reordered = {n: REGISTRY[n] for n in _ROUND13_WINDOW + _rest}
 REGISTRY.clear()
 REGISTRY.update(_reordered)
 
