@@ -1105,48 +1105,39 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: new-side bands (size ∝ batch) equi-join the stored band
     index (at rest this is a bucketed table; no corpus² term anywhere);
     verify joins run only on collided pairs; keep-best is one window over
-    the candidate set."""
+    the candidate set.
+
+    ROUND-13 OPTIMIZATION (guide §5 — shared-intermediate reuse, the
+    round-12 cluster-labels discipline): the band join + shingle-index
+    verification here rebuilt EXACTLY the pair set the materialized
+    :func:`minhash_lsh_pairs` table already stores — band collision and
+    verified Jaccard are both symmetric, and that table carries every
+    collided pair (doc_a < doc_b) unfiltered with the same
+    n_band_collisions count and the same unpruned-shingle Jaccard.  The
+    new×stored candidate set is the mixed-orientation slice of it (a
+    new-new or stored-stored pair is excluded by the mod split exactly as
+    the two-sided band join excluded it), so this query is now a scan of
+    the pairs table + the keep-best window — the 23-Exchange
+    signature/verification subtree is gone (plans/r13)."""
     from pyspark.sql import Window
 
-    shingles = _shingles_df(spark, sf_dir)
-    sigs = _minhash_signatures_from(shingles)
-    # both join sides slice the same band table; cached so the shingle ->
-    # signature -> banding subtree computes once, not once per side
-    # (tracked: released before the next registry query)
-    bands = tracked_persist(_minhash_bands(sigs))
-    is_new = F.col("doc_id") % INCR_NEW_MOD == 0
-    new_bands = bands.filter(is_new).select(
-        F.col("doc_id").alias("new_doc_id"), "band", "sig"
+    pairs = minhash_lsh_pairs(spark, sf_dir)
+    new_a = F.col("doc_a") % INCR_NEW_MOD == 0
+    new_b = F.col("doc_b") % INCR_NEW_MOD == 0
+    a_new = pairs.filter(new_a & ~new_b).select(
+        F.col("doc_a").alias("new_doc_id"),
+        F.col("doc_b").alias("stored_doc_id"),
+        "n_band_collisions",
+        "jaccard",
     )
-    stored_bands = bands.filter(~is_new).select(
-        F.col("doc_id").alias("stored_doc_id"), "band", "sig"
+    b_new = pairs.filter(new_b & ~new_a).select(
+        F.col("doc_b").alias("new_doc_id"),
+        F.col("doc_a").alias("stored_doc_id"),
+        "n_band_collisions",
+        "jaccard",
     )
-    candidates = (
-        new_bands.join(stored_bands, ["band", "sig"])
-        .groupBy("new_doc_id", "stored_doc_id")
-        .agg(F.count("*").alias("n_band_collisions"))
-    )
-    sh = shingles.select("doc_id", "shingle")
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    sa = sh.select(F.col("doc_id").alias("new_doc_id"), "shingle")
-    sb = sh.select(F.col("doc_id").alias("stored_doc_id"), "shingle")
-    overlap = (
-        candidates.join(sa, "new_doc_id")
-        .join(sb, ["stored_doc_id", "shingle"])
-        .groupBy("new_doc_id", "stored_doc_id", "n_band_collisions")
-        .agg(F.count("*").alias("common"))
-    )
-    za = sizes.select(F.col("doc_id").alias("new_doc_id"), F.col("n_sh").alias("n_a"))
-    zb = sizes.select(F.col("doc_id").alias("stored_doc_id"), F.col("n_sh").alias("n_b"))
-    jac = F.floor(
-        F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")) * 1000000.0
-        + 0.5
-    ) / 1000000.0
-    scored = (
-        overlap.join(za, "new_doc_id")
-        .join(zb, "stored_doc_id")
-        .withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    scored = a_new.unionByName(b_new).filter(
+        F.col("jaccard") >= JACCARD_THRESHOLD
     )
     w = Window.partitionBy("new_doc_id").orderBy(
         F.desc("jaccard"), "stored_doc_id"

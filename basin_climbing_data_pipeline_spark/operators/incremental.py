@@ -397,32 +397,91 @@ def table_diff_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     produces): how many rows the merge added, removed (refund tombstones),
     changed (row_version bump) and left untouched.  The promotion gate a
     warehouse runs build-over-build, with the reference's daily splice as
-    the subject (pipeline_handler.py:429-479)."""
+    the subject (pipeline_handler.py:429-479).
+
+    ROUND-13 OPTIMIZATION (guide §2.4 — share the exchange): the stored-side
+    keep-first window, the changeset-merge window, and the full-outer diff
+    join were ALL keyed on transaction_id — two table-sized exchanges + a
+    sort-merge join + three scans.  Both diff sides are derivable from ONE
+    pass over the stored∪changes union under the merge ordering
+    (_is_change DESC, order_cols): change rows sort strictly first, so the
+    MERGED winner is rank 1 (dropped if its op is a delete tombstone) and
+    the STORED winner is rank n_changes+1 — among _is_change=0 rows the
+    ordering restricted is exactly the stored keep-first's (order_cols).
+    One exchange, one sorted window pass, per-id digests compared in the
+    same partitioning (no join).  Digests are the identical md5 expression
+    :func:`diff_tables` uses (row_version = _is_change + 1 on each side by
+    construction), so added/removed/changed/unchanged counts are unchanged;
+    ids on neither side (change-only ids whose winner is a delete) are
+    filtered exactly as the full-outer join excluded them."""
     from .transactions import build_transactions
 
     txn = build_transactions(spark, sf_dir)
-    stored_raw = txn.filter(
+    stored = txn.filter(
         F.col("txn_date") <= F.lit(MERGE_STALE_END).cast("date")
-    ).withColumn("row_version", F.lit(1))
-    # the synthetic lineitem plants duplicate transaction_ids on purpose
-    # (A8); the diff's key must be unique, so the stored side gets the same
-    # deterministic keep-first the merge paths use
-    w = Window.partitionBy("transaction_id").orderBy(
-        *[F.col(c) for c in _MERGE_ORDER_COLS]
-    )
-    stored = (
-        stored_raw.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-    )
-    merged = changeset_merge(spark, sf_dir)
-    compare = ["txn_date", "revenue_category", "total_amount", "row_version"]
-    return diff_tables(
-        stored.select("transaction_id", *compare),
-        merged.select("transaction_id", *compare),
+    ).select(
         "transaction_id",
-        compare,
-    ).orderBy("status")
+        *_MERGE_ORDER_COLS,
+        F.lit(0).alias("_is_change"),
+        F.lit(False).alias("_is_delete"),
+    )
+    changes = txn.filter(
+        F.col("txn_date") >= F.lit(MERGE_WINDOW_START).cast("date")
+    ).select(
+        "transaction_id",
+        *_MERGE_ORDER_COLS,
+        F.lit(1).alias("_is_change"),
+        F.col("is_refund").alias("_is_delete"),
+    )
+    unioned = stored.unionByName(changes)
+    w = Window.partitionBy("transaction_id").orderBy(
+        F.desc("_is_change"), *[F.col(c) for c in _MERGE_ORDER_COLS]
+    )
+    wp = Window.partitionBy("transaction_id")
+    # same md5 digest as diff_tables over the compare columns
+    # [txn_date, revenue_category, total_amount, row_version], with each
+    # side's row_version constant-folded from _is_change
+    digest = F.md5(
+        F.concat_ws(
+            "\x1f",
+            F.col("txn_date").cast("string"),
+            F.col("revenue_category").cast("string"),
+            F.col("total_amount").cast("string"),
+            (F.col("_is_change") + 1).cast("string"),
+        )
+    )
+    ranked = unioned.select(
+        "transaction_id",
+        "_is_change",
+        "_is_delete",
+        digest.alias("_digest"),
+        F.row_number().over(w).alias("_rn"),
+        F.sum("_is_change").over(wp).alias("_n_ch"),
+    )
+    sides = (
+        ranked.groupBy("transaction_id")
+        .agg(
+            F.max(
+                F.when(F.col("_rn") == F.col("_n_ch") + 1, F.col("_digest"))
+            ).alias("old_digest"),
+            F.max(
+                F.when((F.col("_rn") == 1) & ~F.col("_is_delete"), F.col("_digest"))
+            ).alias("new_digest"),
+        )
+        .filter(F.col("old_digest").isNotNull() | F.col("new_digest").isNotNull())
+    )
+    status = (
+        F.when(F.col("old_digest").isNull(), "added")
+        .when(F.col("new_digest").isNull(), "removed")
+        .when(F.col("old_digest") != F.col("new_digest"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        sides.select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count("*").alias("n_rows"))
+        .orderBy("status")
+    )
 
 
 def table_diff_audit_sql() -> str:

@@ -1713,7 +1713,13 @@ _ROUND13_FILL: list[str] = [
 # (window-rotation discipline); new registry additions go to
 # _ROUND14_FRONT (capped at 20).
 _ROUND14_FRONT: list[str] = []
-_ROUND14_OWED: list[str] = []
+_ROUND14_OWED: list[str] = [
+    # round-13 optimization rewrites outside the round-13 window
+    # (same-commit discipline; each bitwise-green vs the oracle at
+    # sf0.001/sf0.01 and driver-contract-driven in-session):
+    "table_diff_audit",  # single-exchange two-sided diff (was 2 windows + FO join)
+    "incremental_dedup",  # mixed-orientation slice of materialized minhash_lsh_pairs
+]
 if len(_ROUND14_FRONT) + len(_ROUND14_OWED) > _WINDOW_SLOTS:
     raise ValueError(
         "round-14 staging over budget: "

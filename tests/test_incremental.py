@@ -300,3 +300,47 @@ def test_table_diff_audit_reconciles(spark, sf_dir):
     assert n_old == get("removed") + get("changed") + get("unchanged")
     assert n_new == get("added") + get("changed") + get("unchanged")
     assert get("changed") > 0  # the version bump must register as change
+
+
+def test_table_diff_audit_equals_join_shape(spark, sf_dir):
+    """Round-13 rewrite guard: the single-exchange two-sided diff must
+    produce exactly the counts of the original construction (stored
+    keep-first dedup + changeset_merge + diff_tables full-outer join)."""
+    from pyspark.sql import Window
+
+    from basin_climbing_data_pipeline_spark.operators.incremental import (
+        _MERGE_ORDER_COLS,
+        MERGE_STALE_END,
+        changeset_merge,
+        diff_tables,
+        table_diff_audit,
+    )
+    from basin_climbing_data_pipeline_spark.operators.transactions import (
+        build_transactions,
+    )
+
+    txn = build_transactions(spark, sf_dir)
+    stored_raw = txn.filter(
+        F.col("txn_date") <= F.lit(MERGE_STALE_END).cast("date")
+    ).withColumn("row_version", F.lit(1))
+    w = Window.partitionBy("transaction_id").orderBy(
+        *[F.col(c) for c in _MERGE_ORDER_COLS]
+    )
+    stored = (
+        stored_raw.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    merged = changeset_merge(spark, sf_dir)
+    compare = ["txn_date", "revenue_category", "total_amount", "row_version"]
+    ref = {
+        r["status"]: r["n_rows"]
+        for r in diff_tables(
+            stored.select("transaction_id", *compare),
+            merged.select("transaction_id", *compare),
+            "transaction_id",
+            compare,
+        ).collect()
+    }
+    out = {r["status"]: r["n_rows"] for r in table_diff_audit(spark, sf_dir).collect()}
+    assert out == ref

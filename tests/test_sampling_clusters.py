@@ -269,3 +269,63 @@ def test_cross_source_dup_matrix_reconciles_with_pairs(spark, sf_dir):
     for r in rows:
         assert r["source_a"] <= r["source_b"]
         assert CLUSTER_JACCARD_MIN <= r["mean_jaccard"] <= 1.0
+
+
+def test_incremental_dedup_equals_band_join_shape(spark, sf_dir):
+    """Round-13 rewrite guard: the mixed-orientation slice of the
+    materialized minhash_lsh_pairs table must reproduce the original
+    new-vs-stored band-join + shingle-verification construction exactly."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    shingles = dd._shingles_df(spark, sf_dir)
+    sigs = dd._minhash_signatures_from(shingles)
+    bands = dd._minhash_bands(sigs)
+    is_new = F.col("doc_id") % dd.INCR_NEW_MOD == 0
+    new_bands = bands.filter(is_new).select(
+        F.col("doc_id").alias("new_doc_id"), "band", "sig"
+    )
+    stored_bands = bands.filter(~is_new).select(
+        F.col("doc_id").alias("stored_doc_id"), "band", "sig"
+    )
+    candidates = (
+        new_bands.join(stored_bands, ["band", "sig"])
+        .groupBy("new_doc_id", "stored_doc_id")
+        .agg(F.count("*").alias("n_band_collisions"))
+    )
+    sh = shingles.select("doc_id", "shingle")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sa = sh.select(F.col("doc_id").alias("new_doc_id"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("stored_doc_id"), "shingle")
+    overlap = (
+        candidates.join(sa, "new_doc_id")
+        .join(sb, ["stored_doc_id", "shingle"])
+        .groupBy("new_doc_id", "stored_doc_id", "n_band_collisions")
+        .agg(F.count("*").alias("common"))
+    )
+    za = sizes.select(F.col("doc_id").alias("new_doc_id"), F.col("n_sh").alias("n_a"))
+    zb = sizes.select(
+        F.col("doc_id").alias("stored_doc_id"), F.col("n_sh").alias("n_b")
+    )
+    jac = F.floor(
+        F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")) * 1000000.0
+        + 0.5
+    ) / 1000000.0
+    scored = (
+        overlap.join(za, "new_doc_id")
+        .join(zb, "stored_doc_id")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= dd.JACCARD_THRESHOLD)
+    )
+    w = Window.partitionBy("new_doc_id").orderBy(F.desc("jaccard"), "stored_doc_id")
+    ref = sorted(
+        map(
+            tuple,
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("new_doc_id", "stored_doc_id", "n_band_collisions", "jaccard")
+            .collect(),
+        )
+    )
+    out = sorted(map(tuple, dd.incremental_dedup(spark, sf_dir).collect()))
+    assert out == ref
