@@ -262,16 +262,16 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     df_counts = toks.groupBy("tok").agg(F.count("*").alias("df"))
-    # ROUND-12 OPTIMIZATION (guide §5): the df-pruned inverted index
-    # feeds three consumers (per-doc sizes, the query side, the
-    # intersection join) — cache it so the explode+distinct+df-join
-    # subtree runs once.
-    from ..io import tracked_persist
-
-    pruned = tracked_persist(
-        toks.join(
-            df_counts.filter(F.col("df") <= MAX_TOKEN_DF).select("tok"), "tok"
-        )
+    # ROUND-13 RE-ADJUDICATION (guide §5): round 12 cached the df-pruned
+    # inverted index (three consumers); the driver record disagreed with
+    # that A/B (0.90x), and a clean 2x-alternating 5-rep re-A/B this round
+    # confirmed the driver: persisted mins 2.77/2.86 s vs uncached
+    # 2.17/2.21 s at sf0.1 — the persist serializes the dense-scan and
+    # inverted-index subtrees that otherwise overlap as sibling stages of
+    # the one noop-write job (the retrieval_rank_agreement adjudication
+    # generalizes here after all).  REVERTED to the uncached shape.
+    pruned = toks.join(
+        df_counts.filter(F.col("df") <= MAX_TOKEN_DF).select("tok"), "tok"
     )
     sizes = pruned.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
     qt = pruned.filter(F.col("doc_id") < N_QUERIES).select(
