@@ -100,18 +100,25 @@ shingles AS (
 # ---------------------------------------------------------------------------
 
 
-def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup by text hash: keep the lowest doc_id per group; report
-    every doc with its canonical id and group size (n_dupes = 1 → unique).
-    The hash key uses :func:`fold_norm`, not plain lower() — engine
-    lowercasing diverges on Unicode special-casing (Greek final sigma),
-    which would make the dedup KEY itself engine-dependent."""
+def _exact_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, text_hash) — THE exact-dedup key projection, shared by
+    :func:`exact_dedup` and :func:`exact_canonical_ids` (and mirrored by
+    exact_dedup_sql) so the dedup key can never silently diverge between
+    the flagging and funnel surfaces.  The hash uses :func:`fold_norm`,
+    not plain lower() — engine lowercasing diverges on Unicode
+    special-casing (Greek final sigma), which would make the dedup KEY
+    itself engine-dependent."""
     from ..functions.text import fold_norm
 
     docs = load_table(spark, sf_dir, "documents")
-    hashed = docs.select(
-        "doc_id", F.md5(fold_norm(F.col("text"))).alias("text_hash")
-    )
+    return docs.select("doc_id", F.md5(fold_norm(F.col("text"))).alias("text_hash"))
+
+
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by text hash: keep the lowest doc_id per group; report
+    every doc with its canonical id and group size (n_dupes = 1 → unique).
+    Key construction lives in :func:`_exact_hashed`."""
+    hashed = _exact_hashed(spark, sf_dir)
     groups = hashed.groupBy("text_hash").agg(
         F.min("doc_id").alias("canonical_doc_id"), F.count("*").alias("n_dupes")
     )
@@ -127,12 +134,9 @@ def exact_canonical_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     group, WITHOUT the join-back that :func:`exact_dedup` needs to flag
     every doc.  Funnel-style consumers that only need the surviving id
     set (corpus_funnel) use this: one groupBy instead of groupBy + join,
-    identical id set by construction."""
-    from ..functions.text import fold_norm
-
-    docs = load_table(spark, sf_dir, "documents")
+    identical id set by construction (same :func:`_exact_hashed` key)."""
     return (
-        docs.select(F.md5(fold_norm(F.col("text"))).alias("text_hash"), "doc_id")
+        _exact_hashed(spark, sf_dir)
         .groupBy("text_hash")
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
@@ -1975,7 +1979,17 @@ def blocker_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum(F.coalesce(F.col("in_lsh"), F.lit(0))), F.lit(0)).alias(
             "hit_lsh"
         ),
-        F.count(F.col("in_snm")).alias("hit_union"),
+        # union hit = the left join MATCHED (membership flags present);
+        # spelled as an explicit matched-indicator sum rather than
+        # count(in_snm) so the count doesn't read as SNM-specific
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("in_snm").isNotNull() | F.col("in_lsh").isNotNull(), 1
+                ).otherwise(0)
+            ),
+            F.lit(0),
+        ).alias("hit_union"),
     )
     stats = cand_counts.join(hit_counts)
 

@@ -1569,8 +1569,10 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`cosine_topk` (the ANN candidate generators can feed the same
     pool); everything after is bounded at M²·Q rows (pairwise sims within
     each query's 20-candidate pool) REGARDLESS of corpus size — the greedy
-    loop is K fixed relational steps (argmax-per-query via one window
-    each), no driver collect, lineage truncated per step.
+    chain is replayed on the driver from two BOUNDED collects (≤ Q·MMR_POOL
+    candidate rows and ≤ Q·MMR_POOL² pairwise sims, corpus-independent —
+    the k-means-centroid bounded-collect class), exact integer arithmetic
+    identical to the former per-step relational windows.
 
     Determinism: relevance and pairwise cosines are 1e-6 fixed-point; the
     greedy key is the exact integer 7·rel_micro − 3·maxsim_micro with
@@ -1662,7 +1664,18 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             for cid, rel in cands_q:
                 if cid in selected:
                     continue
-                maxsim = max(sim_lookup[(qid, cid, s)] for s in selected)
+                # invariant: the sims collect carries EVERY (query,
+                # cand, cand) pair of the pool — a missing key means the
+                # pool/sims frames diverged upstream; fail with the
+                # invariant named instead of a bare KeyError
+                try:
+                    maxsim = max(sim_lookup[(qid, cid, s)] for s in selected)
+                except KeyError as e:  # pragma: no cover - invariant guard
+                    raise AssertionError(
+                        "mmr_diversified_topk: pairwise sim missing for "
+                        f"(query_id={qid}, pair={e.args[0]}); the pool and "
+                        "sims frames must cover the full pool cross-product"
+                    ) from e
                 key = (_MMR_REL_W * rel - _MMR_DIV_W * maxsim, -cid)
                 if best is None or key > best[0]:
                     best = (key, cid, rel, maxsim)
