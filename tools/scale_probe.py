@@ -172,18 +172,47 @@ def build_scaled(dst: str, replicas: int) -> None:
         ) TO '{dst}/customer.parquet' (FORMAT PARQUET)
         """
     )
+    # Opt-in relational-fact scaling (SPARK_GRAFT_SCALE_LINEITEM=1):
+    # replicate lineitem with per-replica orderkey offsets AND tile the
+    # order calendar by ~7 years per replica (past the base span, so day
+    # vocabularies grow ~replicas x instead of stacking).  This is the
+    # probe axis for the CALENDAR-bounded operators (theilsen's pair
+    # frame is days^2: 8 replicas = ~64x pairs) — without it lineitem is
+    # copied verbatim and the scaled transactions table equals the base
+    # one (only replica 0's orders match), which is why those probes read
+    # ~1.0x.  Default off: the event/doc probes above predate this knob
+    # and stay comparable.
+    scale_li = os.environ.get("SPARK_GRAFT_SCALE_LINEITEM") == "1"
+    day_shift = "to_days((2557 * r.k)::INTEGER)"
+    o_date = f"o_orderdate + {day_shift}" if scale_li else "o_orderdate"
     con.execute(
         f"""
         COPY (
           SELECT o_orderkey + r.k * {n_orders} AS o_orderkey,
                  o_custkey + r.k * {n_cust} AS o_custkey,
-                 o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+                 o_orderstatus, o_totalprice, {o_date} AS o_orderdate,
+                 o_orderpriority
           FROM read_parquet('{BASE}/orders.parquet'),
                (SELECT unnest(range({replicas})) AS k) r
         ) TO '{dst}/orders.parquet' (FORMAT PARQUET)
         """
     )
-    for t in ("region", "nation", "supplier", "part", "lineitem"):
+    if scale_li:
+        con.execute(
+            f"""
+            COPY (
+              SELECT l_orderkey + r.k * {n_orders} AS l_orderkey,
+                     l_partkey, l_suppkey, l_linenumber, l_quantity,
+                     l_extendedprice, l_discount, l_tax, l_returnflag,
+                     l_linestatus,
+                     l_shipdate + {day_shift} AS l_shipdate
+              FROM read_parquet('{BASE}/lineitem.parquet'),
+                   (SELECT unnest(range({replicas})) AS k) r
+            ) TO '{dst}/lineitem.parquet' (FORMAT PARQUET)
+            """
+        )
+    fixed = ("region", "nation", "supplier", "part")
+    for t in fixed if scale_li else fixed + ("lineitem",):
         shutil.copy(f"{BASE}/{t}.parquet", f"{dst}/{t}.parquet")
 
 
