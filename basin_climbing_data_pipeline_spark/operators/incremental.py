@@ -40,10 +40,19 @@ def replace_window_merge(
     window_start,
     id_col: str,
     order_cols: list[str],
+    range_partition: bool = False,
 ) -> DataFrame:
     """Keep existing rows with date < window_start, union the fresh window,
     dedup by id keeping the first row under an explicit ordering (fresh rows
-    win ties by sorting on is_fresh desc first)."""
+    win ties by sorting on is_fresh desc first).
+
+    ``range_partition=True`` (guide §2.4 — share the exchange): callers
+    that globally ORDER the merge output by ``id_col`` afterwards can
+    range-partition the union ONCE here; RangePartitioning(id) satisfies
+    both the window's clustered-distribution requirement and the final
+    sort's ordered-distribution requirement, so the downstream orderBy
+    adds no second exchange.  Values are identical either way — only the
+    physical partitioning changes."""
     kept = existing.filter(F.col(date_col) < F.lit(window_start)).withColumn(
         "_is_fresh", F.lit(0)
     )
@@ -51,6 +60,8 @@ def replace_window_merge(
         "_is_fresh", F.lit(1)
     )
     unioned = kept.unionByName(incoming)
+    if range_partition:
+        unioned = unioned.repartitionByRange(F.col(id_col).asc())
     w = Window.partitionBy(id_col).orderBy(
         F.desc("_is_fresh"), *[F.col(c) for c in order_cols]
     )
@@ -164,7 +175,13 @@ def merged_transactions_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("txn_date") >= F.lit(MERGE_WINDOW_START).cast("date")
     ).withColumn("row_version", F.lit(2))
     merged = replace_window_merge(
-        stored, fresh, "txn_date", MERGE_WINDOW_START, "transaction_id", _MERGE_ORDER_COLS
+        stored,
+        fresh,
+        "txn_date",
+        MERGE_WINDOW_START,
+        "transaction_id",
+        _MERGE_ORDER_COLS,
+        range_partition=True,  # the orderBy below reuses the one exchange
     )
     return merged.select(
         "transaction_id", "txn_date", "revenue_category", "total_amount", "row_version"
@@ -274,6 +291,7 @@ def apply_changeset(
     id_col: str,
     op_col: str,
     order_cols: list[str],
+    range_partition: bool = False,
 ) -> DataFrame:
     """Delta-``MERGE`` semantics without Delta: ``changes`` rows carry an
     ``op_col`` in {'upsert', 'delete'}; upserts replace matching ids (or
@@ -291,6 +309,10 @@ def apply_changeset(
     ex = existing.withColumn(op_col, F.lit("upsert")).withColumn("_is_change", F.lit(0))
     ch = changes.withColumn("_is_change", F.lit(1))
     unioned = ex.unionByName(ch)
+    if range_partition:
+        # see replace_window_merge: one range exchange serves both the
+        # per-id window and a caller's global orderBy(id_col)
+        unioned = unioned.repartitionByRange(F.col(id_col).asc())
     w = Window.partitionBy(id_col).orderBy(
         F.desc("_is_change"), *[F.col(c) for c in order_cols]
     )
@@ -317,7 +339,8 @@ def changeset_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "op", F.when(F.col("is_refund"), "delete").otherwise("upsert")
     )
     merged = apply_changeset(
-        stored, changes, "transaction_id", "op", _MERGE_ORDER_COLS
+        stored, changes, "transaction_id", "op", _MERGE_ORDER_COLS,
+        range_partition=True,
     )
     return merged.select(
         "transaction_id", "txn_date", "revenue_category", "total_amount", "row_version"

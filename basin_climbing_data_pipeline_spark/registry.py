@@ -1719,6 +1719,8 @@ _ROUND14_OWED: list[str] = [
     # sf0.001/sf0.01 and driver-contract-driven in-session):
     "table_diff_audit",  # single-exchange two-sided diff (was 2 windows + FO join)
     "incremental_dedup",  # mixed-orientation slice of materialized minhash_lsh_pairs
+    "changeset_merge",  # one range exchange serves the merge window + final orderBy
+    "merged_transactions_window",  # same shared-range-exchange shape
 ]
 if len(_ROUND14_FRONT) + len(_ROUND14_OWED) > _WINDOW_SLOTS:
     raise ValueError(

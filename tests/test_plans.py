@@ -244,3 +244,12 @@ def test_attribution_single_user_window(spark, sf_dir):
     st = _audit(spark, sf_dir, "purchase_attribution")
     assert st.n_sort_merge_joins == 0
     assert st.n_bnl_joins == 0
+
+
+def test_merge_family_shares_one_exchange(spark, sf_dir):
+    """Round-13 shape guard: the registered merge queries range-partition
+    the union once, so the per-id window AND the final orderBy ride ONE
+    exchange (the transactions build itself is all-broadcast)."""
+    for name in ("changeset_merge", "merged_transactions_window"):
+        st = _audit(spark, sf_dir, name)
+        assert st.n_shuffle_exchanges == 1, f"{name}: {st.n_shuffle_exchanges}"
