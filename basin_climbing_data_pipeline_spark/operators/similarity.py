@@ -2327,13 +2327,24 @@ def embedding_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = emb.select("vec_id", "embedding", nrm.alias("nrm")).where(
         F.col("nrm") > 0
     )
+    # try_divide, not `/`: the nrm > 0 filter above is NOT a guarantee the
+    # division never sees a zero — whole-stage codegen evaluates this
+    # transform as a common subexpression INSIDE the Filter evaluator
+    # (observed on Spark 4.1: GeneratedClass$SpecificPredicate.subExpr_0
+    # runs the ArrayTransform before the predicate verdict), so a single
+    # zero-norm embedding row crashed the query under ANSI while the
+    # DuckDB oracle (WHERE nrm > 0 before its division) returned the
+    # degenerate row — a real cross-engine divergence, caught round 13 by
+    # the new zero-corpus test.  try_divide is the identical IEEE divide
+    # wherever nrm > 0, and the NULL it yields on filtered rows is never
+    # observed.
     unit = base.select(
         "vec_id",
         F.transform(
             "embedding",
-            lambda x: F.floor(x.cast("double") / F.col("nrm") * MICRO + 0.5).cast(
-                "long"
-            ),
+            lambda x: F.floor(
+                F.try_divide(x.cast("double"), F.col("nrm")) * MICRO + 0.5
+            ).cast("long"),
         ).alias("u"),
     )
     # ROUND-12 OPTIMIZATION (guide §2.3, second pass — same shape fix as
@@ -2356,22 +2367,30 @@ def embedding_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("u"),
         F.posexplode("u").alias("i", "x"),
     )
+    # ROUND-13 OPTIMIZATION (guide §1.2 — don't run a second corpus pass
+    # for a count): n_vecs used to be its own unit.agg(count) job, which
+    # re-ran the normalize over the whole corpus.  Every vector emits
+    # exactly ONE rows-row per i, so count(*) per (chunk, i) summed over
+    # chunks at any fixed i IS n_vecs — the count rides the Gram
+    # aggregation and the single bounded collect below carries it.
     per_chunk = rows.groupBy("chunk", "i").agg(
+        F.count("*").alias("cnt"),
         *[
             F.sum(F.col("x") * F.element_at(F.col("u"), j + 1)).alias(f"m{j}")
             for j in range(DIM)
-        ]
+        ],
     )
     per_i = per_chunk.groupBy("i").agg(
+        F.sum("cnt").alias("cnt_i"),
         *[F.sum(dec38(F.col(f"m{j}"))).alias(f"m{j}") for j in range(DIM)]
     )
     m_raw = per_i.select(
         "i",
+        "cnt_i",
         F.posexplode(F.array(*[F.col(f"m{j}") for j in range(DIM)])).alias(
             "j", "m"
         ),
     )
-    nv = unit.agg(F.count("*").alias("n_vecs"))  # 1-row frame, no driver action
     # trace-normalize M into 1e12 fixed point BEFORE iterating: raw entries
     # grow with the corpus (n·1e12 at 1e9 rows ≈ 1e21) and their downstream
     # products blow past decimal(38); M' = floor(M/trace·1e12 + 0.5) keeps
@@ -2385,6 +2404,7 @@ def embedding_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "i",
             "j",
+            "cnt_i",
             F.floor(
                 F.col("m").cast("double") / F.col("trace_raw").cast("double")
                 * 1.0e12
@@ -2411,8 +2431,11 @@ def embedding_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unchanged closed-form SQL oracle verifies this per run).
     import math
 
-    m_rows = m_frame.collect()  # bounded: ≤ DIM² rows of (i, j, m)
-    n_vecs = nv.collect()[0]["n_vecs"]  # global agg → exactly 1 row
+    m_rows = m_frame.collect()  # bounded: ≤ DIM² rows of (i, j, cnt_i, m)
+    # empty m_rows ⟺ empty unit frame (per_i always emits DIM rows from a
+    # non-empty unit, and the broadcast trace join preserves them), so the
+    # degenerate count is exactly 0 — same value the old count(*) job gave
+    n_vecs = int(m_rows[0]["cnt_i"]) if m_rows else 0
 
     def out_frame(share_v, resid_v):
         return spark.createDataFrame(

@@ -414,3 +414,70 @@ def _left_fold_dot(a, b):
     for x, y in zip(a, b):
         acc = acc + x * y
     return acc
+
+
+def test_top_component_degenerate_corpus_counts_zero(spark, tmp_path):
+    """Round-13 guard: n_vecs now rides the Gram collect (one bounded
+    job) — on a corpus where every embedding is zero-norm the collect is
+    empty and the count must still be exactly 0 with NULL stats, the
+    same row the old separate count(*) job produced."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    src = "/root/testdata/sf0.001"
+    dst = str(tmp_path / "zero_corpus")
+    shutil.copytree(src, dst)
+    spark.read.parquet(f"{src}/embeddings.parquet").select(
+        "vec_id",
+        F.transform("embedding", lambda _: F.lit(0.0).cast("float")).alias(
+            "embedding"
+        ),
+        *(
+            [c for c in ["label"] if c in spark.read.parquet(f"{src}/embeddings.parquet").columns]
+        ),
+    ).write.mode("overwrite").parquet(f"{dst}/embeddings.parquet")
+    from basin_climbing_data_pipeline_spark.operators.similarity import (
+        embedding_top_component,
+    )
+
+    rows = embedding_top_component(spark, dst).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_vecs"] == 0
+    assert r["top_eigen_share"] is None and r["residual"] is None
+
+
+def test_top_component_mixed_zero_norm_rows_survive(spark, tmp_path):
+    """A corpus where SOME embeddings are zero-norm must not crash (the
+    round-13 subexpression-elimination finding: the codegen'd filter
+    evaluates the unit division on rows it is about to drop) and must
+    count exactly the non-zero rows — the same semantics the oracle's
+    WHERE nrm > 0 has always had."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    src = "/root/testdata/sf0.001"
+    dst = str(tmp_path / "mixed_corpus")
+    shutil.copytree(src, dst)
+    emb = spark.read.parquet(f"{src}/embeddings.parquet")
+    zeroed = emb.select(
+        "vec_id",
+        F.when(
+            F.col("vec_id") % 2 == 0,
+            F.transform("embedding", lambda _: F.lit(0.0).cast("float")),
+        )
+        .otherwise(F.col("embedding"))
+        .alias("embedding"),
+        "label",
+    )
+    zeroed.write.mode("overwrite").parquet(f"{dst}/embeddings.parquet")
+    from basin_climbing_data_pipeline_spark.operators.similarity import (
+        embedding_top_component,
+    )
+
+    r = embedding_top_component(spark, dst).collect()[0]
+    n_nonzero = zeroed.filter(F.col("vec_id") % 2 != 0).count()
+    assert r["n_vecs"] == n_nonzero
+    assert r["top_eigen_share"] is not None and r["residual"] is not None
